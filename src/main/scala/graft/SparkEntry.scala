@@ -1,13 +1,217 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §2.C + §7.
+  *
+  * Every entry in `queries` has a DuckDB-equivalent in `oracleSql` over
+  * the same parquet tables; column names and types are aligned on both
+  * sides (the driver sorts columns by name and hash-compares values).
+  * Determinism rules (SURVEY §2.C): total ORDER BY everywhere; arrays
+  * sorted; money sums via DECIMAL (order-independent) then DOUBLE;
+  * ratios of integers left as exact doubles; timestamps stringified.
+  */
 object SparkEntry {
+
+  private def t(name: String)(implicit spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    InvertedIndex.postings(Tables(spark, "/root/testdata/sf0.001", "documents"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    // ---- core index pipeline (reference parity, R5–R16) ----
+    "q01_tokenize" -> ((s, d) => InvertedIndex.tokens(Tables(s, d, "documents"))),
+    "q02_postings" -> ((s, d) => InvertedIndex.postings(Tables(s, d, "documents"))),
+    "q03_index_format" -> ((s, d) => InvertedIndex.indexFormat(Tables(s, d, "documents"))),
+    // ---- index query algebra ----
+    "q04_df_topk_per_letter" -> ((s, d) => InvertedIndex.topkPerLetter(Tables(s, d, "documents"), 5)),
+    "q05_doc_set_and" -> ((s, d) => InvertedIndex.docSetAnd(Tables(s, d, "documents"), "batch", "scan")),
+    "q06_doc_set_except" -> ((s, d) => InvertedIndex.docSetExcept(Tables(s, d, "documents"), "batch", "slow")),
+    // ---- relational surface ----
+    "q07_scan_filter_project" -> ((s, d) => Relational.scanFilterProject(Tables(s, d, "lineitem"))),
+    "q08_agg_groupby" -> ((s, d) => Relational.aggGroupBy(Tables(s, d, "lineitem"))),
+    "q09_join_broadcast" -> ((s, d) =>
+      Relational.joinBroadcast(Tables(s, d, "customer"), Tables(s, d, "nation"), Tables(s, d, "region"))),
+    "q10_join_semi_anti" -> ((s, d) =>
+      Relational.joinSemiAnti(Tables(s, d, "customer"), Tables(s, d, "orders"))),
+    "q11_window_running" -> ((s, d) => Relational.windowRunning(Tables(s, d, "orders"))),
+    "q12_rollup_agg" -> ((s, d) => Relational.rollupAgg(Tables(s, d, "orders"))),
+    "q13_sort_limit" -> ((s, d) => Relational.sortLimit(Tables(s, d, "orders"), 10)),
+    "q14_distinct_count" -> ((s, d) => Relational.distinctCount(Tables(s, d, "lineitem"))),
+    "q15_set_union" -> ((s, d) =>
+      Relational.setUnion(Tables(s, d, "customer"), Tables(s, d, "supplier"))),
+    // ---- semi-structured + temporal ----
+    "q16_json_extract" -> ((s, d) => Events.jsonExtract(Tables(s, d, "events"))),
+    "q17_date_trunc_agg" -> ((s, d) => Events.dateTruncAgg(Tables(s, d, "events"))),
+    // ---- LLM-pipeline extensions ----
+    "q18_near_dup_jaccard" -> ((s, d) => Dedup.nearDupJaccard(Tables(s, d, "documents"), 1000L, 0.95)),
+    "q19_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables(s, d, "embeddings"), 20, 3)),
+    "q20_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables(s, d, "documents"))),
+  )
+
+  // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
+  private val rawtoksCte =
+    """rawtoks AS (
+      |  SELECT doc_id, lang, lower(regexp_replace(w, '[^A-Za-z]', '', 'g')) AS word
+      |  FROM (SELECT doc_id, lang, unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+      |  WHERE lower(regexp_replace(w, '[^A-Za-z]', '', 'g')) <> '')""".stripMargin
+  private val toksCte =
+    s"""$rawtoksCte,
+       |toks AS (SELECT DISTINCT doc_id, word FROM rawtoks)""".stripMargin
+  private val postingsCte =
+    s"""$toksCte,
+       |post AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS df, list_sort(list(doc_id)) AS postings
+       |  FROM toks GROUP BY word)""".stripMargin
+
+  /** DuckDB equivalents, one per `queries` key (driver runs at sf0.01). */
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_tokenize" ->
+      s"""WITH $rawtoksCte
+         |SELECT doc_id, word FROM rawtoks ORDER BY doc_id, word""".stripMargin,
+    "q02_postings" ->
+      s"""WITH $postingsCte
+         |SELECT word, df, postings FROM post ORDER BY df DESC, word""".stripMargin,
+    "q03_index_format" ->
+      s"""WITH $postingsCte
+         |SELECT substr(word, 1, 1) AS letter, word, df,
+         |       word || ':[' || array_to_string(postings, ' ') || ']' AS line
+         |FROM post ORDER BY letter, df DESC, word""".stripMargin,
+    "q04_df_topk_per_letter" ->
+      s"""WITH $postingsCte
+         |SELECT letter, word, df, rnk FROM (
+         |  SELECT substr(word, 1, 1) AS letter, word, df,
+         |         rank() OVER (PARTITION BY substr(word, 1, 1)
+         |                      ORDER BY df DESC, word) AS rnk
+         |  FROM post)
+         |WHERE rnk <= 5 ORDER BY letter, rnk, word""".stripMargin,
+    "q05_doc_set_and" ->
+      s"""WITH $toksCte
+         |SELECT doc_id FROM toks WHERE word = 'batch'
+         |INTERSECT
+         |SELECT doc_id FROM toks WHERE word = 'scan'
+         |ORDER BY doc_id""".stripMargin,
+    "q06_doc_set_except" ->
+      s"""WITH $toksCte
+         |SELECT doc_id FROM toks WHERE word = 'batch'
+         |EXCEPT
+         |SELECT doc_id FROM toks WHERE word = 'slow'
+         |ORDER BY doc_id""".stripMargin,
+    "q07_scan_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q08_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_price,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q09_join_broadcast" ->
+      """SELECT n_name, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q10_join_semi_anti" ->
+      """SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'without_orders' AS kind, count(*) AS n FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY kind""".stripMargin,
+    "q11_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q12_rollup_agg" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q13_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q14_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q15_set_union" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+    "q16_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*), 2) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q17_date_trunc_agg" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q18_near_dup_jaccard" ->
+      s"""WITH $toksCte,
+         |sets AS (
+         |  SELECT doc_id, list(word) AS ws, CAST(count(*) AS BIGINT) AS n
+         |  FROM toks WHERE doc_id < 1000 GROUP BY doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+         |           / (a.n + b.n - len(list_intersect(a.ws, b.ws))) AS jaccard
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.95 ORDER BY doc_a, doc_b""".stripMargin,
+    "q19_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
+        |           (acc, x) -> acc + x)
+        |         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |              list_transform(a.v, x -> x * x)), (acc, x) -> acc + x))
+        |          * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |              list_transform(b.v, x -> x * x)), (acc, x) -> acc + x))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 20)
+        |SELECT vec_a, vec_b, round(cos, 2) AS cos_sim, rnk FROM (
+        |  SELECT vec_a, vec_b, cos,
+        |         row_number() OVER (PARTITION BY vec_a
+        |                            ORDER BY round(cos, 6) DESC, vec_b) AS rnk
+        |  FROM pairs)
+        |WHERE rnk <= 3 ORDER BY vec_a, rnk, vec_b""".stripMargin,
+    "q20_text_stats" ->
+      s"""WITH $rawtoksCte
+         |SELECT lang, count(DISTINCT doc_id) AS n_docs,
+         |       count(DISTINCT word) AS n_words,
+         |       round(CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id), 2) AS avg_tokens
+         |FROM rawtoks GROUP BY lang ORDER BY lang""".stripMargin,
+  )
 }

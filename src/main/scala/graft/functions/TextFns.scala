@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text normalization + tokenization shared by the index pipeline and
+  * the text-analysis operators.
+  *
+  * Semantics derive from the reference's map phase
+  * (`/root/reference/main.c++:100-144`): split on whitespace, keep only
+  * ASCII letters, fold to lowercase, drop tokens that normalize to
+  * empty (`main.c++:125-128`, the segfault-guard the reference README
+  * documents at `README.md:18`). Reference quirks Q1/Q3 (SURVEY §2.A)
+  * are resolved to the canonical `\s+` form.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql
+  * .functions` — no UDFs — so the whole tokenize→normalize→filter chain
+  * stays inside WholeStageCodegen, the Spark analogue of the
+  * reference's fused per-line map loop (`main.c++:98-146`).
+  */
+object TextFns {
+
+  /** Lowercase + strip every non-ASCII-letter byte
+    * (`main.c++:106-128`). */
+  def normalize(c: Column): Column = lower(regexp_replace(c, "[^A-Za-z]", ""))
+
+  /** Raw `(doc_id [, extraCols…], word)` token stream, duplicates kept
+    * (reference R5 tokenize + R6 normalize). */
+  def tokens(docs: DataFrame, extraCols: Seq[String] = Nil): DataFrame = {
+    val keep = (Seq("doc_id") ++ extraCols).map(col) :+
+      explode(split(col("text"), "\\s+")).as("tok")
+    docs
+      .select(keep: _*)
+      .withColumn("word", normalize(col("tok")))
+      .where(length(col("word")) > 0)
+      .drop("tok")
+  }
+
+  /** Distinct `(doc_id, word)` pairs — the reference's per-file dedup
+    * (R7, `main.c++:46-58,130-141`), expressed as a partial-aggregating
+    * distinct so the dedup happens map-side before the shuffle. */
+  def docWords(docs: DataFrame): DataFrame =
+    tokens(docs).select("doc_id", "word").distinct()
+
+  /** Modulus for the cross-engine polynomial hash. */
+  val HashP = 1000000007L
+
+  /** Deterministic, cross-engine (Spark ≡ DuckDB) polynomial string
+    * hash: left-fold of ascii codes, `acc*31 + c (mod 1e9+7)`.
+    * DuckDB equivalent:
+    * `list_reduce(list_prepend(0, list_transform(string_split(s,''),
+    *  c -> ascii(c))), (a,b) -> (a*31+b) % 1000000007)`.
+    * Used wherever both engines must reproduce a numeric token hash
+    * (MinHash, SimHash, fingerprints). Pure expressions → codegen'd.
+    */
+  def polyHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % HashP)
+}

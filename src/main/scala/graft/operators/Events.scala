@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semi-structured + temporal operators over the `events` table
+  * (SURVEY §2.C q16–q17). JSON extraction and date truncation are
+  * built-in codegen'd expressions; the JSON path never leaves the
+  * executors.
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads as
+  * epoch-nanos LONG under `spark.sql.legacy.parquet.nanosAsLong`;
+  * `tsCol` converts to a proper timestamp (µs floor) once, here.
+  */
+object Events {
+
+  /** ts as TIMESTAMP regardless of whether the source surfaced it as
+    * epoch-nanos LONG (nanosAsLong) or a native timestamp. */
+  private def tsCol(events: DataFrame) =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts")
+    }
+
+  /** q16 — JSON field extraction + aggregation. `get_json_object` pulls
+    * `$.k` out of the props JSON string per row. */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(sum(col("k")).cast("double") / count(lit(1)), 2).as("avg_k"))
+      .orderBy("event_type")
+
+  /** q17 — per-day, per-type temporal rollup. The day leaves as a
+    * 'yyyy-MM-dd' string so both engines compare the same value. */
+  def dateTruncAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", date_format(date_trunc("day", tsCol(events)), "yyyy-MM-dd"))
+      .groupBy("day", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("day", "event_type")
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** The reference's core capability — inverted-index construction and the
+  * query algebra over it — re-expressed as declarative Spark plans.
+  *
+  * Reference lifecycle (`/root/reference/main.c++`): map = tokenize +
+  * normalize + per-file dedup (`main.c++:100-144`), barrier
+  * (`main.c++:152`), reduce = 26-way letter partition + group-by-word
+  * merge (`main.c++:180-205`) + per-bucket sort (`main.c++:236`) +
+  * formatted text sink (`main.c++:231-266`). Here the barrier is the
+  * shuffle of a `groupBy`, the letter partition is a derived column, the
+  * merge is `collect_set`, and the sorts are `sort_array`/`orderBy` —
+  * partial aggregation, spill, and skew handling (AQE) come free, which
+  * is what lets the same plan run on 100 TB where the reference's
+  * all-in-RAM vectors (`main.c++:300-302`) cannot.
+  */
+object InvertedIndex {
+
+  /** q01 — raw token stream (R5+R6). */
+  def tokens(docs: DataFrame): DataFrame =
+    TextFns.tokens(docs)
+      .select("doc_id", "word")
+      .orderBy("doc_id", "word")
+
+  /** Unordered postings — shared sub-plan for q02..q06. Per-doc dedup
+    * (R7) happens before the groupBy shuffle, mirroring the reference's
+    * map-side dedup (`main.c++:130-141`); `collect_set` is the reduce
+    * merge (R11, `main.c++:190-203`); `sort_array` replaces the bubble
+    * sort (R14, `main.c++:240-252`). */
+  def postingsUnordered(docs: DataFrame): DataFrame =
+    TextFns.docWords(docs)
+      .groupBy("word")
+      .agg(
+        sort_array(collect_set(col("doc_id"))).as("postings"),
+        count(lit(1)).as("df"))
+
+  /** q02 — the reference's core output: word → ascending posting list,
+    * ordered by document frequency DESC, word ASC (R13,
+    * `main.c++:37-44,236`). */
+  def postings(docs: DataFrame): DataFrame =
+    postingsUnordered(docs)
+      .select("word", "df", "postings")
+      .orderBy(col("df").desc, col("word").asc)
+
+  /** q03 — the index in the reference's output grammar
+    * `word:[id1 id2 … idN]` (R16, `main.c++:254-266`), partitioned by
+    * first letter (R10, `main.c++:184-186`). */
+  def indexFormat(docs: DataFrame): DataFrame =
+    postingsUnordered(docs)
+      .withColumn("letter", substring(col("word"), 1, 1))
+      .withColumn("line",
+        concat(col("word"), lit(":["),
+          array_join(col("postings").cast("array<string>"), " "), lit("]")))
+      .select("letter", "word", "df", "line")
+      .orderBy(col("letter").asc, col("df").desc, col("word").asc)
+
+  /** q04 — top-k words per letter by document frequency: the
+    * reference's per-bucket sort (R13) re-expressed as a window rank. */
+  def topkPerLetter(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("letter"))
+      .orderBy(col("df").desc, col("word").asc)
+    postingsUnordered(docs)
+      .withColumn("letter", substring(col("word"), 1, 1))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("letter", "word", "df", "rnk")
+      .orderBy(col("letter").asc, col("rnk").asc, col("word").asc)
+  }
+
+  /** q05 — doc-set AND: documents containing both words. The idiomatic
+    * Spark form of posting-list intersection is a left-semi join, which
+    * Catalyst broadcasts when one side is small. */
+  def docSetAnd(docs: DataFrame, w1: String, w2: String): DataFrame = {
+    val dw = TextFns.docWords(docs)
+    dw.where(col("word") === w1).select("doc_id")
+      .join(dw.where(col("word") === w2).select("doc_id"), Seq("doc_id"), "left_semi")
+      .orderBy("doc_id")
+  }
+
+  /** q06 — doc-set EXCEPT: documents containing w1 but not w2
+    * (left-anti join — posting-list difference). */
+  def docSetExcept(docs: DataFrame, w1: String, w2: String): DataFrame = {
+    val dw = TextFns.docWords(docs)
+    dw.where(col("word") === w1).select("doc_id")
+      .join(dw.where(col("word") === w2).select("doc_id"), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** The reference's R16 sink verbatim: one text file per first letter,
+    * rows `word:[id1 id2 … idN]` sorted df DESC, word ASC within each
+    * letter (`main.c++:231-266`). `partitionBy` gives the 26-way layout;
+    * `sortWithinPartitions` after a 1-partition-per-letter repartition
+    * reproduces the per-bucket ordering. Verified by golden-file
+    * ScalaTest (not DuckDB — the grammar is not a table).
+    */
+  def writeIndex(docs: DataFrame, outDir: String): Unit =
+    indexFormat(docs)
+      .repartition(col("letter"))
+      .sortWithinPartitions(col("letter"), col("df").desc, col("word").asc)
+      .select("letter", "line")
+      .write.mode("overwrite")
+      .partitionBy("letter")
+      .text(outDir)
+}

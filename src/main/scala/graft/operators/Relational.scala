@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface over the TPC-H-ish testdata (SURVEY §2.C q07–q15).
+  * The reference has no joins/windows/rollups (verified absence, SURVEY
+  * §2.B); these are declared to make the engine a general analytics
+  * surface. All built-in, codegen'd expressions; Catalyst handles
+  * pushdown/pruning, and every small dimension join is explicitly
+  * broadcast so no plan here shuffles a dimension at 100 TB.
+  *
+  * Determinism-for-oracle rules (SURVEY §2.C): total ORDER BY; money
+  * aggregates go through DECIMAL so the sum is exact and independent of
+  * partial-aggregation order, then back to DOUBLE; averages are
+  * exact-sum / count in DOUBLE; timestamps leave as 'yyyy-MM-dd'
+  * strings.
+  */
+object Relational {
+
+  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Exact, order-independent sum of a 2-dp money column, as DOUBLE. */
+  private def sumMoney(c: org.apache.spark.sql.Column) =
+    sum(money(c)).cast("double")
+
+  private def avgMoney(c: org.apache.spark.sql.Column) =
+    round(sum(money(c)).cast("double") / count(lit(1)), 2)
+
+  /** q07 — scan + filter + project with arithmetic. The shipdate range
+    * and discount predicates are pushed into the parquet scan; only the
+    * four projected columns are read. */
+  def scanFilterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") > 0.05)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)").cast("double").as("revenue"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q08 — TPC-H Q1-style grouped aggregation. Partial (map-side)
+    * aggregation + final merge is the reference's R8→R11 two-phase
+    * shape, provided automatically by HashAggregateExec. */
+  def aggGroupBy(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        avgMoney(col("l_quantity")).as("avg_qty"),
+        avgMoney(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q09 — star join: fact⋈dim⋈dim with both dimensions broadcast
+    * (region: 5 rows, nation: 25 — never worth a shuffle at any scale). */
+  def joinBroadcast(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sumMoney(col("c_acctbal")).as("sum_bal"))
+      .orderBy("n_name")
+
+  /** q10 — semi/anti join: customers with vs without orders. The semi
+    * join is the idiomatic EXISTS; at scale both sides shuffle on
+    * custkey once and nothing is materialized. */
+  def joinSemiAnti(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val o = orders.select("o_custkey")
+    val withO = customer.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("with_orders"))
+    val withoutO = customer.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("without_orders"))
+    withO.unionByName(withoutO).select("kind", "n").orderBy("kind")
+  }
+
+  /** q11 — running sum per customer (window, ROWS frame). The window
+    * orderBy carries o_orderkey as tiebreak so peer order — and thus the
+    * running value — is deterministic. */
+  def windowRunning(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        round(sum(money(col("o_totalprice"))).over(w).cast("double"), 2)
+          .as("running"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q12 — ROLLUP grouping sets. Subtotal NULLs are coalesced to 'ALL'
+    * so Spark/DuckDB null-ordering differences cannot bite. */
+  def rollupAgg(orders: DataFrame): DataFrame =
+    orders
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  /** q13 — global top-k: orderBy + limit. Spark plans this as
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge on
+    * the driver, never a full sort of 100 TB. */
+  def sortLimit(orders: DataFrame, k: Int): DataFrame =
+    orders
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** q14 — exact distinct count per group (expands to a two-phase
+    * distinct aggregate; exact rather than HLL so the oracle can
+    * hash-match). */
+  def distinctCount(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag")
+
+  /** q15 — set algebra: union + distinct over customer/supplier nation
+    * keys. */
+  def setUnion(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nationkey"))
+      .unionByName(supplier.select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT>, dim 64)
+  * — LLM-pipeline extension (SURVEY §2.B last row).
+  *
+  * All vector math is pure `functions._` array expressions (zip_with +
+  * aggregate): codegen'd, no UDF, left-to-right folds so Spark and
+  * DuckDB produce bit-identical doubles.
+  */
+object Similarity {
+
+  /** Cast ARRAY<FLOAT> → ARRAY<DOUBLE> so all accumulation is in f64. */
+  private[operators] def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  /** Left-fold dot product — same evaluation order as DuckDB's
+    * list_reduce, so the result is bit-identical. */
+  private[operators] def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  private[operators] def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** q19 — exact top-k cosine neighbors for a bounded query set
+    * (vec_id < nQueries) against the full corpus: the brute-force
+    * baseline every ANN variant is validated against. The query side is
+    * tiny and broadcast, so the "join" is a map-side nested loop over
+    * the corpus — one pass, no shuffle of the big side; ranking is a
+    * per-query top-k window. Ranking key is cosine rounded to 6 dp
+    * (descending, vec_b tiebreak) so rank order is robust to last-ulp
+    * float drift. */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val c = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cos6").desc, col("vec_b").asc)
+    broadcast(q).join(c, col("vec_a") =!= col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos6", round(col("cos"), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 2).as("cos_sim"), col("rnk"))
+      .orderBy("vec_a", "rnk", "vec_b")
+  }
+}

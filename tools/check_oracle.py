@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate: run Verify's
+oracle_sql.json in DuckDB over the same parquet tables and compare with
+the Spark result parquet, column-sorted by name, exact values.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+(Driver-side tooling only — the Scala library has no dependency on this.)
+"""
+import sys, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision repr — exact compare
+    if isinstance(v, (list, tuple)) or v.__class__.__name__ == "ndarray":
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return repr(v)
+
+def frame(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [cols[i] for i in order], [tuple(canon(r[i]) for i in order) for r in rows]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = 0
+    for name in sorted(oracle):
+        try:
+            o = con.sql(oracle[name])
+            ocols, orows = o.columns, o.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:300]}")
+            continue
+        try:
+            s = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            scols, srows = s.columns, s.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {str(e)[:200]}")
+            continue
+        oc, orows2 = frame([c.lower() for c in ocols], orows)
+        sc, srows2 = frame([c.lower() for c in scols], srows)
+        if oc != sc:
+            print(f"FAIL {name}: schema {sc} vs oracle {oc}")
+            continue
+        if len(orows2) != len(srows2):
+            print(f"FAIL {name}: rows {len(srows2)} vs oracle {len(orows2)}")
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows2, orows2)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(orows2)} rows differ; first at {i}:\n  spark={a}\n  duck ={b}")
+            continue
+        print(f"OK   {name} ({len(orows2)} rows)")
+        n_ok += 1
+    print(f"== {n_ok}/{len(oracle)} queries match")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
