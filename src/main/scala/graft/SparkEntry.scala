@@ -4,6 +4,7 @@ import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.functions.Hashing
 import graft.operators._
 import graft.sources.Tables
 
@@ -55,6 +56,19 @@ object SparkEntry {
     "q18_near_dup_jaccard" -> ((s, d) => Dedup.nearDupJaccard(Tables(s, d, "documents"), 1000L, 0.95)),
     "q19_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables(s, d, "embeddings"), 20, 3)),
     "q20_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables(s, d, "documents"))),
+    // ---- LLM-pipeline: dedup family ----
+    "q21_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables(s, d, "documents"))),
+    "q22_minhash_lsh" -> ((s, d) => Dedup.minhashNearDup(Tables(s, d, "documents"), 0.95)),
+    "q23_simhash" -> ((s, d) => Dedup.simhash(Tables(s, d, "documents"))),
+    "q24_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables(s, d, "documents"), 3, 200L, 0.55)),
+    // ---- LLM-pipeline: similarity family ----
+    "q25_embed_neardup" -> ((s, d) => Similarity.embedNearDup(Tables(s, d, "embeddings"), 500L, 0.4)),
+    "q26_ann_lsh" -> ((s, d) => Similarity.lshAnn(Tables(s, d, "embeddings"), 20, 3)),
+    // ---- LLM-pipeline: text analysis family ----
+    "q27_lang_id" -> ((s, d) => TextAnalysis.langId(Tables(s, d, "documents"))),
+    "q28_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables(s, d, "documents"))),
+    "q29_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables(s, d, "documents"))),
+    "q30_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -71,6 +85,44 @@ object SparkEntry {
        |post AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS df, list_sort(list(doc_id)) AS postings
        |  FROM toks GROUP BY word)""".stripMargin
+
+  /** DuckDB mirror of TextFns.polyHash (same left fold, same modulus). */
+  private def polyHashSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a*31+b) % ${Hashing.P})"
+
+  /** DuckDB mirror of Similarity.dot (left fold over the zipped pair). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Shared token-set CTE for the jaccard-verify oracles. */
+  private val setsCte =
+    "sets AS (SELECT doc_id, list(word) AS ws, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id)"
+
+  private def jaccardSql(inter: String, na: String, nb: String): String =
+    s"CAST($inter AS DOUBLE) / ($na + $nb - $inter)"
+
+  /** The MinHash permutation family as a VALUES table — literals
+    * identical to Hashing.permA/permB. */
+  private val permsValues: String =
+    (0 until Hashing.NumPerms)
+      .map(i => s"(${i}, ${Hashing.permA(i)}, ${Hashing.permB(i)})")
+      .mkString(", ")
+
+  /** DuckDB mirror of Similarity.lshBucket: per-plane sign bit of the
+    * weighted sum, weights interpolated from Hashing.planeWeight. */
+  private val lshBucketSql: String =
+    (0 until Hashing.NumPlanes).map { p =>
+      val w = (0 until 64).map(d => Hashing.planeWeight(p, d)).mkString("[", ",", "]")
+      val dotW = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(list_zip(v, $w), p -> p[1] * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+      s"(CASE WHEN $dotW > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
 
   /** DuckDB equivalents, one per `queries` key (driver runs at sf0.01). */
   def oracleSql: Map[String, String] = ListMap(
@@ -213,5 +265,108 @@ object SparkEntry {
          |       count(DISTINCT word) AS n_words,
          |       round(CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id), 2) AS avg_tokens
          |FROM rawtoks GROUP BY lang ORDER BY lang""".stripMargin,
+    "q21_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS hash,
+        |       min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_minhash_lsh" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |perms(i, a, b) AS (VALUES $permsValues),
+         |sig AS (SELECT doc_id, i, min((a*th + b) % ${Hashing.P}) AS minh
+         |        FROM th CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // ${Hashing.RowsPerBand} AS band,
+         |                 string_agg(minh::VARCHAR, '_' ORDER BY i) AS key
+         |          FROM sig GROUP BY i // ${Hashing.RowsPerBand}, doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |$setsCte
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |         ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
+         |  FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
+         |WHERE jaccard >= 0.95 ORDER BY doc_a, doc_b""".stripMargin,
+    "q23_simhash" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |bits AS (SELECT doc_id, b, sum(((th >> b) & 1)*2 - 1) AS s
+         |         FROM th CROSS JOIN generate_series(0, ${Hashing.SimHashBits - 1}) t(b)
+         |         GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q24_ngram_jaccard" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 3) AS gram FROM (
+         |    SELECT doc_id, text, unnest(range(1, len(text) - 1)) AS p
+         |    FROM documents WHERE doc_id < 200 AND len(text) >= 3)),
+         |gsets AS (SELECT doc_id, list(gram) AS gs, CAST(count(*) AS BIGINT) AS n
+         |          FROM grams GROUP BY doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         ${jaccardSql("len(list_intersect(a.gs, b.gs))", "a.n", "b.n")} AS jaccard
+         |  FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.55 ORDER BY doc_a, doc_b""".stripMargin,
+    "q25_embed_neardup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE vec_id < 500)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${cosineSql("a.v", "b.v")} AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "q26_ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |eb AS (SELECT vec_id, v, CAST($lshBucketSql AS BIGINT) AS bucket FROM e),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+         |         ${cosineSql("a.v", "b.v")} AS cos
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 20)
+         |SELECT vec_a, vec_b, bucket, round(cos, 2) AS cos_sim, rnk FROM (
+         |  SELECT vec_a, vec_b, bucket, cos,
+         |         row_number() OVER (PARTITION BY vec_a
+         |                            ORDER BY round(cos, 6) DESC, vec_b) AS rnk
+         |  FROM pairs)
+         |WHERE rnk <= 3 ORDER BY vec_a, rnk, vec_b""".stripMargin,
+    "q27_lang_id" ->
+      s"""WITH $rawtoksCte,
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |               CAST(sum(CASE WHEN word IN ('the','a','of','and','in','to','is','it')
+         |                             THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+         |        FROM rawtoks GROUP BY doc_id)
+         |SELECT doc_id, n_tok, n_stop,
+         |       CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+         |       CASE WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.08
+         |            THEN 'en' ELSE 'und' END AS pred_lang
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "q28_quality_score" ->
+      s"""WITH $rawtoksCte,
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |               CAST(sum(CASE WHEN word IN ('the','a','of','and','in','to','is','it')
+         |                             THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |               CAST(sum(len(word)) AS BIGINT) AS n_letters
+         |        FROM rawtoks GROUP BY doc_id)
+         |SELECT doc_id, n_tok,
+         |       CAST(n_letters AS DOUBLE) / n_tok AS mean_wlen,
+         |       CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+         |       CAST(n_tok BETWEEN 20 AND 80 AS BIGINT)
+         |         + CAST(CAST(n_stop AS DOUBLE) / n_tok < 0.2 AS BIGINT)
+         |         + CAST(CAST(n_letters AS DOUBLE) / n_tok BETWEEN 3.0 AND 8.0 AS BIGINT) AS score
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "q29_token_count" ->
+      s"""WITH $rawtoksCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+         |       CAST(sum((len(word) + 3) // 4) AS BIGINT) AS n_bpe_est,
+         |       CAST(sum(len(word)) AS BIGINT) AS n_letters
+         |FROM rawtoks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q30_fingerprint" ->
+      s"""SELECT doc_id, ${polyHashSql("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

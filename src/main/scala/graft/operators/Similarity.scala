@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Hashing
+
 /** Similarity search over the `embeddings` table (ARRAY<FLOAT>, dim 64)
   * — LLM-pipeline extension (SURVEY §2.B last row).
   *
@@ -46,6 +48,57 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 2).as("cos_sim"), col("rnk"))
+      .orderBy("vec_a", "rnk", "vec_b")
+  }
+
+  /** q25 — embedding-cosine near-duplicate pairs over a bounded
+    * candidate set (the exact baseline; `lshAnn` is the scale path —
+    * at 100 TB you bucket first and only compare within buckets).
+    * Cosine ships unrounded: identical fold order → bit-identical. */
+  def embedNearDup(embeddings: DataFrame, cap: Long, threshold: Double): DataFrame = {
+    val e = embeddings.where(col("vec_id") < cap)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Sign-bit bucket id from Hashing's deterministic hyperplane
+    * lattice: bit p = sign(Σ_d w(p,d)·v_d). */
+  private[operators] def lshBucket(v: Column): Column =
+    (0 until Hashing.NumPlanes).map { p =>
+      val w = array((0 until 64).map(d => lit(Hashing.planeWeight(p, d).toDouble)): _*)
+      val dotW = aggregate(zip_with(v, w, (x, wt) => x * wt), lit(0.0d), (acc, x) => acc + x)
+      when(dotW > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** q26 — LSH-bucketed approximate nearest neighbors: the scale path
+    * for similarity search. Every vector gets a NumPlanes-bit
+    * random-hyperplane bucket (one scan, no shuffle of the corpus);
+    * each query only compares against its own bucket — at 1000
+    * executors the bucket join shuffles ~n/256 of the corpus per query
+    * bucket instead of n. Exact cosine + top-k within the bucket. */
+  def lshAnn(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v")))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
+    val c = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cos6").desc, col("vec_b").asc)
+    broadcast(q).join(c, Seq("bucket"))
+      .where(col("vec_a") =!= col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos6", round(col("cos"), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("vec_a"), col("vec_b"), col("bucket"), round(col("cos"), 2).as("cos_sim"), col("rnk"))
       .orderBy("vec_a", "rnk", "vec_b")
   }
 }

@@ -20,4 +20,62 @@ object TextAnalysis {
         round(count(lit(1)).cast("double") / countDistinct(col("doc_id")), 2)
           .as("avg_tokens"))
       .orderBy("lang")
+
+  /** Stopword marker list for the heuristic scorers — fixed, engine-
+    * independent. (The synthetic corpus shares one vocabulary across
+    * langs, so the lang-ID heuristic is exercised mechanically; on real
+    * corpora the per-language marker lists differ.) */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "in", "to", "is", "it")
+
+  private def tokenAgg(docs: DataFrame): DataFrame =
+    TextFns.tokens(docs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(col("word").isin(Stopwords: _*).cast("long")).as("n_stop"),
+        sum(length(col("word")).cast("long")).as("n_letters"))
+
+  /** q27 — language identification (stopword-profile heuristic): the
+    * classic n-gram/marker-word trick, all integer-ratio arithmetic so
+    * both engines agree bit-for-bit. */
+  def langId(docs: DataFrame): DataFrame =
+    tokenAgg(docs)
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok"))
+      .withColumn("pred_lang", when(col("stop_ratio") >= 0.08, lit("en")).otherwise(lit("und")))
+      .select("doc_id", "n_tok", "n_stop", "stop_ratio", "pred_lang")
+      .orderBy("doc_id")
+
+  /** q28 — document quality scoring: length / stopword / word-shape
+    * signals combined into an integer score (each signal an exact
+    * integer-ratio test → deterministic across engines). */
+  def qualityScore(docs: DataFrame): DataFrame =
+    tokenAgg(docs)
+      .withColumn("mean_wlen", col("n_letters").cast("double") / col("n_tok"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok"))
+      .withColumn("score",
+        (col("n_tok") >= 20 && col("n_tok") <= 80).cast("long") +
+          (col("stop_ratio") < 0.2).cast("long") +
+          (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 8.0).cast("long"))
+      .select("doc_id", "n_tok", "mean_wlen", "stop_ratio", "score")
+      .orderBy("doc_id")
+
+  /** q29 — token counting: whitespace tokens plus a BPE-ish subword
+    * estimate (⌈len/4⌉ per word — the usual chars-per-token heuristic),
+    * integer arithmetic end to end. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    TextFns.tokens(docs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_ws_tokens"),
+        sum(expr("(length(word) + 3) div 4")).as("n_bpe_est"),
+        sum(length(col("word")).cast("long")).as("n_letters"))
+      .orderBy("doc_id")
+
+  /** q30 — document fingerprinting: rolling polynomial hash of the full
+    * raw text (the cheap pre-filter for exact-dup detection when you
+    * don't want to ship md5 strings around). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextFns.polyHash(col("text")).as("fp"))
+      .orderBy("doc_id")
 }
