@@ -69,6 +69,8 @@ object SparkEntry {
     "q28_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables(s, d, "documents"))),
     "q29_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables(s, d, "documents"))),
     "q30_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables(s, d, "documents"))),
+    // ---- LLM-pipeline: multimodal plumbing (stubbed codec) ----
+    "q31_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -368,5 +370,16 @@ object SparkEntry {
     "q30_fingerprint" ->
       s"""SELECT doc_id, ${polyHashSql("text")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |           (a, b) -> a + b) AS byte_sum
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, byte_sum,
+        |       16 + byte_sum % 64 AS fake_width,
+        |       16 + byte_sum % 48 AS fake_height
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming surface over event streams (SURVEY §2.B:
+  * streaming is an engine extension — the reference is strictly batch,
+  * `main.c++:152-159`; excluded from the DuckDB oracle by design and
+  * verified by StreamingSpec instead).
+  *
+  * The same transforms run on `spark.readStream` sources in production;
+  * tests drive them through MemoryStream. State is bounded by the
+  * watermark (windowed aggs) or explicit state types (stateful map) —
+  * both scale horizontally by key partitioning.
+  */
+object EventStreams {
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** Tumbling-window counts/sums per event type. The watermark bounds
+    * state: windows older than it are finalized and dropped. */
+  def windowedCounts(events: DataFrame,
+      windowLen: String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Custom keyed state: running per-user totals via
+    * mapGroupsWithState — the engine's escape hatch for stateful
+    * semantics windows can't express. */
+  def userTotals(events: Dataset[Ev]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          val batch = evs.toSeq
+          val next = UserTotal(uid, prev.n + batch.size, prev.total + batch.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+/** Streaming is outside the DuckDB oracle (SURVEY §2.C) — MemoryStream
+  * drives the transforms synchronously here instead. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("windowed counts aggregate per tumbling window and type") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(1, ts(5), "click", 1.0), Ev(2, ts(15), "click", 2.0),
+      Ev(1, ts(20), "view", 5.0), Ev(3, ts(59), "click", 4.0))
+    val q = EventStreams.windowedCounts(in.toDF, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("win").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows === Set(("click", 3L, 7.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stateful user totals accumulate across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.userTotals(in.toDS)
+      .writeStream.format("memory").queryName("totals").outputMode("update").start()
+    try {
+      in.addData(Ev(7, ts(1), "click", 1.5), Ev(7, ts(2), "click", 2.5))
+      q.processAllAvailable()
+      in.addData(Ev(7, ts(3), "view", 6.0))
+      q.processAllAvailable()
+      val last = spark.table("totals").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 == 7L).maxBy(_._2)
+      assert(last === ((7L, 3L, 10.0)))
+    } finally q.stop()
+  }
+}
