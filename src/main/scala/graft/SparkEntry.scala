@@ -99,8 +99,13 @@ object SparkEntry {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(list_zip($a, $b), p -> p[1] * p[2])), (acc, x) -> acc + x)"
 
-  private def cosineSql(a: String, b: String): String =
-    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  /** Embedding CTE with the norm precomputed once per vector — mirrors
+    * Similarity.withNorm (same fold → same doubles). */
+  private val embCte: String =
+    s"""e AS (
+       |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM (
+       |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |    FROM embeddings))""".stripMargin
 
   /** Shared token-set CTE for the jaccard-verify oracles. */
   private val setsCte =
@@ -241,18 +246,10 @@ object SparkEntry {
          |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.95 ORDER BY doc_a, doc_b""".stripMargin,
     "q19_cosine_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
+      s"""WITH $embCte,
         |pairs AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |             list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
-        |           (acc, x) -> acc + x)
-        |         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |              list_transform(a.v, x -> x * x)), (acc, x) -> acc + x))
-        |          * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |              list_transform(b.v, x -> x * x)), (acc, x) -> acc + x))) AS cos
+        |         ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
         |  WHERE a.vec_id < 20)
         |SELECT vec_a, vec_b, round(cos, 2) AS cos_sim, rnk FROM (
@@ -312,22 +309,19 @@ object SparkEntry {
          |  FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.55 ORDER BY doc_a, doc_b""".stripMargin,
     "q25_embed_neardup" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings WHERE vec_id < 500)
+      s"""WITH $embCte,
+         |ec AS (SELECT * FROM e WHERE vec_id < 500)
          |SELECT vec_a, vec_b, cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |         ${cosineSql("a.v", "b.v")} AS cos
-         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |         ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+         |  FROM ec a JOIN ec b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "q26_ann_lsh" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |eb AS (SELECT vec_id, v, CAST($lshBucketSql AS BIGINT) AS bucket FROM e),
+      s"""WITH $embCte,
+         |eb AS (SELECT vec_id, v, nrm, CAST($lshBucketSql AS BIGINT) AS bucket FROM e),
          |pairs AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
-         |         ${cosineSql("a.v", "b.v")} AS cos
+         |         ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
          |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
          |  WHERE a.vec_id < 20)
          |SELECT vec_a, vec_b, bucket, round(cos, 2) AS cos_sim, rnk FROM (

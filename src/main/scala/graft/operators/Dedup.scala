@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Hashing, TextFns}
+import graft.functions.{Hashing, IntersectCountSorted, TextFns}
 
 /** Deduplication operators over the `documents` corpus — the first of
   * the LLM-training-data-pipeline extensions (SURVEY §2.B last row).
@@ -15,11 +15,28 @@ import graft.functions.{Hashing, TextFns}
   */
 object Dedup {
 
-  /** Distinct token set per document, with set size. */
+  /** Dictionary-encode a (key, value) pair stream into per-key INT-id
+    * sets: (key, ws ARRAY<INT>, n). Intersecting int arrays is several
+    * times cheaper than string arrays in the pair-verify loops, and the
+    * id↔value mapping is a bijection so every set size — and therefore
+    * every Jaccard value — is exactly unchanged.
+    *
+    * Scale: the dictionary is the broadcastable dimension (vocabulary ≪
+    * corpus; even web-scale corpora have ~1e8 terms). The single-
+    * partition row_number is the standard dictionary build; for
+    * extreme vocabularies swap in hash ids. */
+  private def intSets(pairs: DataFrame, key: String, value: String): DataFrame = {
+    val vocab = pairs.select(value).distinct()
+      .withColumn("vid", row_number().over(Window.orderBy(col(value))))
+    pairs.join(broadcast(vocab), value)
+      .groupBy(key)
+      // sorted so IntersectCountSorted's two-pointer merge applies
+      .agg(sort_array(collect_set(col("vid"))).as("ws"), count(lit(1)).as("n"))
+  }
+
+  /** Distinct token set per document (dictionary-encoded), with size. */
   private[operators] def tokenSets(docs: DataFrame): DataFrame =
-    TextFns.docWords(docs)
-      .groupBy("doc_id")
-      .agg(collect_set(col("word")).as("ws"), count(lit(1)).as("n"))
+    intSets(TextFns.docWords(docs), "doc_id", "word")
 
   /** q18 — exact n-gram(1) Jaccard near-dup pairs, the brute-force
     * baseline. Bounded to doc_id < `cap` on both sides: exact all-pairs
@@ -35,7 +52,7 @@ object Dedup {
     val a = sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("n").as("n_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("n").as("n_b"))
     a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))).cast("long"))
+      .withColumn("inter", IntersectCountSorted(col("ws_a"), col("ws_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -99,7 +116,7 @@ object Dedup {
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("n").as("n_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("n").as("n_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))).cast("long"))
+      .withColumn("inter", IntersectCountSorted(col("ws_a"), col("ws_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -139,12 +156,11 @@ object Dedup {
         col("text"))
       .select(col("doc_id"), expr(s"substring(text, p, $n)").as("gram"))
       .distinct()
-    val sets = grams.groupBy("doc_id")
-      .agg(collect_set(col("gram")).as("gs"), count(lit(1)).as("n"))
-    val a = sets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"), col("n").as("n_a"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"), col("n").as("n_b"))
+    val sets = intSets(grams, "doc_id", "gram")
+    val a = sets.select(col("doc_id").as("doc_a"), col("ws").as("gs_a"), col("n").as("n_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("ws").as("gs_b"), col("n").as("n_b"))
     a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .withColumn("inter", IntersectCountSorted(col("gs_a"), col("gs_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)

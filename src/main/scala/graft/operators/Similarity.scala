@@ -26,6 +26,14 @@ object Similarity {
   private[operators] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** (vec_id, v, nrm) — the norm is computed ONCE per vector here, not
+    * per candidate pair (an O(pairs·dim) → O(n·dim) saving; the pair
+    * stage then does a single dot per pair). Same fold, same doubles. */
+  private[operators] def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
   /** q19 — exact top-k cosine neighbors for a bounded query set
     * (vec_id < nQueries) against the full corpus: the brute-force
     * baseline every ANN variant is validated against. The query side is
@@ -36,14 +44,14 @@ object Similarity {
     * float drift. */
   def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = withNorm(embeddings)
     val q = e.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("vec_a"), col("v").as("va"))
-    val c = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("nrm_a"))
+    val c = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nrm_b"))
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("cos6").desc, col("vec_b").asc)
     broadcast(q).join(c, col("vec_a") =!= col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
       .withColumn("cos6", round(col("cos"), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
@@ -56,12 +64,11 @@ object Similarity {
     * at 100 TB you bucket first and only compare within buckets).
     * Cosine ships unrounded: identical fold order → bit-identical. */
   def embedNearDup(embeddings: DataFrame, cap: Long, threshold: Double): DataFrame = {
-    val e = embeddings.where(col("vec_id") < cap)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    val e = withNorm(embeddings.where(col("vec_id") < cap))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nrm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
       .where(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
@@ -84,17 +91,15 @@ object Similarity {
     * bucket instead of n. Exact cosine + top-k within the bucket. */
   def lshAnn(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = embeddings
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v")))
+    val e = withNorm(embeddings).withColumn("bucket", lshBucket(col("v")))
     val q = e.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
-    val c = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket"))
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("nrm_a"), col("bucket"))
+    val c = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nrm_b"), col("bucket"))
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("cos6").desc, col("vec_b").asc)
     broadcast(q).join(c, Seq("bucket"))
       .where(col("vec_a") =!= col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
       .withColumn("cos6", round(col("cos"), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
