@@ -71,6 +71,9 @@ object SparkEntry {
     "q30_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables(s, d, "documents"))),
     // ---- LLM-pipeline: multimodal plumbing (stubbed codec) ----
     "q31_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, Tables(s, d, "documents"))),
+    // ---- grouping-set + window-navigation breadth ----
+    "q32_cube_agg" -> ((s, d) => Relational.cubeAgg(Tables(s, d, "orders"))),
+    "q33_lag_lead" -> ((s, d) => Events.lagLead(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -375,5 +378,20 @@ object SparkEntry {
         |       16 + byte_sum % 64 AS fake_width,
         |       16 + byte_sum % 48 AS fake_height
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q32_cube_agg" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q33_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        |       lag(value) OVER w AS prev_value,
+        |       lead(value) OVER w AS next_value,
+        |       value - coalesce(lag(value) OVER w, 0) AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

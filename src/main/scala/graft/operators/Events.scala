@@ -35,6 +35,22 @@ object Events {
         round(sum(col("k")).cast("double") / count(lit(1)), 2).as("avg_k"))
       .orderBy("event_type")
 
+  /** q33 — lag/lead navigation: previous/next event value per user in
+    * event-time order (event_id tiebreak ⇒ deterministic peers). The
+    * raw nanos `ts` orders identically to the timestamp it encodes, so
+    * no conversion is needed for ordering. */
+  def lagLead(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events.select(
+        col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+      .withColumn("delta", col("value") - coalesce(col("prev_value"), lit(0.0)))
+      .orderBy("user_id", "event_id")
+  }
+
   /** q17 — per-day, per-type temporal rollup. The day leaves as a
     * 'yyyy-MM-dd' string so both engines compare the same value. */
   def dateTruncAgg(events: DataFrame): DataFrame =

@@ -115,6 +115,20 @@ object Relational {
         col("n_orders"), col("sum_price"))
       .orderBy("status", "priority")
 
+  /** q32 — CUBE grouping sets (all four combinations, vs rollup's
+    * prefix chain). Same subtotal-NULL coalescing as q12. */
+  def cubeAgg(orders: DataFrame): DataFrame =
+    orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("status", "priority")
+
   /** q13 — global top-k: orderBy + limit. Spark plans this as
     * TakeOrderedAndProject — per-partition top-k then a k-row merge on
     * the driver, never a full sort of 100 TB. */
