@@ -79,9 +79,11 @@ object Dedup {
     * ONE aggregation pass computes all NumPerms minima as separate agg
     * expressions (no ×32 row explosion, unlike the oracle SQL which
     * mirrors semantics, not the plan). Output: doc_id, h0..h{n-1}. */
-  private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
-    val th = TextFns.docWords(docs)
-      .withColumn("th", TextFns.polyHash(col("word")))
+  private[operators] def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFrom(TextFns.docWords(docs))
+
+  private def minhashSignaturesFrom(docWords: DataFrame): DataFrame = {
+    val th = docWords.withColumn("th", TextFns.polyHash(col("word")))
     val sigCols = (0 until Hashing.NumPerms).map { i =>
       min((col("th") * lit(Hashing.permA(i)) + lit(Hashing.permB(i))) % lit(Hashing.P))
         .as(s"h$i")
@@ -98,7 +100,13 @@ object Dedup {
     * Scale: docs→signatures is one shuffle; the bucket self-join only
     * touches colliding pairs, never the O(n²) cross product. */
   def minhashNearDup(docs: DataFrame, threshold: Double): DataFrame = {
-    val sig = minhashSignatures(docs)
+    // The tokenized-deduped stream feeds three plan branches
+    // (signatures, dictionary, verify sets). Measured: re-scanning the
+    // columnar source per branch beats a persist() barrier here —
+    // materializing breaks WholeStageCodegen fusion and exchange reuse
+    // for a scan that is cheap and pruned to two columns.
+    val dw = TextFns.docWords(docs)
+    val sig = minhashSignaturesFrom(dw)
     val bandKeys = (0 until Hashing.NumBands).map { b =>
       concat_ws("_",
         (b * Hashing.RowsPerBand until (b + 1) * Hashing.RowsPerBand)
@@ -112,7 +120,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = tokenSets(docs)
+    val sets = intSets(dw, "doc_id", "word")
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("n").as("n_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("n").as("n_b")), "doc_b")
