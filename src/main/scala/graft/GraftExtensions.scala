@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.IntersectCountSorted
+
+/** Session integration for the engine's custom expressions.
+  *
+  * Two registration paths:
+  *  - `withExtensions(new GraftExtensions)` at session build time (the
+  *    `SparkSessionExtensions` mechanism — also usable via
+  *    `spark.sql.extensions=graft.GraftExtensions`), or
+  *  - `GraftExtensions.register(spark)` on a live session.
+  *
+  * Either way `intersect_count_sorted(a, b)` becomes callable from SQL
+  * text, so `spark.sql(...)` users get the same codegen'd operator as
+  * the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((
+      FunctionIdentifier("intersect_count_sorted"),
+      new ExpressionInfo(classOf[IntersectCountSorted].getName, "intersect_count_sorted"),
+      (exprs: Seq[Expression]) => IntersectCountSorted(exprs(0), exprs(1))))
+}
+
+object GraftExtensions {
+  def register(spark: SparkSession): Unit =
+    GraftColumnBridge.registerExpression(spark, "intersect_count_sorted",
+      exprs => IntersectCountSorted(exprs(0), exprs(1)))
+}

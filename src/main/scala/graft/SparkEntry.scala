@@ -74,6 +74,12 @@ object SparkEntry {
     // ---- grouping-set + window-navigation breadth ----
     "q32_cube_agg" -> ((s, d) => Relational.cubeAgg(Tables(s, d, "orders"))),
     "q33_lag_lead" -> ((s, d) => Events.lagLead(Tables(s, d, "events"))),
+    "q34_from_json" -> ((s, d) => Events.fromJsonAgg(Tables(s, d, "events"))),
+    "q35_set_intersect_except" -> ((s, d) =>
+      Relational.setIntersectExcept(Tables(s, d, "customer"), Tables(s, d, "supplier"))),
+    "q36_date_parts" -> ((s, d) => Relational.datePartsAgg(Tables(s, d, "orders"))),
+    // typed-Aggregator twin of q02 (UDAF surface; same oracle semantics)
+    "q37_postings_typed" -> ((s, d) => InvertedIndex.postingsTyped(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -393,5 +399,31 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q34_from_json" ->
+      """SELECT event_type,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q35_set_intersect_except" ->
+      """SELECT 'both' AS kind, nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey AS nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'customer_only' AS kind, nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey AS nationkey FROM supplier)
+        |ORDER BY kind, nationkey""".stripMargin,
+    "q36_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+    "q37_postings_typed" ->
+      s"""WITH $postingsCte
+         |SELECT word, df, postings FROM post ORDER BY df DESC, word""".stripMargin,
   )
 }

@@ -23,6 +23,23 @@ object Events {
       case _ => col("ts")
     }
 
+  /** q34 — schema-ful JSON parsing: `from_json` into a typed struct
+    * (vs q16's path-extraction), then struct-field aggregation. */
+  def fromJsonAgg(events: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    events
+      .withColumn("j", from_json(col("props"), schema))
+      .select(col("event_type"), col("j.k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+  }
+
   /** q16 — JSON field extraction + aggregation. `get_json_object` pulls
     * `$.k` out of the props JSON string per row. */
   def jsonExtract(events: DataFrame): DataFrame =

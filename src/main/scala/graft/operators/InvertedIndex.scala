@@ -92,6 +92,23 @@ object InvertedIndex {
       .orderBy("doc_id")
   }
 
+  /** q37 — q02's postings computed through the typed-Aggregator path
+    * (graft.functions.PostingsAggregator) instead of
+    * `collect_set`+`sort_array`: same output, proving the UDAF surface.
+    * The expression form remains the production path (codegen'd). */
+  def postingsTyped(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    TextFns.docWords(docs)
+      .select(col("word"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.PostingsAggregator().toColumn.name("postings"))
+      .toDF("word", "postings")
+      .select(col("word"), size(col("postings")).cast("long").as("df"), col("postings"))
+      .orderBy(col("df").desc, col("word").asc)
+  }
+
   /** The reference's R16 sink verbatim: one text file per first letter,
     * rows `word:[id1 id2 … idN]` sorted df DESC, word ASC within each
     * letter (`main.c++:231-266`). `partitionBy` gives the 26-way layout;

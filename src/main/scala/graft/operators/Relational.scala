@@ -154,4 +154,27 @@ object Relational {
       .unionByName(supplier.select(col("s_nationkey").as("nationkey")))
       .distinct()
       .orderBy("nationkey")
+
+  /** q35 — the remaining set verbs: `intersect` and `except` as
+    * DataFrame operations (planned as left-semi/anti under distinct). */
+  def setIntersectExcept(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.select(col("c_nationkey").as("nationkey"))
+    val s = supplier.select(col("s_nationkey").as("nationkey"))
+    c.intersect(s).withColumn("kind", lit("both"))
+      .unionByName(c.except(s).withColumn("kind", lit("customer_only")))
+      .select("kind", "nationkey")
+      .orderBy("kind", "nationkey")
+  }
+
+  /** q36 — date-part extraction (`year`/`month`) + grouped aggregation
+    * over the order calendar. */
+  def datePartsAgg(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("sum_price"))
+      .orderBy("yr", "mo")
 }
