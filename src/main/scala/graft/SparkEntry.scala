@@ -80,6 +80,12 @@ object SparkEntry {
     "q36_date_parts" -> ((s, d) => Relational.datePartsAgg(Tables(s, d, "orders"))),
     // typed-Aggregator twin of q02 (UDAF surface; same oracle semantics)
     "q37_postings_typed" -> ((s, d) => InvertedIndex.postingsTyped(Tables(s, d, "documents"))),
+    // salting demo under oracle (salt never escapes the plan)
+    "q38_salted_join" -> ((s, d) => Skew.saltedWordJoin(Tables(s, d, "documents"))),
+    // HLL sketch — deliberately NOT in oracleSql (engines' HLLs differ);
+    // driver records the weaker rows-only check, ScalaTest bounds error
+    "q39_approx_distinct" -> ((s, d) => Relational.approxDistinct(Tables(s, d, "lineitem"))),
+    "q40_median" -> ((s, d) => Relational.medianValue(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -425,5 +431,13 @@ object SparkEntry {
     "q37_postings_typed" ->
       s"""WITH $postingsCte
          |SELECT word, df, postings FROM post ORDER BY df DESC, word""".stripMargin,
+    "q38_salted_join" ->
+      s"""WITH $postingsCte
+         |SELECT r.word, CAST(count(*) AS BIGINT) AS n_tokens, max(post.df) AS df
+         |FROM rawtoks r JOIN post ON r.word = post.word
+         |GROUP BY r.word ORDER BY r.word""".stripMargin,
+    "q40_median" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS median_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

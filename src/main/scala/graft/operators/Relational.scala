@@ -166,6 +166,27 @@ object Relational {
       .orderBy("kind", "nationkey")
   }
 
+  /** q39 — approximate distinct counting (HyperLogLog++) beside the
+    * exact count: the sketch path for 100 TB cardinalities where exact
+    * distinct is a full shuffle of the key set. No DuckDB oracle — HLL
+    * implementations differ across engines by design; ScalaTest bounds
+    * the relative error against the exact count instead. */
+  def approxDistinct(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
+      .orderBy("l_returnflag")
+
+  /** q40 — exact median (continuous-interpolation percentile): both
+    * engines sort and interpolate at (n−1)·p with the same formula. */
+  def medianValue(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("median_value"))
+      .orderBy("event_type")
+
   /** q36 — date-part extraction (`year`/`month`) + grouped aggregation
     * over the order calendar. */
   def datePartsAgg(orders: DataFrame): DataFrame =
