@@ -86,6 +86,7 @@ object SparkEntry {
     // driver records the weaker rows-only check, ScalaTest bounds error
     "q39_approx_distinct" -> ((s, d) => Relational.approxDistinct(Tables(s, d, "lineitem"))),
     "q40_median" -> ((s, d) => Relational.medianValue(Tables(s, d, "events"))),
+    "q41_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables(s, d, "documents"), 5)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -439,5 +440,21 @@ object SparkEntry {
     "q40_median" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS median_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q41_tfidf" ->
+      s"""WITH $rawtoksCte,
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |       FROM rawtoks GROUP BY doc_id, word),
+         |dfd AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tf.word, tf, df,
+         |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         |  FROM tf JOIN dfd ON tf.word = dfd.word CROSS JOIN nd)
+         |SELECT doc_id, rnk, word, tf, df, tfidf FROM (
+         |  SELECT doc_id, word, tf, df, tfidf,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY tfidf DESC, word) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY doc_id, rnk, word""".stripMargin,
   )
 }

@@ -72,6 +72,30 @@ object TextAnalysis {
         sum(length(col("word")).cast("long")).as("n_letters"))
       .orderBy("doc_id")
 
+  /** q41 — TF-IDF term ranking: top-k terms per document by
+    * tf·ln(N/df). One tokenize pass; the document-frequency dimension
+    * (≤ vocabulary size) joins back broadcast. Scores are rounded to
+    * 6 dp for the rank key AND the output — `ln` is the one place both
+    * engines' libm may differ in the last ulp. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = TextFns.tokens(docs)
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val dfDim = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word").asc)
+    tf.join(broadcast(dfDim), "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("doc_id", "rnk", "word", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rnk", "word")
+  }
+
   /** q30 — document fingerprinting: rolling polynomial hash of the full
     * raw text (the cheap pre-filter for exact-dup detection when you
     * don't want to ship md5 strings around). */

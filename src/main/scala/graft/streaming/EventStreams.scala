@@ -30,6 +30,16 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Session windows: activity bursts per user, closed after `gap` of
+    * silence. Works identically over batch and streaming frames. */
+  def sessionCounts(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
   /** Custom keyed state: running per-user totals via
     * mapGroupsWithState — the engine's escape hatch for stateful
     * semantics windows can't express. */

@@ -30,6 +30,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows split on the inactivity gap (batch frame)") {
+    val df = Seq(
+      Ev(1, ts(0), "click", 1.0), Ev(1, ts(2), "click", 1.0), // session A
+      Ev(1, ts(20), "click", 1.0), // session B after 18-min gap
+      Ev(2, ts(1), "view", 2.0)
+    ).toDF
+    val got = EventStreams.sessionCounts(df, "5 minutes")
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toList.sorted
+    assert(got === List((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("watermark drops events later than the threshold (append mode)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.windowedCounts(in.toDF, "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      in.addData(Ev(1, ts(5), "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far past the first window + watermark
+      in.addData(Ev(1, Timestamp.valueOf("2024-01-01 12:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // this event is hours late — must be dropped, not re-open its window
+      in.addData(Ev(1, ts(7), "click", 99.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, Timestamp.valueOf("2024-01-01 14:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val firstWindow = spark.table("late").collect()
+        .filter(_.getTimestamp(0) === Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(firstWindow.length === 1)
+      assert(firstWindow(0).getLong(2) === 1L) // late 99.0 event not counted
+    } finally q.stop()
+  }
+
   test("stateful user totals accumulate across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
