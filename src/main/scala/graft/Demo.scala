@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{IndexStore, Tables}
+
+/** Runnable API sample: `runMain graft.Demo <sfDir> <indexPath>` —
+  * builds and persists the inverted index, then serves point lookups
+  * and doc-set queries from the stored artifact (partition-pruned). */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_index"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    IndexStore.save(Tables(spark, sfDir, "documents"), out)
+    val idx = IndexStore.load(spark, out)
+    val hit = IndexStore.lookup(idx, "batch").collect()
+      .map(r => s"${r.getString(0)} df=${r.getLong(1)}").mkString
+    println(s"[demo] lookup: $hit")
+    println(s"[demo] docsWith head: " +
+      IndexStore.docsWith(idx, "batch").limit(5).collect().map(_.getLong(0)).mkString(","))
+    val pruned = IndexStore.lookup(idx, "batch").queryExecution.executedPlan
+      .toString.linesIterator.filter(_.contains("PartitionFilters")).mkString.trim
+    println(s"[demo] $pruned")
+    spark.stop()
+  }
+}

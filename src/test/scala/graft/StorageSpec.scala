@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.InvertedIndex
+import graft.sources.{IndexStore, Tables}
+
+/** Storage-layer scale techniques: persisted partition-pruned index,
+  * bucketed co-located joins, JSON source round-trip. */
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("persisted index: lookups partition-prune to one letter") {
+    val out = Files.createTempDirectory("graft_index_store").toString
+    val docs = Tables(spark, dir, "documents")
+    IndexStore.save(docs, out)
+    val index = IndexStore.load(spark, out)
+    // value parity with the in-memory pipeline
+    val direct = InvertedIndex.postings(docs)
+      .where($"word" === "batch").collect()(0).getSeq[Long](2)
+    val stored = IndexStore.lookup(index, "batch").collect()(0).getSeq[Long](2)
+    assert(stored === direct)
+    // the scan must prune on the letter partition column
+    val plan = IndexStore.lookup(index, "batch")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("letter"),
+      s"expected letter partition pruning in:\n$plan")
+    val docsWith = IndexStore.docsWith(index, "batch").collect().map(_.getLong(0))
+    assert(docsWith.toSeq === docsWith.toSeq.sorted && docsWith.nonEmpty)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is a temp dir set at session build (SparkSpec)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Tables(spark, dir, "lineitem")
+        .write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+      Tables(spark, dir, "orders")
+        .write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("o_bucketed")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(count(lit(1)))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // bucketing co-locates both sides: the JOIN itself needs no
+      // exchange (the single remaining shuffle is the final groupBy)
+      assert(shuffles.length <= 1, s"unexpected shuffles: $shuffles")
+      assert(joined.collect().map(_.getLong(1)).sum === 6000L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("json source round-trips the documents table") {
+    val out = Files.createTempDirectory("graft_json").toString + "/docs"
+    val docs = Tables(spark, dir, "documents")
+    docs.write.mode("overwrite").json(out)
+    val back = spark.read.json(out)
+    assert(back.count() === docs.count())
+    val row = back.where($"doc_id" === 7).select("text", "lang").collect()(0)
+    val orig = docs.where($"doc_id" === 7).select("text", "lang").collect()(0)
+    assert(row === orig)
+  }
+}
