@@ -87,6 +87,8 @@ object SparkEntry {
     "q39_approx_distinct" -> ((s, d) => Relational.approxDistinct(Tables(s, d, "lineitem"))),
     "q40_median" -> ((s, d) => Relational.medianValue(Tables(s, d, "events"))),
     "q41_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables(s, d, "documents"), 5)),
+    "q42_theta_join" -> ((s, d) =>
+      Relational.thetaJoin(Tables(s, d, "lineitem"), Tables(s, d, "orders"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -162,10 +164,12 @@ object SparkEntry {
          |FROM post ORDER BY letter, df DESC, word""".stripMargin,
     "q04_df_topk_per_letter" ->
       s"""WITH $postingsCte
-         |SELECT letter, word, df, rnk FROM (
+         |SELECT letter, word, df, rnk, drnk FROM (
          |  SELECT substr(word, 1, 1) AS letter, word, df,
          |         rank() OVER (PARTITION BY substr(word, 1, 1)
-         |                      ORDER BY df DESC, word) AS rnk
+         |                      ORDER BY df DESC, word) AS rnk,
+         |         dense_rank() OVER (PARTITION BY substr(word, 1, 1)
+         |                            ORDER BY df DESC) AS drnk
          |  FROM post)
          |WHERE rnk <= 5 ORDER BY letter, rnk, word""".stripMargin,
     "q05_doc_set_and" ->
@@ -456,5 +460,11 @@ object SparkEntry {
          |                            ORDER BY tfidf DESC, word) AS rnk
          |  FROM scored)
          |WHERE rnk <= 5 ORDER BY doc_id, rnk, word""".stripMargin,
+    "q42_theta_join" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -65,11 +65,16 @@ object InvertedIndex {
   def topkPerLetter(docs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("letter"))
       .orderBy(col("df").desc, col("word").asc)
+    // dense_rank over df ALONE so equal-df words share a dense rank
+    // (deterministic: the value depends only on df). The tie-broken
+    // window would make rank ≡ dense_rank — words are unique per group.
+    val wd = Window.partitionBy(col("letter")).orderBy(col("df").desc)
     postingsUnordered(docs)
       .withColumn("letter", substring(col("word"), 1, 1))
       .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(wd).cast("long"))
       .where(col("rnk") <= k)
-      .select("letter", "word", "df", "rnk")
+      .select("letter", "word", "df", "rnk", "drnk")
       .orderBy(col("letter").asc, col("rnk").asc, col("word").asc)
   }
 

@@ -166,6 +166,20 @@ object Relational {
       .orderBy("kind", "nationkey")
   }
 
+  /** q42 — theta join: equi key + range residual (`l_shipdate >
+    * o_orderdate`). Planned as a hash join on the equi key with the
+    * range predicate evaluated as a residual — never a cartesian. */
+  def thetaJoin(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sumMoney(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+
   /** q39 — approximate distinct counting (HyperLogLog++) beside the
     * exact count: the sketch path for 100 TB cardinalities where exact
     * distinct is a full shuffle of the key set. No DuckDB oracle — HLL
