@@ -29,6 +29,13 @@ object Demo {
     val pruned = IndexStore.lookup(idx, "batch").queryExecution.executedPlan
       .toString.linesIterator.filter(_.contains("PartitionFilters")).mkString.trim
     println(s"[demo] $pruned")
+    // optional: third arg = reference-style manifest → index from raw files
+    if (args.length > 2) {
+      val corpus = graft.sources.RawCorpus.fromManifest(spark, args(2))
+      val top = graft.operators.InvertedIndex.postings(corpus).limit(3).collect()
+        .map(r => s"${r.getString(0)}:[${r.getSeq[Long](2).mkString(" ")}]").mkString(" ")
+      println(s"[demo] manifest index head: $top")
+    }
     spark.stop()
   }
 }

@@ -28,16 +28,31 @@ import org.apache.spark.sql.functions._
 object RawCorpus {
 
   def fromManifest(spark: SparkSession, manifestPath: String): DataFrame = {
+    // readAllLines already consumes \n, \r\n AND bare \r terminators —
+    // the Q3 CR/LF quirk is resolved by the line reader itself.
     val lines = Files.readAllLines(Paths.get(manifestPath), StandardCharsets.UTF_8)
-      .asScala.map(_.stripLineEnd.replaceAll("\r+$", "")).toList
-    val n = lines.head.trim.toInt
-    val paths = lines.tail.take(n).map(_.trim).filter(_.nonEmpty)
-    paths.zipWithIndex
-      .map { case (p, i) =>
+      .asScala.toList
+    // Unparseable or missing count line denotes an empty corpus (the
+    // reference would hit UB here, quirk Q3 — not replicated).
+    val n = lines.headOption.flatMap(_.trim.toIntOption).getOrElse(0)
+    // doc_id = 1-based MANIFEST POSITION (main.c++:74-77): index before
+    // dropping blanks, so a blank line cannot shift later ids.
+    val perFile = lines.drop(1).take(n).zipWithIndex
+      .map { case (p, i) => (p.trim, i + 1) }
+      .filter(_._1.nonEmpty)
+      .map { case (p, id) =>
         spark.read.text(p).select(
-          lit((i + 1).toLong).as("doc_id"), // 1-based (main.c++:74-77)
+          lit(id.toLong).as("doc_id"),
           col("value").as("text"))
       }
-      .reduce(_ unionByName _)
+    if (perFile.isEmpty) emptyCorpus(spark) else perFile.reduce(_ unionByName _)
+  }
+
+  /** Zero-row corpus with the canonical (doc_id, text) schema — what an
+    * empty manifest denotes (the reference would idle its mappers;
+    * every operator here yields a well-typed empty result instead). */
+  def emptyCorpus(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
   }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators._
+import graft.sources.RawCorpus
+
+/** Degenerate-input behavior: every operator must return a well-typed
+  * empty (or singleton) result, never throw — at 100 TB some partition
+  * or some day's input WILL be empty. */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  val empty = RawCorpus.emptyCorpus(spark)
+  val vanishing = Seq((1L, "123 456 !!!"), (2L, "... 999")).toDF("doc_id", "text")
+  val single = Seq((1L, "only one doc here")).toDF("doc_id", "text")
+
+  test("index pipeline on an empty corpus: empty, well-typed results") {
+    assert(InvertedIndex.postings(empty).count() === 0)
+    assert(InvertedIndex.indexFormat(empty).count() === 0)
+    assert(InvertedIndex.topkPerLetter(empty, 5).count() === 0)
+  }
+
+  test("corpus whose every token normalizes away behaves as empty") {
+    assert(InvertedIndex.postings(vanishing).count() === 0)
+    assert(TextAnalysis.tokenCount(vanishing).count() === 0)
+    assert(TextAnalysis.fingerprint(vanishing).count() === 2) // fp of raw text still defined
+  }
+
+  test("dedup family on empty and single-doc corpora: no pairs, no throw") {
+    assert(Dedup.nearDupJaccard(empty, 1000L, 0.5).count() === 0)
+    assert(Dedup.minhashNearDup(empty, 0.5).count() === 0)
+    assert(Dedup.minhashNearDup(single, 0.5).count() === 0) // no pair with itself
+    assert(Dedup.exactDedup(single).collect().map(_.getBoolean(3)).toSeq === Seq(false))
+    assert(Dedup.simhash(empty).count() === 0)
+  }
+
+  test("empty/malformed manifests yield an empty corpus, not an exception") {
+    val dir = Files.createTempDirectory("graft_empty")
+    for ((name, body) <- Seq(("zero.txt", "0\n"), ("blank.txt", ""), ("junk.txt", "\n\n"))) {
+      val manifest = dir.resolve(name)
+      Files.writeString(manifest, body)
+      val corpus = RawCorpus.fromManifest(spark, manifest.toString)
+      assert(corpus.count() === 0, s"manifest $name")
+      assert(InvertedIndex.postings(corpus).count() === 0, s"manifest $name")
+    }
+  }
+
+  test("blank manifest line keeps later docs at their manifest positions") {
+    val dir = Files.createTempDirectory("graft_blankline")
+    def write(name: String, body: String) = {
+      Files.writeString(dir.resolve(name), body); dir.resolve(name).toString
+    }
+    val f1 = write("a.txt", "alpha\n")
+    val f3 = write("c.txt", "gamma\n")
+    val manifest = write("m.txt", s"3\n$f1\n\n$f3\n")
+    val ids = RawCorpus.fromManifest(spark, manifest)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 3L)) // position 2 was blank; c.txt stays id 3
+  }
+}
