@@ -19,9 +19,6 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
-  private def t(name: String)(implicit spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, name)
-
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     InvertedIndex.postings(Tables(spark, "/root/testdata/sf0.001", "documents"))
@@ -215,8 +212,8 @@ object SparkEntry {
       """SELECT 'with_orders' AS kind, count(*) AS n FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
         |UNION ALL
-        |SELECT 'without_orders' AS kind, count(*) AS n FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |SELECT 'without_orders' AS kind, count(*) AS n FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY kind""".stripMargin,
     "q11_window_running" ->
       """SELECT o_custkey, o_orderkey,

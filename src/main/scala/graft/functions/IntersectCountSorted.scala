@@ -7,9 +7,10 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
-/** `size(array_intersect(a, b))` specialized for SORTED INT arrays:
-  * a zero-allocation two-pointer merge, generated into whole-stage
-  * codegen via `doGenCode`.
+/** `size(array_intersect(a, b))` specialized for SORTED integer arrays
+  * (INT or LONG elements — both sides the same): a zero-allocation
+  * two-pointer merge, generated into whole-stage codegen via
+  * `doGenCode`.
   *
   * The built-in `array_intersect` builds a hash set per row and
   * materializes the intersection array just to take its size — in the
@@ -25,14 +26,24 @@ case class IntersectCountSorted(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  private lazy val elemIsLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(IntegerType, _) => true
-      case _ => false
-    })
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects ARRAY<INT> inputs, got ${left.dataType} / ${right.dataType}")
+    def elem(dt: DataType): Option[DataType] = dt match {
+      case ArrayType(e @ (IntegerType | LongType), _) => Some(e)
+      case _ => None
+    }
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two ARRAY<INT> or two ARRAY<BIGINT> inputs, " +
+            s"got ${left.dataType} / ${right.dataType}")
+    }
   }
   override def prettyName: String = "intersect_count_sorted"
 
@@ -42,7 +53,8 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     var i = 0; var j = 0; var c = 0L
     val nx = x.numElements(); val ny = y.numElements()
     while (i < nx && j < ny) {
-      val xv = x.getInt(i); val yv = y.getInt(j)
+      val xv = if (elemIsLong) x.getLong(i) else x.getInt(i).toLong
+      val yv = if (elemIsLong) y.getLong(j) else y.getInt(j).toLong
       if (xv == yv) { c += 1L; i += 1; j += 1 }
       else if (xv < yv) i += 1
       else j += 1
@@ -54,13 +66,14 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val get = if (elemIsLong) "getLong" else "getInt"
       s"""
          |int $i = 0, $j = 0;
          |final int $nx = $a.numElements(), $ny = $b.numElements();
          |long ${ev.value}Acc = 0L;
          |while ($i < $nx && $j < $ny) {
-         |  final int xv = $a.getInt($i);
-         |  final int yv = $b.getInt($j);
+         |  final long xv = $a.$get($i);
+         |  final long yv = $b.$get($j);
          |  if (xv == yv) { ${ev.value}Acc++; $i++; $j++; }
          |  else if (xv < yv) $i++;
          |  else $j++;

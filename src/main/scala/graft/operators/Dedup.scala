@@ -15,19 +15,22 @@ import graft.functions.{Hashing, IntersectCountSorted, TextFns}
   */
 object Dedup {
 
-  /** Dictionary-encode a (key, value) pair stream into per-key INT-id
-    * sets: (key, ws ARRAY<INT>, n). Intersecting int arrays is several
-    * times cheaper than string arrays in the pair-verify loops, and the
-    * id↔value mapping is a bijection so every set size — and therefore
-    * every Jaccard value — is exactly unchanged.
+  /** Dictionary-encode a (key, value) pair stream into per-key sorted
+    * integer-id sets: (key, ws ARRAY<LONG>, n). Intersecting integer
+    * arrays is several times cheaper than string arrays in the
+    * pair-verify loops, and the id↔value mapping is a bijection so
+    * every set size — and therefore every Jaccard value — is exactly
+    * unchanged.
     *
-    * Scale: the dictionary is the broadcastable dimension (vocabulary ≪
-    * corpus; even web-scale corpora have ~1e8 terms). The single-
-    * partition row_number is the standard dictionary build; for
-    * extreme vocabularies swap in hash ids. */
+    * Scale: ids come from `monotonically_increasing_id` over the
+    * range-sorted distinct values — sparse but strictly increasing in
+    * value order, assigned fully in parallel (no single-partition
+    * window). The dictionary is the broadcastable dimension
+    * (vocabulary ≪ corpus). */
   private def intSets(pairs: DataFrame, key: String, value: String): DataFrame = {
     val vocab = pairs.select(value).distinct()
-      .withColumn("vid", row_number().over(Window.orderBy(col(value))))
+      .orderBy(col(value))
+      .withColumn("vid", monotonically_increasing_id())
     pairs.join(broadcast(vocab), value)
       .groupBy(key)
       // sorted so IntersectCountSorted's two-pointer merge applies
@@ -38,29 +41,33 @@ object Dedup {
   private[operators] def tokenSets(docs: DataFrame): DataFrame =
     intSets(TextFns.docWords(docs), "doc_id", "word")
 
-  /** q18 — exact n-gram(1) Jaccard near-dup pairs, the brute-force
-    * baseline. Bounded to doc_id < `cap` on both sides: exact all-pairs
-    * Jaccard is O(n²) by definition, so the exact form is only ever run
-    * on a bounded candidate set — the linear-scale path is MinHash/LSH
-    * (`minhashPairs`), which this validates.
-    *
-    * jaccard = |A∩B| / (|A|+|B|−|A∩B|), computed from integer set
-    * sizes, so the value is bit-identical across engines (no float
-    * accumulation). */
-  def nearDupJaccard(docs: DataFrame, cap: Long, threshold: Double): DataFrame = {
-    val sets = tokenSets(docs).where(col("doc_id") < cap)
-    val a = sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("n").as("n_a"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("n").as("n_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
+  /** All ordered pairs (doc_a < doc_b) of a bounded set frame. */
+  private def allPairs(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("n").as("n_a"))
+      .join(
+        sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("n").as("n_b")),
+        col("doc_a") < col("doc_b"))
+
+  /** Shared verify tail: exact Jaccard over dictionary-encoded sets,
+    * thresholded, ordered. jaccard = |A∩B| / (|A|+|B|−|A∩B|) from
+    * integer set sizes — bit-identical across engines (no float
+    * accumulation), so it ships unrounded. */
+  private def jaccardVerify(paired: DataFrame, threshold: Double): DataFrame =
+    paired
       .withColumn("inter", IntersectCountSorted(col("ws_a"), col("ws_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
-      // jaccard is a ratio of integers — bit-identical across engines,
-      // so it ships unrounded (rounding would only add boundary risk).
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
+
+  /** q18 — exact token-set Jaccard near-dup pairs, the brute-force
+    * baseline. Bounded to doc_id < `cap` on both sides: exact all-pairs
+    * Jaccard is O(n²) by definition, so the exact form is only ever run
+    * on a bounded candidate set — the linear-scale path is MinHash/LSH
+    * (`minhashNearDup`), which this validates. */
+  def nearDupJaccard(docs: DataFrame, cap: Long, threshold: Double): DataFrame =
+    jaccardVerify(allPairs(tokenSets(docs).where(col("doc_id") < cap)), threshold)
 
   /** q21 — exact deduplication: canonical-id mapping by content hash.
     * One shuffle on the hash; at 100 TB this is the cheapest dedup pass
@@ -79,10 +86,7 @@ object Dedup {
     * ONE aggregation pass computes all NumPerms minima as separate agg
     * expressions (no ×32 row explosion, unlike the oracle SQL which
     * mirrors semantics, not the plan). Output: doc_id, h0..h{n-1}. */
-  private[operators] def minhashSignatures(docs: DataFrame): DataFrame =
-    minhashSignaturesFrom(TextFns.docWords(docs))
-
-  private def minhashSignaturesFrom(docWords: DataFrame): DataFrame = {
+  private[operators] def minhashSignatures(docWords: DataFrame): DataFrame = {
     val th = docWords.withColumn("th", TextFns.polyHash(col("word")))
     val sigCols = (0 until Hashing.NumPerms).map { i =>
       min((col("th") * lit(Hashing.permA(i)) + lit(Hashing.permB(i))) % lit(Hashing.P))
@@ -106,7 +110,7 @@ object Dedup {
     // materializing breaks WholeStageCodegen fusion and exchange reuse
     // for a scan that is cheap and pruned to two columns.
     val dw = TextFns.docWords(docs)
-    val sig = minhashSignaturesFrom(dw)
+    val sig = minhashSignatures(dw)
     val bandKeys = (0 until Hashing.NumBands).map { b =>
       concat_ws("_",
         (b * Hashing.RowsPerBand until (b + 1) * Hashing.RowsPerBand)
@@ -121,15 +125,10 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sets = intSets(dw, "doc_id", "word")
-    cand
+    val paired = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("n").as("n_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("n").as("n_b")), "doc_b")
-      .withColumn("inter", IntersectCountSorted(col("ws_a"), col("ws_b")))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    jaccardVerify(paired, threshold)
   }
 
   /** q23 — SimHash document signatures: per-token polyHash votes ±1 on
@@ -164,15 +163,6 @@ object Dedup {
         col("text"))
       .select(col("doc_id"), expr(s"substring(text, p, $n)").as("gram"))
       .distinct()
-    val sets = intSets(grams, "doc_id", "gram")
-    val a = sets.select(col("doc_id").as("doc_a"), col("ws").as("gs_a"), col("n").as("n_a"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("ws").as("gs_b"), col("n").as("n_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("inter", IntersectCountSorted(col("gs_a"), col("gs_b")))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    jaccardVerify(allPairs(intSets(grams, "doc_id", "gram")), threshold)
   }
 }

@@ -75,10 +75,12 @@ object Similarity {
   }
 
   /** Sign-bit bucket id from Hashing's deterministic hyperplane
-    * lattice: bit p = sign(Σ_d w(p,d)·v_d). */
-  private[operators] def lshBucket(v: Column): Column =
+    * lattice: bit p = sign(Σ_d w(p,d)·v_d). `dim` must match the
+    * embedding width — zip_with null-pads a mismatch, which would
+    * silently send every vector to bucket 0. */
+  private[operators] def lshBucket(v: Column, dim: Int): Column =
     (0 until Hashing.NumPlanes).map { p =>
-      val w = array((0 until 64).map(d => lit(Hashing.planeWeight(p, d).toDouble)): _*)
+      val w = array((0 until dim).map(d => lit(Hashing.planeWeight(p, d).toDouble)): _*)
       val dotW = aggregate(zip_with(v, w, (x, wt) => x * wt), lit(0.0d), (acc, x) => acc + x)
       when(dotW > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -89,9 +91,9 @@ object Similarity {
     * each query only compares against its own bucket — at 1000
     * executors the bucket join shuffles ~n/256 of the corpus per query
     * bucket instead of n. Exact cosine + top-k within the bucket. */
-  def lshAnn(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  def lshAnn(embeddings: DataFrame, nQueries: Int, k: Int, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = withNorm(embeddings).withColumn("bucket", lshBucket(col("v")))
+    val e = withNorm(embeddings).withColumn("bucket", lshBucket(col("v"), dim))
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("nrm_a"), col("bucket"))
     val c = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nrm_b"), col("bucket"))

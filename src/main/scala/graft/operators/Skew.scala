@@ -20,6 +20,8 @@ object Skew {
     * escapes. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltSource: Column, salts: Int): DataFrame = {
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "saltedJoin reserves the column name _salt; rename it on the inputs first")
     val saltedBig = big.withColumn("_salt", pmod(hash(saltSource), lit(salts)))
     val saltedSmall = small.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
