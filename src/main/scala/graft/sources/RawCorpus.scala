@@ -55,4 +55,19 @@ object RawCorpus {
     import spark.implicits._
     Seq.empty[(Long, String)].toDF("doc_id", "text")
   }
+
+  /** The SCALE path for raw text corpora: one distributed scan of a
+    * directory of `<id>.txt` files, doc ids parsed from the file names
+    * — no driver-side manifest, no N-way union; at 100 TB this is a
+    * single splittable FileScan. (fromManifest exists for exact parity
+    * with the reference's small-N manifest contract.) */
+  def fromDirectory(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(s"$dir/*.txt")
+      // only numeric-named corpus files — sidecar files (manifest,
+      // READMEs) in the same directory are not documents
+      .where(input_file_name().rlike("/\\d+\\.txt$"))
+      .select(
+        regexp_extract(input_file_name(), "(\\d+)\\.txt$", 1)
+          .cast("long").as("doc_id"),
+        col("value").as("text"))
 }

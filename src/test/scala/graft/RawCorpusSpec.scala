@@ -32,4 +32,16 @@ class RawCorpusSpec extends SparkSpec {
       "brown" -> List(1L), "bottles" -> List(2L), "zebra" -> List(3L),
       "jumps" -> List(3L)))
   }
+
+  test("directory corpus: ids from file names, sidecar files ignored") {
+    val dir = Files.createTempDirectory("graft_dircorpus")
+    Files.writeString(dir.resolve("00007.txt"), "alpha beta\n")
+    Files.writeString(dir.resolve("00042.txt"), "gamma\n")
+    Files.writeString(dir.resolve("manifest.txt"), "not a doc\n")
+    val corpus = RawCorpus.fromDirectory(spark, dir.toString)
+    val ids = corpus.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(7L, 42L))
+    assert(corpus.count() === 2)
+  }
 }
