@@ -40,6 +40,21 @@ object EventStreams {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n"), col("sum_value"))
 
+  /** Incremental inverted-index maintenance: the reference's batch-only
+    * pipeline (`main.c++:152-159` barriers) as a continuously-updating
+    * streaming aggregation — new documents arrive, their tokens flow
+    * through the same normalize/dedup chain, and per-word posting sets
+    * grow in place. `dropDuplicates` holds (doc_id, word) state for the
+    * per-doc dedup (R7); the groupBy holds per-word postings state.
+    * StreamingSpec proves streaming ≡ batch on the same corpus. */
+  def streamingPostings(docs: DataFrame): DataFrame =
+    graft.functions.TextFns.tokens(docs)
+      .select("doc_id", "word")
+      .dropDuplicates("doc_id", "word")
+      .groupBy("word")
+      .agg(sort_array(collect_set(col("doc_id"))).as("postings"),
+        count(lit(1)).as("df"))
+
   /** Custom keyed state: running per-user totals via
     * mapGroupsWithState — the engine's escape hatch for stateful
     * semantics windows can't express. */

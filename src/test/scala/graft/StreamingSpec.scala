@@ -64,6 +64,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming postings converge to the batch index") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingPostings(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sidx").outputMode("complete").start()
+    try {
+      in.addData((1L, "The quick brown fox. The FOX!"), (2L, "quick, quick fox 99 bottles"))
+      q.processAllAvailable()
+      in.addData((3L, "Zebra   fox\tjumps")) // doc arrives later
+      q.processAllAvailable()
+      val streamed = spark.table("sidx").collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1).toList, r.getLong(2))).toSet
+      val batch = graft.operators.InvertedIndex.postings(Seq(
+          (1L, "The quick brown fox. The FOX!"),
+          (2L, "quick, quick fox 99 bottles"),
+          (3L, "Zebra   fox\tjumps")).toDF("doc_id", "text"))
+        .collect().map(r => (r.getString(0), r.getSeq[Long](2).toList, r.getLong(1))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stateful user totals accumulate across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
