@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtens
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.IntersectCountSorted
+import graft.functions.{DotProductDouble, IntersectCountSorted}
 
 /** Session integration for the engine's custom expressions.
   *
@@ -14,20 +14,29 @@ import graft.functions.IntersectCountSorted
   *    `spark.sql.extensions=graft.GraftExtensions`), or
   *  - `GraftExtensions.register(spark)` on a live session.
   *
-  * Either way `intersect_count_sorted(a, b)` becomes callable from SQL
-  * text, so `spark.sql(...)` users get the same codegen'd operator as
-  * the Column API.
+  * Either way `intersect_count_sorted(a, b)` and
+  * `dot_product_double(a, b)` become callable from SQL text, so
+  * `spark.sql(...)` users get the same codegen'd operators as the
+  * Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("intersect_count_sorted"),
       new ExpressionInfo(classOf[IntersectCountSorted].getName, "intersect_count_sorted"),
       (exprs: Seq[Expression]) => IntersectCountSorted(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product_double"),
+      new ExpressionInfo(classOf[DotProductDouble].getName, "dot_product_double"),
+      (exprs: Seq[Expression]) => DotProductDouble(exprs(0), exprs(1))))
+  }
 }
 
 object GraftExtensions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     GraftColumnBridge.registerExpression(spark, "intersect_count_sorted",
       exprs => IntersectCountSorted(exprs(0), exprs(1)))
+    GraftColumnBridge.registerExpression(spark, "dot_product_double",
+      exprs => DotProductDouble(exprs(0), exprs(1)))
+  }
 }

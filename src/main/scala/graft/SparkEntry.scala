@@ -27,7 +27,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     // ---- core index pipeline (reference parity, R5–R16) ----
     "q01_tokenize" -> ((s, d) => InvertedIndex.tokens(Tables(s, d, "documents"))),
-    "q02_postings" -> ((s, d) => InvertedIndex.postings(Tables(s, d, "documents"))),
+    // driver shape: postings as a space-joined string (the pandas
+    // comparator cannot hash ARRAY columns — round-1 q02/q37 err);
+    // InvertedIndex.postings keeps the typed-array library API
+    "q02_postings" -> ((s, d) => InvertedIndex.postingsStr(Tables(s, d, "documents"))),
     "q03_index_format" -> ((s, d) => InvertedIndex.indexFormat(Tables(s, d, "documents"))),
     // ---- index query algebra ----
     "q04_df_topk_per_letter" -> ((s, d) => InvertedIndex.topkPerLetter(Tables(s, d, "documents"), 5)),
@@ -76,7 +79,7 @@ object SparkEntry {
       Relational.setIntersectExcept(Tables(s, d, "customer"), Tables(s, d, "supplier"))),
     "q36_date_parts" -> ((s, d) => Relational.datePartsAgg(Tables(s, d, "orders"))),
     // typed-Aggregator twin of q02 (UDAF surface; same oracle semantics)
-    "q37_postings_typed" -> ((s, d) => InvertedIndex.postingsTyped(Tables(s, d, "documents"))),
+    "q37_postings_typed" -> ((s, d) => InvertedIndex.postingsTypedStr(Tables(s, d, "documents"))),
     // salting demo under oracle (salt never escapes the plan)
     "q38_salted_join" -> ((s, d) => Skew.saltedWordJoin(Tables(s, d, "documents"))),
     // HLL sketch — deliberately NOT in oracleSql (engines' HLLs differ);
@@ -153,7 +156,8 @@ object SparkEntry {
          |SELECT doc_id, word FROM rawtoks ORDER BY doc_id, word""".stripMargin,
     "q02_postings" ->
       s"""WITH $postingsCte
-         |SELECT word, df, postings FROM post ORDER BY df DESC, word""".stripMargin,
+         |SELECT word, df, array_to_string(postings, ' ') AS postings
+         |FROM post ORDER BY df DESC, word""".stripMargin,
     "q03_index_format" ->
       s"""WITH $postingsCte
          |SELECT substr(word, 1, 1) AS letter, word, df,
@@ -432,7 +436,8 @@ object SparkEntry {
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
     "q37_postings_typed" ->
       s"""WITH $postingsCte
-         |SELECT word, df, postings FROM post ORDER BY df DESC, word""".stripMargin,
+         |SELECT word, df, array_to_string(postings, ' ') AS postings
+         |FROM post ORDER BY df DESC, word""".stripMargin,
     "q38_salted_join" ->
       s"""WITH $postingsCte
          |SELECT r.word, CAST(count(*) AS BIGINT) AS n_tokens, max(post.df) AS df

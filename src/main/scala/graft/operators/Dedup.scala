@@ -25,13 +25,30 @@ object Dedup {
     * Scale: ids come from `monotonically_increasing_id` over the
     * range-sorted distinct values — sparse but strictly increasing in
     * value order, assigned fully in parallel (no single-partition
-    * window). The dictionary is the broadcastable dimension
-    * (vocabulary ≪ corpus). */
+    * window).
+    *
+    * Broadcast guard (VERDICT r1 #3): natural-language vocabularies are
+    * tiny relative to the corpus, but n-gram or web-scale token vocabs
+    * can reach billions of entries — a forced `broadcast(vocab)` then
+    * OOMs the driver. The hint is therefore conf-gated:
+    * `spark.graft.vocabBroadcast` = `auto` (default: no hint; AQE
+    * re-plans the shuffle join to broadcast at runtime iff the built
+    * dictionary is actually small) | `on` (force the hint — safe only
+    * when the caller KNOWS the vocab is bounded) | `off` (plain
+    * shuffle join even if AQE would broadcast). Result is
+    * plan-strategy-only: identical rows under every mode
+    * (VocabBroadcastSpec). */
   private def intSets(pairs: DataFrame, key: String, value: String): DataFrame = {
     val vocab = pairs.select(value).distinct()
       .orderBy(col(value))
       .withColumn("vid", monotonically_increasing_id())
-    pairs.join(broadcast(vocab), value)
+    val dict = pairs.sparkSession.conf
+      .getOption("spark.graft.vocabBroadcast").getOrElse("auto") match {
+      case "on" => broadcast(vocab)
+      case "off" => vocab.hint("shuffle_hash")
+      case _ => vocab // auto: AQE decides from runtime size
+    }
+    pairs.join(dict, value)
       .groupBy(key)
       // sorted so IntersectCountSorted's two-pointer merge applies
       .agg(sort_array(collect_set(col("vid"))).as("ws"), count(lit(1)).as("n"))

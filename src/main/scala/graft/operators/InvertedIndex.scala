@@ -42,11 +42,26 @@ object InvertedIndex {
 
   /** q02 — the reference's core output: word → ascending posting list,
     * ordered by document frequency DESC, word ASC (R13,
-    * `main.c++:37-44,236`). */
+    * `main.c++:37-44,236`). Library API: postings stays a typed
+    * ARRAY<BIGINT> (the shape downstream set-algebra wants). */
   def postings(docs: DataFrame): DataFrame =
     postingsUnordered(docs)
       .select("word", "df", "postings")
       .orderBy(col("df").desc, col("word").asc)
+
+  /** `postings` ARRAY<BIGINT> → the space-joined STRING the reference
+    * prints between brackets (`main.c++:257-263`). The driver's pandas
+    * comparator cannot sort/hash raw ARRAY columns (round-1 q02/q37
+    * err: `unhashable type: numpy.ndarray`), so the oracle-facing
+    * variants ship this string; q03's green `line` column proves the
+    * pattern. */
+  private def postingsAsString(ordered: DataFrame): DataFrame =
+    ordered.withColumn("postings",
+      array_join(col("postings").cast("array<string>"), " "))
+
+  /** q02 driver shape — `postings` as a space-joined string. */
+  def postingsStr(docs: DataFrame): DataFrame =
+    postingsAsString(postings(docs))
 
   /** q03 — the index in the reference's output grammar
     * `word:[id1 id2 … idN]` (R16, `main.c++:254-266`), partitioned by
@@ -114,6 +129,11 @@ object InvertedIndex {
       .orderBy(col("df").desc, col("word").asc)
   }
 
+  /** q37 driver shape — typed-Aggregator postings as a space-joined
+    * string (same comparator constraint as `postingsStr`). */
+  def postingsTypedStr(docs: DataFrame): DataFrame =
+    postingsAsString(postingsTyped(docs))
+
   /** The reference's R16 sink verbatim: one text file per first letter,
     * rows `word:[id1 id2 … idN]` sorted df DESC, word ASC within each
     * letter (`main.c++:231-266`). `partitionBy` gives the 26-way layout;
@@ -121,7 +141,7 @@ object InvertedIndex {
     * reproduces the per-bucket ordering. Verified by golden-file
     * ScalaTest (not DuckDB — the grammar is not a table).
     */
-  def writeIndex(docs: DataFrame, outDir: String): Unit =
+  def writeIndex(docs: DataFrame, outDir: String): Unit = {
     indexFormat(docs)
       .repartition(col("letter"))
       .sortWithinPartitions(col("letter"), col("df").desc, col("word").asc)
@@ -129,4 +149,19 @@ object InvertedIndex {
       .write.mode("overwrite")
       .partitionBy("letter")
       .text(outDir)
+    // R16 parity: the reference opens all 26 ofstreams up front
+    // (`main.c++:231-233`), so letters with no words still produce an
+    // empty file; `partitionBy` only materializes non-empty partitions.
+    // Touch the missing ones — 26 driver-side FS ops, scale-free.
+    import org.apache.hadoop.fs.Path
+    val base = new Path(outDir)
+    val fs = base.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    ('a' to 'z').foreach { l =>
+      val dir = new Path(base, s"letter=$l")
+      if (!fs.exists(dir)) {
+        fs.mkdirs(dir)
+        fs.create(new Path(dir, "part-00000-empty.txt")).close()
+      }
+    }
+  }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets.US_ASCII
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,37 +15,108 @@ import org.apache.spark.sql.functions._
   * collecting to the driver, and the output is a fixed, declared schema
   * that Catalyst can prune/push through.
   *
-  * STUB: the codec itself. This container has no image/audio libraries,
-  * so `decodeBatch` computes a deterministic fake "decode" (byte stats →
-  * synthetic dimensions). The Spark-side plumbing — binary schema,
-  * typed metadata, batching shape, partition-parallel execution, typed
-  * output Encoder — is real and tested; swapping `decodeBatch`'s body
-  * for a JNI/FFI codec call changes nothing else.
+  * The codec is a REAL pure-JVM binary format: PPM "P6" (the simplest
+  * image container — ASCII header `P6 <w> <h> <maxval>` + raw payload).
+  * `mediaTable` ENCODES each document into a well-formed PPM whose
+  * dimensions derive deterministically from the payload bytes, and
+  * `decodeBatch` DECODES by parsing the binary header alone (comments
+  * and whitespace per the PPM grammar) — it never sees the source text.
+  * The DuckDB oracle recomputes the same dimensions from the text side,
+  * so q31 verifies the whole encode → binary → parse round trip.
+  * Swapping the kernel for a JNI/FFI JPEG codec changes nothing else.
   */
 object Multimodal {
 
-  /** Typed decode output — the declared schema of the "decoder". */
+  /** Typed decode output — the declared schema of the decoder. Width
+    * and height come from the PARSED binary header; n_bytes/byte_sum
+    * are payload (pixel-data) stats. Malformed payloads yield the
+    * sentinel row (-1 dims) rather than failing the batch — at 100 TB
+    * a poison payload must not kill the stage. */
   case class MediaFeatures(doc_id: Long, n_bytes: Long, byte_sum: Long,
       fake_width: Long, fake_height: Long)
 
-  /** Documents as an opaque-media table: (doc_id, media BINARY,
-    * meta STRUCT<mime, n_bytes>). In a real pipeline `media` holds
-    * image/audio bytes; here the text payload stands in. */
-  def mediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      col("text").cast("binary").as("media"),
-      struct(
-        lit("text/plain").as("mime"),
-        length(col("text")).cast("long").as("n_bytes")).as("meta"))
+  private def unsignedSum(bytes: Array[Byte], from: Int): Long = {
+    var acc = 0L; var i = from
+    while (i < bytes.length) { acc += (bytes(i) & 0xff); i += 1 }
+    acc
+  }
 
-  /** The batched decode kernel (STUB — see object doc). Deterministic:
-    * byte_sum is the unsigned byte total; the fake dimensions derive
-    * from it. One batch ≈ what a columnar decoder would receive. */
-  private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] =
+  /** Build a well-formed binary PPM (P6) around a payload: dimensions
+    * are a deterministic function of the payload byte sum (the oracle
+    * mirrors this arithmetic on the text side). */
+  private[graft] def encodePpm(payload: Array[Byte]): Array[Byte] = {
+    val sum = unsignedSum(payload, 0)
+    val w = 16L + sum % 64
+    val h = 16L + sum % 48
+    val header = s"P6\n$w $h\n255\n".getBytes(US_ASCII)
+    header ++ payload
+  }
+
+  /** Parse a PPM header per the grammar: magic "P6", then three ASCII
+    * integers (width, height, maxval) separated by whitespace and
+    * optional `#` comments, then ONE whitespace byte, then payload.
+    * Returns (width, height, payloadOffset) or None if malformed. */
+  private[graft] def parsePpmHeader(bytes: Array[Byte]): Option[(Long, Long, Int)] = {
+    var i = 0
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        val b = bytes(i)
+        if (b == ' ' || b == '\n' || b == '\r' || b == '\t') i += 1
+        else if (b == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else go = false
+      }
+    }
+    def readInt(): Option[Long] = {
+      skipWsAndComments()
+      val start = i
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') i += 1
+      if (i == start) None
+      else Some(new String(bytes, start, i - start, US_ASCII).toLong)
+    }
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    i = 2
+    for {
+      w <- readInt()
+      h <- readInt()
+      maxval <- readInt()
+      if maxval > 0 && maxval < 65536 && i < bytes.length
+    } yield {
+      i += 1 // the single whitespace byte that terminates the header
+      (w, h, i)
+    }
+  }
+
+  /** Documents as an opaque-media table: (doc_id, media BINARY,
+    * meta STRUCT<mime, n_bytes>). The media bytes are a genuine PPM
+    * image wrapping the text payload; encode runs partition-parallel
+    * through the same batch kernel shape as decode. */
+  def mediaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, encodePpm(text.getBytes(US_ASCII)))
+      })
+      .toDF("doc_id", "media")
+      .select(
+        col("doc_id"), col("media"),
+        struct(
+          lit("image/x-portable-pixmap").as("mime"),
+          length(col("media")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** The batched decode kernel: parses each PPM header (real binary
+    * decode — no access to the source text) and computes payload
+    * stats. Malformed input → sentinel (-1) dims, whole-blob stats. */
+  private[graft] def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] =
     batch.map { case (id, bytes) =>
-      val sum = bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff))
-      MediaFeatures(id, bytes.length.toLong, sum, 16L + sum % 64, 16L + sum % 48)
+      parsePpmHeader(bytes) match {
+        case Some((w, h, off)) =>
+          MediaFeatures(id, (bytes.length - off).toLong, unsignedSum(bytes, off), w, h)
+        case None =>
+          MediaFeatures(id, bytes.length.toLong, unsignedSum(bytes, 0), -1L, -1L)
+      }
     }
 
   /** q31 — decode/feature-extract over the media column. Batches of

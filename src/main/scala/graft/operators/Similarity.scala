@@ -3,14 +3,17 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing
+import graft.functions.{DotProductDouble, Hashing}
 
 /** Similarity search over the `embeddings` table (ARRAY<FLOAT>, dim 64)
   * — LLM-pipeline extension (SURVEY §2.B last row).
   *
-  * All vector math is pure `functions._` array expressions (zip_with +
-  * aggregate): codegen'd, no UDF, left-to-right folds so Spark and
-  * DuckDB produce bit-identical doubles.
+  * All vector math is the codegen'd `DotProductDouble` expression over
+  * f64 arrays: no UDF, no interpreted higher-order function in any hot
+  * path (the round-1 zip_with/aggregate fold was the suite's single
+  * biggest scale-killer — an interpreted boxing lambda per element per
+  * candidate pair). Accumulation is the same left-to-right fold, so
+  * Spark and DuckDB still produce bit-identical doubles.
   */
 object Similarity {
 
@@ -18,10 +21,11 @@ object Similarity {
   private[operators] def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
-  /** Left-fold dot product — same evaluation order as DuckDB's
-    * list_reduce, so the result is bit-identical. */
+  /** Dot product — codegen'd primitive loop (DotProductDouble); the
+    * left-fold order matches DuckDB's list_reduce, so the result is
+    * bit-identical. */
   private[operators] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    DotProductDouble(a, b)
 
   private[operators] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -81,7 +85,7 @@ object Similarity {
   private[operators] def lshBucket(v: Column, dim: Int): Column =
     (0 until Hashing.NumPlanes).map { p =>
       val w = array((0 until dim).map(d => lit(Hashing.planeWeight(p, d).toDouble)): _*)
-      val dotW = aggregate(zip_with(v, w, (x, wt) => x * wt), lit(0.0d), (acc, x) => acc + x)
+      val dotW = dot(v, w)
       when(dotW > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -28,6 +28,25 @@ class FunctionsSpec extends SparkSpec {
     assert(edges.getLong(1) === 0L)
   }
 
+  test("dot_product_double: bit-identical to the HOF left fold it replaced") {
+    import graft.functions.DotProductDouble
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (Array(1.5, -2.25, 0.125, 3.0), Array(0.5, 4.0, -8.0, 0.25)),
+      (Array(0.1, 0.2, 0.3, 0.7), Array(0.9, 0.8, 0.7, 0.3)),
+      (Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+    val got = vecs.select(
+      DotProductDouble(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x).as("hof")).collect()
+    got.foreach { r =>
+      // exact bit equality, not tolerance — the DuckDB oracle hash
+      // compare depends on the identical left-fold order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("typed PostingsAggregator matches the expression pipeline (q02 ≡ q37)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val expr = InvertedIndex.postings(docs).collect()

@@ -75,5 +75,12 @@ class InvertedIndexSpec extends SparkSpec {
     }
     assert(read("f") === List("fox:[1 2 3]"))
     assert(read("q") === List("quick:[1 2]"))
+    // R16 parity: the reference creates ALL 26 letter files even when
+    // empty (`main.c++:231-233`) — letters absent from the corpus must
+    // still have a partition, holding zero lines
+    ('a' to 'z').foreach { l =>
+      val lines = read(l.toString)
+      if (l == 'x') assert(lines.isEmpty, s"letter '$l' should be empty")
+    }
   }
 }

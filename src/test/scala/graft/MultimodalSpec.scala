@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.charset.StandardCharsets.US_ASCII
+
 import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkSpec {
@@ -11,14 +13,46 @@ class MultimodalSpec extends SparkSpec {
     val m = Multimodal.mediaTable(docs)
     assert(m.schema("media").dataType.typeName === "binary")
     val meta = m.where($"doc_id" === 1).select("meta.mime", "meta.n_bytes").collect()(0)
-    assert(meta.getString(0) === "text/plain")
-    assert(meta.getLong(1) === 3L)
+    assert(meta.getString(0) === "image/x-portable-pixmap")
+    // "abc" → sum 294 → 54×22 → header "P6\n54 22\n255\n" (13 B) + 3 B payload
+    assert(meta.getLong(1) === 16L)
   }
 
-  test("stubbed decode: deterministic features, batch plumbing intact") {
+  test("decode parses the real PPM binary header; batch plumbing intact") {
     val f = Multimodal.mediaFeatures(spark, docs, batchSize = 2).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
-    // byte_sum('abc') = 97+98+99 = 294; empty payload decodes to zeros
-    assert(f === List((1L, 3L, 294L), (2L, 0L, 0L), (3L, 2L, 244L)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toList
+    // byte_sum('abc') = 97+98+99 = 294 → w = 16+294%64 = 54, h = 16+294%48 = 22
+    // empty payload → sum 0 → 16×16; 'zz' → 244 → 68×20
+    assert(f === List(
+      (1L, 3L, 294L, 54L, 22L),
+      (2L, 0L, 0L, 16L, 16L),
+      (3L, 2L, 244L, 68L, 20L)))
+  }
+
+  test("encode→parse round trip recovers header dims and payload offset") {
+    val payload = "some pixel-ish bytes ÿ".getBytes(US_ASCII)
+    val ppm = Multimodal.encodePpm(payload)
+    val Some((w, h, off)) = Multimodal.parsePpmHeader(ppm)
+    assert(ppm.length - off === payload.length)
+    assert(w >= 16 && w < 80 && h >= 16 && h < 64)
+    assert(ppm.slice(off, ppm.length).toSeq === payload.toSeq)
+  }
+
+  test("parser handles PPM comments per the grammar") {
+    val bytes = "P6\n# a comment line\n2 3\n255\nXYZXYZ".getBytes(US_ASCII)
+    assert(Multimodal.parsePpmHeader(bytes) === Some((2L, 3L, 28)))
+  }
+
+  test("malformed payloads yield sentinel dims, never a stage failure") {
+    val bad = Seq(
+      7L -> "not a ppm".getBytes(US_ASCII),     // wrong magic
+      8L -> "P6\n12".getBytes(US_ASCII),        // truncated header
+      9L -> "P6\n4 4\n0\nxx".getBytes(US_ASCII), // maxval out of range
+      10L -> Array.empty[Byte])
+    val out = Multimodal.decodeBatch(bad)
+    assert(out.map(m => (m.doc_id, m.fake_width, m.fake_height)) ===
+      Seq((7L, -1L, -1L), (8L, -1L, -1L), (9L, -1L, -1L), (10L, -1L, -1L)))
+    // stats still computed over the whole blob so nothing is silently lost
+    assert(out.head.n_bytes === 9L)
   }
 }

@@ -21,6 +21,37 @@ class SkewSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("salted SHUFFLE path engages when broadcast is off, result unchanged (VERDICT r1 #4)") {
+    // At test scale Catalyst broadcasts the salted dimension and the
+    // salt collapses into a broadcast join — the shuffle-splitting plan
+    // the operator exists for never runs. Forcing broadcast off (both
+    // static and AQE thresholds) proves the salted shuffle join is the
+    // plan AND that it returns the same rows.
+    val big = ((1 to 900).map(i => (i.toLong, "hot")) ++
+      (1 to 100).map(i => (i.toLong, s"k${i % 10}"))).toDF("id", "key")
+    val small = (Seq("hot") ++ (0 until 10).map(i => s"k$i")).zipWithIndex.toDF("key", "v")
+    val plain = big.join(small, "key").groupBy("key").agg(count(lit(1)), sum("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = Skew.saltedJoin(big, small, "key", col("id"), 8)
+      val plan = salted.queryExecution.sparkPlan.toString
+      assert(plan.contains("_salt"), s"salt key missing from join plan:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled join on (key, _salt):\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"), s"broadcast still engaged:\n$plan")
+      val rows = salted.groupBy("key").agg(count(lit(1)), sum("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      prevAqe.foreach(spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
+  }
+
   test("q39 approx distinct within 10% of exact (rsd=0.02)") {
     val rows = Relational.approxDistinct(Tables(spark, "/root/testdata/sf0.001", "lineitem"))
       .collect().map(r => (r.getLong(1), r.getLong(2)))
