@@ -89,6 +89,12 @@ object SparkEntry {
     "q41_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables(s, d, "documents"), 5)),
     "q42_theta_join" -> ((s, d) =>
       Relational.thetaJoin(Tables(s, d, "lineitem"), Tables(s, d, "orders"))),
+    // IVF twin of q26: broadcast codebook -> cell assignment -> in-cell probe
+    "q43_ivf_ann" -> ((s, d) => Similarity.ivfAnn(Tables(s, d, "embeddings"), 20, 3)),
+    // training-pipeline: fixed-width overlapping char chunks
+    "q44_chunk_docs" -> ((s, d) => TextAnalysis.chunkDocs(Tables(s, d, "documents"), 200, 150)),
+    // training-pipeline: deterministic hash-bucket train/val split
+    "q45_sample_split" -> ((s, d) => Sampling.hashSplit(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -468,5 +474,42 @@ object SparkEntry {
         |FROM lineitem JOIN orders
         |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q43_ivf_ann" ->
+      s"""WITH $embCte,
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+         |          FROM e WHERE vec_id % 50 = 0),
+         |assign AS (
+         |  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+         |    SELECT e.vec_id, e.v, e.nrm, c.cent_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) DESC,
+         |                      c.cent_id) AS crnk
+         |    FROM e CROSS JOIN cents c)
+         |  WHERE crnk = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
+         |         ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 20)
+         |SELECT vec_a, vec_b, cell, round(cos, 2) AS cos_sim, rnk FROM (
+         |  SELECT vec_a, vec_b, cell, cos,
+         |         row_number() OVER (PARTITION BY vec_a
+         |                            ORDER BY round(cos, 6) DESC, vec_b) AS rnk
+         |  FROM pairs)
+         |WHERE rnk <= 3 ORDER BY vec_a, rnk, vec_b""".stripMargin,
+    "q44_chunk_docs" ->
+      """SELECT doc_id, CAST((p - 1) // 150 AS BIGINT) AS chunk_id,
+        |       substr(text, CAST(p AS INT), 200) AS chunk,
+        |       CAST(len(substr(text, CAST(p AS INT), 200)) AS BIGINT) AS chunk_len
+        |FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1, 150)) AS p
+        |      FROM documents WHERE len(text) >= 1)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q45_sample_split" ->
+      s"""SELECT doc_id, bucket,
+         |       CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+         |FROM (SELECT doc_id,
+         |             ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -95,6 +95,46 @@ object Similarity {
     * each query only compares against its own bucket — at 1000
     * executors the bucket join shuffles ~n/256 of the corpus per query
     * bucket instead of n. Exact cosine + top-k within the bucket. */
+  /** q43 — IVF-style approximate nearest neighbors: the other classic
+    * ANN scale path beside `lshAnn`. A bounded coarse codebook (here a
+    * deterministic subset — every `centroidEvery`-th vector; in a real
+    * pipeline the k-means centroids, which changes nothing in the plan)
+    * is BROADCAST; one corpus scan assigns every vector to its nearest
+    * centroid cell (argmax cosine, 6-dp rounded with centroid-id
+    * tiebreak so both engines pick the same cell); queries then compare
+    * only within their own cell — an equi hash join on `cell`, never a
+    * cross product. At 1000 executors the assignment is map-side
+    * (codebook broadcast) and the probe shuffles ~n/cells rows per
+    * cell: the same inverted-file locality DiskANN/FAISS IVF indexes
+    * exploit. */
+  def ivfAnn(embeddings: DataFrame, nQueries: Int, k: Int, centroidEvery: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+    val cents = e.where(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos6").desc, col("cent_id").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos6",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+      .withColumn("crnk", row_number().over(wAssign))
+      .where(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+    val q = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("nrm_a"), col("cell"))
+    val c = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nrm_b"), col("cell"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cos6").desc, col("vec_b").asc)
+    broadcast(q).join(c, Seq("cell"))
+      .where(col("vec_a") =!= col("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
+      .withColumn("cos6", round(col("cos"), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("vec_a"), col("vec_b"), col("cell"), round(col("cos"), 2).as("cos_sim"), col("rnk"))
+      .orderBy("vec_a", "rnk", "vec_b")
+  }
+
   def lshAnn(embeddings: DataFrame, nQueries: Int, k: Int, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = withNorm(embeddings).withColumn("bucket", lshBucket(col("v"), dim))

@@ -96,6 +96,26 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk", "word")
   }
 
+  /** q44 — document chunking: fixed-width character windows with
+    * overlap (`step` < `width`), the standard pre-tokenization split a
+    * training pipeline feeds to the tokenizer. Pure expressions —
+    * `sequence` + `explode` + `substring` — so the whole op stays in
+    * WholeStageCodegen and scales as one narrow map stage (no shuffle
+    * at all until the final presentation sort). chunk_id is the
+    * 0-based window index; the last chunk may be short. */
+  def chunkDocs(docs: DataFrame, width: Int, step: Int): DataFrame =
+    docs
+      .where(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")), lit(step))).as("p"),
+        col("text"))
+      .select(
+        col("doc_id"),
+        ((col("p") - 1) / step).cast("long").as("chunk_id"),
+        expr(s"substring(text, p, $width)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+      .orderBy("doc_id", "chunk_id")
+
   /** q30 — document fingerprinting: rolling polynomial hash of the full
     * raw text (the cheap pre-filter for exact-dup detection when you
     * don't want to ship md5 strings around). */

@@ -51,4 +51,42 @@ class OperatorsSpec extends SparkSpec {
       .agg(sum(col("n_docs"))).collect()(0).getLong(0)
     assert(n === t("documents").count())
   }
+
+  test("q43 ivf: in-cell neighbors only, ≤k per query, nonempty recall vs exact") {
+    val ivf = Similarity.ivfAnn(t("embeddings"), 20, 3).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => r.getLong(1) != r.getLong(0)))
+    assert(ivf.groupBy(_.getLong(0)).forall(_._2.length <= 3))
+    // IVF is approximate, but with a shared codebook SOME exact top-3
+    // neighbors must be co-celled and recovered
+    val exact = Similarity.cosineTopK(t("embeddings"), 20, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.intersect(exact).nonEmpty)
+  }
+
+  test("q44 chunks: overlap reconstructs the document, last chunk short") {
+    import spark.implicits._
+    val text = ("ab" * 170) // 340 chars -> p = 1, 151, 301
+    val rows = TextAnalysis.chunkDocs(Seq((1L, text)).toDF("doc_id", "text"), 200, 150)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(rows.map(_._1).toList === List(0L, 1L, 2L))
+    assert(rows(0)._2 === text.substring(0, 200))
+    assert(rows(1)._2 === text.substring(150, 340))
+    assert(rows(2)._2 === text.substring(300))
+    // stitching non-overlap prefixes + final chunk == original
+    val stitched = rows.dropRight(1).map(_._2.take(150)).mkString + rows.last._2
+    assert(stitched === text)
+  }
+
+  test("q45 split: partitioning-invariant, bucket-ranged, exhaustive") {
+    val docs = t("documents")
+    val a = Sampling.hashSplit(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val b = Sampling.hashSplit(docs.repartition(7)).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(a.toSeq === b.toSeq) // same assignment at any partitioning
+    assert(a.length === docs.count())
+    assert(a.forall { case (_, bkt, s) =>
+      bkt >= 0 && bkt < 100 && (if (bkt < 90) s == "train" else s == "val") })
+    assert(a.map(_._3).distinct.sorted.toList === List("train", "val"))
+  }
 }
