@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtens
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductDouble, IntersectCountSorted}
+import graft.functions.{DotProductDouble, IntersectCountSorted, PolyHashString}
 
 /** Session integration for the engine's custom expressions.
   *
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product_double"),
       new ExpressionInfo(classOf[DotProductDouble].getName, "dot_product_double"),
       (exprs: Seq[Expression]) => DotProductDouble(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHashString].getName, "poly_hash"),
+      (exprs: Seq[Expression]) => PolyHashString(exprs(0))))
   }
 }
 
@@ -38,5 +42,7 @@ object GraftExtensions {
       exprs => IntersectCountSorted(exprs(0), exprs(1)))
     GraftColumnBridge.registerExpression(spark, "dot_product_double",
       exprs => DotProductDouble(exprs(0), exprs(1)))
+    GraftColumnBridge.registerExpression(spark, "poly_hash",
+      exprs => PolyHashString(exprs(0)))
   }
 }

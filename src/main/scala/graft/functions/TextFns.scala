@@ -51,8 +51,15 @@ object TextFns {
     * `list_reduce(list_prepend(0, list_transform(string_split(s,''),
     *  c -> ascii(c))), (a,b) -> (a*31+b) % 1000000007)`.
     * Used wherever both engines must reproduce a numeric token hash
-    * (MinHash, SimHash, fingerprints). Pure expressions → codegen'd.
-    */
-  def polyHash(c: Column): Column =
+    * (MinHash, SimHash, fingerprints, split assignment). Round 2:
+    * the codegen'd `PolyHashString` expression — the round-1
+    * `aggregate(split(s, ''))` HOF interpreted and allocated per
+    * character in the per-token hot paths; the fold is identical
+    * (bit-identity pinned by FunctionsSpec). */
+  def polyHash(c: Column): Column = PolyHashString(c)
+
+  /** The round-1 HOF formulation, kept as the semantic specification
+    * `PolyHashString` is tested against (FunctionsSpec bit-identity). */
+  private[graft] def polyHashHof(c: Column): Column =
     aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % HashP)
 }

@@ -47,6 +47,17 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("poly_hash: codegen'd expression ≡ the HOF fold spec, incl. non-ASCII fallback") {
+    import graft.functions.TextFns
+    import org.apache.spark.sql.functions.col
+    val strs = Seq("", "a", "hello", "The QUICK brown fox 123!?",
+      "x" * 5000, "café über", "mixedÿŁascii").toDF("s")
+    val got = strs.select(
+      TextFns.polyHash(col("s")).as("fast"),
+      TextFns.polyHashHof(col("s")).as("hof")).collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("typed PostingsAggregator matches the expression pipeline (q02 ≡ q37)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val expr = InvertedIndex.postings(docs).collect()
