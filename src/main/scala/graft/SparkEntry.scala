@@ -95,6 +95,8 @@ object SparkEntry {
     "q44_chunk_docs" -> ((s, d) => TextAnalysis.chunkDocs(Tables(s, d, "documents"), 200, 150)),
     // training-pipeline: deterministic hash-bucket train/val split
     "q45_sample_split" -> ((s, d) => Sampling.hashSplit(Tables(s, d, "documents"))),
+    // as-of join (union + one window per key, no range-join explosion)
+    "q46_asof_join" -> ((s, d) => Events.purchaseAsofClick(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -511,5 +513,22 @@ object SparkEntry {
          |             ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "q46_asof_join" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, ts, value, 1 AS side,
+        |         NULL::BIGINT AS click_id, NULL::DOUBLE AS click_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT NULL, user_id, ts, NULL, 0, event_id, value
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT event_id, user_id, value, side,
+        |         last_value(click_id IGNORE NULLS) OVER win AS asof_event_id,
+        |         last_value(click_value IGNORE NULLS) OVER win AS asof_value
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, value, asof_event_id, asof_value
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
   )
 }

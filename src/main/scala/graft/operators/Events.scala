@@ -68,6 +68,55 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** Generic as-of join: for each left row, the LATEST right row with
+    * the same `key` and `time` ≤ the left row's time (inclusive).
+    *
+    * Spark has no asof-join operator; the naive formulations are a
+    * range join (quadratic blow-up per key) or a per-row subquery
+    * (driver death). The scalable shape — what a dedicated asof
+    * operator does internally — is: tag both sides, union, ONE window
+    * per key ordered by (time, side) with `last(…, ignoreNulls)` over
+    * an unbounded-preceding frame, keep left rows. One shuffle on the
+    * key, O(n log n) per key, no pair explosion; at 1000 executors it
+    * scales exactly like any other windowed aggregation.
+    *
+    * Right-side columns come back as `asof_<name>` (null when no right
+    * row precedes). At equal timestamps the right row sorts FIRST
+    * (side 0 < 1), giving the standard inclusive "at or before"
+    * semantics. Determinism requires (key, time, side) unique — true
+    * for the events table ((user_id, ts) is unique) and for any
+    * well-formed event log; pre-dedup otherwise. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val both = left.withColumn("_side", lit(1))
+      .unionByName(right.withColumn("_side", lit(0)), allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightCols.foldLeft(both) { (df, c) =>
+        df.withColumn(s"asof_$c",
+          last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
+      }
+      .where(col("_side") === 1)
+      .drop("_side" +: rightCols: _*)
+  }
+
+  /** q46 — as-of join under oracle: each purchase matched to the same
+    * user's latest click at or before it. */
+  def purchaseAsofClick(events: DataFrame): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    asofJoin(purchases, clicks, "user_id", "ts", Seq("click_id", "click_value"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("asof_click_id").as("asof_event_id"),
+        col("asof_click_value").as("asof_value"))
+      .orderBy("event_id")
+  }
+
   /** q17 — per-day, per-type temporal rollup. The day leaves as a
     * 'yyyy-MM-dd' string so both engines compare the same value. */
   def dateTruncAgg(events: DataFrame): DataFrame =

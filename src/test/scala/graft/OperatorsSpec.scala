@@ -79,6 +79,21 @@ class OperatorsSpec extends SparkSpec {
     assert(stitched === text)
   }
 
+  test("q46 asof: latest at-or-before match per key, inclusive ties, null when none") {
+    import spark.implicits._
+    val ev = Seq(
+      (10L, 1L, 100L, "click", 1.0),
+      (11L, 1L, 150L, "click", 2.0),
+      (20L, 1L, 200L, "purchase", 5.0), // after both clicks -> click 11
+      (21L, 1L, 50L, "purchase", 6.0),  // before any click  -> null
+      (22L, 1L, 150L, "purchase", 7.0), // ties click 11     -> inclusive match
+      (30L, 2L, 10L, "purchase", 8.0)   // user without clicks -> null
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.purchaseAsofClick(ev).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got === Map(20L -> 11L, 21L -> -1L, 22L -> 11L, 30L -> -1L))
+  }
+
   test("q45 split: partitioning-invariant, bucket-ranged, exhaustive") {
     val docs = t("documents")
     val a = Sampling.hashSplit(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
