@@ -38,21 +38,26 @@ object Dedup {
     * shuffle join even if AQE would broadcast). Result is
     * plan-strategy-only: identical rows under every mode
     * (VocabBroadcastSpec). */
-  private def intSets(pairs: DataFrame, key: String, value: String): DataFrame = {
+  /** The strategy-gated dictionary for `value`: (value, vid) with ids
+    * assigned in parallel in value order. See the broadcast-guard note
+    * above. */
+  private def dictionary(pairs: DataFrame, value: String): DataFrame = {
     val vocab = pairs.select(value).distinct()
       .orderBy(col(value))
       .withColumn("vid", monotonically_increasing_id())
-    val dict = pairs.sparkSession.conf
+    pairs.sparkSession.conf
       .getOption("spark.graft.vocabBroadcast").getOrElse("auto") match {
       case "on" => broadcast(vocab)
       case "off" => vocab.hint("shuffle_hash")
       case _ => vocab // auto: AQE decides from runtime size
     }
-    pairs.join(dict, value)
+  }
+
+  private def intSets(pairs: DataFrame, key: String, value: String): DataFrame =
+    pairs.join(dictionary(pairs, value), value)
       .groupBy(key)
       // sorted so IntersectCountSorted's two-pointer merge applies
       .agg(sort_array(collect_set(col("vid"))).as("ws"), count(lit(1)).as("n"))
-  }
 
   /** Distinct token set per document (dictionary-encoded), with size. */
   private[operators] def tokenSets(docs: DataFrame): DataFrame =
@@ -99,19 +104,6 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Per-token permutation hashes aggregated to a MinHash signature —
-    * ONE aggregation pass computes all NumPerms minima as separate agg
-    * expressions (no ×32 row explosion, unlike the oracle SQL which
-    * mirrors semantics, not the plan). Output: doc_id, h0..h{n-1}. */
-  private[operators] def minhashSignatures(docWords: DataFrame): DataFrame = {
-    val th = docWords.withColumn("th", TextFns.polyHash(col("word")))
-    val sigCols = (0 until Hashing.NumPerms).map { i =>
-      min((col("th") * lit(Hashing.permA(i)) + lit(Hashing.permB(i))) % lit(Hashing.P))
-        .as(s"h$i")
-    }
-    th.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-  }
-
   /** q22 — MinHash + LSH near-dup detection: the linear-scale path
     * (shingle→minhash→band→bucket-join→verify). Candidates are pairs
     * agreeing on ALL RowsPerBand minima in at least one band; each
@@ -121,19 +113,31 @@ object Dedup {
     * Scale: docs→signatures is one shuffle; the bucket self-join only
     * touches colliding pairs, never the O(n²) cross product. */
   def minhashNearDup(docs: DataFrame, threshold: Double): DataFrame = {
-    // The tokenized-deduped stream feeds three plan branches
-    // (signatures, dictionary, verify sets). Measured: re-scanning the
-    // columnar source per branch beats a persist() barrier here —
-    // materializing breaks WholeStageCodegen fusion and exchange reuse
-    // for a scan that is cheap and pruned to two columns.
+    // Round-2 fusion: signatures AND verify-sets come out of ONE
+    // groupBy(doc_id) over the dictionary-joined token stream — the 32
+    // min() signature expressions and the sorted-id collect_set ride
+    // the same aggregation, halving the tokenize work and removing one
+    // whole doc_id shuffle vs the round-1 two-pass shape. (A persist()
+    // barrier instead measured 3× slower in round 1 — see PLANS.md.)
     val dw = TextFns.docWords(docs)
-    val sig = minhashSignatures(dw)
+    val dict = dictionary(dw, "word")
+    val sigCols = (0 until Hashing.NumPerms).map { i =>
+      min((col("th") * lit(Hashing.permA(i)) + lit(Hashing.permB(i))) % lit(Hashing.P))
+        .as(s"h$i")
+    }
+    val agged = dw
+      .withColumn("th", TextFns.polyHash(col("word")))
+      .join(dict, "word")
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_set(col("vid"))).as("ws"),
+        count(lit(1)).as("n") +: sigCols: _*)
     val bandKeys = (0 until Hashing.NumBands).map { b =>
       concat_ws("_",
         (b * Hashing.RowsPerBand until (b + 1) * Hashing.RowsPerBand)
           .map(i => col(s"h$i")): _*)
     }
-    val bands = sig.select(col("doc_id"),
+    val bands = agged.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
     val cand = bands.alias("a")
       .join(bands.alias("b"),
@@ -141,7 +145,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = intSets(dw, "doc_id", "word")
+    val sets = agged.select(col("doc_id"), col("ws"), col("n"))
     val paired = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("n").as("n_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("n").as("n_b")), "doc_b")
