@@ -97,6 +97,8 @@ object SparkEntry {
     "q45_sample_split" -> ((s, d) => Sampling.hashSplit(Tables(s, d, "documents"))),
     // as-of join (union + one window per key, no range-join explosion)
     "q46_asof_join" -> ((s, d) => Events.purchaseAsofClick(Tables(s, d, "events"))),
+    // PIVOT with a declared value list (one shuffle, no discovery job)
+    "q47_pivot_agg" -> ((s, d) => Relational.pivotAgg(Tables(s, d, "orders"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -530,5 +532,13 @@ object SparkEntry {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, value, asof_event_id, asof_value
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+    "q47_pivot_agg" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1,
+        |       CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2,
+        |       CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3,
+        |       CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4,
+        |       CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
   )
 }

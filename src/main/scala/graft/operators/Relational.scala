@@ -129,6 +129,25 @@ object Relational {
         col("n_orders"), col("sum_price"))
       .orderBy("status", "priority")
 
+  /** q47 — PIVOT: priorities become columns, one row per status. The
+    * pivot value list is DECLARED (the five TPC-H priorities), which is
+    * the scale-safe form — `pivot(col)` without values runs an extra
+    * distinct-collect job over 100 TB to discover them; with the list
+    * the whole pivot compiles to one aggregation of conditional
+    * counts, a single shuffle. */
+  def pivotAgg(orders: DataFrame): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    orders
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus").as("status") +:
+        priorities.zipWithIndex.map { case (p, i) =>
+          coalesce(col(p), lit(0L)).as(s"p${i + 1}")
+        }: _*)
+      .orderBy("status")
+  }
+
   /** q13 — global top-k: orderBy + limit. Spark plans this as
     * TakeOrderedAndProject — per-partition top-k then a k-row merge on
     * the driver, never a full sort of 100 TB. */

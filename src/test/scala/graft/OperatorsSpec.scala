@@ -79,6 +79,13 @@ class OperatorsSpec extends SparkSpec {
     assert(stitched === text)
   }
 
+  test("q47 pivot: cells partition the orders table exactly") {
+    val rows = Relational.pivotAgg(t("orders")).collect()
+    val cellSum = rows.map(r => (1 to 5).map(r.getLong).sum).sum
+    assert(cellSum === t("orders").count())
+    assert(rows.map(_.getString(0)).toList === rows.map(_.getString(0)).toList.sorted)
+  }
+
   test("q46 asof: latest at-or-before match per key, inclusive ties, null when none") {
     import spark.implicits._
     val ev = Seq(
