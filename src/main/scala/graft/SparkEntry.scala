@@ -99,6 +99,8 @@ object SparkEntry {
     "q46_asof_join" -> ((s, d) => Events.purchaseAsofClick(Tables(s, d, "events"))),
     // PIVOT with a declared value list (one shuffle, no discovery job)
     "q47_pivot_agg" -> ((s, d) => Relational.pivotAgg(Tables(s, d, "orders"))),
+    // UNPIVOT/melt: wide -> long via Expand, no shuffle
+    "q48_unpivot" -> ((s, d) => Relational.unpivotAgg(Tables(s, d, "orders"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -540,5 +542,21 @@ object SparkEntry {
         |       CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4,
         |       CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "q48_unpivot" ->
+      """WITH p AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1,
+        |         CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2,
+        |         CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3,
+        |         CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4,
+        |         CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT status, priority_slot, n_orders FROM (
+        |  SELECT status, 'p1' AS priority_slot, p1 AS n_orders FROM p
+        |  UNION ALL SELECT status, 'p2', p2 FROM p
+        |  UNION ALL SELECT status, 'p3', p3 FROM p
+        |  UNION ALL SELECT status, 'p4', p4 FROM p
+        |  UNION ALL SELECT status, 'p5', p5 FROM p)
+        |ORDER BY status, priority_slot""".stripMargin,
   )
 }

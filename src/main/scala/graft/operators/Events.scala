@@ -94,10 +94,13 @@ object Events {
     val w = Window.partitionBy(col(key))
       .orderBy(col(time).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightCols.foldLeft(both) { (df, c) =>
-        df.withColumn(s"asof_$c",
-          last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
-      }
+    both
+      // one select with every asof column → a single Window operator
+      // (chained withColumn would stack one Window node per column)
+      .select(col("*") +: rightCols.map { c =>
+        last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w)
+          .as(s"asof_$c")
+      }: _*)
       .where(col("_side") === 1)
       .drop("_side" +: rightCols: _*)
   }

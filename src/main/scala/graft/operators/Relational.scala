@@ -148,6 +148,18 @@ object Relational {
       .orderBy("status")
   }
 
+  /** q48 — UNPIVOT (melt): wide → long, the inverse of q47. A pure
+    * narrow transform — each input row expands to five output rows
+    * with no shuffle (the Expand operator), so it costs one map pass
+    * at any scale. */
+  def unpivotAgg(orders: DataFrame): DataFrame =
+    pivotAgg(orders)
+      .unpivot(
+        Array(col("status")),
+        (1 to 5).map(i => col(s"p$i")).toArray,
+        "priority_slot", "n_orders")
+      .orderBy("status", "priority_slot")
+
   /** q13 — global top-k: orderBy + limit. Spark plans this as
     * TakeOrderedAndProject — per-partition top-k then a k-row merge on
     * the driver, never a full sort of 100 TB. */

@@ -86,6 +86,14 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toList === rows.map(_.getString(0)).toList.sorted)
   }
 
+  test("q48 unpivot round-trips q47: long-form totals equal the wide cells") {
+    val wide = Relational.pivotAgg(t("orders")).collect()
+      .flatMap(r => (1 to 5).map(i => (r.getString(0), s"p$i", r.getLong(i)))).toSet
+    val long = Relational.unpivotAgg(t("orders")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(long === wide)
+  }
+
   test("q46 asof: latest at-or-before match per key, inclusive ties, null when none") {
     import spark.implicits._
     val ev = Seq(
