@@ -101,6 +101,8 @@ object SparkEntry {
     "q47_pivot_agg" -> ((s, d) => Relational.pivotAgg(Tables(s, d, "orders"))),
     // UNPIVOT/melt: wide -> long via Expand, no shuffle
     "q48_unpivot" -> ((s, d) => Relational.unpivotAgg(Tables(s, d, "orders"))),
+    // near-dup connected components -> canonical doc per cluster
+    "q49_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables(s, d, "documents"), 1000L, 0.95)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -558,5 +560,25 @@ object SparkEntry {
         |  UNION ALL SELECT status, 'p4', p4 FROM p
         |  UNION ALL SELECT status, 'p5', p5 FROM p)
         |ORDER BY status, priority_slot""".stripMargin,
+    "q49_dedup_clusters" ->
+      s"""WITH RECURSIVE $toksCte,
+         |sets AS (
+         |  SELECT doc_id, list(word) AS ws, CAST(count(*) AS BIGINT) AS n
+         |  FROM toks WHERE doc_id < 1000 GROUP BY doc_id),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
+         |    FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.95),
+         |sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
+         |        UNION ALL SELECT doc_b, doc_a FROM edges),
+         |reach(u, v) AS (
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 1000
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+         |SELECT u AS doc_id, min(v) AS cluster_id,
+         |       (u = min(v)) AS is_canonical
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
   )
 }

@@ -109,6 +109,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Map(20L -> 11L, 21L -> -1L, 22L -> 11L, 30L -> -1L))
   }
 
+  test("q49 clusters: transitive chains collapse to one canonical id") {
+    import spark.implicits._
+    // 1-2 and 2-3 are near-dup edges but 1-3 is NOT (jaccard 0.5 < 0.6):
+    // clustering must still chain all three (two propagation rounds)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d e"), (3L, "b c d e f"),
+      (4L, "x y z"), (5L, "x y z"), (6L, "lonely words here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupClusters(docs, 100L, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toList
+    assert(got === List(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
+  }
+
   test("q45 split: partitioning-invariant, bucket-ranged, exhaustive") {
     val docs = t("documents")
     val a = Sampling.hashSplit(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
