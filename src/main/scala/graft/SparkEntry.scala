@@ -103,6 +103,8 @@ object SparkEntry {
     "q48_unpivot" -> ((s, d) => Relational.unpivotAgg(Tables(s, d, "orders"))),
     // near-dup connected components -> canonical doc per cluster
     "q49_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables(s, d, "documents"), 1000L, 0.95)),
+    // duplicate-ngram quality rule (boilerplate/spam signal)
+    "q50_repetition" -> ((s, d) => TextAnalysis.repetitionScore(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -580,5 +582,18 @@ object SparkEntry {
          |SELECT u AS doc_id, min(v) AS cluster_id,
          |       (u = min(v)) AS is_canonical
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q50_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, substr(text, CAST(p AS INT), 4) AS gram
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 2)) AS p
+        |        FROM documents WHERE len(text) >= 4)),
+        |pc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+        |       FROM g GROUP BY doc_id, gram)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_grams,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(1 AS DOUBLE) - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_ratio,
+        |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
+        |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -116,6 +116,34 @@ object TextAnalysis {
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
       .orderBy("doc_id", "chunk_id")
 
+  /** q50 — repetition scoring: the duplicate-n-gram quality rule
+    * (high `dup_ratio` / `top_share` flags boilerplate and generated
+    * spam — the classic corpus-filter signal). Two chained
+    * aggregations — (doc, gram) counts, then per-doc ratios — both
+    * shuffled on doc_id-prefixed keys with map-side partials; ratios
+    * are divisions of exact integers so both engines agree
+    * bit-for-bit. */
+  def repetitionScore(docs: DataFrame, n: Int = 4): DataFrame =
+    docs.where(length(col("text")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (n - 1))).as("p"),
+        col("text"))
+      .select(col("doc_id"), expr(s"substring(text, p, $n)").as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_c"))
+      .select(
+        col("doc_id"),
+        col("n_grams").cast("long").as("n_grams"),
+        col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_grams")).as("dup_ratio"),
+        (col("max_c").cast("double") / col("n_grams")).as("top_share"))
+      .orderBy("doc_id")
+
   /** q30 — document fingerprinting: rolling polynomial hash of the full
     * raw text (the cheap pre-filter for exact-dup detection when you
     * don't want to ship md5 strings around). */

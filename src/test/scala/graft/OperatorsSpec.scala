@@ -124,6 +124,19 @@ class OperatorsSpec extends SparkSpec {
       (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
   }
 
+  test("q50 repetition: a pathological doc scores near 1, varied text near 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam" * 50),            // one 4-gram repeated -> extreme
+      (2L, ('a' to 'z').mkString)   // all distinct grams -> dup_ratio 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L)._1 > 0.9 && got(1L)._2 > 0.2)
+    assert(got(2L)._1 === 0.0)
+    assert(got(2L)._2 === 1.0 / 23)
+  }
+
   test("q45 split: partitioning-invariant, bucket-ranged, exhaustive") {
     val docs = t("documents")
     val a = Sampling.hashSplit(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
