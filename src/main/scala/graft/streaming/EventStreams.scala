@@ -17,6 +17,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 object EventStreams {
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class EvId(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserTotal(user_id: Long, n: Long, total: Double)
 
   /** Tumbling-window counts/sums per event type. The watermark bounds
@@ -70,6 +71,26 @@ object EventStreams {
       .agg(sort_array(collect_set(col("doc_id"))).as("postings"))
       .select(col("word"), col("postings"),
         size(col("postings")).cast("long").as("df"))
+
+  /** Watermarked stream-stream inner join: each click matched to the
+    * same user's purchases within `within` AFTER it. Both sides carry
+    * event-time watermarks and the join condition bounds the time gap,
+    * so each side's buffered state is evicted once the other side's
+    * watermark passes the bound — the state-bounding contract
+    * stream-stream joins require (an unbounded-time join would buffer
+    * both streams forever). Scales by user_id key partitioning like
+    * any stateful op. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes", within: String = "1 hour"): DataFrame =
+    clicks.withWatermark("ts", watermark).alias("c")
+      .join(
+        purchases.withWatermark("ts", watermark).alias("p"),
+        expr(s"""c.user_id = p.user_id AND
+                 p.ts >= c.ts AND p.ts <= c.ts + interval '$within'"""))
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        col("p.value").as("purchase_value"))
 
   /** Custom keyed state: running per-user totals via
     * mapGroupsWithState — the engine's escape hatch for stateful

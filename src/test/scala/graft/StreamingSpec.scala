@@ -106,6 +106,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches within the time bound only") {
+    import EventStreams.EvId
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[EvId]
+    val purchases = MemoryStream[EvId]
+    val q = EventStreams.clickPurchaseJoin(clicks.toDF, purchases.toDF)
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      clicks.addData(EvId(1L, 7L, ts(0), 0.0), EvId(2L, 8L, ts(0), 0.0))
+      purchases.addData(
+        EvId(101L, 7L, ts(30), 5.0),                                  // within 1h -> match
+        EvId(102L, 7L, Timestamp.valueOf("2024-01-01 12:30:00"), 9.0), // outside -> no match
+        EvId(103L, 9L, ts(10), 3.0))                                  // other user -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows === Set((7L, 1L, 101L, 5.0)))
+    } finally q.stop()
+  }
+
   test("stateful user totals accumulate across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
