@@ -105,6 +105,10 @@ object SparkEntry {
     "q49_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables(s, d, "documents"), 1000L, 0.95)),
     // duplicate-ngram quality rule (boilerplate/spam signal)
     "q50_repetition" -> ((s, d) => TextAnalysis.repetitionScore(Tables(s, d, "documents"))),
+    // full percentile ladder in one aggregation pass
+    "q51_quantiles" -> ((s, d) => Relational.quantileProfile(Tables(s, d, "events"))),
+    // deterministic Pearson r from exact DECIMAL power sums
+    "q52_corr" -> ((s, d) => Relational.corrStats(Tables(s, d, "lineitem"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -595,5 +599,28 @@ object SparkEntry {
         |       CAST(1 AS DOUBLE) - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_ratio,
         |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
         |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q51_quantiles" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.25) AS p25,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.75) AS p75,
+        |       quantile_cont(value, 0.95) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q52_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(CAST(l_quantity AS DECIMAL(20,2))) AS sx,
+        |         sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS sy,
+        |         sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sxy,
+        |         sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sx2,
+        |         sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS sy2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       round(
+        |         (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |         (sqrt(CAST(sx2 AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |          sqrt(CAST(sy2 AS DOUBLE) * n - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        |         6) AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -232,6 +232,46 @@ object Relational {
       .agg(percentile(col("value"), lit(0.5)).as("median_value"))
       .orderBy("event_type")
 
+  /** q51 — quantile profile: the full percentile ladder per group in
+    * ONE aggregation pass (each exact continuous-interpolation
+    * percentile rides the same sorted state; one shuffle total). */
+  def quantileProfile(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        percentile(col("value"), lit(0.25)).as("p25"),
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.75)).as("p75"),
+        percentile(col("value"), lit(0.95)).as("p95"))
+      .orderBy("event_type")
+
+  /** q52 — correlation from exact DECIMAL power sums. Spark's `corr`
+    * (and DuckDB's) accumulates doubles in partition order —
+    * nondeterministic across engines AND across partitionings. The
+    * scale-correct form sums the five power sums as DECIMAL (exact,
+    * order-independent, still one aggregation pass) and assembles
+    * Pearson's r in float only at the end, per group: deterministic at
+    * any cluster size. */
+  def corrStats(lineitem: DataFrame): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(20,2)")).as("sx"),
+        sum(col("l_extendedprice").cast("decimal(20,2)")).as("sy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(38,6)")).as("sxy"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(38,6)")).as("sx2"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(38,6)")).as("sy2"))
+      .select(col("l_returnflag"), col("n"),
+        round(
+          (d(col("sxy")) * col("n") - d(col("sx")) * d(col("sy"))) /
+            (sqrt(d(col("sx2")) * col("n") - d(col("sx")) * d(col("sx"))) *
+             sqrt(d(col("sy2")) * col("n") - d(col("sy")) * d(col("sy")))),
+          6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** q36 — date-part extraction (`year`/`month`) + grouped aggregation
     * over the order calendar. */
   def datePartsAgg(orders: DataFrame): DataFrame =

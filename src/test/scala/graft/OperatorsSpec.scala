@@ -137,6 +137,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L)._2 === 1.0 / 23)
   }
 
+  test("q51 quantiles are monotone; q52 corr within [-1,1] and matches corr()") {
+    val q = Relational.quantileProfile(t("events")).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val v = (1 to 4).map(r.getDouble)
+      assert(v.zip(v.tail).forall { case (a, b) => a <= b }, s"non-monotone: $v")
+    }
+    val c = Relational.corrStats(t("lineitem")).collect()
+    assert(c.nonEmpty)
+    val builtin = t("lineitem").groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    c.foreach { r =>
+      val v = r.getDouble(2)
+      assert(math.abs(v) <= 1.0)
+      // decimal-sum formulation agrees with the built-in up to the
+      // 6-dp output rounding (the built-in is unrounded)
+      assert(math.abs(v - builtin(r.getString(0))) < 1e-6)
+    }
+  }
+
   test("q45 split: partitioning-invariant, bucket-ranged, exhaustive") {
     val docs = t("documents")
     val a = Sampling.hashSplit(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
