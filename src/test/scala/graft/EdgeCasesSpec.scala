@@ -35,6 +35,26 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.simhash(empty).count() === 0)
   }
 
+  test("round-2 operators on empty/single inputs: well-typed, no throw") {
+    assert(TextAnalysis.chunkDocs(empty, 200, 150).count() === 0)
+    assert(TextAnalysis.repetitionScore(empty).count() === 0)
+    assert(Sampling.hashSplit(empty).count() === 0)
+    assert(Dedup.dedupClusters(empty, 1000L, 0.5).count() === 0)
+    // single doc: its own (trivial) cluster, canonical
+    val solo = Dedup.dedupClusters(single, 1000L, 0.5).collect()
+    assert(solo.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ===
+      Seq((1L, 1L, true)))
+    // as-of with an empty right side: all left rows kept, asof null
+    val l = Seq((1L, 1L, 10L, 1.0)).toDF("event_id", "user_id", "ts", "value")
+    val r = Seq.empty[(Long, Long, Long, Double)].toDF("rid", "user_id", "ts", "rv")
+    val asof = Events.asofJoin(l, r, "user_id", "ts", Seq("rid", "rv")).collect()
+    assert(asof.length === 1 && asof(0).isNullAt(asof(0).fieldIndex("asof_rid")))
+    // empty embeddings: ANN paths return empty, not an exception
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.ivfAnn(emptyVecs, 5, 3).count() === 0)
+    assert(Similarity.lshAnn(emptyVecs, 5, 3).count() === 0)
+  }
+
   test("empty/malformed manifests yield an empty corpus, not an exception") {
     val dir = Files.createTempDirectory("graft_empty")
     for ((name, body) <- Seq(("zero.txt", "0\n"), ("blank.txt", ""), ("junk.txt", "\n\n"))) {
