@@ -109,6 +109,10 @@ object SparkEntry {
     "q51_quantiles" -> ((s, d) => Relational.quantileProfile(Tables(s, d, "events"))),
     // deterministic Pearson r from exact DECIMAL power sums
     "q52_corr" -> ((s, d) => Relational.corrStats(Tables(s, d, "lineitem"))),
+    // regex occurrences per document (portable grammar subset)
+    "q53_regex" -> ((s, d) => TextAnalysis.regexExtract(Tables(s, d, "documents"))),
+    // gap-based batch sessionization (two windows, one exchange)
+    "q54_sessionize" -> ((s, d) => Events.sessionize(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -622,5 +626,30 @@ object SparkEntry {
         |          sqrt(CAST(sy2 AS DOUBLE) * n - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
         |         6) AS corr_qty_price
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q53_regex" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+ing')) AS BIGINT) AS n_matches,
+        |       CASE WHEN len(regexp_extract_all(text, '[a-z]+ing')) > 0
+        |            THEN regexp_extract_all(text, '[a-z]+ing')[1] ELSE '' END AS first_match
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q54_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |              WHEN ts - lag(ts) OVER w > INTERVAL '5 minutes' THEN 1
+        |              ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM t),
+        |per AS (SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n_events
+        |        FROM s GROUP BY user_id, sess_id)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       max(n_events) AS max_session_events,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -120,6 +120,33 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** q54 — batch sessionization: classic gap-based session assignment
+    * with two stacked windows over ONE user_id exchange — (1) a new
+    * session starts where the gap from the previous event exceeds
+    * `gapNanos`; (2) the running sum of starts is the session index.
+    * Then one aggregation per (user, session) and one per user. The
+    * raw nanos `ts` (nanosAsLong) subtracts exactly; the oracle uses
+    * INTERVAL arithmetic on the same timestamps. */
+  def sessionize(events: DataFrame, gapNanos: Long = 300L * 1000 * 1000 * 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("new_sess",
+        when(col("ts") - lag(col("ts"), 1).over(w) > gapNanos, 1L)
+          .when(lag(col("ts"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(ws))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy("user_id")
+  }
+
   /** q17 — per-day, per-type temporal rollup. The day leaves as a
     * 'yyyy-MM-dd' string so both engines compare the same value. */
   def dateTruncAgg(events: DataFrame): DataFrame =

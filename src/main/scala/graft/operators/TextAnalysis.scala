@@ -144,6 +144,22 @@ object TextAnalysis {
         (col("max_c").cast("double") / col("n_grams")).as("top_share"))
       .orderBy("doc_id")
 
+  /** q53 — regex extraction: occurrences of a pattern per document
+    * (count + first match). Spark's Java regex and DuckDB's RE2 agree
+    * on this grammar subset (character classes + greedy `+`); patterns
+    * using lookaround/backrefs would NOT be portable and are out of
+    * contract. Codegen'd `regexp_extract_all`, no shuffle. */
+  def regexExtract(docs: DataFrame, pattern: String = "[a-z]+ing"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(pattern)).as("ms"))
+      .select(
+        col("doc_id"),
+        size(col("ms")).cast("long").as("n_matches"),
+        when(size(col("ms")) > 0, element_at(col("ms"), 1))
+          .otherwise(lit("")).as("first_match"))
+      .orderBy("doc_id")
+
   /** q30 — document fingerprinting: rolling polynomial hash of the full
     * raw text (the cheap pre-filter for exact-dup detection when you
     * don't want to ship md5 strings around). */

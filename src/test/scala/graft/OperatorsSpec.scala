@@ -158,6 +158,15 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q54 sessionize: per-user event totals conserved, session counts sane") {
+    val rows = Events.sessionize(t("events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._4).sum === t("events").count())
+    rows.foreach { case (_, nSess, maxEv, nEv) =>
+      assert(nSess >= 1 && maxEv <= nEv && nSess <= nEv)
+    }
+  }
+
   test("q45 split: partitioning-invariant, bucket-ranged, exhaustive") {
     val docs = t("documents")
     val a = Sampling.hashSplit(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
