@@ -155,8 +155,25 @@ object Dedup {
     * the large-star/small-star doubling variant. All per-round work is
     * joins + groupBy (shuffle on node id); the driver sees only a
     * one-row convergence flag per round, never the data. */
-  def dedupClusters(docs: DataFrame, cap: Long, threshold: Double): DataFrame = {
-    val edges = nearDupJaccard(docs, cap, threshold).select("doc_a", "doc_b")
+  def dedupClusters(docs: DataFrame, cap: Long, threshold: Double): DataFrame =
+    clusterLabels(docs.where(col("doc_id") < cap).select("doc_id"),
+      nearDupJaccard(docs, cap, threshold).select("doc_a", "doc_b"))
+
+  /** q49's linear-scale twin: same clustering, but the edge set comes
+    * from MinHash/LSH (`minhashNearDup`) instead of the capped exact
+    * baseline — candidates only, no O(n²) pair stage anywhere. The LSH
+    * verify step removes all false positives, so every edge here is a
+    * true near-dup edge: the resulting clustering is a REFINEMENT of
+    * the exact one (components may split where LSH misses an edge,
+    * never merge wrongly) — pinned by spec. */
+  def dedupClustersScale(docs: DataFrame, threshold: Double): DataFrame =
+    clusterLabels(docs.select("doc_id"),
+      minhashNearDup(docs, threshold).select("doc_a", "doc_b"))
+
+  /** Connected components over an explicit undirected edge list;
+    * every node (even isolated) gets the min node id of its component.
+    */
+  def clusterLabels(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -168,7 +185,7 @@ object Dedup {
     // (caching alone cuts execution, not plan analysis). With the
     // checkpoint every round re-plans against a leaf. This is the
     // standard shape for iterative graph algorithms on Spark.
-    var labels = docs.where(col("doc_id") < cap).select("doc_id").distinct()
+    var labels = nodes.select("doc_id").distinct()
       .withColumn("label", col("doc_id"))
       .withColumn("old", col("label"))
       .localCheckpoint(true)

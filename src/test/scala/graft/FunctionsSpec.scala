@@ -58,6 +58,25 @@ class FunctionsSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("poly_hash property: \u2261 spec fold on random strings (ScalaCheck)") {
+    import graft.functions.TextFns
+    import org.apache.spark.sql.functions.col
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genStrs: Gen[List[String]] = Gen.listOfN(24,
+      Gen.frequency(
+        5 -> Gen.asciiPrintableStr,
+        2 -> Gen.alphaNumStr,
+        1 -> Gen.listOf(Gen.choose(' ', '\u07ff')).map(_.mkString)))
+    val prop = Prop.forAll(genStrs) { ss =>
+      val got = (ss :+ "").toDF("s").select(
+        TextFns.polyHash(col("s")).as("fast"),
+        TextFns.polyHashHof(col("s")).as("hof")).collect()
+      got.forall(r => r.getLong(0) == r.getLong(1))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("typed PostingsAggregator matches the expression pipeline (q02 ≡ q37)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val expr = InvertedIndex.postings(docs).collect()

@@ -109,6 +109,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Map(20L -> 11L, 21L -> -1L, 22L -> 11L, 30L -> -1L))
   }
 
+  test("scale clustering (LSH edges) refines exact clustering, never merges wrongly") {
+    val docs = t("documents")
+    val exact = Dedup.dedupClusters(docs, 1000L, 0.95).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scale = Dedup.dedupClustersScale(docs, 0.95).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scale.keySet === exact.keySet)
+    // refinement: two docs the SCALE path clusters together must also
+    // be together in the exact clustering (LSH verify has no false
+    // positives; it can only miss edges, splitting components)
+    scale.groupBy(_._2).values.foreach { members =>
+      val exactLabels = members.keys.map(exact).toSet
+      assert(exactLabels.size === 1,
+        s"scale cluster spans exact clusters: $members -> $exactLabels")
+    }
+  }
+
   test("q49 clusters: transitive chains collapse to one canonical id") {
     import spark.implicits._
     // 1-2 and 2-3 are near-dup edges but 1-3 is NOT (jaccard 0.5 < 0.6):
