@@ -113,6 +113,10 @@ object SparkEntry {
     "q53_regex" -> ((s, d) => TextAnalysis.regexExtract(Tables(s, d, "documents"))),
     // gap-based batch sessionization (two windows, one exchange)
     "q54_sessionize" -> ((s, d) => Events.sessionize(Tables(s, d, "events"))),
+    // LISTAGG: deterministic ordered string concatenation per group
+    "q55_stringagg" -> ((s, d) => Relational.stringAgg(Tables(s, d, "customer"))),
+    // ntile / percent_rank / cume_dist in one window
+    "q56_rank_ladder" -> ((s, d) => Relational.rankLadder(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -651,5 +655,17 @@ object SparkEntry {
         |       max(n_events) AS max_session_events,
         |       CAST(sum(n_events) AS BIGINT) AS n_events
         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q55_stringagg" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |       string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q56_rank_ladder" ->
+      """SELECT event_type, event_id, value,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
   )
 }

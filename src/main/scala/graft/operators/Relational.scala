@@ -272,6 +272,33 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q55 — LISTAGG/string_agg: ordered string concatenation per group.
+    * Spark spells it collect_list → array_sort → array_join (one
+    * aggregation; the sort makes it deterministic — bare
+    * `collect_list` order is partition-dependent and NOT portable). */
+  def stringAgg(customer: DataFrame): DataFrame =
+    customer
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(array_sort(collect_list(col("c_name"))), ",").as("names"))
+      .orderBy("c_nationkey")
+
+  /** q56 — ranking-function ladder: ntile/percent_rank/cume_dist over
+    * one window (single exchange). Tie-broken by event_id so every
+    * rank function is deterministic. */
+  def rankLadder(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    events
+      .select(col("event_type"), col("event_id"), col("value"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("event_type", "event_id")
+  }
+
   /** q36 — date-part extraction (`year`/`month`) + grouped aggregation
     * over the order calendar. */
   def datePartsAgg(orders: DataFrame): DataFrame =

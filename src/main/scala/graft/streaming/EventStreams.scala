@@ -92,6 +92,38 @@ object EventStreams {
         col("p.event_id").as("purchase_id"),
         col("p.value").as("purchase_value"))
 
+  case class Alert(user_id: Long, total: Double, crossed_at_n: Long)
+
+  /** Zero-or-more outputs per key per batch: threshold alerts via
+    * flatMapGroupsWithState. `mapGroupsWithState` must emit exactly one
+    * row per key per batch; alerting wants SILENCE until a condition
+    * fires and exactly one row when it does — that 0..n output shape is
+    * what flatMap adds. State: running total + whether we already
+    * alerted (alert once, not every batch after the crossing). */
+  case class SpendState(n: Long, total: Double, alerted: Boolean)
+
+  def spendAlerts(events: Dataset[Ev], threshold: Double): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SpendState]) =>
+          val prev = state.getOption.getOrElse(SpendState(0L, 0.0, alerted = false))
+          val batch = evs.toSeq
+          val next = SpendState(prev.n + batch.size,
+            prev.total + batch.map(_.value).sum, prev.alerted)
+          if (!prev.alerted && next.total >= threshold) {
+            state.update(next.copy(alerted = true))
+            Iterator(Alert(uid, next.total, next.n))
+          } else {
+            state.update(next)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Custom keyed state: running per-user totals via
     * mapGroupsWithState — the engine's escape hatch for stateful
     * semantics windows can't express. */

@@ -126,6 +126,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState alerts exactly once per threshold crossing") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.spendAlerts(in.toDS, 10.0)
+      .writeStream.format("memory").queryName("alerts").outputMode("append").start()
+    try {
+      in.addData(Ev(1, ts(1), "buy", 4.0), Ev(2, ts(1), "buy", 20.0))
+      q.processAllAvailable() // user 2 crosses immediately; user 1 silent
+      in.addData(Ev(1, ts(2), "buy", 7.0), Ev(2, ts(2), "buy", 5.0))
+      q.processAllAvailable() // user 1 crosses now; user 2 must NOT re-alert
+      val rows = spark.table("alerts").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(rows === Set((2L, 20.0, 1L), (1L, 11.0, 2L)))
+    } finally q.stop()
+  }
+
   test("stateful user totals accumulate across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
