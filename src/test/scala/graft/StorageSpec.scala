@@ -87,6 +87,31 @@ class StorageSpec extends SparkSpec {
     assert(viaCsv === viaParquet)
   }
 
+  test("dynamic partition overwrite backfills one day without touching others") {
+    // the standard incremental-backfill pattern at 100 TB: rewrite ONE
+    // date partition in place; static overwrite mode would drop ALL
+    // partitions first
+    val out = Files.createTempDirectory("graft_dyn").toString + "/events"
+    val days = Seq((1L, "day01", 1.0), (2L, "day02", 2.0))
+      .toDF("event_id", "day", "value")
+    days.write.partitionBy("day").parquet(out)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((3L, "day02", 9.0)).toDF("event_id", "day", "value")
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      val back = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getDouble(1))).toSet
+      // day 1 intact, day 2 replaced by the backfill
+      assert(back === Set((1L, "day01", 1.0), (3L, "day02", 9.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   test("file-based streaming source feeds the incremental index (readStream)") {
     // MemoryStream covers the transform logic (StreamingSpec); this
     // drives the REAL file source path: readStream over a parquet
