@@ -632,9 +632,9 @@ object SparkEntry {
         |FROM s ORDER BY l_returnflag""".stripMargin,
     "q53_regex" ->
       """SELECT doc_id,
-        |       CAST(len(regexp_extract_all(text, '[a-z]+ing')) AS BIGINT) AS n_matches,
-        |       CASE WHEN len(regexp_extract_all(text, '[a-z]+ing')) > 0
-        |            THEN regexp_extract_all(text, '[a-z]+ing')[1] ELSE '' END AS first_match
+        |       CAST(len(regexp_extract_all(text, '[a-z]+er')) AS BIGINT) AS n_matches,
+        |       CASE WHEN len(regexp_extract_all(text, '[a-z]+er')) > 0
+        |            THEN regexp_extract_all(text, '[a-z]+er')[1] ELSE '' END AS first_match
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q54_sessionize" ->
       """WITH t AS (

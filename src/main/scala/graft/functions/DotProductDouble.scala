@@ -21,9 +21,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * both the HOF form it replaces and DuckDB's `list_reduce` oracle
   * mirror (SparkEntry.dotSql) — the hash-compare gate depends on this.
   *
-  * Precondition: equal-length arrays (embeddings are fixed-dim); the
-  * loop runs over the shorter length, mirroring zip_with-then-fold's
-  * behavior of never reading past either input.
+  * Contract for equal-length, null-free arrays (embeddings are
+  * fixed-dim): identical to the HOF form. Deliberate divergences
+  * outside that contract, for SQL callers via GraftExtensions: on
+  * UNEQUAL lengths this returns the partial dot over the shorter
+  * prefix where the zip_with form returns NULL (zip_with null-pads the
+  * shorter side and the fold nulls out); null ELEMENTS are read as
+  * unspecified primitives rather than propagating NULL. Both are the
+  * useful semantics for a vector kernel, but they are not the HOF's.
   */
 case class DotProductDouble(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * materializes the intersection array just to take its size — in the
   * near-dup verify loops (q18/q22/q24) that per-pair cost dominates the
   * whole query. Preconditions: both inputs ascending-sorted,
-  * duplicate-free (the dictionary-encoded sets from Dedup.intSets are
+  * duplicate-free (the hash-encoded sets from Dedup.hashSets are
   * exactly that). This is preference path (b) of the custom-operator
   * ladder: a scalar Expression, not a new plan node — Catalyst still
   * owns join strategy and codegen around it.

@@ -11,8 +11,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * compiled method so interpreted eval and generated code run the exact
   * same fold. Fast path iterates UTF-8 bytes directly (no String
   * allocation) when the input is pure ASCII; otherwise falls back to
-  * UTF-16 code units, which is what the expression form it replaces
-  * (`aggregate(split(s, ""), …, ascii(ch))`) folded over. */
+  * CODEPOINTS — the HOF spec it replaces (`aggregate(split(s, ""), …,
+  * ascii(ch))`) folds one `ascii()` per split element, `split` keeps
+  * surrogate pairs together, and `ascii` returns the full codepoint
+  * (calibrated empirically: "a𝄞b" folds 97,119070,98 →
+  * 3784485 — a UTF-16 code-unit fold would give 57834039 and diverge
+  * from both the spec and DuckDB's per-character `ascii()`). */
 object PolyHashUtil {
   final val P: Long = TextFns.HashP
 
@@ -31,7 +35,11 @@ object PolyHashUtil {
       val str = s.toString
       acc = 0L
       var j = 0
-      while (j < str.length) { acc = (acc * 31 + str.charAt(j)) % P; j += 1 }
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        acc = (acc * 31 + cp) % P
+        j += Character.charCount(cp)
+      }
       acc
     }
   }

@@ -109,7 +109,10 @@ object Dedup {
     // this frame is ONE ROW PER DOCUMENT (34 longs wide): cache size is
     // bounded by doc count, MEMORY_AND_DISK spills gracefully, and the
     // A/B at sf0.1 measured 2.39 s → 1.79 s. Cache lifecycle follows
-    // the session (LRU-evicted; `spark.catalog.clearCache()` to force).
+    // the session (LRU-evicted; `spark.catalog.clearCache()` to force);
+    // repeat calls on the same input do NOT stack copies — Spark's
+    // CacheManager dedupes by canonicalized plan, so the entry count is
+    // bounded by distinct input corpora, not call count.
     val sigCols = (0 until Hashing.NumPerms).map { i =>
       min((col("th") * lit(Hashing.permA(i)) + lit(Hashing.permB(i))) % lit(Hashing.P))
         .as(s"h$i")

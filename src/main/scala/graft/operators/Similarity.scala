@@ -114,12 +114,18 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos6").desc, col("cent_id").asc)
+    // persisted: the assignment (cross join × codebook + window) feeds
+    // both the query and corpus branches, and the query-side filter
+    // specializes its subtree beyond exchange reuse — without the cache
+    // the full n×centroids assignment runs twice. One row per vector,
+    // bounded like the q22 fused relation (same rationale, PLANS.md).
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("ccos6",
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
       .withColumn("crnk", row_number().over(wAssign))
       .where(col("crnk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("nrm_a"), col("cell"))
     val c = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nrm_b"), col("cell"))

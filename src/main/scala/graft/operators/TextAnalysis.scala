@@ -148,11 +148,17 @@ object TextAnalysis {
     * (count + first match). Spark's Java regex and DuckDB's RE2 agree
     * on this grammar subset (character classes + greedy `+`); patterns
     * using lookaround/backrefs would NOT be portable and are out of
-    * contract. Codegen'd `regexp_extract_all`, no shuffle. */
-  def regexExtract(docs: DataFrame, pattern: String = "[a-z]+ing"): DataFrame =
+    * contract. Codegen'd `regexp_extract_all`, no shuffle.
+    *
+    * The group index MUST be an explicit 0 (whole match): the 2-arg
+    * Spark form defaults to group 1 and THROWS on any match when the
+    * pattern has no capture group — a latent crash the round-2 review
+    * caught because the original default pattern happened to match
+    * nothing in the corpus (a vacuously green query). */
+  def regexExtract(docs: DataFrame, pattern: String = "[a-z]+er"): DataFrame =
     docs
       .select(col("doc_id"),
-        regexp_extract_all(col("text"), lit(pattern)).as("ms"))
+        regexp_extract_all(col("text"), lit(pattern), lit(0)).as("ms"))
       .select(
         col("doc_id"),
         size(col("ms")).cast("long").as("n_matches"),

@@ -51,7 +51,8 @@ class FunctionsSpec extends SparkSpec {
     import graft.functions.TextFns
     import org.apache.spark.sql.functions.col
     val strs = Seq("", "a", "hello", "The QUICK brown fox 123!?",
-      "x" * 5000, "café über", "mixedÿŁascii").toDF("s")
+      "x" * 5000, "café über", "mixedÿŁascii",
+      "a𝄞b" /* astral plane: spec folds the CODEPOINT */).toDF("s")
     val got = strs.select(
       TextFns.polyHash(col("s")).as("fast"),
       TextFns.polyHashHof(col("s")).as("hof")).collect()

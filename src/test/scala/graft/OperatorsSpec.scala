@@ -175,6 +175,15 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q53 regex actually matches the corpus (non-vacuous) and counts align") {
+    val rows = TextAnalysis.regexExtract(t("documents")).collect()
+    assert(rows.map(_.getLong(1)).sum > 0, "pattern matches nothing — vacuous query")
+    rows.foreach { r =>
+      if (r.getLong(1) > 0) assert(r.getString(2).endsWith("er"))
+      else assert(r.getString(2) === "")
+    }
+  }
+
   test("q54 sessionize: per-user event totals conserved, session counts sane") {
     val rows = Events.sessionize(t("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

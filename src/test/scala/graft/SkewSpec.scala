@@ -48,7 +48,10 @@ class SkewSpec extends SparkSpec {
       assert(rows === plain)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
-      prevAqe.foreach(spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     }
   }
 
