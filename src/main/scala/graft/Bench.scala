@@ -17,10 +17,11 @@ object Bench {
     // flagship pipeline once on the tiny sf0.001 corpus).
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
-    // min of 2 runs per query: single-run numbers on this VM swing
-    // ±30% from scheduler/JIT jitter; the min is the standard
-    // low-variance estimator of what the plan actually costs.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // min of 3 runs per query: single-run numbers on this VM swing
+    // ±30% from scheduler/JIT jitter (one observed burst inflated a
+    // whole run 3×); the min is the standard low-variance estimator of
+    // what the plan actually costs.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

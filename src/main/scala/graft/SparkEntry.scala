@@ -117,6 +117,8 @@ object SparkEntry {
     "q55_stringagg" -> ((s, d) => Relational.stringAgg(Tables(s, d, "customer"))),
     // ntile / percent_rank / cume_dist in one window
     "q56_rank_ladder" -> ((s, d) => Relational.rankLadder(Tables(s, d, "events"))),
+    // scalar subquery through the spark.sql text surface
+    "q57_scalar_subquery" -> ((s, d) => Relational.scalarSubquery(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -667,5 +669,11 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_type, event_id""".stripMargin,
+    "q57_scalar_subquery" ->
+      """SELECT event_type, count(*) AS n_above
+        |FROM events
+        |WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |               FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -299,6 +299,23 @@ object Relational {
       .orderBy("event_type", "event_id")
   }
 
+  /** q57 — scalar subquery through the SQL TEXT entry point: events
+    * above the global mean, per type. Exercises the `spark.sql` surface
+    * (temp view + subquery planning: Catalyst executes the scalar
+    * subquery once and broadcasts the single value into the filter —
+    * no per-row re-evaluation). The mean is an exact DECIMAL sum over
+    * COUNT in DOUBLE so both engines compute the identical threshold. */
+  def scalarSubquery(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    events.createOrReplaceTempView("graft_events_v")
+    spark.sql(
+      """SELECT event_type, count(*) AS n_above
+        |FROM graft_events_v
+        |WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |               FROM graft_events_v)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** q36 — date-part extraction (`year`/`month`) + grouped aggregation
     * over the order calendar. */
   def datePartsAgg(orders: DataFrame): DataFrame =

@@ -184,6 +184,12 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q57 scalar subquery: above-mean counts are a strict non-empty subset") {
+    val total = t("events").count()
+    val above = Relational.scalarSubquery(t("events")).collect().map(_.getLong(1)).sum
+    assert(above > 0 && above < total)
+  }
+
   test("q54 sessionize: per-user event totals conserved, session counts sane") {
     val rows = Events.sessionize(t("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
