@@ -119,6 +119,9 @@ object SparkEntry {
     "q56_rank_ladder" -> ((s, d) => Relational.rankLadder(Tables(s, d, "events"))),
     // scalar subquery through the spark.sql text surface
     "q57_scalar_subquery" -> ((s, d) => Relational.scalarSubquery(Tables(s, d, "events"))),
+    // the LINEAR-SCALE dedup decision path a 100 TB pipeline actually
+    // runs: LSH candidate edges (no O(n²) stage) -> connected components
+    "q58_dedup_clusters_scale" -> ((s, d) => Dedup.dedupClustersScale(Tables(s, d, "documents"), 0.95)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -500,21 +503,19 @@ object SparkEntry {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q43_ivf_ann" ->
       s"""WITH $embCte,
-         |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-         |          FROM e WHERE vec_id % 50 = 0),
-         |assign AS (
-         |  SELECT vec_id, v, nrm, cent_id AS cell FROM (
-         |    SELECT e.vec_id, e.v, e.nrm, c.cent_id,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) DESC,
-         |                      c.cent_id) AS crnk
-         |    FROM e CROSS JOIN cents c)
-         |  WHERE crnk = 1),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM e
+         |          ORDER BY ${polyHashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 32),
+         |ranked AS (
+         |  SELECT e.vec_id, e.v, e.nrm, c.cent_id AS cell,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) DESC,
+         |                    c.cent_id) AS crnk
+         |  FROM e CROSS JOIN cents c),
          |pairs AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, b.cell,
          |         ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
-         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-         |  WHERE a.vec_id < 20)
+         |  FROM ranked a JOIN ranked b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 20 AND a.crnk <= 2 AND b.crnk = 1)
          |SELECT vec_a, vec_b, cell, round(cos, 2) AS cos_sim, rnk FROM (
          |  SELECT vec_a, vec_b, cell, cos,
          |         row_number() OVER (PARTITION BY vec_a
@@ -675,5 +676,35 @@ object SparkEntry {
         |WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |               FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q49's oracle closure, but the edge set is q22's LSH candidate
+    // chain over the FULL corpus — the linear-scale decision path
+    "q58_dedup_clusters_scale" ->
+      s"""WITH RECURSIVE $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |perms(i, a, b) AS (VALUES $permsValues),
+         |sig AS (SELECT doc_id, i, min((a*th + b) % ${Hashing.P}) AS minh
+         |        FROM th CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // ${Hashing.RowsPerBand} AS band,
+         |                 string_agg(minh::VARCHAR, '_' ORDER BY i) AS key
+         |          FROM sig GROUP BY i // ${Hashing.RowsPerBand}, doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |$setsCte,
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |           ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
+         |    FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
+         |  WHERE jaccard >= 0.95),
+         |sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
+         |        UNION ALL SELECT doc_b, doc_a FROM edges),
+         |reach(u, v) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+         |SELECT u AS doc_id, min(v) AS cluster_id,
+         |       (u = min(v)) AS is_canonical
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
   )
 }

@@ -107,12 +107,10 @@ object Dedup {
     // one exchange for all of them. Unlike the round-1 negative result
     // (persisting the raw TOKEN stream was 3× slower — corpus-sized),
     // this frame is ONE ROW PER DOCUMENT (34 longs wide): cache size is
-    // bounded by doc count, MEMORY_AND_DISK spills gracefully, and the
-    // A/B at sf0.1 measured 2.39 s → 1.79 s. Cache lifecycle follows
-    // the session (LRU-evicted; `spark.catalog.clearCache()` to force);
-    // repeat calls on the same input do NOT stack copies — Spark's
-    // CacheManager dedupes by canonicalized plan, so the entry count is
-    // bounded by distinct input corpora, not call count.
+    // bounded by doc count and MEMORY_AND_DISK spills gracefully.
+    // Lifecycle (round-2 verdict #6): the near-dup pair output is tiny,
+    // so it is eagerly materialized below and the cache RELEASED before
+    // returning — no entry outlives the call.
     val sigCols = (0 until Hashing.NumPerms).map { i =>
       min((col("th") * lit(Hashing.permA(i)) + lit(Hashing.permB(i))) % lit(Hashing.P))
         .as(s"h$i")
@@ -141,7 +139,13 @@ object Dedup {
     val paired = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("n").as("n_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("n").as("n_b")), "doc_b")
-    jaccardVerify(paired, threshold)
+    // verified near-dup pairs are a tiny fraction of the corpus: eager
+    // checkpoint materializes them once, frees the fused cache, and
+    // hands downstream consumers (e.g. dedupClustersScale's iterative
+    // loop) a plan LEAF instead of the whole LSH tower
+    val out = jaccardVerify(paired, threshold).localCheckpoint(true)
+    agged.unpersist()
+    out
   }
 
   /** q49 — near-dup clustering: connected components over the near-dup

@@ -96,42 +96,57 @@ object Similarity {
     * executors the bucket join shuffles ~n/256 of the corpus per query
     * bucket instead of n. Exact cosine + top-k within the bucket. */
   /** q43 — IVF-style approximate nearest neighbors: the other classic
-    * ANN scale path beside `lshAnn`. A bounded coarse codebook (here a
-    * deterministic subset — every `centroidEvery`-th vector; in a real
-    * pipeline the k-means centroids, which changes nothing in the plan)
-    * is BROADCAST; one corpus scan assigns every vector to its nearest
-    * centroid cell (argmax cosine, 6-dp rounded with centroid-id
-    * tiebreak so both engines pick the same cell); queries then compare
-    * only within their own cell — an equi hash join on `cell`, never a
-    * cross product. At 1000 executors the assignment is map-side
-    * (codebook broadcast) and the probe shuffles ~n/cells rows per
-    * cell: the same inverted-file locality DiskANN/FAISS IVF indexes
-    * exploit. */
-  def ivfAnn(embeddings: DataFrame, nQueries: Int, k: Int, centroidEvery: Int = 50): DataFrame = {
+    * ANN scale path beside `lshAnn`. A FIXED-SIZE coarse codebook —
+    * `numCents` vectors picked by a deterministic hash-ordered sample
+    * (top-k by polyHash of the vec id: an unbiased pseudo-random draw
+    * both engines reproduce; a real pipeline would plug k-means
+    * centroids in here, which changes nothing in the plan) — is
+    * BROADCAST; its size is a PARAMETER, independent of corpus size
+    * (round-2 verdict: the previous every-50th-vector codebook grew
+    * O(n) and made assignment O(n²/50)). One corpus scan assigns every
+    * vector to its nearest centroid cell (argmax cosine, 6-dp rounded
+    * with centroid-id tiebreak so both engines pick the same cell);
+    * queries probe their `nprobe` NEAREST cells — the standard
+    * FAISS-style recall lever — while corpus vectors live in exactly
+    * one cell, so each candidate pair still appears at most once and
+    * the probe stays an equi hash join on `cell`, never a cross
+    * product. At 1000 executors the assignment is map-side (bounded
+    * codebook broadcast) and the probe shuffles ~nprobe·n/numCents
+    * rows per query cell: the inverted-file locality FAISS IVF
+    * exploits. */
+  def ivfAnn(embeddings: DataFrame, nQueries: Int, k: Int,
+      numCents: Int = 32, nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = withNorm(embeddings)
-    val cents = e.where(col("vec_id") % centroidEvery === 0)
+    // bounded TakeOrdered, one pass over the corpus — NOT a full sort
+    val cents = e
+      .orderBy(graft.functions.TextFns.polyHash(col("vec_id").cast("string")).asc,
+        col("vec_id").asc)
+      .limit(numCents)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos6").desc, col("cent_id").asc)
-    // persisted: the assignment (cross join × codebook + window) feeds
-    // both the query and corpus branches, and the query-side filter
-    // specializes its subtree beyond exchange reuse — without the cache
-    // the full n×centroids assignment runs twice. One row per vector,
-    // bounded like the q22 fused relation (same rationale, PLANS.md).
-    val assigned = e.crossJoin(broadcast(cents))
+    // persisted: the ranked assignment feeds both the corpus branch
+    // (crnk=1: home cell) and the query branch (crnk<=nprobe: probe
+    // cells), and the filters specialize each subtree beyond exchange
+    // reuse. At most nprobe rows per vector — bounded like the q22
+    // fused relation. Lifecycle: the tiny top-k result is eagerly
+    // materialized below, then this cache is RELEASED before returning
+    // (round-2 verdict #6 — no persist outlives its consuming action).
+    val ranked = e.crossJoin(broadcast(cents))
       .withColumn("ccos6",
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
       .withColumn("crnk", row_number().over(wAssign))
-      .where(col("crnk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+      .where(col("crnk") <= math.max(1, nprobe))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"), col("crnk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q = assigned.where(col("vec_id") < nQueries)
+    val q = ranked.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("nrm_a"), col("cell"))
-    val c = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nrm_b"), col("cell"))
+    val c = ranked.where(col("crnk") === 1)
+      .select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nrm_b"), col("cell"))
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("cos6").desc, col("vec_b").asc)
-    broadcast(q).join(c, Seq("cell"))
+    val out = broadcast(q).join(c, Seq("cell"))
       .where(col("vec_a") =!= col("vec_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
       .withColumn("cos6", round(col("cos"), 6))
@@ -139,6 +154,11 @@ object Similarity {
       .where(col("rnk") <= k)
       .select(col("vec_a"), col("vec_b"), col("cell"), round(col("cos"), 2).as("cos_sim"), col("rnk"))
       .orderBy("vec_a", "rnk", "vec_b")
+      // k rows per query — eager checkpoint bounds driver-side cost and
+      // lets the assignment cache be freed deterministically
+      .localCheckpoint(true)
+    ranked.unpersist()
+    out
   }
 
   def lshAnn(embeddings: DataFrame, nQueries: Int, k: Int, dim: Int = 64): DataFrame = {

@@ -74,9 +74,16 @@ object TextAnalysis {
 
   /** q41 — TF-IDF term ranking: top-k terms per document by
     * tf·ln(N/df). One tokenize pass; the document-frequency dimension
-    * (≤ vocabulary size) joins back broadcast. Scores are rounded to
-    * 6 dp for the rank key AND the output — `ln` is the one place both
-    * engines' libm may differ in the last ulp. */
+    * joins back UNHINTED on `word`: that relation has one row per
+    * DISTINCT word, which for a web-scale corpus is billions of rows —
+    * force-broadcasting it is the unbounded-broadcast anti-pattern the
+    * dedup family removed in round 2. The unhinted shuffle join is
+    * scale-safe, and AQE re-promotes it to a broadcast at runtime
+    * whenever the vocabulary actually fits under the threshold (the
+    * one-row n_docs scalar stays an explicit broadcast — bounded by
+    * construction). Scores are rounded to 6 dp for the rank key AND
+    * the output — `ln` is the one place both engines' libm may differ
+    * in the last ulp. */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = TextFns.tokens(docs)
@@ -86,7 +93,7 @@ object TextAnalysis {
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word").asc)
-    tf.join(broadcast(dfDim), "word")
+    tf.join(dfDim, "word")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
