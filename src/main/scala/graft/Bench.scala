@@ -30,8 +30,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // optional comma-separated query-name filter for targeted timing
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (_ <- 0 until math.max(1, runs); (name, fn) <- SparkEntry.queries) {
+    for (_ <- 0 until math.max(1, runs); (name, fn) <- picked) {
       val t = time(fn)
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }

@@ -15,6 +15,10 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep operator plans lazy — the eager result checkpoints in the
+      // dedup/ANN family would otherwise reduce `.explain` to a scan of
+      // the checkpointed RDD
+      .config("spark.graft.eagerMaterialize", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -142,11 +142,20 @@ object Dedup {
     // verified near-dup pairs are a tiny fraction of the corpus: eager
     // checkpoint materializes them once, frees the fused cache, and
     // hands downstream consumers (e.g. dedupClustersScale's iterative
-    // loop) a plan LEAF instead of the whole LSH tower
-    val out = jaccardVerify(paired, threshold).localCheckpoint(true)
-    agged.unpersist()
-    out
+    // loop) a plan LEAF instead of the whole LSH tower. Disable with
+    // spark.graft.eagerMaterialize=false for plan inspection (Explain
+    // would otherwise only see the checkpoint scan).
+    val result = jaccardVerify(paired, threshold)
+    if (!Dedup.eagerMaterialize(docs)) result
+    else { val out = result.localCheckpoint(true); agged.unpersist(); out }
   }
+
+  /** Eager-checkpoint gate: on (default) for honest lifecycle —
+    * results materialize inside the operator and caches are released —
+    * off (`spark.graft.eagerMaterialize=false`) to keep plans lazy for
+    * `.explain` auditing. */
+  private[operators] def eagerMaterialize(df: DataFrame): Boolean =
+    df.sparkSession.conf.get("spark.graft.eagerMaterialize", "true").toBoolean
 
   /** q49 — near-dup clustering: connected components over the near-dup
     * pair graph, labeling every document with the min doc_id of its
@@ -179,43 +188,70 @@ object Dedup {
 
   /** Connected components over an explicit undirected edge list;
     * every node (even isolated) gets the min node id of its component.
-    */
+    *
+    * Round-3 shape (was: min-label propagation over ALL nodes, one hop
+    * per round — 7 rounds at sf0.01):
+    *  - the loop runs only over EDGE-ENDPOINT nodes (isolated nodes
+    *    trivially label themselves and join back once at the end) — in
+    *    a near-dup graph that is a tiny fraction of the corpus, so
+    *    per-round shuffles touch thousands of rows, not the corpus;
+    *  - each round does one neighbor-min hop PLUS a pointer jump
+    *    (label ← label[label], the union-find path-halving trick), so
+    *    label reach doubles per round: rounds drop from O(diameter) to
+    *    O(log diameter). Both steps only ever move a label to another
+    *    id in the same component, so the fixpoint is unchanged. */
   def clusterLabels(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // symmetrize in ONE pass over the edge plan (explode of the two
+    // orientations) — a self-union here would execute the upstream edge
+    // computation twice before the cache kicks in (measured: q49's
+    // capped all-pairs jaccard ran 2× under the old unionByName shape)
+    val sym = edges.select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Iterative-plan hygiene: each round MUST truncate lineage with an
-    // eager localCheckpoint. `labels` feeds the next round twice
-    // (neighbor lookup + self), so without truncation the LOGICAL plan
-    // doubles per round and Catalyst analysis goes exponential —
-    // measured on the 7-round sf0.01 graph: rounds crept 1.3 s → 73 s
-    // (caching alone cuts execution, not plan analysis). With the
-    // checkpoint every round re-plans against a leaf. This is the
-    // standard shape for iterative graph algorithms on Spark.
-    var labels = nodes.select("doc_id").distinct()
+    // eager localCheckpoint. `labels` feeds the next round three times
+    // (neighbor lookup + self + jump target), so without truncation the
+    // LOGICAL plan doubles per round and Catalyst analysis goes
+    // exponential — measured on the 7-round sf0.01 graph: rounds crept
+    // 1.3 s → 73 s (caching alone cuts execution, not plan analysis).
+    // With the checkpoint every round re-plans against a leaf. This is
+    // the standard shape for iterative graph algorithms on Spark.
+    var labels = sym.select(col("u").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .withColumn("old", col("label"))
       .localCheckpoint(true)
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged) {
       val neighborMin = sym
         .join(labels.select(col("doc_id").as("v"), col("label")), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
-      // carry the previous label through so the convergence check rides
-      // the same materialization — one action per round
-      labels = labels.select(col("doc_id"), col("label").as("old"))
+      val hopped = labels.select(col("doc_id"), col("label").as("old"))
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("old"),
           least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"))
+      // pointer jump: follow the hopped label one more step through the
+      // hopped table itself — doubles effective reach per round
+      labels = hopped
+        .join(hopped.select(col("doc_id").as("jt"), col("label").as("jlabel")),
+          hopped("label") === col("jt"), "left")
+        // carry the previous label through so the convergence check
+        // rides the same materialization — one action per round
+        .select(hopped("doc_id"), col("old"),
+          least(hopped("label"), coalesce(col("jlabel"), hopped("label"))).as("label"))
         .localCheckpoint(true)
       converged = labels.where(col("label") =!= col("old")).count() == 0
     }
     sym.unpersist()
-    labels
-      .select(col("doc_id"), col("label").as("cluster_id"))
+    val out = nodes.select("doc_id").distinct()
+      .join(labels.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
+    out
   }
 
   /** q23 — SimHash document signatures: per-token polyHash votes ±1 on

@@ -146,7 +146,7 @@ object Similarity {
       .select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nrm_b"), col("cell"))
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("cos6").desc, col("vec_b").asc)
-    val out = broadcast(q).join(c, Seq("cell"))
+    val result = broadcast(q).join(c, Seq("cell"))
       .where(col("vec_a") =!= col("vec_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
       .withColumn("cos6", round(col("cos"), 6))
@@ -154,11 +154,11 @@ object Similarity {
       .where(col("rnk") <= k)
       .select(col("vec_a"), col("vec_b"), col("cell"), round(col("cos"), 2).as("cos_sim"), col("rnk"))
       .orderBy("vec_a", "rnk", "vec_b")
-      // k rows per query — eager checkpoint bounds driver-side cost and
-      // lets the assignment cache be freed deterministically
-      .localCheckpoint(true)
-    ranked.unpersist()
-    out
+    // k rows per query — eager checkpoint bounds driver-side cost and
+    // lets the assignment cache be freed deterministically (disable via
+    // spark.graft.eagerMaterialize=false for plan inspection)
+    if (!Dedup.eagerMaterialize(embeddings)) result
+    else { val out = result.localCheckpoint(true); ranked.unpersist(); out }
   }
 
   def lshAnn(embeddings: DataFrame, nQueries: Int, k: Int, dim: Int = 64): DataFrame = {

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Events, Similarity}
+import graft.sources.Tables
+
+/** Round-2 verdict #5: the events time operators must accept BOTH the
+  * harness's epoch-nanos LONG `ts` (nanosAsLong parquet config) and a
+  * native TIMESTAMP `ts` — a library user on a normal timestamp column
+  * previously hit an interval-vs-long type error in sessionize. Each
+  * operator runs on the same data in both representations and must
+  * produce identical results. */
+class TimeTypesSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The real events table with its LONG nanos ts. */
+  private def evLong: DataFrame = Tables(spark, dir, "events")
+
+  /** Same table, ts as a native TIMESTAMP (µs floor — the testdata's
+    * ts granularity is far coarser, so no information is lost). */
+  private def evTs: DataFrame =
+    evLong.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  private def rowsOf(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(r => (0 until r.length).map(r.get))
+
+  test("sessionize: LONG-nanos and TIMESTAMP ts produce identical sessions") {
+    assert(evTs.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val a = rowsOf(Events.sessionize(evLong))
+    val b = rowsOf(Events.sessionize(evTs))
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("sessionize: the Duration gap parameter actually changes granularity") {
+    val coarse = Events.sessionize(evLong, java.time.Duration.ofDays(3650))
+      .agg(sum(col("n_sessions"))).collect()(0).getLong(0)
+    val fine = Events.sessionize(evLong, java.time.Duration.ofNanos(1))
+      .agg(sum(col("n_sessions"))).collect()(0).getLong(0)
+    val users = evLong.select("user_id").distinct().count()
+    assert(coarse === users) // one giant session per user
+    assert(fine === evLong.count()) // every event its own session
+  }
+
+  test("lagLead: LONG-nanos and TIMESTAMP ts produce identical navigation") {
+    val a = rowsOf(Events.lagLead(evLong))
+    val b = rowsOf(Events.lagLead(evTs))
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("asofJoin: LONG-nanos and TIMESTAMP ts produce identical matches") {
+    val a = rowsOf(Events.purchaseAsofClick(evLong))
+    val b = rowsOf(Events.purchaseAsofClick(evTs))
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("ivf nprobe>1 recall vs exact top-k is >= single-cell recall") {
+    val emb = Tables(spark, dir, "embeddings")
+    val exact = Similarity.cosineTopK(emb, 20, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int): Int =
+      Similarity.ivfAnn(emb, 20, 3, numCents = 32, nprobe = nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(exact).size
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+    assert(r2 > 0)
+  }
+}
