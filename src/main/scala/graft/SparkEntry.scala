@@ -122,6 +122,25 @@ object SparkEntry {
     // the LINEAR-SCALE dedup decision path a 100 TB pipeline actually
     // runs: LSH candidate edges (no O(n²) stage) -> connected components
     "q58_dedup_clusters_scale" -> ((s, d) => Dedup.dedupClustersScale(Tables(s, d, "documents"), 0.95)),
+    // exact-dedup OUTPUT relation: canonical doc + copy count, one shuffle
+    "q59_dedup_keep" -> ((s, d) => Dedup.dedupKeep(Tables(s, d, "documents"))),
+    // train/eval contamination: char-12-gram overlap vs bounded eval set
+    "q60_contamination" -> ((s, d) => TextAnalysis.contamination(Tables(s, d, "documents"))),
+    // per-stratum deterministic hash-sample audit (equal rate per lang)
+    "q61_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(Tables(s, d, "documents"))),
+    // bigram language model: counts + conditional probabilities, top-k
+    "q62_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(Tables(s, d, "documents"))),
+    // tumbling 6h time buckets (batch twin of the streaming window agg)
+    "q63_time_buckets" -> ((s, d) => Events.timeBuckets(Tables(s, d, "events"))),
+    // per-group argmax via struct-max aggregation (no window sort)
+    "q64_argmax" -> ((s, d) => Relational.argmaxPerGroup(Tables(s, d, "events"))),
+    // per-dimension embedding stats (normalization pre-pass)
+    "q65_dim_stats" -> ((s, d) => Similarity.dimStats(Tables(s, d, "embeddings"))),
+    // PII-style redaction: regexp_replace projection + match counts
+    "q66_redact" -> ((s, d) => TextAnalysis.redact(Tables(s, d, "documents"))),
+    // multiset INTERSECT ALL / EXCEPT ALL with visible multiplicities
+    "q67_set_all" -> ((s, d) =>
+      Relational.setAllOps(Tables(s, d, "customer"), Tables(s, d, "supplier"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -706,5 +725,75 @@ object SparkEntry {
          |SELECT u AS doc_id, min(v) AS cluster_id,
          |       (u = min(v)) AS is_canonical
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q59_dedup_keep" ->
+      """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(min(len(text)) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "q60_contamination" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 12) AS gram
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 10)) AS p
+        |        FROM documents WHERE len(text) >= 12)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(ev.gram) AS BIGINT) AS n_hit,
+        |       CAST(count(ev.gram) AS DOUBLE) / count(*) AS contamination
+        |FROM g LEFT JOIN ev ON g.gram = ev.gram
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q61_stratified_sample" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 = 0
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |       CAST(sum(CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 = 0
+         |                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rate
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q62_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT list_filter(list_transform(string_split_regex(text, '\s+'),
+        |           w -> lower(regexp_replace(w, '[^A-Za-z]', '', 'g'))),
+        |         w -> w <> '') AS ws
+        |  FROM documents),
+        |p AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |      FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+        |            FROM t WHERE len(ws) >= 2)),
+        |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY w1, w2),
+        |wm AS (SELECT w1, w2, c,
+        |              CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS c_w1 FROM c)
+        |SELECT w1, w2, c, c_w1, CAST(c AS DOUBLE) / c_w1 AS cond_p
+        |FROM wm ORDER BY c DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q63_time_buckets" ->
+      """SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H') AS bucket,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "q64_argmax" ->
+      """SELECT event_type, event_id AS top_event_id, value AS top_value FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id DESC) AS r
+        |  FROM events) WHERE r = 1 ORDER BY event_type""".stripMargin,
+    "q65_dim_stats" ->
+      """WITH x AS (
+        |  SELECT z[2] AS pos, CAST(z[1] AS DOUBLE) AS x FROM (
+        |    SELECT unnest(list_zip(embedding, range(1, len(embedding)+1))) AS z
+        |    FROM embeddings))
+        |SELECT pos, CAST(count(*) AS BIGINT) AS n, min(x) AS min_x, max(x) AS max_x,
+        |       CAST(sum(CAST(floor(x*1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS mean_q
+        |FROM x GROUP BY pos ORDER BY pos""".stripMargin,
+    "q66_redact" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+er')) AS BIGINT) AS n_red,
+        |       CAST(len(regexp_replace(text, '[a-z]+er', '<TOK>', 'g')) AS BIGINT) AS red_len,
+        |       substr(regexp_replace(text, '[a-z]+er', '<TOK>', 'g'), 1, 40) AS red_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q67_set_all" ->
+      """WITH i AS (SELECT c_nationkey AS nationkey FROM customer
+        |           INTERSECT ALL SELECT s_nationkey FROM supplier),
+        |x AS (SELECT c_nationkey AS nationkey FROM customer
+        |      EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |SELECT kind, nationkey, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT 'intersect_all' AS kind, nationkey FROM i
+        |  UNION ALL SELECT 'except_all' AS kind, nationkey FROM x)
+        |GROUP BY kind, nationkey ORDER BY kind, nationkey""".stripMargin,
   )
 }

@@ -86,6 +86,23 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q59 — the exact-dedup pipeline's OUTPUT relation: one row per
+    * unique content, the canonical (min doc_id) document kept, with
+    * its duplicate count and byte size. ONE shuffle on the content
+    * hash and no join-back — every copy carries identical text, so the
+    * canonical's size is an aggregate (min length) of the group
+    * itself. This is the "write the deduplicated corpus" step that
+    * follows q21's per-document verdicts. */
+  def dedupKeep(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("hash"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_copies"),
+        min(length(col("text"))).cast("long").as("n_bytes"))
+      .select("doc_id", "n_copies", "n_bytes")
+      .orderBy("doc_id")
+
   /** q22 — MinHash + LSH near-dup detection: the linear-scale path
     * (shingle→minhash→band→bucket-join→verify). Candidates are pairs
     * agreeing on ALL RowsPerBand minima in at least one band; each

@@ -167,6 +167,30 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** q63 — tumbling time buckets (batch twin of the streaming window
+    * aggregation): events land in fixed `bucket`-wide windows aligned
+    * to the epoch, counted and summed per (window, type). The bucket
+    * start is computed with INTEGER nanos arithmetic (tsn − tsn mod
+    * width) — never a double division, which would lose precision on
+    * epoch-nanos magnitudes. One shuffle, map-side partials. The
+    * bucket leaves as a 'yyyy-MM-dd HH' string; the oracle's
+    * time_bucket aligns identically because the epoch is a multiple of
+    * every sub-day width. */
+  def timeBuckets(events: DataFrame,
+      bucket: java.time.Duration = java.time.Duration.ofHours(6)): DataFrame = {
+    val b = lit(bucket.toNanos)
+    events
+      .withColumn("_tsn", tsNanos(events))
+      .withColumn("_bstart", col("_tsn") - pmod(col("_tsn"), b))
+      .withColumn("bucket",
+        date_format(timestamp_micros(expr("_bstart div 1000")), "yyyy-MM-dd HH"))
+      .groupBy("bucket", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
   /** q17 — per-day, per-type temporal rollup. The day leaves as a
     * 'yyyy-MM-dd' string so both engines compare the same value. */
   def dateTruncAgg(events: DataFrame): DataFrame =

@@ -197,6 +197,37 @@ object Relational {
       .orderBy("kind", "nationkey")
   }
 
+  /** q67 — multiset set algebra: `INTERSECT ALL` / `EXCEPT ALL`
+    * (bag semantics — each nation key keeps its multiplicity, vs
+    * q35's distinct set verbs). Spark plans these as count-annotated
+    * joins (one shuffle per side, no distinct pre-pass); the summary
+    * aggregation makes multiplicities visible and deterministic. */
+  def setAllOps(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.select(col("c_nationkey").as("nationkey"))
+    val s = supplier.select(col("s_nationkey").as("nationkey"))
+    c.intersectAll(s).withColumn("kind", lit("intersect_all"))
+      .unionByName(c.exceptAll(s).withColumn("kind", lit("except_all")))
+      .groupBy("kind", "nationkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("kind", "nationkey")
+  }
+
+  /** q64 — per-group argmax WITHOUT a window sort: `max(struct(value,
+    * tiebreak))` rides the ordinary aggregation path — one shuffle with
+    * map-side partials and no per-group ordering, the shape that wins
+    * at 100 TB over the row_number() formulation (which must sort every
+    * group). Struct comparison is lexicographic, so the event_id
+    * tiebreak is deterministic; the oracle states the same pick as a
+    * window (value DESC, event_id DESC → rank 1). */
+  def argmaxPerGroup(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(max(struct(col("value"), col("event_id"))).as("m"))
+      .select(col("event_type"),
+        col("m.event_id").as("top_event_id"),
+        col("m.value").as("top_value"))
+      .orderBy("event_type")
+
   /** q42 — theta join: equi key + range residual (`l_shipdate >
     * o_orderdate`). Planned as a hash join on the equi key with the
     * range predicate evaluated as a residual — never a cartesian. */

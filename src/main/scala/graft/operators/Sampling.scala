@@ -42,4 +42,24 @@ object Sampling {
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("split")
+
+  /** q61 — stratified sampling audit: the same deterministic hash
+    * bucketing as q45, applied at an equal rate (1/`buckets`) WITHIN
+    * each stratum (here `lang`), reported per stratum. Because the
+    * bucket is keyed on content (doc_id), not position, every stratum
+    * is sampled at the same expected rate with zero coordination — no
+    * per-stratum counts, no second pass, no shuffle beyond the final
+    * summary aggregation. This is how a 100 TB pipeline draws an
+    * audit/eval slice per language. */
+  def stratifiedSample(docs: DataFrame, buckets: Int = 10): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        (pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(buckets.toLong)) === 0)
+          .cast("long").as("sampled"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("sampled")).as("n_sampled"))
+      .withColumn("rate", col("n_sampled").cast("double") / col("n_docs"))
+      .orderBy("lang")
 }

@@ -161,6 +161,28 @@ object Similarity {
     else { val out = result.localCheckpoint(true); ranked.unpersist(); out }
   }
 
+  /** q65 — per-dimension embedding statistics (the feature-normalization
+    * pre-pass: each dimension's range and mean across the corpus). One
+    * posexplode + one aggregation — linear, map-side partials. min/max
+    * are exact (no accumulation); the mean routes through floor-
+    * quantized integer sums (×10⁶) because a float sum is
+    * order-dependent — the quantized mean is exact and identical on
+    * any engine and any partitioning, which is what a reproducible
+    * normalization constant requires. */
+  def dimStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select((col("pos0") + 1).cast("long").as("pos"), col("x").cast("double").as("x"))
+      .groupBy("pos")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"),
+        sum(floor(col("x") * 1e6).cast("long")).as("sq"))
+      .select(col("pos"), col("n"), col("min_x"), col("max_x"),
+        (col("sq").cast("double") / col("n") / 1e6).as("mean_q"))
+      .orderBy("pos")
+
   def lshAnn(embeddings: DataFrame, nQueries: Int, k: Int, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = withNorm(embeddings).withColumn("bucket", lshBucket(col("v"), dim))

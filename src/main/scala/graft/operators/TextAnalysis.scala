@@ -179,4 +179,80 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextFns.polyHash(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** q60 — train/eval contamination check: fraction of each document's
+    * distinct character `n`-grams that also occur in the EVAL SET
+    * (docs with doc_id < `evalCap` — in a real pipeline, the benchmark
+    * suite). This is the standard decontamination signal run before
+    * training. The eval gram universe is BROADCAST — bounded by the
+    * eval set's size (a fixed benchmark, not the corpus), so this is a
+    * bounded broadcast by construction; the corpus side is one gram
+    * explosion + one aggregation, linear end to end. Eval docs score
+    * 1.0 by construction (a built-in sanity row). */
+  def contamination(docs: DataFrame, evalCap: Long = 20L, n: Int = 12): DataFrame = {
+    val grams = docs.where(length(col("text")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (n - 1))).as("p"),
+        col("text"))
+      .select(col("doc_id"), expr(s"substring(text, p, $n)").as("gram"))
+      .distinct()
+    val evalGrams = grams.where(col("doc_id") < evalCap)
+      .select("gram").distinct().withColumn("hit", lit(1L))
+    grams.join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("contamination", col("n_hit").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Ordered token list per document — same normalization as
+    * TextFns.tokens but POSITION-PRESERVING (tokens/docWords are
+    * set-shaped): the input n-gram language-model ops need order. */
+  private def orderedWords =
+    filter(
+      transform(split(col("text"), "\\s+"),
+        w => lower(regexp_replace(w, "[^A-Za-z]", ""))),
+      w => w =!= lit(""))
+
+  /** q62 — bigram language model: global (w1, w2) counts with the
+    * conditional probability p(w2|w1) = c(w1,w2)/c(w1,·), top-`k`
+    * bigrams. The order-preserving tokenize is one narrow projection
+    * (explode of index positions — stays in codegen); counting is one
+    * shuffle on (w1,w2); the w1 marginal rides a window over the same
+    * relation; top-k is a TakeOrdered, not a full sort. Probabilities
+    * are exact integer ratios — bit-identical across engines. */
+  def bigramLm(docs: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs.select(orderedWords.as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("ws"), explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(
+        element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"))
+    val w = Window.partitionBy(col("w1"))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .withColumn("c_w1", sum(col("c")).over(w))
+      .withColumn("cond_p", col("c").cast("double") / col("c_w1"))
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** q66 — redaction: replace every match of `pattern` with `token`
+    * (the PII-scrub step of a training pipeline — emails, phone
+    * numbers, ids; the default pattern is chosen to actually fire on
+    * the synthetic corpus). Pure per-row projections, no shuffle; the
+    * same portable regex grammar subset as q53. */
+  def redact(docs: DataFrame, pattern: String = "[a-z]+er",
+      token: String = "<TOK>"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+          .cast("long").as("n_red"),
+        regexp_replace(col("text"), pattern, token).as("red"))
+      .select(col("doc_id"), col("n_red"),
+        length(col("red")).cast("long").as("red_len"),
+        substring(col("red"), 1, 40).as("red_prefix"))
+      .orderBy("doc_id")
 }

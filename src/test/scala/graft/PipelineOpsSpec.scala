@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Structural invariants + non-vacuity for the round-3 operators
+  * (q59–q67). Per the round-2 lesson (q53): a green oracle row can be
+  * vacuous — every new query needs a spec asserting its interesting
+  * branch actually fires on the testdata. */
+class PipelineOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def t(n: String) = Tables(spark, dir, n)
+
+  test("q59 dedup keep: copies conserve the corpus, canonical ids unique") {
+    val rows = Dedup.dedupKeep(t("documents")).collect()
+    assert(rows.map(_.getLong(1)).sum === t("documents").count())
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length)
+    // the small testdata scales have no byte-identical docs (sf0.1 has
+    // 8) — drive the duplicate branch synthetically so it is pinned
+    import spark.implicits._
+    val docs = Seq((3L, "same text"), (1L, "same text"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupKeep(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got === List((1L, 2L, 9L), (2L, 1L, 5L)))
+  }
+
+  test("q60 contamination: eval docs score exactly 1.0, signal is non-trivial") {
+    val rows = TextAnalysis.contamination(t("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val (eval, rest) = rows.partition(_._1 < 20)
+    assert(eval.nonEmpty && eval.forall(_._4 === 1.0))
+    assert(rest.exists(_._4 > 0.0), "no non-eval doc shares any eval gram — vacuous")
+    assert(rows.forall { case (_, g, h, c) => h <= g && c >= 0.0 && c <= 1.0 })
+  }
+
+  test("q61 stratified sample: every stratum reported, rates sane, non-vacuous") {
+    val rows = Sampling.stratifiedSample(t("documents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum === t("documents").count())
+    assert(rows.map(_._3).sum > 0, "nothing sampled — vacuous")
+    assert(rows.forall { case (_, n, s, rate) =>
+      s <= n && rate >= 0.0 && rate <= 1.0 })
+  }
+
+  test("q62 bigram LM: marginals bound counts, probabilities are exact ratios") {
+    val rows = TextAnalysis.bigramLm(t("documents"), 50).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.length === 50)
+    assert(rows.forall { case (_, _, c, cw1, p) =>
+      c >= 1 && cw1 >= c && p === c.toDouble / cw1 })
+    // descending count order with deterministic ties
+    val cs = rows.map(_._3)
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q63 time buckets: bucket counts conserve the events table") {
+    val rows = Events.timeBuckets(t("events")).collect()
+    assert(rows.map(_.getLong(2)).sum === t("events").count())
+    assert(rows.length > 1, "one bucket — window width vacuous")
+    // bucket hour must be a multiple of 6
+    assert(rows.forall(_.getString(0).takeRight(2).toInt % 6 === 0))
+  }
+
+  test("q64 argmax agrees with the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").desc)
+    val viaWindow = t("events")
+      .withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaAgg = Relational.argmaxPerGroup(t("events")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaAgg === viaWindow && viaAgg.nonEmpty)
+  }
+
+  test("q65 dim stats: one row per dimension, min <= mean <= max") {
+    val rows = Similarity.dimStats(t("embeddings")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length === 64)
+    assert(rows.map(_._1).toList === (1L to 64L).toList)
+    rows.foreach { case (_, n, mn, mx, mean) =>
+      assert(n === t("embeddings").count())
+      // mean is floor-quantized at 1e-6, so allow that epsilon at the edges
+      assert(mn - 1e-6 <= mean && mean <= mx + 1e-6)
+    }
+  }
+
+  test("q66 redact: matches actually fire and unmatched docs pass through") {
+    val docs = t("documents")
+    val rows = TextAnalysis.redact(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.map(_._2).sum > 0, "pattern matches nothing — vacuous")
+    val origLen = docs.select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, nRed, redLen, _) =>
+      if (nRed == 0L) assert(redLen === origLen(id))
+    }
+    assert(rows.exists(_._4.contains("<TOK>")))
+  }
+
+  test("q67 multiset ops: multiplicities are min/excess of the per-key counts") {
+    val c = t("customer").groupBy(col("c_nationkey").as("k")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val s = t("supplier").groupBy(col("s_nationkey").as("k")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = Relational.setAllOps(t("customer"), t("supplier")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val inter = rows.filter(_._1 == "intersect_all").map(r => r._2 -> r._3).toMap
+    val exc = rows.filter(_._1 == "except_all").map(r => r._2 -> r._3).toMap
+    c.keySet.intersect(s.keySet).foreach { k =>
+      assert(inter(k) === math.min(c(k), s(k)), s"intersect_all($k)")
+    }
+    c.foreach { case (k, n) =>
+      val expect = n - s.getOrElse(k, 0L)
+      if (expect > 0) assert(exc(k) === expect, s"except_all($k)")
+      else assert(!exc.contains(k), s"except_all($k) should be absent")
+    }
+    assert(inter.nonEmpty && exc.nonEmpty)
+  }
+}
