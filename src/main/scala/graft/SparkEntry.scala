@@ -141,6 +141,14 @@ object SparkEntry {
     // multiset INTERSECT ALL / EXCEPT ALL with visible multiplicities
     "q67_set_all" -> ((s, d) =>
       Relational.setAllOps(Tables(s, d, "customer"), Tables(s, d, "supplier"))),
+    // sharded greedy sequence packing to a fixed token budget
+    "q68_pack_sequences" -> ((s, d) => Sampling.packSequences(Tables(s, d, "documents"))),
+    // the keep/drop corpus filter composing lang/quality/repetition
+    "q69_filter_pipeline" -> ((s, d) => TextAnalysis.filterPipeline(Tables(s, d, "documents"))),
+    // trailing 1h RANGE-frame sliding sum per user
+    "q70_trailing_window" -> ((s, d) => Events.trailingWindowSum(Tables(s, d, "events"))),
+    // SimHash signatures put to use: Hamming-distance candidate pairs
+    "q71_simhash_match" -> ((s, d) => Dedup.simhashMatch(Tables(s, d, "documents"), 1000L, 3)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -795,5 +803,70 @@ object SparkEntry {
         |  SELECT 'intersect_all' AS kind, nationkey FROM i
         |  UNION ALL SELECT 'except_all' AS kind, nationkey FROM x)
         |GROUP BY kind, nationkey ORDER BY kind, nationkey""".stripMargin,
+    "q68_pack_sequences" ->
+      s"""WITH $rawtoksCte,
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+         |        FROM rawtoks GROUP BY doc_id),
+         |sh AS (SELECT doc_id, n_tok,
+         |              ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |       FROM cnt),
+         |c AS (SELECT doc_id, shard, n_tok,
+         |             CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM sh)
+         |SELECT doc_id, shard, n_tok, (cum - n_tok) // 512 AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q69_filter_pipeline" ->
+      s"""WITH $rawtoksCte,
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |               CAST(sum(CASE WHEN word IN ('the','a','of','and','in','to','is','it')
+         |                             THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |               CAST(sum(len(word)) AS BIGINT) AS n_letters
+         |        FROM rawtoks GROUP BY doc_id),
+         |lq AS (SELECT doc_id,
+         |              CASE WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.08
+         |                   THEN 'en' ELSE 'und' END AS pred_lang,
+         |              CAST(n_tok BETWEEN 20 AND 80 AS BIGINT)
+         |                + CAST(CAST(n_stop AS DOUBLE) / n_tok < 0.2 AS BIGINT)
+         |                + CAST(CAST(n_letters AS DOUBLE) / n_tok BETWEEN 3.0 AND 8.0 AS BIGINT) AS score
+         |       FROM agg),
+         |g AS (SELECT doc_id, substr(text, CAST(p AS INT), 4) AS gram
+         |      FROM (SELECT doc_id, text, unnest(range(1, len(text) - 2)) AS p
+         |            FROM documents WHERE len(text) >= 4)),
+         |pc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+         |       FROM g GROUP BY doc_id, gram),
+         |rep AS (SELECT doc_id,
+         |               CAST(1 AS DOUBLE) - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_ratio
+         |        FROM pc GROUP BY doc_id)
+         |SELECT lq.doc_id, pred_lang, score,
+         |       coalesce(rep.dup_ratio, 0.0) AS dup_ratio,
+         |       (pred_lang = 'en' AND score >= 2
+         |          AND coalesce(rep.dup_ratio, 0.0) < 0.5) AS keep,
+         |       CASE WHEN pred_lang <> 'en' THEN 'lang'
+         |            WHEN score < 2 THEN 'quality'
+         |            WHEN coalesce(rep.dup_ratio, 0.0) >= 0.5 THEN 'repetition'
+         |            ELSE 'keep' END AS reason
+         |FROM lq LEFT JOIN rep ON lq.doc_id = rep.doc_id
+         |ORDER BY lq.doc_id""".stripMargin,
+    "q70_trailing_window" ->
+      """SELECT user_id, event_id, value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY user_id ORDER BY ts
+        |         RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q71_simhash_match" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks WHERE doc_id < 1000),
+         |bits AS (SELECT doc_id, b, sum(((th >> b) & 1)*2 - 1) AS s
+         |         FROM th CROSS JOIN generate_series(0, ${Hashing.SimHashBits - 1}) t(b)
+         |         GROUP BY doc_id, b),
+         |sh AS (SELECT doc_id,
+         |              CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM bits GROUP BY doc_id)
+         |SELECT doc_a, doc_b, dist FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE dist <= 3 ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

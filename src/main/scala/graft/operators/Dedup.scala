@@ -291,6 +291,23 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q71 — SimHash matching: the USE of q23's signatures — candidate
+    * near-dup pairs by Hamming distance ≤ `maxDist` on the 16-bit
+    * signature (`bit_count(xor)` — two codegen'd integer ops per
+    * pair). Bounded-candidate baseline like q18/q24; the scale path
+    * blocks on signature bytes first. Distance is exact integer
+    * arithmetic — identical across engines. */
+  def simhashMatch(docs: DataFrame, cap: Long, maxDist: Int): DataFrame = {
+    val sh = simhash(docs.where(col("doc_id") < cap))
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q24 — character n-gram Jaccard similarity (bounded candidate set,
     * like q18 it is the exact baseline the sketch paths are validated
     * against). Grams via sequence+explode of substring positions — no

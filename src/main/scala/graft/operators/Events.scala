@@ -191,6 +191,24 @@ object Events {
       .orderBy("bucket", "event_type")
   }
 
+  /** q70 — RANGE-frame window: per event, the running sum of the same
+    * user's values in the trailing `window` (event-time, inclusive) —
+    * the batch form of a sliding aggregate. The frame is a true RANGE
+    * over the canonical nanos order column (peers at equal timestamps
+    * are included on both engines); boundaries are integer nanos.
+    * Money routes through DECIMAL so the frame sum is
+    * order-independent. One shuffle on user_id. */
+  def trailingWindowSum(events: DataFrame,
+      window: java.time.Duration = java.time.Duration.ofHours(1)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(tsNanos(events).asc)
+      .rangeBetween(-window.toNanos, 0)
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("trail_sum"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** q17 — per-day, per-type temporal rollup. The day leaves as a
     * 'yyyy-MM-dd' string so both engines compare the same value. */
   def dateTruncAgg(events: DataFrame): DataFrame =

@@ -43,6 +43,31 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("split")
 
+  /** q68 — sequence packing: assign documents to fixed-token-budget
+    * packs (the batch-construction step that feeds a trainer). A
+    * GLOBAL greedy pack is inherently sequential (a driver-side scan),
+    * so the scalable shape — what real pipelines do — is SHARDED
+    * packing: documents hash into `shards` independent streams and
+    * each shard packs greedily by running token count (one window per
+    * shard, ordered by doc_id). `pack_id` is the pack the document
+    * STARTS in: floor((cumsum − n_tok) / budget). Every step is a
+    * deterministic integer computation — same packs on any engine or
+    * partitioning. */
+  def packSequences(docs: DataFrame, budget: Long = 512, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    TextFns.tokens(docs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"))
+      .withColumn("shard",
+        pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(shards.toLong)))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tok) div $budget"))
+      .select("doc_id", "shard", "n_tok", "pack_id")
+      .orderBy("doc_id")
+  }
+
   /** q61 — stratified sampling audit: the same deterministic hash
     * bucketing as q45, applied at an equal rate (1/`buckets`) WITHIN
     * each stratum (here `lang`), reported per stratum. Because the

@@ -239,6 +239,33 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** q69 — the corpus FILTER PIPELINE: the composition step that turns
+    * the individual quality signals (q27 language-ID, q28 quality
+    * score, q50 repetition) into a per-document keep/drop decision
+    * with a reason — what actually gates a training corpus. Each
+    * signal is an independent aggregation over the token/gram streams
+    * joined back on doc_id (Catalyst reuses scans; the joins are
+    * equi-hash on the key); the decision itself is a pure projection.
+    * Rule order fixes the reason deterministically: language, then
+    * quality, then repetition. */
+  def filterPipeline(docs: DataFrame): DataFrame = {
+    val l = langId(docs).select("doc_id", "pred_lang")
+    val q = qualityScore(docs).select("doc_id", "score")
+    val r = repetitionScore(docs).select("doc_id", "dup_ratio")
+    l.join(q, Seq("doc_id"))
+      .join(r, Seq("doc_id"), "left") // docs shorter than the gram width have no row
+      .withColumn("dup_ratio", coalesce(col("dup_ratio"), lit(0.0)))
+      .withColumn("keep",
+        col("pred_lang") === "en" && col("score") >= 2 && col("dup_ratio") < 0.5)
+      .withColumn("reason",
+        when(col("pred_lang") =!= "en", lit("lang"))
+          .when(col("score") < 2, lit("quality"))
+          .when(col("dup_ratio") >= 0.5, lit("repetition"))
+          .otherwise(lit("keep")))
+      .select("doc_id", "pred_lang", "score", "dup_ratio", "keep", "reason")
+      .orderBy("doc_id")
+  }
+
   /** q66 — redaction: replace every match of `pattern` with `token`
     * (the PII-scrub step of a training pipeline — emails, phone
     * numbers, ids; the default pattern is chosen to actually fire on

@@ -103,6 +103,65 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.exists(_._4.contains("<TOK>")))
   }
 
+  test("q68 packing: tokens conserved, packs contiguous within shard, invariant") {
+    val docs = t("documents")
+    val rows = Sampling.packSequences(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum ===
+      graft.functions.TextFns.tokens(docs).count())
+    // within a shard, pack ids start at 0 and never decrease in doc order
+    rows.groupBy(_._2).values.foreach { shard =>
+      val packs = shard.sortBy(_._1).map(_._4)
+      assert(packs.head === 0L)
+      assert(packs.zip(packs.tail).forall { case (a, b) => b >= a })
+    }
+    // partitioning-invariant (hash shard + doc order, nothing positional)
+    val b = Sampling.packSequences(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === b.toSeq)
+  }
+
+  test("q69 filter pipeline: keep <=> reason 'keep', both branches non-empty") {
+    val rows = TextAnalysis.filterPipeline(t("documents")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4), r.getString(5)))
+    assert(rows.nonEmpty)
+    val reasons = Set("lang", "quality", "repetition", "keep")
+    assert(rows.forall(r => reasons(r._6)))
+    assert(rows.forall(r => r._5 === (r._6 == "keep")))
+    assert(rows.exists(_._5) && rows.exists(!_._5), "filter is vacuous")
+  }
+
+  test("q70 trailing window matches a brute-force trailing sum") {
+    val ev = t("events")
+    val got = Events.trailingWindowSum(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // brute-force one user's trailing sums from the raw rows
+    val uid = ev.select("user_id").head().getLong(0)
+    val mine = ev.where(col("user_id") === uid)
+      .select("event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    mine.foreach { case (eid, ts, _) =>
+      val expect = mine.filter { case (_, t2, _) =>
+        t2 <= ts && t2 >= ts - 3600L * 1000 * 1000 * 1000 }
+        .map { case (_, _, v) => BigDecimal(v).setScale(2) }.sum
+      assert(got((uid, eid)) === expect.toDouble, s"event $eid")
+    }
+  }
+
+  test("q71 simhash match equals brute-force hamming over the signatures") {
+    val docs = t("documents")
+    val sigs = Dedup.simhash(docs.where(col("doc_id") < 100)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expect = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Dedup.simhashMatch(docs, 100L, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect && got.nonEmpty)
+  }
+
   test("q67 multiset ops: multiplicities are min/excess of the per-key counts") {
     val c = t("customer").groupBy(col("c_nationkey").as("k")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
