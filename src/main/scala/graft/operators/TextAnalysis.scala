@@ -73,27 +73,27 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** q41 — TF-IDF term ranking: top-k terms per document by
-    * tf·ln(N/df). One tokenize pass; the document-frequency dimension
-    * joins back UNHINTED on `word`: that relation has one row per
-    * DISTINCT word, which for a web-scale corpus is billions of rows —
-    * force-broadcasting it is the unbounded-broadcast anti-pattern the
-    * dedup family removed in round 2. The unhinted shuffle join is
-    * scale-safe, and AQE re-promotes it to a broadcast at runtime
-    * whenever the vocabulary actually fits under the threshold (the
-    * one-row n_docs scalar stays an explicit broadcast — bounded by
-    * construction). Scores are rounded to 6 dp for the rank key AND
-    * the output — `ln` is the one place both engines' libm may differ
-    * in the last ulp. */
+    * tf·ln(N/df). One tokenize pass; the document frequency is a
+    * WINDOW count over the same (doc, word, tf) relation partitioned
+    * by word — no df-dimension join at all. Round-1 broadcast the
+    * vocabulary-sized df relation (the unbounded-broadcast
+    * anti-pattern — billions of rows at web scale); the round-3 shape
+    * has nothing to broadcast OR join: one shuffle on word for the df
+    * window, one on doc_id for the rank window, and the tf relation is
+    * scanned once (the join formulation evaluated its subtree twice).
+    * Only the one-row corpus count stays an explicit broadcast —
+    * bounded by construction. Scores are rounded to 6 dp for the rank
+    * key AND the output — `ln` is the one place both engines' libm may
+    * differ in the last ulp. */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = TextFns.tokens(docs)
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("tf"))
-    val dfDim = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word").asc)
-    tf.join(dfDim, "word")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
