@@ -149,6 +149,13 @@ object SparkEntry {
     "q70_trailing_window" -> ((s, d) => Events.trailingWindowSum(Tables(s, d, "events"))),
     // SimHash signatures put to use: Hamming-distance candidate pairs
     "q71_simhash_match" -> ((s, d) => Dedup.simhashMatch(Tables(s, d, "documents"), 1000L, 3)),
+    // explicit GROUPING SETS via the spark.sql text surface
+    "q72_grouping_sets" -> ((s, d) => Relational.groupingSetsAgg(Tables(s, d, "orders"))),
+    // correlated EXISTS subquery (TPC-H Q4 shape), decorrelated by Catalyst
+    "q73_exists_subquery" -> ((s, d) =>
+      Relational.existsSubquery(Tables(s, d, "orders"), Tables(s, d, "lineitem"))),
+    // first_value / last_value / nth_value over an unbounded frame
+    "q74_window_nav" -> ((s, d) => Relational.windowNav(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -868,5 +875,28 @@ object SparkEntry {
          |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE dist <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q72_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+    "q73_exists_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q74_window_nav" ->
+      """SELECT event_type, event_id, value,
+        |       first_value(value) OVER w AS first_v,
+        |       last_value(value) OVER w AS last_v,
+        |       nth_value(value, 2) OVER w AS second_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_type, event_id""".stripMargin,
   )
 }

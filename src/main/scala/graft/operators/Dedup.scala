@@ -235,9 +235,9 @@ object Dedup {
     // 1.3 s → 73 s (caching alone cuts execution, not plan analysis).
     // With the checkpoint every round re-plans against a leaf. This is
     // the standard shape for iterative graph algorithms on Spark.
+    val spark = nodes.sparkSession
     var labels = sym.select(col("u").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .withColumn("old", col("label"))
       .localCheckpoint(true)
     var converged = labels.isEmpty
     while (!converged) {
@@ -251,15 +251,24 @@ object Dedup {
           least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"))
       // pointer jump: follow the hopped label one more step through the
       // hopped table itself — doubles effective reach per round
-      labels = hopped
+      val jumped = hopped
         .join(hopped.select(col("doc_id").as("jt"), col("label").as("jlabel")),
           hopped("label") === col("jt"), "left")
-        // carry the previous label through so the convergence check
-        // rides the same materialization — one action per round
         .select(hopped("doc_id"), col("old"),
           least(hopped("label"), coalesce(col("jlabel"), hopped("label"))).as("label"))
+      // the convergence check rides the SAME materialization as the
+      // checkpoint: an accumulator counts changed labels while the
+      // round's one job runs — no second action per round. Task
+      // retries can only ADD to the count, never subtract, and a
+      // converged round adds zero from any task, so the ==0 test is
+      // retry-safe.
+      val changed = spark.sparkContext.longAccumulator("labelsChanged")
+      labels = jumped
+        .filter { r: org.apache.spark.sql.Row =>
+          if (r.getLong(1) != r.getLong(2)) changed.add(1L); true }
+        .select("doc_id", "label")
         .localCheckpoint(true)
-      converged = labels.where(col("label") =!= col("old")).count() == 0
+      converged = changed.value == 0
     }
     sym.unpersist()
     val out = nodes.select("doc_id").distinct()

@@ -347,6 +347,57 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** q72 — explicit GROUPING SETS through the `spark.sql` text surface
+    * (beside q12's ROLLUP and q32's CUBE): independent per-status and
+    * per-priority totals out of ONE scan via the Expand operator —
+    * the declarative form of "two group-bys for the price of one". */
+  def groupingSetsAgg(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    orders.createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** q73 — correlated EXISTS subquery through the `spark.sql` text
+    * surface (TPC-H Q4 shape). Catalyst decorrelates it into a
+    * left-semi join on the correlation key with the inner predicate
+    * pushed below — the same plan q10's DataFrame semi join produces,
+    * arrived at from SQL. */
+  def existsSubquery(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    orders.createOrReplaceTempView("graft_orders_ex")
+    lineitem.createOrReplaceTempView("graft_lineitem_ex")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM graft_orders_ex o
+        |WHERE EXISTS (SELECT 1 FROM graft_lineitem_ex l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** q74 — frame-wide window navigation: first_value / last_value /
+    * nth_value over an UNBOUNDED-both-ways frame (vs q33's lag/lead
+    * row offsets and q56's rank ladder). One shuffle + one sort per
+    * partition key; total order (value, event_id) makes every
+    * navigation value deterministic. */
+  def windowNav(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events.select(col("event_type"), col("event_id"), col("value"),
+        first(col("value")).over(w).as("first_v"),
+        last(col("value")).over(w).as("last_v"),
+        nth_value(col("value"), 2).over(w).as("second_v"))
+      .orderBy("event_type", "event_id")
+  }
+
   /** q36 — date-part extraction (`year`/`month`) + grouped aggregation
     * over the order calendar. */
   def datePartsAgg(orders: DataFrame): DataFrame =

@@ -162,6 +162,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === expect && got.nonEmpty)
   }
 
+  test("q72 grouping sets: each set independently partitions the table") {
+    val n = t("orders").count()
+    val rows = Relational.groupingSetsAgg(t("orders")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val statusRows = rows.filter(_._2 == "ALL")
+    val prioRows = rows.filter(_._1 == "ALL")
+    assert(statusRows.map(_._3).sum === n)
+    assert(prioRows.map(_._3).sum === n)
+    assert(statusRows.length + prioRows.length === rows.length)
+  }
+
+  test("q73 EXISTS decorrelates to the same answer as the DataFrame semi join") {
+    val viaSql = Relational.existsSubquery(t("orders"), t("lineitem")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaDf = t("orders")
+      .join(t("lineitem").where(col("l_quantity") > 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql === viaDf && viaSql.nonEmpty)
+  }
+
+  test("q74 window nav: first/last/nth agree with the sorted peer list") {
+    val rows = Relational.windowNav(t("events")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { grp =>
+      val peers = grp.map(g => (g._3, g._2)).sorted
+      grp.foreach { case (_, _, _, f, l, s) =>
+        assert(f === peers.head._1 && l === peers.last._1 && s === peers(1)._1)
+      }
+    }
+  }
+
   test("q67 multiset ops: multiplicities are min/excess of the per-key counts") {
     val c = t("customer").groupBy(col("c_nationkey").as("k")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
