@@ -30,9 +30,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    // optional comma-separated query-name filter for targeted timing
+    // optional comma-separated query-name filter for targeted timing;
+    // unknown names are a hard error — a typo would otherwise emit an
+    // empty bench whose total of 0.0 reads as an excellent result
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(",")}")
+    }
     val picked = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (_ <- 0 until math.max(1, runs); (name, fn) <- picked) {

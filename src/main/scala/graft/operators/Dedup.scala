@@ -164,13 +164,17 @@ object Dedup {
     // would otherwise only see the checkpoint scan).
     val result = jaccardVerify(paired, threshold)
     if (!Dedup.eagerMaterialize(docs)) result
-    else { val out = result.localCheckpoint(true); agged.unpersist(); out }
+    else try result.localCheckpoint(true) finally agged.unpersist()
   }
 
-  /** Eager-checkpoint gate: on (default) for honest lifecycle —
-    * results materialize inside the operator and caches are released —
-    * off (`spark.graft.eagerMaterialize=false`) to keep plans lazy for
-    * `.explain` auditing. */
+  /** Eager-checkpoint gate. On (default): results materialize inside
+    * the operator and its internal caches are released before
+    * returning — no persist outlives the call. Off
+    * (`spark.graft.eagerMaterialize=false`, the plan-audit mode
+    * Explain uses): plans stay lazy AND internal persists follow the
+    * session — CacheManager dedupes repeat calls per distinct input,
+    * but release is then the session's job (`spark.catalog
+    * .clearCache()`). */
   private[operators] def eagerMaterialize(df: DataFrame): Boolean =
     df.sparkSession.conf.get("spark.graft.eagerMaterialize", "true").toBoolean
 
@@ -205,6 +209,13 @@ object Dedup {
 
   /** Connected components over an explicit undirected edge list;
     * every node (even isolated) gets the min node id of its component.
+    *
+    * PRECONDITION: every edge endpoint must appear in `nodes` (edges ⊆
+    * nodes × nodes) — true for every caller here because the edge set
+    * is derived from the same document frame. The loop below seeds
+    * labels from edge ENDPOINTS (a tiny fraction of the corpus), so a
+    * phantom endpoint outside `nodes` would otherwise be able to win a
+    * component's min-label without ever appearing as an output row.
     *
     * Round-3 shape (was: min-label propagation over ALL nodes, one hop
     * per round — 7 rounds at sf0.01):

@@ -20,6 +20,14 @@ import graft.functions.TextFns
   */
 object Sampling {
 
+  /** THE cross-engine bucket contract, in one place: cast the id to a
+    * string, polyHash it, take the positive remainder. Three operators
+    * (q45/q61/q68) and their DuckDB oracle mirrors (`polyHashSql(...) %
+    * n`) depend on this exact composition staying bit-identical —
+    * change it here or nowhere. */
+  private def hashBucket(id: org.apache.spark.sql.Column, buckets: Long) =
+    pmod(TextFns.polyHash(id.cast("string")), lit(buckets))
+
   /** q45 — hash-bucket split assignment: bucket = polyHash(doc_id) mod
     * `buckets`, split = "train" below `trainBuckets`, else "val". A
     * pure per-row projection — no shuffle, no state, order-independent:
@@ -28,8 +36,7 @@ object Sampling {
   def hashSplit(docs: DataFrame, buckets: Int = 100, trainBuckets: Int = 90): DataFrame =
     docs
       .select(col("doc_id"),
-        pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(buckets.toLong))
-          .as("bucket"))
+        hashBucket(col("doc_id"), buckets.toLong).as("bucket"))
       .withColumn("split",
         when(col("bucket") < trainBuckets, lit("train")).otherwise(lit("val")))
       .select("doc_id", "bucket", "split")
@@ -60,8 +67,7 @@ object Sampling {
     TextFns.tokens(docs)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"))
-      .withColumn("shard",
-        pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(shards.toLong)))
+      .withColumn("shard", hashBucket(col("doc_id"), shards.toLong))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("pack_id", expr(s"(cum - n_tok) div $budget"))
       .select("doc_id", "shard", "n_tok", "pack_id")
@@ -79,8 +85,7 @@ object Sampling {
   def stratifiedSample(docs: DataFrame, buckets: Int = 10): DataFrame =
     docs
       .select(col("doc_id"), col("lang"),
-        (pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(buckets.toLong)) === 0)
-          .cast("long").as("sampled"))
+        (hashBucket(col("doc_id"), buckets.toLong) === 0).cast("long").as("sampled"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -89,12 +89,6 @@ object Similarity {
       when(dotW > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** q26 — LSH-bucketed approximate nearest neighbors: the scale path
-    * for similarity search. Every vector gets a NumPlanes-bit
-    * random-hyperplane bucket (one scan, no shuffle of the corpus);
-    * each query only compares against its own bucket — at 1000
-    * executors the bucket join shuffles ~n/256 of the corpus per query
-    * bucket instead of n. Exact cosine + top-k within the bucket. */
   /** q43 — IVF-style approximate nearest neighbors: the other classic
     * ANN scale path beside `lshAnn`. A FIXED-SIZE coarse codebook —
     * `numCents` vectors picked by a deterministic hash-ordered sample
@@ -156,9 +150,10 @@ object Similarity {
       .orderBy("vec_a", "rnk", "vec_b")
     // k rows per query — eager checkpoint bounds driver-side cost and
     // lets the assignment cache be freed deterministically (disable via
-    // spark.graft.eagerMaterialize=false for plan inspection)
+    // spark.graft.eagerMaterialize=false for plan inspection; the cache
+    // then follows the session — see Dedup.eagerMaterialize)
     if (!Dedup.eagerMaterialize(embeddings)) result
-    else { val out = result.localCheckpoint(true); ranked.unpersist(); out }
+    else try result.localCheckpoint(true) finally ranked.unpersist()
   }
 
   /** q65 — per-dimension embedding statistics (the feature-normalization
@@ -183,6 +178,12 @@ object Similarity {
         (col("sq").cast("double") / col("n") / 1e6).as("mean_q"))
       .orderBy("pos")
 
+  /** q26 — LSH-bucketed approximate nearest neighbors: the scale path
+    * for similarity search. Every vector gets a NumPlanes-bit
+    * random-hyperplane bucket (one scan, no shuffle of the corpus);
+    * each query only compares against its own bucket — at 1000
+    * executors the bucket join shuffles ~n/256 of the corpus per query
+    * bucket instead of n. Exact cosine + top-k within the bucket. */
   def lshAnn(embeddings: DataFrame, nQueries: Int, k: Int, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = withNorm(embeddings).withColumn("bucket", lshBucket(col("v"), dim))

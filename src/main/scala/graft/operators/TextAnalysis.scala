@@ -242,17 +242,28 @@ object TextAnalysis {
   /** q69 — the corpus FILTER PIPELINE: the composition step that turns
     * the individual quality signals (q27 language-ID, q28 quality
     * score, q50 repetition) into a per-document keep/drop decision
-    * with a reason — what actually gates a training corpus. Each
-    * signal is an independent aggregation over the token/gram streams
-    * joined back on doc_id (Catalyst reuses scans; the joins are
-    * equi-hash on the key); the decision itself is a pure projection.
-    * Rule order fixes the reason deterministically: language, then
-    * quality, then repetition. */
+    * with a reason — what actually gates a training corpus. The
+    * language and quality signals share ONE token aggregation (their
+    * q27/q28 twins each run their own — joining those would pay the
+    * tokenize shuffle twice); the gram-based repetition signal is a
+    * second aggregation left-joined on doc_id; the decision itself is
+    * a pure projection. Rule order fixes the reason deterministically:
+    * language, then quality, then repetition. */
   def filterPipeline(docs: DataFrame): DataFrame = {
-    val l = langId(docs).select("doc_id", "pred_lang")
-    val q = qualityScore(docs).select("doc_id", "score")
+    // lang + quality both derive from ONE tokenAgg pass (joining
+    // langId⋈qualityScore would run the tokenize aggregation twice —
+    // column pruning specializes the two subtrees beyond exchange
+    // reuse, so Catalyst cannot fuse them back)
+    val lq = tokenAgg(docs)
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok"))
+      .withColumn("mean_wlen", col("n_letters").cast("double") / col("n_tok"))
+      .select(col("doc_id"),
+        when(col("stop_ratio") >= 0.08, lit("en")).otherwise(lit("und")).as("pred_lang"),
+        ((col("n_tok") >= 20 && col("n_tok") <= 80).cast("long") +
+          (col("stop_ratio") < 0.2).cast("long") +
+          (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 8.0).cast("long")).as("score"))
     val r = repetitionScore(docs).select("doc_id", "dup_ratio")
-    l.join(q, Seq("doc_id"))
+    lq
       .join(r, Seq("doc_id"), "left") // docs shorter than the gram width have no row
       .withColumn("dup_ratio", coalesce(col("dup_ratio"), lit(0.0)))
       .withColumn("keep",

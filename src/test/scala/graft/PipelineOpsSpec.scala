@@ -144,7 +144,8 @@ class PipelineOpsSpec extends SparkSpec {
     mine.foreach { case (eid, ts, _) =>
       val expect = mine.filter { case (_, t2, _) =>
         t2 <= ts && t2 >= ts - 3600L * 1000 * 1000 * 1000 }
-        .map { case (_, _, v) => BigDecimal(v).setScale(2) }.sum
+        .map { case (_, _, v) =>
+          BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) }.sum
       assert(got((uid, eid)) === expect.toDouble, s"event $eid")
     }
   }
