@@ -156,6 +156,11 @@ object SparkEntry {
       Relational.existsSubquery(Tables(s, d, "orders"), Tables(s, d, "lineitem"))),
     // first_value / last_value / nth_value over an unbounded frame
     "q74_window_nav" -> ((s, d) => Relational.windowNav(Tables(s, d, "events"))),
+    // TPC-H Q3 shape: selective dim filter -> 3-table join -> top-k revenue
+    "q75_tpch_q3" -> ((s, d) =>
+      Relational.tpchQ3(Tables(s, d, "customer"), Tables(s, d, "orders"), Tables(s, d, "lineitem"))),
+    // correlated scalar subquery (per-user mean), decorrelated by Catalyst
+    "q76_correlated_scalar" -> ((s, d) => Relational.correlatedScalar(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -898,5 +903,19 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY event_type, event_id""".stripMargin,
+    "q75_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, order_date, l_orderkey LIMIT 10""".stripMargin,
+    "q76_correlated_scalar" ->
+      """SELECT e.event_type, count(*) AS n_above_user_mean
+        |FROM events e
+        |WHERE e.value > (SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |                 FROM events e2 WHERE e2.user_id = e.user_id)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
   )
 }

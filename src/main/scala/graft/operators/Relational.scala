@@ -398,6 +398,44 @@ object Relational {
       .orderBy("event_type", "event_id")
   }
 
+  /** q75 — TPC-H Q3 shape: the canonical 3-table analytic join
+    * (selective dimension filter → fact join → grouped revenue →
+    * global top-k). The mktsegment filter prunes customer BEFORE the
+    * join (pushed to its scan), the filtered customer side broadcasts,
+    * the revenue sum rides DECIMAL, and the top-10 is a TakeOrdered —
+    * no global sort. Deterministic ties via (order_date, l_orderkey).
+    */
+  def tpchQ3(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    customer.where(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("order_date"), col("l_orderkey"))
+      .limit(10)
+
+  /** q76 — CORRELATED scalar subquery (per-user mean, vs q57's
+    * uncorrelated one) through the `spark.sql` surface: Catalyst
+    * decorrelates it into a per-user aggregate joined back on the
+    * correlation key — one extra shuffle, never a per-row subquery
+    * execution. The mean routes through DECIMAL on both engines. */
+  def correlatedScalar(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    events.createOrReplaceTempView("graft_events_cs")
+    spark.sql(
+      """SELECT e.event_type, count(*) AS n_above_user_mean
+        |FROM graft_events_cs e
+        |WHERE e.value > (SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |                 FROM graft_events_cs e2 WHERE e2.user_id = e.user_id)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
+  }
+
   /** q36 — date-part extraction (`year`/`month`) + grouped aggregation
     * over the order calendar. */
   def datePartsAgg(orders: DataFrame): DataFrame =

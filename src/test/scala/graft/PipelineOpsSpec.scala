@@ -198,6 +198,27 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q75 tpch q3: exactly k rows, revenue descending, non-vacuous") {
+    val rows = Relational.tpchQ3(t("customer"), t("orders"), t("lineitem")).collect()
+    assert(rows.length === 10)
+    val rev = rows.map(_.getDouble(2))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+    assert(rev.forall(_ > 0.0))
+  }
+
+  test("q76 correlated scalar equals a per-user mean join") {
+    val ev = t("events")
+    val means = ev.groupBy("user_id")
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("mean"))
+    val viaJoin = ev.join(means, "user_id")
+      .where(col("value") > col("mean"))
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaSubquery = Relational.correlatedScalar(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSubquery === viaJoin && viaSubquery.nonEmpty)
+  }
+
   test("q67 multiset ops: multiplicities are min/excess of the per-key counts") {
     val c = t("customer").groupBy(col("c_nationkey").as("k")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
