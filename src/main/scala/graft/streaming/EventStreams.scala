@@ -72,6 +72,22 @@ object EventStreams {
       .select(col("word"), col("postings"),
         size(col("postings")).cast("long").as("df"))
 
+  /** Streaming exact dedup — the incremental twin of the batch
+    * dedup-keep step (q21/q59): only the FIRST arrival of each content
+    * hash passes; later byte-identical copies are dropped. State is
+    * one row per content hash seen within the watermark horizon —
+    * `dropDuplicatesWithinWatermark` evicts hashes older than the
+    * watermark, which is the correct contract for ingest dedup (a
+    * re-crawl arriving months later is a new document decision, not
+    * unbounded state). Append-mode, no aggregation: each kept doc
+    * emits exactly once, immediately. */
+  def streamingDedup(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("hash", md5(col("text")))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("hash")
+      .select("doc_id", "hash", "ingest_ts")
+
   /** Watermarked stream-stream inner join: each click matched to the
     * same user's purchases within `within` AFTER it. Both sides carry
     * event-time watermarks and the join condition bounds the time gap,

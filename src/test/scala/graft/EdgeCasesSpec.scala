@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.lit
+
 import graft.operators._
 import graft.sources.RawCorpus
 
@@ -25,6 +27,33 @@ class EdgeCasesSpec extends SparkSpec {
     assert(InvertedIndex.postings(vanishing).count() === 0)
     assert(TextAnalysis.tokenCount(vanishing).count() === 0)
     assert(TextAnalysis.fingerprint(vanishing).count() === 2) // fp of raw text still defined
+  }
+
+  test("round-3 operators on empty / degenerate inputs: no throw, well-typed") {
+    // documents-shaped ops on the empty corpus
+    assert(Dedup.dedupKeep(empty).count() === 0)
+    assert(Dedup.simhashMatch(empty, 100L, 3).count() === 0)
+    assert(Dedup.dedupClustersScale(empty, 0.9).count() === 0)
+    assert(TextAnalysis.contamination(empty).count() === 0)
+    assert(TextAnalysis.bigramLm(empty).count() === 0)
+    assert(TextAnalysis.redact(empty).count() === 0)
+    assert(TextAnalysis.filterPipeline(empty).count() === 0)
+    assert(Sampling.packSequences(empty).count() === 0)
+    assert(Sampling.stratifiedSample(empty.withColumn("lang", lit("en"))).count() === 0)
+    // single-word doc: no bigram, one pack
+    assert(TextAnalysis.bigramLm(Seq((1L, "word")).toDF("doc_id", "text")).count() === 0)
+    assert(Sampling.packSequences(single).count() === 1)
+    // events-shaped ops on an empty events frame
+    val emptyEv = Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    assert(Events.timeBuckets(emptyEv).count() === 0)
+    assert(Events.trailingWindowSum(emptyEv).count() === 0)
+    assert(Events.sessionize(emptyEv).count() === 0)
+    assert(Relational.argmaxPerGroup(emptyEv).count() === 0)
+    assert(Relational.windowNav(emptyEv).count() === 0)
+    // embeddings-shaped op on an empty embeddings frame
+    val emptyVec = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.dimStats(emptyVec).count() === 0)
   }
 
   test("dedup family on empty and single-doc corpora: no pairs, no throw") {

@@ -64,6 +64,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps only the first arrival of each content hash") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.streamingDedup(
+        in.toDF.toDF("doc_id", "text", "ingest_ts"), "10 minutes")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "same text", ts(0)),
+        (2L, "same text", ts(0)), // duplicate content, same batch
+        (3L, "other", ts(1)))
+      q.processAllAvailable()
+      in.addData((4L, "same text", ts(2))) // duplicate across batches
+      q.processAllAvailable()
+      in.addData((5L, "brand new", ts(3)))
+      q.processAllAvailable()
+      val kept = spark.table("sdedup").collect().map(_.getLong(0)).toSet
+      // exactly one doc per distinct content; the first arrival wins
+      assert(kept.intersect(Set(1L, 2L, 4L)).size === 1)
+      assert(kept.contains(3L) && kept.contains(5L))
+      // the kept set matches the batch dedup-keep canonical count
+      val batchKeep = graft.operators.Dedup.dedupKeep(Seq(
+          (1L, "same text"), (2L, "same text"), (3L, "other"),
+          (4L, "same text"), (5L, "brand new")).toDF("doc_id", "text")).count()
+      assert(kept.size.toLong === batchKeep)
+    } finally q.stop()
+  }
+
   test("streaming postings converge to the batch index; dedup state is watermark-bounded") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
