@@ -161,6 +161,9 @@ object SparkEntry {
       Relational.tpchQ3(Tables(s, d, "customer"), Tables(s, d, "orders"), Tables(s, d, "lineitem"))),
     // correlated scalar subquery (per-user mean), decorrelated by Catalyst
     "q76_correlated_scalar" -> ((s, d) => Relational.correlatedScalar(Tables(s, d, "events"))),
+    // TPC-H Q14 shape: broadcast part dim + conditional DECIMAL aggregation
+    "q77_promo_revenue" -> ((s, d) =>
+      Relational.promoRevenue(Tables(s, d, "lineitem"), Tables(s, d, "part"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -917,5 +920,13 @@ object SparkEntry {
         |WHERE e.value > (SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |                 FROM events e2 WHERE e2.user_id = e.user_id)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q77_promo_revenue" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
   )
 }

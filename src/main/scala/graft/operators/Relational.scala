@@ -436,6 +436,24 @@ object Relational {
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
   }
 
+  /** q77 — TPC-H Q14 shape over the `part` dimension: fact⋈dim on
+    * partkey with CONDITIONAL aggregation (promo revenue share per
+    * brand). The part table is a classic broadcast dimension; the
+    * conditional sum rides DECIMAL inside a CASE so promo and total
+    * revenue are both order-independent exact. */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .withColumn("rev", (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("rev")).cast("double").as("revenue"),
+        sum(when(col("p_type").like("PROMO%"), col("rev"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("promo_revenue"))
+      .orderBy("p_brand")
+
   /** q36 — date-part extraction (`year`/`month`) + grouped aggregation
     * over the order calendar. */
   def datePartsAgg(orders: DataFrame): DataFrame =

@@ -219,6 +219,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaSubquery === viaJoin && viaSubquery.nonEmpty)
   }
 
+  test("q77 promo revenue: line counts conserve the join, promo <= total") {
+    val rows = Relational.promoRevenue(t("lineitem"), t("part")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum === t("lineitem").count()) // every line has a part
+    assert(rows.forall { case (_, _, rev, promo) => promo >= 0.0 && promo <= rev })
+    assert(rows.exists(_._4 > 0.0), "no promo parts matched — vacuous")
+  }
+
   test("q67 multiset ops: multiplicities are min/excess of the per-key counts") {
     val c = t("customer").groupBy(col("c_nationkey").as("k")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
