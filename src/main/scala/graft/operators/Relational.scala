@@ -28,6 +28,14 @@ object Relational {
   private def avgMoney(c: org.apache.spark.sql.Column) =
     round(sum(money(c)).cast("double") / count(lit(1)), 2)
 
+  /** The TPC-H discounted line revenue, DECIMAL(18,4)-exact — the ONE
+    * definition q07/q08/q75/q77 and their oracles all share (`CAST(
+    * l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))`); a
+    * precision change must happen here and in the oracle SQL together.
+    */
+  private def lineRevenue =
+    (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")
+
   /** q07 — scan + filter + project with arithmetic. The shipdate range
     * and discount predicates are pushed into the parquet scan; only the
     * four projected columns are read. */
@@ -39,8 +47,7 @@ object Relational {
       .select(
         col("l_orderkey"),
         col("l_linenumber").cast("long").as("l_linenumber"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)").cast("double").as("revenue"),
+        lineRevenue.cast("double").as("revenue"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
       .orderBy("l_orderkey", "l_linenumber")
 
@@ -53,8 +60,7 @@ object Relational {
       .agg(
         sumMoney(col("l_quantity")).as("sum_qty"),
         sumMoney(col("l_extendedprice")).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        sum(lineRevenue).cast("double").as("sum_disc_price"),
         avgMoney(col("l_quantity")).as("avg_qty"),
         avgMoney(col("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -401,24 +407,28 @@ object Relational {
   /** q75 — TPC-H Q3 shape: the canonical 3-table analytic join
     * (selective dimension filter → fact join → grouped revenue →
     * global top-k). The mktsegment filter prunes customer BEFORE the
-    * join (pushed to its scan), the filtered customer side broadcasts,
-    * the revenue sum rides DECIMAL, and the top-10 is a TakeOrdered —
-    * no global sort. Deterministic ties via (order_date, l_orderkey).
-    */
-  def tpchQ3(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    * join (pushed to its scan). The customer side is deliberately
+    * UNHINTED — filtered TPC-H customer grows with the corpus, unlike
+    * q77's bounded part dimension, so a forced broadcast would be the
+    * unbounded-broadcast anti-pattern; AQE promotes it at runtime when
+    * it actually fits (it does at testdata scale) and a 100 TB run
+    * correctly shuffles both sides on the join key. The revenue sum
+    * rides DECIMAL, and the top-k is a TakeOrdered — no global sort.
+    * Deterministic ties via (order_date, l_orderkey). */
+  def tpchQ3(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      k: Int = 10): DataFrame =
     customer.where(col("c_mktsegment") === "BUILDING")
       .join(orders, col("c_custkey") === col("o_custkey"))
       .where(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
       .join(lineitem, col("l_orderkey") === col("o_orderkey"))
       .where(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .agg(sum(lineRevenue).cast("double").as("revenue"))
       .select(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("revenue"))
       .orderBy(col("revenue").desc, col("order_date"), col("l_orderkey"))
-      .limit(10)
+      .limit(k)
 
   /** q76 — CORRELATED scalar subquery (per-user mean, vs q57's
     * uncorrelated one) through the `spark.sql` surface: Catalyst
@@ -444,8 +454,7 @@ object Relational {
   def promoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
     lineitem
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .withColumn("rev", (col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(18,4)"))
+      .withColumn("rev", lineRevenue)
       .groupBy("p_brand")
       .agg(
         count(lit(1)).as("n_lines"),

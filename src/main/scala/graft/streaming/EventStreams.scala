@@ -73,14 +73,18 @@ object EventStreams {
         size(col("postings")).cast("long").as("df"))
 
   /** Streaming exact dedup — the incremental twin of the batch
-    * dedup-keep step (q21/q59): only the FIRST arrival of each content
-    * hash passes; later byte-identical copies are dropped. State is
-    * one row per content hash seen within the watermark horizon —
-    * `dropDuplicatesWithinWatermark` evicts hashes older than the
-    * watermark, which is the correct contract for ingest dedup (a
-    * re-crawl arriving months later is a new document decision, not
-    * unbounded state). Append-mode, no aggregation: each kept doc
-    * emits exactly once, immediately. */
+    * dedup-keep step (q21/q59): EXACTLY ONE document per distinct
+    * content hash passes; later byte-identical copies are dropped.
+    * Which copy wins is engine-chosen when duplicates share a
+    * microbatch (`dropDuplicatesWithinWatermark` keeps an arbitrary
+    * one, unlike batch dedupKeep's min-doc_id canonical) — the
+    * COUNT-level equivalence with batch is the contract, and what the
+    * spec pins. State is one row per content hash seen within the
+    * watermark horizon — hashes older than the watermark are evicted,
+    * which is the correct contract for ingest dedup (a re-crawl
+    * arriving months later is a new document decision, not unbounded
+    * state). Append-mode, no aggregation: each kept doc emits exactly
+    * once, immediately. */
   def streamingDedup(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
     docs
       .withColumn("hash", md5(col("text")))

@@ -65,7 +65,7 @@ class ClusterPropertiesSpec extends SparkSpec {
 
   test("packSequences: every doc starts inside its pack's budget window") {
     val docs = Sampling.packSequences(
-      graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents"),
+      graft.sources.Tables(spark, testdataDir, "documents"),
       budget = 512, shards = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     docs.groupBy(_._2).values.foreach { shard =>

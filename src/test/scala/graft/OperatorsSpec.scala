@@ -9,7 +9,7 @@ import graft.sources.Tables
   * at sf0.01 is the authoritative value check; these pin structural
   * invariants and run fast in CI). */
 class OperatorsSpec extends SparkSpec {
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = testdataDir
   private def t(n: String) = Tables(spark, dir, n)
 
   test("q10 semi + anti partition the customer table") {

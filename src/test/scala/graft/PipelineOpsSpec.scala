@@ -6,11 +6,11 @@ import graft.operators._
 import graft.sources.Tables
 
 /** Structural invariants + non-vacuity for the round-3 operators
-  * (q59–q67). Per the round-2 lesson (q53): a green oracle row can be
+  * (q59–q77). Per the round-2 lesson (q53): a green oracle row can be
   * vacuous — every new query needs a spec asserting its interesting
   * branch actually fires on the testdata. */
 class PipelineOpsSpec extends SparkSpec {
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = testdataDir
   private def t(n: String) = Tables(spark, dir, n)
 
   test("q59 dedup keep: copies conserve the corpus, canonical ids unique") {
@@ -198,10 +198,16 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("q75 tpch q3: exactly k rows, revenue descending, non-vacuous") {
-    val rows = Relational.tpchQ3(t("customer"), t("orders"), t("lineitem")).collect()
-    assert(rows.length === 10)
-    val rev = rows.map(_.getDouble(2))
+  test("q75 tpch q3: limit truncates, revenue descending, non-vacuous") {
+    // sf0.001 yields exactly 10 qualifying groups, so k=10 cannot tell
+    // a working limit from a missing one — drive with k=3 so the
+    // truncation branch actually fires, and check it keeps the TOP of
+    // the k=10 ordering (limit after sort, not before)
+    val ten = Relational.tpchQ3(t("customer"), t("orders"), t("lineitem"), k = 10).collect()
+    val three = Relational.tpchQ3(t("customer"), t("orders"), t("lineitem"), k = 3).collect()
+    assert(ten.length > three.length && three.length === 3)
+    assert(three.map(_.toString).toList === ten.take(3).map(_.toString).toList)
+    val rev = ten.map(_.getDouble(2))
     assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
     assert(rev.forall(_ > 0.0))
   }

@@ -5,6 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all suites (one per suite, lazily). */
 trait SparkSpec extends AnyFunSuite {
+  /** The one testdata root the specs drive against — shared so suites
+    * cannot silently drift to different scales. */
+  val testdataDir = "/root/testdata/sf0.001"
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

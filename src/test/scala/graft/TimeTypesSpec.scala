@@ -13,7 +13,7 @@ import graft.sources.Tables
   * operator runs on the same data in both representations and must
   * produce identical results. */
 class TimeTypesSpec extends SparkSpec {
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = testdataDir
 
   /** The real events table with its LONG nanos ts. */
   private def evLong: DataFrame = Tables(spark, dir, "events")
