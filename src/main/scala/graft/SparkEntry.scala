@@ -164,6 +164,8 @@ object SparkEntry {
     // TPC-H Q14 shape: broadcast part dim + conditional DECIMAL aggregation
     "q77_promo_revenue" -> ((s, d) =>
       Relational.promoRevenue(Tables(s, d, "lineitem"), Tables(s, d, "part"))),
+    // pack assembly: q68's assignment materialized into training sequences
+    "q78_pack_assembly" -> ((s, d) => Sampling.assemblePacks(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -928,5 +930,24 @@ object SparkEntry {
         |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q78_pack_assembly" ->
+      s"""WITH $rawtoksCte,
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+         |        FROM rawtoks GROUP BY doc_id),
+         |sh AS (SELECT doc_id, n_tok,
+         |              ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |       FROM cnt),
+         |c AS (SELECT doc_id, shard, n_tok,
+         |             CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM sh),
+         |p AS (SELECT doc_id, shard, n_tok, (cum - n_tok) // 512 AS pack_id FROM c),
+         |j AS (SELECT p.doc_id, shard, n_tok, pack_id, d.text
+         |      FROM p JOIN documents d ON p.doc_id = d.doc_id)
+         |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(len(string_agg(text, chr(10) ORDER BY doc_id)) AS BIGINT) AS pack_len,
+         |       md5(string_agg(text, chr(10) ORDER BY doc_id)) AS pack_md5
+         |FROM j GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
   )
 }

@@ -74,6 +74,30 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** q78 — pack ASSEMBLY: materialize q68's assignment into the actual
+    * training sequences — one row per (shard, pack) with the documents
+    * concatenated in doc_id order. The concatenation is made
+    * deterministic by sorting the collected (doc_id, text) structs
+    * before joining (bare collect_list order is partition-dependent);
+    * the output carries the pack's md5 and length rather than the full
+    * text so the relation stays narrow (the text itself would be the
+    * sink's job). One join + one shuffle on the pack key. */
+  def assemblePacks(docs: DataFrame, budget: Long = 512, shards: Int = 8): DataFrame =
+    packSequences(docs, budget, shards)
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .groupBy("shard", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            s => s.getField("text")),
+          "\n").as("pack_text"))
+      .select(col("shard"), col("pack_id"), col("n_docs"), col("n_tokens"),
+        length(col("pack_text")).cast("long").as("pack_len"),
+        md5(col("pack_text")).as("pack_md5"))
+      .orderBy("shard", "pack_id")
+
   /** q61 — stratified sampling audit: the same deterministic hash
     * bucketing as q45, applied at an equal rate (1/`buckets`) WITHIN
     * each stratum (here `lang`), reported per stratum. Because the

@@ -121,6 +121,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.toSeq === b.toSeq)
   }
 
+  test("q78 pack assembly: docs conserved, md5 matches a local rebuild") {
+    val docs = t("documents")
+    val rows = Sampling.assemblePacks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(5)))
+    assert(rows.map(_._3).sum === docs.count())
+    // rebuild one pack locally and compare the md5 — pins both the
+    // doc_id concatenation order and the separator
+    val (shard, packId, _, md5got) = rows.head
+    val assign = Sampling.packSequences(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val joined = assign.filter(a => a._2 == shard && a._3 == packId)
+      .map(_._1).sorted.map(texts).mkString("\n")
+    val md5local = java.security.MessageDigest.getInstance("MD5")
+      .digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5got === md5local)
+  }
+
   test("q69 filter pipeline: keep <=> reason 'keep', both branches non-empty") {
     val rows = TextAnalysis.filterPipeline(t("documents")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
