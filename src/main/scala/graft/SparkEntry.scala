@@ -166,6 +166,10 @@ object SparkEntry {
       Relational.promoRevenue(Tables(s, d, "lineitem"), Tables(s, d, "part"))),
     // pack assembly: q68's assignment materialized into training sequences
     "q78_pack_assembly" -> ((s, d) => Sampling.assemblePacks(Tables(s, d, "documents"))),
+    // vocab construction stat: top-k words + cumulative corpus coverage
+    "q79_vocab_freq" -> ((s, d) => TextAnalysis.vocabFreq(Tables(s, d, "documents"), 20)),
+    // corpus profiling: docs per token-length bucket
+    "q80_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -949,5 +953,23 @@ object SparkEntry {
          |       CAST(len(string_agg(text, chr(10) ORDER BY doc_id)) AS BIGINT) AS pack_len,
          |       md5(string_agg(text, chr(10) ORDER BY doc_id)) AS pack_md5
          |FROM j GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    "q79_vocab_freq" ->
+      s"""WITH $rawtoksCte,
+         |counts AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+         |           FROM rawtoks GROUP BY word),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+         |top AS (SELECT word, c FROM counts ORDER BY c DESC, word LIMIT 20)
+         |SELECT CAST(row_number() OVER w AS BIGINT) AS rnk, word, c,
+         |       CAST(sum(c) OVER w AS DOUBLE) / total AS cum_share
+         |FROM top CROSS JOIN tot
+         |WINDOW w AS (ORDER BY c DESC, word
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY rnk""".stripMargin,
+    "q80_length_histogram" ->
+      s"""WITH $rawtoksCte,
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+         |      FROM rawtoks GROUP BY doc_id)
+         |SELECT (n_tok // 10) * 10 AS bucket_lo, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM n GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
   )
 }

@@ -277,6 +277,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q79 — vocabulary frequency table: the top-`k` corpus words with
+    * raw counts and CUMULATIVE corpus coverage — the statistic a
+    * BPE/vocab-construction step reads off first ("how many tokens do
+    * the top-k words cover?"). One tokenize aggregation (shuffle on
+    * word, map-side partials), a TakeOrdered top-k, and the cumulative
+    * share computed by a window over the K surviving rows only — never
+    * a global single-partition window over the vocabulary. Coverage is
+    * an exact integer ratio. */
+  def vocabFreq(docs: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = TextFns.tokens(docs).groupBy("word").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    val top = counts.orderBy(col("c").desc, col("word").asc).limit(k)
+    // the window ranks only the k collected rows — bounded by k
+    val w = Window.orderBy(col("c").desc, col("word").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_share",
+        sum(col("c")).over(w).cast("double") / col("total"))
+      .select("rnk", "word", "c", "cum_share")
+      .orderBy("rnk")
+  }
+
+  /** q80 — document length histogram: docs per token-count bucket
+    * (width 10) — the profiling pass run before choosing chunking and
+    * packing parameters. Integer bucket arithmetic, two aggregations,
+    * both shuffled on small keys. */
+  def lengthHistogram(docs: DataFrame, width: Int = 10): DataFrame =
+    TextFns.tokens(docs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"))
+      .select((expr(s"n_tok div $width") * width).as("bucket_lo"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket_lo")
+
   /** q66 — redaction: replace every match of `pattern` with `token`
     * (the PII-scrub step of a training pipeline — emails, phone
     * numbers, ids; the default pattern is chosen to actually fire on

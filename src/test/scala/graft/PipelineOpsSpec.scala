@@ -139,6 +139,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(md5got === md5local)
   }
 
+  test("q79 vocab freq: limit truncates, shares monotone to an exact total") {
+    val docs = t("documents")
+    val rows = TextAnalysis.vocabFreq(docs, 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val vocab = graft.functions.TextFns.tokens(docs).select("word").distinct().count()
+    assert(vocab > 20 && rows.length === 20, "limit must actually truncate")
+    val shares = rows.map(_._4)
+    assert(shares.zip(shares.tail).forall { case (a, b) => b > a })
+    assert(shares.last < 1.0 && shares.head > 0.0)
+    // cum_share is an exact ratio of the true counts
+    val total = graft.functions.TextFns.tokens(docs).count()
+    assert(shares.last === rows.map(_._3).sum.toDouble / total)
+  }
+
+  test("q80 length histogram conserves docs, buckets are width-10 aligned") {
+    val rows = TextAnalysis.lengthHistogram(t("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).sum === t("documents").count())
+    assert(rows.forall(_._1 % 10 === 0))
+    assert(rows.length > 1, "single bucket — histogram vacuous")
+  }
+
   test("q69 filter pipeline: keep <=> reason 'keep', both branches non-empty") {
     val rows = TextAnalysis.filterPipeline(t("documents")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
