@@ -170,6 +170,9 @@ object SparkEntry {
     "q79_vocab_freq" -> ((s, d) => TextAnalysis.vocabFreq(Tables(s, d, "documents"), 20)),
     // corpus profiling: docs per token-length bucket
     "q80_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(Tables(s, d, "documents"))),
+    // FULL OUTER join with explicit null-extension handling
+    "q81_full_outer" -> ((s, d) =>
+      Relational.fullOuterPresence(Tables(s, d, "customer"), Tables(s, d, "supplier"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -971,5 +974,17 @@ object SparkEntry {
          |      FROM rawtoks GROUP BY doc_id)
          |SELECT (n_tok // 10) * 10 AS bucket_lo, CAST(count(*) AS BIGINT) AS n_docs
          |FROM n GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
+    "q81_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS ck, CAST(count(*) AS BIGINT) AS n_cust
+        |           FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS sk, CAST(count(*) AS BIGINT) AS n_supp
+        |      FROM supplier GROUP BY 1)
+        |SELECT coalesce(ck, sk) AS nationkey,
+        |       coalesce(n_cust, 0) AS n_cust,
+        |       coalesce(n_supp, 0) AS n_supp,
+        |       CASE WHEN ck IS NULL THEN 'supplier_only'
+        |            WHEN sk IS NULL THEN 'customer_only'
+        |            ELSE 'both' END AS kind
+        |FROM c FULL JOIN s ON ck = sk ORDER BY nationkey""".stripMargin,
   )
 }

@@ -463,6 +463,29 @@ object Relational {
           .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("promo_revenue"))
       .orderBy("p_brand")
 
+  /** q81 — FULL OUTER join (the one join type the surface lacked):
+    * nation presence across customer and supplier with explicit
+    * null-extension handling — keys live on either side, both, or
+    * neither, and the key/count columns coalesce identically on both
+    * engines. Joining two pre-aggregated relations keeps the outer
+    * join's inputs one-row-per-key, so the join itself is one shuffle
+    * of two tiny sides at any scale. */
+  def fullOuterPresence(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = supplier.groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("ck") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        when(col("ck").isNull, lit("supplier_only"))
+          .when(col("sk").isNull, lit("customer_only"))
+          .otherwise(lit("both")).as("kind"))
+      .orderBy("nationkey")
+  }
+
   /** q36 — date-part extraction (`year`/`month`) + grouped aggregation
     * over the order calendar. */
   def datePartsAgg(orders: DataFrame): DataFrame =

@@ -161,6 +161,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.length > 1, "single bucket — histogram vacuous")
   }
 
+  test("q81 full outer: all three kinds behave; supplier_only driven synthetically") {
+    import spark.implicits._
+    val rows = Relational.fullOuterPresence(t("customer"), t("supplier")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.exists(_._4 == "both") && rows.exists(_._4 == "customer_only"))
+    rows.foreach { case (_, nc, ns, kind) =>
+      kind match {
+        case "both" => assert(nc > 0 && ns > 0)
+        case "customer_only" => assert(nc > 0 && ns === 0L)
+        case "supplier_only" => assert(nc === 0L && ns > 0)
+      }
+    }
+    // the testdata's supplier nations ⊆ customer nations, so the
+    // left-null branch never fires there — pin it synthetically
+    val c2 = Seq((1, "x")).toDF("c_nationkey", "c_name")
+    val s2 = Seq((1, "y"), (2, "z")).toDF("s_nationkey", "s_name")
+    val got = Relational.fullOuterPresence(c2, s2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3))).toList
+    assert(got === List((1, 1L, 1L, "both"), (2, 0L, 1L, "supplier_only")))
+  }
+
   test("q69 filter pipeline: keep <=> reason 'keep', both branches non-empty") {
     val rows = TextAnalysis.filterPipeline(t("documents")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
