@@ -173,6 +173,10 @@ object SparkEntry {
     // FULL OUTER join with explicit null-extension handling
     "q81_full_outer" -> ((s, d) =>
       Relational.fullOuterPresence(Tables(s, d, "customer"), Tables(s, d, "supplier"))),
+    // exact substring-span dedup: per-doc duplicated 8-token-span fraction
+    "q82_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables(s, d, "documents"))),
+    // percentile-band length filter: docs inside the exact [p10, p90] band
+    "q83_length_band" -> ((s, d) => TextAnalysis.lengthBandFilter(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -986,5 +990,37 @@ object SparkEntry {
         |            WHEN sk IS NULL THEN 'customer_only'
         |            ELSE 'both' END AS kind
         |FROM c FULL JOIN s ON ck = sk ORDER BY nationkey""".stripMargin,
+    "q82_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(string_split_regex(text, '\s+'),
+        |           w -> lower(regexp_replace(w, '[^A-Za-z]', '', 'g'))),
+        |           w -> w <> '') AS ws
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+        |  FROM t WHERE len(ws) >= 8),
+        |s AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS span FROM pos),
+        |sd AS (
+        |  SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS span_docs
+        |  FROM s GROUP BY span)
+        |SELECT s.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(CASE WHEN span_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       CAST(sum(CASE WHEN span_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS dup_frac
+        |FROM s JOIN sd USING (span)
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    "q83_length_band" ->
+      s"""WITH $rawtoksCte,
+         |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+         |           FROM rawtoks GROUP BY doc_id),
+         |band AS (SELECT quantile_cont(n_tok, 0.1) AS p_lo,
+         |                quantile_cont(n_tok, 0.9) AS p_hi FROM counts)
+         |SELECT doc_id, n_tok, p_lo, p_hi
+         |FROM counts CROSS JOIN band
+         |WHERE n_tok >= p_lo AND n_tok <= p_hi
+         |ORDER BY doc_id""".stripMargin,
   )
 }

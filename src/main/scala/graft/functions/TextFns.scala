@@ -36,6 +36,16 @@ object TextFns {
       .drop("tok")
   }
 
+  /** Position-preserving variant of the tokenize→normalize→filter
+    * chain: the full ordered token ARRAY for a `text` column, same
+    * normalization as [[tokens]] (which is set-shaped after the
+    * explode). Sequence-sensitive ops (n-gram LMs, span dedup, pack
+    * assembly) need order; one narrow `transform`+`filter` projection,
+    * stays in codegen. */
+  def orderedWords: Column =
+    filter(transform(split(col("text"), "\\s+"), w => normalize(w)),
+      w => w =!= lit(""))
+
   /** Distinct `(doc_id, word)` pairs — the reference's per-file dedup
     * (R7, `main.c++:46-58,130-141`), expressed as a partial-aggregating
     * distinct so the dedup happens map-side before the shuffle. */

@@ -328,6 +328,44 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q82 — exact substring-span dedup statistics: for every document
+    * with at least `n` tokens, the fraction of its `n`-token spans
+    * that also occur verbatim in at least one OTHER document. This is
+    * the token-granular form of exact-substring training-data dedup
+    * (the suffix-array method's decision statistic, re-expressed as a
+    * gram relation): pipelines drop or trim documents whose duplicated
+    * -span fraction is high even when no WHOLE document is a near-dup
+    * (boilerplate, licenses, navigation chrome).
+    *
+    * Shape, and why it scales: one position-preserving tokenize
+    * projection (codegen), one explode to `(doc, pos) → span` rows
+    * (linear in corpus token count), one partial-aggregating
+    * count-distinct per span, and one shuffle hash join back on the
+    * span key — every stage keyed by the span itself, so 1000
+    * executors partition the gram space evenly with no broadcast and
+    * no driver state. The span string never leaves the shuffle key;
+    * nothing is collected. Fraction is an exact integer-ratio double
+    * (IEEE division — bit-identical across engines, q62 precedent). */
+  def spanDedup(docs: DataFrame, n: Int = 8): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), TextFns.orderedWords.as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("i"),
+        col("ws"))
+      .select(col("doc_id"),
+        array_join(slice(col("ws"), col("i"), lit(n)), " ").as("span"))
+    val spanDocs = spans.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("span_docs"))
+    spans.join(spanDocs, "span")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum((col("span_docs") > 1).cast("long")).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_spans"))
+      .orderBy("doc_id")
+  }
+
   /** q24 — character n-gram Jaccard similarity (bounded candidate set,
     * like q18 it is the exact baseline the sketch paths are validated
     * against). Grams via sequence+explode of substring positions — no

@@ -207,14 +207,9 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Ordered token list per document — same normalization as
-    * TextFns.tokens but POSITION-PRESERVING (tokens/docWords are
-    * set-shaped): the input n-gram language-model ops need order. */
-  private def orderedWords =
-    filter(
-      transform(split(col("text"), "\\s+"),
-        w => lower(regexp_replace(w, "[^A-Za-z]", ""))),
-      w => w =!= lit(""))
+  /** Ordered token list per document — promoted to TextFns.orderedWords
+    * in round 3 (span dedup and pack assembly need the same shape). */
+  private def orderedWords = TextFns.orderedWords
 
   /** q62 — bigram language model: global (w1, w2) counts with the
     * conditional probability p(w2|w1) = c(w1,w2)/c(w1,·), top-`k`
@@ -313,6 +308,30 @@ object TextAnalysis {
       .groupBy("bucket_lo")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket_lo")
+
+  /** q83 — percentile-band length filter: keep documents whose token
+    * count lies inside the corpus's exact [`lo`, `hi`] continuous-
+    * interpolation percentile band — the outlier-trim gate real
+    * corpora apply before packing (too-short docs are noise,
+    * too-long ones are concatenation artifacts). The band is a ONE-ROW
+    * global aggregate, joined back as a broadcast nested-loop join of
+    * exactly one row — bounded by construction, independent of corpus
+    * size (the documented-bounded-BNLJ class from the plan audit).
+    * Exact `percentile` ≡ DuckDB `quantile_cont` (q40/q51 precedent).
+    */
+  def lengthBandFilter(docs: DataFrame, lo: Double = 0.1,
+      hi: Double = 0.9): DataFrame = {
+    val counts = TextFns.tokens(docs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"))
+    val band = counts.agg(
+      percentile(col("n_tok"), lit(lo)).as("p_lo"),
+      percentile(col("n_tok"), lit(hi)).as("p_hi"))
+    counts.join(broadcast(band))
+      .where(col("n_tok") >= col("p_lo") && col("n_tok") <= col("p_hi"))
+      .select("doc_id", "n_tok", "p_lo", "p_hi")
+      .orderBy("doc_id")
+  }
 
   /** q66 — redaction: replace every match of `pattern` with `token`
     * (the PII-scrub step of a training pipeline — emails, phone

@@ -314,4 +314,46 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(inter.nonEmpty && exc.nonEmpty)
   }
+
+  test("q82 span dedup: exact pinning on a synthetic corpus, invariants on testdata") {
+    import spark.implicits._
+    // doc 3 has < 8 tokens -> excluded; docs 1/2 share exactly the
+    // span "a b c d e f g h" (position 1) and differ at position 2
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),
+      (2L, "a b c d e f g h x"),
+      (3L, "z z z z z z z")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    assert(got === List((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5)))
+    // testdata: fractions are exact ratios, dup spans bounded by spans
+    val rows = Dedup.spanDedup(t("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, n, d, f) =>
+      d >= 0 && d <= n && f === d.toDouble / n })
+    assert(rows.exists(_._3 > 0),
+      "no document shares any 8-token span — vacuous on testdata")
+  }
+
+  test("q83 length band: bounds match brute-force quantile_cont, keep set exact") {
+    val counts = graft.functions.TextFns.tokens(t("documents"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def quantile(p: Double): Double = {
+      val v = counts.values.toArray.sorted
+      val h = (v.length - 1) * p
+      val l = h.toInt
+      if (l == v.length - 1) v(l).toDouble
+      else v(l) + (h - l) * (v(l + 1) - v(l))
+    }
+    val rows = TextAnalysis.lengthBandFilter(t("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val (pLo, pHi) = (quantile(0.1), quantile(0.9))
+    assert(rows.forall { case (_, _, lo, hi) => lo === pLo && hi === pHi })
+    val expectKeep = counts.filter { case (_, n) => n >= pLo && n <= pHi }.keySet
+    assert(rows.map(_._1).toSet === expectKeep)
+    assert(rows.nonEmpty && rows.length < counts.size,
+      "band trimmed nothing — vacuous")
+  }
 }
