@@ -177,6 +177,8 @@ object SparkEntry {
     "q82_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables(s, d, "documents"))),
     // percentile-band length filter: docs inside the exact [p10, p90] band
     "q83_length_band" -> ((s, d) => TextAnalysis.lengthBandFilter(Tables(s, d, "documents"))),
+    // word-association mining: top-k co-occurring pairs by PMI
+    "q84_pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1022,5 +1024,30 @@ object SparkEntry {
          |FROM counts CROSS JOIN band
          |WHERE n_tok >= p_lo AND n_tok <= p_hi
          |ORDER BY doc_id""".stripMargin,
+    "q84_pmi_pairs" ->
+      s"""WITH $toksCte,
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |      FROM documents),
+         |wdf AS (SELECT doc_id, word,
+         |               CAST(count(*) OVER (PARTITION BY word) AS BIGINT) AS df
+         |        FROM toks),
+         |band AS (SELECT doc_id, word, df, n_docs
+         |         FROM wdf CROSS JOIN n
+         |         WHERE df >= n_docs * 0.01 AND df <= n_docs * 1.0),
+         |pairs AS (
+         |  SELECT a.word AS wa, b.word AS wb, a.df AS df_a, b.df AS df_b,
+         |         a.n_docs, CAST(count(*) AS BIGINT) AS c_ab
+         |  FROM band a JOIN band b
+         |    ON a.doc_id = b.doc_id AND a.word < b.word
+         |  GROUP BY 1, 2, 3, 4, 5
+         |  HAVING count(*) >= 5),
+         |scored AS (
+         |  SELECT wa, wb, c_ab, df_a, df_b,
+         |         CAST(c_ab * n_docs AS DOUBLE) / (df_a * df_b) AS ratio
+         |  FROM pairs),
+         |top AS (SELECT * FROM scored
+         |        ORDER BY ratio DESC, wa, wb LIMIT 50)
+         |SELECT wa, wb, c_ab, df_a, df_b, round(ln(ratio), 6) AS pmi
+         |FROM top ORDER BY pmi DESC, wa, wb""".stripMargin,
   )
 }

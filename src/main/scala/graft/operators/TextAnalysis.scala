@@ -333,6 +333,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q84 — word-association mining: top-`k` co-occurring word pairs by
+    * pointwise mutual information, PMI = ln(c_ab·N / (df_a·df_b)) over
+    * document-level co-occurrence. The candidate space is bounded by a
+    * DOCUMENT-FREQUENCY BAND given as corpus fractions — the band
+    * vocabulary (not the corpus) bounds the per-document pair fan-out,
+    * which is what keeps the doc_id self-join linear-in-docs at scale
+    * (Zipf: words above 1% df number in the thousands regardless of
+    * corpus size). Ranking uses the EXACT rational c_ab·N/(df_a·df_b)
+    * as an IEEE-deterministic double; `ln` ships rounded to 6 dp (the
+    * q41 lesson — the one last-ulp risk between the engines' libms).
+    * Plan: one distinct (doc, word) pass, a df window on word, one
+    * shuffle self-join on doc_id, one pair aggregation, a one-row
+    * corpus-count broadcast, TakeOrdered(k). */
+  def pmiPairs(docs: DataFrame, dfLoFrac: Double = 0.01,
+      dfHiFrac: Double = 1.0, minPair: Long = 5L, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val banded = TextFns.docWords(docs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") >= col("n_docs") * dfLoFrac &&
+        col("df") <= col("n_docs") * dfHiFrac)
+    val a = banded.select(col("doc_id"), col("word").as("wa"),
+      col("df").as("df_a"), col("n_docs"))
+    val b = banded.select(col("doc_id"), col("word").as("wb"),
+      col("df").as("df_b"))
+    a.join(b, Seq("doc_id"))
+      .where(col("wa") < col("wb"))
+      .groupBy("wa", "wb", "df_a", "df_b", "n_docs")
+      .agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minPair)
+      .withColumn("ratio",
+        (col("c_ab") * col("n_docs")).cast("double") / (col("df_a") * col("df_b")))
+      .orderBy(col("ratio").desc, col("wa").asc, col("wb").asc)
+      .limit(k)
+      .withColumn("pmi", round(log(col("ratio")), 6))
+      .select("wa", "wb", "c_ab", "df_a", "df_b", "pmi")
+      .orderBy(col("pmi").desc, col("wa").asc, col("wb").asc)
+  }
+
   /** q66 — redaction: replace every match of `pattern` with `token`
     * (the PII-scrub step of a training pipeline — emails, phone
     * numbers, ids; the default pattern is chosen to actually fire on

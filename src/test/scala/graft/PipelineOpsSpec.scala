@@ -336,6 +336,35 @@ class PipelineOpsSpec extends SparkSpec {
       "no document shares any 8-token span — vacuous on testdata")
   }
 
+  test("q84 PMI pairs: agree with a brute-force co-occurrence count") {
+    val dw = graft.functions.TextFns.docWords(t("documents")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = dw.map(_._1).distinct.length
+    val df = dw.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+    val band = df.filter { case (_, d) => d >= nDocs * 0.01 && d <= nDocs * 1.0 }
+    val byDoc = dw.filter(p => band.contains(p._2)).groupBy(_._1)
+    val cab = byDoc.values.flatMap { xs =>
+      val ws = xs.map(_._2).distinct.sorted
+      for (i <- ws.indices; j <- i + 1 until ws.length) yield (ws(i), ws(j))
+    }.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+      .filter(_._2 >= 5L)
+    val expect = cab.map { case ((wa, wb), c) =>
+      (wa, wb, c, df(wa), df(wb),
+        (c * nDocs).toDouble / (df(wa) * df(wb)))
+    }.toSeq.sortBy { case (wa, wb, _, _, _, r) => (-r, wa, wb) }.take(50)
+    val got = TextAnalysis.pmiPairs(t("documents")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.length === expect.length)
+    assert(got.nonEmpty, "no co-occurring pair cleared the band — vacuous")
+    val gotSet = got.map(x => (x._1, x._2, x._3, x._4, x._5)).toSet
+    assert(gotSet === expect.map(x => (x._1, x._2, x._3, x._4, x._5)).toSet)
+    got.foreach { case (wa, wb, c, da, db, pmi) =>
+      val raw = math.log((c * nDocs).toDouble / (da * db))
+      assert(math.abs(pmi - raw) < 1e-6, s"pmi($wa,$wb)")
+    }
+  }
+
   test("q83 length band: bounds match brute-force quantile_cont, keep set exact") {
     val counts = graft.functions.TextFns.tokens(t("documents"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
