@@ -179,6 +179,8 @@ object SparkEntry {
     "q83_length_band" -> ((s, d) => TextAnalysis.lengthBandFilter(Tables(s, d, "documents"))),
     // word-association mining: top-k co-occurring pairs by PMI
     "q84_pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(Tables(s, d, "documents"))),
+    // multimodal frame sampling: stride-sample fixed-width payload frames
+    "q85_frame_sample" -> ((s, d) => Multimodal.frameSample(s, Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1049,5 +1051,23 @@ object SparkEntry {
          |        ORDER BY ratio DESC, wa, wb LIMIT 50)
          |SELECT wa, wb, c_ab, df_a, df_b, round(ln(ratio), 6) AS pmi
          |FROM top ORDER BY pmi DESC, wa, wb""".stripMargin,
+    "q85_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, CAST(len(text) // 64 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, n_frames, text,
+        |         unnest(generate_series(0, n_frames - 1)) AS fi
+        |  FROM f WHERE n_frames > 0),
+        |samp AS (
+        |  SELECT doc_id, n_frames,
+        |         substring(text, CAST(fi * 64 + 1 AS BIGINT), 64) AS frame
+        |  FROM fr WHERE fi % 4 = 0)
+        |SELECT doc_id, n_frames, CAST(count(*) AS BIGINT) AS n_sampled,
+        |       CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(frame, ''),
+        |           c -> CAST(ascii(c) AS BIGINT))),
+        |         (a, b) -> a + b)) AS BIGINT) AS sampled_byte_sum
+        |FROM samp GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin,
   )
 }

@@ -343,8 +343,13 @@ object Dedup {
     * count-distinct per span, and one shuffle hash join back on the
     * span key — every stage keyed by the span itself, so 1000
     * executors partition the gram space evenly with no broadcast and
-    * no driver state. The span string never leaves the shuffle key;
-    * nothing is collected. Fraction is an exact integer-ratio double
+    * no driver state. The span never leaves the shuffle key, and it
+    * rides as `xxhash64` of the token SLICE — an 8-byte key instead
+    * of a multi-token string, the q18/q22 stateless set-encoding move
+    * (collision odds at 64 bits are ~1e-6 even at a billion distinct
+    * spans, and the DuckDB oracle compares on TRUE span strings, so a
+    * collision would surface as a verify mismatch, never silently).
+    * Nothing is collected. Fraction is an exact integer-ratio double
     * (IEEE division — bit-identical across engines, q62 precedent). */
   def spanDedup(docs: DataFrame, n: Int = 8): DataFrame = {
     val spans = docs
@@ -354,7 +359,7 @@ object Dedup {
         explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("i"),
         col("ws"))
       .select(col("doc_id"),
-        array_join(slice(col("ws"), col("i"), lit(n)), " ").as("span"))
+        xxhash64(slice(col("ws"), col("i"), lit(n))).as("span"))
     val spanDocs = spans.groupBy("span")
       .agg(countDistinct(col("doc_id")).as("span_docs"))
     spans.join(spanDocs, "span")

@@ -131,4 +131,58 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** Typed frame-sample output — the declared schema of the sampler. */
+  case class FrameSampleRow(doc_id: Long, n_frames: Long, n_sampled: Long,
+      sampled_byte_sum: Long)
+
+  /** The stride-sampling kernel over one decoded payload: whole
+    * `frameBytes` frames only (a trailing partial frame is dropped,
+    * like a truncated final GOP); keeps frames 0, stride, 2·stride, …
+    * and sums their bytes. Malformed header → the whole blob is the
+    * payload (offset 0), same degradation rule as [[decodeBatch]]. */
+  private[graft] def sampleFrames(bytes: Array[Byte], frameBytes: Int,
+      stride: Int): Option[(Long, Long, Long)] = {
+    val off = parsePpmHeader(bytes).map(_._3).getOrElse(0)
+    val n = (bytes.length - off) / frameBytes
+    if (n <= 0) None
+    else {
+      var sum = 0L; var kept = 0L; var f = 0
+      while (f < n) {
+        if (f % stride == 0) {
+          kept += 1
+          var i = off + f * frameBytes
+          val end = i + frameBytes
+          while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+        }
+        f += 1
+      }
+      Some((n.toLong, kept, sum))
+    }
+  }
+
+  /** q85 — frame sampling over the media column: treat the decoded
+    * payload as fixed-width frames (a video frame buffer in
+    * miniature), keep every `stride`-th frame, checksum the kept
+    * bytes — the deterministic skeleton of video frame-sampling
+    * (decode → stride-sample → per-frame feature), in the same
+    * batched `mapPartitions` kernel shape as q31. Documents whose
+    * payload holds no whole frame drop out (and the oracle applies
+    * the same rule). The kernel parses the BINARY header and never
+    * sees the source text; the DuckDB oracle mirrors the arithmetic
+    * from the text side, so the round trip is verified end to end. */
+  def frameSample(spark: SparkSession, docs: DataFrame, frameBytes: Int = 64,
+      stride: Int = 4, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[(Long, Array[Byte])] =
+      mediaTable(docs).select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+    media
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
+        sampleFrames(bytes, frameBytes, stride).map { case (n, kept, sum) =>
+          FrameSampleRow(id, n, kept, sum)
+        }
+      }))
+      .toDF()
+      .orderBy("doc_id")
+  }
 }

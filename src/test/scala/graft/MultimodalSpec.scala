@@ -43,6 +43,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parsePpmHeader(bytes) === Some((2L, 3L, 28)))
   }
 
+  test("frame sampling matches a text-side brute force on real testdata") {
+    val real = graft.sources.Tables(spark, testdataDir, "documents")
+    val texts = real.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = texts.flatMap { case (id, text) =>
+      val bytes = text.getBytes(US_ASCII)
+      val n = bytes.length / 64
+      if (n == 0) None
+      else {
+        val kept = (0 until n).filter(_ % 4 == 0)
+        val sum = kept.map { f =>
+          bytes.slice(f * 64, f * 64 + 64).map(_ & 0xff).map(_.toLong).sum
+        }.sum
+        Some((id, n.toLong, kept.length.toLong, sum))
+      }
+    }.sortBy(_._1).toList
+    val got = Multimodal.frameSample(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got === expect)
+    assert(got.nonEmpty, "no document held a whole frame — vacuous")
+    // stride arithmetic: kept = ceil(n_frames / 4)
+    assert(got.forall { case (_, n, kept, _) => kept === (n + 3) / 4 })
+  }
+
+  test("frame sampler degrades to whole-blob framing on a malformed header") {
+    // 130 junk bytes, no PPM magic: offset 0, 2 whole frames, frame 0 kept
+    val junk = Array.fill[Byte](130)(65)
+    assert(Multimodal.sampleFrames(junk, 64, 4) === Some((2L, 1L, 64L * 65L)))
+    // fewer bytes than one frame -> dropped entirely
+    assert(Multimodal.sampleFrames(Array.fill[Byte](63)(1), 64, 4) === None)
+  }
+
   test("malformed payloads yield sentinel dims, never a stage failure") {
     val bad = Seq(
       7L -> "not a ppm".getBytes(US_ASCII),     // wrong magic
