@@ -181,6 +181,8 @@ object SparkEntry {
     "q84_pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(Tables(s, d, "documents"))),
     // multimodal frame sampling: stride-sample fixed-width payload frames
     "q85_frame_sample" -> ((s, d) => Multimodal.frameSample(s, Tables(s, d, "documents"))),
+    // order-sensitive session funnel: click strictly before purchase
+    "q86_session_funnel" -> ((s, d) => Events.sessionFunnel(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1069,5 +1071,31 @@ object SparkEntry {
         |           c -> CAST(ascii(c) AS BIGINT))),
         |         (a, b) -> a + b)) AS BIGINT) AS sampled_byte_sum
         |FROM samp GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin,
+    "q86_session_funnel" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |              WHEN ts - lag(ts) OVER w > INTERVAL '5 minutes' THEN 1
+        |              ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_type, ts,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM t),
+        |g AS (
+        |  SELECT user_id, sess_id,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |         max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+        |  FROM s GROUP BY user_id, sess_id)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(CASE WHEN first_click IS NOT NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_click_sessions,
+        |       CAST(sum(CASE WHEN first_click IS NOT NULL
+        |                      AND last_purchase IS NOT NULL
+        |                      AND first_click < last_purchase
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -146,7 +146,23 @@ object Events {
     * behave identically; the oracle uses INTERVAL arithmetic on the
     * same timestamps. */
   def sessionize(events: DataFrame,
-      gap: java.time.Duration = java.time.Duration.ofMinutes(5)): DataFrame = {
+      gap: java.time.Duration = java.time.Duration.ofMinutes(5)): DataFrame =
+    withSessionIds(events, gap)
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy("user_id")
+
+  /** Gap-based session assignment shared by q54/q86: two stacked
+    * windows over ONE user_id exchange, on the canonical nanos bridge
+    * (LONG-nanos and TIMESTAMP behave identically). Adds `sess_id`
+    * (1-based per user). */
+  private def withSessionIds(events: DataFrame,
+      gap: java.time.Duration): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tsn = tsNanos(events)
     val w = Window.partitionBy(col("user_id")).orderBy(tsn.asc, col("event_id").asc)
@@ -157,13 +173,31 @@ object Events {
           .when(lag(tsn, 1).over(w).isNull, 1L)
           .otherwise(0L))
       .withColumn("sess_id", sum(col("new_sess")).over(ws))
-      .groupBy("user_id", "sess_id")
-      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** q86 — session funnel: within each gap-based session, does a
+    * 'click' STRICTLY precede a 'purchase'? The order-sensitive
+    * pattern ∃(c, p): ts_c < ts_p collapses to
+    * min(click ts) < max(purchase ts) — two conditional aggregates,
+    * no self-join, no per-event pattern state; rides the same single
+    * user_id exchange as q54 and then two hash aggregations.
+    * Equal-timestamp pairs do NOT convert (strict <), mirrored in the
+    * oracle. Per-user output: sessions, sessions with a click, and
+    * converted sessions. */
+  def sessionFunnel(events: DataFrame,
+      gap: java.time.Duration = java.time.Duration.ofMinutes(5)): DataFrame = {
+    val sess = withSessionIds(events, gap)
+    val tsn = tsNanos(sess)
+    sess.groupBy("user_id", "sess_id")
+      .agg(
+        min(when(col("event_type") === "click", tsn)).as("first_click"),
+        max(when(col("event_type") === "purchase", tsn)).as("last_purchase"))
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_sessions"),
-        max(col("n_events")).as("max_session_events"),
-        sum(col("n_events")).as("n_events"))
+        sum(col("first_click").isNotNull.cast("long")).as("n_click_sessions"),
+        sum((col("first_click").isNotNull && col("last_purchase").isNotNull &&
+          col("first_click") < col("last_purchase")).cast("long")).as("n_converted"))
       .orderBy("user_id")
   }
 

@@ -56,6 +56,41 @@ class TimeTypesSpec extends SparkSpec {
     assert(a.nonEmpty && a === b)
   }
 
+  test("sessionFunnel: dual ts types agree, counts match a brute force") {
+    val a = rowsOf(Events.sessionFunnel(evLong))
+    val b = rowsOf(Events.sessionFunnel(evTs))
+    assert(a.nonEmpty && a === b)
+    // brute force from the raw rows: sessionize by the same 5-min gap,
+    // then check min(click ts) < max(purchase ts) per session
+    val gap = java.time.Duration.ofMinutes(5).toNanos
+    val raw = evLong.select("user_id", "event_id", "ts", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = raw.groupBy(_._1).map { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._2))
+      val sessions = sorted.foldLeft(List.empty[List[(Long, String)]]) {
+        case (acc, e) =>
+          acc match {
+            case cur :: rest if e._3 - cur.head._1 <= gap =>
+              ((e._3, e._4) :: cur) :: rest
+            case _ => List((e._3, e._4)) :: acc
+          }
+      }
+      val stats = sessions.map { s =>
+        val clicks = s.filter(_._2 == "click").map(_._1)
+        val purchases = s.filter(_._2 == "purchase").map(_._1)
+        (clicks.nonEmpty,
+          clicks.nonEmpty && purchases.nonEmpty && clicks.min < purchases.max)
+      }
+      (uid, sessions.length.toLong, stats.count(_._1).toLong,
+        stats.count(_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = a.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+      r(2).asInstanceOf[Long], r(3).asInstanceOf[Long]))
+    assert(got === expect)
+    assert(got.exists(_._4 > 0), "no session converted — vacuous")
+    assert(got.exists { case (_, n, _, c) => c < n }, "every session converted — vacuous")
+  }
+
   test("ivf nprobe>1 recall vs exact top-k is >= single-cell recall") {
     val emb = Tables(spark, dir, "embeddings")
     val exact = Similarity.cosineTopK(emb, 20, 3).collect()
