@@ -183,6 +183,8 @@ object SparkEntry {
     "q85_frame_sample" -> ((s, d) => Multimodal.frameSample(s, Tables(s, d, "documents"))),
     // order-sensitive session funnel: click strictly before purchase
     "q86_session_funnel" -> ((s, d) => Events.sessionFunnel(Tables(s, d, "events"))),
+    // int8 scalar quantization audit over the embedding column
+    "q87_quantize_embed" -> ((s, d) => Similarity.quantizeStats(Tables(s, d, "embeddings"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1097,5 +1099,26 @@ object SparkEntry {
         |                      AND first_click < last_purchase
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q87_quantize_embed" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |         list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+        |           (a, b) -> greatest(a, b)) AS maxabs
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, maxabs,
+        |         list_transform(v, x -> CASE WHEN maxabs > 0.0
+        |           THEN CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)
+        |           ELSE CAST(0 AS BIGINT) END) AS q
+        |  FROM m)
+        |SELECT vec_id, maxabs,
+        |       list_aggregate(q, 'min') AS min_q,
+        |       list_aggregate(q, 'max') AS max_q,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, b) -> a + b) AS sum_q,
+        |       CAST(len(list_filter(q, x -> x <> 0)) AS BIGINT) AS nnz
+        |FROM q ORDER BY vec_id""".stripMargin,
   )
 }

@@ -178,6 +178,38 @@ object Similarity {
         (col("sq").cast("double") / col("n") / 1e6).as("mean_q"))
       .orderBy("pos")
 
+  /** q87 — int8 scalar quantization of the embedding column: the
+    * standard vector-index compression step (scale each vector by
+    * 127/max|x|, round to integers in [-127, 127]). Rounding is the
+    * explicit `floor(x·scale + 0.5)` formulation — pure IEEE ops that
+    * both engines evaluate identically, instead of engine-native
+    * `round` whose half-way rule may differ. Per-vector audit output
+    * (quantized min/max/sum/nonzero count + the scale denominator) —
+    * what a pipeline checks before swapping the f32 index for the int8
+    * one. Everything is array HOFs inside one narrow projection: no
+    * shuffle, no explode, linear scan; the quantized array itself
+    * never leaves the projection. All-zero vectors quantize to zeros
+    * (scale denominator 0 is spec-pinned, not divided by). */
+  def quantizeStats(embeddings: DataFrame): DataFrame = {
+    val q = transform(col("v"),
+      x => when(col("maxabs") > lit(0.0d),
+        floor(x * lit(127.0d) / col("maxabs") + lit(0.5d)).cast("long"))
+        .otherwise(lit(0L)))
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("maxabs",
+        aggregate(col("v"), lit(0.0d), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("q", q)
+      .select(
+        col("vec_id"),
+        col("maxabs"),
+        array_min(col("q")).as("min_q"),
+        array_max(col("q")).as("max_q"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"),
+        size(filter(col("q"), x => x =!= lit(0L))).cast("long").as("nnz"))
+      .orderBy("vec_id")
+  }
+
   /** q26 — LSH-bucketed approximate nearest neighbors: the scale path
     * for similarity search. Every vector gets a NumPlanes-bit
     * random-hyperplane bucket (one scan, no shuffle of the corpus);

@@ -365,6 +365,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q87 quantization: range bounds hold, brute force agrees, zero vector pinned") {
+    val got = Similarity.quantizeStats(t("embeddings")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    // int8 range and extremum: some quantized value must hit ±127
+    assert(got.forall { case (_, _, lo, hi, _, _) => lo >= -127 && hi <= 127 })
+    assert(got.forall { case (_, m, lo, hi, _, nnz) =>
+      m <= 0.0 || lo == -127 || hi == 127 })
+    // brute force over the raw floats
+    val raw = t("embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val expect = raw.map { case (id, v) =>
+      val m = v.foldLeft(0.0)((a, x) => math.max(a, math.abs(x)))
+      val q = v.map(x => if (m > 0.0) math.floor(x * 127.0 / m + 0.5).toLong else 0L)
+      (id, m, q.min, q.max, q.sum, q.count(_ != 0).toLong)
+    }.sortBy(_._1)
+    assert(got.toList === expect.toList)
+    // the all-zero vector contract (not present in testdata): zeros out
+    import spark.implicits._
+    val z = Seq((99L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val zr = Similarity.quantizeStats(z).collect()(0)
+    assert((zr.getDouble(1), zr.getLong(2), zr.getLong(3), zr.getLong(4),
+      zr.getLong(5)) === ((0.0, 0L, 0L, 0L, 0L)))
+  }
+
   test("q83 length band: bounds match brute-force quantile_cont, keep set exact") {
     val counts = graft.functions.TextFns.tokens(t("documents"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
