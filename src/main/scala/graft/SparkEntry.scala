@@ -185,6 +185,8 @@ object SparkEntry {
     "q86_session_funnel" -> ((s, d) => Events.sessionFunnel(Tables(s, d, "events"))),
     // int8 scalar quantization audit over the embedding column
     "q87_quantize_embed" -> ((s, d) => Similarity.quantizeStats(Tables(s, d, "embeddings"))),
+    // perplexity-filter signal: mean bigram log-prob under the corpus LM
+    "q88_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1120,5 +1122,25 @@ object SparkEntry {
         |       list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, b) -> a + b) AS sum_q,
         |       CAST(len(list_filter(q, x -> x <> 0)) AS BIGINT) AS nnz
         |FROM q ORDER BY vec_id""".stripMargin,
+    "q88_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(string_split_regex(text, '\s+'),
+        |           w -> lower(regexp_replace(w, '[^A-Za-z]', '', 'g'))),
+        |         w -> w <> '') AS ws
+        |  FROM documents),
+        |p AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |            FROM t WHERE len(ws) >= 2)),
+        |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM p GROUP BY w1, w2),
+        |wm AS (SELECT w1, w2, c12,
+        |              CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM c),
+        |j AS (SELECT doc_id,
+        |             CAST(floor(ln(CAST(c12 AS DOUBLE) / c1) * 1e6) AS BIGINT) AS lp_q
+        |      FROM p JOIN wm USING (w1, w2))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(lp_q) AS BIGINT) AS sum_lp_q,
+        |       CAST(sum(lp_q) AS DOUBLE) / 1e6 / count(*) AS avg_logprob
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

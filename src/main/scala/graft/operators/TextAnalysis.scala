@@ -234,6 +234,43 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** q88 — language-model scoring (the perplexity-filter signal): each
+    * document's mean bigram log-probability under the corpus's own
+    * bigram model (q62's counts applied back to the documents).
+    * Pipelines drop the lowest-scoring tail as gibberish and flag the
+    * highest as boilerplate. The per-term values are
+    * ln(c(w1,w2)/c(w1·)) of exact integer-ratio doubles; each term is
+    * FLOOR-QUANTIZED to integer micros BEFORE summing (the q65
+    * quantized-mean trick) because a double sum is partitioning- and
+    * order-dependent — the integer sum is exact on any engine and any
+    * partitioning, and the mean divides back out at the end. Shape:
+    * one ordered-tokenize pass to per-doc bigrams, one count
+    * aggregation on the (w1, w2) key + a w1-marginal window over it,
+    * one shuffle join of bigrams to their counts on the pair key, one
+    * per-doc aggregation — all keyed, no broadcast of anything
+    * vocabulary-sized. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bigrams = docs.select(col("doc_id"), orderedWords.as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"),
+        col("ws"))
+      .select(col("doc_id"),
+        element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"))
+    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+    bigrams.join(counts, Seq("w1", "w2"))
+      .withColumn("lp_q",
+        floor(log(col("c12").cast("double") / col("c1")) * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("sum_lp_q"))
+      .withColumn("avg_logprob",
+        col("sum_lp_q").cast("double") / 1e6 / col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** q69 — the corpus FILTER PIPELINE: the composition step that turns
     * the individual quality signals (q27 language-ID, q28 quality
     * score, q50 repetition) into a per-document keep/drop decision

@@ -391,6 +391,32 @@ class PipelineOpsSpec extends SparkSpec {
       zr.getLong(5)) === ((0.0, 0L, 0L, 0L, 0L)))
   }
 
+  test("q88 LM score matches a brute-force bigram model, scores are log-probs") {
+    val texts = t("documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def toks(s: String) = s.split("\\s+").toSeq
+      .map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty)
+    val docBigrams = texts.map { case (id, s) =>
+      id -> toks(s).sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+    }.filter(_._2.nonEmpty)
+    val c12 = docBigrams.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val expect = docBigrams.map { case (id, bs) =>
+      val q = bs.map { b =>
+        math.floor(math.log(c12(b).toDouble / c1(b._1)) * 1e6).toLong
+      }
+      (id, bs.length.toLong, q.sum, q.sum.toDouble / 1e6 / bs.length)
+    }.sortBy(_._1).toList
+    val got = TextAnalysis.lmScore(t("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // conditional probabilities are <= 1 so every score is <= 0, and
+    // the corpus must show real spread for the filter to be usable
+    assert(got.forall(_._4 <= 0.0))
+    assert(got.map(_._4).distinct.size > 1, "constant LM score — vacuous")
+  }
+
   test("q83 length band: bounds match brute-force quantile_cont, keep set exact") {
     val counts = graft.functions.TextFns.tokens(t("documents"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
