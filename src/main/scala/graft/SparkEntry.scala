@@ -204,6 +204,18 @@ object SparkEntry {
        |  SELECT word, CAST(count(*) AS BIGINT) AS df, list_sort(list(doc_id)) AS postings
        |  FROM toks GROUP BY word)""".stripMargin
 
+  /** ORDER-PRESERVING tokenizer mirror (TextFns.orderedWords): the one
+    * DuckDB fragment the sequence-sensitive oracles (q62, q82, q88)
+    * share, so the cross-engine tokenizer contract lives in one place
+    * like rawtoksCte does for the exploded form. */
+  private val ordtoksCte =
+    """ordtoks AS (
+      |  SELECT doc_id,
+      |         list_filter(list_transform(string_split_regex(text, '\s+'),
+      |           w -> lower(regexp_replace(w, '[^A-Za-z]', '', 'g'))),
+      |         w -> w <> '') AS ws
+      |  FROM documents)""".stripMargin
+
   /** DuckDB mirror of TextFns.polyHash (same left fold, same modulus). */
   private def polyHashSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -794,14 +806,10 @@ object SparkEntry {
          |                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rate
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q62_bigram_lm" ->
-      """WITH t AS (
-        |  SELECT list_filter(list_transform(string_split_regex(text, '\s+'),
-        |           w -> lower(regexp_replace(w, '[^A-Za-z]', '', 'g'))),
-        |         w -> w <> '') AS ws
-        |  FROM documents),
+      s"""WITH $ordtoksCte,
         |p AS (SELECT ws[i] AS w1, ws[i+1] AS w2
         |      FROM (SELECT ws, unnest(range(1, len(ws))) AS i
-        |            FROM t WHERE len(ws) >= 2)),
+        |            FROM ordtoks WHERE len(ws) >= 2)),
         |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY w1, w2),
         |wm AS (SELECT w1, w2, c,
         |              CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS c_w1 FROM c)
@@ -1001,15 +1009,10 @@ object SparkEntry {
         |            ELSE 'both' END AS kind
         |FROM c FULL JOIN s ON ck = sk ORDER BY nationkey""".stripMargin,
     "q82_span_dedup" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         list_filter(list_transform(string_split_regex(text, '\s+'),
-        |           w -> lower(regexp_replace(w, '[^A-Za-z]', '', 'g'))),
-        |           w -> w <> '') AS ws
-        |  FROM documents),
+      s"""WITH $ordtoksCte,
         |pos AS (
         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
-        |  FROM t WHERE len(ws) >= 8),
+        |  FROM ordtoks WHERE len(ws) >= 8),
         |s AS (
         |  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS span FROM pos),
         |sd AS (
@@ -1123,15 +1126,10 @@ object SparkEntry {
         |       CAST(len(list_filter(q, x -> x <> 0)) AS BIGINT) AS nnz
         |FROM q ORDER BY vec_id""".stripMargin,
     "q88_lm_score" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         list_filter(list_transform(string_split_regex(text, '\s+'),
-        |           w -> lower(regexp_replace(w, '[^A-Za-z]', '', 'g'))),
-        |         w -> w <> '') AS ws
-        |  FROM documents),
+      s"""WITH $ordtoksCte,
         |p AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
         |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-        |            FROM t WHERE len(ws) >= 2)),
+        |            FROM ordtoks WHERE len(ws) >= 2)),
         |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM p GROUP BY w1, w2),
         |wm AS (SELECT w1, w2, c12,
         |              CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM c),

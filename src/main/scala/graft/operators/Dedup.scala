@@ -345,10 +345,14 @@ object Dedup {
     * executors partition the gram space evenly with no broadcast and
     * no driver state. The span never leaves the shuffle key, and it
     * rides as `xxhash64` of the token SLICE — an 8-byte key instead
-    * of a multi-token string, the q18/q22 stateless set-encoding move
-    * (collision odds at 64 bits are ~1e-6 even at a billion distinct
-    * spans, and the DuckDB oracle compares on TRUE span strings, so a
-    * collision would surface as a verify mismatch, never silently).
+    * of a multi-token string, the q18/q22 stateless set-encoding move.
+    * Collision math, honestly: birthday odds of ANY 64-bit collision
+    * are n²/2⁶⁵ — negligible to ~10⁸ distinct spans (~0.03% at 10⁸)
+    * but ~2.7% at 10⁹, where a single colliding pair perturbs one
+    * span's doc count; size the key to the corpus (two xxhash64 seeds
+    * = 128 bits removes the risk) before running at that scale. At
+    * oracle-checked scales the DuckDB side compares TRUE span strings,
+    * so a collision fails verify loudly rather than passing silently.
     * Nothing is collected. Fraction is an exact integer-ratio double
     * (IEEE division — bit-identical across engines, q62 precedent). */
   def spanDedup(docs: DataFrame, n: Int = 8): DataFrame = {

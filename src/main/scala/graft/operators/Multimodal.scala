@@ -165,23 +165,27 @@ object Multimodal {
     * payload as fixed-width frames (a video frame buffer in
     * miniature), keep every `stride`-th frame, checksum the kept
     * bytes — the deterministic skeleton of video frame-sampling
-    * (decode → stride-sample → per-frame feature), in the same
-    * batched `mapPartitions` kernel shape as q31. Documents whose
-    * payload holds no whole frame drop out (and the oracle applies
-    * the same rule). The kernel parses the BINARY header and never
-    * sees the source text; the DuckDB oracle mirrors the arithmetic
-    * from the text side, so the round trip is verified end to end. */
+    * (decode → stride-sample → per-frame feature), at the same
+    * `mapPartitions` kernel boundary as q31 (per-payload work here, so
+    * no batch wrapper — q31's decodeBatch is the genuinely batched
+    * twin). Documents whose payload holds no whole frame drop out (and
+    * the oracle applies the same rule). The kernel parses the BINARY
+    * header and never sees the source text; the DuckDB oracle mirrors
+    * the arithmetic from the text side, so the round trip is verified
+    * end to end — under the corpus's ASCII-text contract (the oracle
+    * counts codepoints and the encoder US_ASCII bytes; a non-ASCII
+    * document would diverge, same pre-existing assumption as q31). */
   def frameSample(spark: SparkSession, docs: DataFrame, frameBytes: Int = 64,
-      stride: Int = 4, batchSize: Int = 64): DataFrame = {
+      stride: Int = 4): DataFrame = {
     import spark.implicits._
     val media: Dataset[(Long, Array[Byte])] =
       mediaTable(docs).select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
     media
-      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
+      .mapPartitions(_.flatMap { case (id, bytes) =>
         sampleFrames(bytes, frameBytes, stride).map { case (n, kept, sum) =>
           FrameSampleRow(id, n, kept, sum)
         }
-      }))
+      })
       .toDF()
       .orderBy("doc_id")
   }

@@ -211,6 +211,22 @@ object TextAnalysis {
     * in round 3 (span dedup and pack assembly need the same shape). */
   private def orderedWords = TextFns.orderedWords
 
+  /** Per-document adjacent bigram stream `(doc_id, w1, w2)` with
+    * multiplicity — the ONE bigram-extraction contract shared by the
+    * q62 model and the q88 scorer (q88 scores documents under q62's
+    * counts, so the two must tokenize-and-pair identically by
+    * construction, not by parallel maintenance). One narrow
+    * order-preserving projection; stays in codegen. */
+  private def docBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), orderedWords.as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"),
+        col("ws"))
+      .select(col("doc_id"),
+        element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"))
+
   /** q62 — bigram language model: global (w1, w2) counts with the
     * conditional probability p(w2|w1) = c(w1,w2)/c(w1,·), top-`k`
     * bigrams. The order-preserving tokenize is one narrow projection
@@ -220,14 +236,8 @@ object TextAnalysis {
     * are exact integer ratios — bit-identical across engines. */
   def bigramLm(docs: DataFrame, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = docs.select(orderedWords.as("ws"))
-      .where(size(col("ws")) >= 2)
-      .select(col("ws"), explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
-      .select(
-        element_at(col("ws"), col("i")).as("w1"),
-        element_at(col("ws"), col("i") + 1).as("w2"))
     val w = Window.partitionBy(col("w1"))
-    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    docBigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c"))
       .withColumn("c_w1", sum(col("c")).over(w))
       .withColumn("cond_p", col("c").cast("double") / col("c_w1"))
       .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
@@ -242,23 +252,22 @@ object TextAnalysis {
     * ln(c(w1,w2)/c(w1·)) of exact integer-ratio doubles; each term is
     * FLOOR-QUANTIZED to integer micros BEFORE summing (the q65
     * quantized-mean trick) because a double sum is partitioning- and
-    * order-dependent — the integer sum is exact on any engine and any
-    * partitioning, and the mean divides back out at the end. Shape:
-    * one ordered-tokenize pass to per-doc bigrams, one count
+    * order-dependent — the integer SUM is then exact on any engine
+    * and any partitioning, and the mean divides back out at the end.
+    * What quantization does NOT remove: the floor's input is libm
+    * `ln`, which the engines only contract to within 1 ulp — a term
+    * landing within an ulp of an exact micro boundary could floor
+    * differently per engine (the same boundary class as q41's 6-dp
+    * rounding; empirically bit-identical on these inputs, and a
+    * divergence fails verify loudly rather than corrupting silently).
+    * Shape: one ordered-tokenize pass to per-doc bigrams, one count
     * aggregation on the (w1, w2) key + a w1-marginal window over it,
     * one shuffle join of bigrams to their counts on the pair key, one
     * per-doc aggregation — all keyed, no broadcast of anything
     * vocabulary-sized. */
   def lmScore(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bigrams = docs.select(col("doc_id"), orderedWords.as("ws"))
-      .where(size(col("ws")) >= 2)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"),
-        col("ws"))
-      .select(col("doc_id"),
-        element_at(col("ws"), col("i")).as("w1"),
-        element_at(col("ws"), col("i") + 1).as("w2"))
+    val bigrams = docBigrams(docs)
     val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
     bigrams.join(counts, Seq("w1", "w2"))
