@@ -187,6 +187,8 @@ object SparkEntry {
     "q87_quantize_embed" -> ((s, d) => Similarity.quantizeStats(Tables(s, d, "embeddings"))),
     // perplexity-filter signal: mean bigram log-prob under the corpus LM
     "q88_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d, "documents"))),
+    // the stored-sketch relation: MinHash signatures + LSH band keys
+    "q89_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1140,5 +1142,22 @@ object SparkEntry {
         |       CAST(sum(lp_q) AS BIGINT) AS sum_lp_q,
         |       CAST(sum(lp_q) AS DOUBLE) / 1e6 / count(*) AS avg_logprob
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q89_minhash_signatures" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |perms(i, a, b) AS (VALUES $permsValues),
+         |s1 AS (SELECT doc_id, i, CAST(min((a*th + b) % ${Hashing.P}) AS BIGINT) AS minh
+         |       FROM th CROSS JOIN perms GROUP BY doc_id, i),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
+         |      FROM toks GROUP BY doc_id),
+         |g AS (SELECT doc_id,
+         |             list(minh ORDER BY i) AS sig,
+         |             string_agg(minh::VARCHAR, '_' ORDER BY i)
+         |               FILTER (WHERE i < ${Hashing.RowsPerBand}) AS band0,
+         |             string_agg(minh::VARCHAR, '_' ORDER BY i)
+         |               FILTER (WHERE i >= ${Hashing.RowsPerBand}) AS band1
+         |      FROM s1 GROUP BY doc_id)
+         |SELECT g.doc_id, n.n_words, g.sig, g.band0, g.band1
+         |FROM g JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 }

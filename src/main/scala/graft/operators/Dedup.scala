@@ -328,6 +328,37 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q89 — the MinHash SIGNATURE RELATION as a first-class export:
+    * (doc_id, set size, the 32-minimum signature array, and the two
+    * LSH band keys). q22 consumes signatures transiently; an
+    * INCREMENTAL pipeline stores this relation instead — new data
+    * joins its band keys against yesterday's to find near-dup
+    * candidates without re-sketching the whole corpus. Same hash
+    * family and banding as q22 by construction (shared Hashing
+    * constants), one tokenize pass + one doc_id aggregation — the
+    * exact signature-build stage of q22's plan, minus the pair
+    * towers. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until Hashing.NumPerms).map { i =>
+      min((col("th") * lit(Hashing.permA(i)) + lit(Hashing.permB(i))) % lit(Hashing.P))
+        .as(s"h$i")
+    }
+    val agged = TextFns.docWords(docs)
+      .withColumn("th", TextFns.polyHash(col("word")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sigCols: _*)
+    val bandKeys = (0 until Hashing.NumBands).map { b =>
+      concat_ws("_",
+        (b * Hashing.RowsPerBand until (b + 1) * Hashing.RowsPerBand)
+          .map(i => col(s"h$i")): _*).as(s"band$b")
+    }
+    agged
+      .select(col("doc_id") +: col("n_words") +:
+        array((0 until Hashing.NumPerms).map(i => col(s"h$i")): _*).as("sig") +:
+        bandKeys: _*)
+      .orderBy("doc_id")
+  }
+
   /** q82 — exact substring-span dedup statistics: for every document
     * with at least `n` tokens, the fraction of its `n`-token spans
     * that also occur verbatim in at least one OTHER document. This is

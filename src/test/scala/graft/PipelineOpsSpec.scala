@@ -417,6 +417,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.map(_._4).distinct.size > 1, "constant LM score — vacuous")
   }
 
+  test("q89 signatures match a brute-force MinHash; bands concatenate the minima") {
+    import graft.functions.{Hashing, TextFns}
+    val dw = TextFns.docWords(t("documents")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def ph(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % TextFns.HashP)
+    val expect = dw.groupBy(_._1).map { case (id, ws) =>
+      val ths = ws.map(w => ph(w._2))
+      val sig = (0 until Hashing.NumPerms).map { i =>
+        ths.map(th => (th * Hashing.permA(i) + Hashing.permB(i)) % Hashing.P).min
+      }.toList
+      id -> (ws.length.toLong, sig)
+    }
+    val got = Dedup.minhashSignatures(t("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList,
+        r.getString(3), r.getString(4)))
+    assert(got.length === expect.size)
+    got.foreach { case (id, n, sig, band0, band1) =>
+      val (en, esig) = expect(id)
+      assert(n === en, s"n_words($id)")
+      assert(sig === esig, s"sig($id)")
+      assert(band0 === esig.take(Hashing.RowsPerBand).mkString("_"), s"band0($id)")
+      assert(band1 === esig.drop(Hashing.RowsPerBand).mkString("_"), s"band1($id)")
+    }
+    // the relation must be band-joinable: near-dups share at least one band
+    val shared = got.groupBy(_._4).values.count(_.length > 1) +
+      got.groupBy(_._5).values.count(_.length > 1)
+    assert(shared > 0, "no two docs share a band key — q22 candidates would be empty")
+  }
+
   test("q83 length band: bounds match brute-force quantile_cont, keep set exact") {
     val counts = graft.functions.TextFns.tokens(t("documents"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
