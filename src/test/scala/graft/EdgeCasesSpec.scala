@@ -56,6 +56,30 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.dimStats(emptyVec).count() === 0)
   }
 
+  test("round-3-late operators (q82-q89) on empty / degenerate inputs") {
+    // documents-shaped
+    assert(Dedup.spanDedup(empty).count() === 0)
+    assert(Dedup.spanDedup(single).count() === 0) // 4 tokens < n=8 spans
+    assert(Dedup.minhashSignatures(empty).count() === 0)
+    assert(Dedup.minhashSignatures(single).count() === 1)
+    assert(TextAnalysis.lengthBandFilter(empty).count() === 0)
+    assert(TextAnalysis.pmiPairs(empty).count() === 0)
+    assert(TextAnalysis.pmiPairs(single).count() === 0) // no pair clears minPair=5
+    assert(TextAnalysis.lmScore(empty).count() === 0)
+    assert(TextAnalysis.lmScore(Seq((1L, "word")).toDF("doc_id", "text")).count() === 0)
+    assert(Multimodal.frameSample(spark, empty).count() === 0)
+    // a doc whose payload is shorter than one frame drops out
+    assert(Multimodal.frameSample(spark, Seq((1L, "tiny")).toDF("doc_id", "text"))
+      .count() === 0)
+    // events-shaped
+    val emptyEv = Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    assert(Events.sessionFunnel(emptyEv).count() === 0)
+    // embeddings-shaped
+    val emptyVec = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.quantizeStats(emptyVec).count() === 0)
+  }
+
   test("dedup family on empty and single-doc corpora: no pairs, no throw") {
     assert(Dedup.nearDupJaccard(empty, 1000L, 0.5).count() === 0)
     assert(Dedup.minhashNearDup(empty, 0.5).count() === 0)
