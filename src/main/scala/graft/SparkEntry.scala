@@ -189,6 +189,10 @@ object SparkEntry {
     "q88_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d, "documents"))),
     // the stored-sketch relation: MinHash signatures + LSH band keys
     "q89_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(Tables(s, d, "documents"))),
+    // q89's consumer: today's batch band-joins yesterday's stored sketches
+    "q90_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDup(Tables(s, d, "documents"), 250L, 0.95)),
+    // q71's linear-scale twin: pigeonhole band-blocked Hamming join
+    "q91_simhash_match_scale" -> ((s, d) => Dedup.simhashMatchScale(Tables(s, d, "documents"), 3)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1142,6 +1146,10 @@ object SparkEntry {
         |       CAST(sum(lp_q) AS BIGINT) AS sum_lp_q,
         |       CAST(sum(lp_q) AS DOUBLE) / 1e6 / count(*) AS avg_logprob
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // band aggregates GENERATED from Hashing.NumBands (not hardcoded)
+    // so a banding-constants change keeps the oracle in lockstep; sig
+    // is the space-joined minima string (driver comparator contract —
+    // it cannot hash array cells)
     "q89_minhash_signatures" ->
       s"""WITH $toksCte,
          |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
@@ -1151,13 +1159,58 @@ object SparkEntry {
          |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
          |      FROM toks GROUP BY doc_id),
          |g AS (SELECT doc_id,
-         |             list(minh ORDER BY i) AS sig,
-         |             string_agg(minh::VARCHAR, '_' ORDER BY i)
-         |               FILTER (WHERE i < ${Hashing.RowsPerBand}) AS band0,
-         |             string_agg(minh::VARCHAR, '_' ORDER BY i)
-         |               FILTER (WHERE i >= ${Hashing.RowsPerBand}) AS band1
+         |             string_agg(minh::VARCHAR, ' ' ORDER BY i) AS sig,
+         |${(0 until Hashing.NumBands).map(b =>
+             s"             string_agg(minh::VARCHAR, '_' ORDER BY i)" +
+             s" FILTER (WHERE i // ${Hashing.RowsPerBand} = $b) AS band$b")
+             .mkString(",\n")}
          |      FROM s1 GROUP BY doc_id)
-         |SELECT g.doc_id, n.n_words, g.sig, g.band0, g.band1
+         |SELECT g.doc_id, n.n_words, g.sig,
+         |${(0 until Hashing.NumBands).map(b => s"       g.band$b").mkString(",\n")}
          |FROM g JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q22's CTE chain split at the cap: new side (doc_id >= 250) probes
+    // the stored side (doc_id < 250) — candidates strictly cross-boundary
+    "q90_incremental_neardup" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |perms(i, a, b) AS (VALUES $permsValues),
+         |sig AS (SELECT doc_id, i, min((a*th + b) % ${Hashing.P}) AS minh
+         |        FROM th CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // ${Hashing.RowsPerBand} AS band,
+         |                 string_agg(minh::VARCHAR, '_' ORDER BY i) AS key
+         |          FROM sig GROUP BY i // ${Hashing.RowsPerBand}, doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key
+         |          AND a.doc_id >= 250 AND b.doc_id < 250),
+         |$setsCte
+         |SELECT doc_new, doc_old, jaccard FROM (
+         |  SELECT doc_new, doc_old,
+         |         ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
+         |  FROM cand JOIN sets a ON doc_new = a.doc_id JOIN sets b ON doc_old = b.doc_id)
+         |WHERE jaccard >= 0.95 ORDER BY doc_new, doc_old""".stripMargin,
+    // q71's chain minus the cap, with the all-pairs theta join replaced
+    // by the pigeonhole block equi-join (4 blocks of 4 bits for dist<=3)
+    "q91_simhash_match_scale" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |bits AS (SELECT doc_id, b, sum(((th >> b) & 1)*2 - 1) AS s
+         |         FROM th CROSS JOIN generate_series(0, ${Hashing.SimHashBits - 1}) t(b)
+         |         GROUP BY doc_id, b),
+         |sh AS (SELECT doc_id,
+         |              CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM bits GROUP BY doc_id),
+         |blk AS (SELECT doc_id, simhash, bi,
+         |               (simhash >> (bi * ${Hashing.SimHashBits / 4})) & ${(1 << (Hashing.SimHashBits / 4)) - 1} AS bv
+         |        FROM sh CROSS JOIN generate_series(0, 3) t(bi)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+         |                b.doc_id AS doc_b, b.simhash AS sh_b
+         |         FROM blk a JOIN blk b
+         |           ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, dist FROM (
+         |  SELECT doc_a, doc_b,
+         |         CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS dist
+         |  FROM cand)
+         |WHERE dist <= 3 ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -430,13 +430,16 @@ class PipelineOpsSpec extends SparkSpec {
       id -> (ws.length.toLong, sig)
     }
     val got = Dedup.minhashSignatures(t("documents")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList,
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getString(3), r.getString(4)))
     assert(got.length === expect.size)
     got.foreach { case (id, n, sig, band0, band1) =>
       val (en, esig) = expect(id)
       assert(n === en, s"n_words($id)")
-      assert(sig === esig, s"sig($id)")
+      // sig ships as the space-joined minima string (driver comparator
+      // contract, DriverContractSpec) — the split is lossless
+      assert(sig === esig.mkString(" "), s"sig($id)")
+      assert(sig.split(" ").map(_.toLong).toList === esig, s"sig roundtrip($id)")
       assert(band0 === esig.take(Hashing.RowsPerBand).mkString("_"), s"band0($id)")
       assert(band1 === esig.drop(Hashing.RowsPerBand).mkString("_"), s"band1($id)")
     }
@@ -465,5 +468,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_._1).toSet === expectKeep)
     assert(rows.nonEmpty && rows.length < counts.size,
       "band trimmed nothing — vacuous")
+  }
+
+  test("q90 incremental near-dup: cross-boundary subset of q22, non-vacuous") {
+    val docs = t("documents")
+    val cap = 25L // sf0.001 has 50 docs; split in the middle
+    val full = Dedup.minhashNearDup(docs, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val crossPairs = full.filter { case (a, b, _) =>
+      (a < cap) != (b < cap) }
+      // q22 orients pairs doc_a < doc_b; q90 orients new -> old
+      .map { case (a, b, j) => if (a >= cap) (a, b, j) else (b, a, j) }.toSet
+    val got = Dedup.incrementalNearDup(docs, cap, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every pair is strictly new x old
+    assert(got.forall { case (nw, old, _) => nw >= cap && old < cap })
+    // band-join against the stored side finds EXACTLY q22's
+    // cross-boundary pairs: same band collisions, same verify
+    assert(got.toSet === crossPairs)
+    assert(got.nonEmpty, "no near-dup pair crosses the cap — vacuous split")
+  }
+
+  test("q91 band-blocked simhash match is IDENTICAL to the all-pairs form") {
+    val docs = t("documents")
+    // q71 capped at a value covering the whole fixture = uncapped form
+    val allPairs = Dedup.simhashMatch(docs, Long.MaxValue, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = Dedup.simhashMatchScale(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // pigeonhole blocking is exhaustive: equality, not just subset
+    assert(blocked === allPairs)
+    assert(blocked.nonEmpty, "no pair within distance 3 — vacuous")
+    assert(blocked.forall(_._3 <= 3))
   }
 }
