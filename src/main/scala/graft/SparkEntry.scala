@@ -193,6 +193,9 @@ object SparkEntry {
     "q90_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDup(Tables(s, d, "documents"), 250L, 0.95)),
     // q71's linear-scale twin: pigeonhole band-blocked Hamming join
     "q91_simhash_match_scale" -> ((s, d) => Dedup.simhashMatchScale(Tables(s, d, "documents"), 3)),
+    // q43's documented plug-in realized: k-means-trained IVF codebook
+    // (2 Lloyd rounds, quantized-integer centroid means) + assignment
+    "q92_kmeans_ivf" -> ((s, d) => Similarity.kmeansAssign(Tables(s, d, "embeddings"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1212,5 +1215,51 @@ object SparkEntry {
          |         CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS dist
          |  FROM cand)
          |WHERE dist <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // 2 unrolled Lloyd rounds; centroid means via floor-quantized
+    // integer sums (order-independent — the q65 mean_q rule); ranking
+    // by round(cos,6) with cent_id tiebreak (the q43 rule); output
+    // double-rounds round(round(cos,6),2) to mirror the Spark side
+    "q92_kmeans_ivf" ->
+      s"""WITH $embCte,
+         |cents0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM e
+         |           ORDER BY ${polyHashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 32),
+         |a1 AS (SELECT vec_id, v, nrm, cell FROM (
+         |        SELECT e.vec_id, e.v, e.nrm, c.cent_id AS cell,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                 ORDER BY round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) DESC,
+         |                          c.cent_id) AS r
+         |        FROM e CROSS JOIN cents0 c) WHERE r = 1),
+         |m1 AS (SELECT cell, pos,
+         |              CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS m
+         |       FROM (SELECT cell, z[2] AS pos, CAST(z[1] AS DOUBLE) AS x
+         |             FROM (SELECT cell, unnest(list_zip(v, range(1, len(v) + 1))) AS z
+         |                   FROM a1))
+         |       GROUP BY cell, pos),
+         |cents1 AS (SELECT cent_id, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM (
+         |            SELECT cell AS cent_id, list(m ORDER BY pos) AS cv
+         |            FROM m1 GROUP BY cell)),
+         |a2 AS (SELECT vec_id, v, nrm, cell FROM (
+         |        SELECT e.vec_id, e.v, e.nrm, c.cent_id AS cell,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                 ORDER BY round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) DESC,
+         |                          c.cent_id) AS r
+         |        FROM e CROSS JOIN cents1 c) WHERE r = 1),
+         |m2 AS (SELECT cell, pos,
+         |              CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS m
+         |       FROM (SELECT cell, z[2] AS pos, CAST(z[1] AS DOUBLE) AS x
+         |             FROM (SELECT cell, unnest(list_zip(v, range(1, len(v) + 1))) AS z
+         |                   FROM a2))
+         |       GROUP BY cell, pos),
+         |cents2 AS (SELECT cent_id, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM (
+         |            SELECT cell AS cent_id, list(m ORDER BY pos) AS cv
+         |            FROM m2 GROUP BY cell))
+         |SELECT vec_id, cell, round(c6, 2) AS cos_sim FROM (
+         |  SELECT e.vec_id, c.cent_id AS cell,
+         |         round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) AS c6,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) DESC,
+         |                    c.cent_id) AS r
+         |  FROM e CROSS JOIN cents2 c) WHERE r = 1
+         |ORDER BY vec_id""".stripMargin,
   )
 }

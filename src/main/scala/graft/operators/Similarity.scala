@@ -156,6 +156,81 @@ object Similarity {
     else try result.localCheckpoint(true) finally ranked.unpersist()
   }
 
+  /** One Lloyd assignment step: every vector → its argmax-cosine cell
+    * against a broadcast centroid frame (6-dp rounded with cent_id
+    * tiebreak — the q43 cross-engine determinism rule). Map-side: the
+    * codebook is bounded, nothing shuffles but the window's vec_id
+    * partitioning. */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos6").desc, col("cent_id").asc)
+    e.crossJoin(broadcast(cents))
+      .withColumn("ccos6",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+      .withColumn("crnk", row_number().over(w))
+      .where(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cent_id").as("cell"), col("ccos6"))
+  }
+
+  /** q92 — the k-means-TRAINED IVF codebook (q43's documented plug-in,
+    * VERDICT r3 stretch #7): `iters` Lloyd rounds as pure DataFrame
+    * aggregations, then the final cell assignment. Output is the
+    * per-vector assignment relation an IVF index stores: (vec_id,
+    * cell, cosine to its trained centroid).
+    *
+    * Cross-engine determinism, the whole trick: the centroid UPDATE
+    * routes through floor-quantized integer dimension sums
+    * (`sum(floor(x·10⁶))` per (cell, dim) — order-independent exact
+    * integers, the q65 mean_q rule) so both engines derive
+    * bit-identical centroid doubles no matter how partitions reduce;
+    * the ASSIGNMENT ranks by 6-dp-rounded cosine with cent_id
+    * tiebreak (the q43 rule). Iteration count and the seed codebook
+    * (q43's hash-ordered sample) are fixed constants shared with the
+    * oracle.
+    *
+    * Scale shape per round: assignment is a broadcast-codebook
+    * map-side pass (one window on vec_id); the update is a map-side
+    * partial aggregation that collapses the corpus to numCents×dim
+    * rows BEFORE the shuffle — the classic distributed-Lloyd layout.
+    * Nothing corpus-sized is ever collected, broadcast, or iterated
+    * on the driver; `iters` is a fixed small constant so the lazy
+    * plan tree stays shallow (no checkpoint hygiene needed, unlike
+    * the unbounded q49 loop). */
+  def kmeansAssign(embeddings: DataFrame, iters: Int = 2, numCents: Int = 32): DataFrame = {
+    val e = withNorm(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = e
+      .orderBy(graft.functions.TextFns.polyHash(col("vec_id").cast("string")).asc,
+        col("vec_id").asc)
+      .limit(numCents)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(e, cents)
+      // per-(cell, dim) quantized means -> reassembled centroid arrays;
+      // 2048 rows for 32 cells x 64 dims, regardless of corpus size.
+      // Cells that lose every member simply drop out (deterministic in
+      // both engines; the remaining codebook still covers all vectors).
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(floor(col("x") * 1e6).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .withColumn("m", col("sq").cast("double") / col("n") / 1e6)
+        .groupBy("cell")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .select(col("cell").as("cent_id"), col("cv"),
+          sqrt(dot(col("cv"), col("cv"))).as("cnrm"))
+    }
+    val result = assignCells(e, cents)
+      .select(col("vec_id"), col("cell"), round(col("ccos6"), 2).as("cos_sim"))
+      .orderBy("vec_id")
+    if (!Dedup.eagerMaterialize(embeddings)) result
+    else try result.localCheckpoint(true) finally e.unpersist()
+  }
+
   /** q65 — per-dimension embedding statistics (the feature-normalization
     * pre-pass: each dimension's range and mean across the corpus). One
     * posexplode + one aggregation — linear, map-side partials. min/max

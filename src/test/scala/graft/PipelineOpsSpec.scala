@@ -501,4 +501,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(blocked.nonEmpty, "no pair within distance 3 — vacuous")
     assert(blocked.forall(_._3 <= 3))
   }
+
+  test("q92 k-means IVF: total assignment, partitioning-invariant, training helps") {
+    val emb = t("embeddings")
+    val trained = Similarity.kmeansAssign(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(trained.length === emb.count(), "assignment must be total")
+    assert(trained.map(_._2).distinct.length > 1, "all vectors in one cell — vacuous")
+    // the quantized-integer centroid means make the whole training
+    // run independent of physical partitioning — the property the
+    // cross-engine oracle also depends on
+    val repart = Similarity.kmeansAssign(emb.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(repart.toList === trained.toList)
+    // spherical-Lloyd objective: mean assignment cosine must not get
+    // worse than the untrained (seed-codebook) assignment; epsilon
+    // covers the 1e-6 centroid quantization + 2-dp display rounding
+    val seed = Similarity.kmeansAssign(emb, iters = 0).collect().map(_.getDouble(2))
+    val meanSeed = seed.sum / seed.length
+    val meanTrained = trained.map(_._3).sum / trained.length
+    assert(meanTrained >= meanSeed - 1e-2,
+      s"training degraded the assignment: $meanSeed -> $meanTrained")
+  }
 }
