@@ -25,8 +25,14 @@ object Hashing {
   def permA(i: Int): Long = ((2654435761L * (i + 1)) % P) | 1L
   def permB(i: Int): Long = (40503L * (i + 7) * (i + 7) + 297121507L) % P
 
-  /** SimHash signature width (bits of the token polyHash). */
-  val SimHashBits = 16
+  /** SimHash signature width (bits of the token polyHash). 28 =
+    * (maxDist+1)·7 for the q91 pigeonhole blocking — 7-bit blocks give
+    * 128 bucket values per block (16-bit/4-bit blocks in rounds ≤3
+    * had only 16, so bucket occupancy grew 8× faster with the corpus)
+    * — and every bit stays inside polyHash's well-mixed low 28 bits
+    * (values are mod 1e9+7 < 2³⁰, so bits 28+ are biased toward 0 and
+    * would be dead weight in a block). */
+  val SimHashBits = 28
 
   /** Random-hyperplane LSH for embeddings: nPlanes sign bits, integer
     * weight lattice w(p,d) = ((131p + 31d) mod 17) − 8 — deterministic,

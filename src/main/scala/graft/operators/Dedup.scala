@@ -374,9 +374,9 @@ object Dedup {
   }
 
   /** q71 — SimHash matching: the USE of q23's signatures — candidate
-    * near-dup pairs by Hamming distance ≤ `maxDist` on the 16-bit
-    * signature (`bit_count(xor)` — two codegen'd integer ops per
-    * pair). Bounded-candidate baseline like q18/q24; the scale path
+    * near-dup pairs by Hamming distance ≤ `maxDist` on the
+    * SimHashBits-wide signature (`bit_count(xor)` — two codegen'd
+    * integer ops per pair). Bounded-candidate baseline like q18/q24; the scale path
     * blocks on signature bytes first. Distance is exact integer
     * arithmetic — identical across engines. */
   def simhashMatch(docs: DataFrame, cap: Long, maxDist: Int): DataFrame = {
@@ -403,13 +403,14 @@ object Dedup {
     * unlike MinHash banding this blocking is exhaustive, which is why
     * the Spec can assert q91 ≡ q71 rather than ⊆).
     *
-    * Scale honesty: with the 16-bit oracle-shared signature each
-    * block is 4 bits → only 16 bucket values per block, so bucket
-    * occupancy grows linearly with the corpus and the join degenerates
-    * toward all-pairs. The production setting is a 64-bit signature
-    * (16-bit blocks → 65 536 values per block); the PLAN — explode to
-    * (block, value), shuffle on the bucket key, verify only colliding
-    * pairs — is unchanged, only the Hashing constant widens. */
+    * Scale honesty: bucket occupancy is corpus/2^(bits per block), so
+    * the block width is the capacity lever. The 28-bit signature
+    * (7-bit blocks, 128 values) keeps sf0.1 buckets in the tens;
+    * production corpora want a 64-bit signature over a 64-bit token
+    * hash (16-bit blocks → 65 536 values per block). The PLAN —
+    * explode to (block, value), shuffle on the bucket key, verify
+    * only colliding pairs — is unchanged, only the Hashing constant
+    * widens. */
   def simhashMatchScale(docs: DataFrame, maxDist: Int): DataFrame = {
     val nBlocks = maxDist + 1
     require(Hashing.SimHashBits % nBlocks == 0,

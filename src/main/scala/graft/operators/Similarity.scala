@@ -158,21 +158,24 @@ object Similarity {
 
   /** One Lloyd assignment step: every vector → its argmax-cosine cell
     * against a broadcast centroid frame (6-dp rounded with cent_id
-    * tiebreak — the q43 cross-engine determinism rule). Map-side: the
-    * codebook is bounded, nothing shuffles but the window's vec_id
-    * partitioning. */
-  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos6").desc, col("cent_id").asc)
+    * tiebreak — the q43 cross-engine determinism rule). Shape: the
+    * bounded-codebook cross join is a broadcast nested loop (the
+    * q19/q43 class), and the argmax is the q64 `max(struct)`
+    * formulation — map-side partial aggregation collapses the 32
+    * candidate rows per vector BEFORE the shuffle and no group is
+    * ever sorted (a window row_number here would shuffle and sort
+    * codebook×corpus rows). Tiebreak: struct max on (ccos6,
+    * −cent_id) picks the highest cosine, then the LOWEST cent_id —
+    * identical to the oracle's row_number ordering. */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("ccos6",
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
-      .withColumn("crnk", row_number().over(w))
-      .where(col("crnk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("cent_id").as("cell"), col("ccos6"))
-  }
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos6"), (-col("cent_id")).as("ncell"),
+        col("v"), col("nrm"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.nrm").as("nrm"),
+        (-col("best.ncell")).as("cell"), col("best.ccos6").as("ccos6"))
 
   /** q92 — the k-means-TRAINED IVF codebook (q43's documented plug-in,
     * VERDICT r3 stretch #7): `iters` Lloyd rounds as pure DataFrame
