@@ -196,6 +196,8 @@ object SparkEntry {
     // q43's documented plug-in realized: k-means-trained IVF codebook
     // (2 Lloyd rounds, quantized-integer centroid means) + assignment
     "q92_kmeans_ivf" -> ((s, d) => Similarity.kmeansAssign(Tables(s, d, "embeddings"))),
+    // SemDeDup shape: cell-bucketed embedding near-dup edges -> components
+    "q93_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables(s, d, "embeddings"), 0.4)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1261,5 +1263,30 @@ object SparkEntry {
          |                    c.cent_id) AS r
          |  FROM e CROSS JOIN cents2 c) WHERE r = 1
          |ORDER BY vec_id""".stripMargin,
+    // SemDeDup: seed-codebook assignment, within-cell cosine edges,
+    // recursive closure (the q49/q58 reach pattern over vec ids)
+    "q93_semantic_dedup" ->
+      s"""WITH RECURSIVE $embCte,
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM e
+         |          ORDER BY ${polyHashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 32),
+         |a1 AS (SELECT vec_id, v, nrm, cell FROM (
+         |        SELECT e.vec_id, e.v, e.nrm, c.cent_id AS cell,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                 ORDER BY round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) DESC,
+         |                          c.cent_id) AS r
+         |        FROM e CROSS JOIN cents c) WHERE r = 1),
+         |edges AS (SELECT a.vec_id AS ea, b.vec_id AS eb
+         |          FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |          WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4),
+         |sym AS (SELECT ea AS u, eb AS w FROM edges
+         |        UNION ALL SELECT eb, ea FROM edges),
+         |reach(u, w) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.u, s.w FROM reach r JOIN sym s ON r.w = s.u),
+         |lab AS (SELECT u AS vec_id, min(w) AS cluster_id FROM reach GROUP BY u)
+         |SELECT l.vec_id, a1.cell, l.cluster_id,
+         |       (l.vec_id = l.cluster_id) AS is_canonical
+         |FROM lab l JOIN a1 ON l.vec_id = a1.vec_id ORDER BY l.vec_id""".stripMargin,
   )
 }

@@ -234,6 +234,54 @@ object Similarity {
     else try result.localCheckpoint(true) finally e.unpersist()
   }
 
+  /** q93 — SEMANTIC deduplication (the SemDeDup shape: Abbas et al.
+    * 2023, arXiv:2303.09540): embedding-space near-dup clustering,
+    * the decision step a training pipeline runs over embeddings the
+    * way q58 runs over token sets. Pipeline: (1) every vector is
+    * assigned to a bounded coarse cell (the q43/q92 codebook — here
+    * the deterministic hash-ordered seed, k-means being an orthogonal
+    * upgrade); (2) WITHIN each cell, pairs with cosine ≥ `threshold`
+    * become edges — the cell bound is what kills the O(n²) global
+    * pair stage, the SemDeDup trade (cross-cell near-dups are the
+    * accepted recall loss, exactly like LSH banding); (3) connected
+    * components label every vector with its cluster's min vec_id —
+    * the canonical representative kept, everything else droppable.
+    *
+    * Scale: assignment is a broadcast-codebook map pass; the pair
+    * stage shuffles on `cell` and is quadratic only within a cell
+    * (cells/corpus is the operator's knob: more cells → cheaper pairs,
+    * lower recall); the component loop is the q49/q58 endpoint-bounded
+    * iteration. Nothing corpus-sized is broadcast or collected. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+      numCents: Int = 32): DataFrame = {
+    val e = withNorm(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = e
+      .orderBy(graft.functions.TextFns.polyHash(col("vec_id").cast("string")).asc,
+        col("vec_id").asc)
+      .limit(numCents)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = assignCells(e, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("doc_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val edges = a.join(b, Seq("cell"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("doc_a", "doc_b")
+    val labels = Dedup.clusterLabels(
+      embeddings.select(col("vec_id").as("doc_id")), edges)
+    val result = labels
+      .join(assigned.select(col("vec_id").as("doc_id"), col("cell")), "doc_id")
+      .select(col("doc_id").as("vec_id"), col("cell"),
+        col("cluster_id"), col("is_canonical"))
+      .orderBy("vec_id")
+    if (!Dedup.eagerMaterialize(embeddings)) result
+    else try result.localCheckpoint(true) finally { assigned.unpersist(); e.unpersist() }
+  }
+
   /** q65 — per-dimension embedding statistics (the feature-normalization
     * pre-pass: each dimension's range and mean across the corpus). One
     * posexplode + one aggregation — linear, map-side partials. min/max

@@ -92,6 +92,55 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("hash")
       .select("doc_id", "hash", "ingest_ts")
 
+  /** Streaming MinHash/LSH candidate detection — the STREAMING twin of
+    * the batch incremental pass (q90), closing the q89 story end to
+    * end: documents ARRIVING NOW are sketched with the shared Hashing
+    * family and their band keys probe the STATIC stored-sketch
+    * relation (q89's export, read from storage) in a stream-static
+    * equi-join. Output rows are LSH candidates (doc_new, doc_old,
+    * band) — the gate a production pipeline follows with an exact
+    * verify against stored text (cost ∝ candidates; the q90 batch
+    * operator is that verify's reference semantics).
+    *
+    * Shapes that matter:
+    *  - the signature aggregation groups by (doc_id, ingest_ts) under
+    *    the watermark, so its state is evicted as event time advances
+    *    — bounded by the watermark horizon, not the stream history;
+    *  - MinHash needs no per-doc distinct: min() over duplicated
+    *    tokens equals min() over the set, so the whole R7 dedup stage
+    *    (and its state) disappears from the streaming plan;
+    *  - the stored side is a STATIC frame: the join is stateless on
+    *    the stream side beyond the aggregation — each micro-batch
+    *    hash-joins its few new sketches against the band index;
+    *  - (doc_new, doc_old, band) rows are unique by construction
+    *    (a pair colliding in both bands emits one row per band), so
+    *    no streaming distinct — and its unbounded state — is needed. */
+  def streamingNearDupCandidates(docs: DataFrame, storedSigs: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.{Hashing, TextFns}
+    val sigCols = (0 until Hashing.NumPerms).map { i =>
+      min((col("th") * lit(Hashing.permA(i)) + lit(Hashing.permB(i))) % lit(Hashing.P))
+        .as(s"h$i")
+    }
+    val agged = TextFns.tokens(docs, Seq("ingest_ts"))
+      .withColumn("th", TextFns.polyHash(col("word")))
+      .withWatermark("ingest_ts", watermark)
+      .groupBy(col("doc_id"), col("ingest_ts"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandKeys = (0 until Hashing.NumBands).map { b =>
+      concat_ws("_",
+        (b * Hashing.RowsPerBand until (b + 1) * Hashing.RowsPerBand)
+          .map(i => col(s"h$i")): _*)
+    }
+    val newBands = agged.select(col("doc_id").as("doc_new"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val oldBands = storedSigs.select(col("doc_id").as("doc_old"),
+      posexplode(array((0 until Hashing.NumBands).map(b => col(s"band$b")): _*))
+        .as(Seq("band", "key")))
+    newBands.join(oldBands, Seq("band", "key"))
+      .select(col("doc_new"), col("doc_old"), col("band"))
+  }
+
   /** Watermarked stream-stream inner join: each click matched to the
     * same user's purchases within `within` AFTER it. Both sides carry
     * event-time watermarks and the join condition bounds the time gap,

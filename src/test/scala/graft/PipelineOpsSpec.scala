@@ -523,4 +523,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(meanTrained >= meanSeed - 1e-2,
       s"training degraded the assignment: $meanSeed -> $meanTrained")
   }
+
+  test("q93 semantic dedup: labeling is total, canonical-consistent, invariant") {
+    val emb = t("embeddings")
+    // threshold 0.2 so the sf0.001 fixture yields real clusters
+    val rows = Similarity.semanticDedup(emb, 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length === emb.count(), "labeling must be total")
+    // min-label semantics: the canonical is the cluster id itself and
+    // every member's id is >= its cluster id
+    rows.foreach { case (id, _, cl, canon) =>
+      assert(cl <= id)
+      assert(canon === (id == cl))
+    }
+    val clusters = rows.groupBy(_._3)
+    clusters.foreach { case (cl, members) =>
+      assert(members.count(_._4) === 1, s"cluster $cl canonical count")
+      assert(members.exists(_._1 == cl), s"cluster $cl must contain its canonical")
+    }
+    assert(clusters.exists(_._2.length > 1),
+      "no multi-member cluster — threshold vacuous on the fixture")
+    // deterministic under physical partitioning (codebook, edges, and
+    // component labels are all content-derived)
+    val repart = Similarity.semanticDedup(emb.repartition(7), 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(repart.toList === rows.toList)
+  }
 }

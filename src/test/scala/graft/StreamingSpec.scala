@@ -170,6 +170,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates: new docs probe the stored q89 sketches") {
+    implicit val ctx = spark.sqlContext
+    val oldDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "completely different vocabulary over here")).toDF("doc_id", "text")
+    val stored = graft.operators.Dedup.minhashSignatures(oldDocs)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.streamingNearDupCandidates(
+        in.toDF.toDF("doc_id", "text", "ingest_ts"), stored, "10 minutes")
+      .writeStream.format("memory").queryName("snd").outputMode("append").start()
+    try {
+      in.addData(
+        (10L, "alpha beta gamma delta epsilon zeta", ts(0)), // = doc 1
+        (11L, "nothing shared with anything stored", ts(1)))
+      q.processAllAvailable()
+      // append-mode aggregation finalizes a doc's sketch only once the
+      // watermark passes its ingest_ts — advance it with a later doc
+      in.addData((12L, "watermark mover", Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("snd").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // the identical doc collides with doc 1 in EVERY band; the
+      // disjoint doc collides with nothing
+      val nBands = graft.functions.Hashing.NumBands
+      assert(got.filter(_._1 == 10L) ===
+        (0 until nBands).map(b => (10L, 1L, b)).toSet)
+      assert(!got.exists(_._1 == 11L))
+      // the streaming LSH gate admits every pair the batch incremental
+      // operator (q90) verifies on the same corpus split
+      val allDocs = oldDocs.union(Seq(
+        (10L, "alpha beta gamma delta epsilon zeta"),
+        (11L, "nothing shared with anything stored")).toDF("doc_id", "text"))
+      val verified = graft.operators.Dedup.incrementalNearDup(allDocs, 10L, 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(verified.nonEmpty)
+      assert(verified.subsetOf(got.map(p => (p._1, p._2))))
+    } finally q.stop()
+  }
+
   test("stateful user totals accumulate across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
