@@ -80,6 +80,28 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.quantizeStats(emptyVec).count() === 0)
   }
 
+  test("round-4 operators (q90-q93) on empty / degenerate inputs") {
+    // incremental near-dup: empty corpus, all-old, all-new — no pairs
+    assert(Dedup.incrementalNearDup(empty, 10L, 0.9).count() === 0)
+    assert(Dedup.incrementalNearDup(single, 10L, 0.9).count() === 0)   // all old
+    assert(Dedup.incrementalNearDup(single, 0L, 0.9).count() === 0)    // all new
+    // blocked simhash match: empty and single-doc
+    assert(Dedup.simhashMatchScale(empty, 3).count() === 0)
+    assert(Dedup.simhashMatchScale(single, 3).count() === 0)
+    // k-means + semantic dedup on empty embeddings
+    val emptyVec = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.kmeansAssign(emptyVec).count() === 0)
+    assert(Similarity.semanticDedup(emptyVec, 0.5).count() === 0)
+    // one vector: its own canonical singleton cluster, assigned to its
+    // own centroid cell (it IS the whole codebook)
+    val oneVec = Seq((7L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val km = Similarity.kmeansAssign(oneVec).collect()
+    assert(km.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, 7L)))
+    val sd = Similarity.semanticDedup(oneVec, 0.5).collect()
+    assert(sd.map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq ===
+      Seq((7L, 7L, true)))
+  }
+
   test("dedup family on empty and single-doc corpora: no pairs, no throw") {
     assert(Dedup.nearDupJaccard(empty, 1000L, 0.5).count() === 0)
     assert(Dedup.minhashNearDup(empty, 0.5).count() === 0)
