@@ -44,6 +44,18 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {str(e)[:200]}")
             continue
+        # the DRIVER's pandas comparator cannot sort/hash list/struct
+        # cells (round-3 q89 err) — this checker canonicalizes them, so
+        # without this guard a non-scalar column passes locally and
+        # fails the real gate. Mirror the driver's constraint instead.
+        types = con.sql(
+            f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+        nonscalar = [(c, t) for c, t, *_ in types
+                     if "[" in t or "STRUCT" in t or "MAP" in t]
+        if nonscalar:
+            print(f"FAIL {name}: non-scalar output columns (driver comparator "
+                  f"contract): {nonscalar}")
+            continue
         oc, orows2 = frame([c.lower() for c in ocols], orows)
         sc, srows2 = frame([c.lower() for c in scols], srows)
         if oc != sc:
