@@ -63,6 +63,30 @@ class ClusterPropertiesSpec extends SparkSpec {
       run(nodes, edges) }, 12)
   }
 
+  test("q93 semantic clusters equal union-find over its own within-cell edges") {
+    val emb = graft.sources.Tables(spark, testdataDir, "embeddings")
+    val threshold = 0.2
+    val rows = graft.operators.Similarity.semanticDedup(emb, threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cellOf = rows.map(r => r._1 -> r._2).toMap
+    // independent edge derivation: GLOBAL cosine pairs at the same
+    // threshold (embedNearDup, the exact baseline), restricted to
+    // q93's own cell assignment — then the model union-find
+    val edges = graft.operators.Similarity
+      .embedNearDup(emb, Long.MaxValue, threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }
+      .toList
+    val expect = model(rows.map(_._1).toList, edges)
+    assert(rows.map(r => r._1 -> r._3).toMap === expect)
+    assert(edges.nonEmpty, "no within-cell edge — vacuous")
+    // and the SemDeDup recall trade is visible: some global pair
+    // crosses cells (otherwise the cell bound tested nothing)
+    val global = graft.operators.Similarity
+      .embedNearDup(emb, Long.MaxValue, threshold).count()
+    assert(global > edges.length, "every near-dup pair landed in one cell")
+  }
+
   test("packSequences: every doc starts inside its pack's budget window") {
     val docs = Sampling.packSequences(
       graft.sources.Tables(spark, testdataDir, "documents"),
