@@ -198,6 +198,8 @@ object SparkEntry {
     "q92_kmeans_ivf" -> ((s, d) => Similarity.kmeansAssign(Tables(s, d, "embeddings"))),
     // SemDeDup shape: cell-bucketed embedding near-dup edges -> components
     "q93_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables(s, d, "embeddings"), 0.4)),
+    // the q90 story for SimHash: new batch block-probes stored q23 sigs
+    "q94_incremental_simhash" -> ((s, d) => Dedup.incrementalSimhashMatch(Tables(s, d, "documents"), 250L, 3)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1288,5 +1290,29 @@ object SparkEntry {
          |SELECT l.vec_id, a1.cell, l.cluster_id,
          |       (l.vec_id = l.cluster_id) AS is_canonical
          |FROM lab l JOIN a1 ON l.vec_id = a1.vec_id ORDER BY l.vec_id""".stripMargin,
+    // q91's block chain with the self-join replaced by the cap-split
+    // probe (new >= 250 vs stored < 250) — the q90 shape for SimHash
+    "q94_incremental_simhash" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |bits AS (SELECT doc_id, b, sum(((th >> b) & 1)*2 - 1) AS s
+         |         FROM th CROSS JOIN generate_series(0, ${Hashing.SimHashBits - 1}) t(b)
+         |         GROUP BY doc_id, b),
+         |sh AS (SELECT doc_id,
+         |              CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM bits GROUP BY doc_id),
+         |blk AS (SELECT doc_id, simhash, bi,
+         |               (simhash >> (bi * ${Hashing.SimHashBits / 4})) & ${(1 << (Hashing.SimHashBits / 4)) - 1} AS bv
+         |        FROM sh CROSS JOIN generate_series(0, 3) t(bi)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_new, a.simhash AS sh_a,
+         |                b.doc_id AS doc_old, b.simhash AS sh_b
+         |         FROM blk a JOIN blk b
+         |           ON a.bi = b.bi AND a.bv = b.bv
+         |          AND a.doc_id >= 250 AND b.doc_id < 250)
+         |SELECT doc_new, doc_old, dist FROM (
+         |  SELECT doc_new, doc_old,
+         |         CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS dist
+         |  FROM cand)
+         |WHERE dist <= 3 ORDER BY doc_new, doc_old""".stripMargin,
   )
 }

@@ -442,6 +442,46 @@ object Dedup {
     else try result.localCheckpoint(true) finally sigs.unpersist()
   }
 
+  /** q94 — INCREMENTAL SimHash matching: the q90 story for the SimHash
+    * family, completing the build → store → probe triad for both
+    * sketches (MinHash: q89 export / q90 probe; SimHash: q23 export /
+    * this). The new batch (`doc_id >= cap`) is signed and its
+    * signature BLOCKS (q91's pigeonhole split) probe yesterday's
+    * stored q23 relation (`doc_id < cap` — in production read back
+    * from storage; identical by the shared constants); colliding pairs
+    * are verified exactly with `bit_count(xor) <= maxDist`. Like q91
+    * the blocking is exhaustive — the output is exactly the
+    * cross-boundary subset of the all-pairs match, no recall loss
+    * (spec-pinned). Only the new batch is ever re-signed. */
+  def incrementalSimhashMatch(docs: DataFrame, cap: Long, maxDist: Int): DataFrame = {
+    val nBlocks = maxDist + 1
+    require(Hashing.SimHashBits % nBlocks == 0,
+      s"SimHashBits=${Hashing.SimHashBits} must split evenly into ${nBlocks} blocks")
+    val bitsPer = Hashing.SimHashBits / nBlocks
+    val mask = (1L << bitsPer) - 1
+    val sigs = simhashSigs(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBlocks).map { b =>
+        shiftright(col("simhash"), b * bitsPer).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("blk", "bv")))
+    // new-side blocks probe the stored block index; pairs are strictly
+    // cross-boundary, so no doc ordering guard (the q90 shape)
+    val cand = blocks.where(col("doc_id") >= cap).alias("a")
+      .join(blocks.where(col("doc_id") < cap).alias("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv"))
+      .select(col("a.doc_id").as("doc_new"), col("a.simhash").as("sh_a"),
+        col("b.doc_id").as("doc_old"), col("b.simhash").as("sh_b"))
+      .distinct()
+    val result = cand
+      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select("doc_new", "doc_old", "dist")
+      .orderBy("doc_new", "doc_old")
+    if (!Dedup.eagerMaterialize(docs)) result
+    else try result.localCheckpoint(true) finally sigs.unpersist()
+  }
+
   /** q89 — the MinHash SIGNATURE RELATION as a first-class export:
     * (doc_id, set size, the 32-minimum signature, and the LSH band
     * keys). q22 consumes signatures transiently; an INCREMENTAL

@@ -549,4 +549,19 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(repart.toList === rows.toList)
   }
+
+  test("q94 incremental simhash match is exactly the cross-boundary all-pairs subset") {
+    val docs = t("documents")
+    val cap = 25L
+    val all = Dedup.simhashMatch(docs, Long.MaxValue, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cross = all.filter { case (a, b, _) => (a < cap) != (b < cap) }
+      .map { case (a, b, d) => if (a >= cap) (a, b, d) else (b, a, d) }.toSet
+    val got = Dedup.incrementalSimhashMatch(docs, cap, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.forall { case (nw, old, _) => nw >= cap && old < cap })
+    // exhaustive blocking: equality with the all-pairs cross subset
+    assert(got === cross)
+    assert(got.nonEmpty, "no cross-boundary pair within distance 3 — vacuous")
+  }
 }
