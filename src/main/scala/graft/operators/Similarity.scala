@@ -201,9 +201,10 @@ object Similarity {
     * on the driver; `iters` is a fixed small constant so the lazy
     * plan tree stays shallow (no checkpoint hygiene needed, unlike
     * the unbounded q49 loop). */
-  def kmeansAssign(embeddings: DataFrame, iters: Int = 2, numCents: Int = 32): DataFrame = {
-    val e = withNorm(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** The deterministic hash-ordered seed codebook (q43's rule) plus
+    * `iters` Lloyd refinement rounds (0 = the raw seed). `e` must be
+    * a withNorm frame; the caller owns its persistence. */
+  private def trainCents(e: DataFrame, iters: Int, numCents: Int): DataFrame = {
     var cents = e
       .orderBy(graft.functions.TextFns.polyHash(col("vec_id").cast("string")).asc,
         col("vec_id").asc)
@@ -227,7 +228,13 @@ object Similarity {
         .select(col("cell").as("cent_id"), col("cv"),
           sqrt(dot(col("cv"), col("cv"))).as("cnrm"))
     }
-    val result = assignCells(e, cents)
+    cents
+  }
+
+  def kmeansAssign(embeddings: DataFrame, iters: Int = 2, numCents: Int = 32): DataFrame = {
+    val e = withNorm(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = assignCells(e, trainCents(e, iters, numCents))
       .select(col("vec_id"), col("cell"), round(col("ccos6"), 2).as("cos_sim"))
       .orderBy("vec_id")
     if (!Dedup.eagerMaterialize(embeddings)) result
@@ -253,15 +260,13 @@ object Similarity {
     * lower recall); the component loop is the q49/q58 endpoint-bounded
     * iteration. Nothing corpus-sized is broadcast or collected. */
   def semanticDedup(embeddings: DataFrame, threshold: Double,
-      numCents: Int = 32): DataFrame = {
+      numCents: Int = 32, iters: Int = 0): DataFrame = {
     val e = withNorm(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = e
-      .orderBy(graft.functions.TextFns.polyHash(col("vec_id").cast("string")).asc,
-        col("vec_id").asc)
-      .limit(numCents)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val assigned = assignCells(e, cents)
+    // iters > 0 plugs the q92-trained codebook in (tighter cells →
+    // better recall at the same cell count); the oracle-gated default
+    // is the raw seed, keeping the q93 oracle SQL at one assignment
+    val assigned = assignCells(e, trainCents(e, iters, numCents))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
       col("v").as("va"), col("nrm").as("na"))

@@ -548,6 +548,14 @@ class PipelineOpsSpec extends SparkSpec {
     val repart = Similarity.semanticDedup(emb.repartition(7), 0.2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(repart.toList === rows.toList)
+    // the q92-trained codebook plugs in: still a total labeling with
+    // exactly one canonical per cluster
+    val trained = Similarity.semanticDedup(emb, 0.2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(trained.length === rows.length)
+    trained.groupBy(_._3).foreach { case (cl, members) =>
+      assert(members.count(_._4) === 1 && members.exists(_._1 == cl))
+    }
   }
 
   test("q94 incremental simhash match is exactly the cross-boundary all-pairs subset") {
