@@ -151,35 +151,46 @@ object Dedup {
     else try result.localCheckpoint(true) finally agged.unpersist()
   }
 
+  /** The NumPerms MinHash minima as aggregate expressions over a `th`
+    * (token polyHash) column — THE definition of the signature, shared
+    * by every builder (q22/q89/q90 here, the streaming sketcher in
+    * EventStreams) so batch, stored, and streaming sketches can never
+    * drift apart. */
+  private[graft] def minhashSigCols: Seq[org.apache.spark.sql.Column] =
+    (0 until Hashing.NumPerms).map { i =>
+      min((col("th") * lit(Hashing.permA(i)) + lit(Hashing.permB(i))) % lit(Hashing.P))
+        .as(s"h$i")
+    }
+
+  /** The LSH band keys over the `h0..h{NumPerms-1}` signature columns —
+    * one `concat_ws("_", ...)` expression per band. Shared with the
+    * streaming probe: a stored band key (q89) must equal a freshly
+    * computed one bit for bit, forever. */
+  private[graft] def bandKeyCols: Seq[org.apache.spark.sql.Column] =
+    (0 until Hashing.NumBands).map { b =>
+      concat_ws("_",
+        (b * Hashing.RowsPerBand until (b + 1) * Hashing.RowsPerBand)
+          .map(i => col(s"h$i")): _*)
+    }
+
   /** The fused signature+verify-set relation q22/q90 share: ONE
     * groupBy(doc_id) over the token stream carrying the sorted
     * xxhash64-id set, its size, and all NumPerms minima. One row per
     * document, persisted (consumed by several pruned plan towers —
     * see minhashNearDup's lifecycle note). Callers unpersist. */
-  private def fusedSketch(docs: DataFrame): DataFrame = {
-    val sigCols = (0 until Hashing.NumPerms).map { i =>
-      min((col("th") * lit(Hashing.permA(i)) + lit(Hashing.permB(i))) % lit(Hashing.P))
-        .as(s"h$i")
-    }
+  private def fusedSketch(docs: DataFrame): DataFrame =
     TextFns.docWords(docs)
       .withColumn("th", TextFns.polyHash(col("word")))
       .groupBy("doc_id")
       .agg(
         sort_array(collect_set(xxhash64(col("word")))).as("ws"),
-        count(lit(1)).as("n") +: sigCols: _*)
+        count(lit(1)).as("n") +: minhashSigCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
 
   /** (doc_id, band, key) — one row per LSH band per document. */
-  private def bandExplode(agged: DataFrame): DataFrame = {
-    val bandKeys = (0 until Hashing.NumBands).map { b =>
-      concat_ws("_",
-        (b * Hashing.RowsPerBand until (b + 1) * Hashing.RowsPerBand)
-          .map(i => col(s"h$i")): _*)
-    }
+  private def bandExplode(agged: DataFrame): DataFrame =
     agged.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-  }
+      posexplode(array(bandKeyCols: _*)).as(Seq("band", "key")))
 
   /** q90 — INCREMENTAL near-dup detection: the consumer of q89's
     * stored-sketch relation. Documents arriving today (`doc_id >=
@@ -411,21 +422,30 @@ object Dedup {
     * explode to (block, value), shuffle on the bucket key, verify
     * only colliding pairs — is unchanged, only the Hashing constant
     * widens. */
-  def simhashMatchScale(docs: DataFrame, maxDist: Int): DataFrame = {
+  /** (persisted signature relation, its pigeonhole block explode) —
+    * THE block derivation q91 and q94 share; a change here (e.g. the
+    * documented 64-bit widening) reaches both the self-match and the
+    * stored-probe form, which is what keeps the q23-export/q94-probe
+    * contract intact. The sig relation is persisted because the block
+    * join's two towers prune differently (same rationale as
+    * fusedSketch); callers unpersist. */
+  private def simhashBlocks(docs: DataFrame, maxDist: Int): (DataFrame, DataFrame) = {
     val nBlocks = maxDist + 1
     require(Hashing.SimHashBits % nBlocks == 0,
       s"SimHashBits=${Hashing.SimHashBits} must split evenly into ${nBlocks} blocks")
     val bitsPer = Hashing.SimHashBits / nBlocks
     val mask = (1L << bitsPer) - 1
-    // one row per doc, persisted: the self-join's two towers prune
-    // differently, so without the persist the token aggregation runs
-    // twice (same rationale as fusedSketch)
     val sigs = simhashSigs(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nBlocks).map { b =>
         shiftright(col("simhash"), b * bitsPer).bitwiseAND(lit(mask))
       }: _*)).as(Seq("blk", "bv")))
+    (sigs, blocks)
+  }
+
+  def simhashMatchScale(docs: DataFrame, maxDist: Int): DataFrame = {
+    val (sigs, blocks) = simhashBlocks(docs, maxDist)
     val cand = blocks.alias("a")
       .join(blocks.alias("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
@@ -454,17 +474,7 @@ object Dedup {
     * cross-boundary subset of the all-pairs match, no recall loss
     * (spec-pinned). Only the new batch is ever re-signed. */
   def incrementalSimhashMatch(docs: DataFrame, cap: Long, maxDist: Int): DataFrame = {
-    val nBlocks = maxDist + 1
-    require(Hashing.SimHashBits % nBlocks == 0,
-      s"SimHashBits=${Hashing.SimHashBits} must split evenly into ${nBlocks} blocks")
-    val bitsPer = Hashing.SimHashBits / nBlocks
-    val mask = (1L << bitsPer) - 1
-    val sigs = simhashSigs(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocks = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until nBlocks).map { b =>
-        shiftright(col("simhash"), b * bitsPer).bitwiseAND(lit(mask))
-      }: _*)).as(Seq("blk", "bv")))
+    val (sigs, blocks) = simhashBlocks(docs, maxDist)
     // new-side blocks probe the stored block index; pairs are strictly
     // cross-boundary, so no doc ordering guard (the q90 shape)
     val cand = blocks.where(col("doc_id") >= cap).alias("a")
@@ -500,19 +510,11 @@ object Dedup {
     * decimal longs), so a consumer re-derives the typed array with
     * one `split().cast("array<long>")` projection. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sigCols = (0 until Hashing.NumPerms).map { i =>
-      min((col("th") * lit(Hashing.permA(i)) + lit(Hashing.permB(i))) % lit(Hashing.P))
-        .as(s"h$i")
-    }
     val agged = TextFns.docWords(docs)
       .withColumn("th", TextFns.polyHash(col("word")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sigCols: _*)
-    val bandKeys = (0 until Hashing.NumBands).map { b =>
-      concat_ws("_",
-        (b * Hashing.RowsPerBand until (b + 1) * Hashing.RowsPerBand)
-          .map(i => col(s"h$i")): _*).as(s"band$b")
-    }
+      .agg(count(lit(1)).as("n_words"), minhashSigCols: _*)
+    val bandKeys = bandKeyCols.zipWithIndex.map { case (c, b) => c.as(s"band$b") }
     agged
       .select(col("doc_id") +: col("n_words") +:
         concat_ws(" ", (0 until Hashing.NumPerms).map(i => col(s"h$i")): _*).as("sig") +:

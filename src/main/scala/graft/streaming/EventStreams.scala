@@ -118,22 +118,19 @@ object EventStreams {
   def streamingNearDupCandidates(docs: DataFrame, storedSigs: DataFrame,
       watermark: String = "10 minutes"): DataFrame = {
     import graft.functions.{Hashing, TextFns}
-    val sigCols = (0 until Hashing.NumPerms).map { i =>
-      min((col("th") * lit(Hashing.permA(i)) + lit(Hashing.permB(i))) % lit(Hashing.P))
-        .as(s"h$i")
-    }
+    // signature + band-key definitions SHARED with the batch builders
+    // (Dedup.minhashSigCols/bandKeyCols): a stored band key from q89
+    // must equal a freshly streamed one bit for bit, forever — two
+    // private copies here would let them silently drift and turn the
+    // stream-static join into a silent zero-candidate no-op.
+    val sigCols = graft.operators.Dedup.minhashSigCols
     val agged = TextFns.tokens(docs, Seq("ingest_ts"))
       .withColumn("th", TextFns.polyHash(col("word")))
       .withWatermark("ingest_ts", watermark)
       .groupBy(col("doc_id"), col("ingest_ts"))
       .agg(sigCols.head, sigCols.tail: _*)
-    val bandKeys = (0 until Hashing.NumBands).map { b =>
-      concat_ws("_",
-        (b * Hashing.RowsPerBand until (b + 1) * Hashing.RowsPerBand)
-          .map(i => col(s"h$i")): _*)
-    }
     val newBands = agged.select(col("doc_id").as("doc_new"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+      posexplode(array(graft.operators.Dedup.bandKeyCols: _*)).as(Seq("band", "key")))
     val oldBands = storedSigs.select(col("doc_id").as("doc_old"),
       posexplode(array((0 until Hashing.NumBands).map(b => col(s"band$b")): _*))
         .as(Seq("band", "key")))

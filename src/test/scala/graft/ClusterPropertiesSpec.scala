@@ -72,9 +72,10 @@ class ClusterPropertiesSpec extends SparkSpec {
     // independent edge derivation: GLOBAL cosine pairs at the same
     // threshold (embedNearDup, the exact baseline), restricted to
     // q93's own cell assignment — then the model union-find
-    val edges = graft.operators.Similarity
+    val globalPairs = graft.operators.Similarity
       .embedNearDup(emb, Long.MaxValue, threshold).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = globalPairs
       .filter { case (a, b) => cellOf(a) == cellOf(b) }
       .toList
     val expect = model(rows.map(_._1).toList, edges)
@@ -82,9 +83,8 @@ class ClusterPropertiesSpec extends SparkSpec {
     assert(edges.nonEmpty, "no within-cell edge — vacuous")
     // and the SemDeDup recall trade is visible: some global pair
     // crosses cells (otherwise the cell bound tested nothing)
-    val global = graft.operators.Similarity
-      .embedNearDup(emb, Long.MaxValue, threshold).count()
-    assert(global > edges.length, "every near-dup pair landed in one cell")
+    assert(globalPairs.length > edges.length,
+      "every near-dup pair landed in one cell")
   }
 
   test("packSequences: every doc starts inside its pack's budget window") {
