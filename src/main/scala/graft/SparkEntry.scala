@@ -200,6 +200,16 @@ object SparkEntry {
     "q93_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables(s, d, "embeddings"), 0.4)),
     // the q90 story for SimHash: new batch block-probes stored q23 sigs
     "q94_incremental_simhash" -> ((s, d) => Dedup.incrementalSimhashMatch(Tables(s, d, "documents"), 250L, 3)),
+    // positional index: word -> doc -> token offsets for a term set
+    "q95_positional_index" -> ((s, d) =>
+      InvertedIndex.positionalPostings(Tables(s, d, "documents"), Seq("spark", "join", "batch"))),
+    // exact-phrase match over raw-split positions (single window pass);
+    // phrase chosen to occur at every driver scale (5/5/11 docs)
+    "q96_phrase_search" -> ((s, d) =>
+      InvertedIndex.phraseSearch(Tables(s, d, "documents"), Seq("small", "query", "line"))),
+    // within-k proximity via position-block equi-join (blocked ≡ naive)
+    "q97_proximity_search" -> ((s, d) =>
+      InvertedIndex.proximitySearch(Tables(s, d, "documents"), "spark", "join", 3)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -211,6 +221,16 @@ object SparkEntry {
   private val toksCte =
     s"""$rawtoksCte,
        |toks AS (SELECT DISTINCT doc_id, word FROM rawtoks)""".stripMargin
+  // position-carrying mirror of TextFns.posTokens: offsets over the RAW
+  // whitespace split (zipped unnest), empties dropped AFTER numbering —
+  // identical to Spark's posexplode-then-filter
+  private val postoksCte =
+    """postoks AS (
+      |  SELECT doc_id, lower(regexp_replace(w, '[^A-Za-z]', '', 'g')) AS word, pos
+      |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w,
+      |               unnest(range(len(string_split_regex(text, '\s+')))) AS pos
+      |        FROM documents)
+      |  WHERE lower(regexp_replace(w, '[^A-Za-z]', '', 'g')) <> '')""".stripMargin
   private val postingsCte =
     s"""$toksCte,
        |post AS (
@@ -1314,5 +1334,34 @@ object SparkEntry {
          |         CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS dist
          |  FROM cand)
          |WHERE dist <= 3 ORDER BY doc_new, doc_old""".stripMargin,
+    // positional posting lists for the fixed term set; positions as the
+    // space-joined ascending offset string (driver scalar-column rule)
+    "q95_positional_index" ->
+      s"""WITH $postoksCte
+         |SELECT word, doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+         |       array_to_string(list_transform(list_sort(list(pos)),
+         |                                      x -> CAST(x AS VARCHAR)), ' ') AS positions
+         |FROM postoks WHERE word IN ('spark', 'join', 'batch')
+         |GROUP BY word, doc_id ORDER BY word, doc_id""".stripMargin,
+    // join form over the positional CTE (the stored-index formulation);
+    // Spark runs the single-pass lead-window form — the hash match pins
+    // the two formulations equal
+    "q96_phrase_search" ->
+      s"""WITH $postoksCte
+         |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+         |FROM postoks a
+         |JOIN postoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |JOIN postoks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+         |WHERE a.word = 'small' AND b.word = 'query' AND c.word = 'line'
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    // naive theta form (abs(Δpos) <= k); Spark runs the position-block
+    // equi-join — the hash match pins blocked ≡ naive
+    "q97_proximity_search" ->
+      s"""WITH $postoksCte
+         |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_dist
+         |FROM postoks a JOIN postoks b ON a.doc_id = b.doc_id
+         |WHERE a.word = 'spark' AND b.word = 'join' AND abs(a.pos - b.pos) <= 3
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
   )
 }

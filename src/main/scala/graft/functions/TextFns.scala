@@ -52,6 +52,24 @@ object TextFns {
   def docWords(docs: DataFrame): DataFrame =
     tokens(docs).select("doc_id", "word").distinct()
 
+  /** Position-carrying token stream `(doc_id, word, pos)` — the
+    * tokenize→normalize→filter chain of [[tokens]] with the 0-based
+    * offset of each token in the RAW whitespace split. Positions are
+    * assigned BEFORE the empty-after-normalize drop, so adjacency is
+    * judged on the original token sequence (a stripped-to-empty token
+    * still occupies its slot and correctly breaks phrase adjacency);
+    * the oracle computes positions the same way (zipped `unnest` over
+    * the raw split). Foundation of the positional-index query family
+    * (q95–q97). Stays in codegen: `posexplode` + the same
+    * `regexp_replace` chain, no UDFs. */
+  def posTokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("word", normalize(col("tok")))
+      .where(length(col("word")) > 0)
+      .select(col("doc_id"), col("word"), col("pos").cast("long").as("pos"))
+
   /** Modulus for the cross-engine polynomial hash. */
   val HashP = 1000000007L
 

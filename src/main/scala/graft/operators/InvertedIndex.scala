@@ -164,4 +164,94 @@ object InvertedIndex {
       }
     }
   }
+
+  // ---- Positional index family (q95–q97) -------------------------------
+  //
+  // The reference's index is doc-level: word → [doc_id] (`main.c++:13-16`
+  // — `word_locations` holds FILE numbers, not offsets). The classic IR
+  // extension is the POSITIONAL index (word → doc → token offsets),
+  // which unlocks the two queries a doc-level index cannot answer:
+  // exact-phrase match and within-k proximity. Same build shape as
+  // q02 — tokenize, group, sort — with the offset carried through.
+
+  /** q95 — positional posting lists for a term set: `word → doc_id →
+    * ascending token offsets` (the "fetch posting lists" primitive a
+    * phrase/proximity engine serves from storage). One tokenize pass
+    * with the term filter applied BEFORE the shuffle (the isin
+    * predicate sits on the exploded stream, so only matching tokens
+    * are shuffled), one `groupBy(word, doc_id)` aggregation; positions
+    * ship as the space-joined string (driver-comparator scalar rule,
+    * q02/q37 pattern). Scale: output is terms × containing-docs rows —
+    * proportional to the posting lists fetched, never the corpus. */
+  def positionalPostings(docs: DataFrame, terms: Seq[String]): DataFrame =
+    TextFns.posTokens(docs)
+      .where(col("word").isin(terms: _*))
+      .groupBy("word", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("word"), col("doc_id"),
+        size(col("ps")).cast("long").as("n_pos"),
+        array_join(col("ps").cast("array<string>"), " ").as("positions"))
+      .orderBy("word", "doc_id")
+
+  /** q96 — exact-phrase search: documents containing `phrase` as
+    * CONSECUTIVE raw-split tokens, with the per-doc match count.
+    *
+    * Single-pass form: one tokenize scan, one window shuffle keyed on
+    * doc_id — `lead(word, i)` + `lead(pos, i) === pos + i` checks each
+    * phrase slot (the pos check makes adjacency a property of the raw
+    * token sequence, so a stripped-to-empty token between two phrase
+    * words breaks the match, identically in the oracle's join form).
+    * Against a STORED positional index (q95's relation) the same query
+    * is `len(phrase)-1` equi-joins on `(doc_id, pos)` — the oracle SQL
+    * is written in that join form, so the driver's hash-match doubles
+    * as a window-form ≡ join-form equivalence check. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val matched = phrase.zipWithIndex.map { case (word, i) =>
+      if (i == 0) col("word") === word
+      else lead(col("word"), i).over(w) === word &&
+        lead(col("pos"), i).over(w) === col("pos") + i
+    }.reduce(_ && _)
+    TextFns.posTokens(docs)
+      .withColumn("m", matched)
+      .where(col("m"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy("doc_id")
+  }
+
+  /** q97 — proximity search: documents where `w1` and `w2` occur
+    * within `window` raw-split positions, with the per-doc pair count
+    * and the minimum distance.
+    *
+    * Scale shape: each side is a word-filtered posting fetch (tiny
+    * fraction of the corpus), and the pair stage is BLOCKED, not
+    * per-doc-quadratic — positions bucket into width-`window` blocks,
+    * the `w1` side emits its block ±1, and the equi-join on
+    * `(doc_id, block)` bounds candidates to neighboring blocks
+    * (|Δpos| ≤ window ⟹ |Δblock| ≤ 1, and each (pos_a, pos_b) pair
+    * meets in EXACTLY one (emitted, native) block pair — no distinct
+    * needed). The final `abs ≤ window` filter is exact. This is q91's
+    * blocking idea in position space; the oracle states the naive
+    * `abs(Δpos) ≤ window` theta form, so the driver hash-match pins
+    * blocked ≡ naive. */
+  def proximitySearch(docs: DataFrame, w1: String, w2: String, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val pts = TextFns.posTokens(docs)
+    val a = pts.where(col("word") === w1)
+      .select(col("doc_id"), col("pos").as("pos_a"),
+        explode(sequence(
+          floor(col("pos") / window) - 1,
+          floor(col("pos") / window) + 1)).as("block"))
+    val b = pts.where(col("word") === w2)
+      .select(col("doc_id"), col("pos").as("pos_b"),
+        floor(col("pos") / window).as("block"))
+    a.join(b, Seq("doc_id", "block"))
+      .where(abs(col("pos_a") - col("pos_b")) <= window)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pos_a") - col("pos_b"))).as("min_dist"))
+      .orderBy("doc_id")
+  }
 }
