@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -370,19 +370,44 @@ object Dedup {
     * the form the matching operators consume (an orderBy in the
     * middle of a join pipeline would force a pointless range
     * exchange). */
-  private def simhashSigs(docs: DataFrame): DataFrame = {
-    val th = TextFns.docWords(docs)
-      .withColumn("th", TextFns.polyHash(col("word")))
-    val bitSums = (0 until Hashing.SimHashBits).map { b =>
+  private def simhashSigs(docs: DataFrame): DataFrame =
+    simhashSigsWide(docs, Hashing.SimHashBits, TextFns.polyHash(col("word")))
+
+  /** Width-generic signature builder: per-token hash `th` votes ±1 on
+    * each of `bits` positions; the signature packs the vote signs
+    * (bitwiseOR of disjoint bits — no arithmetic, so the 64-bit form's
+    * sign bit is safe under ANSI overflow checks). One aggregation
+    * pass, `bits` agg expressions, one shuffle, at any width. */
+  private def simhashSigsWide(docs: DataFrame, bits: Int, th: Column): DataFrame = {
+    val toks = TextFns.docWords(docs).withColumn("th", th)
+    val bitSums = (0 until bits).map { b =>
       sum((shiftright(col("th"), b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$b")
     }
-    val packed = (0 until Hashing.SimHashBits).map { b =>
+    val packed = (0 until bits).map { b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    th.groupBy("doc_id")
+    }.reduce(_ bitwiseOR _)
+    toks.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))
   }
+
+  /** PRODUCTION-WIDTH SimHash: 64-bit signatures over the Spark-native
+    * `xxhash64` token hash — the widening q91's doc note prescribes for
+    * real corpora (16-bit blocks → 65 536 bucket values per block, vs
+    * 128 at the oracle width). The oracle-gated family (q23/q71/q91/
+    * q94) runs at SimHashBits=28 because the cross-engine polyHash is
+    * only well-mixed in its low 28 bits (mod 1e9+7); xxhash64 has no
+    * DuckDB equivalent, so this path is SPEC-gated instead (the
+    * streaming precedent): SimHash64Spec pins blocked ≡ all-pairs at
+    * width 64 and the determinism/bit-layout invariants. Same plan,
+    * one constant and one hash function widened. */
+  def simhash64(docs: DataFrame): DataFrame =
+    simhashSigsWide(docs, 64, xxhash64(col("word"))).orderBy("doc_id")
+
+  /** 64-bit blocked Hamming self-match — q91's plan at production
+    * width (pigeonhole blocks over `simhash64` signatures). */
+  def simhashMatch64(docs: DataFrame, maxDist: Int): DataFrame =
+    blockedSelfMatch(simhashSigsWide(docs, 64, xxhash64(col("word"))), 64, maxDist)
 
   /** q71 — SimHash matching: the USE of q23's signatures — candidate
     * near-dup pairs by Hamming distance ≤ `maxDist` on the
@@ -430,22 +455,34 @@ object Dedup {
     * join's two towers prune differently (same rationale as
     * fusedSketch); callers unpersist. */
   private def simhashBlocks(docs: DataFrame, maxDist: Int): (DataFrame, DataFrame) = {
-    val nBlocks = maxDist + 1
-    require(Hashing.SimHashBits % nBlocks == 0,
-      s"SimHashBits=${Hashing.SimHashBits} must split evenly into ${nBlocks} blocks")
-    val bitsPer = Hashing.SimHashBits / nBlocks
-    val mask = (1L << bitsPer) - 1
     val sigs = simhashSigs(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocks = sigs.select(col("doc_id"), col("simhash"),
+    (sigs, simhashBlocksOf(sigs, Hashing.SimHashBits, maxDist))
+  }
+
+  /** Pigeonhole block explode at any signature width: `maxDist + 1`
+    * equal bit blocks of a `bits`-wide `simhash` column → one
+    * (blk, bv) row per block (the mask cuts the arithmetic-shift sign
+    * fill, so the top block of a 64-bit signature is exact). */
+  private def simhashBlocksOf(sigs: DataFrame, bits: Int, maxDist: Int): DataFrame = {
+    val nBlocks = maxDist + 1
+    require(bits % nBlocks == 0,
+      s"signature width $bits must split evenly into ${nBlocks} blocks")
+    val bitsPer = bits / nBlocks
+    val mask = (1L << bitsPer) - 1
+    sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nBlocks).map { b =>
         shiftright(col("simhash"), b * bitsPer).bitwiseAND(lit(mask))
       }: _*)).as(Seq("blk", "bv")))
-    (sigs, blocks)
   }
 
-  def simhashMatchScale(docs: DataFrame, maxDist: Int): DataFrame = {
-    val (sigs, blocks) = simhashBlocks(docs, maxDist)
+  /** The blocked self-match chain q91 and the 64-bit production path
+    * share: block equi-join (doc_a < doc_b), candidate dedup, exact
+    * `bit_count(xor)` verify. */
+  private def blockedSelfMatch(sigsRaw: DataFrame, bits: Int, maxDist: Int): DataFrame = {
+    val sigs = sigsRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = simhashBlocksOf(sigs, bits, maxDist)
     val cand = blocks.alias("a")
       .join(blocks.alias("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
@@ -458,9 +495,12 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .select("doc_a", "doc_b", "dist")
       .orderBy("doc_a", "doc_b")
-    if (!Dedup.eagerMaterialize(docs)) result
+    if (!Dedup.eagerMaterialize(sigs)) result
     else try result.localCheckpoint(true) finally sigs.unpersist()
   }
+
+  def simhashMatchScale(docs: DataFrame, maxDist: Int): DataFrame =
+    blockedSelfMatch(simhashSigs(docs), Hashing.SimHashBits, maxDist)
 
   /** q94 — INCREMENTAL SimHash matching: the q90 story for the SimHash
     * family, completing the build → store → probe triad for both
