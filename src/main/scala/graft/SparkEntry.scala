@@ -210,6 +210,12 @@ object SparkEntry {
     // within-k proximity via position-block equi-join (blocked ≡ naive)
     "q97_proximity_search" -> ((s, d) =>
       InvertedIndex.proximitySearch(Tables(s, d, "documents"), "spark", "join", 3)),
+    // incremental index maintenance: stored postings + new batch merge;
+    // the oracle rebuilds from scratch, so hash match ⟹ merge ≡ rebuild
+    "q98_index_merge" -> ((s, d) => InvertedIndex.indexMerge(Tables(s, d, "documents"), 250L)),
+    // BM25 ranked retrieval — the scoring query the index exists to serve
+    "q99_bm25" -> ((s, d) =>
+      InvertedIndex.bm25Search(Tables(s, d, "documents"), Seq("spark", "join", "batch"), 20)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1363,5 +1369,34 @@ object SparkEntry {
          |FROM postoks a JOIN postoks b ON a.doc_id = b.doc_id
          |WHERE a.word = 'spark' AND b.word = 'join' AND abs(a.pos - b.pos) <= 3
          |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    // full-corpus rebuild (q02's oracle verbatim) — Spark instead
+    // merges the cap-split halves; the hash match proves the merged
+    // index is byte-equal to a from-scratch rebuild
+    "q98_index_merge" ->
+      s"""WITH $postingsCte
+         |SELECT word, df, array_to_string(postings, ' ') AS postings
+         |FROM post ORDER BY df DESC, word""".stripMargin,
+    // BM25: every float subexpression states the Spark plan's exact
+    // association shape; each term's score floor-quantizes to integer
+    // millionths BEFORE the per-doc sum (q88 rule), so the sum is
+    // order-independent in both engines
+    "q99_bm25" ->
+      s"""WITH $rawtoksCte,
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM rawtoks GROUP BY doc_id),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM rawtoks
+         |       WHERE word IN ('spark', 'join', 'batch') GROUP BY doc_id, word),
+         |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |              (SELECT avg(dl) FROM dl) AS avgdl),
+         |term AS (
+         |  SELECT t.doc_id,
+         |         CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |                    * (tf * 2.2)
+         |                    / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+         |                    * 1e6) AS BIGINT) AS ts_q
+         |  FROM tf t JOIN dl USING (doc_id) JOIN dfq USING (word) CROSS JOIN st)
+         |SELECT doc_id, CAST(sum(ts_q) AS BIGINT) AS score_q
+         |FROM term GROUP BY doc_id
+         |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

@@ -221,6 +221,83 @@ object InvertedIndex {
       .orderBy("doc_id")
   }
 
+  /** q98 — INCREMENTAL index maintenance: merge the stored postings
+    * relation ("yesterday's" index, `doc_id < cap`) with the postings
+    * of a new batch (`doc_id >= cap`) without re-tokenizing the stored
+    * corpus — the reference's own artifact gets the build → store →
+    * incremental-update story the sketch families have (q89/q90 for
+    * MinHash, q23/q94 for SimHash).
+    *
+    * Merge = full-outer join on `word`; df adds; posting lists
+    * CONCATENATE — the cap split makes the sides disjoint with every
+    * old id below every new id, so old++new is already ascending (no
+    * re-sort of the stored lists). In production the old side is
+    * `IndexStore.load`; here it derives from the same corpus so the
+    * oracle — which rebuilds the index over the WHOLE corpus from
+    * scratch — proves merge ≡ rebuild by hash equality. Scale: the
+    * stored side is read, never re-derived; the join shuffles on
+    * `word` (vocabulary-sized, the index's own key). */
+  def indexMerge(docs: DataFrame, cap: Long): DataFrame = {
+    val stored = postingsUnordered(docs.where(col("doc_id") < cap))
+      .select(col("word"), col("df").as("df_old"), col("postings").as("p_old"))
+    val batch = postingsUnordered(docs.where(col("doc_id") >= cap))
+      .select(col("word"), col("df").as("df_new"), col("postings").as("p_new"))
+    val emptyPost = typedLit(Array.empty[Long])
+    stored.join(batch, Seq("word"), "full_outer")
+      .select(col("word"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"),
+        concat(coalesce(col("p_old"), emptyPost),
+          coalesce(col("p_new"), emptyPost)).as("postings"))
+      .withColumn("postings",
+        array_join(col("postings").cast("array<string>"), " "))
+      .orderBy(col("df").desc, col("word").asc)
+  }
+
+  /** q99 — BM25 ranked retrieval: the scoring query an inverted index
+    * exists to serve. For the multi-word query `terms`, every document
+    * is scored Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf_t = ln((N − df + 0.5)/(df + 0.5) + 1) (the Robertson/
+    * Sparck-Jones form, always positive), and the global top-`topK`
+    * is returned.
+    *
+    * One tokenize pass feeds everything: per-doc length (dl), per-doc
+    * term frequencies (tf, term-filtered BEFORE the shuffle), and df
+    * as a count over the tf relation itself (no second corpus scan).
+    * N/avgdl ride a broadcast one-row frame. Cross-engine exactness:
+    * each TERM's score is floor-quantized to integer millionths
+    * BEFORE the per-doc sum (the q88 rule — integer sums are
+    * order-independent where float sums are not), and the final
+    * ordering tie-breaks on doc_id. Scale: nothing corpus-sized is
+    * broadcast; the top-k is a TakeOrdered, not a full sort. */
+  def bm25Search(docs: DataFrame, terms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = TextFns.tokens(docs)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.where(col("word").isin(terms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val scored = tf
+      .join(dl, "doc_id")
+      .join(df, "word")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      // association shape mirrors the oracle SQL exactly; the two
+      // factor swaps ((dl·b) for (b·dl), (…)·k1 for k1·(…)) are
+      // bit-exact under IEEE multiply commutativity
+      .withColumn("term_score",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + (lit(1.0 - b) + col("dl") * b / col("avgdl")) * k1))
+      .withColumn("ts_q", floor(col("term_score") * 1e6).cast("long"))
+    scored.groupBy("doc_id")
+      .agg(sum(col("ts_q")).as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** q97 — proximity search: documents where `w1` and `w2` occur
     * within `window` raw-split positions, with the per-doc pair count
     * and the minimum distance.
