@@ -216,6 +216,10 @@ object SparkEntry {
     // BM25 ranked retrieval — the scoring query the index exists to serve
     "q99_bm25" -> ((s, d) =>
       InvertedIndex.bm25Search(Tables(s, d, "documents"), Seq("spark", "join", "batch"), 20)),
+    // TPC-H Q5 shape: 6-table join graph with co-nationality constraint
+    "q100_tpch_q5" -> ((s, d) => Relational.tpchQ5(
+      Tables(s, d, "region"), Tables(s, d, "nation"), Tables(s, d, "customer"),
+      Tables(s, d, "supplier"), Tables(s, d, "orders"), Tables(s, d, "lineitem"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1398,5 +1402,18 @@ object SparkEntry {
          |SELECT doc_id, CAST(sum(ts_q) AS BIGINT) AS score_q
          |FROM term GROUP BY doc_id
          |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
+    "q100_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
   )
 }

@@ -430,6 +430,35 @@ object Relational {
       .orderBy(col("revenue").desc, col("order_date"), col("l_orderkey"))
       .limit(k)
 
+  /** q100 — TPC-H Q5 shape: the 6-table join graph (region → nation →
+    * {customer, supplier} → orders → lineitem) with the
+    * co-nationality constraint (customer and supplier in the SAME
+    * nation) — the classic join-ordering stress test. The two
+    * dimension hops are explicitly `broadcast` (region is 1 row
+    * filtered, nation ≤ 25 — bounded by the data model, not the
+    * corpus); the fact joins (orders ⋈ lineitem ⋈ supplier) shuffle
+    * on their keys. The date filter lands on the orders SCAN before
+    * the fact join; revenue rides the shared DECIMAL definition.
+    * Per-nation output rows ⇒ no top-k needed; deterministic order by
+    * revenue DESC, n_name. */
+  def tpchQ5(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val asiaNations = broadcast(
+      nation.join(broadcast(region.where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+    customer.join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+      .join(orders, col("o_custkey") === col("c_custkey"))
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(lineRevenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** q76 — CORRELATED scalar subquery (per-user mean, vs q57's
     * uncorrelated one) through the `spark.sql` surface: Catalyst
     * decorrelates it into a per-user aggregate joined back on the

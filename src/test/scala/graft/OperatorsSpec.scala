@@ -199,6 +199,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q100 TPC-H Q5: region-bounded nations, co-nationality honored") {
+    import org.apache.spark.sql.functions.col
+    val got = Relational.tpchQ5(t("region"), t("nation"), t("customer"),
+      t("supplier"), t("orders"), t("lineitem"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // every output nation is an ASIA nation; revenue strictly positive;
+    // presentation order is revenue DESC
+    val asia = t("nation")
+      .join(t("region").where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(got.nonEmpty && got.map(_._1).forall(asia))
+    assert(got.forall(_._2 > 0))
+    assert(got.map(_._2).toList === got.map(_._2).sorted.reverse.toList)
+  }
+
   test("q45 split: partitioning-invariant, bucket-ranged, exhaustive") {
     val docs = t("documents")
     val a = Sampling.hashSplit(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
