@@ -80,6 +80,24 @@ class PositionalIndexSpec extends SparkSpec {
     assert(naive.exceptAll(blocked).isEmpty)
   }
 
+  test("stored positional index serves the same phrase results") {
+    val dir = java.nio.file.Files.createTempDirectory("posidx").toString
+    val docs = graft.sources.Tables(spark, testdataDir, "documents")
+      .where($"doc_id" < 300)
+    graft.sources.IndexStore.savePositional(docs, dir)
+    val idx = graft.sources.IndexStore.loadPositional(spark, dir)
+    for (phrase <- Seq(Seq("small", "query", "line"), Seq("batch", "batch"))) {
+      val stored = graft.sources.IndexStore.phraseSearchStored(idx, phrase)
+      val direct = InvertedIndex.phraseSearch(docs, phrase)
+      assert(stored.exceptAll(direct).isEmpty && direct.exceptAll(stored).isEmpty,
+        s"phrase=$phrase")
+    }
+    // letter pruning reaches the file source: one-letter predicate
+    val plan = graft.sources.IndexStore.phraseSearchStored(idx, Seq("batch"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("letter"))
+  }
+
   test("degenerate inputs: empty corpus, absent terms") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(InvertedIndex.positionalPostings(empty, Seq("x")).isEmpty)
