@@ -476,9 +476,30 @@ object Dedup {
       }: _*)).as(Seq("blk", "bv")))
   }
 
+  /** FIRST-MATCH blocking predicate: a colliding pair is kept only in
+    * its LOWEST matching block — for the joined block `blk`, every
+    * earlier block of the two signatures must differ. Replaces the
+    * candidate `distinct()` (a full shuffle of the candidate set — the
+    * DOMINANT volume in the self-similar-corpus regime) with ≤
+    * `nBlocks-1` codegen'd integer compares per joined row; each true
+    * pair then survives in exactly one (block, value) bucket by
+    * construction. Standard dedup-free blocking; round 4 (q91 3.55 →
+    * see PLANS.md). */
+  private def firstMatchOnly(shA: Column, shB: Column, blk: Column,
+      bits: Int, maxDist: Int): Column = {
+    val nBlocks = maxDist + 1
+    val bitsPer = bits / nBlocks
+    val mask = (1L << bitsPer) - 1
+    def bv(c: Column, j: Int) = shiftright(c, j * bitsPer).bitwiseAND(lit(mask))
+    (0 until nBlocks).map { i =>
+      (0 until i).map(j => bv(shA, j) =!= bv(shB, j))
+        .foldLeft(blk === i)(_ && _)
+    }.reduce(_ || _)
+  }
+
   /** The blocked self-match chain q91 and the 64-bit production path
-    * share: block equi-join (doc_a < doc_b), candidate dedup, exact
-    * `bit_count(xor)` verify. */
+    * share: block equi-join (doc_a < doc_b), first-match-only pair
+    * selection, exact `bit_count(xor)` verify. */
   private def blockedSelfMatch(sigsRaw: DataFrame, bits: Int, maxDist: Int): DataFrame = {
     val sigs = sigsRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -487,9 +508,10 @@ object Dedup {
       .join(blocks.alias("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
+      .where(firstMatchOnly(col("a.simhash"), col("b.simhash"),
+        col("a.blk"), bits, maxDist))
       .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sh_a"),
         col("b.doc_id").as("doc_b"), col("b.simhash").as("sh_b"))
-      .distinct()
     val result = cand
       .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .where(col("dist") <= maxDist)
@@ -520,9 +542,10 @@ object Dedup {
     val cand = blocks.where(col("doc_id") >= cap).alias("a")
       .join(blocks.where(col("doc_id") < cap).alias("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv"))
+      .where(firstMatchOnly(col("a.simhash"), col("b.simhash"),
+        col("a.blk"), Hashing.SimHashBits, maxDist))
       .select(col("a.doc_id").as("doc_new"), col("a.simhash").as("sh_a"),
         col("b.doc_id").as("doc_old"), col("b.simhash").as("sh_b"))
-      .distinct()
     val result = cand
       .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .where(col("dist") <= maxDist)
