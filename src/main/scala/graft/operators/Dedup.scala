@@ -134,8 +134,8 @@ object Dedup {
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
+      .where(firstBandOnly)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
     val sets = agged.select(col("doc_id"), col("ws"), col("n"))
     val paired = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("n").as("n_a")), "doc_a")
@@ -187,10 +187,27 @@ object Dedup {
         count(lit(1)).as("n") +: minhashSigCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** (doc_id, band, key) — one row per LSH band per document. */
+  /** (doc_id, ks, band, key) — one row per LSH band per document,
+    * carrying the full band-key array `ks` so the pair joins can apply
+    * FIRST-band-only selection (the SimHash `firstMatchOnly` idea in
+    * band space: a pair colliding in several bands is kept only where
+    * `band` is its lowest colliding band) instead of a candidate
+    * `distinct()` shuffle. `ks` is NumBands strings per row — bounded
+    * by the banding constants, not the corpus. */
   private def bandExplode(agged: DataFrame): DataFrame =
-    agged.select(col("doc_id"),
-      posexplode(array(bandKeyCols: _*)).as(Seq("band", "key")))
+    agged.select(col("doc_id"), array(bandKeyCols: _*).as("ks"))
+      .select(col("doc_id"), col("ks"),
+        posexplode(col("ks")).as(Seq("band", "key")))
+
+  /** Keep a band-colliding pair only in its lowest shared band:
+    * for joined band i, some earlier band key must DIFFER on the two
+    * sides. Each true candidate pair then appears exactly once — the
+    * `distinct()` and its shuffle over the candidate set disappear. */
+  private def firstBandOnly: Column =
+    (0 until Hashing.NumBands).map { i =>
+      (0 until i).map(j => col("a.ks")(j) =!= col("b.ks")(j))
+        .foldLeft(col("a.band") === i)(_ && _)
+    }.reduce(_ || _)
 
   /** q90 — INCREMENTAL near-dup detection: the consumer of q89's
     * stored-sketch relation. Documents arriving today (`doc_id >=
@@ -219,8 +236,8 @@ object Dedup {
     val cand = bands.where(col("doc_id") >= cap).alias("a")
       .join(bands.where(col("doc_id") < cap).alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .where(firstBandOnly)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
     val sets = agged.select(col("doc_id"), col("ws"), col("n"))
     val paired = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"), col("n").as("n_a")), "doc_a")
