@@ -29,6 +29,16 @@ object Demo {
     val pruned = IndexStore.lookup(idx, "batch").queryExecution.executedPlan
       .toString.linesIterator.filter(_.contains("PartitionFilters")).mkString.trim
     println(s"[demo] $pruned")
+    // the positional artifact + the queries it serves (round 4)
+    IndexStore.savePositional(Tables(spark, sfDir, "documents"), out + "_pos")
+    val pidx = IndexStore.loadPositional(spark, out + "_pos")
+    println(s"[demo] phrase 'small query line' docs: " +
+      IndexStore.phraseSearchStored(pidx, Seq("small", "query", "line"))
+        .collect().map(r => s"${r.getLong(0)}×${r.getLong(1)}").mkString(","))
+    println(s"[demo] bm25 top-3: " +
+      graft.operators.InvertedIndex.bm25Search(
+        Tables(spark, sfDir, "documents"), Seq("spark", "join", "batch"), 3)
+        .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(","))
     // optional: third arg = reference-style manifest → index from raw files
     if (args.length > 2) {
       val corpus = graft.sources.RawCorpus.fromManifest(spark, args(2))
