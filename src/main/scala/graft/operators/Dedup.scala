@@ -418,13 +418,19 @@ object Dedup {
     * streaming precedent): SimHash64Spec pins blocked ≡ all-pairs at
     * width 64 and the determinism/bit-layout invariants. Same plan,
     * one constant and one hash function widened. */
+  /** THE 64-bit signature definition (width + token hash) — one site,
+    * shared by the export surface and the matcher, so they can never
+    * drift (the `minhashSigCols` rule). */
+  private def simhash64Sigs(docs: DataFrame): DataFrame =
+    simhashSigsWide(docs, 64, xxhash64(col("word")))
+
   def simhash64(docs: DataFrame): DataFrame =
-    simhashSigsWide(docs, 64, xxhash64(col("word"))).orderBy("doc_id")
+    simhash64Sigs(docs).orderBy("doc_id")
 
   /** 64-bit blocked Hamming self-match — q91's plan at production
     * width (pigeonhole blocks over `simhash64` signatures). */
   def simhashMatch64(docs: DataFrame, maxDist: Int): DataFrame =
-    blockedSelfMatch(simhashSigsWide(docs, 64, xxhash64(col("word"))), 64, maxDist)
+    blockedSelfMatch(simhash64Sigs(docs), 64, maxDist)
 
   /** q71 — SimHash matching: the USE of q23's signatures — candidate
     * near-dup pairs by Hamming distance ≤ `maxDist` on the

@@ -183,14 +183,25 @@ object InvertedIndex {
     * ship as the space-joined string (driver-comparator scalar rule,
     * q02/q37 pattern). Scale: output is terms × containing-docs rows —
     * proportional to the posting lists fetched, never the corpus. */
-  def positionalPostings(docs: DataFrame, terms: Seq[String]): DataFrame =
-    TextFns.posTokens(docs)
-      .where(col("word").isin(terms: _*))
+  /** THE positional-posting-list aggregation — the one definition the
+    * q95 relation and the stored artifact (`IndexStore.savePositional`)
+    * share, so the persisted index can never drift from the
+    * oracle-gated shape (the `minhashSigCols` rule). `terms` empty =
+    * whole vocabulary; non-empty = filter applied BEFORE the shuffle. */
+  private[graft] def positionalLists(docs: DataFrame,
+      terms: Seq[String] = Nil): DataFrame = {
+    val pts = TextFns.posTokens(docs)
+    val filtered = if (terms.nonEmpty) pts.where(col("word").isin(terms: _*)) else pts
+    filtered
       .groupBy("word", "doc_id")
-      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+  }
+
+  def positionalPostings(docs: DataFrame, terms: Seq[String]): DataFrame =
+    positionalLists(docs, terms)
       .select(col("word"), col("doc_id"),
-        size(col("ps")).cast("long").as("n_pos"),
-        array_join(col("ps").cast("array<string>"), " ").as("positions"))
+        size(col("positions")).cast("long").as("n_pos"),
+        array_join(col("positions").cast("array<string>"), " ").as("positions"))
       .orderBy("word", "doc_id")
 
   /** q96 — exact-phrase search: documents containing `phrase` as
@@ -260,9 +271,11 @@ object InvertedIndex {
     * Sparck-Jones form, always positive), and the global top-`topK`
     * is returned.
     *
-    * One tokenize pass feeds everything: per-doc length (dl), per-doc
-    * term frequencies (tf, term-filtered BEFORE the shuffle), and df
-    * as a count over the tf relation itself (no second corpus scan).
+    * One tokenize pass and one doc_id shuffle feed everything: per-doc
+    * length (dl) and the per-term frequencies ride the SAME
+    * aggregation (tf per term as a conditional sum — the bounded term
+    * set becomes columns, re-exploded after), and df is a count over
+    * the tf relation itself (no second corpus scan).
     * N/avgdl ride a broadcast one-row frame. Cross-engine exactness:
     * each TERM's score is floor-quantized to integer millionths
     * BEFORE the per-doc sum (the q88 rule — integer sums are
@@ -271,15 +284,29 @@ object InvertedIndex {
     * broadcast; the top-k is a TakeOrdered, not a full sort. */
   def bm25Search(docs: DataFrame, terms: Seq[String], topK: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = TextFns.tokens(docs)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val tf = toks.where(col("word").isin(terms: _*))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    // ONE tokenize pass and ONE doc_id shuffle produce BOTH the doc
+    // length and the per-term frequencies (dl as count(*), each term's
+    // tf as a conditional sum in the same aggregation — the q22
+    // fused-relation idea); the (doc_id, word, tf) shape is then
+    // re-derived by exploding the bounded term columns, and df/avgdl
+    // are aggregates OVER THE AGGREGATED frame, whose doc_id exchange
+    // Catalyst reuses. Round-4 review: the previous dl/tf towers each
+    // re-tokenized the corpus.
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$i")
+    }
+    val perDoc = TextFns.tokens(docs).groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val tf = perDoc.select(col("doc_id"), col("dl"),
+      explode(array(terms.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("word"), col(s"tf_$i").as("tf"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("dl"), col("e.word").as("word"), col("e.tf").as("tf"))
+      .where(col("tf") > 0)
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val avgdl = perDoc.agg(avg(col("dl")).as("avgdl"))
     val scored = tf
-      .join(dl, "doc_id")
       .join(df, "word")
       .crossJoin(broadcast(nDocs))
       .crossJoin(broadcast(avgdl))

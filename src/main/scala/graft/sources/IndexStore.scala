@@ -49,9 +49,7 @@ object IndexStore {
     * directories its words name, with the word filter pushed into the
     * scan. */
   def savePositional(docs: DataFrame, path: String): Unit =
-    graft.functions.TextFns.posTokens(docs)
-      .groupBy("word", "doc_id")
-      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    InvertedIndex.positionalLists(docs)
       .withColumn("letter", substring(col("word"), 1, 1))
       .write.mode("overwrite")
       .partitionBy("letter")
@@ -71,9 +69,13 @@ object IndexStore {
     * point of persisting the index. */
   def phraseSearchStored(index: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one word")
+    // `take(1)` (not substring) so an empty-string phrase word builds a
+    // never-matching letter filter and the result is EMPTY — the same
+    // answer InvertedIndex.phraseSearch gives (empty words never
+    // survive its token filter), instead of a plan-build crash
     val legs = phrase.zipWithIndex.map { case (w, i) =>
       index
-        .where(col("letter") === w.substring(0, 1) && col("word") === w)
+        .where(col("letter") === w.take(1) && col("word") === w)
         .select(col("doc_id"), explode(col("positions")).as("pos"))
         .select(col("doc_id"), (col("pos") - i).as("start"))
     }

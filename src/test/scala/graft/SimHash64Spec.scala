@@ -35,11 +35,14 @@ class SimHash64Spec extends SparkSpec {
     assert(naive.exceptAll(blocked).isEmpty)
   }
 
-  test("64-bit signatures separate better than 28-bit on the same corpus") {
-    // wider signature + better-mixed hash ⇒ no MORE collisions at the
-    // same distance bound (the reason production wants this width)
-    val n64 = Dedup.simhashMatch64(docs, 3).count()
-    val n28 = Dedup.simhashMatchScale(docs, 3).count()
-    assert(n64 <= n28)
+  test("signatures exercise bits above the 28-bit oracle window") {
+    // the point of the production path is the extra signature width;
+    // pin that bits 28..63 are actually populated. (A cross-width
+    // collision-count comparison is deliberately NOT asserted — fewer
+    // collisions at width 64 holds in expectation, not pointwise, since
+    // the two paths use different token hashes; on another corpus the
+    // ordering could flip with no code defect.)
+    val sigs = Dedup.simhash64(docs).collect().map(_.getLong(1))
+    assert(sigs.exists(s => (s >>> 28) != 0 && (s >>> 28) != (-1L >>> 28)))
   }
 }
