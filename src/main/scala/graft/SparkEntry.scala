@@ -220,6 +220,9 @@ object SparkEntry {
     "q100_tpch_q5" -> ((s, d) => Relational.tpchQ5(
       Tables(s, d, "region"), Tables(s, d, "nation"), Tables(s, d, "customer"),
       Tables(s, d, "supplier"), Tables(s, d, "orders"), Tables(s, d, "lineitem"))),
+    // data mixing: per-source byte budget via distributed prefix sum;
+    // the oracle states the plain windowed form (prefix-sum ≡ window)
+    "q101_mix_budget" -> ((s, d) => Sampling.mixBudget(Tables(s, d, "documents"), 4000L)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1415,5 +1418,18 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // the plain per-source windowed cumsum — Spark runs the distributed
+    // prefix-sum; the hash match proves the two equal. ROWS frame
+    // explicit (Spark's default RANGE frame equals ROWS here because
+    // the (hash, doc_id) order is unique per source)
+    "q101_mix_budget" ->
+      s"""SELECT doc_id, source, n_chars, cum FROM (
+         |  SELECT doc_id, source, n_chars,
+         |         sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM (SELECT doc_id, source, n_chars,
+         |               ${polyHashSql("CAST(doc_id AS VARCHAR)")} AS h
+         |        FROM documents))
+         |WHERE cum <= 4000 ORDER BY source, cum, doc_id""".stripMargin,
   )
 }

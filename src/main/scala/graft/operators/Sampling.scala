@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -116,4 +117,48 @@ object Sampling {
         sum(col("sampled")).as("n_sampled"))
       .withColumn("rate", col("n_sampled").cast("double") / col("n_docs"))
       .orderBy("lang")
+
+  /** q101 — data MIXING to a per-source byte budget: every source keeps
+    * documents in deterministic content-hash order until its cumulative
+    * `n_chars` passes `budget` — the "sample each source down to its
+    * target share" step that composes a training mixture from
+    * heterogeneous sources.
+    *
+    * The cumulative sum is a DISTRIBUTED PREFIX SUM, not a per-source
+    * window: a `Window.partitionBy(source)` would put each source's
+    * entire corpus in ONE task (the q68 anti-pattern — a web-scale
+    * source is most of the data). The hash's VALUE RANGE is cut into
+    * `MixShards` contiguous shards (a deterministic column expression —
+    * no `spark_partition_id`/`repartitionByRange`, whose sampled
+    * boundaries are physical-plan state that two consumers of the same
+    * frame are not guaranteed to agree on): cumsum WITHIN each
+    * (shard, source) group — ~corpus/MixShards rows each, no source
+    * hotspot — then prefix the per-(shard, source) totals, a
+    * MixShards×sources-row frame, broadcast back as offsets. Each
+    * row's cum depends only on the global (h, doc_id) order, so the
+    * result is partitioning-invariant (spec-pinned); the oracle states
+    * the plain windowed form — the hash match proves
+    * prefix-sum ≡ window. */
+  val MixShards = 32
+
+  def mixBudget(docs: DataFrame, budget: Long): DataFrame = {
+    val shardWidth = graft.functions.Hashing.P / MixShards + 1
+    val keyed = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("h", TextFns.polyHash(col("doc_id").cast("string")))
+      .withColumn("pid", floor(col("h") / shardWidth).cast("int"))
+    val wIn = Window.partitionBy(col("pid"), col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val within = keyed.withColumn("cum_in", sum(col("n_chars")).over(wIn))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("pid"), col("source"))
+      .agg(sum(col("n_chars")).as("psum"))
+      .withColumn("offset", coalesce(sum(col("psum")).over(wOff), lit(0L)))
+      .select(col("pid"), col("source"), col("offset"))
+    within.join(broadcast(offsets), Seq("pid", "source"))
+      .withColumn("cum", col("cum_in") + col("offset"))
+      .where(col("cum") <= budget)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("cum"))
+      .orderBy("source", "cum", "doc_id")
+  }
 }

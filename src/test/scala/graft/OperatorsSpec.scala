@@ -215,6 +215,33 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._2).toList === got.map(_._2).sorted.reverse.toList)
   }
 
+  test("q101 mix budget: prefix-sum ≡ plain window, partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = t("documents")
+    val got = Sampling.mixBudget(docs, 4000L)
+    // plain per-source windowed cumsum (the oracle's form)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plain = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("h", graft.functions.TextFns.polyHash(col("doc_id").cast("string")))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .where(col("cum") <= 4000L)
+      .select("doc_id", "source", "n_chars", "cum")
+    assert(got.count() > 0)
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+    val again = Sampling.mixBudget(docs.repartition(7), 4000L)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(again.sameElements(Sampling.mixBudget(docs, 4000L)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))))
+    // every source's kept bytes stay within budget
+    val over = Sampling.mixBudget(docs, 4000L)
+      .groupBy("source").agg(max(col("cum")).as("m"))
+      .where(col("m") > 4000L)
+    assert(over.isEmpty)
+  }
+
   test("q45 split: partitioning-invariant, bucket-ranged, exhaustive") {
     val docs = t("documents")
     val a = Sampling.hashSplit(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
