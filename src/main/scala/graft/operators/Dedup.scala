@@ -487,7 +487,7 @@ object Dedup {
     * equal bit blocks of a `bits`-wide `simhash` column → one
     * (blk, bv) row per block (the mask cuts the arithmetic-shift sign
     * fill, so the top block of a 64-bit signature is exact). */
-  private def simhashBlocksOf(sigs: DataFrame, bits: Int, maxDist: Int): DataFrame = {
+  private[graft] def simhashBlocksOf(sigs: DataFrame, bits: Int, maxDist: Int): DataFrame = {
     val nBlocks = maxDist + 1
     require(bits % nBlocks == 0,
       s"signature width $bits must split evenly into ${nBlocks} blocks")
@@ -508,7 +508,7 @@ object Dedup {
     * pair then survives in exactly one (block, value) bucket by
     * construction. Standard dedup-free blocking; round 4 (q91 3.55 →
     * see PLANS.md). */
-  private def firstMatchOnly(shA: Column, shB: Column, blk: Column,
+  private[graft] def firstMatchOnly(shA: Column, shB: Column, blk: Column,
       bits: Int, maxDist: Int): Column = {
     val nBlocks = maxDist + 1
     val bitsPer = bits / nBlocks

@@ -341,14 +341,26 @@ object InvertedIndex {
     * `abs(Δpos) ≤ window` theta form, so the driver hash-match pins
     * blocked ≡ naive. */
   def proximitySearch(docs: DataFrame, w1: String, w2: String, window: Int): DataFrame = {
-    require(window >= 1, "window must be >= 1")
     val pts = TextFns.posTokens(docs)
-    val a = pts.where(col("word") === w1)
+    proximityPairs(
+      pts.where(col("word") === w1).select("doc_id", "pos"),
+      pts.where(col("word") === w2).select("doc_id", "pos"),
+      window)
+  }
+
+  /** The blocked proximity pair stage over two `(doc_id, pos)` posting
+    * fetches — shared by the corpus form (q97) and the stored-index
+    * form (`IndexStore.proximitySearchStored`), so the persisted
+    * artifact answers with the exact same plan shape. */
+  private[graft] def proximityPairs(aPos: DataFrame, bPos: DataFrame,
+      window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val a = aPos
       .select(col("doc_id"), col("pos").as("pos_a"),
         explode(sequence(
           floor(col("pos") / window) - 1,
           floor(col("pos") / window) + 1)).as("block"))
-    val b = pts.where(col("word") === w2)
+    val b = bPos
       .select(col("doc_id"), col("pos").as("pos_b"),
         floor(col("pos") / window).as("block"))
     a.join(b, Seq("doc_id", "block"))

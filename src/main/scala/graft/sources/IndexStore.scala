@@ -84,4 +84,20 @@ object IndexStore {
       .agg(count(lit(1)).as("n_matches"))
       .orderBy("doc_id")
   }
+
+  /** One word's `(doc_id, pos)` rows fetched from the stored positional
+    * index — letter-pruned, word-pushed, positions re-exploded. */
+  private def fetchPositions(index: DataFrame, w: String): DataFrame =
+    index
+      .where(col("letter") === w.take(1) && col("word") === w)
+      .select(col("doc_id"), explode(col("positions")).as("pos"))
+
+  /** Proximity search served FROM the stored positional index: two
+    * letter-pruned posting fetches into the SAME blocked pair stage as
+    * the corpus form (q97) — the corpus is never touched. Spec pins
+    * stored ≡ direct. */
+  def proximitySearchStored(index: DataFrame, w1: String, w2: String,
+      window: Int): DataFrame =
+    InvertedIndex.proximityPairs(
+      fetchPositions(index, w1), fetchPositions(index, w2), window)
 }

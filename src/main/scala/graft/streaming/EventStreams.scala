@@ -138,6 +138,53 @@ object EventStreams {
       .select(col("doc_new"), col("doc_old"), col("band"))
   }
 
+  /** Streaming SimHash matching — q94's STREAMING twin, completing the
+    * streaming story for BOTH sketch families (MinHash:
+    * `streamingNearDupCandidates`; SimHash: this). Incoming docs are
+    * signed under the watermark (token set via `collect_set` in the
+    * watermarked aggregation — SimHash needs each distinct token to
+    * vote exactly once, and the set-collect absorbs duplicates the way
+    * `min()` does for MinHash, so there is still no separate dedup
+    * state); the signature's pigeonhole blocks (the SHARED
+    * `Dedup.simhashBlocksOf` split — a stored block must equal a
+    * freshly streamed one, forever) probe the static stored q23
+    * relation, FIRST-MATCH-only (`Dedup.firstMatchOnly`) so each
+    * colliding pair emits exactly once WITHOUT a streaming distinct
+    * and its state, and the exact `bit_count(xor)` verify is a
+    * stateless projection. StreamingSpec pins streaming ≡ the batch
+    * incremental operator on the same split. */
+  def streamingSimhashMatches(docs: DataFrame, storedSigs: DataFrame,
+      maxDist: Int = 3, watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.{Hashing, TextFns}
+    val bits = Hashing.SimHashBits
+    val agged = TextFns.tokens(docs, Seq("ingest_ts"))
+      .withColumn("th", TextFns.polyHash(col("word")))
+      .withWatermark("ingest_ts", watermark)
+      .groupBy(col("doc_id"), col("ingest_ts"))
+      .agg(collect_set(col("th")).as("ths"))
+    // per-bit ±1 vote sums as array folds over the collected token set
+    // — same arithmetic as the batch builder's agg expressions;
+    // StreamingSpec pins bit-equality against Dedup.simhash
+    val packed = (0 until bits).map { b =>
+      val s = aggregate(col("ths"), lit(0L),
+        (acc, t) => acc + (shiftright(t, b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(s > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val newBlocks = graft.operators.Dedup.simhashBlocksOf(
+      agged.select(col("doc_id"), packed.as("simhash")), bits, maxDist)
+    val oldBlocks = graft.operators.Dedup.simhashBlocksOf(
+      storedSigs.select(col("doc_id"), col("simhash")), bits, maxDist)
+    newBlocks.alias("a")
+      .join(oldBlocks.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv"))
+      .where(graft.operators.Dedup.firstMatchOnly(
+        col("a.simhash"), col("b.simhash"), col("a.blk"), bits, maxDist))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_old"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Watermarked stream-stream inner join: each click matched to the
     * same user's purchases within `within` AFTER it. Both sides carry
     * event-time watermarks and the join condition bounds the time gap,

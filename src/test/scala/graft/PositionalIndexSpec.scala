@@ -92,6 +92,12 @@ class PositionalIndexSpec extends SparkSpec {
       assert(stored.exceptAll(direct).isEmpty && direct.exceptAll(stored).isEmpty,
         s"phrase=$phrase")
     }
+    // empty-string phrase word: empty result, same as the direct form
+    assert(graft.sources.IndexStore.phraseSearchStored(idx, Seq("", "batch")).isEmpty)
+    val proxStored = graft.sources.IndexStore.proximitySearchStored(idx, "spark", "join", 3)
+    val proxDirect = InvertedIndex.proximitySearch(docs, "spark", "join", 3)
+    assert(proxStored.exceptAll(proxDirect).isEmpty &&
+      proxDirect.exceptAll(proxStored).isEmpty)
     // letter pruning reaches the file source: one-letter predicate
     val plan = graft.sources.IndexStore.phraseSearchStored(idx, Seq("batch"))
       .queryExecution.executedPlan.toString

@@ -210,6 +210,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SimHash matches ≡ the batch incremental operator") {
+    implicit val ctx = spark.sqlContext
+    val oldDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "completely different vocabulary over here")).toDF("doc_id", "text")
+    val stored = graft.operators.Dedup.simhash(oldDocs)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.streamingSimhashMatches(
+        in.toDF.toDF("doc_id", "text", "ingest_ts"), stored, 3, "10 minutes")
+      .writeStream.format("memory").queryName("ssm").outputMode("append").start()
+    try {
+      in.addData(
+        (10L, "alpha beta gamma delta epsilon zeta", ts(0)), // = doc 1
+        (11L, "unrelated words entirely elsewhere now", ts(1)))
+      q.processAllAvailable()
+      in.addData((12L, "watermark mover", Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("ssm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the identical doc matches doc 1 at distance 0, exactly once
+      // (first-match blocking — no duplicate rows without distinct)
+      assert(got.contains((10L, 1L, 0L)))
+      assert(got.count(p => p._1 == 10L && p._2 == 1L) === 1)
+      // streaming output ≡ the batch incremental matcher on the union
+      val allDocs = oldDocs.union(Seq(
+        (10L, "alpha beta gamma delta epsilon zeta"),
+        (11L, "unrelated words entirely elsewhere now"),
+        (12L, "watermark mover")).toDF("doc_id", "text"))
+      val batch = graft.operators.Dedup.incrementalSimhashMatch(allDocs, 10L, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("stateful user totals accumulate across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
