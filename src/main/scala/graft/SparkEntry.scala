@@ -223,6 +223,10 @@ object SparkEntry {
     // data mixing: per-source byte budget via distributed prefix sum;
     // the oracle states the plain windowed form (prefix-sum ≡ window)
     "q101_mix_budget" -> ((s, d) => Sampling.mixBudget(Tables(s, d, "documents"), 4000L)),
+    // q43's probe over the q92-TRAINED codebook (the last r3 stretch
+    // realized as an oracle-gated query)
+    "q102_trained_ann" -> ((s, d) =>
+      Similarity.ivfAnn(Tables(s, d, "embeddings"), 20, 3, iters = 2)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -263,6 +267,44 @@ object SparkEntry {
       |  FROM documents)""".stripMargin
 
   /** DuckDB mirror of TextFns.polyHash (same left fold, same modulus). */
+  /** The 2-round Lloyd training chain (q92's oracle CTEs) ending in
+    * `cents2` — ONE definition shared by q92 (assignment output) and
+    * q102 (q43's probe over the trained codebook), so the two oracles
+    * can never train different codebooks. */
+  private lazy val lloydCentsCtes: String =
+    s"""cents0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM e
+       |           ORDER BY ${polyHashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 32),
+       |a1 AS (SELECT vec_id, v, nrm, cell FROM (
+       |        SELECT e.vec_id, e.v, e.nrm, c.cent_id AS cell,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) DESC,
+       |                          c.cent_id) AS r
+       |        FROM e CROSS JOIN cents0 c) WHERE r = 1),
+       |m1 AS (SELECT cell, pos,
+       |              CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS m
+       |       FROM (SELECT cell, z[2] AS pos, CAST(z[1] AS DOUBLE) AS x
+       |             FROM (SELECT cell, unnest(list_zip(v, range(1, len(v) + 1))) AS z
+       |                   FROM a1))
+       |       GROUP BY cell, pos),
+       |cents1 AS (SELECT cent_id, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM (
+       |            SELECT cell AS cent_id, list(m ORDER BY pos) AS cv
+       |            FROM m1 GROUP BY cell)),
+       |a2 AS (SELECT vec_id, v, nrm, cell FROM (
+       |        SELECT e.vec_id, e.v, e.nrm, c.cent_id AS cell,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) DESC,
+       |                          c.cent_id) AS r
+       |        FROM e CROSS JOIN cents1 c) WHERE r = 1),
+       |m2 AS (SELECT cell, pos,
+       |              CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS m
+       |       FROM (SELECT cell, z[2] AS pos, CAST(z[1] AS DOUBLE) AS x
+       |             FROM (SELECT cell, unnest(list_zip(v, range(1, len(v) + 1))) AS z
+       |                   FROM a2))
+       |       GROUP BY cell, pos),
+       |cents2 AS (SELECT cent_id, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM (
+       |            SELECT cell AS cent_id, list(m ORDER BY pos) AS cv
+       |            FROM m2 GROUP BY cell))""".stripMargin
+
   private def polyHashSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
@@ -1258,38 +1300,7 @@ object SparkEntry {
     // double-rounds round(round(cos,6),2) to mirror the Spark side
     "q92_kmeans_ivf" ->
       s"""WITH $embCte,
-         |cents0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM e
-         |           ORDER BY ${polyHashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 32),
-         |a1 AS (SELECT vec_id, v, nrm, cell FROM (
-         |        SELECT e.vec_id, e.v, e.nrm, c.cent_id AS cell,
-         |               row_number() OVER (PARTITION BY e.vec_id
-         |                 ORDER BY round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) DESC,
-         |                          c.cent_id) AS r
-         |        FROM e CROSS JOIN cents0 c) WHERE r = 1),
-         |m1 AS (SELECT cell, pos,
-         |              CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS m
-         |       FROM (SELECT cell, z[2] AS pos, CAST(z[1] AS DOUBLE) AS x
-         |             FROM (SELECT cell, unnest(list_zip(v, range(1, len(v) + 1))) AS z
-         |                   FROM a1))
-         |       GROUP BY cell, pos),
-         |cents1 AS (SELECT cent_id, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM (
-         |            SELECT cell AS cent_id, list(m ORDER BY pos) AS cv
-         |            FROM m1 GROUP BY cell)),
-         |a2 AS (SELECT vec_id, v, nrm, cell FROM (
-         |        SELECT e.vec_id, e.v, e.nrm, c.cent_id AS cell,
-         |               row_number() OVER (PARTITION BY e.vec_id
-         |                 ORDER BY round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) DESC,
-         |                          c.cent_id) AS r
-         |        FROM e CROSS JOIN cents1 c) WHERE r = 1),
-         |m2 AS (SELECT cell, pos,
-         |              CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS m
-         |       FROM (SELECT cell, z[2] AS pos, CAST(z[1] AS DOUBLE) AS x
-         |             FROM (SELECT cell, unnest(list_zip(v, range(1, len(v) + 1))) AS z
-         |                   FROM a2))
-         |       GROUP BY cell, pos),
-         |cents2 AS (SELECT cent_id, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM (
-         |            SELECT cell AS cent_id, list(m ORDER BY pos) AS cv
-         |            FROM m2 GROUP BY cell))
+         |$lloydCentsCtes
          |SELECT vec_id, cell, round(c6, 2) AS cos_sim FROM (
          |  SELECT e.vec_id, c.cent_id AS cell,
          |         round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) AS c6,
@@ -1431,5 +1442,26 @@ object SparkEntry {
          |               ${polyHashSql("CAST(doc_id AS VARCHAR)")} AS h
          |        FROM documents))
          |WHERE cum <= 4000 ORDER BY source, cum, doc_id""".stripMargin,
+    // q43's probe/topk chain over the SHARED trained codebook (cents2)
+    "q102_trained_ann" ->
+      s"""WITH $embCte,
+         |$lloydCentsCtes,
+         |ranked AS (
+         |  SELECT e.vec_id, e.v, e.nrm, c.cent_id AS cell,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) DESC,
+         |                    c.cent_id) AS crnk
+         |  FROM e CROSS JOIN cents2 c),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, b.cell,
+         |         ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+         |  FROM ranked a JOIN ranked b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 20 AND a.crnk <= 2 AND b.crnk = 1)
+         |SELECT vec_a, vec_b, cell, round(cos, 2) AS cos_sim, rnk FROM (
+         |  SELECT vec_a, vec_b, cell, cos,
+         |         row_number() OVER (PARTITION BY vec_a
+         |                            ORDER BY round(cos, 6) DESC, vec_b) AS rnk
+         |  FROM pairs)
+         |WHERE rnk <= 3 ORDER BY vec_a, rnk, vec_b""".stripMargin,
   )
 }

@@ -109,15 +109,15 @@ object Similarity {
     * rows per query cell: the inverted-file locality FAISS IVF
     * exploits. */
   def ivfAnn(embeddings: DataFrame, nQueries: Int, k: Int,
-      numCents: Int = 32, nprobe: Int = 2): DataFrame = {
+      numCents: Int = 32, nprobe: Int = 2, iters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = withNorm(embeddings)
-    // bounded TakeOrdered, one pass over the corpus — NOT a full sort
-    val cents = e
-      .orderBy(graft.functions.TextFns.polyHash(col("vec_id").cast("string")).asc,
-        col("vec_id").asc)
-      .limit(numCents)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // iters = 0: the deterministic hash-ordered seed codebook (bounded
+    // TakeOrdered, one pass — NOT a full sort). iters > 0: the
+    // q92-trained Lloyd codebook plugs in (q102) — tighter cells, same
+    // probe plan; `trainCents` itself returns the seed at iters = 0,
+    // so one call covers both
+    val cents = trainCents(e, iters, numCents)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos6").desc, col("cent_id").asc)
     // persisted: the ranked assignment feeds both the corpus branch
