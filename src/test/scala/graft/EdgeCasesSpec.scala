@@ -124,10 +124,15 @@ class EdgeCasesSpec extends SparkSpec {
     val r = Seq.empty[(Long, Long, Long, Double)].toDF("rid", "user_id", "ts", "rv")
     val asof = Events.asofJoin(l, r, "user_id", "ts", Seq("rid", "rv")).collect()
     assert(asof.length === 1 && asof(0).isNullAt(asof(0).fieldIndex("asof_rid")))
-    // empty embeddings: ANN paths return empty, not an exception
+    // empty embeddings: ANN paths return empty, not an exception —
+    // including the trained-codebook path (Lloyd rounds over nothing)
     val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.ivfAnn(emptyVecs, 5, 3).count() === 0)
+    assert(Similarity.ivfAnn(emptyVecs, 5, 3, iters = 2).count() === 0)
     assert(Similarity.lshAnn(emptyVecs, 5, 3).count() === 0)
+    // empty documents: budget mixing returns empty, not an exception
+    val emptyDocs = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars")
+    assert(Sampling.mixBudget(emptyDocs, 4000L).count() === 0)
   }
 
   test("empty/malformed manifests yield an empty corpus, not an exception") {
