@@ -227,6 +227,11 @@ object SparkEntry {
     // realized as an oracle-gated query)
     "q102_trained_ann" -> ((s, d) =>
       Similarity.ivfAnn(Tables(s, d, "embeddings"), 20, 3, iters = 2)),
+    // hybrid retrieval: BM25 ranks fused with embedding-cosine ranks
+    // by RRF — capped lists, rank-based (exactly cross-engine)
+    "q103_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(
+      Tables(s, d, "documents"), Tables(s, d, "embeddings"),
+      Seq("spark", "join", "batch"), 0L, 100, 20)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -267,6 +272,30 @@ object SparkEntry {
       |  FROM documents)""".stripMargin
 
   /** DuckDB mirror of TextFns.polyHash (same left fold, same modulus). */
+  /** The BM25 per-doc scoring chain ending in `bmscore(doc_id,
+    * score_q)` — ONE definition shared by q99 (top-k output) and q103
+    * (the text list of the hybrid fusion), so the two oracles can
+    * never score differently. Float association mirrors
+    * InvertedIndex.bm25Search exactly; each term floor-quantizes
+    * before the per-doc sum (order-independent). */
+  private lazy val bm25ScoreCtes: String =
+    s"""$rawtoksCte,
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM rawtoks GROUP BY doc_id),
+       |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM rawtoks
+       |       WHERE word IN ('spark', 'join', 'batch') GROUP BY doc_id, word),
+       |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |              (SELECT avg(dl) FROM dl) AS avgdl),
+       |term AS (
+       |  SELECT t.doc_id,
+       |         CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |                    * (tf * 2.2)
+       |                    / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+       |                    * 1e6) AS BIGINT) AS ts_q
+       |  FROM tf t JOIN dl USING (doc_id) JOIN dfq USING (word) CROSS JOIN st),
+       |bmscore AS (SELECT doc_id, CAST(sum(ts_q) AS BIGINT) AS score_q
+       |            FROM term GROUP BY doc_id)""".stripMargin
+
   /** The 2-round Lloyd training chain (q92's oracle CTEs) ending in
     * `cents2` — ONE definition shared by q92 (assignment output) and
     * q102 (q43's probe over the trained codebook), so the two oracles
@@ -1399,22 +1428,8 @@ object SparkEntry {
     // millionths BEFORE the per-doc sum (q88 rule), so the sum is
     // order-independent in both engines
     "q99_bm25" ->
-      s"""WITH $rawtoksCte,
-         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM rawtoks GROUP BY doc_id),
-         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM rawtoks
-         |       WHERE word IN ('spark', 'join', 'batch') GROUP BY doc_id, word),
-         |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
-         |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-         |              (SELECT avg(dl) FROM dl) AS avgdl),
-         |term AS (
-         |  SELECT t.doc_id,
-         |         CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-         |                    * (tf * 2.2)
-         |                    / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
-         |                    * 1e6) AS BIGINT) AS ts_q
-         |  FROM tf t JOIN dl USING (doc_id) JOIN dfq USING (word) CROSS JOIN st)
-         |SELECT doc_id, CAST(sum(ts_q) AS BIGINT) AS score_q
-         |FROM term GROUP BY doc_id
+      s"""WITH $bm25ScoreCtes
+         |SELECT doc_id, score_q FROM bmscore
          |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
     "q100_tpch_q5" ->
       """SELECT n_name,
@@ -1463,5 +1478,30 @@ object SparkEntry {
          |                            ORDER BY round(cos, 6) DESC, vec_b) AS rnk
          |  FROM pairs)
          |WHERE rnk <= 3 ORDER BY vec_a, rnk, vec_b""".stripMargin,
+    // RRF over the shared bm25 scorer + a cosine list; rrf computed in
+    // an INNER select from the raw (nullable) ranks — DuckDB's lateral
+    // column aliases would otherwise resolve the outer coalesced -1
+    // into the fusion term
+    "q103_hybrid_rrf" ->
+      s"""WITH $bm25ScoreCtes,
+         |$embCte,
+         |bmtop AS (SELECT doc_id, score_q FROM bmscore
+         |          ORDER BY score_q DESC, doc_id LIMIT 100),
+         |bmr AS (SELECT doc_id,
+         |               CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank_text
+         |        FROM bmtop),
+         |qv AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+         |cosl AS (SELECT vec_id, round(${dotSql("v", "qv")} / (nrm * qn), 6) AS cos6
+         |         FROM e CROSS JOIN qv ORDER BY cos6 DESC, vec_id LIMIT 100),
+         |vr AS (SELECT vec_id AS doc_id,
+         |              CAST(row_number() OVER (ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rank_vec
+         |       FROM cosl)
+         |SELECT doc_id, coalesce(rank_text, CAST(-1 AS BIGINT)) AS rank_text,
+         |       coalesce(rank_vec, CAST(-1 AS BIGINT)) AS rank_vec, rrf
+         |FROM (SELECT doc_id, rank_text, rank_vec,
+         |             coalesce(1.0 / (rank_text + 60), 0.0)
+         |               + coalesce(1.0 / (rank_vec + 60), 0.0) AS rrf
+         |      FROM bmr FULL JOIN vr USING (doc_id))
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

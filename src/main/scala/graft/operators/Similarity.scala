@@ -364,4 +364,50 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("bucket"), round(col("cos"), 2).as("cos_sim"), col("rnk"))
       .orderBy("vec_a", "rnk", "vec_b")
   }
+
+  /** q103 — HYBRID retrieval: the BM25 text ranking (q99's scorer)
+    * fused with an embedding-cosine ranking by Reciprocal Rank Fusion
+    * (Cormack et al.: score = Σ 1/(k + rank), k = 60) — the standard
+    * way modern search serves "keyword AND semantic" with no score
+    * normalization across incomparable scales; rank-based fusion is
+    * also exactly reproducible cross-engine where score mixing is not.
+    *
+    * Scale shape: each retriever first caps its list to `candPerList`
+    * via TakeOrdered (never a full sort), so the rank windows run over
+    * BOUNDED single partitions (≤ candPerList rows at any corpus
+    * size — the q13 class); the fusion is a full-outer join of two
+    * bounded lists. The doc/vec id spaces coincide in the testdata
+    * (`TESTDATA.md`). Absent-from-a-list docs contribute 0 to the
+    * fused score and ship rank −1. */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, terms: Seq[String],
+      queryVecId: Long, candPerList: Int, topK: Int, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bmTop = InvertedIndex.bm25Search(docs, terms, candPerList)
+    val wB = Window.orderBy(col("score_q").desc, col("doc_id").asc)
+    val bmRank = bmTop
+      .withColumn("rank_text", row_number().over(wB).cast("long"))
+      .select("doc_id", "rank_text")
+    val e = withNorm(embeddings)
+    val qv = e.where(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val cosTop = e.crossJoin(broadcast(qv))
+      .withColumn("cos6", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .select(col("vec_id").as("doc_id"), col("cos6"))
+      .orderBy(col("cos6").desc, col("doc_id").asc)
+      .limit(candPerList)
+    val wV = Window.orderBy(col("cos6").desc, col("doc_id").asc)
+    val vecRank = cosTop
+      .withColumn("rank_vec", row_number().over(wV).cast("long"))
+      .select("doc_id", "rank_vec")
+    bmRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (col("rank_text") + rrfK), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rank_vec") + rrfK), lit(0.0)))
+      .select(col("doc_id"),
+        coalesce(col("rank_text"), lit(-1L)).as("rank_text"),
+        coalesce(col("rank_vec"), lit(-1L)).as("rank_vec"),
+        col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(topK)
+  }
 }

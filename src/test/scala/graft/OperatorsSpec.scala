@@ -83,6 +83,24 @@ class OperatorsSpec extends SparkSpec {
     assert(trainedHits > 0)
   }
 
+  test("q103 hybrid RRF: fused score reconstructs from the shipped ranks") {
+    val got = Similarity.hybridRrf(t("documents"), t("embeddings"),
+      Seq("spark", "join", "batch"), 0L, 100, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.map(_._1).distinct.length === got.length)
+    // the output is self-consistent: rrf is EXACTLY the fusion of the
+    // shipped ranks (absent list ⇒ rank −1 ⇒ zero contribution)
+    got.foreach { case (_, rt, rv, rrf) =>
+      val expect = (if (rt > 0) 1.0 / (rt + 60) else 0.0) +
+        (if (rv > 0) 1.0 / (rv + 60) else 0.0)
+      assert(rrf === expect)
+    }
+    // descending fused order; a doc ranked #1 in BOTH lists would score
+    // 2/61 — the max; all scores in (0, 2/61]
+    assert(got.map(_._4).toList === got.map(_._4).sorted.reverse.toList)
+    assert(got.forall(r => r._4 > 0 && r._4 <= 2.0 / 61))
+  }
+
   test("q44 chunks: overlap reconstructs the document, last chunk short") {
     import spark.implicits._
     val text = ("ab" * 170) // 340 chars -> p = 1, 151, 301
