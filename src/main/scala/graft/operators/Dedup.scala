@@ -327,8 +327,15 @@ object Dedup {
     // 1.3 s → 73 s (caching alone cuts execution, not plan analysis).
     // With the checkpoint every round re-plans against a leaf. This is
     // the standard shape for iterative graph algorithms on Spark.
-    var labels = sym.select(col("u").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // seed = min(self, direct neighbors): the first neighbor-min hop
+    // FOLDED INTO the endpoint-dedup aggregation (groupBy(u) with
+    // min(v) costs exactly what the former distinct() cost — same
+    // shuffle key — and starts every node one hop ahead, which on the
+    // star/clique components near-dup graphs produce saves a full
+    // materialized round)
+    var labels = sym.groupBy(col("u").as("doc_id"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("doc_id"), least(col("doc_id"), col("mv")).as("label"))
       .localCheckpoint(true)
     var converged = labels.isEmpty
     var round = 0
