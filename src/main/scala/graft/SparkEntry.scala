@@ -1451,8 +1451,8 @@ object SparkEntry {
     "q101_mix_budget" ->
       s"""SELECT doc_id, source, n_chars, cum FROM (
          |  SELECT doc_id, source, n_chars,
-         |         sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |         CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
          |  FROM (SELECT doc_id, source, n_chars,
          |               ${polyHashSql("CAST(doc_id AS VARCHAR)")} AS h
          |        FROM documents))

@@ -282,8 +282,13 @@ object InvertedIndex {
     * order-independent where float sums are not), and the final
     * ordering tie-breaks on doc_id. Scale: nothing corpus-sized is
     * broadcast; the top-k is a TakeOrdered, not a full sort. */
-  def bm25Search(docs: DataFrame, terms: Seq[String], topK: Int,
+  def bm25Search(docs: DataFrame, rawTerms: Seq[String], topK: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // dedup query terms at entry: a repeated term would become two tf
+    // columns and two explode rows — inflating df and double-counting
+    // its score — while the oracle's `WHERE word IN (...) GROUP BY
+    // word` naturally dedups (and BM25 scores a term set)
+    val terms = rawTerms.distinct
     // ONE tokenize pass and ONE doc_id shuffle produce BOTH the doc
     // length and the per-term frequencies (dl as count(*), each term's
     // tf as a conditional sum in the same aggregation — the q22

@@ -74,26 +74,30 @@ object TextAnalysis {
 
   /** q41 — TF-IDF term ranking: top-k terms per document by
     * tf·ln(N/df). One tokenize pass; the document frequency is a
-    * WINDOW count over the same (doc, word, tf) relation partitioned
-    * by word — no df-dimension join at all. Round-1 broadcast the
-    * vocabulary-sized df relation (the unbounded-broadcast
-    * anti-pattern — billions of rows at web scale); the round-3 shape
-    * has nothing to broadcast OR join: one shuffle on word for the df
-    * window, one on doc_id for the rank window, and the tf relation is
-    * scanned once (the join formulation evaluated its subtree twice).
-    * Only the one-row corpus count stays an explicit broadcast —
-    * bounded by construction. Scores are rounded to 6 dp for the rank
-    * key AND the output — `ln` is the one place both engines' libm may
-    * differ in the last ulp. */
+    * `groupBy(word)` aggregate JOINED BACK on the word key — not a
+    * `count(*) over (partition by word)` window (the round-4 shape):
+    * under Zipf skew every posting of a hot word lands in ONE window
+    * task with no map-side combine (~n_docs rows at web scale),
+    * whereas the aggregate collapses the hot key map-side and the
+    * join-back, though it shuffles on the same key, is AQE-skew-
+    * splittable (windows are not). The df relation is vocabulary-sized
+    * so it stays a SHUFFLE join — round-1's broadcast of it was the
+    * unbounded-broadcast anti-pattern; only the one-row corpus count is
+    * broadcast (bounded by construction). The tf subtree feeds both
+    * sides of the join through the SAME (doc_id, word) exchange, which
+    * exchange reuse dedups to one tokenize pass. Scores are rounded to
+    * 6 dp for the rank key AND the output — `ln` is the one place both
+    * engines' libm may differ in the last ulp. */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = TextFns.tokens(docs)
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("tf"))
+    val dfDim = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word").asc)
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
+    tf.join(dfDim, Seq("word"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
@@ -231,14 +235,17 @@ object TextAnalysis {
     * conditional probability p(w2|w1) = c(w1,w2)/c(w1,·), top-`k`
     * bigrams. The order-preserving tokenize is one narrow projection
     * (explode of index positions — stays in codegen); counting is one
-    * shuffle on (w1,w2); the w1 marginal rides a window over the same
-    * relation; top-k is a TakeOrdered, not a full sort. Probabilities
-    * are exact integer ratios — bit-identical across engines. */
+    * shuffle on (w1,w2); the w1 marginal is a `groupBy(w1)` aggregate
+    * joined back on w1 (a hot w1 like "the" pairs with a vocabulary-
+    * sized set of w2 — a partition-only window would put them all in
+    * one unsplittable task; the aggregate collapses map-side and the
+    * join is AQE-splittable); top-k is a TakeOrdered, not a full sort.
+    * Probabilities are exact integer ratios — bit-identical across
+    * engines. */
   def bigramLm(docs: DataFrame, k: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("w1"))
-    docBigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-      .withColumn("c_w1", sum(col("c")).over(w))
+    val c = docBigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val cw1 = c.groupBy("w1").agg(sum(col("c")).as("c_w1"))
+    c.join(cw1, Seq("w1"))
       .withColumn("cond_p", col("c").cast("double") / col("c_w1"))
       .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
       .limit(k)
@@ -261,15 +268,16 @@ object TextAnalysis {
     * rounding; empirically bit-identical on these inputs, and a
     * divergence fails verify loudly rather than corrupting silently).
     * Shape: one ordered-tokenize pass to per-doc bigrams, one count
-    * aggregation on the (w1, w2) key + a w1-marginal window over it,
+    * aggregation on the (w1, w2) key + a `groupBy(w1)` marginal joined
+    * back on w1 (not a partition-only window — the q41/q62/q84 de-skew:
+    * hot-w1 rows collapse map-side and the join is AQE-splittable),
     * one shuffle join of bigrams to their counts on the pair key, one
     * per-doc aggregation — all keyed, no broadcast of anything
     * vocabulary-sized. */
   def lmScore(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bigrams = docBigrams(docs)
-    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val counts = c12.join(c12.groupBy("w1").agg(sum(col("c12")).as("c1")), Seq("w1"))
     bigrams.join(counts, Seq("w1", "w2"))
       .withColumn("lp_q",
         floor(log(col("c12").cast("double") / col("c1")) * 1e6).cast("long"))
@@ -389,15 +397,18 @@ object TextAnalysis {
     * corpus size). Ranking uses the EXACT rational c_ab·N/(df_a·df_b)
     * as an IEEE-deterministic double; `ln` ships rounded to 6 dp (the
     * q41 lesson — the one last-ulp risk between the engines' libms).
-    * Plan: one distinct (doc, word) pass, a df window on word, one
-    * shuffle self-join on doc_id, one pair aggregation, a one-row
-    * corpus-count broadcast, TakeOrdered(k). */
+    * Plan: one distinct (doc, word) pass, df as a `groupBy(word)`
+    * aggregate joined back on word (map-side combine collapses the hot
+    * Zipf keys; the round-4 partition-only window put every posting of
+    * a hot word in one unsplittable task), one shuffle self-join on
+    * doc_id, one pair aggregation, a one-row corpus-count broadcast,
+    * TakeOrdered(k). */
   def pmiPairs(docs: DataFrame, dfLoFrac: Double = 0.01,
       dfHiFrac: Double = 1.0, minPair: Long = 5L, k: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val banded = TextFns.docWords(docs)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
+    val dw = TextFns.docWords(docs)
+    val dfDim = dw.groupBy("word").agg(count(lit(1)).as("df"))
+    val banded = dw.join(dfDim, Seq("word"))
       .crossJoin(broadcast(nDocs))
       .where(col("df") >= col("n_docs") * dfLoFrac &&
         col("df") <= col("n_docs") * dfHiFrac)

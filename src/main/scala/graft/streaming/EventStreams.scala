@@ -157,11 +157,16 @@ object EventStreams {
       maxDist: Int = 3, watermark: String = "10 minutes"): DataFrame = {
     import graft.functions.{Hashing, TextFns}
     val bits = Hashing.SimHashBits
+    // dedup on the WORD, hash after — the batch builder dedups distinct
+    // words then hashes, so two words colliding under polyHash vote
+    // twice; a collect_set over the hash VALUE would collapse them to
+    // one vote and break the spec-pinned streaming ≡ batch equality
     val agged = TextFns.tokens(docs, Seq("ingest_ts"))
-      .withColumn("th", TextFns.polyHash(col("word")))
       .withWatermark("ingest_ts", watermark)
       .groupBy(col("doc_id"), col("ingest_ts"))
-      .agg(collect_set(col("th")).as("ths"))
+      .agg(collect_set(col("word")).as("ws"))
+      .select(col("doc_id"), col("ingest_ts"),
+        transform(col("ws"), w => TextFns.polyHash(w)).as("ths"))
     // per-bit ±1 vote sums as array folds over the collected token set
     // — same arithmetic as the batch builder's agg expressions;
     // StreamingSpec pins bit-equality against Dedup.simhash

@@ -25,6 +25,45 @@ def frame(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return [cols[i] for i in order], [tuple(canon(r[i]) for i in order) for r in rows]
 
+# the DRIVER compares through pandas, which renders DuckDB HUGEINT and
+# DECIMAL columns as float64/object while Spark's BIGINT is int64 —
+# repr()-based canon here hides the width (round-3 q89, round-4 q101).
+# Mirror that: classify each side's type and fail on any wide/decimal
+# oracle type or any int-vs-float class disagreement.
+WIDE = ("HUGEINT", "UHUGEINT", "DECIMAL")
+def type_class(t):
+    t = t.upper()
+    if any(w in t for w in WIDE):
+        return "wide"
+    if "INT" in t:
+        return "int"
+    if "DOUBLE" in t or "FLOAT" in t or "REAL" in t:
+        return "float"
+    if "BOOL" in t:
+        return "bool"
+    if "TIMESTAMP" in t or "DATE" in t:
+        return "temporal"
+    return "other"
+
+def type_check(name, con, sql, out_dir):
+    """Return list of failure strings (empty = ok)."""
+    odesc = con.sql(f"DESCRIBE {sql}").fetchall()
+    sdesc = con.sql(
+        f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+    fails = []
+    otypes = {c.lower(): t for c, t, *_ in odesc}
+    stypes = {c.lower(): t for c, t, *_ in sdesc}
+    for c, t in otypes.items():
+        if any(w in t.upper() for w in WIDE):
+            fails.append(f"oracle column {c} is {t} — pandas renders it "
+                         f"float64/object vs Spark int64; CAST(... AS BIGINT/DOUBLE)")
+    for c in sorted(set(otypes) & set(stypes)):
+        oc, sc = type_class(otypes[c]), type_class(stypes[c])
+        if "wide" not in (oc, sc) and oc != sc:
+            fails.append(f"column {c} type-class mismatch: oracle {otypes[c]} "
+                         f"({oc}) vs spark {stypes[c]} ({sc})")
+    return fails
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -55,6 +94,10 @@ def main(sf_dir, out_dir):
         if nonscalar:
             print(f"FAIL {name}: non-scalar output columns (driver comparator "
                   f"contract): {nonscalar}")
+            continue
+        tfails = type_check(name, con, oracle[name], out_dir)
+        if tfails:
+            print(f"FAIL {name}: " + "; ".join(tfails))
             continue
         oc, orows2 = frame([c.lower() for c in ocols], orows)
         sc, srows2 = frame([c.lower() for c in scols], srows)
