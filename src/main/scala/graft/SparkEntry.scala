@@ -232,6 +232,10 @@ object SparkEntry {
     "q103_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(
       Tables(s, d, "documents"), Tables(s, d, "embeddings"),
       Seq("spark", "join", "batch"), 0L, 100, 20)),
+    // Unicode (\p{L}) tokenizer path beside the ASCII parity one:
+    // per-lang token stats + ASCII/Unicode divergence audit
+    "q104_unicode_tokens" -> ((s, d) =>
+      TextAnalysis.unicodeTokenStats(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1503,5 +1507,18 @@ object SparkEntry {
          |               + coalesce(1.0 / (rank_vec + 60), 0.0) AS rrf
          |      FROM bmr FULL JOIN vr USING (doc_id))
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    // Unicode tokenizer mirror: RE2's \p{L} class matches Java's; the
+    // n_diverge CASE re-reads each raw token through the ASCII chain
+    "q104_unicode_tokens" ->
+      """SELECT lang,
+        |       count(*) AS n_tokens,
+        |       count(DISTINCT word) AS n_words,
+        |       CAST(sum(length(word)) AS BIGINT) AS n_letters,
+        |       CAST(sum(CASE WHEN lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) <> word
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_diverge
+        |FROM (SELECT lang, tok, lower(regexp_replace(tok, '[^\p{L}]', '', 'g')) AS word
+        |      FROM (SELECT lang, unnest(string_split_regex(text, '\s+')) AS tok FROM documents))
+        |WHERE word <> ''
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -24,6 +24,17 @@ object TextFns {
     * (`main.c++:106-128`). */
   def normalize(c: Column): Column = lower(regexp_replace(c, "[^A-Za-z]", ""))
 
+  /** UTF-8-aware normalization: keep every Unicode LETTER (`\p{L}` —
+    * accented Latin, CJK, Cyrillic, …), fold case. The reference is
+    * byte-wise ASCII (`main.c++:115-120` deletes every byte outside
+    * `[A-Za-z]`, so multi-byte UTF-8 letters are destroyed) — [[normalize]]
+    * keeps that parity path; a real multilingual corpus runs THIS one.
+    * Java regex and DuckDB's RE2 agree on the `\p{L}` class; `lower` is
+    * simple case folding on both engines (locale-special casings like
+    * dotted-I are out of the portable contract). */
+  def normalizeUnicode(c: Column): Column =
+    lower(regexp_replace(c, "[^\\p{L}]", ""))
+
   /** Raw `(doc_id [, extraCols…], word)` token stream, duplicates kept
     * (reference R5 tokenize + R6 normalize). */
   def tokens(docs: DataFrame, extraCols: Seq[String] = Nil): DataFrame = {
@@ -45,6 +56,19 @@ object TextFns {
   def orderedWords: Column =
     filter(transform(split(col("text"), "\\s+"), w => normalize(w)),
       w => w =!= lit(""))
+
+  /** Unicode twin of [[tokens]]: raw `(doc_id [, extraCols…], tok,
+    * word)` stream through [[normalizeUnicode]]. Keeps the raw `tok`
+    * column so consumers can compare the Unicode and ASCII readings of
+    * the same token (the q104 divergence audit). */
+  def tokensUnicode(docs: DataFrame, extraCols: Seq[String] = Nil): DataFrame = {
+    val keep = (Seq("doc_id") ++ extraCols).map(col) :+
+      explode(split(col("text"), "\\s+")).as("tok")
+    docs
+      .select(keep: _*)
+      .withColumn("word", normalizeUnicode(col("tok")))
+      .where(length(col("word")) > 0)
+  }
 
   /** Distinct `(doc_id, word)` pairs — the reference's per-file dedup
     * (R7, `main.c++:46-58,130-141`), expressed as a partial-aggregating

@@ -430,6 +430,26 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("wa").asc, col("wb").asc)
   }
 
+  /** q104 — per-language token statistics through the UNICODE
+    * tokenizer (`TextFns.tokensUnicode`, `\p{L}`-class): token count,
+    * vocabulary size, letter mass, plus `n_diverge` — how many tokens
+    * read DIFFERENTLY under the Unicode and ASCII normalizers (0 on a
+    * pure-ASCII corpus; the multilingual-readiness audit a 100 TB
+    * corpus runs before choosing its tokenizer path). Same one-pass
+    * one-shuffle shape as q20; all counts exact integers. The ASCII
+    * path (reference parity, `main.c++:115-120`) stays the default
+    * everywhere else. */
+  def unicodeTokenStats(docs: DataFrame): DataFrame =
+    TextFns.tokensUnicode(docs, Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_letters"),
+        sum((TextFns.normalize(col("tok")) =!= col("word")).cast("long"))
+          .as("n_diverge"))
+      .orderBy("lang")
+
   /** q66 — redaction: replace every match of `pattern` with `token`
     * (the PII-scrub step of a training pipeline — emails, phone
     * numbers, ids; the default pattern is chosen to actually fire on

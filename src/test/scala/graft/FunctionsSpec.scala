@@ -86,4 +86,34 @@ class FunctionsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toList))
     assert(typed === expr)
   }
+
+  test("unicode tokenizer keeps \\p{L} letters the ASCII path destroys") {
+    import graft.functions.TextFns
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "Café naïve test", "fr"),
+      (2L, "Straße über 42!", "de"),
+      (3L, "中文 mixed ascii", "zh"), // CJK survives only the Unicode path
+      (4L, "plain ascii words", "en")).toDF("doc_id", "text", "lang")
+    val uni = TextFns.tokensUnicode(docs).select("doc_id", "word")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // accents, sharp-s, umlauts, CJK all kept and case-folded
+    assert(uni.contains((1L, "café")))
+    assert(uni.contains((1L, "naïve")))
+    assert(uni.contains((2L, "straße")))
+    assert(uni.contains((2L, "über")))
+    assert(uni.contains((3L, "中文")))
+    // digits/punctuation still stripped; pure-number token drops
+    assert(!uni.exists(_._2.exists(_.isDigit)))
+    // the ASCII parity path reads the same tokens destructively
+    val ascii = docs.select(TextFns.normalize(lit("Café"))).collect()(0).getString(0)
+    assert(ascii === "caf")
+    // q104 audit: divergence counted only where the two paths differ
+    val stats = graft.operators.TextAnalysis.unicodeTokenStats(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(stats("fr") === 2L) // café, naïve
+    assert(stats("de") === 2L) // straße, über
+    assert(stats("zh") === 1L) // the CJK token (ASCII path: empty string)
+    assert(stats("en") === 0L)
+  }
 }
