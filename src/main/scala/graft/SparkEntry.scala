@@ -236,6 +236,12 @@ object SparkEntry {
     // per-lang token stats + ASCII/Unicode divergence audit
     "q104_unicode_tokens" -> ((s, d) =>
       TextAnalysis.unicodeTokenStats(Tables(s, d, "documents"))),
+    // q98's merge story for the POSITIONAL relation: stored lists +
+    // new batch full-outer merge on (word, doc_id); the oracle
+    // rebuilds from scratch ⟹ hash match proves merge ≡ rebuild
+    "q105_positional_merge" -> ((s, d) =>
+      InvertedIndex.positionalMerge(Tables(s, d, "documents"), 250L,
+        Seq("spark", "join", "batch"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1520,5 +1526,14 @@ object SparkEntry {
         |      FROM (SELECT lang, unnest(string_split_regex(text, '\s+')) AS tok FROM documents))
         |WHERE word <> ''
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // rebuild-from-scratch statement of the q105 merge (q95's oracle
+    // text verbatim) — hash match ⟹ merge ≡ rebuild
+    "q105_positional_merge" ->
+      s"""WITH $postoksCte
+         |SELECT word, doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+         |       array_to_string(list_transform(list_sort(list(pos)),
+         |                                      x -> CAST(x AS VARCHAR)), ' ') AS positions
+         |FROM postoks WHERE word IN ('spark', 'join', 'batch')
+         |GROUP BY word, doc_id ORDER BY word, doc_id""".stripMargin,
   )
 }

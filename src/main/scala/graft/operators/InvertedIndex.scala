@@ -264,6 +264,46 @@ object InvertedIndex {
       .orderBy(col("df").desc, col("word").asc)
   }
 
+  /** q105 — INCREMENTAL maintenance for the POSITIONAL index: q98's
+    * merge story for the q95 relation, closing the last rebuild-only
+    * surface (doc-level postings merge: q98; MinHash probe: q90;
+    * SimHash probe: q94). The stored side (`doc_id < cap`) and the new
+    * batch (`doc_id >= cap`) each build their positional lists
+    * independently — the stored side in production is
+    * `IndexStore.loadPositional`, never re-derived — and merge by
+    * FULL-OUTER join on `(word, doc_id)`. Positions are per-document
+    * token offsets, so the cap split makes the two sides DISJOINT on
+    * the join key and the merge is a coalesce; the concat form is kept
+    * (with a defensive sort) so the same operator also serves an
+    * append-to-doc ingest where a key genuinely lands on both sides.
+    * The oracle rebuilds the q95 relation from scratch over the whole
+    * corpus ⟹ the driver hash-match proves merge ≡ rebuild. Scale:
+    * shuffles on (word, doc_id) — the relation's own key, output ∝
+    * posting lists fetched; the stored corpus is never re-tokenized. */
+  def positionalMerge(docs: DataFrame, cap: Long, terms: Seq[String]): DataFrame = {
+    val stored = positionalLists(docs.where(col("doc_id") < cap), terms)
+      .select(col("word"), col("doc_id"), col("positions").as("p_old"))
+    val batch = positionalLists(docs.where(col("doc_id") >= cap), terms)
+      .select(col("word"), col("doc_id"), col("positions").as("p_new"))
+    mergePositionalSides(stored, batch)
+      .select(col("word"), col("doc_id"),
+        size(col("positions")).cast("long").as("n_pos"),
+        array_join(col("positions").cast("array<string>"), " ").as("positions"))
+      .orderBy("word", "doc_id")
+  }
+
+  /** The one merge definition `positionalMerge` (oracle-gated) and
+    * `IndexStore.mergePositional` (stored-artifact path) share — the
+    * persisted-index merge can never drift from the proven shape. */
+  private[graft] def mergePositionalSides(stored: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val emptyPos = typedLit(Array.empty[Long])
+    stored.join(batch, Seq("word", "doc_id"), "full_outer")
+      .select(col("word"), col("doc_id"),
+        sort_array(concat(coalesce(col("p_old"), emptyPos),
+          coalesce(col("p_new"), emptyPos))).as("positions"))
+  }
+
   /** q99 — BM25 ranked retrieval: the scoring query an inverted index
     * exists to serve. For the multi-word query `terms`, every document
     * is scored Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))

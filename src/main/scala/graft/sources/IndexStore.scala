@@ -85,6 +85,20 @@ object IndexStore {
       .orderBy("doc_id")
   }
 
+  /** Incremental ingest for the STORED positional index: merge the
+    * loaded artifact with a new batch's positional lists WITHOUT
+    * re-tokenizing the stored corpus — the q105 merge
+    * (`InvertedIndex.mergePositionalSides`, the oracle-proven shape)
+    * applied to the persisted relation, letter recomputed so the
+    * result can be written back with the same partitioning.
+    * RetrievalSpec pins save → merge ≡ rebuild-from-scratch. */
+  def mergePositional(index: DataFrame, newDocs: DataFrame): DataFrame =
+    InvertedIndex.mergePositionalSides(
+      index.select(col("word"), col("doc_id"), col("positions").as("p_old")),
+      InvertedIndex.positionalLists(newDocs)
+        .select(col("word"), col("doc_id"), col("positions").as("p_new")))
+      .withColumn("letter", substring(col("word"), 1, 1))
+
   /** One word's `(doc_id, pos)` rows fetched from the stored positional
     * index — letter-pruned, word-pushed, positions re-exploded. */
   private def fetchPositions(index: DataFrame, w: String): DataFrame =

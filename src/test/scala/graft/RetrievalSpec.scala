@@ -66,4 +66,40 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(a.sameElements(b))
   }
+
+  test("positionalMerge ≡ full rebuild at every cap, including the edges") {
+    val terms = Seq("spark", "join", "batch")
+    val rebuilt = InvertedIndex.positionalPostings(corpus, terms)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toList
+    for (cap <- Seq(0L, 1L, 3L, 99L)) {
+      val merged = InvertedIndex.positionalMerge(corpus, cap, terms)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toList
+      assert(merged === rebuilt, s"cap=$cap")
+    }
+  }
+
+  test("stored positional index + mergePositional ≡ rebuild from scratch") {
+    import graft.sources.IndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_posmerge").toString
+    val old = corpus.where($"doc_id" < 3L)
+    val batch = corpus.where($"doc_id" >= 3L)
+    IndexStore.savePositional(old, dir)
+    val merged = IndexStore
+      .mergePositional(IndexStore.loadPositional(spark, dir), batch)
+      .select("word", "doc_id", "positions")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .sortBy(t => (t._1, t._2)).toList
+    val rebuilt = InvertedIndex.positionalLists(corpus)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(merged === rebuilt)
+    // letter column recomputed so the merged relation writes back with
+    // the same partitioning scheme
+    val letters = IndexStore
+      .mergePositional(IndexStore.loadPositional(spark, dir), batch)
+      .select("word", "letter").collect()
+    assert(letters.forall(r => r.getString(1) === r.getString(0).take(1)))
+  }
 }
