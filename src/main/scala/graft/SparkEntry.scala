@@ -242,6 +242,9 @@ object SparkEntry {
     "q105_positional_merge" -> ((s, d) =>
       InvertedIndex.positionalMerge(Tables(s, d, "documents"), 250L,
         Seq("spark", "join", "batch"))),
+    // product quantization: per-subspace Lloyd codebooks, PQ encode,
+    // asymmetric (full-precision query × reconstruction) top-k probe
+    "q106_pq_ann" -> ((s, d) => Similarity.pqAnn(Tables(s, d, "embeddings"), 20, 3)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1535,5 +1538,60 @@ object SparkEntry {
          |                                      x -> CAST(x AS VARCHAR)), ' ') AS positions
          |FROM postoks WHERE word IN ('spark', 'join', 'batch')
          |GROUP BY word, doc_id ORDER BY word, doc_id""".stripMargin,
+    // PQ mirror: the lloydCentsCtes recipe keyed by the subspace m —
+    // same hash-ordered seed (slices of one ksub=16 draw), same
+    // quantized-integer centroid means, argmin by the identical
+    // d² = <s,s> - 2<s,c> + <c,c> expression over the shared dot fold
+    "q106_pq_ann" -> pqAnnSql,
   )
+
+  /** The q106 oracle: per-subspace (m = 0..7) 2-round Lloyd over
+    * 8-dim slices of the unit-normalized vectors, PQ encode, ADC
+    * probe against the concatenated reconstruction. */
+  private lazy val pqAnnSql: String = {
+    val (numSubs, subDim, ksub) =
+      (Similarity.PqNumSubs, Similarity.PqSubDim, Similarity.PqKsub)
+    def pd(a: String, b: String) =
+      s"round(${dotSql(a, a)} - 2 * ${dotSql(a, b)} + ${dotSql(b, b)}, 6)"
+    def passign(out: String, cents: String) =
+      s"""$out AS (SELECT vec_id, m, sv, cell FROM (
+         |  SELECT s.vec_id, s.m, s.sv, c.cent_id AS cell,
+         |         row_number() OVER (PARTITION BY s.vec_id, s.m
+         |           ORDER BY ${pd("s.sv", "c.cv")}, c.cent_id) AS r
+         |  FROM subs s JOIN $cents c ON s.m = c.m) WHERE r = 1)""".stripMargin
+    def pupdate(out: String, in: String) =
+      s"""$out AS (SELECT m, cell AS cent_id, list(c ORDER BY pos) AS cv FROM (
+         |  SELECT m, cell, pos,
+         |         CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS c
+         |  FROM (SELECT m, cell, z[2] AS pos, CAST(z[1] AS DOUBLE) AS x
+         |        FROM (SELECT m, cell, unnest(list_zip(sv, range(1, len(sv) + 1))) AS z
+         |              FROM $in))
+         |  GROUP BY m, cell, pos) GROUP BY m, cell)""".stripMargin
+    s"""WITH $embCte,
+       |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM e),
+       |subs AS (SELECT vec_id, m, list_slice(u, m * $subDim + 1, m * $subDim + $subDim) AS sv
+       |         FROM u CROSS JOIN range($numSubs) t(m)),
+       |sids AS (SELECT vec_id AS sid FROM e
+       |         ORDER BY ${polyHashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $ksub),
+       |pc0 AS (SELECT m, vec_id AS cent_id, sv AS cv FROM subs JOIN sids ON vec_id = sid),
+       |${passign("pa1", "pc0")},
+       |${pupdate("pc1", "pa1")},
+       |${passign("pa2", "pc1")},
+       |${pupdate("pc2", "pa2")},
+       |codes AS (SELECT vec_id, m, cell AS code FROM (
+       |  SELECT s.vec_id, s.m, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.m
+       |           ORDER BY ${pd("s.sv", "c.cv")}, c.cent_id) AS r
+       |  FROM subs s JOIN pc2 c ON s.m = c.m) WHERE r = 1),
+       |recon AS (SELECT co.vec_id, flatten(list(c.cv ORDER BY co.m)) AS rv
+       |          FROM codes co JOIN pc2 c ON co.m = c.m AND co.code = c.cent_id
+       |          GROUP BY co.vec_id)
+       |SELECT vec_a, vec_b, round(adc6, 2) AS adc_sim, rnk FROM (
+       |  SELECT q.vec_id AS vec_a, t.vec_id AS vec_b,
+       |         round(${dotSql("q.u", "t.rv")}, 6) AS adc6,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY round(${dotSql("q.u", "t.rv")}, 6) DESC, t.vec_id) AS rnk
+       |  FROM u q JOIN recon t ON q.vec_id < 20 AND q.vec_id <> t.vec_id)
+       |WHERE rnk <= 3 ORDER BY vec_a, rnk, vec_b""".stripMargin
+  }
 }

@@ -341,6 +341,119 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q106 — IVF-PQ's product-quantization half (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search"): the vector
+    * compression that completes the ANN family (q26 LSH buckets, q43
+    * IVF cells, q92/q102 trained coarse codebooks, q87 int8 scalar
+    * quantization — PQ is the standard pairing that makes 100 TB-scale
+    * vector search fit in memory: 64 f32 dims → `numSubs` one-byte
+    * codes).
+    *
+    * Each UNIT-NORMALIZED vector splits into `numSubs` contiguous
+    * `subDim`-dim subvectors; each subspace trains its OWN `ksub`-entry
+    * codebook — the q92 Lloyd recipe (hash-ordered seed, quantized-
+    * integer centroid means) keyed by the extra `m` column, so all
+    * subspaces train in the SAME DataFrame pass, not numSubs separate
+    * job chains. Encoding = per-subspace argmin L2 (computed as
+    * d² = ⟨s,s⟩ − 2⟨s,c⟩ + ⟨c,c⟩ on the shared codegen'd dot — 6-dp
+    * rounded, cent_id tiebreak: the q43 determinism rule). The probe is
+    * ASYMMETRIC (ADC): the query stays full-precision and scores
+    * against each vector's RECONSTRUCTION (its subspace centroids
+    * concatenated) — one exact dot, approximating cosine since inputs
+    * are unit vectors.
+    *
+    * Scale: codebooks are numSubs·ksub·subDim doubles — bounded
+    * parameters, broadcast; training collapses the corpus to
+    * numSubs·ksub·subDim rows map-side per round (the q92 layout);
+    * encode is a broadcast map pass; the bounded query side broadcasts
+    * over the reconstructed corpus exactly like q19. Nothing
+    * corpus-sized shuffles except on the (vec_id, m) aggregation keys.
+    * PqSpec pins recall against the exact q19 baseline and
+    * partitioning-invariance. */
+  /** PQ defaults shared with the q106 oracle SQL (the literal-constant
+    * rule the hash/perm families follow): 32 subspaces × 2 dims × 16
+    * centroids — measured 0.70 recall@3 vs exact on the near-uniform
+    * synthetic embeddings (finer splits beat wider codebooks there;
+    * real clustered embeddings tolerate the classic 8×8). */
+  val PqNumSubs = 32
+  val PqSubDim = 2
+  val PqKsub = 16
+
+  def pqAnn(embeddings: DataFrame, nQueries: Int, k: Int,
+      numSubs: Int = PqNumSubs, subDim: Int = PqSubDim, ksub: Int = PqKsub,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+    val u = e.select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subs = u
+      .select(col("vec_id"), explode(sequence(lit(0), lit(numSubs - 1))).as("m"), col("u"))
+      .select(col("vec_id"), col("m"),
+        slice(col("u"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // subspace L2², 6-dp rounded — the assignment/encode rank key
+    def d6(sv: Column, cv: Column): Column =
+      round(dot(sv, sv) - lit(2.0) * dot(sv, cv) + dot(cv, cv), 6)
+    // seed: the q43 hash-ordered sample's SLICES — one draw of ksub
+    // vectors shared by every subspace
+    val seedIds = e
+      .orderBy(graft.functions.TextFns.polyHash(col("vec_id").cast("string")).asc,
+        col("vec_id").asc)
+      .limit(ksub).select(col("vec_id").as("sid"))
+    var cents = subs.join(broadcast(seedIds), col("vec_id") === col("sid"))
+      .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+    for (_ <- 0 until iters) {
+      // argmin via min(struct) — partial aggregation collapses the ksub
+      // candidate rows per (vec, m) BEFORE the shuffle (the q64 rule);
+      // cent_id is unique per group so sv is never compared
+      val assigned = subs.join(broadcast(cents), Seq("m"))
+        .withColumn("d6", d6(col("sv"), col("cv")))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d6"), col("cent_id"), col("sv"))).as("best"))
+        .select(col("m"), col("best.cent_id").as("cell"), col("best.sv").as("sv"))
+      // per-(m, cell, dim) floor-quantized integer means (the q92/q65
+      // order-independence rule), reassembled into centroid arrays;
+      // member-less cells drop out deterministically on both engines
+      cents = assigned
+        .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("m", "cell", "pos")
+        .agg(sum(floor(col("x") * 1e6).cast("long")).as("sq"), count(lit(1)).as("n"))
+        .withColumn("c", col("sq").cast("double") / col("n") / 1e6)
+        .groupBy("m", "cell")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("cv"))
+        .select(col("m"), col("cell").as("cent_id"), col("cv"))
+    }
+    val cb = cents.select(col("m").as("cm"), col("cent_id").as("cid"), col("cv"))
+    val codes = subs.join(broadcast(cb), col("m") === col("cm"))
+      .withColumn("d6", d6(col("sv"), col("cv")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d6"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("code"))
+    // PQ decode: each vector's reconstruction = its chosen subspace
+    // centroids concatenated in subspace order
+    val recon = codes.join(broadcast(cb),
+        col("m") === col("cm") && col("code") === col("cid"))
+      .groupBy("vec_id")
+      .agg(flatten(transform(sort_array(collect_list(struct(col("m"), col("cv")))),
+        s => s.getField("cv"))).as("r"))
+    val q = u.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("vec_a"), col("u").as("qu"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("adc6").desc, col("vec_b").asc)
+    val result = broadcast(q)
+      .join(recon.select(col("vec_id").as("vec_b"), col("r")),
+        col("vec_a") =!= col("vec_b"))
+      .withColumn("adc6", round(dot(col("qu"), col("r")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("vec_a"), col("vec_b"), round(col("adc6"), 2).as("adc_sim"), col("rnk"))
+      .orderBy("vec_a", "rnk", "vec_b")
+    if (!Dedup.eagerMaterialize(embeddings)) result
+    else try result.localCheckpoint(true) finally { subs.unpersist(); u.unpersist() }
+  }
+
   /** q26 — LSH-bucketed approximate nearest neighbors: the scale path
     * for similarity search. Every vector gets a NumPlanes-bit
     * random-hyperplane bucket (one scan, no shuffle of the corpus);
