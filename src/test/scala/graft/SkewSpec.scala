@@ -55,6 +55,46 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed word-key shuffle join at runtime (the 100× story)") {
+    // The de-skew rule for aggregates is groupBy + join-back (q41/q62/
+    // q84/q88); the join-back itself still shuffles on the Zipf key.
+    // This pins the remaining leg: AQE's skew-join splits the hot
+    // partition at runtime, so no word-key shuffle join in the engine
+    // is a single-task bottleneck at scale. Thresholds are lowered to
+    // make a test-sized corpus legibly "skewed"; production keeps the
+    // defaults and the same machinery engages at real sizes.
+    val hot = (1 to 20000).map(i => ("the", i.toLong))
+    val tail = (1 to 2000).map(i => (s"w$i", i.toLong))
+    val big = (hot ++ tail).toDF("word", "doc_id")
+    val dim = (Seq("the") ++ (1 to 2000).map(i => s"w$i"))
+      .zipWithIndex.map { case (w, i) => (w, i.toLong) }.toDF("word", "df")
+    val expected = big.join(dim, "word").count()
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    try {
+      val joined = big.join(dim, "word")
+      // collect THIS frame (count() would execute a different query
+      // plan and leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length.toLong === expected)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q39 approx distinct within 10% of exact (rsd=0.02)") {
     val rows = Relational.approxDistinct(Tables(spark, "/root/testdata/sf0.001", "lineitem"))
       .collect().map(r => (r.getLong(1), r.getLong(2)))
