@@ -245,6 +245,9 @@ object SparkEntry {
     // product quantization: per-subspace Lloyd codebooks, PQ encode,
     // asymmetric (full-precision query × reconstruction) top-k probe
     "q106_pq_ann" -> ((s, d) => Similarity.pqAnn(Tables(s, d, "embeddings"), 20, 3)),
+    // IVF-PQ proper: q43's coarse cells pick the candidates, q106's
+    // reconstructions score them — the IVFADC serving shape
+    "q107_ivfpq_ann" -> ((s, d) => Similarity.ivfPqAnn(Tables(s, d, "embeddings"), 20, 3)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1543,12 +1546,16 @@ object SparkEntry {
     // quantized-integer centroid means, argmin by the identical
     // d² = <s,s> - 2<s,c> + <c,c> expression over the shared dot fold
     "q106_pq_ann" -> pqAnnSql,
+    // IVF-PQ mirror: q43's cell CTEs + the SHARED recon chain
+    "q107_ivfpq_ann" -> ivfPqAnnSql,
   )
 
-  /** The q106 oracle: per-subspace (m = 0..7) 2-round Lloyd over
-    * 8-dim slices of the unit-normalized vectors, PQ encode, ADC
-    * probe against the concatenated reconstruction. */
-  private lazy val pqAnnSql: String = {
+  /** The PQ training/encode/reconstruction CTE chain ending in `recon`
+    * — ONE definition shared by q106 (flat ADC scan) and q107 (IVF-PQ
+    * probe), the lloydCentsCtes sharing rule: the two oracles can never
+    * train different PQ codebooks. Per-subspace (m) Lloyd over
+    * `PqSubDim`-dim slices of the unit-normalized vectors. */
+  private lazy val pqReconCtes: String = {
     val (numSubs, subDim, ksub) =
       (Similarity.PqNumSubs, Similarity.PqSubDim, Similarity.PqKsub)
     def pd(a: String, b: String) =
@@ -1567,8 +1574,7 @@ object SparkEntry {
          |        FROM (SELECT m, cell, unnest(list_zip(sv, range(1, len(sv) + 1))) AS z
          |              FROM $in))
          |  GROUP BY m, cell, pos) GROUP BY m, cell)""".stripMargin
-    s"""WITH $embCte,
-       |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM e),
+    s"""u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM e),
        |subs AS (SELECT vec_id, m, list_slice(u, m * $subDim + 1, m * $subDim + $subDim) AS sv
        |         FROM u CROSS JOIN range($numSubs) t(m)),
        |sids AS (SELECT vec_id AS sid FROM e
@@ -1585,7 +1591,13 @@ object SparkEntry {
        |  FROM subs s JOIN pc2 c ON s.m = c.m) WHERE r = 1),
        |recon AS (SELECT co.vec_id, flatten(list(c.cv ORDER BY co.m)) AS rv
        |          FROM codes co JOIN pc2 c ON co.m = c.m AND co.code = c.cent_id
-       |          GROUP BY co.vec_id)
+       |          GROUP BY co.vec_id)""".stripMargin
+  }
+
+  /** The q106 oracle: flat ADC — every query scores every recon. */
+  private lazy val pqAnnSql: String =
+    s"""WITH $embCte,
+       |$pqReconCtes
        |SELECT vec_a, vec_b, round(adc6, 2) AS adc_sim, rnk FROM (
        |  SELECT q.vec_id AS vec_a, t.vec_id AS vec_b,
        |         round(${dotSql("q.u", "t.rv")}, 6) AS adc6,
@@ -1593,5 +1605,32 @@ object SparkEntry {
        |           ORDER BY round(${dotSql("q.u", "t.rv")}, 6) DESC, t.vec_id) AS rnk
        |  FROM u q JOIN recon t ON q.vec_id < 20 AND q.vec_id <> t.vec_id)
        |WHERE rnk <= 3 ORDER BY vec_a, rnk, vec_b""".stripMargin
-  }
+
+  /** The q107 oracle: q43's coarse cells (seed codebook, crnk ranking)
+    * select the candidates; the shared `recon` CTE scores them (ADC). */
+  private lazy val ivfPqAnnSql: String =
+    s"""WITH $embCte,
+       |$pqReconCtes,
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM e
+       |          ORDER BY ${polyHashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 32),
+       |ranked AS (
+       |  SELECT e.vec_id, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) DESC,
+       |                    c.cent_id) AS crnk
+       |  FROM e CROSS JOIN cents c),
+       |pairs AS (
+       |  SELECT qa.vec_id AS vec_a, rb.vec_id AS vec_b, rb.cell,
+       |         round(${dotSql("uq.u", "t.rv")}, 6) AS adc6
+       |  FROM ranked qa
+       |  JOIN ranked rb ON qa.cell = rb.cell AND qa.vec_id <> rb.vec_id
+       |  JOIN u uq ON uq.vec_id = qa.vec_id
+       |  JOIN recon t ON t.vec_id = rb.vec_id
+       |  WHERE qa.vec_id < 20 AND qa.crnk <= 2 AND rb.crnk = 1)
+       |SELECT vec_a, vec_b, cell, round(adc6, 2) AS adc_sim, rnk FROM (
+       |  SELECT vec_a, vec_b, cell, adc6,
+       |         row_number() OVER (PARTITION BY vec_a
+       |                            ORDER BY adc6 DESC, vec_b) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 3 ORDER BY vec_a, rnk, vec_b""".stripMargin
 }

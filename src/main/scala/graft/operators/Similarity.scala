@@ -379,14 +379,17 @@ object Similarity {
   val PqSubDim = 2
   val PqKsub = 16
 
-  def pqAnn(embeddings: DataFrame, nQueries: Int, k: Int,
-      numSubs: Int = PqNumSubs, subDim: Int = PqSubDim, ksub: Int = PqKsub,
-      iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = withNorm(embeddings)
-    val u = e.select(col("vec_id"),
-        transform(col("v"), x => x / col("nrm")).as("u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Unit-normalized `(vec_id, u)` frame — PQ operates on the unit
+    * sphere so its ADC dot approximates cosine directly. */
+  private def unitVecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+
+  /** The PQ build shared by q106 (flat ADC scan) and q107 (IVF-PQ):
+    * per-subspace Lloyd codebooks → codes → per-vector reconstruction
+    * `(vec_id, r)`. Returns the recon frame plus the internal persisted
+    * subvector relation for the caller to release. */
+  private def pqRecon(u: DataFrame, numSubs: Int, subDim: Int, ksub: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     val subs = u
       .select(col("vec_id"), explode(sequence(lit(0), lit(numSubs - 1))).as("m"), col("u"))
       .select(col("vec_id"), col("m"),
@@ -397,7 +400,7 @@ object Similarity {
       round(dot(sv, sv) - lit(2.0) * dot(sv, cv) + dot(cv, cv), 6)
     // seed: the q43 hash-ordered sample's SLICES — one draw of ksub
     // vectors shared by every subspace
-    val seedIds = e
+    val seedIds = u
       .orderBy(graft.functions.TextFns.polyHash(col("vec_id").cast("string")).asc,
         col("vec_id").asc)
       .limit(ksub).select(col("vec_id").as("sid"))
@@ -438,6 +441,16 @@ object Similarity {
       .groupBy("vec_id")
       .agg(flatten(transform(sort_array(collect_list(struct(col("m"), col("cv")))),
         s => s.getField("cv"))).as("r"))
+    (recon, subs)
+  }
+
+  def pqAnn(embeddings: DataFrame, nQueries: Int, k: Int,
+      numSubs: Int = PqNumSubs, subDim: Int = PqSubDim, ksub: Int = PqKsub,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = unitVecs(withNorm(embeddings))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (recon, subs) = pqRecon(u, numSubs, subDim, ksub, iters)
     val q = u.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("vec_a"), col("u").as("qu"))
     val w = Window.partitionBy(col("vec_a"))
@@ -452,6 +465,67 @@ object Similarity {
       .orderBy("vec_a", "rnk", "vec_b")
     if (!Dedup.eagerMaterialize(embeddings)) result
     else try result.localCheckpoint(true) finally { subs.unpersist(); u.unpersist() }
+  }
+
+  /** q107 — IVF-PQ proper (the Jégou et al. IVFADC pairing): q43's
+    * inverted-file coarse cells select WHICH vectors a query scores,
+    * q106's PQ reconstruction decides HOW each candidate is scored —
+    * the full-precision query dots the candidate's reconstruction
+    * (asymmetric distance) instead of its raw vector. This is the shape
+    * a 100 TB vector index actually serves: the coarse quantizer bounds
+    * the probe to ~nprobe/numCents of the corpus, and PQ shrinks what
+    * each cell stores from dim·4 bytes to numSubs codes, so the probed
+    * cells are read from a structure 16–32× smaller. q106's flat ADC
+    * scan is the accuracy baseline for this; q43 is the
+    * full-precision-in-cell twin.
+    *
+    * Plan: one bounded coarse-codebook broadcast ranks home (crnk=1)
+    * and probe (crnk ≤ nprobe) cells — q43's exact machinery; the PQ
+    * build is q106's m-keyed chain; the probe joins queries to
+    * candidates on the cell equi-key (never a cross product) with the
+    * recon attached by a vec_id equi-join. Each (query, candidate)
+    * pair meets at most once (a candidate has ONE home cell). */
+  def ivfPqAnn(embeddings: DataFrame, nQueries: Int, k: Int,
+      numCents: Int = 32, nprobe: Int = 2,
+      numSubs: Int = PqNumSubs, subDim: Int = PqSubDim, ksub: Int = PqKsub,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val u = unitVecs(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (recon, subs) = pqRecon(u, numSubs, subDim, ksub, iters)
+    // q43's coarse assignment: seed codebook, crnk ranks cells per
+    // vector (home = 1, probes ≤ nprobe)
+    val cents = trainCents(e, 0, numCents)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos6").desc, col("cent_id").asc)
+    val ranked = e.crossJoin(broadcast(cents))
+      .withColumn("ccos6",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+      .withColumn("crnk", row_number().over(wAssign))
+      .where(col("crnk") <= math.max(1, nprobe))
+      .select(col("vec_id"), col("cent_id").as("cell"), col("crnk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = ranked.where(col("vec_id") < nQueries)
+      .join(u, "vec_id")
+      .select(col("vec_id").as("vec_a"), col("u").as("qu"), col("cell"))
+    val c = ranked.where(col("crnk") === 1)
+      .join(recon, "vec_id")
+      .select(col("vec_id").as("vec_b"), col("r"), col("cell"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("adc6").desc, col("vec_b").asc)
+    val result = broadcast(q).join(c, Seq("cell"))
+      .where(col("vec_a") =!= col("vec_b"))
+      .withColumn("adc6", round(dot(col("qu"), col("r")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("vec_a"), col("vec_b"), col("cell"),
+        round(col("adc6"), 2).as("adc_sim"), col("rnk"))
+      .orderBy("vec_a", "rnk", "vec_b")
+    if (!Dedup.eagerMaterialize(embeddings)) result
+    else try result.localCheckpoint(true)
+    finally { ranked.unpersist(); subs.unpersist(); u.unpersist(); e.unpersist() }
   }
 
   /** q26 — LSH-bucketed approximate nearest neighbors: the scale path

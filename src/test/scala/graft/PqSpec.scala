@@ -36,6 +36,33 @@ class PqSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("ivfPqAnn ⊆ the IVF candidate set, scored by PQ (q43 ∩ q106 shape)") {
+    val emb = Tables(spark, testdataDir, "embeddings")
+    val ivfpq = Similarity.ivfPqAnn(emb, 20, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(ivfpq.nonEmpty)
+    // candidate legality: every returned pair must share a cell under
+    // the SAME coarse assignment q43 uses (home cell of b ∈ probes of a)
+    val ivf = pairs(Similarity.ivfAnn(emb, 20, 500).select("vec_a", "vec_b"))
+    assert(ivfpq.map(p => (p._1, p._2)).toSet.subsetOf(ivf),
+      "IVF-PQ returned a pair outside the coarse candidate set")
+    // ranking within cells comes from PQ, not full precision: the probe
+    // still finds most exact neighbors that survive the cell filter
+    val exact = pairs(Similarity.cosineTopK(emb, 20, 3).select("vec_a", "vec_b"))
+    val recall = (exact & ivfpq.toSet).size.toDouble / exact.size
+    info(f"IVF-PQ recall@3 vs exact = $recall%.2f")
+    assert(recall >= 0.2, f"recall collapsed: $recall%.2f")
+  }
+
+  test("ivfPqAnn is partitioning-invariant") {
+    val emb = Tables(spark, testdataDir, "embeddings")
+    val a = Similarity.ivfPqAnn(emb, 10, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toList
+    val b = Similarity.ivfPqAnn(emb.repartition(7), 10, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toList
+    assert(a === b)
+  }
+
   test("pqAnn on empty / tiny inputs: well-typed, no throw") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.pqAnn(empty, 5, 3).count() === 0)
