@@ -381,15 +381,20 @@ object Similarity {
 
   /** Unit-normalized `(vec_id, u)` frame — PQ operates on the unit
     * sphere so its ADC dot approximates cosine directly. */
-  private def unitVecs(e: DataFrame): DataFrame =
+  private[graft] def unitVecs(e: DataFrame): DataFrame =
     e.select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
 
-  /** The PQ build shared by q106 (flat ADC scan) and q107 (IVF-PQ):
-    * per-subspace Lloyd codebooks → codes → per-vector reconstruction
-    * `(vec_id, r)`. Returns the recon frame plus the internal persisted
-    * subvector relation for the caller to release. */
-  private def pqRecon(u: DataFrame, numSubs: Int, subDim: Int, ksub: Int,
-      iters: Int): (DataFrame, DataFrame) = {
+  private[graft] def unitVecsOf(embeddings: DataFrame): DataFrame =
+    unitVecs(withNorm(embeddings))
+
+  /** PQ TRAINING + ENCODE: per-subspace Lloyd codebooks
+    * `(m, cent_id, cv)` and per-vector codes `(vec_id, m, code)` —
+    * the two relations a PQ index PERSISTS (`VectorStore.savePq`):
+    * codes are numSubs small ints per vector, the 16–32× compression
+    * that makes 100 TB vector search fit storage. Returns
+    * (codebooks, codes, persisted-subs-handle). */
+  private[graft] def pqTrain(u: DataFrame, numSubs: Int, subDim: Int,
+      ksub: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val subs = u
       .select(col("vec_id"), explode(sequence(lit(0), lit(numSubs - 1))).as("m"), col("u"))
       .select(col("vec_id"), col("m"),
@@ -434,28 +439,33 @@ object Similarity {
       .groupBy("vec_id", "m")
       .agg(min(struct(col("d6"), col("cid"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.cid").as("code"))
-    // PQ decode: each vector's reconstruction = its chosen subspace
-    // centroids concatenated in subspace order
-    val recon = codes.join(broadcast(cb),
+    (cents, codes, subs)
+  }
+
+  /** PQ DECODE: each vector's reconstruction = its chosen subspace
+    * centroids concatenated in subspace order. (A production serving
+    * path can skip materializing the reconstruction via the classic
+    * per-query lookup table — LUT[m][code] = ⟨q_m, cv⟩, adc = Σ over
+    * codes — but the recon form keeps the dot the SAME left fold as
+    * every other cosine in the engine, so stored-probe ≡ in-memory
+    * results are bit-identical, which the LUT's different summation
+    * order would not be.) */
+  private[graft] def pqDecode(codes: DataFrame, cents: DataFrame): DataFrame = {
+    val cb = cents.select(col("m").as("cm"), col("cent_id").as("cid"), col("cv"))
+    codes.join(broadcast(cb),
         col("m") === col("cm") && col("code") === col("cid"))
       .groupBy("vec_id")
       .agg(flatten(transform(sort_array(collect_list(struct(col("m"), col("cv")))),
         s => s.getField("cv"))).as("r"))
-    (recon, subs)
   }
 
-  def pqAnn(embeddings: DataFrame, nQueries: Int, k: Int,
-      numSubs: Int = PqNumSubs, subDim: Int = PqSubDim, ksub: Int = PqKsub,
-      iters: Int = 2): DataFrame = {
+  /** The ADC top-k probe shared by q106, q107's scoring leg, and the
+    * stored-index path: full-precision queries against reconstructions. */
+  private[graft] def adcTopK(queries: DataFrame, recon: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val u = unitVecs(withNorm(embeddings))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (recon, subs) = pqRecon(u, numSubs, subDim, ksub, iters)
-    val q = u.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("vec_a"), col("u").as("qu"))
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("adc6").desc, col("vec_b").asc)
-    val result = broadcast(q)
+    broadcast(queries)
       .join(recon.select(col("vec_id").as("vec_b"), col("r")),
         col("vec_a") =!= col("vec_b"))
       .withColumn("adc6", round(dot(col("qu"), col("r")), 6))
@@ -463,6 +473,23 @@ object Similarity {
       .where(col("rnk") <= k)
       .select(col("vec_a"), col("vec_b"), round(col("adc6"), 2).as("adc_sim"), col("rnk"))
       .orderBy("vec_a", "rnk", "vec_b")
+  }
+
+  private def pqRecon(u: DataFrame, numSubs: Int, subDim: Int, ksub: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val (cents, codes, subs) = pqTrain(u, numSubs, subDim, ksub, iters)
+    (pqDecode(codes, cents), subs)
+  }
+
+  def pqAnn(embeddings: DataFrame, nQueries: Int, k: Int,
+      numSubs: Int = PqNumSubs, subDim: Int = PqSubDim, ksub: Int = PqKsub,
+      iters: Int = 2): DataFrame = {
+    val u = unitVecs(withNorm(embeddings))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (recon, subs) = pqRecon(u, numSubs, subDim, ksub, iters)
+    val q = u.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("vec_a"), col("u").as("qu"))
+    val result = adcTopK(q, recon, k)
     if (!Dedup.eagerMaterialize(embeddings)) result
     else try result.localCheckpoint(true) finally { subs.unpersist(); u.unpersist() }
   }

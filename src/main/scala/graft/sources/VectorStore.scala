@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** The PQ index as a PERSISTED artifact — the build → store → probe
+  * story for the ANN family, completing the pattern every other sketch
+  * family already has (MinHash q89/q90, SimHash q23/q94, doc postings
+  * q98, positional lists q95/q105 via IndexStore).
+  *
+  * Two relations are stored: the subspace CODEBOOKS
+  * `(m, cent_id, cv ARRAY<DOUBLE>)` — numSubs·ksub rows, parameters not
+  * corpus — and the CODES `(vec_id, m, code)` — numSubs small ints per
+  * vector, the 16–32× compression that is the point of PQ at 100 TB:
+  * the probe reads the codes + codebooks, NEVER the original
+  * embeddings (queries keep their own full-precision vectors). Codes
+  * are written bucketed-by-nothing but sorted on vec_id so a future
+  * incremental append (new vec_ids above a cap, the q105 pattern)
+  * concatenates cleanly. */
+object VectorStore {
+
+  /** Train PQ on the corpus and persist codebooks + codes. */
+  def savePq(embeddings: DataFrame, path: String): Unit = {
+    val u = Similarity.unitVecsOf(embeddings)
+    val (cents, codes, subs) = Similarity.pqTrain(u,
+      Similarity.PqNumSubs, Similarity.PqSubDim, Similarity.PqKsub, iters = 2)
+    try {
+      cents.write.mode("overwrite").parquet(s"$path/codebook")
+      codes.sort("vec_id", "m").write.mode("overwrite").parquet(s"$path/codes")
+    } finally subs.unpersist()
+  }
+
+  def loadPq(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/codebook"), spark.read.parquet(s"$path/codes"))
+
+  /** ADC top-k served FROM the stored index: reconstruct candidates
+    * from codes × codebooks (the corpus embeddings are not touched —
+    * the point of persisting the index), score against the caller's
+    * full-precision query vectors. Results are bit-identical to
+    * `Similarity.pqAnn` on the same corpus (PqSpec pins it): the
+    * reconstruction dot is the same left fold, and the stored
+    * codebooks/codes ARE the in-memory ones. */
+  def adcSearchStored(codebook: DataFrame, codes: DataFrame,
+      queryEmbeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = Similarity.unitVecsOf(queryEmbeddings)
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("vec_a"), col("u").as("qu"))
+    Similarity.adcTopK(q, Similarity.pqDecode(codes, codebook), k)
+  }
+}

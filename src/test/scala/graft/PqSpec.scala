@@ -63,6 +63,23 @@ class PqSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("stored PQ index: save → load → adcSearchStored ≡ pqAnn bit-for-bit") {
+    import graft.sources.VectorStore
+    val emb = Tables(spark, testdataDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    VectorStore.savePq(emb, dir)
+    val (cb, codes) = VectorStore.loadPq(spark, dir)
+    // codebooks are parameter-sized, codes are numSubs rows per vector
+    assert(cb.count() <= graft.operators.Similarity.PqNumSubs.toLong *
+      graft.operators.Similarity.PqKsub)
+    assert(codes.count() === emb.count() * graft.operators.Similarity.PqNumSubs)
+    val stored = VectorStore.adcSearchStored(cb, codes, emb, 20, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toList
+    val direct = graft.operators.Similarity.pqAnn(emb, 20, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toList
+    assert(stored === direct)
+  }
+
   test("pqAnn on empty / tiny inputs: well-typed, no throw") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.pqAnn(empty, 5, 3).count() === 0)
