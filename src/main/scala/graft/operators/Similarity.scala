@@ -433,14 +433,35 @@ object Similarity {
           s => s.getField("c")).as("cv"))
         .select(col("m"), col("cell").as("cent_id"), col("cv"))
     }
+    (cents, pqEncodeSubs(subs, cents), subs)
+  }
+
+  /** ENCODE a subvector relation against a FIXED codebook — the step
+    * shared by training's own final encode and the incremental-ingest
+    * path (`VectorStore.encodePq`: new vectors get codes against the
+    * STORED codebook, no retraining — the q90/q94/q105 pattern). Given
+    * a codebook, encoding is pointwise per vector, so batch boundaries
+    * cannot change any code. */
+  private def pqEncodeSubs(subs: DataFrame, cents: DataFrame): DataFrame = {
+    def d6(sv: Column, cv: Column): Column =
+      round(dot(sv, sv) - lit(2.0) * dot(sv, cv) + dot(cv, cv), 6)
     val cb = cents.select(col("m").as("cm"), col("cent_id").as("cid"), col("cv"))
-    val codes = subs.join(broadcast(cb), col("m") === col("cm"))
+    subs.join(broadcast(cb), col("m") === col("cm"))
       .withColumn("d6", d6(col("sv"), col("cv")))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("d6"), col("cid"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.cid").as("code"))
-    (cents, codes, subs)
   }
+
+  /** Public encode entry: unit-normalized vectors → PQ codes against a
+    * given codebook. */
+  private[graft] def pqEncode(u: DataFrame, cents: DataFrame,
+      numSubs: Int = PqNumSubs, subDim: Int = PqSubDim): DataFrame =
+    pqEncodeSubs(
+      u.select(col("vec_id"), explode(sequence(lit(0), lit(numSubs - 1))).as("m"), col("u"))
+        .select(col("vec_id"), col("m"),
+          slice(col("u"), col("m") * subDim + 1, lit(subDim)).as("sv")),
+      cents)
 
   /** PQ DECODE: each vector's reconstruction = its chosen subspace
     * centroids concatenated in subspace order. (A production serving

@@ -35,6 +35,16 @@ object VectorStore {
   def loadPq(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/codebook"), spark.read.parquet(s"$path/codes"))
 
+  /** INCREMENTAL ingest: encode a new batch of vectors against the
+    * STORED codebook — no retraining, the corpus is never re-encoded
+    * (the q90/q94/q105 incremental pattern for the PQ family). Given a
+    * codebook, encoding is pointwise per vector, so union(stored codes,
+    * encodePq(new)) is exactly what training over the combined corpus
+    * with this codebook would emit; append the result to `codes` and
+    * the stored index serves old and new vectors alike. */
+  def encodePq(codebook: DataFrame, newEmbeddings: DataFrame): DataFrame =
+    Similarity.pqEncode(Similarity.unitVecsOf(newEmbeddings), codebook)
+
   /** ADC top-k served FROM the stored index: reconstruct candidates
     * from codes × codebooks (the corpus embeddings are not touched —
     * the point of persisting the index), score against the caller's

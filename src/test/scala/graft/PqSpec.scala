@@ -80,6 +80,33 @@ class PqSpec extends SparkSpec {
     assert(stored === direct)
   }
 
+  test("incremental PQ ingest: encode-new against the stored codebook") {
+    import graft.sources.VectorStore
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, testdataDir, "embeddings")
+    val cap = 250L
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqinc").toString
+    // "yesterday": train + store on the old half only
+    VectorStore.savePq(emb.where(col("vec_id") < cap), dir)
+    val (cb, oldCodes) = VectorStore.loadPq(spark, dir)
+    // "today": encode the new half against the STORED codebook
+    val newCodes = VectorStore.encodePq(cb, emb.where(col("vec_id") >= cap))
+    def codeList(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toList
+    // pointwise-given-codebook: encoding the WHOLE corpus against the
+    // stored codebook ≡ stored codes ∪ the new batch's codes — batch
+    // boundaries cannot change any code
+    val whole = codeList(VectorStore.encodePq(cb, emb))
+    assert(whole === codeList(oldCodes.union(newCodes)))
+    // the appended index serves old and new vectors alike
+    val served = VectorStore
+      .adcSearchStored(cb, oldCodes.union(newCodes), emb, 20, 3)
+    val ids = served.select("vec_b").collect().map(_.getLong(0)).toSet
+    assert(served.count() === 60)
+    assert(ids.exists(_ >= cap), "no new-batch vector ever served")
+  }
+
   test("pqAnn on empty / tiny inputs: well-typed, no throw") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.pqAnn(empty, 5, 3).count() === 0)
