@@ -502,6 +502,18 @@ object Similarity {
     (pqDecode(codes, cents), subs)
   }
 
+  /** Thresholded ADC pair gate over a reconstruction relation — shared
+    * by the batch stored-index near-dup (`VectorStore.pqNearDupStored`)
+    * and its streaming twin (stateless, so the SAME projection/filter
+    * runs in a stream-static join). `q` carries (vec_new, qu). */
+  private[graft] def adcPairs(q: DataFrame, recon: DataFrame,
+      threshold: Double): DataFrame =
+    q.join(recon.select(col("vec_id").as("vec_old"), col("r")),
+        col("vec_new") =!= col("vec_old"))
+      .withColumn("adc6", round(dot(col("qu"), col("r")), 6))
+      .where(col("adc6") >= threshold)
+      .select(col("vec_new"), col("vec_old"), col("adc6"))
+
   def pqAnn(embeddings: DataFrame, nQueries: Int, k: Int,
       numSubs: Int = PqNumSubs, subDim: Int = PqSubDim, ksub: Int = PqKsub,
       iters: Int = 2): DataFrame = {

@@ -45,6 +45,22 @@ object VectorStore {
   def encodePq(codebook: DataFrame, newEmbeddings: DataFrame): DataFrame =
     Similarity.pqEncode(Similarity.unitVecsOf(newEmbeddings), codebook)
 
+  /** Batch incremental near-dup against the stored PQ index: every
+    * new vector scored (ADC) against every stored reconstruction, pairs
+    * at or above `threshold` emitted — the semantic-dedup gate a daily
+    * ingest runs before admitting new embeddings, and the reference
+    * semantics for the streaming twin
+    * (`EventStreams.streamingPqNearDup`, spec-pinned equal). Flat-scan
+    * class like q106 (cost ∝ stored corpus per new vector); a
+    * production pipeline bounds it further with the q107 coarse cells.
+    */
+  def pqNearDupStored(codebook: DataFrame, codes: DataFrame,
+      newEmbeddings: DataFrame, threshold: Double): DataFrame = {
+    val q = Similarity.unitVecsOf(newEmbeddings)
+      .select(col("vec_id").as("vec_new"), col("u").as("qu"))
+    Similarity.adcPairs(q, Similarity.pqDecode(codes, codebook), threshold)
+  }
+
   /** ADC top-k served FROM the stored index: reconstruct candidates
     * from codes × codebooks (the corpus embeddings are not touched —
     * the point of persisting the index), score against the caller's

@@ -190,6 +190,27 @@ object EventStreams {
       .where(col("dist") <= maxDist)
   }
 
+  /** Streaming semantic near-dup against the STORED PQ index — the
+    * streaming story for the ANN/embedding family, completing the
+    * triad the token-sketch families already have (MinHash:
+    * `streamingNearDupCandidates`; SimHash: `streamingSimhashMatches`).
+    * Vectors ARRIVING NOW are unit-normalized (a stateless projection —
+    * embeddings arrive whole, so unlike the token streams there is no
+    * aggregation and therefore NO streaming state and no watermark
+    * requirement) and ADC-scored against the static reconstruction of
+    * the stored codes; pairs at or above `threshold` emit. The scoring
+    * projection and filter are the SAME `Similarity.adcPairs` the batch
+    * operator uses — StreamingSpec pins streaming ≡ batch. Flat-scan
+    * class (each arrival scans the stored recon); production bounds it
+    * with the q107 coarse cells exactly as in batch. */
+  def streamingPqNearDup(vecs: DataFrame, codebook: DataFrame,
+      codes: DataFrame, threshold: Double): DataFrame = {
+    val q = graft.operators.Similarity.unitVecsOf(vecs)
+      .select(col("vec_id").as("vec_new"), col("u").as("qu"))
+    graft.operators.Similarity.adcPairs(
+      q, graft.operators.Similarity.pqDecode(codes, codebook), threshold)
+  }
+
   /** Watermarked stream-stream inner join: each click matched to the
     * same user's purchases within `within` AFTER it. Both sides carry
     * event-time watermarks and the join condition bounds the time gap,

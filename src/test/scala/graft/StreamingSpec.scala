@@ -245,6 +245,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PQ near-dup ≡ the batch stored-index operator") {
+    implicit val ctx = spark.sqlContext
+    import graft.sources.VectorStore
+    // stored index: trained on the "yesterday" vectors
+    val oldVecs = Seq(
+      (1L, Array.fill(64)(1.0f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)),
+      (3L, Array.tabulate(64)(i => (i % 5 - 2).toFloat))
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqstream").toString
+    VectorStore.savePq(oldVecs, dir)
+    val (cb, codes) = VectorStore.loadPq(spark, dir)
+    // "today": one vector parallel to stored vec 1, one unrelated
+    val newData = Seq(
+      (10L, Array.fill(64)(0.5f), ts(0)),
+      (11L, Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f), ts(1)))
+    val in = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = EventStreams.streamingPqNearDup(
+        in.toDF.toDF("vec_id", "embedding", "ingest_ts"), cb, codes, 0.9)
+      .writeStream.format("memory").queryName("spq").outputMode("append").start()
+    try {
+      in.addData(newData: _*)
+      q.processAllAvailable()
+      val got = spark.table("spq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // the parallel vector matches stored vec 1 near cosine 1.0
+      assert(got.exists(p => p._1 == 10L && p._2 == 1L && p._3 >= 0.9))
+      assert(!got.exists(_._1 == 11L))
+      // streaming ≡ batch on the same new batch (stateless projection —
+      // exact equality, scores included)
+      val batch = VectorStore.pqNearDupStored(cb, codes,
+          newData.map(t => (t._1, t._2)).toDF("vec_id", "embedding"), 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("stateful user totals accumulate across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
