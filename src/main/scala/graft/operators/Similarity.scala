@@ -433,7 +433,17 @@ object Similarity {
           s => s.getField("c")).as("cv"))
         .select(col("m"), col("cell").as("cent_id"), col("cv"))
     }
-    (cents, pqEncodeSubs(subs, cents), subs)
+    // the final codebook is referenced at least twice downstream
+    // (encode + decode) and its lineage is the whole training chain —
+    // persisting it (numSubs·ksub rows, parameter-sized) caps that at
+    // one execution. At sf0.1 this measures FLAT (the cached subs make
+    // re-aggregation cheap; the wall time is the ~7 sequential
+    // broadcast-build jobs of the Lloyd chain — the q49/q58 fixed
+    // job-floor class); at scale the subs cache spills and re-running
+    // the training aggregations would mean two extra corpus-wide
+    // passes, which this persist removes
+    val centsP = cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (centsP, pqEncodeSubs(subs, centsP), subs)
   }
 
   /** ENCODE a subvector relation against a FIXED codebook — the step
@@ -496,10 +506,12 @@ object Similarity {
       .orderBy("vec_a", "rnk", "vec_b")
   }
 
+  /** Train + decode; returns the recon frame and the persisted
+    * intermediate handles (subs, cents) for the caller to release. */
   private def pqRecon(u: DataFrame, numSubs: Int, subDim: Int, ksub: Int,
-      iters: Int): (DataFrame, DataFrame) = {
+      iters: Int): (DataFrame, Seq[DataFrame]) = {
     val (cents, codes, subs) = pqTrain(u, numSubs, subDim, ksub, iters)
-    (pqDecode(codes, cents), subs)
+    (pqDecode(codes, cents), Seq(subs, cents))
   }
 
   /** Thresholded ADC pair gate over a reconstruction relation — shared
@@ -519,12 +531,13 @@ object Similarity {
       iters: Int = 2): DataFrame = {
     val u = unitVecs(withNorm(embeddings))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (recon, subs) = pqRecon(u, numSubs, subDim, ksub, iters)
+    val (recon, handles) = pqRecon(u, numSubs, subDim, ksub, iters)
     val q = u.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("vec_a"), col("u").as("qu"))
     val result = adcTopK(q, recon, k)
     if (!Dedup.eagerMaterialize(embeddings)) result
-    else try result.localCheckpoint(true) finally { subs.unpersist(); u.unpersist() }
+    else try result.localCheckpoint(true)
+    finally (handles :+ u).foreach(_.unpersist())
   }
 
   /** q107 — IVF-PQ proper (the Jégou et al. IVFADC pairing): q43's
@@ -554,7 +567,7 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val u = unitVecs(e)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (recon, subs) = pqRecon(u, numSubs, subDim, ksub, iters)
+    val (recon, pqHandles) = pqRecon(u, numSubs, subDim, ksub, iters)
     // q43's coarse assignment: seed codebook, crnk ranks cells per
     // vector (home = 1, probes ≤ nprobe)
     val cents = trainCents(e, 0, numCents)
@@ -585,7 +598,7 @@ object Similarity {
       .orderBy("vec_a", "rnk", "vec_b")
     if (!Dedup.eagerMaterialize(embeddings)) result
     else try result.localCheckpoint(true)
-    finally { ranked.unpersist(); subs.unpersist(); u.unpersist(); e.unpersist() }
+    finally (pqHandles ++ Seq(ranked, u, e)).foreach(_.unpersist())
   }
 
   /** q26 — LSH-bucketed approximate nearest neighbors: the scale path

@@ -29,7 +29,7 @@ object VectorStore {
     try {
       cents.write.mode("overwrite").parquet(s"$path/codebook")
       codes.sort("vec_id", "m").write.mode("overwrite").parquet(s"$path/codes")
-    } finally subs.unpersist()
+    } finally { subs.unpersist(); cents.unpersist() }
   }
 
   def loadPq(spark: SparkSession, path: String): (DataFrame, DataFrame) =
