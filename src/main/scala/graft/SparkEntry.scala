@@ -248,6 +248,12 @@ object SparkEntry {
     // IVF-PQ proper: q43's coarse cells pick the candidates, q106's
     // reconstructions score them — the IVFADC serving shape
     "q107_ivfpq_ann" -> ((s, d) => Similarity.ivfPqAnn(Tables(s, d, "embeddings"), 20, 3)),
+    // TPC-H Q18 shape: HAVING-gated aggregate-then-join (big orders)
+    "q108_tpch_q18" -> ((s, d) => Relational.tpchQ18(
+      Tables(s, d, "customer"), Tables(s, d, "orders"), Tables(s, d, "lineitem"))),
+    // temperature-based domain mixing: rates ∝ bytes^α, hash-gated
+    "q109_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1548,6 +1554,34 @@ object SparkEntry {
     "q106_pq_ann" -> pqAnnSql,
     // IVF-PQ mirror: q43's cell CTEs + the SHARED recon chain
     "q107_ivfpq_ann" -> ivfPqAnnSql,
+    // HAVING expressed as a filtered-aggregate CTE; quantities cast to
+    // BIGINT before the sum (exact, order-independent)
+    "q108_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+        |SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       o_totalprice AS total_price, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price DESC, o_orderkey LIMIT 20""".stripMargin,
+    // same quantized-pow / integer-normalizer / 6-dp-rate chain; the
+    // per-doc gate compares the shared polyHash against rate·P
+    "q109_temperature_mix" ->
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+         |         CAST(floor(pow(CAST(sum(n_chars) AS DOUBLE), 0.5) * 1e6) AS BIGINT) AS pq
+         |  FROM documents GROUP BY source),
+         |z AS (SELECT CAST(sum(pq) AS BIGINT) AS zq FROM c),
+         |r AS (SELECT source, n_docs, n_bytes,
+         |             round(least(1.0, 300.0 * pq / zq / n_docs), 6) AS rate
+         |      FROM c CROSS JOIN z)
+         |SELECT r.source, r.n_docs, r.n_bytes, r.rate,
+         |       CAST(sum(CASE WHEN ${polyHashSql("CAST(d.doc_id AS VARCHAR)")}
+         |                          < r.rate * ${Hashing.P} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents d JOIN r ON d.source = r.source
+         |GROUP BY r.source, r.n_docs, r.n_bytes, r.rate
+         |ORDER BY r.source""".stripMargin,
   )
 
   /** The PQ training/encode/reconstruction CTE chain ending in `recon`

@@ -430,6 +430,29 @@ object Relational {
       .orderBy(col("revenue").desc, col("order_date"), col("l_orderkey"))
       .limit(k)
 
+  /** q108 — TPC-H Q18 shape (large-volume customers): the HAVING-gated
+    * aggregate-then-join pattern the suite lacked. The lineitem
+    * aggregation runs FIRST and its `sum_qty > threshold` gate
+    * (SQL HAVING) shrinks the fact side to the rare big orders BEFORE
+    * any join — at 100 TB the filter is the plan: orders/customer join
+    * a relation that is orders×selectivity, not orders. Quantities are
+    * integral doubles in the data; casting to LONG before the sum makes
+    * the aggregate an exact integer (partitioning- and
+    * engine-invariant) where a double sum would be order-dependent.
+    * Top-k via TakeOrdered; deterministic ties on o_orderkey. */
+  def tpchQ18(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      threshold: Long = 150, k: Int = 20): DataFrame =
+    lineitem.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .where(col("sum_qty") > threshold)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice").as("total_price"), col("sum_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey").asc)
+      .limit(k)
+
   /** q100 — TPC-H Q5 shape: the 6-table join graph (region → nation →
     * {customer, supplier} → orders → lineitem) with the
     * co-nationality constraint (customer and supplier in the SAME

@@ -139,6 +139,42 @@ object Sampling {
     * result is partitioning-invariant (spec-pinned); the oracle states
     * the plain windowed form — the hash match proves
     * prefix-sum ≡ window. */
+  /** q109 — temperature-based domain mixing: per-source sampling rates
+    * ∝ size^α (α < 1 upsamples small sources relative to their mass —
+    * the standard multilingual/multi-domain mixture rule), applied as
+    * a DETERMINISTIC hash gate per document. The audit relation a
+    * pipeline materializes before committing a mixture: per source,
+    * its mass, computed keep-rate, and how many docs the gate keeps.
+    *
+    * Determinism across engines: the only libm call (`pow`) is
+    * floor-quantized to integer millionths per source, the normalizer
+    * is the exact integer SUM of those (a double Σ over sources would
+    * be partition-order-dependent), the rate is rounded to 6 dp, and
+    * the per-doc gate compares the cross-engine polyHash against
+    * rate·P — a pure projection, no shuffle beyond the two bounded
+    * aggregations. The rates relation is sources-sized (config-bounded,
+    * never corpus) and broadcast. */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.5,
+      targetDocs: Long = 300): DataFrame = {
+    val stats = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_bytes"))
+      .withColumn("pq",
+        floor(pow(col("n_bytes").cast("double"), alpha) * 1e6).cast("long"))
+    val z = stats.agg(sum(col("pq")).as("zq"))
+    val rates = stats.crossJoin(broadcast(z))
+      .withColumn("rate", round(least(lit(1.0),
+        lit(targetDocs.toDouble) * col("pq") / col("zq") / col("n_docs")), 6))
+      .select("source", "n_docs", "n_bytes", "rate")
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("h", TextFns.polyHash(col("doc_id").cast("string")))
+      .join(broadcast(rates), Seq("source"))
+      .groupBy("source", "n_docs", "n_bytes", "rate")
+      .agg(sum((col("h") < col("rate") * graft.functions.Hashing.P).cast("long"))
+        .as("n_kept"))
+      .orderBy("source")
+  }
+
   val MixShards = 32
 
   def mixBudget(docs: DataFrame, budget: Long): DataFrame = {

@@ -558,6 +558,58 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q108 tpch q18: HAVING gate holds, order deterministic, non-vacuous") {
+    import graft.operators.Relational
+    val got = Relational.tpchQ18(t("customer"), t("orders"), t("lineitem"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    assert(got.nonEmpty && got.length <= 20)
+    assert(got.forall(_._4 > 150L), "a row leaked through the HAVING gate")
+    assert(got.map(_._3).toList === got.map(_._3).toList.sortBy(-_))
+    // every surviving order's quantity sum recomputes exactly
+    val sums = t("lineitem").groupBy("l_orderkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("l_quantity").cast("long")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (_, ok, _, sq) => assert(sums(ok) === sq) }
+  }
+
+  test("q109 temperature mix: α<1 favors small sources, gate within bounds") {
+    import graft.operators.Sampling
+    val rows = Sampling.temperatureMix(t("documents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nDocs, _, rate, nKept) =>
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(nKept >= 0L && nKept <= nDocs)
+    }
+    // α = 0.5: the mixture share PER BYTE (rate·n_docs/n_bytes ∝
+    // bytes^(α−1)) is anti-monotone in source mass — smaller sources
+    // are over-represented relative to their mass, the point of
+    // temperature (the raw rate itself is ∝ bytes^α / n_docs and can
+    // go either way depending on the doc-count profile)
+    val byBytes = rows.sortBy(_._3)
+    def perByte(r: (String, Long, Long, Double, Long)) = r._4 * r._2 / r._3
+    assert(perByte(byBytes.head) >= perByte(byBytes.last))
+    // partitioning-invariant (content-keyed hash gate, quantized stats)
+    val repart = Sampling.temperatureMix(t("documents").repartition(7)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(repart.toList === rows.toList)
+    // synthetic skew, doc counts ∝ bytes: the small source's keep-rate
+    // is strictly higher (rate ∝ size^(α−1) when counts track bytes)
+    import spark.implicits._
+    val skewed = (1 to 90).map(i => (i.toLong, "big", 100L)) ++
+      (91 to 100).map(i => (i.toLong, "small", 100L))
+    val skDf = skewed.toDF("doc_id", "source", "n_chars")
+    val sk = Sampling.temperatureMix(skDf, alpha = 0.5, targetDocs = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(sk("small") > sk("big"))
+    // and a huge target caps every rate at 1.0
+    val capped = Sampling.temperatureMix(skDf, alpha = 0.5, targetDocs = 1000)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(capped("big") === 1.0 && capped("small") === 1.0)
+  }
+
   test("q94 incremental simhash match is exactly the cross-boundary all-pairs subset") {
     val docs = t("documents")
     val cap = 25L
