@@ -254,6 +254,10 @@ object SparkEntry {
     // temperature-based domain mixing: rates ∝ bytes^α, hash-gated
     "q109_temperature_mix" -> ((s, d) =>
       Sampling.temperatureMix(Tables(s, d, "documents"))),
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation, both
+    // decorrelated by Catalyst (semi + anti join, never per-row loops)
+    "q110_tpch_q21" -> ((s, d) => Relational.tpchQ21(
+      Tables(s, d, "supplier"), Tables(s, d, "orders"), Tables(s, d, "lineitem"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1582,6 +1586,19 @@ object SparkEntry {
          |FROM documents d JOIN r ON d.source = r.source
          |GROUP BY r.source, r.n_docs, r.n_bytes, r.rate
          |ORDER BY r.source""".stripMargin,
+    "q110_tpch_q21" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
   )
 
   /** The PQ training/encode/reconstruction CTE chain ending in `recon`

@@ -387,6 +387,39 @@ object Relational {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** q110 — TPC-H Q21 shape on the slim schema: the DOUBLE-correlated
+    * subquery pattern — EXISTS and NOT EXISTS over the SAME fact table,
+    * both correlated on the outer row's order key ("suppliers who were
+    * the ONLY one to return goods on a failed multi-supplier order").
+    * The hardest decorrelation case in the TPC-H suite: Catalyst
+    * rewrites the EXISTS to a left-semi and the NOT EXISTS to a
+    * left-anti join on (orderkey + the supp inequality residual), so
+    * the fact table is scanned three times but NEVER nested-loop
+    * re-executed per outer row. (The real Q21's receipt/commit-date
+    * predicate maps to the returnflag here — the testdata schema
+    * carries no receipt dates; the join/decorrelation structure is the
+    * point.) Counts per supplier, TakeOrdered top-k. */
+  def tpchQ21(supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      k: Int = 20): DataFrame = {
+    val spark = supplier.sparkSession
+    supplier.createOrReplaceTempView("graft_supplier_q21")
+    orders.createOrReplaceTempView("graft_orders_q21")
+    lineitem.createOrReplaceTempView("graft_lineitem_q21")
+    spark.sql(
+      s"""SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+         |FROM graft_lineitem_q21 l1
+         |JOIN graft_orders_q21 o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+         |JOIN graft_supplier_q21 s ON s.s_suppkey = l1.l_suppkey
+         |WHERE l1.l_returnflag = 'R'
+         |  AND EXISTS (SELECT 1 FROM graft_lineitem_q21 l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM graft_lineitem_q21 l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.l_returnflag = 'R')
+         |GROUP BY s.s_name
+         |ORDER BY numwait DESC, s_name LIMIT $k""".stripMargin)
+  }
+
   /** q74 — frame-wide window navigation: first_value / last_value /
     * nth_value over an UNBOUNDED-both-ways frame (vs q33's lag/lead
     * row offsets and q56's rank ladder). One shuffle + one sort per

@@ -610,6 +610,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(capped("big") === 1.0 && capped("small") === 1.0)
   }
 
+  test("q110 tpch q21 shape: both subqueries decorrelate, ≡ DataFrame semi/anti") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val got = Relational.tpchQ21(t("supplier"), t("orders"), t("lineitem"))
+    // Catalyst must decorrelate BOTH subqueries — semi for EXISTS, anti
+    // for NOT EXISTS; a surviving correlated subquery would re-execute
+    // per outer row
+    val opt = got.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"), s"EXISTS not decorrelated:\n$opt")
+    assert(opt.contains("LeftAnti"), s"NOT EXISTS not decorrelated:\n$opt")
+    val rows = got.collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(rows.nonEmpty)
+    // explicit DataFrame semi/anti re-statement gives the same answer
+    val l = t("lineitem"); val o = t("orders"); val s = t("supplier")
+    val l1 = l.where(col("l_returnflag") === "R")
+      .join(o.where(col("o_orderstatus") === "F"),
+        col("o_orderkey") === col("l_orderkey"))
+    val other = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val withEx = l1.join(other,
+      col("k2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"), "left_semi")
+    val otherR = l.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    val expected = withEx.join(otherR,
+        col("k3") === col("l_orderkey") && col("s3") =!= col("l_suppkey"), "left_anti")
+      .join(s, col("s_suppkey") === col("l_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(rows === expected)
+  }
+
   test("q94 incremental simhash match is exactly the cross-boundary all-pairs subset") {
     val docs = t("documents")
     val cap = 25L
