@@ -258,6 +258,9 @@ object SparkEntry {
     // decorrelated by Catalyst (semi + anti join, never per-row loops)
     "q110_tpch_q21" -> ((s, d) => Relational.tpchQ21(
       Tables(s, d, "supplier"), Tables(s, d, "orders"), Tables(s, d, "lineitem"))),
+    // integer-arithmetic PageRank over the q49 near-dup edge graph;
+    // the oracle unrolls the same 3 damped rounds
+    "q111_pagerank" -> ((s, d) => Graph.pageRank(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1599,7 +1602,48 @@ object SparkEntry {
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q111_pagerank" -> pageRankSql,
   )
+
+  /** The q111 oracle: the q49 edge CTEs + three unrolled integer-
+    * arithmetic PageRank rounds (SCALE units, `//` ≡ Spark `div` on the
+    * positive operands here, damping as the exact rational 85/100). */
+  private lazy val pageRankSql: String = {
+    val S = "1000000000000"
+    def iter(i: Int): String =
+      s"""d$i AS (SELECT CAST(coalesce(sum(p.r), 0) AS BIGINT) AS dang
+         |        FROM pr$i p LEFT JOIN deg ON p.u = deg.u WHERE deg.u IS NULL),
+         |i$i AS (SELECT s.v AS u, CAST(sum(p.r // deg.deg) AS BIGINT) AS inflow
+         |        FROM pr$i p JOIN deg ON p.u = deg.u JOIN sym s ON s.u = p.u
+         |        GROUP BY s.v),
+         |pr${i + 1} AS (SELECT nodes.doc_id AS u,
+         |             CAST((($S * 15) // 100) // nn
+         |                  + (85 * (coalesce(i$i.inflow, 0) + d$i.dang // nn)) // 100 AS BIGINT) AS r
+         |             FROM nodes CROSS JOIN cnt CROSS JOIN d$i
+         |             LEFT JOIN i$i ON i$i.u = nodes.doc_id)""".stripMargin
+    s"""WITH $toksCte,
+       |sets AS (
+       |  SELECT doc_id, list(word) AS ws, CAST(count(*) AS BIGINT) AS n
+       |  FROM toks WHERE doc_id < 1000 GROUP BY doc_id),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
+       |    FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.95),
+       |sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
+       |        UNION ALL SELECT doc_b, doc_a FROM edges),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+       |nodes AS (SELECT doc_id FROM documents WHERE doc_id < 1000),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+       |pr0 AS (SELECT doc_id AS u, CAST($S // nn AS BIGINT) AS r
+       |        FROM nodes CROSS JOIN cnt),
+       |${iter(0)},
+       |${iter(1)},
+       |${iter(2)}
+       |SELECT u AS doc_id, r AS rank_q FROM pr3
+       |ORDER BY rank_q DESC, doc_id""".stripMargin
+  }
 
   /** The PQ training/encode/reconstruction CTE chain ending in `recon`
     * — ONE definition shared by q106 (flat ADC scan) and q107 (IVF-PQ

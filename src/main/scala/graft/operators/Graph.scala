@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relations the engine already builds — the
+  * iterative-numeric sibling of the connected-components decision step
+  * (q49/q58's label loop). */
+object Graph {
+
+  /** q111 — PageRank over the near-dup graph: rank documents by how
+    * centrally they sit in the duplication structure (a high-rank doc
+    * is a "template" many near-copies orbit — pipelines inspect these
+    * before choosing cluster canonicals). Same edge relation as q49
+    * (bounded exact-Jaccard pairs; the q58 LSH chain is the scale
+    * feeder), `iters` damped rounds, uniform start.
+    *
+    * Cross-engine determinism is the whole design: ranks live as
+    * INTEGER units (SCALE = 10¹²) and every update is integer
+    * arithmetic — contribution = r div deg, damping through the exact
+    * rational 85/100 as `(85 · x) div 100`, dangling mass redistributed
+    * as `dang div N` — so both engines walk bit-identical rank vectors
+    * (a double PageRank would drift with partition order in the very
+    * first sum). `iters` is a fixed small constant: the lazy tree stays
+    * shallow (the q92 rule), no checkpoint hygiene needed — unlike the
+    * unbounded q49 loop.
+    *
+    * Scale shape per round: one join of the rank vector to the degree
+    * relation (both keyed by node), one shuffle aggregation of edge
+    * contributions on the destination key with map-side combine, and a
+    * ONE-ROW dangling-mass broadcast. Nothing corpus-sized is
+    * collected or broadcast; the edge relation is the bounded q18
+    * candidate set here and the q22/q58 LSH edges at scale. */
+  def pageRank(docs: DataFrame, cap: Long = 1000L, threshold: Double = 0.95,
+      iters: Int = 3): DataFrame = {
+    val Scale = 1000000000000L
+    val nodes = docs.where(col("doc_id") < cap).select("doc_id")
+    val nRow = nodes.agg(count(lit(1)).as("nn"))
+    val edges = Dedup.nearDupJaccard(docs, cap, threshold)
+      .select("doc_a", "doc_b")
+    // both orientations; input pairs are unique (doc_a < doc_b), so
+    // this is a disjoint union — no distinct needed
+    val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    var pr = nodes.crossJoin(broadcast(nRow))
+      .select(col("doc_id").as("u"), expr(s"$Scale div nn").as("r"))
+    for (_ <- 0 until iters) {
+      val withDeg = pr.join(deg, Seq("u"), "left")
+      val dang = withDeg.where(col("deg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      val inflow = withDeg.where(col("deg").isNotNull)
+        .withColumn("c", expr("r div deg"))
+        .join(sym, Seq("u"))
+        .groupBy(col("v"))
+        .agg(sum(col("c")).as("inflow"))
+        .withColumnRenamed("v", "doc_id")
+      pr = nodes.crossJoin(broadcast(nRow)).crossJoin(broadcast(dang))
+        .join(inflow, Seq("doc_id"), "left")
+        .select(col("doc_id").as("u"),
+          (expr(s"(($Scale * 15) div 100) div nn") +
+            expr("(85 * (coalesce(inflow, 0) + dang div nn)) div 100")).as("r"))
+    }
+    pr.select(col("u").as("doc_id"), col("r").as("rank_q"))
+      .orderBy(col("rank_q").desc, col("doc_id").asc)
+  }
+}

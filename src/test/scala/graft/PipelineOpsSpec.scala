@@ -641,6 +641,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows === expected)
   }
 
+  test("q111 pagerank: connected docs out-rank isolated ones, invariant, exact") {
+    import graft.operators.{Dedup, Graph}
+    import org.apache.spark.sql.functions.col
+    val docs = t("documents")
+    val ranks = Graph.pageRank(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ranks.nonEmpty)
+    // rank mass stays within the integer scale (floor divisions only
+    // ever LOSE units, never create them)
+    assert(ranks.map(_._2).sum <= 1000000000000L)
+    // every near-dup participant out-ranks every isolated doc (inflow
+    // is strictly positive; isolated docs get only base + dangling)
+    val connected = Dedup.nearDupJaccard(docs, 1000L, 0.95).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(connected.nonEmpty)
+    val (conn, iso) = ranks.partition(p => connected(p._1))
+    assert(iso.nonEmpty && conn.map(_._2).min > iso.map(_._2).max)
+    // isolated docs all share one rank (uniform start, identical flow)
+    assert(iso.map(_._2).toSet.size === 1)
+    // integer arithmetic ⟹ partitioning-invariant
+    val repart = Graph.pageRank(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(repart.toList === ranks.toList)
+    // edge-free corpus: everything stays uniform
+    import spark.implicits._
+    val lonely = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "zeta eta"))
+      .toDF("doc_id", "text")
+    val uni = Graph.pageRank(lonely).collect().map(_.getLong(1)).toSet
+    assert(uni.size === 1)
+  }
+
   test("q94 incremental simhash match is exactly the cross-boundary all-pairs subset") {
     val docs = t("documents")
     val cap = 25L
