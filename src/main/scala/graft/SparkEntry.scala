@@ -261,6 +261,24 @@ object SparkEntry {
     // integer-arithmetic PageRank over the q49 near-dup edge graph;
     // the oracle unrolls the same 3 damped rounds
     "q111_pagerank" -> ((s, d) => Graph.pageRank(Tables(s, d, "documents"))),
+    // triangle counting over the same graph: degree-oriented wedge
+    // join (out-degree bounded by O(√m)) + local clustering coeff
+    "q112_triangles" -> ((s, d) => Graph.triangles(Tables(s, d, "documents"))),
+    // TPC-H Q17 shape: correlated per-part average, integer-exact gate
+    "q113_tpch_q17" -> ((s, d) => Relational.tpchQ17(
+      Tables(s, d, "lineitem"), Tables(s, d, "part"))),
+    // TPC-H Q22 shape: global scalar gate + anti join, cents-exact
+    "q114_tpch_q22" -> ((s, d) => Relational.tpchQ22(
+      Tables(s, d, "customer"), Tables(s, d, "orders"))),
+    // TPC-H Q15 shape: revenue view, broadcast max-back, tie-keeping
+    "q115_tpch_q15" -> ((s, d) => Relational.tpchQ15(
+      Tables(s, d, "supplier"), Tables(s, d, "lineitem"))),
+    // sorted-neighborhood dedup: prefix sort key, rank-slot equi join
+    "q116_sorted_neighbor" -> ((s, d) =>
+      Dedup.sortedNeighborDedup(Tables(s, d, "documents"))),
+    // per-(user,type) z-score outliers, integer-exact moment gate
+    "q117_zscore_anomaly" -> ((s, d) =>
+      Events.zscoreAnomalies(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1603,11 +1621,125 @@ object SparkEntry {
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q111_pagerank" -> pageRankSql,
+    "q112_triangles" -> trianglesSql,
+    "q113_tpch_q17" ->
+      """WITH s AS (
+        |  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qsum,
+        |         CAST(count(*) AS BIGINT) AS qn
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l
+        |JOIN s ON l.l_partkey = s.l_partkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE CAST(l.l_quantity AS BIGINT) * 5 * qn < qsum
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q114_tpch_q22" ->
+      """WITH pos AS (
+        |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sumc,
+        |         CAST(count(*) AS BIGINT) AS nc
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+        |FROM customer c CROSS JOIN pos
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * nc > sumc
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q115_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q116_sorted_neighbor" ->
+      s"""WITH $toksCte,
+         |keyed AS (
+         |  SELECT doc_id, source,
+         |         substr(lower(regexp_replace(text, '[^A-Za-z]', '', 'g')), 1, 24) AS sk
+         |  FROM documents),
+         |rn AS (SELECT doc_id, source,
+         |              row_number() OVER (PARTITION BY source ORDER BY sk, doc_id) AS rn
+         |       FROM keyed),
+         |pairs AS (
+         |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         |         greatest(a.doc_id, b.doc_id) AS doc_b
+         |  FROM rn a JOIN rn b ON a.source = b.source
+         |                     AND b.rn > a.rn AND b.rn <= a.rn + 3),
+         |$setsCte
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT p.doc_a, p.doc_b,
+         |         ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
+         |  FROM pairs p
+         |  JOIN sets a ON a.doc_id = p.doc_a
+         |  JOIN sets b ON b.doc_id = p.doc_b)
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q117_zscore_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |s AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(vc) AS BIGINT) AS sumc,
+        |         CAST(sum(vc * vc) AS BIGINT) AS sumc2
+        |  FROM b GROUP BY user_id, event_type)
+        |SELECT event_id, b.user_id, b.event_type, n,
+        |       round((n * vc - sumc) / sqrt(CAST(n * sumc2 - sumc * sumc AS DOUBLE)), 6) AS zscore
+        |FROM b JOIN s ON b.user_id = s.user_id AND b.event_type = s.event_type
+        |WHERE n >= 2 AND (n * sumc2 - sumc * sumc) > 0
+        |  AND (n * vc - sumc) * (n * vc - sumc) > 4 * (n * sumc2 - sumc * sumc)
+        |ORDER BY event_id""".stripMargin,
   )
 
   /** The q111 oracle: the q49 edge CTEs + three unrolled integer-
     * arithmetic PageRank rounds (SCALE units, `//` ≡ Spark `div` on the
     * positive operands here, damping as the exact rational 85/100). */
+  /** The capped near-dup graph (edges/sym/deg) — ONE definition shared
+    * by the q111 PageRank and q112 triangle oracles, so the two graph
+    * queries can never disagree on the underlying edge relation. */
+  private lazy val neardupGraphCtes: String =
+    s"""$toksCte,
+       |sets AS (
+       |  SELECT doc_id, list(word) AS ws, CAST(count(*) AS BIGINT) AS n
+       |  FROM toks WHERE doc_id < 1000 GROUP BY doc_id),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
+       |    FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.95),
+       |sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
+       |        UNION ALL SELECT doc_b, doc_a FROM edges),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u)""".stripMargin
+
+  /** The q112 oracle: the same degree orientation as the engine
+    * (acyclic (deg, id) total order), wedge join closed by the third
+    * oriented edge, corners re-aggregated per node. */
+  private lazy val trianglesSql: String =
+    s"""WITH $neardupGraphCtes,
+       |ori AS (SELECT s.u, s.v FROM sym s
+       |        JOIN deg da ON da.u = s.u JOIN deg db ON db.u = s.v
+       |        WHERE da.deg < db.deg OR (da.deg = db.deg AND s.u < s.v)),
+       |tw AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |       FROM ori e1 JOIN ori e2 ON e2.u = e1.v
+       |       JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+       |         SELECT a AS node FROM tw
+       |         UNION ALL SELECT b FROM tw
+       |         UNION ALL SELECT c FROM tw) GROUP BY node)
+       |SELECT d.u AS doc_id, d.deg, CAST(coalesce(pn.tri, 0) AS BIGINT) AS tri,
+       |       CASE WHEN d.deg > 1
+       |            THEN round(2.0 * coalesce(pn.tri, 0) / (d.deg * (d.deg - 1)), 6)
+       |            ELSE 0.0 END AS cc
+       |FROM deg d LEFT JOIN pn ON pn.node = d.u
+       |ORDER BY tri DESC, doc_id""".stripMargin
+
   private lazy val pageRankSql: String = {
     val S = "1000000000000"
     def iter(i: Int): String =
@@ -1621,19 +1753,7 @@ object SparkEntry {
          |                  + (85 * (coalesce(i$i.inflow, 0) + d$i.dang // nn)) // 100 AS BIGINT) AS r
          |             FROM nodes CROSS JOIN cnt CROSS JOIN d$i
          |             LEFT JOIN i$i ON i$i.u = nodes.doc_id)""".stripMargin
-    s"""WITH $toksCte,
-       |sets AS (
-       |  SELECT doc_id, list(word) AS ws, CAST(count(*) AS BIGINT) AS n
-       |  FROM toks WHERE doc_id < 1000 GROUP BY doc_id),
-       |edges AS (
-       |  SELECT doc_a, doc_b FROM (
-       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |           ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
-       |    FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
-       |  WHERE jaccard >= 0.95),
-       |sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
-       |        UNION ALL SELECT doc_b, doc_a FROM edges),
-       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+    s"""WITH $neardupGraphCtes,
        |nodes AS (SELECT doc_id FROM documents WHERE doc_id < 1000),
        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
        |pr0 AS (SELECT doc_id AS u, CAST($S // nn AS BIGINT) AS r

@@ -681,4 +681,50 @@ object Dedup {
       .distinct()
     jaccardVerify(allPairs(hashSets(grams, "doc_id", "gram")), threshold)
   }
+
+  /** q116 — sorted-neighborhood dedup (SNM): the third classic blocking
+    * family beside MinHash banding (q22) and SimHash blocks (q59).
+    * Documents sort by a similarity-preserving key — the first 24
+    * normalized characters, so shared-prefix near-copies land adjacent
+    * — and only each document's next `window` neighbors in that order
+    * are exact-verified. Candidates are linear in corpus size
+    * (window·n pairs) regardless of cluster structure, which is SNM's
+    * advantage over banding when near-dup clusters are huge (a
+    * 10k-copy template is 10k·window candidates here vs 10k²/2 inside
+    * one LSH bucket).
+    *
+    * Scale shape: the rank window partitions by `source` (bounded
+    * partition count; at 100 TB the block key gains a hash-range
+    * bucket of the sort key beside `source` — same plan, narrower
+    * partitions — documented rather than defaulted so the oracle
+    * stays window-free simple). Neighbor pairing is an EQUI join:
+    * each doc explodes into its `window` forward rank slots and joins
+    * back on (source, rank) — never a rank-range theta join. The
+    * verify tail is the shared exact-Jaccard one (q18's). */
+  def sortedNeighborDedup(docs: DataFrame, window: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    // strip-then-lower, the rawtoks ordering: only ASCII letters
+    // survive the strip, so lower() acts on pure ASCII on both engines
+    val sortkey =
+      substring(lower(regexp_replace(col("text"), "[^A-Za-z]", "")), 1, 24)
+    val ranked = docs
+      .select(col("doc_id"), col("source"), sortkey.as("sk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("sk", "doc_id")))
+    val probes = ranked.select(col("source"), col("doc_id").as("id_lo"),
+      explode(sequence(col("rn") + 1, col("rn") + window)).as("rn"))
+    val pairs = probes
+      .join(ranked.select(col("source"), col("doc_id").as("id_hi"), col("rn")),
+        Seq("source", "rn"))
+      .select(least(col("id_lo"), col("id_hi")).as("doc_a"),
+        greatest(col("id_lo"), col("id_hi")).as("doc_b"))
+    val sets = tokenSets(docs)
+    jaccardVerify(
+      pairs
+        .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"),
+          col("n").as("n_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"),
+          col("n").as("n_b")), Seq("doc_b")),
+      threshold)
+  }
 }

@@ -243,6 +243,37 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** q117 — per-(user, type) z-score anomaly flags: events whose value
+    * sits more than `z` standard deviations from their own group's
+    * mean (the standard metrics-outlier pass before events feed a
+    * pipeline). Decorrelated form: one grouped aggregate of (n, Σv,
+    * Σv²) with map-side combine, joined back on the group key — both
+    * sides hash-partition on (user_id, event_type), co-located.
+    *
+    * Every moment is INTEGER arithmetic on value-cents, and the gate
+    * is the cross-multiplied exact form |z|>z ⇔ (n·v−Σv)² >
+    * z²·(n·Σv²−(Σv)²) — no float mean/stddev whose accumulation order
+    * could flip a boundary row between engines. The reported z is one
+    * exact-integer division + sqrt per row, rounded to 6 dp.
+    * (BIGINT headroom: cents ≤ ~10⁵ here, so (n·v)² stays ≲10²² only
+    * past ~10⁹-row GROUPS — a per-user-type cardinality no real events
+    * table reaches; the moments themselves never overflow.) */
+  def zscoreAnomalies(events: DataFrame, z: Int = 2): DataFrame = {
+    val base = events.select(col("event_id"), col("user_id"),
+      col("event_type"), round(col("value") * 100).cast("long").as("vc"))
+    val stats = base.groupBy("user_id", "event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("vc")).as("sumc"),
+      sum(col("vc") * col("vc")).as("sumc2"))
+    val num = col("n") * col("vc") - col("sumc")
+    val den = col("n") * col("sumc2") - col("sumc") * col("sumc")
+    base.join(stats, Seq("user_id", "event_type"))
+      .where(col("n") >= 2 && den > 0 && num * num > lit(z.toLong * z) * den)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("n"),
+        round(num / sqrt(den.cast("double")), 6).as("zscore"))
+      .orderBy("event_id")
+  }
+
   /** q17 — per-day, per-type temporal rollup. The day leaves as a
     * 'yyyy-MM-dd' string so both engines compare the same value. */
   def dateTruncAgg(events: DataFrame): DataFrame =

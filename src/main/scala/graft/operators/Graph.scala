@@ -64,4 +64,55 @@ object Graph {
     pr.select(col("u").as("doc_id"), col("r").as("rank_q"))
       .orderBy(col("rank_q").desc, col("doc_id").asc)
   }
+
+  /** q112 — triangle counting + local clustering coefficient over the
+    * same near-dup graph as q111. A triangle is three documents that
+    * are pairwise near-duplicates — the densest unit of the duplication
+    * structure (dedup pipelines treat high-clustering nodes as template
+    * families; low-clustering high-degree nodes as hubs/boilerplate).
+    *
+    * The scale design is DEGREE ORIENTATION: each undirected edge is
+    * directed from its lower-(degree, id) endpoint, which makes the
+    * orientation an acyclic total order, so every triangle is counted
+    * exactly once as a directed path u→v→w closed by u→w — and bounds
+    * every node's out-degree by O(√m), so the wedge self-join is
+    * O(m^1.5) worst-case instead of Σdeg² (a single hub node would
+    * otherwise square). All three steps are equi-joins on node keys —
+    * shuffle-partitioned, map-side combinable, AQE-splittable; nothing
+    * driver-side. The per-node rollup explodes each triangle into its
+    * three corners and re-aggregates on the node key. */
+  def triangles(docs: DataFrame, cap: Long = 1000L,
+      threshold: Double = 0.95): DataFrame = {
+    val edges = Dedup.nearDupJaccard(docs, cap, threshold)
+      .select("doc_a", "doc_b")
+    val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val ori = sym
+      .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+      .where(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select("u", "v")
+    val tri = ori.as("e1")
+      .join(ori.as("e2"), col("e1.v") === col("e2.u"))
+      .join(ori.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val perNode = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    // cc = 2·tri / (deg·(deg−1)): one integer-exact division per row,
+    // rounded to 6 dp — no float accumulation anywhere
+    deg.withColumnRenamed("u", "doc_id")
+      .join(perNode.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("cc",
+        when(col("deg") > 1,
+          round(lit(2.0) * col("tri") / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("tri").desc, col("doc_id").asc)
+  }
 }

@@ -571,6 +571,81 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** q113 — TPC-H Q17 shape: "small-quantity" lines, where small means
+    * below a fifth of the PART's own average quantity — the classic
+    * correlated-average subquery, written directly in its decorrelated
+    * form: one per-part aggregate (map-side combinable), joined back to
+    * the fact on the same key (both sides shuffle-partitioned on
+    * l_partkey — co-located, no second shuffle for the probe side
+    * under AQE), then a broadcast-able dimension hop to part. The
+    * threshold compare is INTEGER-exact: q < qsum/(5·n) ⇔ 5·q·n < qsum
+    * (quantities are integral), so both engines gate identically —
+    * a double 0.2·avg would be ULP-sensitive at the boundary. */
+  def tpchQ17(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val stats = lineitem.groupBy("l_partkey").agg(
+      sum(col("l_quantity").cast("long")).as("qsum"),
+      count(lit(1)).as("qn"))
+    lineitem
+      .join(stats, Seq("l_partkey"))
+      .where(col("l_quantity").cast("long") * lit(5L) * col("qn") < col("qsum"))
+      .join(broadcast(part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        sumMoney(col("l_extendedprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  /** q114 — TPC-H Q22 shape: "rich but inactive" customers — above the
+    * GLOBAL positive-balance average yet with no RECENT order (every
+    * testdata customer has SOME order, so the real Q22's "no orders
+    * ever" anti join would be vacuously empty; the date-restricted
+    * variant keeps the identical plan shape non-vacuous) — grouped by
+    * nation. Three decorrelation patterns in one query: an
+    * uncorrelated scalar aggregate (ONE-ROW broadcast, never a
+    * per-row subquery), an anti join against the date-filtered orders
+    * (the NOT EXISTS; the date predicate lands on the orders SCAN),
+    * and the final rollup. The scalar gate is INTEGER-exact: bal >
+    * sumc/nc ⇔ bal_cents·nc > sumc (balances in cents) — no
+    * double-average boundary flakiness. Balance totals stay in cents
+    * (BIGINT) end-to-end. */
+  def tpchQ22(customer: DataFrame, orders: DataFrame,
+      cutoff: String = "2000-01-01"): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val pos = customer.where(col("c_acctbal") > 0.0)
+      .agg(sum(cents).as("sumc"), count(lit(1)).as("nc"))
+    customer
+      .crossJoin(broadcast(pos))
+      .where(cents * col("nc") > col("sumc"))
+      .join(orders.where(col("o_orderdate") >= lit(cutoff).cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), sum(cents).as("totacctbal_c"))
+      .orderBy("c_nationkey")
+  }
+
+  /** q115 — TPC-H Q15 shape: top supplier(s) by revenue inside a
+    * quarter window. The revenue "view" is one filtered aggregate
+    * (the date predicate lands on the lineitem SCAN — PushedFilters —
+    * before anything joins); its max is a ONE-ROW broadcast back onto
+    * the view itself; the equality keeps ties like the real Q15.
+    * Revenue rides the shared DECIMAL definition, so the sum — and
+    * therefore the max-equality — is exact on both engines. */
+  def tpchQ15(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(lineRevenue).as("total_rev"))
+    rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("max_rev"))))
+      .where(col("total_rev") === col("max_rev"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
   /** q36 — date-part extraction (`year`/`month`) + grouped aggregation
     * over the order calendar. */
   def datePartsAgg(orders: DataFrame): DataFrame =

@@ -686,4 +686,156 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === cross)
     assert(got.nonEmpty, "no cross-boundary pair within distance 3 — vacuous")
   }
+
+  test("q112 triangles: ≡ brute-force count, cc bounded, orientation exact") {
+    val docs = t("documents")
+    val rows = Graph.triangles(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // brute force from the same edge relation, driver-side
+    val edges = Dedup.nearDupJaccard(docs, 1000L, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expTri = adj.map { case (u, ns) =>
+      u -> ns.toSeq.combinations(2).count { case Seq(v, w) => adj(v)(w) }.toLong
+    }
+    assert(rows.map(_._1).toSet === adj.keySet, "node set ≠ edge participants")
+    rows.foreach { case (id, deg, tri, cc) =>
+      assert(deg === adj(id).size.toLong)
+      assert(tri === expTri(id), s"triangle count mismatch at $id")
+      assert(cc >= 0.0 && cc <= 1.0)
+    }
+    // a triangle plus a pendant: counts and coefficients pinned exactly
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val tri3 = Seq((1L, txt), (2L, txt), (3L, txt), (4L, txt + " iota kappa"))
+      .toDF("doc_id", "text")
+    val got = Graph.triangles(tri3, cap = 10L, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    // 1-2-3 pairwise jaccard 1.0; 4 links to all (8/10 = 0.8 ≥ 0.7) →
+    // K4: every node deg 3, in 3 triangles, cc = 1.0
+    assert(got === List((1L, 3L, 3L, 1.0), (2L, 3L, 3L, 1.0),
+      (3L, 3L, 3L, 1.0), (4L, 3L, 3L, 1.0)))
+  }
+
+  test("q113 tpch q17 shape: integer gate ≡ recomputed per-part average") {
+    val rows = Relational.tpchQ17(t("lineitem"), t("part")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // recompute driver-side with exact integers
+    val li = t("lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1).toLong,
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val stats = li.groupBy(_._1).map { case (k, v) =>
+      k -> (v.map(_._2).sum, v.length.toLong) }
+    val brands = t("part").select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val small = li.filter { case (pk, q, _) =>
+      val (qsum, n) = stats(pk); 5L * q * n < qsum }
+    val exp = small.groupBy(p => brands(p._1)).map { case (b, v) =>
+      (b, v.length.toLong, v.map(_._3).sum.toDouble) }.toList.sortBy(_._1)
+    assert(rows.toList === exp)
+  }
+
+  test("q114 tpch q22 shape: every group recomputes rich-and-inactive exactly") {
+    val rows = Relational.tpchQ22(t("customer"), t("orders")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "anti join vacuous on testdata")
+    val cust = t("customer").collect().map(r => (r.getLong(0), r.getInt(2),
+      math.round(r.getDouble(3) * 100)))
+    val pos = cust.filter(_._3 > 0)
+    val (sumc, nc) = (pos.map(_._3).sum, pos.length.toLong)
+    val active = t("orders")
+      .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val exp = cust
+      .filter { case (ck, _, bal) => bal * nc > sumc && !active(ck) }
+      .groupBy(_._2).map { case (nk, v) =>
+        (nk, v.length.toLong, v.map(_._3).sum) }.toList.sortBy(_._1)
+    assert(rows.toList === exp)
+  }
+
+  test("q115 tpch q15 shape: winners all hold the exact max, ties kept") {
+    val rows = Relational.tpchQ15(t("supplier"), t("lineitem")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).distinct.length === 1, "winners disagree on revenue")
+    // independent recompute of the revenue view (same DECIMAL route)
+    val rev = t("lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rv"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1))
+    val mx = rev.map(_._2).max
+    assert(rows.map(_._1).toSet === rev.filter(_._2 == mx).map(_._1).toSet)
+    assert(rows.head._3 === mx.doubleValue)
+    // a forced two-way tie is kept whole
+    import spark.implicits._
+    val li = Seq(
+      (10L, 100.0, 0.0, "1996-02-01"), (20L, 50.0, 0.0, "1996-02-01"),
+      (20L, 50.0, 0.0, "1996-02-02"), (30L, 1.0, 0.0, "1996-02-01"))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "d")
+      .withColumn("l_shipdate", col("d").cast("timestamp")).drop("d")
+    val sup = Seq((10L, "a"), (20L, "b"), (30L, "c"))
+      .toDF("s_suppkey", "s_name")
+    val tied = Relational.tpchQ15(sup, li).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    assert(tied === List((10L, "a"), (20L, "b")))
+  }
+
+  test("q116 sorted neighborhood: pairs ⊆ rank window, jaccard ≡ exact verify") {
+    val docs = t("documents")
+    val got = Dedup.sortedNeighborDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "no neighbor pair above threshold — vacuous")
+    // window containment: recompute ranks driver-side
+    val keyed = docs.selectExpr("doc_id", "source",
+      "substring(lower(regexp_replace(text, '[^A-Za-z]', '')), 1, 24) AS sk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val rank = keyed.groupBy(_._2).toSeq.flatMap { case (_, v) =>
+      v.sortBy(x => (x._3, x._1)).zipWithIndex
+        .map { case ((id, src, _), i) => (id, (src, i)) }.toSeq
+    }.toMap
+    got.foreach { case (a, b, j) =>
+      val (sa, ra) = rank(a); val (sb, rb) = rank(b)
+      assert(sa === sb && math.abs(ra - rb) <= 3,
+        s"($a,$b) not within the sort window")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+    // jaccard values agree with the exact all-pairs baseline
+    val exact = Dedup.nearDupJaccard(docs, Long.MaxValue, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    got.foreach { case (a, b, j) => assert(exact((a, b)) === j) }
+    // SNM is a blocking heuristic: it must find shared-prefix copies
+    import spark.implicits._
+    val pfx = "identical prefix words here"
+    val sn = Seq((1L, pfx + " tail one", "s"), (2L, pfx + " tail one extra", "s"),
+      (3L, "unrelated entirely different words", "s"))
+      .toDF("doc_id", "text", "source")
+    val found = Dedup.sortedNeighborDedup(sn, window = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(found.toList === List((1L, 2L)))
+  }
+
+  test("q117 zscore: flagged set ≡ exact integer recompute, |z| > 2") {
+    val rows = Events.zscoreAnomalies(t("events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty, "no outlier flagged — vacuous")
+    rows.foreach { case (_, _, _, n, z) =>
+      assert(n >= 2L && math.abs(z) > 2.0 - 1e-9) }
+    // exact recompute from cents
+    val ev = t("events").select("event_id", "user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        math.round(r.getDouble(3) * 100)))
+    val groups = ev.groupBy(e => (e._2, e._3)).map { case (k, v) =>
+      k -> (v.length.toLong, v.map(_._4).sum, v.map(x => x._4 * x._4).sum) }
+    val exp = ev.filter { case (_, u, ty, vc) =>
+      val (n, s, s2) = groups((u, ty))
+      val num = n * vc - s; val den = n * s2 - s * s
+      n >= 2 && den > 0 && num * num > 4L * den
+    }.map(_._1).toSet
+    assert(rows.map(_._1).toSet === exp)
+  }
 }
