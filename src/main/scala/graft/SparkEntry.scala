@@ -279,6 +279,17 @@ object SparkEntry {
     // per-(user,type) z-score outliers, integer-exact moment gate
     "q117_zscore_anomaly" -> ((s, d) =>
       Events.zscoreAnomalies(Tables(s, d, "events"))),
+    // count-min sketch: constant-size frequency state, deterministic
+    // hash family shared with the oracle; est ≥ true by construction
+    "q118_cms_heavy_hitters" -> ((s, d) =>
+      Sketches.cmsHeavyHitters(Tables(s, d, "documents"))),
+    // cohort retention grid: first-activity month × activity month
+    "q119_retention" -> ((s, d) =>
+      Events.retentionCohorts(Tables(s, d, "events"))),
+    // incremental aggregate maintenance: stored + delta partials
+    // merged by associative combine; oracle rebuilds ⟹ merge ≡ rebuild
+    "q120_agg_merge" -> ((s, d) =>
+      Relational.aggMerge(Tables(s, d, "orders"), 500L)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1695,6 +1706,44 @@ object SparkEntry {
         |WHERE n >= 2 AND (n * sumc2 - sumc * sumc) > 0
         |  AND (n * vc - sumc) * (n * vc - sumc) > 4 * (n * sumc2 - sumc * sumc)
         |ORDER BY event_id""".stripMargin,
+    "q118_cms_heavy_hitters" -> {
+      val params = (0 until operators.Sketches.CmsDepth)
+        .map(j => s"($j, ${Hashing.permA(j)}, ${Hashing.permB(j)})")
+        .mkString(", ")
+      val w = operators.Sketches.CmsWidth
+      s"""WITH $rawtoksCte,
+         |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+         |       FROM rawtoks GROUP BY word),
+         |hc AS (SELECT word, df, ${polyHashSql("word")} AS h FROM wc),
+         |params(j, a, b) AS (VALUES $params),
+         |cells AS (
+         |  SELECT p.j, ((c.h * p.a + p.b) % ${Hashing.P}) % $w AS bucket,
+         |         CAST(sum(c.df) AS BIGINT) AS cellsum
+         |  FROM hc c CROSS JOIN params p GROUP BY p.j, bucket),
+         |topk AS (SELECT word, df, h FROM hc ORDER BY df DESC, word LIMIT 30)
+         |SELECT t.word, t.df, CAST(min(cl.cellsum) AS BIGINT) AS est
+         |FROM topk t CROSS JOIN params p
+         |JOIN cells cl ON cl.j = p.j
+         |             AND cl.bucket = ((t.h * p.a + p.b) % ${Hashing.P}) % $w
+         |GROUP BY t.word, t.df
+         |ORDER BY t.df DESC, t.word""".stripMargin
+    },
+    "q119_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id)
+        |SELECT cohort, day,
+        |       CAST(CAST(day AS DATE) - CAST(cohort AS DATE) AS BIGINT) AS days_since,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM ev e JOIN f ON e.user_id = f.user_id
+        |GROUP BY cohort, day ORDER BY cohort, day""".stripMargin,
+    "q120_agg_merge" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+        |       min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_c,
+        |       max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_c
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
   )
 
   /** The q111 oracle: the q49 edge CTEs + three unrolled integer-

@@ -274,6 +274,30 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** q119 — cohort retention: users grouped by their FIRST-activity
+    * day (the cohort; the testdata stream spans one calendar month, so
+    * daily is the granularity with signal — a production run would
+    * pass month-truncated days), distinct-user counts per (cohort,
+    * activity day) — the standard product-analytics retention grid.
+    * Two shuffles: the per-user min (map-side combinable) and the
+    * final distinct-count rollup; the cohort join back to the activity
+    * rows co-locates on user_id with the first aggregate. days_since
+    * is DATE subtraction — integer-exact on both engines, no
+    * interval/float types. Days leave as 'yyyy-MM-dd' strings (the
+    * q17 convention). */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val day = date_format(date_trunc("day", tsCol(events)), "yyyy-MM-dd")
+    val ev = events.select(col("user_id"), day.as("day"))
+    val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    ev.join(first, Seq("user_id"))
+      .groupBy("cohort", "day")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .withColumn("days_since",
+        datediff(to_date(col("day")), to_date(col("cohort"))).cast("long"))
+      .select("cohort", "day", "days_since", "n_users")
+      .orderBy("cohort", "day")
+  }
+
   /** q17 — per-day, per-type temporal rollup. The day leaves as a
     * 'yyyy-MM-dd' string so both engines compare the same value. */
   def dateTruncAgg(events: DataFrame): DataFrame =

@@ -8,6 +8,15 @@ import org.apache.spark.sql.functions._
   * (q49/q58's label loop). */
 object Graph {
 
+  /** Truncate a bounded intermediate's lineage (eager localCheckpoint)
+    * unless the session runs in plan-audit mode — the Dedup family's
+    * checkpoint-hygiene convention (`spark.graft.eagerMaterialize`). */
+  private def materialized(session: DataFrame, df: DataFrame): DataFrame =
+    if (session.sparkSession.conf
+      .get("spark.graft.eagerMaterialize", "true").toBoolean)
+      df.localCheckpoint(true)
+    else df
+
   /** q111 — PageRank over the near-dup graph: rank documents by how
     * centrally they sit in the duplication structure (a high-rank doc
     * is a "template" many near-copies orbit — pipelines inspect these
@@ -36,8 +45,12 @@ object Graph {
     val Scale = 1000000000000L
     val nodes = docs.where(col("doc_id") < cap).select("doc_id")
     val nRow = nodes.agg(count(lit(1)).as("nn"))
-    val edges = Dedup.nearDupJaccard(docs, cap, threshold)
-      .select("doc_a", "doc_b")
+    // the O(cap²) pair stage is computed ONCE: the loop reuses sym/deg
+    // every round and pr twice per round, so without truncation the
+    // lazy tree replays the edge join 2^iters-fold (same checkpoint
+    // hygiene as the q49 label loop; integer ranks — values unchanged)
+    val edges = Graph.materialized(docs,
+      Dedup.nearDupJaccard(docs, cap, threshold).select("doc_a", "doc_b"))
     // both orientations; input pairs are unique (doc_a < doc_b), so
     // this is a disjoint union — no distinct needed
     val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -55,11 +68,12 @@ object Graph {
         .groupBy(col("v"))
         .agg(sum(col("c")).as("inflow"))
         .withColumnRenamed("v", "doc_id")
-      pr = nodes.crossJoin(broadcast(nRow)).crossJoin(broadcast(dang))
-        .join(inflow, Seq("doc_id"), "left")
-        .select(col("doc_id").as("u"),
-          (expr(s"(($Scale * 15) div 100) div nn") +
-            expr("(85 * (coalesce(inflow, 0) + dang div nn)) div 100")).as("r"))
+      pr = Graph.materialized(docs,
+        nodes.crossJoin(broadcast(nRow)).crossJoin(broadcast(dang))
+          .join(inflow, Seq("doc_id"), "left")
+          .select(col("doc_id").as("u"),
+            (expr(s"(($Scale * 15) div 100) div nn") +
+              expr("(85 * (coalesce(inflow, 0) + dang div nn)) div 100")).as("r")))
     }
     pr.select(col("u").as("doc_id"), col("r").as("rank_q"))
       .orderBy(col("rank_q").desc, col("doc_id").asc)
@@ -83,17 +97,20 @@ object Graph {
     * three corners and re-aggregates on the node key. */
   def triangles(docs: DataFrame, cap: Long = 1000L,
       threshold: Double = 0.95): DataFrame = {
-    val edges = Dedup.nearDupJaccard(docs, cap, threshold)
-      .select("doc_a", "doc_b")
+    // edges and the oriented relation are each REUSED (deg + the
+    // 3-way wedge join): materialize once or the lazy tree replays the
+    // O(cap²) pair stage at every occurrence (~54× for the full DAG)
+    val edges = Graph.materialized(docs,
+      Dedup.nearDupJaccard(docs, cap, threshold).select("doc_a", "doc_b"))
     val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
-    val ori = sym
+    val ori = Graph.materialized(docs, sym
       .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
       .where(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")))
-      .select("u", "v")
+      .select("u", "v"))
     val tri = ori.as("e1")
       .join(ori.as("e2"), col("e1.v") === col("e2.u"))
       .join(ori.as("e3"),

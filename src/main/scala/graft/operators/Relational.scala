@@ -646,6 +646,30 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** q120 — incremental aggregate maintenance: the q98/q105 merge
+    * story for RELATIONAL aggregate state. A stored per-customer
+    * summary (count / sum / min / max of order totals, cents-exact)
+    * built from orders below the `cap` boundary is merged with the new
+    * batch's partials by UNION + re-aggregate — the associative
+    * combine (n₁+n₂, s₁+s₂, min, max) that makes an aggregation view
+    * maintainable without ever touching the stored rows again. The
+    * oracle rebuilds from the whole table, so a hash match PROVES
+    * merge ≡ rebuild. Scale shape: both partials are map-side-combined
+    * aggregates; the merge re-agg shuffles only per-key summary rows
+    * (two rows per key worst-case), never the fact table. */
+  def aggMerge(orders: DataFrame, cap: Long): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    def partial(df: DataFrame) = df.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"), sum(cents).as("sum_c"),
+      min(cents).as("min_c"), max(cents).as("max_c"))
+    partial(orders.where(col("o_orderkey") < cap))
+      .unionByName(partial(orders.where(col("o_orderkey") >= cap)))
+      .groupBy("o_custkey")
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("sum_c")).as("sum_c"),
+        min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"))
+      .orderBy("o_custkey")
+  }
+
   /** q36 — date-part extraction (`year`/`month`) + grouped aggregation
     * over the order calendar. */
   def datePartsAgg(orders: DataFrame): DataFrame =

@@ -819,6 +819,84 @@ class PipelineOpsSpec extends SparkSpec {
     assert(found.toList === List((1L, 2L)))
   }
 
+  test("q118 cms: est ≥ true count everywhere, ≡ driver-side sketch rebuild") {
+    import graft.functions.{Hashing, TextFns}
+    val docs = t("documents")
+    val rows = Sketches.cmsHeavyHitters(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { case (w, df, est) => assert(est >= df, s"CMS undercounts $w") }
+    // rebuild the sketch driver-side from the exact token counts
+    val counts = TextFns.tokens(docs).groupBy("word")
+      .agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % Hashing.P)
+    def bucket(j: Int, h: Long) =
+      ((h * Hashing.permA(j) + Hashing.permB(j)) % Hashing.P) % Sketches.CmsWidth
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    counts.foreach { case (w, df) =>
+      val h = polyHash(w)
+      (0 until Sketches.CmsDepth).foreach { j =>
+        val k = (j, bucket(j, h)); cells(k) = cells.getOrElse(k, 0L) + df
+      }
+    }
+    rows.foreach { case (w, df, est) =>
+      val h = polyHash(w)
+      val exp = (0 until Sketches.CmsDepth).map(j => cells((j, bucket(j, h)))).min
+      assert(est === exp, s"estimate for $w differs from rebuilt sketch")
+      assert(counts.toMap.apply(w) === df)
+    }
+    // collisions must actually occur somewhere: 600 distinct words
+    // into 256 buckets (pigeonhole per row); precomputed: 29 of the
+    // top 30 overestimate under this hash family
+    import spark.implicits._
+    val vocab = (0 until 600)
+      .map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val synth = vocab.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val sRows = Sketches.cmsHeavyHitters(synth).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sRows.length === 30 && sRows.forall(_._2 == 1L))
+    assert(sRows.count { case (_, df, est) => est > df } === 29,
+      "collision profile drifted from the pinned hash family")
+  }
+
+  test("q119 retention: day-0 diagonal counts cohort sizes, grid conserves users") {
+    val rows = Events.retentionCohorts(t("events")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, d, since, n) =>
+      assert(since >= 0L && n > 0L)
+      assert((since == 0L) == (c == d))
+    }
+    // recompute driver-side
+    val ev = t("events").selectExpr("user_id",
+      "date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd') AS day")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val cohort = ev.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).min }
+    val exp = ev.map { case (u, d) => (cohort(u), d, u) }.distinct
+      .groupBy(p => (p._1, p._2)).map { case ((c, d), v) => (c, d, v.length.toLong) }
+    assert(rows.map(r => (r._1, r._2, r._4)).toSet === exp.toSet)
+    // every user appears in exactly one day-0 cell
+    assert(rows.filter(_._3 == 0L).map(_._4).sum === cohort.size.toLong)
+  }
+
+  test("q120 agg merge ≡ whole-table rebuild; both batches non-empty") {
+    val cap = 500L
+    assert(t("orders").where(col("o_orderkey") < cap).count() > 0)
+    assert(t("orders").where(col("o_orderkey") >= cap).count() > 0)
+    val got = Relational.aggMerge(t("orders"), cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val exp = t("orders").groupBy("o_custkey")
+      .agg(count(lit(1)), sum(cents), min(cents), max(cents))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toList === exp.toList)
+  }
+
   test("q117 zscore: flagged set ≡ exact integer recompute, |z| > 2") {
     val rows = Events.zscoreAnomalies(t("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
