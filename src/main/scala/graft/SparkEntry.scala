@@ -290,6 +290,24 @@ object SparkEntry {
     // merged by associative combine; oracle rebuilds ⟹ merge ≡ rebuild
     "q120_agg_merge" -> ((s, d) =>
       Relational.aggMerge(Tables(s, d, "orders"), 500L)),
+    // TPC-H Q7 shape: two-nation volume shipping, broadcast dims,
+    // fact shrunk by the supplier broadcast before the shuffle joins
+    "q121_tpch_q7" -> ((s, d) => Relational.tpchQ7(
+      Tables(s, d, "nation"), Tables(s, d, "customer"),
+      Tables(s, d, "supplier"), Tables(s, d, "orders"),
+      Tables(s, d, "lineitem"))),
+    // Bloom-filter pre-filtered join: constant-size bit-set broadcast,
+    // FP-labeled pass set; deterministic family ⟹ oracle replays bits
+    "q122_bloom_join" -> ((s, d) =>
+      Sketches.bloomJoin(Tables(s, d, "customer"), Tables(s, d, "orders"))),
+    // prefix-filtering set-similarity join (exhaustive blocking);
+    // oracle states the naive all-pairs form ⟹ blocked ≡ naive
+    "q123_prefix_filter" -> ((s, d) =>
+      Dedup.prefixFilterNearDup(Tables(s, d, "documents"))),
+    // deterministic HLL: register state + integer-division estimate,
+    // fully hash-gated (q39's engine HLL stays rows-only by design)
+    "q124_hll_distinct" -> ((s, d) =>
+      Sketches.hllDistinct(Tables(s, d, "lineitem"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1744,6 +1762,84 @@ object SparkEntry {
         |       min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_c,
         |       max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_c
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q121_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INT) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q122_bloom_join" -> {
+      val params = (0 until operators.Sketches.BloomK)
+        .map { j =>
+          val i = operators.Sketches.BloomPermBase + j
+          s"($j, ${Hashing.permA(i)}, ${Hashing.permB(i)})"
+        }.mkString(", ")
+      val m = operators.Sketches.BloomBits
+      s"""WITH params(j, a, b) AS (VALUES $params),
+         |keys AS (SELECT c_custkey AS k FROM customer WHERE c_nationkey = 1),
+         |bits AS (
+         |  SELECT DISTINCT p.j, ((k.k * p.a + p.b) % ${Hashing.P}) % $m AS pos
+         |  FROM keys k CROSS JOIN params p),
+         |probe AS (
+         |  SELECT o_orderkey, o_custkey, p.j,
+         |         ((o_custkey * p.a + p.b) % ${Hashing.P}) % $m AS pos
+         |  FROM orders CROSS JOIN params p),
+         |pass AS (
+         |  SELECT o_orderkey, o_custkey
+         |  FROM probe JOIN bits USING (j, pos)
+         |  GROUP BY o_orderkey, o_custkey
+         |  HAVING count(*) = ${operators.Sketches.BloomK})
+         |SELECT s.o_orderkey, s.o_custkey, (k.k IS NOT NULL) AS is_member
+         |FROM pass s LEFT JOIN keys k ON s.o_custkey = k.k
+         |ORDER BY o_orderkey""".stripMargin
+    },
+    "q123_prefix_filter" ->
+      s"""WITH $toksCte,
+         |sets AS (
+         |  SELECT doc_id, list(word) AS ws, CAST(count(*) AS BIGINT) AS n
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+         |           / (a.n + b.n - len(list_intersect(a.ws, b.ws))) AS jaccard
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.95 ORDER BY doc_a, doc_b""".stripMargin,
+    "q124_hll_distinct" -> {
+      val m = operators.Sketches.HllRegisters
+      s"""WITH h AS (
+         |  SELECT l_returnflag AS rf,
+         |         (l_partkey * ${Hashing.permA(0)} + ${Hashing.permB(0)}) % ${Hashing.P} AS hh
+         |  FROM lineitem),
+         |rk AS (
+         |  SELECT rf, hh % $m AS j,
+         |         CASE WHEN hh // $m = 0 THEN ${operators.Sketches.HllMaxRank}
+         |              ELSE bit_count(((hh // $m) & -(hh // $m)) - 1) + 1 END AS rank
+         |  FROM h),
+         |regs AS (SELECT rf, j, CAST(max(rank) AS BIGINT) AS reg
+         |         FROM rk GROUP BY rf, j),
+         |ex AS (SELECT l_returnflag AS rf,
+         |              CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+         |       FROM lineitem GROUP BY 1),
+         |grid AS (
+         |  SELECT e.rf, e.n_exact, g.j, COALESCE(rg.reg, CAST(0 AS BIGINT)) AS reg
+         |  FROM ex e
+         |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, $m)) g
+         |  LEFT JOIN regs rg ON rg.rf = e.rf AND rg.j = g.j),
+         |s AS (SELECT rf,
+         |             CAST(sum(CAST(1 AS BIGINT) << CAST(30 - reg AS INT)) AS BIGINT) AS hsum
+         |      FROM grid GROUP BY rf)
+         |SELECT g.rf AS l_returnflag, g.j, g.reg, g.n_exact,
+         |       CAST(${operators.Sketches.HllEstNum} // s.hsum AS BIGINT) AS est_micros
+         |FROM grid g JOIN s ON g.rf = s.rf
+         |ORDER BY l_returnflag, j""".stripMargin
+    },
   )
 
   /** The q111 oracle: the q49 edge CTEs + three unrolled integer-

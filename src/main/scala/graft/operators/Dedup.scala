@@ -73,6 +73,53 @@ object Dedup {
   def nearDupJaccard(docs: DataFrame, cap: Long, threshold: Double): DataFrame =
     jaccardVerify(allPairs(tokenSets(docs).where(col("doc_id") < cap)), threshold)
 
+  /** q123 — prefix-filtering set-similarity join (Chaudhuri/Bayardo
+    * "All-Pairs"): the third linear-scale near-dup path beside
+    * MinHash-LSH (probabilistic) and sorted-neighborhood (windowed) —
+    * this one is EXHAUSTIVE: for Jaccard ≥ tNum/tDen, any qualifying
+    * pair must share a token inside BOTH docs' prefixes when tokens are
+    * globally ordered rarest-first, so blocking on prefix tokens loses
+    * nothing (proof: |A∩B| ≥ ⌈t·|A|⌉ > |suffix(A)|, so the globally
+    * smallest shared token sits in prefix(A), and by the same argument
+    * in prefix(B)). Output ≡ the all-pairs q18 form on the full corpus;
+    * the oracle states the naive quadratic form, so the hash match
+    * doubles as the blocked ≡ naive proof (the q97 convention).
+    *
+    * Scale shape: df ranking is one map-side-combinable aggregation +
+    * a token-keyed join; the per-doc prefix cut is a doc_id window
+    * (each partition one doc); the candidate join fans out on PREFIX
+    * tokens only — rarest-first ordering makes those buckets the
+    * smallest in the corpus (a frequent token never enters a prefix
+    * unless the doc is nearly all stopwords). Prefix length is integer
+    * arithmetic (⌈t·n⌉ = (tNum·n + tDen − 1) div tDen) — a float ceil
+    * of 0.95·n can round the wrong way and silently shorten the
+    * prefix, breaking exhaustiveness. */
+  def prefixFilterNearDup(docs: DataFrame, tNum: Long = 19L,
+      tDen: Long = 20L): DataFrame = {
+    val toks = TextFns.docWords(docs)
+    val dfRank = toks.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val prefix = toks.join(dfRank, "word")
+      .withColumn("pos", row_number().over(
+        w.orderBy(col("df").asc, col("word").asc)))
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("pos") <=
+        col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + 1)
+      .select("doc_id", "word")
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("word"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("word")), "word")
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val sets = tokenSets(docs)
+    jaccardVerify(cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"),
+        col("n").as("n_b")), Seq("doc_b")),
+      tNum.toDouble / tDen.toDouble)
+  }
+
   /** q21 — exact deduplication: canonical-id mapping by content hash.
     * One shuffle on the hash; at 100 TB this is the cheapest dedup pass
     * and the one you always run first. md5 hex matches DuckDB's md5().

@@ -646,6 +646,42 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** q121 — TPC-H Q7 shape (volume shipping): revenue flowing between
+    * an ordered pair of trading nations, per (supp_nation, cust_nation,
+    * ship year). The two one-row-per-key nation dims broadcast into
+    * supplier and customer; the filtered supplier relation (two
+    * nations' worth) broadcasts into lineitem, shrinking the fact side
+    * BEFORE the two shuffle joins (orders on orderkey, customer on
+    * custkey). The customer side stays a shuffle join on purpose — at
+    * scale two nations of customers is ~8% of the table, far beyond
+    * broadcast reach. The pair predicate keeps only the two cross
+    * directions; revenue is the shared DECIMAL `lineRevenue`. */
+  def tpchQ7(nation: DataFrame, customer: DataFrame, supplier: DataFrame,
+      orders: DataFrame, lineitem: DataFrame,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    def nations(out: String) = broadcast(
+      nation.where(col("n_name").isin(nationA, nationB))
+        .select(col("n_nationkey").as(s"${out}_nk"), col("n_name").as(out)))
+    val supp = broadcast(
+      supplier.join(nations("supp_nation"),
+          col("s_nationkey") === col("supp_nation_nk"))
+        .select("s_suppkey", "supp_nation"))
+    val cust = customer.join(nations("cust_nation"),
+        col("c_nationkey") === col("cust_nation_nk"))
+      .select("c_custkey", "cust_nation")
+    lineitem
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .where((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(lineRevenue).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** q120 — incremental aggregate maintenance: the q98/q105 merge
     * story for RELATIONAL aggregate state. A stored per-customer
     * summary (count / sum / min / max of order totals, cents-exact)

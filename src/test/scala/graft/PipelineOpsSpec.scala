@@ -897,6 +897,108 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toList === exp.toList)
   }
 
+  test("q121 tpch q7: ≡ unoptimized plain-join formulation, both directions present") {
+    // the default NATION_1/NATION_2 pair trades at sf0.01+ (oracle
+    // gate); at this spec's sf0.001 the 13/19 pair has both directions
+    val (na, nb) = ("NATION_13", "NATION_19")
+    val got = Relational.tpchQ7(t("nation"), t("customer"), t("supplier"),
+      t("orders"), t("lineitem"), na, nb).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (s, c, _, rev) =>
+      Set(s, c) === Set(na, nb) && s != c && rev > 0 })
+    assert(got.map(_._1).distinct.sorted.toList === List(na, nb),
+      "one shipping direction missing")
+    // the no-hints formulation: plain joins, pair predicate at the end
+    val n = t("nation").select(col("n_nationkey"), col("n_name"))
+    val plain = t("lineitem")
+      .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      .join(n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("snk"))
+      .join(n.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")),
+        col("c_nationkey") === col("cnk"))
+      .where((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toList === plain.toList)
+  }
+
+  test("q122 bloom: no false negatives, some false positives, members exact") {
+    val rows = Sketches.bloomJoin(t("customer"), t("orders")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val truth = t("orders")
+      .join(t("customer").where(col("c_nationkey") === 1),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    // Bloom guarantee: every true member's order passes the filter
+    assert(truth.subsetOf(rows.filter(_._3).map(r => (r._1, r._2)).toSet))
+    assert(rows.filter(_._3).map(r => (r._1, r._2)).toSet === truth,
+      "is_member must label exactly the true semi-join")
+    // the filter must actually filter: pass set ≪ all orders
+    assert(rows.length < t("orders").count() / 2)
+    // FP existence needs a fuller filter than sf0.001's handful of
+    // keys (~4% fill → FP ~1e-4) — drive it synthetically: 600 keys
+    // fill ~83% of the 1024 bits, so non-member probes pass ~57%
+    import spark.implicits._
+    val sCust = (1L to 600L).map(i => (i, 1L)).toDF("c_custkey", "c_nationkey")
+    val sOrd = (1L to 1000L).map(i => (i, 100000L + i)).toDF("o_orderkey", "o_custkey")
+    val sRows = Sketches.bloomJoin(sCust, sOrd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(sRows.nonEmpty && sRows.forall(!_._3),
+      "no synthetic probe is a member, so every pass is a false positive")
+    assert(sRows.length < 1000, "a bloom passing everything filters nothing")
+  }
+
+  test("q123 prefix filter ≡ uncapped all-pairs Jaccard (exhaustive blocking)") {
+    val got = Dedup.prefixFilterNearDup(t("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val naive = Dedup.nearDupJaccard(t("documents"), Long.MaxValue, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(naive.nonEmpty)
+    assert(got.toList === naive.toList)
+  }
+
+  test("q124 hll: full register grid, est within HLL error bounds, ≡ rebuild") {
+    import graft.functions.Hashing
+    val rows = Sketches.hllDistinct(t("lineitem")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val groups = rows.map(_._1).distinct
+    assert(groups.nonEmpty)
+    groups.foreach { g =>
+      val regs = rows.filter(_._1 == g)
+      assert(regs.map(_._2).sorted.toList === (0L until 64L).toList,
+        s"register grid incomplete for $g")
+      assert(regs.forall(r => r._3 >= 0L && r._3 <= 25L))
+      val (nExact, est) = (regs.head._4, regs.head._5 / 1e6)
+      // standard error 1.04/√64 = 13%; 3σ bound (no small-range
+      // correction on purpose — estimate is raw integer division)
+      assert(math.abs(est - nExact) <= 0.39 * nExact + 1,
+        s"$g: est $est vs exact $nExact outside 3σ")
+      // driver-side register rebuild from the raw keys
+      val keys = t("lineitem").where(col("l_returnflag") === g)
+        .select("l_partkey").collect().map(_.getLong(0))
+      val rebuilt = Array.fill(64)(0L)
+      keys.foreach { k =>
+        val h = (k * Hashing.permA(0) + Hashing.permB(0)) % Hashing.P
+        val j = (h % 64).toInt; val h2 = h / 64
+        val rank = if (h2 == 0) 25L
+          else java.lang.Long.numberOfTrailingZeros(h2) + 1L
+        if (rank > rebuilt(j)) rebuilt(j) = rank
+      }
+      assert(regs.sortBy(_._2).map(_._3).toList === rebuilt.toList,
+        s"$g: registers differ from driver rebuild")
+    }
+  }
+
   test("q117 zscore: flagged set ≡ exact integer recompute, |z| > 2") {
     val rows = Events.zscoreAnomalies(t("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
