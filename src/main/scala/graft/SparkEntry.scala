@@ -308,6 +308,21 @@ object SparkEntry {
     // fully hash-gated (q39's engine HLL stays rows-only by design)
     "q124_hll_distinct" -> ((s, d) =>
       Sketches.hllDistinct(Tables(s, d, "lineitem"))),
+    // 2-D skyline via sharded suffix-max (the q101 discipline);
+    // oracle states the single windowed scan ⟹ sharded ≡ windowed
+    "q125_skyline" -> ((s, d) => Relational.skyline(Tables(s, d, "orders"))),
+    // TPC-H Q13 shape: left-outer keeps zero-order customers, then
+    // the order-count distribution re-aggregation
+    "q126_tpch_q13" -> ((s, d) => Relational.tpchQ13(
+      Tables(s, d, "customer"), Tables(s, d, "orders"))),
+    // order-independent table checksum (replica verification): summed
+    // per-row polyHash — the hash gate is two engines agreeing
+    "q127_table_checksum" -> ((s, d) =>
+      Relational.tableChecksum(Tables(s, d, "orders"))),
+    // audio modality: WAV/RIFF encode → chunk-walk parse → PCM
+    // features; oracle recomputes from the text side (q31 convention)
+    "q128_audio_features" -> ((s, d) =>
+      Multimodal.audioFeatures(s, Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1840,6 +1855,59 @@ object SparkEntry {
          |FROM grid g JOIN s ON g.rf = s.rf
          |ORDER BY l_returnflag, j""".stripMargin
     },
+    "q125_skyline" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |  FROM orders),
+        |g AS (SELECT price_c, max(order_date) AS gmax FROM o GROUP BY price_c),
+        |r AS (SELECT price_c, gmax,
+        |             COALESCE(max(gmax) OVER (ORDER BY price_c DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '') AS run
+        |      FROM g)
+        |SELECT o.o_orderkey, o.price_c, o.order_date
+        |FROM o JOIN r USING (price_c)
+        |WHERE o.order_date = r.gmax AND r.run < o.order_date
+        |ORDER BY o_orderkey""".stripMargin,
+    "q126_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer
+        |  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |             WHERE o_orderpriority NOT LIKE '1-%') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q127_table_checksum" -> {
+      val rowStr = "CAST(o_orderkey AS VARCHAR) || '|' || " +
+        "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || " +
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' || " +
+        "strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority"
+      s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(${polyHashSql(rowStr)}) AS BIGINT) AS checksum
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+    "q128_audio_features" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ''),
+        |           c -> CAST((ascii(c) - 128) * 256 AS BIGINT)) AS s,
+        |         list_transform(string_split(text, ''),
+        |           c -> CAST(ascii(c) AS BIGINT)) AS bs,
+        |         CAST(length(text) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n,
+        |         8000 + (list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
+        |                   (p, q) -> p + q) % 4000) AS sample_rate,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(s, x -> x * x)), (p, q) -> p + q) AS energy,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(s, x -> abs(x))), (p, q) -> greatest(p, q)) AS peak_abs
+        |  FROM a)
+        |SELECT doc_id, sample_rate, n AS n_samples,
+        |       n * 1000000 // sample_rate AS duration_micros, energy, peak_abs
+        |FROM b ORDER BY doc_id""".stripMargin,
   )
 
   /** The q111 oracle: the q49 edge CTEs + three unrolled integer-

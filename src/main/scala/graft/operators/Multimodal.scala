@@ -189,4 +189,136 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
   }
+
+  // ---- audio modality (q128): WAV/RIFF, the second real container ----
+
+  /** Typed audio-decode output. All integers: duration is exact micros
+    * via integer division, energy is the Σ s² of the 16-bit samples
+    * (≤ 2³⁰ per sample ⟹ a 10⁸-sample file stays well inside Long),
+    * peak is max |s|. Malformed container → sentinel (-1) rate. */
+  case class AudioFeatures(doc_id: Long, sample_rate: Long, n_samples: Long,
+      duration_micros: Long, energy: Long, peak_abs: Long)
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def putU16le(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putU32le(b: Array[Byte], i: Int, v: Long): Unit = {
+    b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+    b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  /** Synthesize a well-formed mono 16-bit PCM WAV from a payload: one
+    * sample per byte, s = (b − 128)·256, sample rate a deterministic
+    * function of the byte sum (the oracle mirrors both formulas from
+    * the text side). Standard RIFF layout: RIFF/WAVE header, "fmt "
+    * chunk (PCM, mono, 16-bit), "data" chunk with the LE samples. */
+  private[graft] def encodeWav(payload: Array[Byte]): Array[Byte] = {
+    val sr = 8000L + unsignedSum(payload, 0) % 4000
+    val dataSize = payload.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    "RIFF".getBytes(US_ASCII).copyToArray(out, 0)
+    putU32le(out, 4, 36L + dataSize)
+    "WAVE".getBytes(US_ASCII).copyToArray(out, 8)
+    "fmt ".getBytes(US_ASCII).copyToArray(out, 12)
+    putU32le(out, 16, 16L); putU16le(out, 20, 1); putU16le(out, 22, 1)
+    putU32le(out, 24, sr); putU32le(out, 28, sr * 2)
+    putU16le(out, 32, 2); putU16le(out, 34, 16)
+    "data".getBytes(US_ASCII).copyToArray(out, 36)
+    putU32le(out, 40, dataSize.toLong)
+    var i = 0
+    while (i < payload.length) {
+      val s = ((payload(i) & 0xff) - 128) * 256
+      putU16le(out, 44 + 2 * i, s & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** Parse a RIFF/WAVE container: verify the RIFF/WAVE magics, then
+    * WALK the chunk list (skipping unknown chunks, as real WAVs demand
+    * — they carry LIST/INFO/fact chunks) to find "fmt " and "data".
+    * Returns (sampleRate, dataOffset, nSamples) or None. Only PCM
+    * mono 16-bit is accepted — anything else is malformed here. */
+  private[graft] def parseWav(b: Array[Byte]): Option[(Long, Int, Int)] = {
+    def magic(i: Int, s: String) =
+      i + 4 <= b.length && new String(b, i, 4, US_ASCII) == s
+    if (b.length < 44 || !magic(0, "RIFF") || !magic(8, "WAVE")) return None
+    var i = 12
+    var sr = -1L; var ok = false; var dataOff = -1; var dataLen = -1
+    while (i + 8 <= b.length && (sr < 0 || dataOff < 0)) {
+      val id = new String(b, i, 4, US_ASCII)
+      val size = u32le(b, i + 4).toInt
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
+        ok = u16le(b, i + 8) == 1 && u16le(b, i + 10) == 1 &&
+          u16le(b, i + 22) == 16
+        sr = u32le(b, i + 12)
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = math.min(size, b.length - dataOff)
+      }
+      i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    if (sr > 0 && ok && dataOff >= 0) Some((sr, dataOff, dataLen / 2)) else None
+  }
+
+  /** The audio feature kernel over one parsed payload. */
+  private[graft] def audioFeaturesOf(id: Long, bytes: Array[Byte]): AudioFeatures =
+    parseWav(bytes) match {
+      case Some((sr, off, n)) =>
+        var energy = 0L; var peak = 0L; var k = 0
+        while (k < n) {
+          val raw = u16le(bytes, off + 2 * k)
+          val s = (if (raw >= 0x8000) raw - 0x10000 else raw).toLong
+          energy += s * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          k += 1
+        }
+        AudioFeatures(id, sr, n.toLong, n.toLong * 1000000L / sr, energy, peak)
+      case None => AudioFeatures(id, -1L, bytes.length.toLong, -1L, -1L, -1L)
+    }
+
+  /** Documents as an opaque-AUDIO table — the audio twin of
+    * [[mediaTable]]: (doc_id, media BINARY wav, meta STRUCT<mime,
+    * n_bytes>). */
+  def audioTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, encodeWav(text.getBytes(US_ASCII)))
+      })
+      .toDF("doc_id", "media")
+      .select(col("doc_id"), col("media"),
+        struct(lit("audio/wav").as("mime"),
+          length(col("media")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** q128 — audio decode/feature-extract: the SECOND modality through
+    * the q31 kernel boundary, proving the plumbing is
+    * container-agnostic. Encode synthesizes a genuine RIFF/WAVE file
+    * per document; the decode kernel walks the chunk list, accepts
+    * PCM-mono-16 only, and computes sample-exact integer features
+    * (duration in micros by integer division, Σ s² energy, peak) from
+    * the BINARY samples — it never sees the source text. The DuckDB
+    * oracle recomputes every feature from the text side, so the hash
+    * match verifies the full encode → RIFF walk → PCM decode round
+    * trip. Batched `mapPartitions`, partition-parallel, fixed declared
+    * schema — same scale shape as q31. */
+  def audioFeatures(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[(Long, Array[Byte])] =
+      audioTable(docs).select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+    media
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map {
+        case (id, bytes) => audioFeaturesOf(id, bytes)
+      }))
+      .toDF()
+      .orderBy("doc_id")
+  }
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFns
+
 /** Relational surface over the TPC-H-ish testdata (SURVEY §2.C q07–q15).
   * The reference has no joins/windows/rollups (verified absence, SURVEY
   * §2.B); these are declared to make the engine a general analytics
@@ -704,6 +706,93 @@ object Relational {
       .agg(sum(col("n_orders")).as("n_orders"), sum(col("sum_c")).as("sum_c"),
         min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"))
       .orderBy("o_custkey")
+  }
+
+  /** Skyline price-shard width (cents): contiguous price bands so the
+    * cross-shard suffix-max reduces to a bounded per-shard summary —
+    * the q101 distributed-prefix-sum discipline, flipped to a
+    * suffix-MAX. ~60 shards on the testdata price range. */
+  val SkylineShardCents = 1000000L
+
+  /** q125 — 2-D skyline (Pareto frontier): orders not dominated in
+    * (totalprice, orderdate) — "no other order is both at least as
+    * expensive AND at least as recent, strictly better in one". The
+    * 2-D skyline is exactly a suffix-max scan: a row survives iff its
+    * date equals its price-group's max AND beats the max date over all
+    * STRICTLY higher prices. That global ordered scan is computed the
+    * q101 way — never one corpus-wide window task:
+    *   1. collapse to DISTINCT prices (map-side combinable groupBy);
+    *   2. shard prices into contiguous `SkylineShardCents` bands;
+    *      per-shard suffix-max windows run in parallel (partitionBy
+    *      shard), and the cross-shard pass is a window over the
+    *      BOUNDED shard-summary relation, broadcast back;
+    *   3. rows join their price group's verdict on the price key.
+    * Dates compare as 'yyyy-MM-dd' strings (lexicographic =
+    * chronological) on both engines. The oracle states the single
+    * windowed scan over distinct prices, so the hash match proves
+    * sharded ≡ windowed; the spec proves windowed ≡ the NOT EXISTS
+    * dominance definition. Ties on both dims survive together
+    * (neither strictly dominates). */
+  def skyline(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    val g = o.groupBy("price_c").agg(max(col("order_date")).as("gmax"))
+      .withColumn("shard", floor(col("price_c") / SkylineShardCents).cast("long"))
+    val wAbove = Window.orderBy(col("shard").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val above = g.groupBy("shard").agg(max(col("gmax")).as("smax"))
+      .withColumn("above", coalesce(max(col("smax")).over(wAbove), lit("")))
+      .select("shard", "above")
+    val wIn = Window.partitionBy("shard").orderBy(col("price_c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val verdict = g
+      .withColumn("in_above", coalesce(max(col("gmax")).over(wIn), lit("")))
+      .join(broadcast(above), Seq("shard"))
+      .select(col("price_c"), col("gmax"),
+        greatest(col("in_above"), col("above")).as("run"))
+    o.join(verdict, Seq("price_c"))
+      .where(col("order_date") === col("gmax") && col("run") < col("order_date"))
+      .select("o_orderkey", "price_c", "order_date")
+      .orderBy("o_orderkey")
+  }
+
+  /** q126 — TPC-H Q13 shape (customer order-count distribution): LEFT
+    * OUTER join so zero-order customers survive into the c_count=0
+    * bucket, then a distribution re-aggregation. Two shuffles (custkey
+    * join + tiny count-keyed agg); the priority filter belongs on the
+    * orders SCAN, before the join. */
+  def tpchQ13(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.where(!col("o_orderpriority").startsWith("1-"))
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** q127 — order-independent table checksum: the replica/migration
+    * verification primitive for 100 TB tables — did two copies (or an
+    * engine swap, or this very library vs DuckDB) produce the same
+    * relation, WITHOUT moving either. Per-row polyHash of a canonical
+    * '|'-joined rendering, summed per group: commutative, so the
+    * checksum is independent of partitioning, row order, and file
+    * layout; fully map-side except the final tiny per-status rollup.
+    * Row hashes are < 10⁹, so a 10⁹-row group sums < 10¹⁸ — inside
+    * Long. The oracle recomputes the same checksum in DuckDB; the
+    * hash gate is literally two engines agreeing on the fingerprint. */
+  def tableChecksum(orders: DataFrame): DataFrame = {
+    val rowStr = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd"), col("o_orderpriority"))
+    orders
+      .select(col("o_orderstatus"), TextFns.polyHash(rowStr).as("h"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+      .orderBy("o_orderstatus")
   }
 
   /** q36 — date-part extraction (`year`/`month`) + grouped aggregation

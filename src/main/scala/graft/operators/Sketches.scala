@@ -35,13 +35,25 @@ object Sketches {
     * bucket) cell key — k·d probe rows against d·w cells, both
     * broadcast-size. Hash family: bucket_j(word) = ((a_j·h + b_j) mod
     * P) mod w over the shared polyHash, a_j/b_j from Hashing.perm*. */
-  def cmsHeavyHitters(docs: DataFrame, k: Int = 30): DataFrame = {
-    val h = TextFns.polyHash(col("word"))
-    val cellArr = explode(array((0 until CmsDepth).map { j =>
+  /** The d (row, bucket) coordinates of one hashed value — the ONE
+    * formula the batch sketch, the streaming accumulator, and the
+    * oracle (via SparkEntry's interpolated constants) all share. */
+  private[graft] def cmsCoords(h: org.apache.spark.sql.Column) =
+    array((0 until CmsDepth).map { j =>
       struct(lit(j).as("j"),
         (((h * Hashing.permA(j) + Hashing.permB(j)) % Hashing.P)
           % CmsWidth).as("bucket"))
-    }: _*)).as("cell")
+    }: _*)
+
+  /** One (j, bucket) row per token OCCURRENCE per sketch row — the
+    * projection whose count-aggregation IS the sketch. Works on batch
+    * and streaming token relations alike (narrow, stateless). */
+  private[graft] def cmsTokenCells(toks: DataFrame): DataFrame =
+    toks.select(explode(cmsCoords(TextFns.polyHash(col("word")))).as("cell"))
+      .select(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+
+  def cmsHeavyHitters(docs: DataFrame, k: Int = 30): DataFrame = {
+    val cellArr = explode(cmsCoords(TextFns.polyHash(col("word")))).as("cell")
     def withCells(words: DataFrame): DataFrame = words
       .select(col("word"), col("df"), cellArr)
       .select(col("word"), col("df"), col("cell.j").as("j"),

@@ -279,4 +279,20 @@ object EventStreams {
           next
       }
   }
+
+  /** Streaming count-min sketch — the q118 frequency state maintained
+    * INCREMENTALLY over an unbounded document stream. This is the
+    * operator that shows why sketches and streaming belong together:
+    * the running aggregation's state is the d×w cell grid itself —
+    * CONSTANT (≤ `CmsDepth`·`CmsWidth` rows) no matter how many
+    * documents flow through, so it needs NO watermark and never
+    * evicts. Complete-mode output; cells are sums, so the final grid
+    * is exactly the batch sketch over everything that arrived —
+    * StreamingSpec pins grid ≡ `Sketches` batch cells across
+    * watermark-free multi-batch delivery. */
+  def streamingCmsCells(docs: DataFrame): DataFrame =
+    graft.operators.Sketches
+      .cmsTokenCells(graft.functions.TextFns.tokens(docs))
+      .groupBy("j", "bucket")
+      .agg(count(lit(1)).as("cellsum"))
 }

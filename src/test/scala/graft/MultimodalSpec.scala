@@ -87,4 +87,56 @@ class MultimodalSpec extends SparkSpec {
     // stats still computed over the whole blob so nothing is silently lost
     assert(out.head.n_bytes === 9L)
   }
+
+  test("wav encode→parse round trip: features match the per-byte formula") {
+    val text = "abc xyz"
+    val bytes = text.getBytes(US_ASCII)
+    val wav = Multimodal.encodeWav(bytes)
+    val Some((sr, off, n)) = Multimodal.parseWav(wav)
+    assert(sr === 8000L + bytes.map(_ & 0xff).sum % 4000)
+    assert(off === 44 && n === text.length)
+    val f = Multimodal.audioFeaturesOf(1L, wav)
+    val samples = bytes.map(b => ((b & 0xff) - 128) * 256L)
+    assert(f.energy === samples.map(s => s * s).sum)
+    assert(f.peak_abs === samples.map(math.abs).max)
+    assert(f.duration_micros === n.toLong * 1000000L / sr)
+  }
+
+  test("wav parser walks unknown RIFF chunks (LIST before data), rejects non-PCM") {
+    val payload = "hi".getBytes(US_ASCII)
+    val plain = Multimodal.encodeWav(payload)
+    // splice a LIST chunk between fmt and data — real WAVs carry these
+    val listChunk = "LIST".getBytes(US_ASCII) ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes(US_ASCII)
+    val spliced = plain.slice(0, 36) ++ listChunk ++ plain.drop(36)
+    // RIFF size field is now stale, but chunk walking must still find data
+    val direct = Multimodal.audioFeaturesOf(5L, plain)
+    val walked = Multimodal.audioFeaturesOf(5L, spliced)
+    assert(walked === direct.copy(doc_id = 5L))
+    // flip the fmt audioFormat to 2 (ADPCM): must become the sentinel row
+    val nonPcm = plain.clone(); nonPcm(20) = 2
+    assert(Multimodal.audioFeaturesOf(6L, nonPcm).sample_rate === -1L)
+    // truncated garbage: sentinel, no exception
+    assert(Multimodal.audioFeaturesOf(7L, "RIFFxx".getBytes(US_ASCII))
+      .sample_rate === -1L)
+  }
+
+  test("q128 audio features on real testdata ≡ text-side brute force") {
+    val real = graft.sources.Tables(spark, testdataDir, "documents")
+    val got = Multimodal.audioFeatures(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val texts = real.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    got.foreach { case (id, sr, n, dur, energy, peak) =>
+      val bs = texts(id).getBytes(US_ASCII).map(_ & 0xff)
+      val ss = bs.map(b => (b - 128) * 256L)
+      assert(sr === 8000L + bs.sum % 4000)
+      assert(n === bs.length.toLong)
+      assert(dur === n * 1000000L / sr)
+      assert(energy === ss.map(s => s * s).sum)
+      assert(peak === (if (ss.isEmpty) 0L else ss.map(math.abs).max))
+    }
+  }
 }

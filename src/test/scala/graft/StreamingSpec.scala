@@ -92,6 +92,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS grid converges to the batch sketch; state is constant-size") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingCmsCells(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("scms").outputMode("complete").start()
+    try {
+      val docs = Seq((1L, "spark join batch"), (2L, "spark spark window"),
+        (3L, "merge sort table"), (4L, "join join join value"))
+      in.addData(docs.take(2))
+      q.processAllAvailable()
+      in.addData(docs.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("scms").collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      // grid never exceeds the sketch geometry — THE constant-state point
+      assert(got.size <= operators.Sketches.CmsDepth * operators.Sketches.CmsWidth)
+      // ≡ the batch sketch over everything that arrived
+      val batch = operators.Sketches
+        .cmsTokenCells(graft.functions.TextFns.tokens(docs.toDF("doc_id", "text")))
+        .groupBy("j", "bucket").count().collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(got === batch)
+      // total mass = one increment per token occurrence per sketch row
+      assert(got.values.sum ===
+        operators.Sketches.CmsDepth.toLong * 13L)
+    } finally q.stop()
+  }
+
   test("streaming postings converge to the batch index; dedup state is watermark-bounded") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
