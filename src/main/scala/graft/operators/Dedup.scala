@@ -96,28 +96,37 @@ object Dedup {
     * prefix, breaking exhaustiveness. */
   def prefixFilterNearDup(docs: DataFrame, tNum: Long = 19L,
       tDen: Long = 20L): DataFrame = {
-    val toks = TextFns.docWords(docs)
-    val dfRank = toks.groupBy("word").agg(count(lit(1)).as("df"))
+    // ONE tokenize + set build feeds df ranking, prefixes, AND the
+    // verify sets (the q22 persist discipline: one row per doc,
+    // MEMORY_AND_DISK, released before returning). The global token
+    // order is (df asc, id asc) over the xxhash64 ids — the prefix
+    // theorem needs only SOME total order, so ranking hashed ids
+    // avoids re-reading words entirely (a first draft joined the raw
+    // token stream 3×: 6 corpus scans, 18 exchanges in the plan).
+    val sets = tokenSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sets.select(col("doc_id"), col("n"), explode(col("ws")).as("wid"))
+    val dfRank = ex.groupBy("wid").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val prefix = toks.join(dfRank, "word")
-      .withColumn("pos", row_number().over(
-        w.orderBy(col("df").asc, col("word").asc)))
-      .withColumn("n", count(lit(1)).over(w))
+      .orderBy(col("df").asc, col("wid").asc)
+    val prefix = ex.join(dfRank, "wid")
+      .withColumn("pos", row_number().over(w))
       .where(col("pos") <=
         col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + 1)
-      .select("doc_id", "word")
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("word"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("word")), "word")
+      .select("doc_id", "wid")
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("wid"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("wid")), "wid")
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val sets = tokenSets(docs)
-    jaccardVerify(cand
+    val result = jaccardVerify(cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"),
         col("n").as("n_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"),
         col("n").as("n_b")), Seq("doc_b")),
       tNum.toDouble / tDen.toDouble)
+    if (!Dedup.eagerMaterialize(docs)) result
+    else try result.localCheckpoint(true) finally sets.unpersist()
   }
 
   /** q21 — exact deduplication: canonical-id mapping by content hash.
