@@ -323,6 +323,24 @@ object SparkEntry {
     // features; oracle recomputes from the text side (q31 convention)
     "q128_audio_features" -> ((s, d) =>
       Multimodal.audioFeatures(s, Tables(s, d, "documents"))),
+    // histogram-bucketed median: one agg pass + bounded-histogram
+    // window — the scalable quantile beside q40's exact sort
+    "q129_histo_quantile" -> ((s, d) =>
+      Events.histoQuantile(Tables(s, d, "events"))),
+    // incremental HLL: stored+delta registers max-merged; oracle IS
+    // q124's rebuild SQL ⟹ merge ≡ rebuild
+    "q130_hll_merge" -> ((s, d) =>
+      Sketches.hllMerge(Tables(s, d, "lineitem"), 500L)),
+    // forward as-of join: each click → next purchase at-or-after
+    "q131_asof_forward" -> ((s, d) =>
+      Events.clickAsofPurchase(Tables(s, d, "events"))),
+    // near-dup graph degree histogram incl. the zero-degree mass
+    "q132_degree_profile" -> ((s, d) =>
+      Graph.degreeProfile(Tables(s, d, "documents"))),
+    // TPC-H Q10 shape: returned-item revenue, aggregate-then-join
+    "q133_tpch_q10" -> ((s, d) => Relational.tpchQ10(
+      Tables(s, d, "customer"), Tables(s, d, "nation"),
+      Tables(s, d, "orders"), Tables(s, d, "lineitem"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -468,7 +486,9 @@ object SparkEntry {
     }.mkString(" + ")
 
   /** DuckDB equivalents, one per `queries` key (driver runs at sf0.01). */
-  def oracleSql: Map[String, String] = ListMap(
+  def oracleSql: Map[String, String] = oracleSqlHead ++ oracleSqlTail
+
+  private lazy val oracleSqlHead: Map[String, String] = ListMap(
     "q01_tokenize" ->
       s"""WITH $rawtoksCte
          |SELECT doc_id, word FROM rawtoks ORDER BY doc_id, word""".stripMargin,
@@ -1826,7 +1846,70 @@ object SparkEntry {
          |           / (a.n + b.n - len(list_intersect(a.ws, b.ws))) AS jaccard
          |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.95 ORDER BY doc_a, doc_b""".stripMargin,
-    "q124_hll_distinct" -> {
+    "q124_hll_distinct" -> hllOracleSql,
+    "q129_histo_quantile" ->
+      """WITH hist AS (
+        |  SELECT event_type, CAST(floor(value) AS BIGINT) AS bin,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bin, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hist)
+        |SELECT event_type, n, min(bin) AS p50_bin
+        |FROM cum WHERE cum * 2 >= n
+        |GROUP BY event_type, n ORDER BY event_type""".stripMargin,
+    "q130_hll_merge" -> hllOracleSql,
+    "q131_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.value,
+        |       (SELECT p.event_id FROM p
+        |        WHERE p.user_id = c.user_id AND p.ts >= c.ts
+        |        ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_event_id,
+        |       (SELECT p.value FROM p
+        |        WHERE p.user_id = c.user_id AND p.ts >= c.ts
+        |        ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_value
+        |FROM c ORDER BY event_id""".stripMargin,
+    "q132_degree_profile" ->
+      s"""WITH $toksCte,
+         |sets AS (
+         |  SELECT doc_id, list(word) AS ws, CAST(count(*) AS BIGINT) AS n
+         |  FROM toks WHERE doc_id < 500 GROUP BY doc_id),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
+         |    FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.95),
+         |deg AS (
+         |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT doc_a AS u FROM edges UNION ALL SELECT doc_b FROM edges)
+         |  GROUP BY u)
+         |SELECT COALESCE(d.deg, 0) AS deg, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 500) nd
+         |LEFT JOIN deg d ON nd.doc_id = d.u
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q133_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+  )
+
+  /** The q124 oracle — ALSO q130's: the merge query's contract is
+    * "max-merged registers ≡ a whole-table rebuild", so both map to
+    * the SAME rebuild SQL (one string, provably one semantics). */
+  private lazy val hllOracleSql: String = {
       val m = operators.Sketches.HllRegisters
       s"""WITH h AS (
          |  SELECT l_returnflag AS rf,
@@ -1854,7 +1937,11 @@ object SparkEntry {
          |       CAST(${operators.Sketches.HllEstNum} // s.hsum AS BIGINT) AS est_micros
          |FROM grid g JOIN s ON g.rf = s.rf
          |ORDER BY l_returnflag, j""".stripMargin
-    },
+  }
+
+  /** Oracle entries split out only to keep the main map under scalac's
+    * method-size comfort zone; merged into [[oracleSql]]. */
+  private lazy val oracleSqlTail: Map[String, String] = ListMap(
     "q125_skyline" ->
       """WITH o AS (
         |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,

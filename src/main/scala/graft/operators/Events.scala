@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Semi-structured + temporal operators over the `events` table
@@ -296,6 +297,73 @@ object Events {
         datediff(to_date(col("day")), to_date(col("cohort"))).cast("long"))
       .select("cohort", "day", "days_since", "n_users")
       .orderBy("cohort", "day")
+  }
+
+  /** q129 — histogram-bucketed median: the SCALABLE quantile path
+    * beside q40's exact sort-based percentile. One aggregation pass
+    * builds a width-1 integer histogram per type (map-side
+    * combinable; bin count bounded by the value RANGE, not the row
+    * count), then the lower-median bin is the smallest bin whose
+    * cumulative count reaches half — a per-type window over the
+    * BOUNDED histogram, never a sort of the data. All-integer pick
+    * rule (2·cum ≥ n ⟺ cum ≥ ⌈n/2⌉ for odd n, lower median for
+    * even), so both engines choose identically; the float value never
+    * leaves the bin id. Spec pins the exact median falls inside the
+    * chosen bin. */
+  def histoQuantile(events: DataFrame): DataFrame = {
+    val hist = events
+      .select(col("event_type"), floor(col("value")).cast("long").as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = hist.groupBy("event_type").agg(sum(col("cnt")).as("n"))
+    cum.join(broadcast(tot), Seq("event_type"))
+      .where(col("cum") * 2 >= col("n"))
+      .groupBy("event_type", "n")
+      .agg(min(col("bin")).as("p50_bin"))
+      .select("event_type", "n", "p50_bin")
+      .orderBy("event_type")
+  }
+
+  /** The FORWARD as-of join — q46's mirror: each left row matched to
+    * the same key's EARLIEST right row at or after it ("what happened
+    * next"). Same union + one-window shape (one shuffle, no range-join
+    * pair explosion); the frame flips to [current, unbounded
+    * following] with `first(ignoreNulls)`, and the right side still
+    * sorts first at equal timestamps so "at or after" is inclusive. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      time: String, rightCols: Seq[String]): DataFrame = {
+    val both = left.withColumn("_side", lit(1))
+      .unionByName(right.withColumn("_side", lit(0)), allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(tsNanos(both, time).asc, col("_side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    both
+      .select(col("*") +: rightCols.map { c =>
+        first(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w)
+          .as(s"asof_$c")
+      }: _*)
+      .where(col("_side") === 1)
+      .drop("_side" +: rightCols: _*)
+  }
+
+  /** q131 — forward as-of under oracle: each click matched to the same
+    * user's NEXT purchase at or after it (the conversion-latency
+    * primitive; q46 looks backward, this looks forward). */
+  def clickAsofPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    asofJoinForward(clicks, purchases, "user_id", "ts",
+      Seq("purchase_id", "purchase_value"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("asof_purchase_id").as("next_event_id"),
+        col("asof_purchase_value").as("next_value"))
+      .orderBy("event_id")
   }
 
   /** q17 — per-day, per-type temporal rollup. The day leaves as a

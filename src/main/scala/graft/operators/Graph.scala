@@ -17,6 +17,28 @@ object Graph {
       df.localCheckpoint(true)
     else df
 
+  /** q132 — degree profile of the near-dup graph: nodes per degree,
+    * INCLUDING the zero-degree mass (the left join against the node
+    * frame — most docs are near-dup-isolated, and that count is the
+    * headline number for a dedup pipeline). Two map-side-combinable
+    * aggregations over the edge relation; the histogram is bounded by
+    * max degree, not corpus size. Same edge definition as
+    * q111/q112 (q18's capped exact pairs). */
+  def degreeProfile(docs: DataFrame, cap: Long = 500L,
+      threshold: Double = 0.95): DataFrame = {
+    val nodes = docs.where(col("doc_id") < cap).select("doc_id")
+    val edges = materialized(docs,
+      Dedup.nearDupJaccard(docs, cap, threshold).select("doc_a", "doc_b"))
+    val deg = edges.select(col("doc_a").as("u"))
+      .union(edges.select(col("doc_b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+    nodes.join(deg, nodes("doc_id") === deg("u"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("deg"))
+      .groupBy("deg")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
+  }
+
   /** q111 — PageRank over the near-dup graph: rank documents by how
     * centrally they sit in the duplication structure (a high-rank doc
     * is a "template" many near-copies orbit — pipelines inspect these

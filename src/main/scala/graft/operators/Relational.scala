@@ -684,6 +684,28 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** q133 — TPC-H Q10 shape (returned-item revenue): top customers by
+    * revenue from returned lineitems. The returnflag filter lands on
+    * the lineitem SCAN; the filtered fact aggregates per customer
+    * BEFORE joining the customer/nation dims (aggregate-then-join —
+    * the join input is one row per customer, not one per lineitem);
+    * nation broadcasts; global top-k is TakeOrdered. */
+  def tpchQ10(customer: DataFrame, nation: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, k: Int = 20): DataFrame =
+    lineitem.where(col("l_returnflag") === "R")
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(lineRevenue).as("revenue"))
+      .join(customer.select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+
   /** q120 — incremental aggregate maintenance: the q98/q105 merge
     * story for RELATIONAL aggregate state. A stored per-customer
     * summary (count / sum / min / max of order totals, cents-exact)

@@ -153,17 +153,26 @@ object Sketches {
     * point of HLL: the exact `n_exact` audit column beside it is the
     * full key shuffle the sketch exists to avoid; a production run
     * drops it). */
-  def hllDistinct(lineitem: DataFrame): DataFrame = {
+  /** The per-(group, register) max-rank relation — THE sketch state.
+    * Shared by the whole-table build (q124) and both sides of the
+    * incremental merge (q130), so the register definition can never
+    * drift between build and merge. */
+  private[graft] def hllRegisters(lineitem: DataFrame): DataFrame = {
     val h = (col("l_partkey") * Hashing.permA(0) + Hashing.permB(0)) % Hashing.P
-    val ranked = lineitem
+    lineitem
       .select(col("l_returnflag").as("rf"), h.as("hh"))
       .select(col("rf"), (col("hh") % HllRegisters).as("j"),
         expr(s"hh div $HllRegisters").as("h2"))
       .select(col("rf"), col("j"),
         when(col("h2") === 0, lit(HllMaxRank))
           .otherwise(expr("bit_count((h2 & -h2) - 1) + 1")).as("rank"))
-    val regs = ranked.groupBy("rf", "j")
+      .groupBy("rf", "j")
       .agg(max(col("rank")).cast("long").as("reg"))
+  }
+
+  /** Grid completion + integer-division estimate over a register
+    * relation — the output assembly both q124 and q130 share. */
+  private def hllAssemble(regs: DataFrame, lineitem: DataFrame): DataFrame = {
     val exact = lineitem.groupBy(col("l_returnflag").as("rf"))
       .agg(countDistinct(col("l_partkey")).as("n_exact"))
     // empty registers (rank 0) materialize via the 0..63 grid so the
@@ -182,5 +191,26 @@ object Sketches {
       .select(col("rf").as("l_returnflag"), col("j"), col("reg"),
         col("n_exact"), col("est_micros"))
       .orderBy("l_returnflag", "j")
+  }
+
+  def hllDistinct(lineitem: DataFrame): DataFrame =
+    hllAssemble(hllRegisters(lineitem), lineitem)
+
+  /** q130 — incremental HLL maintenance: the q120 merge ≡ rebuild law
+    * for SKETCH state, under the other combine operator — registers
+    * merge by MAX (sums for CMS cells, max for HLL ranks; both
+    * associative+commutative, which is exactly what makes sketch state
+    * incrementally maintainable). Stored registers (orderkey < `cap`)
+    * max-merge with the new batch's; the output assembly — and the
+    * ORACLE, which is literally q124's SQL text rebuilding from the
+    * whole table — are shared with q124, so the hash match proves
+    * max-merge ≡ whole-corpus rebuild. Only groups×64-row register
+    * relations ever shuffle in the merge. */
+  def hllMerge(lineitem: DataFrame, cap: Long): DataFrame = {
+    val merged = hllRegisters(lineitem.where(col("l_orderkey") < cap))
+      .unionByName(hllRegisters(lineitem.where(col("l_orderkey") >= cap)))
+      .groupBy("rf", "j")
+      .agg(max(col("reg")).as("reg"))
+    hllAssemble(merged, lineitem)
   }
 }

@@ -1061,6 +1061,85 @@ class PipelineOpsSpec extends SparkSpec {
         s"status $s checksum sensitivity wrong") }
   }
 
+  test("q129 histo quantile: chosen bin contains the exact lower median") {
+    val rows = Events.histoQuantile(t("events")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val vals = t("events").select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    rows.foreach { case (et, n, bin) =>
+      val vs = vals(et)
+      assert(n === vs.length.toLong)
+      val lowerMedian = vs((n.toInt + 1) / 2 - 1)
+      assert(math.floor(lowerMedian).toLong === bin,
+        s"$et: exact lower median $lowerMedian outside chosen bin $bin")
+    }
+  }
+
+  test("q130 hll merge ≡ whole-table rebuild (spark-side too); both batches non-empty") {
+    assert(t("lineitem").where(col("l_orderkey") < 500).count() > 0)
+    assert(t("lineitem").where(col("l_orderkey") >= 500).count() > 0)
+    val merged = Sketches.hllMerge(t("lineitem"), 500L).collect().map(_.toSeq)
+    val rebuilt = Sketches.hllDistinct(t("lineitem")).collect().map(_.toSeq)
+    assert(merged.toList === rebuilt.toList)
+  }
+
+  test("q131 forward asof: next purchase at-or-after, inclusive ties, tail nulls") {
+    val rows = Events.clickAsofPurchase(t("events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.nonEmpty)
+    val evs = t("events").select("event_id", "user_id", "ts", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val purchasesByUser = evs.filter(_._4 == "purchase")
+      .groupBy(_._2).map { case (u, v) => u -> v.sortBy(p => (p._3, p._1)) }
+    val clickTs = evs.filter(_._4 == "click").map(e => e._1 -> e._3).toMap
+    rows.foreach { case (cid, uid, next) =>
+      val exp = purchasesByUser.getOrElse(uid, Array.empty[(Long, Long, Long, String)])
+        .find(_._3 >= clickTs(cid)).map(_._1)
+      assert(next === exp, s"click $cid")
+    }
+    assert(rows.exists(_._3.isEmpty), "no click after the last purchase — tail vacuous")
+    assert(rows.exists(_._3.nonEmpty))
+  }
+
+  test("q132 degree profile: conserves nodes, has zero and nonzero mass, ≡ recompute") {
+    val rows = Graph.degreeProfile(t("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nNodes = t("documents").where(col("doc_id") < 500).count()
+    assert(rows.map(_._2).sum === nNodes)
+    assert(rows.exists(_._1 === 0L) && rows.exists(_._1 > 0L))
+    val pairs = Dedup.nearDupJaccard(t("documents"), 500L, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val ids = t("documents").where(col("doc_id") < 500)
+      .select("doc_id").collect().map(_.getLong(0))
+    val exp = ids.map(i => deg.getOrElse(i, 0L))
+      .groupBy(identity).map { case (d, v) => (d, v.length.toLong) }
+      .toArray.sortBy(_._1)
+    assert(rows.toList === exp.toList)
+  }
+
+  test("q133 tpch q10: aggregate-then-join ≡ join-then-aggregate, descending") {
+    val got = Relational.tpchQ10(t("customer"), t("nation"), t("orders"),
+      t("lineitem")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    assert(got.length === 20)
+    assert(got.map(_._4).sliding(2).forall(p => p.head >= p.last))
+    val plain = t("lineitem").where(col("l_returnflag") === "R")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      .join(t("nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc).limit(20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    assert(got.toList === plain.toList)
+  }
+
   test("q117 zscore: flagged set ≡ exact integer recompute, |z| > 2") {
     val rows = Events.zscoreAnomalies(t("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
