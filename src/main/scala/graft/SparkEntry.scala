@@ -341,6 +341,18 @@ object SparkEntry {
     "q133_tpch_q10" -> ((s, d) => Relational.tpchQ10(
       Tables(s, d, "customer"), Tables(s, d, "nation"),
       Tables(s, d, "orders"), Tables(s, d, "lineitem"))),
+    // typed mapGroups: per-user ordered journey; oracle's ordered
+    // string_agg pins the imperative fold to declarative semantics
+    "q134_user_journey" -> ((s, d) =>
+      Events.userJourney(Tables(s, d, "events"))),
+    // first-order Markov transition counts + integer-micros rates
+    "q135_transitions" -> ((s, d) =>
+      Events.eventTransitions(Tables(s, d, "events"))),
+    // CDC apply: one full-outer merge; feed derived deterministically
+    "q136_cdc_apply" -> ((s, d) =>
+      Relational.cdcApply(Tables(s, d, "orders"))),
+    // SCD-2 intervals: nanos-exact validity windows, open head
+    "q137_scd2" -> ((s, d) => Events.scd2Versions(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1904,6 +1916,51 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q134_user_journey" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q135_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM c GROUP BY 1)
+        |SELECT c.event_type, c.next_type, c.n,
+        |       CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_micros
+        |FROM c JOIN t ON c.event_type = t.event_type
+        |ORDER BY c.event_type, c.next_type""".stripMargin,
+    "q136_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |ch AS (
+        |  SELECT k, price_c + 100 AS new_c, 'U' AS op FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, CAST(NULL AS BIGINT), 'D' FROM base
+        |  WHERE k % 7 <> 0 AND k % 11 = 0
+        |  UNION ALL
+        |  SELECT k + 1000000000000, price_c, 'I' FROM base WHERE k % 13 = 0)
+        |SELECT COALESCE(b.k, c.k) AS o_orderkey,
+        |       COALESCE(c.new_c, b.price_c) AS price_c,
+        |       COALESCE(c.op, '=') AS op
+        |FROM base b FULL OUTER JOIN ch c ON b.k = c.k
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q137_scd2" ->
+      """SELECT user_id, event_id, value, epoch_us(ts) AS valid_from,
+        |       COALESCE(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id),
+        |         9223372036854775807) AS valid_to,
+        |       (COALESCE(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id),
+        |         9223372036854775807) = 9223372036854775807) AS is_current
+        |FROM events ORDER BY user_id, valid_from, event_id""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

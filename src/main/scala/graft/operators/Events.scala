@@ -37,6 +37,16 @@ object Events {
       case _ => unix_micros(col(time)) * lit(1000L)
     }
 
+  /** Epoch-MICROS bridge — for values that CROSS the oracle boundary:
+    * DuckDB's parquet reader truncates TIMESTAMP(NS) to µs, so a
+    * nanos-valued contract column can never hash-match; µs is the
+    * shared precision (`epoch_us` there, `ts div 1000` here). */
+  private def tsMicros(df: DataFrame, time: String = "ts") =
+    df.schema(time).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$time div 1000")
+      case _ => unix_micros(col(time))
+    }
+
   /** q34 — schema-ful JSON parsing: `from_json` into a typed struct
     * (vs q16's path-extraction), then struct-field aggregation. */
   def fromJsonAgg(events: DataFrame): DataFrame = {
@@ -364,6 +374,79 @@ object Events {
         col("asof_purchase_id").as("next_event_id"),
         col("asof_purchase_value").as("next_value"))
       .orderBy("event_id")
+  }
+
+  /** q134 — per-user event journey through the TYPED API
+    * (`KeyValueGroupedDataset.mapGroups`, the batch face of the
+    * streaming state operators): each user's events ordered by
+    * (time, event_id) and folded into the `a>b>c` path string — the
+    * user-behavior relation funnel tools consume. One shuffle on
+    * user_id; the per-group sort is bounded by a user's own history.
+    * mapGroups (not the SQL `string_agg`) on purpose: q37 proved the
+    * typed Aggregator surface, this proves typed GROUPS — and the
+    * oracle's ordered `string_agg` pins the imperative fold to the
+    * declarative semantics. */
+  def userJourney(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), tsNanos(events).as("tsn"),
+        col("event_type"), col("event_id"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (e._2, e._4))
+        (uid, evs.length.toLong, evs.map(_._3).mkString(">"))
+      }
+      .toDF("user_id", "n_events", "journey")
+      .orderBy("user_id")
+  }
+
+  /** q135 — the event-type transition matrix (first-order Markov
+    * counts): per-user time-ordered `lead` pairs, aggregated globally,
+    * with the conditional transition probability as exact integer
+    * micros (n·10⁶ div row-total — the q88 determinism discipline; a
+    * float ratio would be fine here but the integer form is
+    * partition-order-proof by construction). One user_id window
+    * exchange + two bounded aggregations (state space = event types²).
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsn").asc, col("event_id").asc)
+    val pairs = events
+      .select(col("user_id"), col("event_id"), tsNanos(events).as("tsn"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("event_type").agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(tot), Seq("event_type"))
+      .withColumn("p_micros", expr("n * 1000000 div tot"))
+      .select("event_type", "next_type", "n", "p_micros")
+      .orderBy("event_type", "next_type")
+  }
+
+  /** q137 — SCD-2 version intervals (the slowly-changing-dimension
+    * history build): each per-user event opens a version valid
+    * [its time, the next event's time); the open head carries
+    * Long.MaxValue and `is_current`. Validity bounds are EPOCH-MICROS
+    * LONGS end to end — integer-exact on both engines (DuckDB
+    * `epoch_us`; the raw nanos differ because DuckDB's parquet reader
+    * truncates TIMESTAMP(NS) to µs — the same reason tsCol is the µs
+    * bridge), no timestamp formatting in the contract. One user-keyed
+    * window pass. */
+  def scd2Versions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("valid_from").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        tsMicros(events).as("valid_from"))
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(w), lit(Long.MaxValue)))
+      .withColumn("is_current", col("valid_to") === Long.MaxValue)
+      .select("user_id", "event_id", "value", "valid_from", "valid_to",
+        "is_current")
+      .orderBy("user_id", "valid_from", "event_id")
   }
 
   /** q17 — per-day, per-type temporal rollup. The day leaves as a

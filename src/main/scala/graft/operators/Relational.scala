@@ -684,6 +684,35 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** q136 — CDC apply (the warehouse MERGE/upsert, composed from
+    * relational primitives Spark has natively): a change feed of
+    * updates / deletes / inserts applied to a base relation by ONE
+    * full-outer join on the key — update rows override, delete rows
+    * drop, insert rows null-extend in, untouched rows pass through
+    * with op '='. One shuffle of each side on the merge key; at scale
+    * the change feed is a sliver, so AQE demotes its side to a
+    * broadcast automatically. The feed is DERIVED deterministically
+    * from the base itself (keys %7 update +1.00, %11∖%7 delete, %13
+    * insert at key+10¹² — precedence documented by the disjoint
+    * predicates) so the oracle replays it exactly. */
+  def cdcApply(orders: DataFrame): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val base = orders.select(col("o_orderkey").as("k"), cents.as("price_c"))
+    val upd = base.where(col("k") % 7 === 0)
+      .select(col("k"), (col("price_c") + 100L).as("new_c"), lit("U").as("op"))
+    val del = base.where(col("k") % 7 =!= 0 && col("k") % 11 === 0)
+      .select(col("k"), lit(null).cast("long").as("new_c"), lit("D").as("op"))
+    val ins = base.where(col("k") % 13 === 0)
+      .select((col("k") + 1000000000000L).as("k"),
+        col("price_c").as("new_c"), lit("I").as("op"))
+    base.join(upd.unionByName(del).unionByName(ins), Seq("k"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(col("k").as("o_orderkey"),
+        coalesce(col("new_c"), col("price_c")).as("price_c"),
+        coalesce(col("op"), lit("=")).as("op"))
+      .orderBy("o_orderkey")
+  }
+
   /** q133 — TPC-H Q10 shape (returned-item revenue): top customers by
     * revenue from returned lineitems. The returnflag filter lands on
     * the lineitem SCAN; the filtered fact aggregates per customer

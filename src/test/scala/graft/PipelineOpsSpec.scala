@@ -1140,6 +1140,75 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toList === plain.toList)
   }
 
+  test("q134 journey: typed mapGroups ≡ driver-side ordered fold, users conserved") {
+    val rows = Events.userJourney(t("events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val evs = t("events").select("user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val exp = evs.groupBy(_._1).map { case (u, v) =>
+      val sorted = v.sortBy(e => (e._2, e._4))
+      (u, sorted.length.toLong, sorted.map(_._3).mkString(">"))
+    }.toArray.sortBy(_._1)
+    assert(rows.toList === exp.toList)
+    assert(rows.length === evs.map(_._1).distinct.length)
+    assert(rows.exists(_._3.contains(">")), "no multi-event journey — vacuous")
+  }
+
+  test("q135 transitions: counts conserve, rates bounded, rows sum per source") {
+    val rows = Events.eventTransitions(t("events")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val nEvents = t("events").count()
+    val nUsers = t("events").select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === nEvents - nUsers,
+      "each user contributes exactly n_events - 1 transitions")
+    rows.foreach { case (_, _, n, p) =>
+      assert(n > 0L && p >= 0L && p <= 1000000L) }
+    rows.groupBy(_._1).foreach { case (src, v) =>
+      // Σ n·10⁶ div tot over a source differs from 10⁶ only by the
+      // truncation remainders — within (#targets − 1)
+      val tot = v.map(_._3).sum
+      val pSum = v.map(_._4).sum
+      assert(pSum > 1000000L - v.length && pSum <= 1000000L, s"source $src") }
+  }
+
+  test("q136 cdc apply: conservation, all ops exercised, update values applied") {
+    val rows = Relational.cdcApply(t("orders")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val base = t("orders").selectExpr("o_orderkey",
+        "CAST(round(o_totalprice * 100) AS LONG)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nDel = base.keys.count(k => k % 7 != 0 && k % 11 == 0)
+    val nIns = base.keys.count(_ % 13 == 0)
+    assert(rows.length === base.size - nDel + nIns)
+    val ops = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(ops.keySet === Set("=", "U", "I") && ops.values.forall(_ > 0))
+    rows.foreach { case (k, c, op) => op match {
+      case "U" => assert(c === base(k) + 100L)
+      case "=" => assert(c === base(k) && k % 7 != 0 && k % 11 != 0)
+      case "I" => assert(c === base(k - 1000000000000L))
+    }}
+    assert(rows.forall { case (k, _, _) => k % 7 != 0 || base.contains(k) ||
+      true })
+    assert(!rows.exists { case (k, _, op) =>
+      op == "=" && k % 11 == 0 && k % 7 != 0 }, "a deleted key survived")
+  }
+
+  test("q137 scd2: intervals chain per user, exactly one current version") {
+    val rows = Events.scd2Versions(t("events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, v) =>
+      assert(v.count(_._5) === 1, s"user $u current-version count")
+      val sorted = v.sortBy(x => (x._3, x._2))
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a._4 === b._3, s"user $u: versions do not chain") }
+      assert(sorted.last._4 === Long.MaxValue)
+      sorted.foreach(x => assert(x._3 < x._4, "empty or inverted interval"))
+    }
+  }
+
   test("q117 zscore: flagged set ≡ exact integer recompute, |z| > 2") {
     val rows = Events.zscoreAnomalies(t("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
