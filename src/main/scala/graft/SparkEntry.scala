@@ -353,6 +353,15 @@ object SparkEntry {
       Relational.cdcApply(Tables(s, d, "orders"))),
     // SCD-2 intervals: nanos-exact validity windows, open head
     "q137_scd2" -> ((s, d) => Events.scd2Versions(Tables(s, d, "events"))),
+    // TPC-H Q6: the pure scan-pushdown aggregate — no joins at all
+    "q138_tpch_q6" -> ((s, d) => Relational.tpchQ6(Tables(s, d, "lineitem"))),
+    // TPC-H Q8: national market share; all dims broadcast, fact pruned
+    // by the PROMO part broadcast before any shuffle
+    "q139_tpch_q8" -> ((s, d) => Relational.tpchQ8(
+      Tables(s, d, "region"), Tables(s, d, "nation"),
+      Tables(s, d, "customer"), Tables(s, d, "supplier"),
+      Tables(s, d, "orders"), Tables(s, d, "lineitem"),
+      Tables(s, d, "part"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1961,6 +1970,31 @@ object SparkEntry {
         |           ORDER BY epoch_us(ts), event_id),
         |         9223372036854775807) = 9223372036854775807) AS is_current
         |FROM events ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "q138_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q139_tpch_q8" ->
+      """WITH f AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |         n2.n_name AS supp_nation,
+        |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+        |SELECT o_year,
+        |       round(CAST(sum(CASE WHEN supp_nation = 'NATION_19' THEN rev
+        |                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+        |FROM f GROUP BY o_year ORDER BY o_year""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

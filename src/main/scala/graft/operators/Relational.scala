@@ -684,6 +684,62 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** q138 — TPC-H Q6 shape (forecast revenue change): the pure
+    * scan-side aggregate — every predicate (date range, discount band,
+    * quantity cap) pushes into the parquet scan, nothing joins, one
+    * partial+final aggregation of DECIMAL `extendedprice·discount`.
+    * The simplest query in the suite and the purest pushdown test. */
+  def tpchQ6(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+
+  /** q139 — TPC-H Q8 shape (national market share): of the revenue an
+    * ASIA-region customer base spends on PROMO-type parts, the share
+    * supplied by one nation, per order year. Every dimension
+    * (region→nation customer filter, PROMO part keys, supplier→nation
+    * names) broadcasts; the fact table is pruned by the part broadcast
+    * FIRST (PROMO ≈ 1/5 of parts), then shuffles on orderkey/custkey.
+    * Share = exact DECIMAL sums divided in DOUBLE, rounded 6 dp (the
+    * q92 convention — identical IEEE ops on both engines). */
+  def tpchQ8(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      part: DataFrame, shareNation: String = "NATION_19"): DataFrame = {
+    val asiaCust = customer
+      .join(broadcast(nation.join(
+          broadcast(region.where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val promoParts = broadcast(
+      part.where(col("p_type") === "PROMO").select("p_partkey"))
+    val suppNation = broadcast(
+      supplier.join(broadcast(nation.select(
+          col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation"))
+    lineitem
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === shareNation, lineRevenue)
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("nation_rev"),
+        sum(lineRevenue).as("total_rev"))
+      .select(col("o_year"),
+        round(col("nation_rev").cast("double") / col("total_rev").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** q136 — CDC apply (the warehouse MERGE/upsert, composed from
     * relational primitives Spark has natively): a change feed of
     * updates / deletes / inserts applied to a base relation by ONE

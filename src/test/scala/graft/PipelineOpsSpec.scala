@@ -1209,6 +1209,48 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q138 tpch q6: every predicate reaches the parquet scan; value sane") {
+    val df = Relational.tpchQ6(t("lineitem"))
+    val rows = df.collect()
+    assert(rows.length === 1 && rows.head.getDouble(0) > 0.0)
+    val scan = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PushedFilters")).mkString
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(scan.contains(c), s"$c predicate not pushed to the scan") }
+  }
+
+  test("q139 tpch q8: share ∈ [0,1] and non-trivial, ≡ no-hints formulation") {
+    val got = Relational.tpchQ8(t("region"), t("nation"), t("customer"),
+      t("supplier"), t("orders"), t("lineitem"), t("part")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, s) => assert(s >= 0.0 && s <= 1.0) }
+    assert(got.exists { case (_, s) => s > 0.0 && s < 1.0 },
+      "share degenerate at every year")
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+    val plain = t("lineitem")
+      .join(t("part"), col("l_partkey") === col("p_partkey"))
+      .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      .join(t("nation").select(col("n_nationkey").as("cnk"),
+        col("n_regionkey")), col("c_nationkey") === col("cnk"))
+      .join(t("region"), col("n_regionkey") === col("r_regionkey"))
+      .join(t("nation").select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation")), col("s_nationkey") === col("snk"))
+      .where(col("p_type") === "PROMO" && col("r_name") === "ASIA")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_19", rev)
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("nr"),
+        sum(rev).as("tr"))
+      .select(col("o_year"),
+        round(col("nr").cast("double") / col("tr").cast("double"), 6))
+      .orderBy("o_year").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(got.toList === plain.toList)
+  }
+
   test("q117 zscore: flagged set ≡ exact integer recompute, |z| > 2") {
     val rows = Events.zscoreAnomalies(t("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
