@@ -362,6 +362,12 @@ object SparkEntry {
       Tables(s, d, "customer"), Tables(s, d, "supplier"),
       Tables(s, d, "orders"), Tables(s, d, "lineitem"),
       Tables(s, d, "part"))),
+    // SymSpell deletion-neighborhood fuzzy join; oracle states the
+    // naive levenshtein theta form ⟹ blocked ≡ naive
+    "q140_fuzzy_join" -> ((s, d) =>
+      Dedup.fuzzyNameJoin(Tables(s, d, "customer"))),
+    // least-squares trend from exact DECIMAL power sums
+    "q141_linreg" -> ((s, d) => Events.linregTrend(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1995,6 +2001,32 @@ object SparkEntry {
         |                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
         |             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
         |FROM f GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q140_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey AS k, c_name AS name FROM customer
+        |           WHERE c_custkey < 300)
+        |SELECT a.k AS cust_a, b.k AS cust_b,
+        |       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM c a JOIN c b ON a.k < b.k
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY cust_a, cust_b""".stripMargin,
+    "q141_linreg" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CAST(epoch_us(ts) - 1704067200000000 AS HUGEINT) AS x,
+        |         CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM d GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / CAST(n * sxx - sx * sx AS DOUBLE) * 86400000000, 6)
+        |         AS slope_cents_per_day,
+        |       round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |             / CAST(n AS DOUBLE), 4) AS intercept_cents
+        |FROM s ORDER BY event_type""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

@@ -129,6 +129,42 @@ object Dedup {
     else try result.localCheckpoint(true) finally sets.unpersist()
   }
 
+  /** q140 — fuzzy (edit-distance ≤ 1) self-join via DELETION
+    * NEIGHBORHOODS (the SymSpell blocking): each name emits itself
+    * plus its |s| one-character-deletion variants; any two strings at
+    * edit distance ≤ 1 provably share a variant (equal → the string
+    * itself; substitution at i → both i-deletions coincide; insert/
+    * delete → the shorter string IS a variant of the longer), so the
+    * equi-join on variants is EXHAUSTIVE blocking — `levenshtein`
+    * verify then removes the false candidates. Linear fan-out (|s|+1
+    * keys per row) instead of the quadratic all-pairs distance matrix;
+    * the oracle states the naive theta form over the same capped set,
+    * so the hash match proves blocked ≡ naive (the q97/q123
+    * convention). The record-linkage twin of the token-set families
+    * above, for the KEY column rather than the content. */
+  def fuzzyNameJoin(customer: DataFrame, cap: Long = 300L): DataFrame = {
+    val base = customer.where(col("c_custkey") < cap)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"))
+    val variants = base
+      .select(col("k"), col("name"), explode(concat(
+        array(col("name")),
+        expr("transform(sequence(1, length(name)), " +
+          "i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))")
+      )).as("v"))
+      .distinct() // doubled letters make duplicate deletion variants
+    val cand = variants.alias("a")
+      .join(variants.alias("b"),
+        col("a.v") === col("b.v") && col("a.k") < col("b.k"))
+      .select(col("a.k").as("cust_a"), col("a.name").as("name_a"),
+        col("b.k").as("cust_b"), col("b.name").as("name_b"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= 1)
+      .select("cust_a", "cust_b", "dist")
+      .orderBy("cust_a", "cust_b")
+  }
+
   /** q21 — exact deduplication: canonical-id mapping by content hash.
     * One shuffle on the hash; at 100 TB this is the cheapest dedup pass
     * and the one you always run first. md5 hex matches DuckDB's md5().

@@ -449,6 +449,37 @@ object Events {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  /** q141 — least-squares trend (value vs. time) per event type, from
+    * EXACT integer power sums — the ML-adjacent aggregation pattern
+    * (X'X normal equations) done the q52 way: x = µs since 2024-01-01
+    * (a fixed literal epoch, so no extra min() pass), y = value cents,
+    * Σx/Σy/Σxy/Σx² accumulated in DECIMAL(38,0) (order-independent,
+    * partition-proof; doubles would drift with partition order). The
+    * slope/intercept division happens ONCE per group in DOUBLE, with
+    * the exact same expression TEXT as the oracle so the IEEE op
+    * sequence — and therefore every bit — matches. One map-side-
+    * combinable aggregation; 5 numbers per group of state. */
+  def linregTrend(events: DataFrame): DataFrame = {
+    val epoch = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    events
+      .select(col("event_type"),
+        (tsMicros(events) - epoch).cast("decimal(19,0)").as("x"),
+        round(col("value") * 100).cast("long").cast("decimal(19,0)").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        expr("round(CAST(n * sxy - sx * sy AS DOUBLE) " +
+          "/ CAST(n * sxx - sx * sx AS DOUBLE) * 86400000000, 6)")
+          .as("slope_cents_per_day"),
+        expr("round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE) " +
+          "/ CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+          "/ CAST(n AS DOUBLE), 4)").as("intercept_cents"))
+      .orderBy("event_type")
+  }
+
   /** q17 — per-day, per-type temporal rollup. The day leaves as a
     * 'yyyy-MM-dd' string so both engines compare the same value. */
   def dateTruncAgg(events: DataFrame): DataFrame =

@@ -1251,6 +1251,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toList === plain.toList)
   }
 
+  test("q140 fuzzy join: deletion blocking ≡ naive levenshtein, non-vacuous") {
+    val got = Dedup.fuzzyNameJoin(t("customer")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty && got.forall(_._3 === 1),
+      "names are unique, so every match must be at distance exactly 1")
+    val base = t("customer").where(col("c_custkey") < 300)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"))
+    val naive = base.alias("a").join(base.alias("b"), col("a.k") < col("b.k"))
+      .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
+      .where(col("dist") <= 1)
+      .select(col("a.k"), col("b.k"), col("dist"))
+      .orderBy("a.k", "b.k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toList === naive.toList)
+    // substitution / deletion / equality classes, pinned synthetically
+    import spark.implicits._
+    val synth = Seq((1L, "abcd"), (2L, "abxd"), (3L, "abd"), (4L, "zzzz"))
+      .toDF("c_custkey", "c_name")
+    val sGot = Dedup.fuzzyNameJoin(synth, 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sGot === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("q141 linreg: coefficients match an exact BigInt recompute") {
+    val rows = Events.linregTrend(t("events")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum === t("events").count())
+    val data = t("events").selectExpr("event_type", "ts div 1000", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { case (et, n, slope, intercept) =>
+      val pts = data.filter(_._1 == et).map { case (_, us, v) =>
+        (BigInt(us - 1704067200000000L), BigInt(math.round(v * 100))) }
+      assert(pts.length.toLong === n)
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val bn = BigInt(n)
+      val rawSlope = (bn * sxy - sx * sy).toDouble / (bn * sxx - sx * sx).toDouble
+      assert(math.abs(rawSlope * 86400000000d - slope) <= 2e-6, s"$et slope")
+      val rawIcept = (sy.toDouble - rawSlope * sx.toDouble) / n.toDouble
+      assert(math.abs(rawIcept - intercept) <= 2e-4, s"$et intercept")
+      // a month of events at roughly stable values: intercept should
+      // sit inside the observed cents range
+      val ys = pts.map(_._2.toLong)
+      assert(intercept >= ys.min.toDouble - 1 && intercept <= ys.max.toDouble + 1)
+    }
+  }
+
   test("q117 zscore: flagged set ≡ exact integer recompute, |z| > 2") {
     val rows = Events.zscoreAnomalies(t("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))

@@ -92,6 +92,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: per-batch merge into a stored aggregate ≡ batch rebuild") {
+    // the production sink pattern: each micro-batch's PARTIAL aggregate
+    // is merged into a persistent store with the q120 associative
+    // combine — the store never re-reads history, yet ends exactly
+    // equal to a whole-input rebuild
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val store = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val in = MemoryStream[(Long, Long)] // (custkey, cents)
+    val q = in.toDF.toDF("k", "c")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy("k")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+          .collect().foreach { r =>
+            val (k, n, s) = (r.getLong(0), r.getLong(1), r.getLong(2))
+            val (pn, ps) = store.getOrElse(k, (0L, 0L))
+            store(k) = (pn + n, ps + s)
+          }
+      }.start()
+    try {
+      val all = Seq((1L, 100L), (2L, 250L), (1L, 50L), (3L, 70L),
+        (2L, 30L), (1L, 25L))
+      in.addData(all.take(3)); q.processAllAvailable()
+      in.addData(all.drop(3)); q.processAllAvailable()
+      val rebuild = all.groupBy(_._1)
+        .map { case (k, v) => k -> (v.length.toLong, v.map(_._2).sum) }
+      assert(store.toMap === rebuild)
+    } finally q.stop()
+  }
+
   test("streaming CMS grid converges to the batch sketch; state is constant-size") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
