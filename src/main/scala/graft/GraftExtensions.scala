@@ -33,10 +33,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHashString].getName, "poly_hash"),
       (exprs: Seq[Expression]) => PolyHashString(exprs(0))))
+    e.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
   }
 }
 
 object GraftExtensions {
+  /** Live-session twin of `injectOptimizerRule` (extensions only apply
+    * at session build): appends [[graft.plans.IntersectCountRewrite]]
+    * to `spark.experimental.extraOptimizations`, idempotently. */
+  def enableRewrites(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.IntersectCountRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.IntersectCountRewrite
+
   def register(spark: SparkSession): Unit = {
     GraftColumnBridge.registerExpression(spark, "intersect_count_sorted",
       exprs => IntersectCountSorted(exprs(0), exprs(1)))

@@ -28,6 +28,39 @@ class FunctionsSpec extends SparkSpec {
     assert(edges.getLong(1) === 0L)
   }
 
+  test("IntersectCountRewrite: size(array_intersect) plans to the codegen'd merge") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.enableRewrites(spark)
+    try {
+      // unsorted + duplicates + empties: the rewrite must preserve the
+      // built-in's DISTINCT-intersection semantics on every edge
+      val df = Seq(
+        (Array(3L, 1L, 2L, 1L), Array(2L, 2L, 3L, 9L)), // dups both sides
+        (Array(5L, 5L, 5L), Array(5L)),                 // all-dup → 1
+        (Array.empty[Long], Array(1L, 2L)),             // empty side
+        (Array(7L, 8L), Array(1L, 2L))                  // disjoint
+      ).toDF("a", "b")
+        .repartition(2) // keep ConvertToLocalRelation from pre-evaluating
+      val q = df.select(size(array_intersect(col("a"), col("b"))).as("n"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("intersect_count_sorted"),
+        s"rewrite did not fire:\n$plan")
+      assert(q.collect().map(_.getInt(0)).sorted.toList === List(0, 0, 1, 2))
+      // containsNull arrays must NOT be rewritten (nullable elements)
+      val nullable = Seq((Seq(Some(1L), None), Seq(Option(1L), Option(2L))))
+        .toDF("a", "b")
+        .repartition(2)
+        .select(size(array_intersect(col("a"), col("b"))).as("n"))
+      assert(!nullable.queryExecution.optimizedPlan.toString
+        .contains("intersect_count_sorted"))
+      assert(nullable.collect().head.getInt(0) === 1)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.IntersectCountRewrite)
+    }
+  }
+
   test("dot_product_double: bit-identical to the HOF left fold it replaced") {
     import graft.functions.DotProductDouble
     import org.apache.spark.sql.functions._
