@@ -368,6 +368,9 @@ object SparkEntry {
       Dedup.fuzzyNameJoin(Tables(s, d, "customer"))),
     // least-squares trend from exact DECIMAL power sums
     "q141_linreg" -> ((s, d) => Events.linregTrend(Tables(s, d, "events"))),
+    // HHI source-concentration audit, all-integer share quantization
+    "q142_hhi" -> ((s, d) =>
+      Sampling.sourceConcentration(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2027,6 +2030,19 @@ object SparkEntry {
         |             / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |             / CAST(n AS DOUBLE), 4) AS intercept_cents
         |FROM s ORDER BY event_type""".stripMargin,
+    "q142_hhi" ->
+      """WITH s AS (
+        |  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS b
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+        |             CAST(sum(b) AS BIGINT) AS total
+        |      FROM s GROUP BY 1),
+        |sh AS (SELECT s.lang, t.n_sources, t.total,
+        |              b * 1000000 // total AS share
+        |       FROM s JOIN t ON s.lang = t.lang)
+        |SELECT lang, n_sources, total AS total_bytes,
+        |       CAST(sum(share * share) // 1000000 AS BIGINT) AS hhi_micros
+        |FROM sh GROUP BY lang, n_sources, total ORDER BY lang""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

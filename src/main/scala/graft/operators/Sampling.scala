@@ -175,6 +175,33 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** q142 — source-concentration audit (Herfindahl–Hirschman index):
+    * per language, HHI = Σ shareᵢ² over the source byte shares — the
+    * "is this slice dominated by one crawl?" diversity check a mixing
+    * pipeline runs before q101/q109 set budgets. ENTIRELY integer,
+    * overflow-proof at any byte scale: each source's share is first
+    * quantized to micros (bᵢ·10⁶ div total — the ·10⁶ is safe while a
+    * source holds < 9·10¹² bytes; beyond that, pre-scale b), then
+    * HHI micros = Σ shareᵢ² div 10⁶ (shares ≤ 10⁶ ⟹ Σ share² ≤
+    * 10¹²·n_sources, far inside Long). The quantization is part of
+    * the DEFINITION, identical in the oracle, so the gate is exact.
+    * Two map-side-combinable aggregations + a lang-keyed broadcast of
+    * per-lang totals (one row per language). HHI near 10⁶/n_sources
+    * means balanced, near 10⁶ means one crawl dominates. */
+  def sourceConcentration(docs: DataFrame): DataFrame = {
+    val bySrc = docs.groupBy("lang", "source")
+      .agg(sum(col("n_chars")).as("b"))
+    val totals = bySrc.groupBy("lang")
+      .agg(count(lit(1)).as("n_sources"), sum(col("b")).as("total"))
+    bySrc.join(broadcast(totals), Seq("lang"))
+      .withColumn("share", expr("b * 1000000 div total"))
+      .groupBy("lang", "n_sources", "total")
+      .agg(expr("CAST(sum(share * share) div 1000000 AS BIGINT)").as("hhi_micros"))
+      .select(col("lang"), col("n_sources"),
+        col("total").cast("long").as("total_bytes"), col("hhi_micros"))
+      .orderBy("lang")
+  }
+
   val MixShards = 32
 
   def mixBudget(docs: DataFrame, budget: Long): DataFrame = {

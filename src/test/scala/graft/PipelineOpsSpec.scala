@@ -1300,6 +1300,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q142 hhi: bounded by [10⁶/n, 10⁶], monopoly and balance pinned") {
+    val rows = Sampling.sourceConcentration(t("documents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, n, total, hhi) =>
+      assert(n > 0 && total > 0)
+      // quantization can undershoot the ideal floor slightly — allow n
+      assert(hhi >= 1000000L / n - n && hhi <= 1000000L, s"$lang HHI $hhi")
+    }
+    import spark.implicits._
+    val mono = Seq((1L, "en", "crawlA", 500L), (2L, "en", "crawlA", 300L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    assert(Sampling.sourceConcentration(mono).collect()
+      .map(_.getLong(3)).head === 1000000L)
+    val balanced = Seq((1L, "en", "a", 400L), (2L, "en", "b", 400L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    assert(Sampling.sourceConcentration(balanced).collect()
+      .map(_.getLong(3)).head === 500000L)
+  }
+
   test("q117 zscore: flagged set ≡ exact integer recompute, |z| > 2") {
     val rows = Events.zscoreAnomalies(t("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
