@@ -113,10 +113,18 @@ object Dedup {
       .withColumn("pos", row_number().over(w))
       .where(col("pos") <=
         col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + 1)
-      .select("doc_id", "wid")
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("wid"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("wid")), "wid")
-      .where(col("doc_a") < col("doc_b"))
+      .select("doc_id", "wid", "n")
+    // All-Pairs length filter: J(A,B) ≥ t ⟹ t·|B| ≤ |A| ≤ |B|/t
+    // (|A∩B| ≤ min, |A∪B| ≥ max ⟹ J ≤ min/max) — an integer
+    // size-ratio residual on the candidate join that kills most
+    // bucket pairs BEFORE the distinct and the set fetch
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("wid"),
+        col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("wid"),
+        col("n").as("nb")), "wid")
+      .where(col("doc_a") < col("doc_b") &&
+        col("na") * tNum <= col("nb") * tDen &&
+        col("nb") * tNum <= col("na") * tDen)
       .select("doc_a", "doc_b")
       .distinct()
     val result = jaccardVerify(cand
