@@ -1,0 +1,112 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.{Dedup, Relational, Sketches}
+
+/** Property tests for the round-5 blocking/frontier operators — the
+  * class whose correctness claim is an EQUIVALENCE ("blocked ≡ naive",
+  * "sharded ≡ dominance definition", "est ≥ truth"): example-based
+  * specs pin the testdata's shapes, these pin RANDOM shapes the
+  * testdata never produces (adversarial duplicate structure, all-equal
+  * corners, single-element sets). Small generators on purpose — each
+  * Spark round trip costs ~100 ms, and the interesting failures are
+  * boundary structures, not volume. */
+class BlockingPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def checkProp(p: Prop, n: Int): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("prefix filter ≡ all-pairs Jaccard on random corpora (incl. heavy dup structure)") {
+    // tiny vocabulary forces massive token overlap — the regime where
+    // prefix pruning is most aggressive and an unsound prefix length
+    // would actually lose pairs
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val genCorpus = for {
+      nDocs <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(1, 6)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val p = Prop.forAll(genCorpus) { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val blocked = Dedup.prefixFilterNearDup(df, 3L, 4L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      val naive = Dedup.nearDupJaccard(df, Long.MaxValue, 0.75).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      blocked == naive
+    }
+    checkProp(p, 25)
+  }
+
+  test("skyline ≡ dominance definition on random (price, date) clouds") {
+    val genOrders = for {
+      n <- Gen.choose(1, 14)
+      rows <- Gen.listOfN(n, for {
+        price <- Gen.choose(1, 5).map(_ * 100.0) // coarse → many ties
+        day <- Gen.choose(1, 5)
+      } yield (price, f"2024-01-0$day"))
+    } yield rows.zipWithIndex.map { case ((p, d), i) => (i.toLong, p, d) }
+    val p = Prop.forAll(genOrders) { rows =>
+      val df = rows.toDF("o_orderkey", "o_totalprice", "ds")
+        .withColumn("o_orderdate",
+          org.apache.spark.sql.functions.col("ds").cast("timestamp"))
+      val got = Relational.skyline(df).collect().map(_.getLong(0)).toSet
+      val all = rows.map { case (k, p0, d) => (k, math.round(p0 * 100), d) }
+      val exp = all.filter { case (_, pc, d) =>
+        !all.exists { case (_, pc2, d2) =>
+          pc2 >= pc && d2 >= d && (pc2 > pc || d2 > d) }
+      }.map(_._1).toSet
+      got == exp
+    }
+    checkProp(p, 25)
+  }
+
+  test("fuzzy join ≡ naive levenshtein on random short strings") {
+    val genNames = for {
+      n <- Gen.choose(2, 8)
+      names <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 4)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    } yield names.distinct.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val p = Prop.forAll(genNames) { rows =>
+      val df = rows.toDF("c_custkey", "c_name")
+      val got = Dedup.fuzzyNameJoin(df, 1000L).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val byId = rows.toMap
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val exp = (for {
+        (i, a) <- rows; (j, b) <- rows
+        if i < j && lev(a, b) <= 1
+      } yield (i, j)).toSet
+      got == exp
+    }
+    checkProp(p, 25)
+  }
+
+  test("CMS estimate ≥ exact count on every random corpus (sketch invariant)") {
+    val vocab = Vector("qq", "ww", "rr", "tt", "yy")
+    val genDocs = for {
+      n <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(n, Gen.listOfN(4, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val p = Prop.forAll(genDocs) { docs =>
+      val rows = Sketches.cmsHeavyHitters(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      rows.forall { case (df, est) => est >= df }
+    }
+    checkProp(p, 25)
+  }
+}
