@@ -295,4 +295,16 @@ object EventStreams {
       .cmsTokenCells(graft.functions.TextFns.tokens(docs))
       .groupBy("j", "bucket")
       .agg(count(lit(1)).as("cellsum"))
+
+  /** Streaming HyperLogLog — q124's register state maintained over an
+    * unbounded stream, completing the pair of streaming sketch LAWS:
+    * CMS cells accumulate by SUM (above), HLL registers by MAX — the
+    * same max the q130 batch merge uses, so stream, store, and batch
+    * can never disagree. State is ≤ groups×64 rows, constant in stream
+    * length; no watermark, nothing ever evicted. Complete-mode;
+    * StreamingSpec pins final registers ≡ the batch build over
+    * everything that arrived. Input: any frame with the lineitem
+    * columns (l_returnflag, l_partkey). */
+  def streamingHllRegisters(lineitem: DataFrame): DataFrame =
+    graft.operators.Sketches.hllRegisters(lineitem)
 }

@@ -152,6 +152,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers converge to the batch sketch (max law)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = EventStreams.streamingHllRegisters(
+        in.toDF.toDF("l_returnflag", "l_partkey"))
+      .writeStream.format("memory").queryName("shll").outputMode("complete").start()
+    try {
+      val rows = (1L to 40L).map(k => (if (k % 2 == 0) "A" else "N", k))
+      in.addData(rows.take(15)); q.processAllAvailable()
+      in.addData(rows.drop(15)); q.processAllAvailable()
+      val got = spark.table("shll").collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+      // constant-state bound: ≤ groups × 64 registers
+      assert(got.size <= 2 * operators.Sketches.HllRegisters)
+      import spark.implicits._
+      val batch = operators.Sketches.hllRegisters(
+          rows.toDF("l_returnflag", "l_partkey")).collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming postings converge to the batch index; dedup state is watermark-bounded") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
