@@ -371,6 +371,12 @@ object SparkEntry {
     // HHI source-concentration audit, all-integer share quantization
     "q142_hhi" -> ((s, d) =>
       Sampling.sourceConcentration(Tables(s, d, "documents"))),
+    // TPC-H Q19 shape: disjunctive predicate blocks, both-side pushdown
+    "q143_tpch_q19" -> ((s, d) => Relational.tpchQ19(
+      Tables(s, d, "lineitem"), Tables(s, d, "part"))),
+    // rollup + grouping_id: subtotal rows distinguishable from data
+    "q144_grouping_id" -> ((s, d) =>
+      Relational.rollupGroupingId(Tables(s, d, "orders"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2043,6 +2049,23 @@ object SparkEntry {
         |SELECT lang, n_sources, total AS total_bytes,
         |       CAST(sum(share * share) // 1000000 AS BIGINT) AS hhi_micros
         |FROM sh GROUP BY lang, n_sources, total ORDER BY lang""".stripMargin,
+    "q143_tpch_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q144_grouping_id" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

@@ -740,6 +740,44 @@ object Relational {
       .orderBy("o_year")
   }
 
+  /** q143 — TPC-H Q19 shape (discounted revenue, DISJUNCTIVE predicate
+    * blocks): three (brand, size-band, quantity-band) OR-alternatives
+    * over the fact⋈part join. The interesting plan property: Catalyst
+    * pushes the brand/size disjunction into the PART scan and the
+    * quantity bounds (1 ≤ qty ≤ 30, implied by all three blocks) into
+    * the LINEITEM scan, so both sides shrink before the join even
+    * though no single conjunct filters alone — the spec asserts both
+    * pushdowns. Part joins broadcast; one DECIMAL aggregation. */
+  def tpchQ19(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    def block(brand: String, sizeMax: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(1, sizeMax) &&
+        col("l_quantity").between(qLo, qHi)
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .where(block("Brand#1", 15, 1, 11) || block("Brand#2", 25, 10, 20) ||
+        block("Brand#3", 35, 20, 30))
+      .agg(sum(lineRevenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** q144 — ROLLUP with `grouping_id()` exposed: the grouping-set
+    * metadata function the q12/q32/q72 family left implicit. The
+    * integer gid (bit per rolled-up column) ships alongside coalesced
+    * labels, so consumers can distinguish a REAL 'ALL'-valued group
+    * from a subtotal row — the reason grouping_id exists. One Expand +
+    * one aggregation, identical to q12's plan. */
+  def rollupGroupingId(orders: DataFrame): DataFrame =
+    orders
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n_orders"))
+      .orderBy("gid", "status", "priority")
+
   /** q136 — CDC apply (the warehouse MERGE/upsert, composed from
     * relational primitives Spark has natively): a change feed of
     * updates / deletes / inserts applied to a base relation by ONE

@@ -1320,6 +1320,42 @@ class PipelineOpsSpec extends SparkSpec {
       .map(_.getLong(3)).head === 500000L)
   }
 
+  test("q143 tpch q19: disjunction pushed to BOTH scans, every block contributes") {
+    val df = Relational.tpchQ19(t("lineitem"), t("part"))
+    val row = df.collect().head
+    assert(row.getDouble(0) > 0.0 && row.getLong(1) > 0L)
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).toList
+    assert(pushed.exists(_.contains("p_brand")),
+      "brand/size disjunction not pushed to the part scan")
+    assert(pushed.exists(_.contains("l_quantity")),
+      "implied quantity bounds not pushed to the lineitem scan")
+    // each OR-block matches on its own (no dead alternative)
+    def block(brand: String, sizeMax: Int, qLo: Int, qHi: Int) =
+      t("lineitem").join(t("part"), col("l_partkey") === col("p_partkey"))
+        .where(col("p_brand") === brand && col("p_size").between(1, sizeMax) &&
+          col("l_quantity").between(qLo, qHi)).count()
+    assert(block("Brand#1", 15, 1, 11) > 0)
+    assert(block("Brand#2", 25, 10, 20) > 0)
+    assert(block("Brand#3", 35, 20, 30) > 0)
+    assert(row.getLong(1) === block("Brand#1", 15, 1, 11) +
+      block("Brand#2", 25, 10, 20) + block("Brand#3", 35, 20, 30))
+  }
+
+  test("q144 grouping_id: gid distinguishes subtotals from data, counts conserve") {
+    val rows = Relational.rollupGroupingId(t("orders")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val total = t("orders").count()
+    assert(rows.filter(_._3 === 3L).map(_._4).toList === List(total))
+    assert(rows.filter(_._3 === 1L).map(_._4).sum === total)
+    assert(rows.filter(_._3 === 0L).map(_._4).sum === total)
+    rows.foreach { case (s, p, gid, _) =>
+      if (gid === 0L) assert(s != "ALL" || p != "ALL")
+      if (gid === 1L) assert(p === "ALL")
+      if (gid === 3L) assert(s === "ALL" && p === "ALL")
+    }
+  }
+
   test("q117 zscore: flagged set ≡ exact integer recompute, |z| > 2") {
     val rows = Events.zscoreAnomalies(t("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
