@@ -377,6 +377,12 @@ object SparkEntry {
     // rollup + grouping_id: subtotal rows distinguishable from data
     "q144_grouping_id" -> ((s, d) =>
       Relational.rollupGroupingId(Tables(s, d, "orders"))),
+    // nearest temporal join: backward ⊕ forward as-of + selection
+    "q145_asof_nearest" -> ((s, d) =>
+      Events.nearestClick(Tables(s, d, "events"))),
+    // LSH recall formalized as an oracle-gated one-row relation
+    "q146_lsh_recall" -> ((s, d) =>
+      Dedup.lshRecall(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2066,6 +2072,48 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY gid, status, priority""".stripMargin,
+    "q145_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, n.click_id AS nearest_click_id,
+        |       n.delta AS delta_us
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS click_id,
+        |         epoch_us(c.ts) - epoch_us(p.ts) AS delta
+        |  FROM c WHERE c.user_id = p.user_id
+        |  ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+        |           epoch_us(c.ts) ASC, c.event_id ASC
+        |  LIMIT 1) n ON TRUE
+        |ORDER BY event_id""".stripMargin,
+    "q146_lsh_recall" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |perms(i, a, b) AS (VALUES $permsValues),
+         |sig AS (SELECT doc_id, i, min((a*th + b) % ${Hashing.P}) AS minh
+         |        FROM th CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // ${Hashing.RowsPerBand} AS band,
+         |                 string_agg(minh::VARCHAR, '_' ORDER BY i) AS key
+         |          FROM sig GROUP BY i // ${Hashing.RowsPerBand}, doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |$setsCte,
+         |lsh AS (SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |           ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
+         |    FROM cand JOIN sets a ON doc_a = a.doc_id
+         |    JOIN sets b ON doc_b = b.doc_id)
+         |  WHERE jaccard >= 0.95 AND doc_a < 1000 AND doc_b < 1000),
+         |ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM sets a JOIN sets b
+         |         ON a.doc_id < b.doc_id AND a.doc_id < 1000 AND b.doc_id < 1000
+         |       WHERE ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} >= 0.95)
+         |SELECT n_true, n_lsh,
+         |       CAST(n_lsh * 1000000 // n_true AS BIGINT) AS recall_micros
+         |FROM (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_true,
+         |             (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh)""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

@@ -173,6 +173,27 @@ object Dedup {
       .orderBy("cust_a", "cust_b")
   }
 
+  /** q146 — the LSH RECALL measurement as an oracle-gated relation:
+    * the claim "MinHash-LSH recovers X% of the true near-dup pairs"
+    * has been a spec assertion since round 1 — this makes it a QUERY
+    * both engines must agree on, by counting the exact pairs (q18's
+    * capped baseline) and the LSH-verified pairs inside the same cap.
+    * LSH output is verify-filtered (no false positives) so it is a
+    * subset of the exact set and the ratio IS recall; integer micros
+    * (n_lsh·10⁶ div n_true). The capped exact side is the only
+    * quadratic piece — the measurement, like the baseline, is a
+    * bounded audit, while the LSH side runs its linear path. */
+  def lshRecall(docs: DataFrame, cap: Long = 1000L,
+      threshold: Double = 0.95): DataFrame = {
+    val exact = nearDupJaccard(docs, cap, threshold)
+    val lsh = minhashNearDup(docs, threshold)
+      .where(col("doc_a") < cap && col("doc_b") < cap)
+    exact.agg(count(lit(1)).as("n_true"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .select(col("n_true"), col("n_lsh"),
+        expr("n_lsh * 1000000 div n_true").as("recall_micros"))
+  }
+
   /** q21 — exact deduplication: canonical-id mapping by content hash.
     * One shuffle on the hash; at 100 TB this is the cheapest dedup pass
     * and the one you always run first. md5 hex matches DuckDB's md5().

@@ -480,6 +480,42 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q145 — NEAREST-event temporal join: each purchase matched to the
+    * click closest in time in EITHER direction — composed from the two
+    * as-of primitives (q46 backward, q131 forward) plus a per-row
+    * selection, which is exactly how a nearest join should scale: two
+    * one-shuffle window passes and a key-aligned join of their
+    * one-row-per-purchase outputs, never a |clicks|×|purchases| range
+    * explosion. Tie at equal distance → the earlier (backward) click;
+    * distances compare in EPOCH MICROS (the oracle precision — q137's
+    * lesson); signed delta_us keeps the direction visible. */
+  def nearestClick(events: DataFrame): DataFrame = {
+    val us = tsMicros(events)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), us.as("t_us"))
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), us.as("c_us"),
+        col("event_id").as("click_id"))
+    val back = asofJoin(purchases, clicks, "user_id", "ts",
+        Seq("click_id", "c_us"))
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        col("asof_click_id").as("b_id"), col("asof_c_us").as("b_us"))
+    val fwd = asofJoinForward(purchases, clicks, "user_id", "ts",
+        Seq("click_id", "c_us"))
+      .select(col("event_id"), col("asof_click_id").as("f_id"),
+        col("asof_c_us").as("f_us"))
+    back.join(fwd, Seq("event_id"))
+      .withColumn("pick_b",
+        col("f_id").isNull || (col("b_id").isNotNull &&
+          (col("t_us") - col("b_us")) <= (col("f_us") - col("t_us"))))
+      .select(col("event_id"), col("user_id"),
+        when(col("pick_b"), col("b_id")).otherwise(col("f_id"))
+          .as("nearest_click_id"),
+        when(col("pick_b"), col("b_us") - col("t_us"))
+          .otherwise(col("f_us") - col("t_us")).as("delta_us"))
+      .orderBy("event_id")
+  }
+
   /** q17 — per-day, per-type temporal rollup. The day leaves as a
     * 'yyyy-MM-dd' string so both engines compare the same value. */
   def dateTruncAgg(events: DataFrame): DataFrame =

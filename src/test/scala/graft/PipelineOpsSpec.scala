@@ -1356,6 +1356,43 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q145 nearest: ≡ driver-side min-abs recompute, both directions exercised") {
+    val rows = Events.nearestClick(t("events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.nonEmpty)
+    val evs = t("events").selectExpr("event_id", "user_id", "ts div 1000",
+      "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicksByUser = evs.filter(_._4 == "click").groupBy(_._2)
+    val pUs = evs.filter(_._4 == "purchase").map(e => e._1 -> e._3).toMap
+    rows.foreach { case (pid, uid, nid, delta) =>
+      clicksByUser.get(uid) match {
+        case None => assert(nid.isEmpty && delta.isEmpty)
+        case Some(cs) =>
+          val best = cs.minBy(c => (math.abs(c._3 - pUs(pid)), c._3, c._1))
+          assert(nid === Some(best._1), s"purchase $pid")
+          assert(delta === Some(best._3 - pUs(pid)))
+      }
+    }
+    assert(rows.exists(_._4.exists(_ < 0)) && rows.exists(_._4.exists(_ > 0)),
+      "both temporal directions must occur or the selection is vacuous")
+  }
+
+  test("q146 lsh recall: ≡ operator-count recompute, subset law holds") {
+    val Array((nTrue, nLsh, recall)) = Dedup.lshRecall(t("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = Dedup.nearDupJaccard(t("documents"), 1000L, 0.95).count()
+    val lsh = Dedup.minhashNearDup(t("documents"), 0.95)
+      .where(col("doc_a") < 1000 && col("doc_b") < 1000).count()
+    assert(nTrue === exact && nLsh === lsh)
+    assert(nLsh <= nTrue, "LSH verified pairs must be a subset of exact pairs")
+    assert(recall === nLsh * 1000000L / nTrue)
+    assert(recall > 500000L && recall <= 1000000L,
+      s"recall $recall outside the plausible band — banding constants drifted?")
+  }
+
   test("q117 zscore: flagged set ≡ exact integer recompute, |z| > 2") {
     val rows = Events.zscoreAnomalies(t("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
