@@ -383,6 +383,9 @@ object SparkEntry {
     // LSH recall formalized as an oracle-gated one-row relation
     "q146_lsh_recall" -> ((s, d) =>
       Dedup.lshRecall(Tables(s, d, "documents"))),
+    // MAP-typed JSON: schema-less keys exploded to per-key stats
+    "q147_map_explode" -> ((s, d) =>
+      Events.mapKeyStats(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2114,6 +2117,15 @@ object SparkEntry {
          |       CAST(n_lsh * 1000000 // n_true AS BIGINT) AS recall_micros
          |FROM (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_true,
          |             (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh)""".stripMargin,
+    "q147_map_explode" ->
+      """WITH kv AS (SELECT unnest(json_keys(props)) AS k, props FROM events),
+        |v AS (SELECT k,
+        |             CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS v
+        |      FROM kv)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT v) AS BIGINT) AS n_vals,
+        |       min(v) AS min_v, max(v) AS max_v
+        |FROM v GROUP BY k ORDER BY k""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

@@ -516,6 +516,27 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** q147 — MAP-typed JSON surface: `props` parsed as MAP<STRING,LONG>
+    * (schema-less keys — the shape q16's path extraction and q34's
+    * fixed struct both dodge) and EXPLODED to (key, value) rows, then
+    * per-key stats. The map never reaches the contract output (the
+    * driver comparator is scalar-only); it exists inside the plan,
+    * which is the point — Generate(explode(map)) is its own operator
+    * class. One narrow Generate pass + one combinable aggregation
+    * bounded by the key vocabulary. */
+  def mapKeyStats(events: DataFrame): DataFrame = {
+    val mapType = org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.LongType)
+    events
+      .select(explode(from_json(col("props"), mapType)).as(Seq("k", "v")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("v")).as("n_vals"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .orderBy("k")
+  }
+
   /** q17 — per-day, per-type temporal rollup. The day leaves as a
     * 'yyyy-MM-dd' string so both engines compare the same value. */
   def dateTruncAgg(events: DataFrame): DataFrame =

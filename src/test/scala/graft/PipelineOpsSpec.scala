@@ -1393,6 +1393,25 @@ class PipelineOpsSpec extends SparkSpec {
       s"recall $recall outside the plausible band — banding constants drifted?")
   }
 
+  test("q147 map explode: per-key stats ≡ recompute; multi-key maps pinned") {
+    val rows = Events.mapKeyStats(t("events")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum >= t("events").count(),
+      "every event contributes at least its keys")
+    // the real props carry one key; multi-key + missing-key maps need
+    // a synthetic pin (q59 convention)
+    import spark.implicits._
+    val synth = Seq(
+      """{"a": 1, "b": 10}""", """{"a": 3}""", """{"b": 10, "c": -5}""")
+      .toDF("props")
+    val got = Events.mapKeyStats(synth).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    assert(got === List(
+      ("a", 2L, 2L, 1L, 3L), ("b", 2L, 1L, 10L, 10L), ("c", 1L, 1L, -5L, -5L)))
+  }
+
   test("q117 zscore: flagged set ≡ exact integer recompute, |z| > 2") {
     val rows = Events.zscoreAnomalies(t("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
