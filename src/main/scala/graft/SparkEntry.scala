@@ -386,6 +386,9 @@ object SparkEntry {
     // MAP-typed JSON: schema-less keys exploded to per-key stats
     "q147_map_explode" -> ((s, d) =>
       Events.mapKeyStats(Tables(s, d, "events"))),
+    // percentile ladder from ONE histogram pass (q51's scale path)
+    "q148_histo_ladder" -> ((s, d) =>
+      Events.histoLadder(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2126,6 +2129,23 @@ object SparkEntry {
         |       CAST(count(DISTINCT v) AS BIGINT) AS n_vals,
         |       min(v) AS min_v, max(v) AS max_v
         |FROM v GROUP BY k ORDER BY k""".stripMargin,
+    "q148_histo_ladder" ->
+      """WITH hist AS (
+        |  SELECT event_type, CAST(floor(value) AS BIGINT) AS bin,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bin,
+        |         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hist)
+        |SELECT event_type, n,
+        |       min(CASE WHEN cum * 100 >= n * 25 THEN bin END) AS p25_bin,
+        |       min(CASE WHEN cum * 100 >= n * 50 THEN bin END) AS p50_bin,
+        |       min(CASE WHEN cum * 100 >= n * 75 THEN bin END) AS p75_bin,
+        |       min(CASE WHEN cum * 100 >= n * 95 THEN bin END) AS p95_bin
+        |FROM cum GROUP BY event_type, n ORDER BY event_type""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

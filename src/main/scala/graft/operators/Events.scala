@@ -337,6 +337,30 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q148 — the PERCENTILE LADDER from one histogram pass: p25/p50/
+    * p75/p95 bins per type out of the SAME bounded cumulative relation
+    * q129 builds — four conditional mins on one aggregation, so the
+    * whole ladder costs exactly one histogram scan (q51's exact ladder
+    * sorts the data; this is its scale path). Pick rule per target p:
+    * smallest bin with 100·cum ≥ p·n — all-integer, engine-identical.
+    */
+  def histoLadder(events: DataFrame): DataFrame = {
+    val hist = events
+      .select(col("event_type"), floor(col("value")).cast("long").as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(hist.groupBy("event_type").agg(sum(col("cnt")).as("n"))),
+        Seq("event_type"))
+    def pick(p: Int) =
+      min(when(col("cum") * 100 >= col("n") * p, col("bin"))).as(s"p${p}_bin")
+    cum.groupBy("event_type", "n")
+      .agg(pick(25), pick(50), pick(75), pick(95))
+      .orderBy("event_type")
+  }
+
   /** The FORWARD as-of join — q46's mirror: each left row matched to
     * the same key's EARLIEST right row at or after it ("what happened
     * next"). Same union + one-window shape (one shuffle, no range-join

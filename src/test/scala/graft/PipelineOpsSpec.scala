@@ -1412,6 +1412,30 @@ class PipelineOpsSpec extends SparkSpec {
       ("a", 2L, 2L, 1L, 3L), ("b", 2L, 1L, 10L, 10L), ("c", 1L, 1L, -5L, -5L)))
   }
 
+  test("q148 histo ladder: monotone, each bin contains its exact percentile") {
+    val rows = Events.histoLadder(t("events")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val vals = t("events").select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    rows.foreach { case (et, n, p25, p50, p75, p95) =>
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95, s"$et ladder not monotone")
+      val vs = vals(et)
+      assert(n === vs.length.toLong)
+      Seq(25 -> p25, 50 -> p50, 75 -> p75, 95 -> p95).foreach { case (p, bin) =>
+        // the exact p-th value (ceil rank) must fall inside the bin
+        val exact = vs(math.max(0, (p * vs.length + 99) / 100 - 1))
+        assert(math.floor(exact).toLong === bin, s"$et p$p")
+      }
+      // consistency with q129's lower-median pick
+      val med = Events.histoQuantile(t("events")).collect()
+        .find(_.getString(0) == et).get.getLong(2)
+      assert(med === p50)
+    }
+  }
+
   test("q117 zscore: flagged set ≡ exact integer recompute, |z| > 2") {
     val rows = Events.zscoreAnomalies(t("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
