@@ -902,7 +902,8 @@ object SparkEntry {
         |         last_value(click_id IGNORE NULLS) OVER win AS asof_event_id,
         |         last_value(click_value IGNORE NULLS) OVER win AS asof_value
         |  FROM t
-        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side
+        |  WINDOW win AS (PARTITION BY user_id
+        |                 ORDER BY ts, side, click_id DESC NULLS LAST
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, value, asof_event_id, asof_value
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
@@ -2117,7 +2118,7 @@ object SparkEntry {
          |         ON a.doc_id < b.doc_id AND a.doc_id < 1000 AND b.doc_id < 1000
          |       WHERE ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} >= 0.95)
          |SELECT n_true, n_lsh,
-         |       CAST(n_lsh * 1000000 // n_true AS BIGINT) AS recall_micros
+         |       CAST(n_lsh * 1000000 // nullif(n_true, 0) AS BIGINT) AS recall_micros
          |FROM (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_true,
          |             (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh)""".stripMargin,
     "q147_map_explode" ->

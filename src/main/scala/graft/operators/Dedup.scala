@@ -133,8 +133,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"),
         col("n").as("n_b")), Seq("doc_b")),
       tNum.toDouble / tDen.toDouble)
-    if (!Dedup.eagerMaterialize(docs)) result
-    else try result.localCheckpoint(true) finally sets.unpersist()
+    Dedup.finishWith(result, sets)
   }
 
   /** q140 — fuzzy (edit-distance ≤ 1) self-join via DELETION
@@ -188,10 +187,15 @@ object Dedup {
     val exact = nearDupJaccard(docs, cap, threshold)
     val lsh = minhashNearDup(docs, threshold)
       .where(col("doc_a") < cap && col("doc_b") < cap)
-    exact.agg(count(lit(1)).as("n_true"))
+    // n_true = 0 (higher threshold / smaller corpus) must yield NULL
+    // recall, not a divide-by-zero — guarded identically in the oracle
+    // via nullif(n_true, 0). The one-row aggregate is broadcast
+    // explicitly (plan hygiene — AQE would demote it anyway).
+    broadcast(exact.agg(count(lit(1)).as("n_true")))
       .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
       .select(col("n_true"), col("n_lsh"),
-        expr("n_lsh * 1000000 div n_true").as("recall_micros"))
+        when(col("n_true") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_lsh * 1000000 div n_true")).as("recall_micros"))
   }
 
   /** q21 — exact deduplication: canonical-id mapping by content hash.
@@ -268,8 +272,7 @@ object Dedup {
     // spark.graft.eagerMaterialize=false for plan inspection (Explain
     // would otherwise only see the checkpoint scan).
     val result = jaccardVerify(paired, threshold)
-    if (!Dedup.eagerMaterialize(docs)) result
-    else try result.localCheckpoint(true) finally agged.unpersist()
+    Dedup.finishWith(result, agged)
   }
 
   /** The NumPerms MinHash minima as aggregate expressions over a `th`
@@ -365,8 +368,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"), col("n").as("n_b")), "doc_b")
     val result = jaccardVerify(paired, threshold)
       .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"), col("jaccard"))
-    if (!Dedup.eagerMaterialize(docs)) result
-    else try result.localCheckpoint(true) finally agged.unpersist()
+    Dedup.finishWith(result, agged)
   }
 
   /** Eager-checkpoint gate. On (default): results materialize inside
@@ -379,6 +381,34 @@ object Dedup {
     * .clearCache()`). */
   private[operators] def eagerMaterialize(df: DataFrame): Boolean =
     df.sparkSession.conf.get("spark.graft.eagerMaterialize", "true").toBoolean
+
+  /** Persists created in lazy (plan-audit) mode, registered so they
+    * can be released without `clearCache()`-ing unrelated caches.
+    * Unpersisting them INSIDE the operator would be wrong there — the
+    * audit captures the plan after return, and dropping the cache
+    * first would erase the very InMemoryRelation nodes (and their
+    * exchange-count effects) the audit inspects. */
+  private val lazyHandles = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  /** The shared tail of every persist-then-checkpoint operator: eager
+    * mode materializes the result and releases the internal caches
+    * before returning (no persist outlives the call); lazy mode
+    * returns the un-forced plan and parks the caches in
+    * [[lazyHandles]] for [[releaseLazyHandles]] (or session end). */
+  private[operators] def finishWith(result: DataFrame,
+      handles: DataFrame*): DataFrame =
+    if (!eagerMaterialize(result)) {
+      lazyHandles.synchronized { lazyHandles ++= handles }
+      result
+    } else try result.localCheckpoint(true) finally handles.foreach(_.unpersist())
+
+  /** Release every persist registered while in lazy mode — for
+    * plan-audit drivers (PlanSweep, DriverContractSpec) to call after
+    * each plan capture. */
+  def releaseLazyHandles(): Unit = lazyHandles.synchronized {
+    lazyHandles.foreach(_.unpersist())
+    lazyHandles.clear()
+  }
 
   /** q49 — near-dup clustering: connected components over the near-dup
     * pair graph, labeling every document with the min doc_id of its
@@ -668,8 +698,7 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .select("doc_a", "doc_b", "dist")
       .orderBy("doc_a", "doc_b")
-    if (!Dedup.eagerMaterialize(sigs)) result
-    else try result.localCheckpoint(true) finally sigs.unpersist()
+    Dedup.finishWith(result, sigs)
   }
 
   def simhashMatchScale(docs: DataFrame, maxDist: Int): DataFrame =
@@ -702,8 +731,7 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .select("doc_new", "doc_old", "dist")
       .orderBy("doc_new", "doc_old")
-    if (!Dedup.eagerMaterialize(docs)) result
-    else try result.localCheckpoint(true) finally sigs.unpersist()
+    Dedup.finishWith(result, sigs)
   }
 
   /** q89 — the MinHash SIGNATURE RELATION as a first-class export:

@@ -107,9 +107,12 @@ object Events {
     * Right-side columns come back as `asof_<name>` (null when no right
     * row precedes). At equal timestamps the right row sorts FIRST
     * (side 0 < 1), giving the standard inclusive "at or before"
-    * semantics. Determinism requires (key, time, side) unique — true
-    * for the events table ((user_id, ts) is unique) and for any
-    * well-formed event log; pre-dedup otherwise. The time column may
+    * semantics. Ties among right rows at the SAME timestamp are broken
+    * by `rightCols.head` (the id column by convention at every call
+    * site): it sorts DESC so `last` lands on the SMALLEST id — the
+    * same total order the q145 oracle's `ORDER BY …, event_id ASC
+    * LIMIT 1` pins, making the pick partitioning-independent even when
+    * a user has two same-timestamp right events. The time column may
     * be epoch-nanos LONG or TIMESTAMP (both sides the same type —
     * unionByName enforces that); ordering uses the canonical nanos
     * bridge. */
@@ -119,7 +122,8 @@ object Events {
     val both = left.withColumn("_side", lit(1))
       .unionByName(right.withColumn("_side", lit(0)), allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
-      .orderBy(tsNanos(both, time).asc, col("_side").asc)
+      .orderBy(tsNanos(both, time).asc, col("_side").asc,
+        col(rightCols.head).desc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     both
       // one select with every asof column → a single Window operator
@@ -365,14 +369,21 @@ object Events {
     * the same key's EARLIEST right row at or after it ("what happened
     * next"). Same union + one-window shape (one shuffle, no range-join
     * pair explosion); the frame flips to [current, unbounded
-    * following] with `first(ignoreNulls)`, and the right side still
-    * sorts first at equal timestamps so "at or after" is inclusive. */
+    * following] with `first(ignoreNulls)`. Here the LEFT side must
+    * sort first at equal timestamps (`_side` DESC): the ROWS frame
+    * starts at the physical current row, so a right row sorted before
+    * the left row would be excluded and "at or after" would silently
+    * turn exclusive at ties. Ties among right rows at the same
+    * timestamp break on `rightCols.head` ASC, so `first` lands on the
+    * SMALLEST id — exactly the q131 oracle's `ORDER BY p.ts ASC,
+    * p.event_id ASC LIMIT 1`. */
   def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
       time: String, rightCols: Seq[String]): DataFrame = {
     val both = left.withColumn("_side", lit(1))
       .unionByName(right.withColumn("_side", lit(0)), allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
-      .orderBy(tsNanos(both, time).asc, col("_side").asc)
+      .orderBy(tsNanos(both, time).asc, col("_side").desc,
+        col(rightCols.head).asc_nulls_last)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     both
       .select(col("*") +: rightCols.map { c =>

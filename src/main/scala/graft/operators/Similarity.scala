@@ -152,8 +152,7 @@ object Similarity {
     // lets the assignment cache be freed deterministically (disable via
     // spark.graft.eagerMaterialize=false for plan inspection; the cache
     // then follows the session — see Dedup.eagerMaterialize)
-    if (!Dedup.eagerMaterialize(embeddings)) result
-    else try result.localCheckpoint(true) finally ranked.unpersist()
+    Dedup.finishWith(result, ranked)
   }
 
   /** One Lloyd assignment step: every vector → its argmax-cosine cell
@@ -237,8 +236,7 @@ object Similarity {
     val result = assignCells(e, trainCents(e, iters, numCents))
       .select(col("vec_id"), col("cell"), round(col("ccos6"), 2).as("cos_sim"))
       .orderBy("vec_id")
-    if (!Dedup.eagerMaterialize(embeddings)) result
-    else try result.localCheckpoint(true) finally e.unpersist()
+    Dedup.finishWith(result, e)
   }
 
   /** q93 — SEMANTIC deduplication (the SemDeDup shape: Abbas et al.
@@ -283,8 +281,7 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cell"),
         col("cluster_id"), col("is_canonical"))
       .orderBy("vec_id")
-    if (!Dedup.eagerMaterialize(embeddings)) result
-    else try result.localCheckpoint(true) finally { assigned.unpersist(); e.unpersist() }
+    Dedup.finishWith(result, assigned, e)
   }
 
   /** q65 — per-dimension embedding statistics (the feature-normalization
@@ -535,9 +532,7 @@ object Similarity {
     val q = u.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("vec_a"), col("u").as("qu"))
     val result = adcTopK(q, recon, k)
-    if (!Dedup.eagerMaterialize(embeddings)) result
-    else try result.localCheckpoint(true)
-    finally (handles :+ u).foreach(_.unpersist())
+    Dedup.finishWith(result, (handles :+ u): _*)
   }
 
   /** q107 — IVF-PQ proper (the Jégou et al. IVFADC pairing): q43's
@@ -596,9 +591,7 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cell"),
         round(col("adc6"), 2).as("adc_sim"), col("rnk"))
       .orderBy("vec_a", "rnk", "vec_b")
-    if (!Dedup.eagerMaterialize(embeddings)) result
-    else try result.localCheckpoint(true)
-    finally (pqHandles ++ Seq(ranked, u, e)).foreach(_.unpersist())
+    Dedup.finishWith(result, (pqHandles ++ Seq(ranked, u, e)): _*)
   }
 
   /** q26 — LSH-bucketed approximate nearest neighbors: the scale path

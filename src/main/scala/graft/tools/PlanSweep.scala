@@ -20,6 +20,7 @@ object PlanSweep {
       val scans = plan.linesIterator.count(_.contains("Scan parquet"))
       println(s"== $n cartesian=$cart bnlj=$bnlj exchange=$exch windows=$spw scans=$scans")
       if (cart > 0) println(plan)
+      graft.operators.Dedup.releaseLazyHandles() // after plan capture
     }
     spark.stop()
   }

@@ -29,7 +29,7 @@ class DriverContractSpec extends SparkSpec {
         }
       } finally {
         spark.conf.set("spark.graft.eagerMaterialize", "true")
-        spark.catalog.clearCache() // lazy-mode persists follow the session
+        operators.Dedup.releaseLazyHandles() // lazy-mode persists are registered
       }
     assert(offenders.isEmpty,
       s"driver comparator cannot hash these columns: ${offenders.mkString(", ")}")

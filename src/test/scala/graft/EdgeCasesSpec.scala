@@ -135,6 +135,61 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Sampling.mixBudget(emptyDocs, 4000L).count() === 0)
   }
 
+  test("asof joins: equal timestamps are inclusive both ways; right-side " +
+      "ties break to the smallest id (the oracle total order)") {
+    // user 1: right rows rid 5 and 3 at ts=100 (a tie), rid 9 at ts=50,
+    // rid 7 at ts=200; the left row sits exactly at ts=100.
+    val l = Seq((10L, 1L, 100L, 1.0)).toDF("event_id", "user_id", "ts", "value")
+    val r = Seq((5L, 1L, 100L, 5.0), (3L, 1L, 100L, 3.0),
+        (9L, 1L, 50L, 9.0), (7L, 1L, 200L, 7.0))
+      .toDF("rid", "user_id", "ts", "rv")
+    // backward "at or before": the equal-ts pair wins over ts=50, and
+    // among the tie the SMALLEST rid is picked (partitioning-independent)
+    val back = Events.asofJoin(l, r, "user_id", "ts", Seq("rid", "rv")).collect()
+    assert(back.length === 1)
+    assert(back(0).getAs[Long]("asof_rid") === 3L)
+    // forward "at or after": equal-ts rows must be IN the frame (a
+    // side-ordering that sorts right rows before the left row would
+    // silently exclude them), and the tie again breaks to smallest rid
+    val fwd = Events.asofJoinForward(l, r, "user_id", "ts", Seq("rid", "rv")).collect()
+    assert(fwd.length === 1)
+    assert(fwd(0).getAs[Long]("asof_rid") === 3L)
+    // strictly-after works when no equal-ts row exists
+    val l2 = Seq((10L, 1L, 150L, 1.0)).toDF("event_id", "user_id", "ts", "value")
+    val fwd2 = Events.asofJoinForward(l2, r, "user_id", "ts", Seq("rid", "rv")).collect()
+    assert(fwd2(0).getAs[Long]("asof_rid") === 7L)
+    val back2 = Events.asofJoin(l2, r, "user_id", "ts", Seq("rid", "rv")).collect()
+    assert(back2(0).getAs[Long]("asof_rid") === 3L)
+  }
+
+  test("parseWav survives corrupt chunk sizes (high bit set / oversized)") {
+    // a valid header whose first chunk declares size 0xFFFFFFF8 — as an
+    // Int that is −8 and the chunk walk would loop forever / walk
+    // backward; the guard must end the walk and return the sentinel
+    val b = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+    assert(Multimodal.parseWav(b.array()) === None)
+    // size that simply overruns the buffer: also sentinel, no throw
+    val c = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    c.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+    c.put("junk".getBytes("US-ASCII")).putInt(1000000)
+    assert(Multimodal.parseWav(c.array()) === None)
+  }
+
+  test("lshRecall with an empty exact baseline yields NULL, not a crash") {
+    // threshold 1.01 > any Jaccard → n_true = 0 → recall NULL (the
+    // oracle's nullif(n_true, 0) twin)
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val row = Dedup.lshRecall(docs, 1000L, 1.01).collect()(0)
+    assert(row.getAs[Long]("n_true") === 0L)
+    assert(row.isNullAt(row.fieldIndex("recall_micros")))
+  }
+
   test("empty/malformed manifests yield an empty corpus, not an exception") {
     val dir = Files.createTempDirectory("graft_empty")
     for ((name, body) <- Seq(("zero.txt", "0\n"), ("blank.txt", ""), ("junk.txt", "\n\n"))) {
