@@ -389,6 +389,10 @@ object SparkEntry {
     // percentile ladder from ONE histogram pass (q51's scale path)
     "q148_histo_ladder" -> ((s, d) =>
       Events.histoLadder(Tables(s, d, "events"))),
+    // NOT IN (subquery) through the SQL text surface — null-aware anti
+    "q149_tpch_q16" -> ((s, d) =>
+      Relational.tpchQ16(Tables(s, d, "part"), Tables(s, d, "supplier"),
+        Tables(s, d, "lineitem"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2147,6 +2151,18 @@ object SparkEntry {
         |       min(CASE WHEN cum * 100 >= n * 75 THEN bin END) AS p75_bin,
         |       min(CASE WHEN cum * 100 >= n * 95 THEN bin END) AS p95_bin
         |FROM cum GROUP BY event_type, n ORDER BY event_type""".stripMargin,
+    "q149_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#2'
+        |  AND p_size IN (3, 11, 18, 28)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 20""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

@@ -940,6 +940,46 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** q149 — TPC-H Q16 shape: supplier diversity per part group, with
+    * the classic `NOT IN (subquery)` exclusion — THE three-valued-logic
+    * correctness trap. `x NOT IN (S)` is not `NOT EXISTS`: one NULL in
+    * S makes every membership test UNKNOWN and the whole result empty,
+    * so Catalyst must keep a NULL-AWARE anti join (LeftAnti on
+    * `key = sub OR isnull(key = sub)`; single-key + broadcastable
+    * right side plans as BroadcastHashJoin LeftAnti with
+    * isNullAwareAntiJoin=true) — a plan node nothing else in the suite
+    * produces, pinned by NullAwareAntiSpec along with the
+    * NULLs-present empty-result twin. Deliberately the `spark.sql`
+    * TEXT surface: the point is the parser+analyzer path a user's
+    * literal `NOT IN` takes, not a hand-built anti join.
+    *
+    * Scale shape: the excluded-supplier subquery is predicate-filtered
+    * (parameter-sized) and broadcasts; part joins lineitem on partkey
+    * (the in-filter on p_size prunes part before the join); the
+    * distinct-supplier count shuffles once on the group keys. The real
+    * Q16's partsupp bridge maps to lineitem (this schema's only
+    * part↔supplier relation); s_acctbal < 0 stands in for the
+    * comment-LIKE complaint filter (no s_comment column). */
+  def tpchQ16(part: DataFrame, supplier: DataFrame,
+      lineitem: DataFrame, k: Int = 20): DataFrame = {
+    val spark = part.sparkSession
+    part.createOrReplaceTempView("graft_part_q16")
+    supplier.createOrReplaceTempView("graft_supplier_q16")
+    lineitem.createOrReplaceTempView("graft_lineitem_q16")
+    spark.sql(
+      s"""SELECT p_brand, p_type, p_size,
+         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM graft_lineitem_q16
+         |JOIN graft_part_q16 ON p_partkey = l_partkey
+         |WHERE p_brand <> 'Brand#2'
+         |  AND p_size IN (3, 11, 18, 28)
+         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_supplier_q16
+         |                        WHERE s_acctbal < 0)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+         |LIMIT $k""".stripMargin)
+  }
+
   /** q36 — date-part extraction (`year`/`month`) + grouped aggregation
     * over the order calendar. */
   def datePartsAgg(orders: DataFrame): DataFrame =
