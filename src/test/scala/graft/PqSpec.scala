@@ -107,6 +107,25 @@ class PqSpec extends SparkSpec {
     assert(ids.exists(_ >= cap), "no new-batch vector ever served")
   }
 
+  test("q106/q107 share ONE trained codebook per session (memo)") {
+    Similarity.clearTrainedPq()
+    val emb = Tables(spark, testdataDir, "embeddings")
+    val a = Similarity.pqAnn(emb, 10, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toList
+    assert(Similarity.trainedPqSize === 1)
+    // ivfPqAnn reads the table through its own Tables() call — the
+    // semanticHash key must still hit (two reads of one path
+    // canonicalize equal), so NO second Lloyd chain runs
+    assert(Similarity.ivfPqAnn(Tables(spark, testdataDir, "embeddings"), 10, 3)
+      .count() > 0)
+    assert(Similarity.trainedPqSize === 1,
+      "ivfPqAnn retrained instead of reusing the session codebook")
+    // reuse is result-invariant: a repeat probe serves identical rows
+    val b = Similarity.pqAnn(emb, 10, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toList
+    assert(a === b)
+  }
+
   test("pqAnn on empty / tiny inputs: well-typed, no throw") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.pqAnn(empty, 5, 3).count() === 0)
