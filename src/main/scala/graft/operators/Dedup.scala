@@ -302,14 +302,51 @@ object Dedup {
     * xxhash64-id set, its size, and all NumPerms minima. One row per
     * document, persisted (consumed by several pruned plan towers —
     * see minhashNearDup's lifecycle note). Callers unpersist. */
-  private def fusedSketch(docs: DataFrame): DataFrame =
+  private def fusedSketchPlan(docs: DataFrame): DataFrame =
     TextFns.docWords(docs)
       .withColumn("th", TextFns.polyHash(col("word")))
       .groupBy("doc_id")
       .agg(
         sort_array(collect_set(xxhash64(col("word")))).as("ws"),
         count(lit(1)).as("n") +: minhashSigCols: _*)
+
+  private def fusedSketch(docs: DataFrame): DataFrame =
+    fusedSketchPlan(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The two PERSISTABLE MinHash sketch relations (`SketchStore`):
+    * `bands` (doc_id, ks, band, key) — the LSH probe index — and
+    * `sets` (doc_id, ws, n) — the exact-verify side. Derived from the
+    * same fused aggregation as q22/q90, so a stored probe is identical
+    * by construction to the in-query split. */
+  private[graft] def sketchRelations(docs: DataFrame): (DataFrame, DataFrame) = {
+    val agged = fusedSketchPlan(docs)
+    (bandExplode(agged), agged.select(col("doc_id"), col("ws"), col("n")))
+  }
+
+  /** q90's PRODUCTION form: probe a STORED band index (q89's relation
+    * read back — bucketed on (band, key) via `SketchStore.save`, so
+    * the stored side of the candidate join needs NO exchange) with a
+    * new batch. Only the batch is sketched; candidate verify joins the
+    * stored `sets` relation (bucketed on doc_id — again exchange-free
+    * on the stored side). SketchStoreSpec pins stored ≡ in-query. */
+  def incrementalNearDupStored(storedBands: DataFrame, storedSets: DataFrame,
+      newDocs: DataFrame, threshold: Double): DataFrame = {
+    val aggedNew = fusedSketch(newDocs)
+    val cand = bandExplode(aggedNew).alias("a")
+      .join(storedBands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .where(firstBandOnly)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val paired = cand
+      .join(aggedNew.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(storedSets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"),
+        col("n").as("n_b")), "doc_b")
+    val result = jaccardVerify(paired, threshold)
+      .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"), col("jaccard"))
+    Dedup.finishWith(result, aggedNew)
+  }
 
   /** (doc_id, ks, band, key) — one row per LSH band per document,
     * carrying the full band-key array `ks` so the pair joins can apply

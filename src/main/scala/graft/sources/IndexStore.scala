@@ -58,6 +58,28 @@ object IndexStore {
   def loadPositional(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** BUCKETED persistence for the positional index: a catalog table
+    * bucketed + sorted on the MERGE key `(word, doc_id)` (and still
+    * letter-partitioned for point-lookup pruning). The daily
+    * `mergePositional` full-outer-joins the stored index with a new
+    * batch on exactly that key — with the bucket layout matching, the
+    * stored side enters the join with NO exchange (and, with the
+    * matching sortBy, no sort): the merge cost is ∝ the batch, never a
+    * reshuffle of the 100 TB stored index. `spark.read.parquet` cannot
+    * carry bucket metadata, hence the table form; StorageSpec pins the
+    * exchange-free plan and bucketed ≡ path-stored results. */
+  def savePositionalBucketed(docs: DataFrame, table: String,
+      nBuckets: Int = 8): Unit =
+    InvertedIndex.positionalLists(docs)
+      .withColumn("letter", substring(col("word"), 1, 1))
+      .write.mode("overwrite")
+      .partitionBy("letter")
+      .bucketBy(nBuckets, "word", "doc_id").sortBy("word", "doc_id")
+      .saveAsTable(table)
+
+  def loadPositionalTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** Exact-phrase search served FROM the stored positional index —
     * the join formulation the q96 oracle states, run engine-side: one
     * word-filtered posting fetch per phrase slot (letter-pruned +

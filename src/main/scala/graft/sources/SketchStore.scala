@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Dedup
+
+/** The MinHash-LSH sketch as a PERSISTED, BUCKETED artifact — the
+  * production stored side of the q90 incremental probe.
+  *
+  * Two catalog tables are written: `<name>_bands` (doc_id, ks, band,
+  * key), bucketed on the candidate-join key `(band, key)`, and
+  * `<name>_sets` (doc_id, ws, n), bucketed on `doc_id` for the verify
+  * join-back. Bucketing is the point: a daily ingest probes the stored
+  * index with a batch that is a tiny fraction of the corpus, and
+  * without it EVERY probe re-shuffles the whole stored relation on the
+  * join key — at 100 TB that is the difference between "cost ∝ batch"
+  * and "cost ∝ corpus". With the bucket layout matching the join keys,
+  * the stored side enters both joins with no Exchange (its
+  * HashPartitioning already satisfies the join's required
+  * distribution); only the new batch shuffles. SketchStoreSpec pins
+  * both the exchange-free plan and stored ≡ in-query results. */
+object SketchStore {
+
+  /** Sketch the corpus once and persist both relations, bucketed on
+    * their probe keys. */
+  def save(docs: DataFrame, name: String, nBuckets: Int = 8): Unit = {
+    val (bands, sets) = Dedup.sketchRelations(docs)
+    bands.write.mode("overwrite")
+      .bucketBy(nBuckets, "band", "key").sortBy("band", "key")
+      .saveAsTable(s"${name}_bands")
+    sets.write.mode("overwrite")
+      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${name}_sets")
+  }
+
+  def load(spark: SparkSession, name: String): (DataFrame, DataFrame) =
+    (spark.table(s"${name}_bands"), spark.table(s"${name}_sets"))
+
+  /** Probe the stored index with a new batch (only the batch is
+    * sketched; the corpus is read from the bucketed tables). */
+  def probe(spark: SparkSession, name: String, newDocs: DataFrame,
+      threshold: Double): DataFrame = {
+    val (bands, sets) = load(spark, name)
+    Dedup.incrementalNearDupStored(bands, sets, newDocs, threshold)
+  }
+}

@@ -35,6 +35,30 @@ object VectorStore {
   def loadPq(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/codebook"), spark.read.parquet(s"$path/codes"))
 
+  /** BUCKETED persistence: codes as a catalog table bucketed on
+    * `vec_id` — the key of `pqDecode`'s reconstruction aggregation,
+    * which is the corpus-sized stage of EVERY stored probe. With the
+    * bucket layout, reconstruction runs with ZERO exchanges (the
+    * codebook joins broadcast; the groupBy(vec_id) is satisfied by the
+    * scan partitioning) — at 100 TB each probe reads its share of the
+    * codes and never reshuffles them. The codebook stays a plain
+    * table: it is parameter-sized and always broadcasts. */
+  def savePqBucketed(embeddings: DataFrame, name: String,
+      nBuckets: Int = 8): Unit = {
+    val u = Similarity.unitVecsOf(embeddings)
+    val (cents, codes, subs) = Similarity.pqTrain(u,
+      Similarity.PqNumSubs, Similarity.PqSubDim, Similarity.PqKsub, iters = 2)
+    try {
+      cents.write.mode("overwrite").saveAsTable(s"${name}_codebook")
+      codes.write.mode("overwrite")
+        .bucketBy(nBuckets, "vec_id").sortBy("vec_id", "m")
+        .saveAsTable(s"${name}_codes")
+    } finally { subs.unpersist(); cents.unpersist() }
+  }
+
+  def loadPqBucketed(spark: SparkSession, name: String): (DataFrame, DataFrame) =
+    (spark.table(s"${name}_codebook"), spark.table(s"${name}_codes"))
+
   /** INCREMENTAL ingest: encode a new batch of vectors against the
     * STORED codebook — no retraining, the corpus is never re-encoded
     * (the q90/q94/q105 incremental pattern for the PQ family). Given a

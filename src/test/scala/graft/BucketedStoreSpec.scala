@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.{IndexStore, SketchStore, Tables, VectorStore}
+
+/** Bucketed stored indexes: the 100 TB design property that an
+  * incremental probe joins the STORED side with no Exchange — the
+  * stored relation's bucket layout already satisfies the join's
+  * required distribution, so probe cost is ∝ the new batch, never a
+  * reshuffle of the stored corpus. Each family also pins bucketed ≡
+  * unbucketed results (bucketing is layout, not semantics). */
+class BucketedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Some shuffle-join in `plan` consumes a leaf matching `marker`
+    * directly — no ShuffleExchange between the join and the scan. */
+  private def storedSideShuffleFree(plan: SparkPlan, marker: String): Boolean = {
+    val sides = plan.collect {
+      case j: SortMergeJoinExec => Seq(j.left, j.right)
+      case j: ShuffledHashJoinExec => Seq(j.left, j.right)
+    }.flatten
+    sides.exists { side =>
+      side.find(_.isInstanceOf[ShuffleExchangeExec]).isEmpty &&
+        side.collectLeaves().exists(_.toString.contains(marker))
+    }
+  }
+
+  private def shuffleCount(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }.length
+
+  /** Plan-shape assertions need AQE off (stable node tree), broadcast
+    * off (force shuffle joins so partitioning actually matters), and
+    * lazy mode (eager checkpointing would swap the plan for its
+    * checkpoint-scan leaf). */
+  private def planMode[A](body: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.eagerMaterialize", "false")
+    try body finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.graft.eagerMaterialize", "true")
+      Dedup.releaseLazyHandles()
+    }
+  }
+
+  test("positional index: bucketed merge joins the stored side with no exchange") {
+    val docs = Tables(spark, dir, "documents")
+    val cap = 400L
+    try {
+      IndexStore.savePositionalBucketed(docs.where($"doc_id" < cap), "pos_bkt")
+      val newDocs = docs.where($"doc_id" >= cap)
+      val merged = IndexStore.mergePositional(
+        IndexStore.loadPositionalTable(spark, "pos_bkt"), newDocs)
+      planMode {
+        val plan = merged.queryExecution.executedPlan
+        assert(storedSideShuffleFree(plan, "pos_bkt"),
+          s"stored positional side re-shuffled:\n$plan")
+      }
+      // layout, not semantics: bucketed merge ≡ path-stored merge
+      val out = java.nio.file.Files.createTempDirectory("graft_pos").toString
+      IndexStore.savePositional(docs.where($"doc_id" < cap), out)
+      val viaPath = IndexStore.mergePositional(
+        IndexStore.loadPositional(spark, out), newDocs)
+      def canon(df: DataFrame) = df.select("word", "doc_id", "positions")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getSeq[Long](2).toList)).sortBy(t => (t._1, t._2)).toList
+      assert(canon(merged) === canon(viaPath))
+    } finally spark.sql("DROP TABLE IF EXISTS pos_bkt")
+  }
+
+  test("minhash sketch store: both stored relations probe with no exchange") {
+    val docs = Tables(spark, dir, "documents")
+    val cap = 400L
+    try {
+      SketchStore.save(docs.where($"doc_id" < cap), "mh")
+      val probe = SketchStore.probe(spark, "mh",
+        docs.where($"doc_id" >= cap), 0.9)
+      planMode {
+        val plan = SketchStore.probe(spark, "mh",
+          docs.where($"doc_id" >= cap), 0.9).queryExecution.executedPlan
+        assert(storedSideShuffleFree(plan, "mh_bands"),
+          s"stored band index re-shuffled:\n$plan")
+        assert(storedSideShuffleFree(plan, "mh_sets"),
+          s"stored verify sets re-shuffled:\n$plan")
+      }
+      // stored probe ≡ the oracle-gated in-query cap split (q90)
+      def canon(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toList
+      assert(canon(probe) === canon(Dedup.incrementalNearDup(docs, cap, 0.9)))
+      assert(probe.count() > 0, "probe found nothing — vacuous test")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mh_bands")
+      spark.sql("DROP TABLE IF EXISTS mh_sets")
+    }
+  }
+
+  test("pq store: bucketed codes reconstruct with ZERO exchanges") {
+    val emb = Tables(spark, dir, "embeddings")
+    try {
+      VectorStore.savePqBucketed(emb, "pq")
+      val (cb, codes) = VectorStore.loadPqBucketed(spark, "pq")
+      planMode {
+        // reconstruction = broadcast codebook join + groupBy(vec_id);
+        // with vec_id bucketing the aggregation needs no exchange either
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        val n = shuffleCount(Similarity.pqDecode(codes, cb))
+        assert(n === 0, s"expected exchange-free reconstruction, got $n")
+      }
+      // bucketed store serves bit-identical results to the path store
+      val out = java.nio.file.Files.createTempDirectory("graft_pqb").toString
+      VectorStore.savePq(emb, out)
+      val (cbP, codesP) = VectorStore.loadPq(spark, out)
+      def canon(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toList
+      assert(canon(VectorStore.adcSearchStored(cb, codes, emb, 20, 3)) ===
+        canon(VectorStore.adcSearchStored(cbP, codesP, emb, 20, 3)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pq_codebook")
+      spark.sql("DROP TABLE IF EXISTS pq_codes")
+    }
+  }
+}
