@@ -37,6 +37,12 @@ object Events {
       case _ => unix_micros(col(time)) * lit(1000L)
     }
 
+  /** The calendar-day rendering of `ts` (UTC, yyyy-MM-dd) — q17's day
+    * key, shared with `EventStore`'s partition column so the stored
+    * layout and the query key can never drift. */
+  private[graft] def tsDay(events: DataFrame): org.apache.spark.sql.Column =
+    date_format(date_trunc("day", tsCol(events)), "yyyy-MM-dd")
+
   /** Epoch-MICROS bridge — for values that CROSS the oracle boundary:
     * DuckDB's parquet reader truncates TIMESTAMP(NS) to µs, so a
     * nanos-valued contract column can never hash-match; µs is the
@@ -576,7 +582,7 @@ object Events {
     * 'yyyy-MM-dd' string so both engines compare the same value. */
   def dateTruncAgg(events: DataFrame): DataFrame =
     events
-      .withColumn("day", date_format(date_trunc("day", tsCol(events)), "yyyy-MM-dd"))
+      .withColumn("day", tsDay(events))
       .groupBy("day", "event_type")
       .agg(
         count(lit(1)).as("n"),
