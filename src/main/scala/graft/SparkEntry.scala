@@ -393,6 +393,14 @@ object SparkEntry {
     "q149_tpch_q16" -> ((s, d) =>
       Relational.tpchQ16(Tables(s, d, "part"), Tables(s, d, "supplier"),
         Tables(s, d, "lineitem"))),
+    // TPC-H Q9 shape: 4-dimension join fan -> (nation, year) profit
+    "q150_tpch_q9" -> ((s, d) =>
+      Relational.tpchQ9(Tables(s, d, "part"), Tables(s, d, "supplier"),
+        Tables(s, d, "lineitem"), Tables(s, d, "orders"),
+        Tables(s, d, "nation"))),
+    // TPC-H Q12 shape: two-way conditional aggregation off one join
+    "q151_tpch_q12" -> ((s, d) =>
+      Relational.tpchQ12(Tables(s, d, "orders"), Tables(s, d, "lineitem"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2163,6 +2171,25 @@ object SparkEntry {
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
         |LIMIT 20""".stripMargin,
+    "q150_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |          - CAST(p_retailprice * l_quantity / 10 AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q151_tpch_q12" ->
+      """SELECT l_returnflag AS flag,
+        |       CAST(count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+        |       CAST(count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('A', 'N')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

@@ -940,6 +940,63 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** q150 — TPC-H Q9 shape (product-type profit): the WIDEST join fan
+    * in the suite — lineitem resolves through FOUR dimensions (part,
+    * supplier, nation, orders) before a (nation, year) profit rollup.
+    * Hint policy per dimension: the name-filtered part, supplier, and
+    * nation relations are parameter-or-fraction-sized → explicit
+    * broadcast (the fact table never shuffles for them); orders GROWS
+    * with the corpus → deliberately unhinted shuffle join on orderkey
+    * (broadcasting it is the unbounded-broadcast anti-pattern; AQE
+    * promotes at testdata scale where it happens to fit). TpchShapeSpec
+    * pins hinted ≡ the no-hints SQL formulation. Profit stays
+    * DECIMAL(18,4) end-to-end; `extract(year)` lands in the GROUP key
+    * (the real Q9's o_year). The real Q9's ps_supplycost has no
+    * partsupp table here — p_retailprice·quantity/10 stands in, same
+    * expression both engines. */
+  def tpchQ9(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+      orders: DataFrame, nation: DataFrame): DataFrame = {
+    val amount = lineRevenue -
+      (col("p_retailprice") * col("l_quantity") / 10).cast("decimal(18,4)")
+    lineitem
+      .join(broadcast(part.where(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** q151 — TPC-H Q12 shape (shipping-priority audit): the two-way
+    * CONDITIONAL aggregation — one orders⋈lineitem join, then per
+    * group BOTH a high-priority and a low-priority count from the same
+    * rows via sum(CASE) (no second scan, no self-join; the real Q12's
+    * shipmode maps to returnflag — this schema carries no shipmode).
+    * The IN-list and date range land on the lineitem SCAN
+    * (PushedFilters) before the join; map-side partials make the final
+    * rollup a 2-row exchange. */
+  def tpchQ12(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .where(col("l_returnflag").isin("A", "N") &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(orders.select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("flag")
+  }
+
   /** q149 — TPC-H Q16 shape: supplier diversity per part group, with
     * the classic `NOT IN (subquery)` exclusion — THE three-valued-logic
     * correctness trap. `x NOT IN (S)` is not `NOT EXISTS`: one NULL in
