@@ -9,32 +9,41 @@ import org.apache.spark.sql.functions._
   * built-in codegen'd expressions; the JSON path never leaves the
   * executors.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads as
-  * epoch-nanos LONG under `spark.sql.legacy.parquet.nanosAsLong`;
-  * `tsCol` converts to a proper timestamp (µs floor) once, here.
+  * `events.ts` arrives in whichever representation the source parquet
+  * used: epoch-nanos LONG (TIMESTAMP(NANOS) under
+  * `spark.sql.legacy.parquet.nanosAsLong`), TIMESTAMP_NTZ (µs,
+  * isAdjustedToUTC=false — the current testdata layout), or a plain
+  * TIMESTAMP. The three bridges below are the ONLY place the library
+  * looks at that representation; the session time zone is UTC, so the
+  * NTZ→LTZ cast is value-exact.
   */
 object Events {
 
   /** ts as TIMESTAMP regardless of whether the source surfaced it as
-    * epoch-nanos LONG (nanosAsLong) or a native timestamp. */
+    * epoch-nanos LONG (nanosAsLong), TIMESTAMP_NTZ, or a native
+    * timestamp. */
   private def tsCol(events: DataFrame) =
     events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_micros(expr("ts div 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
       case _ => col("ts")
     }
 
   /** The inverse bridge: a time column as epoch-nanos LONG whether the
     * source surfaced it as nanos LONG (the harness's nanosAsLong
-    * parquet config) or as a native TIMESTAMP (µs precision → exact
-    * ×1000). Every time-ARITHMETIC operator below (gap subtraction,
-    * ordering) routes through this, so the library surface works on
-    * both representations — round-2 verdict: raw `ts - lag(ts) >
-    * gapNanos` is an interval-vs-long type error on TIMESTAMP input. */
+    * parquet config), TIMESTAMP_NTZ (µs precision, UTC session tz →
+    * exact ×1000), or a native TIMESTAMP. Every time-ARITHMETIC
+    * operator below (gap subtraction, ordering) routes through this,
+    * so the library surface works on all three representations —
+    * round-2 verdict: raw `ts - lag(ts) > gapNanos` is an
+    * interval-vs-long type error on TIMESTAMP input. */
   private def tsNanos(df: DataFrame, time: String = "ts") =
     df.schema(time).dataType match {
       case org.apache.spark.sql.types.LongType => col(time)
-      case _ => unix_micros(col(time)) * lit(1000L)
+      case _ => unix_micros(col(time)
+        .cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L)
     }
 
   /** The calendar-day rendering of `ts` (UTC, yyyy-MM-dd) — q17's day
@@ -50,7 +59,8 @@ object Events {
   private def tsMicros(df: DataFrame, time: String = "ts") =
     df.schema(time).dataType match {
       case org.apache.spark.sql.types.LongType => expr(s"$time div 1000")
-      case _ => unix_micros(col(time))
+      case _ => unix_micros(col(time)
+        .cast(org.apache.spark.sql.types.TimestampType))
     }
 
   /** q34 — schema-ful JSON parsing: `from_json` into a typed struct

@@ -13,6 +13,20 @@ class PipelineOpsSpec extends SparkSpec {
   private val dir = testdataDir
   private def t(n: String) = Tables(spark, dir, n)
 
+  /** events with ts normalized to epoch-nanos LONG — for the
+    * driver-side brute-force recomputes below, which do integer
+    * arithmetic on ts. The OPERATOR calls stay on the raw table so
+    * they exercise whatever representation the testdata uses
+    * (µs TIMESTAMP_NTZ as of round 6). */
+  private def evNanos = {
+    val ev = t("events")
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => ev
+      case _ => ev.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
+
   test("q59 dedup keep: copies conserve the corpus, canonical ids unique") {
     val rows = Dedup.dedupKeep(t("documents")).collect()
     assert(rows.map(_.getLong(1)).sum === t("documents").count())
@@ -194,10 +208,10 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("q70 trailing window matches a brute-force trailing sum") {
-    val ev = t("events")
-    val got = Events.trailingWindowSum(ev).collect()
+    val got = Events.trailingWindowSum(t("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     // brute-force one user's trailing sums from the raw rows
+    val ev = evNanos
     val uid = ev.select("user_id").head().getLong(0)
     val mine = ev.where(col("user_id") === uid)
       .select("event_id", "ts", "value").collect()
@@ -871,7 +885,7 @@ class PipelineOpsSpec extends SparkSpec {
       assert((since == 0L) == (c == d))
     }
     // recompute driver-side
-    val ev = t("events").selectExpr("user_id",
+    val ev = evNanos.selectExpr("user_id",
       "date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd') AS day")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val cohort = ev.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).min }
@@ -1090,7 +1104,7 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1),
         if (r.isNullAt(3)) None else Some(r.getLong(3))))
     assert(rows.nonEmpty)
-    val evs = t("events").select("event_id", "user_id", "ts", "event_type")
+    val evs = evNanos.select("event_id", "user_id", "ts", "event_type")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val purchasesByUser = evs.filter(_._4 == "purchase")
       .groupBy(_._2).map { case (u, v) => u -> v.sortBy(p => (p._3, p._1)) }
@@ -1143,7 +1157,7 @@ class PipelineOpsSpec extends SparkSpec {
   test("q134 journey: typed mapGroups ≡ driver-side ordered fold, users conserved") {
     val rows = Events.userJourney(t("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-    val evs = t("events").select("user_id", "ts", "event_type", "event_id")
+    val evs = evNanos.select("user_id", "ts", "event_type", "event_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
     val exp = evs.groupBy(_._1).map { case (u, v) =>
       val sorted = v.sortBy(e => (e._2, e._4))
@@ -1279,7 +1293,7 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     assert(rows.nonEmpty)
     assert(rows.map(_._2).sum === t("events").count())
-    val data = t("events").selectExpr("event_type", "ts div 1000", "value")
+    val data = evNanos.selectExpr("event_type", "ts div 1000", "value")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     rows.foreach { case (et, n, slope, intercept) =>
       val pts = data.filter(_._1 == et).map { case (_, us, v) =>
@@ -1362,7 +1376,7 @@ class PipelineOpsSpec extends SparkSpec {
         if (r.isNullAt(2)) None else Some(r.getLong(2)),
         if (r.isNullAt(3)) None else Some(r.getLong(3))))
     assert(rows.nonEmpty)
-    val evs = t("events").selectExpr("event_id", "user_id", "ts div 1000",
+    val evs = evNanos.selectExpr("event_id", "user_id", "ts div 1000",
       "event_type").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val clicksByUser = evs.filter(_._4 == "click").groupBy(_._2)

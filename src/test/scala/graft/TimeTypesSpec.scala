@@ -6,20 +6,30 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Events, Similarity}
 import graft.sources.Tables
 
-/** Round-2 verdict #5: the events time operators must accept BOTH the
-  * harness's epoch-nanos LONG `ts` (nanosAsLong parquet config) and a
-  * native TIMESTAMP `ts` — a library user on a normal timestamp column
-  * previously hit an interval-vs-long type error in sessionize. Each
-  * operator runs on the same data in both representations and must
-  * produce identical results. */
+/** Round-2 verdict #5 (extended round 6): the events time operators
+  * must accept every ts representation a parquet source can surface —
+  * epoch-nanos LONG (nanosAsLong config), TIMESTAMP_NTZ (µs,
+  * isAdjustedToUTC=false — the round-6 testdata layout), and a native
+  * TIMESTAMP — a library user on a normal timestamp column previously
+  * hit an interval-vs-long type error in sessionize. Each operator
+  * runs on the same data in all representations and must produce
+  * identical results. */
 class TimeTypesSpec extends SparkSpec {
   private val dir = testdataDir
 
-  /** The real events table with its LONG nanos ts. */
-  private def evLong: DataFrame = Tables(spark, dir, "events")
+  /** The real events table in whatever ts representation the current
+    * testdata uses. */
+  private def evRaw: DataFrame = Tables(spark, dir, "events")
 
-  /** Same table, ts as a native TIMESTAMP (µs floor — the testdata's
-    * ts granularity is far coarser, so no information is lost). */
+  /** ts as epoch-nanos LONG (the pre-round-6 nanosAsLong layout; the
+    * testdata's ts granularity is µs, so the ×1000 loses nothing). */
+  private def evLong: DataFrame = evRaw.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => evRaw
+    case _ => evRaw.withColumn("ts",
+      unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+  }
+
+  /** Same table, ts as a native TIMESTAMP. */
   private def evTs: DataFrame =
     evLong.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
@@ -32,6 +42,9 @@ class TimeTypesSpec extends SparkSpec {
     val a = rowsOf(Events.sessionize(evLong))
     val b = rowsOf(Events.sessionize(evTs))
     assert(a.nonEmpty && a === b)
+    // and the raw representation (TIMESTAMP_NTZ in the round-6
+    // testdata) agrees with both derived forms
+    assert(a === rowsOf(Events.sessionize(evRaw)))
   }
 
   test("sessionize: the Duration gap parameter actually changes granularity") {
