@@ -45,11 +45,24 @@ object Bench {
       val t = time(fn)
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }
+    // Variance pinning (round-5 verdict #8): rows with a multi-second
+    // floor get EXTRA interleaved passes — their per-sample noise
+    // exposure is the largest in absolute seconds, so the r4→r5
+    // overlap drift (~1.3× uniform) was hardest to separate from real
+    // regressions exactly on these rows. ≤2 s rows stay at min-of-
+    // `runs`; >2 s rows become min-of-(runs+extra).
+    val extra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_RUNS", "2").toInt
+    val heavy = picked.filter { case (n, _) => best(n) > 2.0 }
+    for (_ <- 0 until math.max(0, extra); (name, fn) <- heavy) {
+      val t = time(fn)
+      best(name) = math.min(best(name), t)
+    }
     val results = best
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
+    val heavyNames = heavy.keys.map(n => s"\"$n\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","extra_runs_gt2s":$extra,"heavy_rows":$heavyNames}"""
     println(json)
     // The full per-query JSON is ~4 KB at 100+ queries and every
     // BENCH_r1–r4 artifact shows "parsed": null with a truncated log

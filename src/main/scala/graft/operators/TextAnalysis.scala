@@ -275,17 +275,38 @@ object TextAnalysis {
     * per-doc aggregation — all keyed, no broadcast of anything
     * vocabulary-sized. */
   def lmScore(docs: DataFrame): DataFrame = {
-    val bigrams = docBigrams(docs)
-    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val counts = c12.join(c12.groupBy("w1").agg(sum(col("c12")).as("c1")), Seq("w1"))
-    bigrams.join(counts, Seq("w1", "w2"))
+    // Per-doc bigram MULTIPLICITIES first, computed ONCE (round-6
+    // re-shape): the raw bigram stream fed three plan subtrees — model
+    // counts, the w1 marginal, and the scoring join — and ExecProbe
+    // showed AQE reusing NONE of their exchanges, so the corpus-wide
+    // tokenize+explode executed three times. Folding the stream into
+    // (doc_id, w1, w2) -> m and persisting that ONE relation pins the
+    // tokenize pass to exactly one execution (AQE stage-reuse got only
+    // 1 of the 3 copies — the self-join's attribute re-aliasing misses
+    // the stage cache — so reuse is made structural, not heuristic).
+    // At 100 TB the tokenize dominates, so this is the difference
+    // between one corpus scan and three; the persisted relation is the
+    // per-doc-deduplicated counts, strictly smaller than the stream it
+    // replaces, and its lifecycle follows the suite-wide finishWith
+    // contract (released before return in eager mode, parked for the
+    // plan auditors in lazy mode). Scoring weights by m (sum(m),
+    // sum(m·lp_q)) — exactly the per-occurrence sums, so the contract
+    // output is unchanged.
+    val b = docBigrams(docs).groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = b.groupBy("w1", "w2").agg(sum(col("m")).as("c12"))
+    val c1 = b.groupBy("w1").agg(sum(col("m")).as("c1"))
+    val result = b.join(c12.join(c1, Seq("w1")), Seq("w1", "w2"))
       .withColumn("lp_q",
         floor(log(col("c12").cast("double") / col("c1")) * 1e6).cast("long"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("sum_lp_q"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("lp_q")).as("sum_lp_q"))
       .withColumn("avg_logprob",
         col("sum_lp_q").cast("double") / 1e6 / col("n_bigrams"))
       .orderBy("doc_id")
+    Dedup.finishWith(result, b)
   }
 
   /** q69 — the corpus FILTER PIPELINE: the composition step that turns
