@@ -401,6 +401,19 @@ object SparkEntry {
     // TPC-H Q12 shape: two-way conditional aggregation off one join
     "q151_tpch_q12" -> ((s, d) =>
       Relational.tpchQ12(Tables(s, d, "orders"), Tables(s, d, "lineitem"))),
+    // TPC-H Q2 shape: correlated-min join fan, decorrelated to agg+join
+    "q152_tpch_q2" -> ((s, d) =>
+      Relational.tpchQ2(Tables(s, d, "lineitem"), Tables(s, d, "part"),
+        Tables(s, d, "supplier"), Tables(s, d, "nation"),
+        Tables(s, d, "region"))),
+    // TPC-H Q11 shape: group HAVING against a global scalar aggregate
+    "q153_tpch_q11" -> ((s, d) =>
+      Relational.tpchQ11(Tables(s, d, "lineitem"))),
+    // TPC-H Q20 shape: correlated HAVING inside IN -> two-agg semi chain
+    "q154_tpch_q20" -> ((s, d) =>
+      Relational.tpchQ20(Tables(s, d, "lineitem"), Tables(s, d, "part"),
+        Tables(s, d, "supplier"), Tables(s, d, "nation"),
+        Tables(s, d, "region"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2190,6 +2203,58 @@ object SparkEntry {
         |WHERE l_returnflag IN ('A', 'N')
         |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the textbook CORRELATED scalar subquery — the engine's agg+join
+    // decorrelation must produce the identical relation
+    "q152_tpch_q2" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, p_name,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_size <= 10)
+        |SELECT DISTINCT
+        |       CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_c,
+        |       s_name, n_name, l_partkey AS p_partkey, p_name,
+        |       price_c AS min_price_c
+        |FROM shipped l
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND price_c = (SELECT min(price_c) FROM shipped l2
+        |                 WHERE l2.l_partkey = l.l_partkey)
+        |ORDER BY acctbal_c DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q153_tpch_q11" ->
+      """SELECT l_partkey,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS value
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |       * (SELECT count(DISTINCT l_partkey) FROM lineitem) * 10 >
+        |       (SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |        FROM lineitem) * 11
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    // correlated aggregate inside HAVING inside IN — the engine
+    // decorrelates to two aggregations + a semi join
+    "q154_tpch_q20" ->
+      """WITH windowed AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'small%'))
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM windowed w
+        |    GROUP BY l_partkey, l_suppkey
+        |    HAVING 2 * sum(q) > (SELECT sum(q) FROM windowed w2
+        |                         WHERE w2.l_partkey = w.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

@@ -1048,4 +1048,118 @@ object Relational {
         count(lit(1)).as("n_orders"),
         sumMoney(col("o_totalprice")).as("sum_price"))
       .orderBy("yr", "mo")
+
+  /** q152 — TPC-H Q2 shape (minimum-cost supplier): the CORRELATED
+    * scalar-aggregate join fan. For every small part, keep the
+    * shipment rows whose price equals that part's GLOBAL minimum
+    * shipped price, then resolve the shipping supplier through
+    * nation→region and keep the ASIA ones. This schema has no
+    * partsupp; lineitem stands in as the (part, supplier, cost)
+    * relation with l_extendedprice as the cost. The ORACLE phrases the
+    * gate as the textbook correlated scalar subquery (`WHERE price_c =
+    * (SELECT min(price_c) FROM lineitem l2 WHERE l2.l_partkey =
+    * l.l_partkey)`); the engine DECORRELATES by construction — one
+    * map-side-combinable min per partkey joined back on (partkey,
+    * equality) — semantically identical because a minimum is a unique
+    * VALUE, and never a per-row subquery. Prices compare in CENTS
+    * (LONG) so the equality is exact on both engines; (part, supplier)
+    * pairs dedup like Q2's unique partsupp key. Dims broadcast; the
+    * fact side shuffles once on l_partkey (the aggregate) and the
+    * join-back reuses that key. */
+  def tpchQ2(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val shipped = lineitem
+      .join(broadcast(part.where(col("p_size") <= 10)
+        .select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("p_name"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+    val minPrice = shipped.groupBy("l_partkey")
+      .agg(min(col("price_c")).as("min_price_c"))
+    val asiaSupp = supplier
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.where(col("r_name") === "ASIA")
+        .select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("s_acctbal") * 100).cast("long").as("acctbal_c"),
+        col("n_name"))
+    shipped
+      .join(minPrice, Seq("l_partkey"))
+      .where(col("price_c") === col("min_price_c"))
+      .select("l_partkey", "l_suppkey", "p_name", "min_price_c").distinct()
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("acctbal_c"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_name"), col("min_price_c"))
+      .orderBy(col("acctbal_c").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(100)
+  }
+
+  /** q153 — TPC-H Q11 shape (significant stock): per-group value with
+    * a HAVING gate against GLOBAL scalar aggregates — per-part
+    * discounted revenue kept only where it exceeds 1.1× the MEAN
+    * part's (the real Q11's fixed 0.0001 fraction is meaningless on a
+    * corpus whose part count scales with sf — a fixed fraction is
+    * all-rows at sf0.001 and zero rows at sf0.1; the mean-relative
+    * gate keeps the identical decorrelation shape at every scale).
+    * The oracle writes the textbook `HAVING sum(...)·n·10 > (SELECT
+    * sum ...)·11` with two scalar subqueries; the engine computes both
+    * scalars in ONE one-row broadcast onto the per-part aggregate (the
+    * q114/q115 pattern — never a per-group subquery), and the gate
+    * cross-multiplies DECIMALs by integers instead of multiplying by
+    * a double 1.1/n, so the boundary is exact on both engines. Two
+    * aggregations over one relation, both map-side combinable; nothing
+    * corpus-sized broadcasts. */
+  def tpchQ11(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem.groupBy("l_partkey")
+      .agg(sum(lineRevenue).as("val"))
+    val scalars = perPart.agg(sum(col("val")).as("total"),
+      count(lit(1)).as("n"))
+    perPart
+      .crossJoin(broadcast(scalars))
+      .where(col("val") * col("n") * 10 > col("total") * 11)
+      .select(col("l_partkey"), col("val").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey").asc)
+  }
+
+  /** q154 — TPC-H Q20 shape (dominant-supplier semi-join chain):
+    * suppliers in the ASIA region who, for some small part inside one
+    * ship-year, carried MORE THAN HALF of that part's shipped
+    * quantity. The oracle nests the textbook chain — `s_suppkey IN
+    * (… GROUP BY part, supp HAVING 2·sum(qty) > (SELECT sum(qty) …
+    * correlated on part))` — a correlated aggregate inside a HAVING
+    * inside an IN. The engine decorrelates to two aggregations of the
+    * SAME filtered relation (per-pair and per-part quantity, joined on
+    * partkey) and a LEFT SEMI join into supplier; quantities compare
+    * as 2·pair > part in LONG (quantities are integral), exact on
+    * both engines. The part filter broadcasts into the fact scan
+    * FIRST, so both aggregations run over the pruned slice only. */
+  def tpchQ20(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val window = lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(part.where(col("p_name").like("small%"))
+        .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("q"))
+    val perPair = window.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("q")).as("pair_q"))
+    val perPart = window.groupBy("l_partkey").agg(sum(col("q")).as("part_q"))
+    val dominant = perPair.join(perPart, Seq("l_partkey"))
+      .where(col("pair_q") * 2 > col("part_q"))
+      .select(col("l_suppkey"))
+    supplier
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.where(col("r_name") === "ASIA")
+        .select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
 }

@@ -58,4 +58,84 @@ class TpchShapeSpec extends SparkSpec {
     assert(q12.map(r => r.getLong(1) + r.getLong(2)).sum === total,
       "high + low counts must cover every joined row exactly once")
   }
+
+  test("q152: decorrelated min-agg join ≡ Spark SQL correlated subquery") {
+    val lineitem = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+    val supplier = Tables(spark, dir, "supplier")
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region")
+    val engine = Relational.tpchQ2(lineitem, part, supplier, nation, region)
+    lineitem.createOrReplaceTempView("q2_lineitem")
+    part.createOrReplaceTempView("q2_part")
+    supplier.createOrReplaceTempView("q2_supplier")
+    nation.createOrReplaceTempView("q2_nation")
+    region.createOrReplaceTempView("q2_region")
+    // the textbook correlated scalar subquery, through Spark's OWN
+    // parser/decorrelator — proves the hand decorrelation ≡ Catalyst's
+    val correlated = spark.sql(
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, p_name,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM q2_lineitem JOIN q2_part ON p_partkey = l_partkey
+        |  WHERE p_size <= 10)
+        |SELECT DISTINCT
+        |       CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_c,
+        |       s_name, n_name, l.l_partkey AS p_partkey, p_name,
+        |       price_c AS min_price_c
+        |FROM shipped l
+        |JOIN q2_supplier ON s_suppkey = l_suppkey
+        |JOIN q2_nation ON n_nationkey = s_nationkey
+        |JOIN q2_region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND price_c = (SELECT min(price_c) FROM shipped l2
+        |                 WHERE l2.l_partkey = l.l_partkey)
+        |ORDER BY acctbal_c DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+    assert(canon(engine) === canon(correlated))
+    assert(engine.count() > 0)
+  }
+
+  test("q153: HAVING-vs-global-scalar gate is neither empty nor total") {
+    val lineitem = Tables(spark, dir, "lineitem")
+    val kept = Relational.tpchQ11(lineitem).count()
+    val parts = lineitem.select("l_partkey").distinct().count()
+    assert(kept > 0, "gate empty — threshold vacuous")
+    assert(kept < parts, "gate keeps every part — threshold vacuous")
+  }
+
+  test("q154: semi-join chain ≡ Spark SQL correlated-HAVING-in-IN") {
+    val lineitem = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+    val supplier = Tables(spark, dir, "supplier")
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region")
+    val engine = Relational.tpchQ20(lineitem, part, supplier, nation, region)
+    lineitem.createOrReplaceTempView("q20_lineitem")
+    part.createOrReplaceTempView("q20_part")
+    supplier.createOrReplaceTempView("q20_supplier")
+    nation.createOrReplaceTempView("q20_nation")
+    region.createOrReplaceTempView("q20_region")
+    val correlated = spark.sql(
+      """WITH windowed AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
+        |  FROM q20_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM q20_part
+        |                      WHERE p_name LIKE 'small%'))
+        |SELECT s_suppkey, s_name
+        |FROM q20_supplier
+        |JOIN q20_nation ON n_nationkey = s_nationkey
+        |JOIN q20_region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM windowed w
+        |    GROUP BY l_partkey, l_suppkey
+        |    HAVING 2 * sum(q) > (SELECT sum(q) FROM windowed w2
+        |                         WHERE w2.l_partkey = w.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin)
+    assert(canon(engine) === canon(correlated))
+    assert(engine.count() > 0)
+  }
 }
