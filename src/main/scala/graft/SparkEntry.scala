@@ -414,6 +414,12 @@ object SparkEntry {
       Relational.tpchQ20(Tables(s, d, "lineitem"), Tables(s, d, "part"),
         Tables(s, d, "supplier"), Tables(s, d, "nation"),
         Tables(s, d, "region"))),
+    // lineitem SERVED FROM a CSV sidecar copy; oracle reads the parquet
+    "q155_csv_source" -> ((s, d) =>
+      Relational.lineitemProfile(sources.Sidecar.csv(s, d, "lineitem"))),
+    // events SERVED FROM a JSON-lines sidecar; µs-timestamp tripwire
+    "q156_json_source" -> ((s, d) =>
+      Events.typeProfile(sources.Sidecar.jsonl(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2255,6 +2261,23 @@ object SparkEntry {
         |    HAVING 2 * sum(q) > (SELECT sum(q) FROM windowed w2
         |                         WHERE w2.l_partkey = w.l_partkey))
         |ORDER BY s_suppkey""".stripMargin,
+    // engine side reads a CSV copy; the oracle reads the parquet — a
+    // text-format round-trip defect shows up as a hash mismatch
+    "q155_csv_source" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |       strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+        |       strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q156_json_source" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |       min(epoch_us(ts)) AS first_us,
+        |       max(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

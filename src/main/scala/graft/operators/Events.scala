@@ -364,6 +364,25 @@ object Events {
     * sorts the data; this is its scale path). Pick rule per target p:
     * smallest bin with 100·cum ≥ p·n — all-integer, engine-identical.
     */
+  /** q156 — events served from a JSON-LINES sidecar (Sidecar.jsonl):
+    * the operator under test is the json writer+reader pair with the
+    * parquet schema applied on read, gated against an oracle reading
+    * the PARQUET original. The min/max EPOCH-MICROS columns are the
+    * timestamp-fidelity tripwire: events.ts is µs-grained, so a reader
+    * or writer that silently falls back to the default millis text
+    * pattern floors 999 of every 1000 timestamps and the hash gate
+    * goes red — it cannot drift silently. One combinable aggregation;
+    * n_users is exact distinct (type-bounded groups). */
+  def typeProfile(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_c"),
+        min(tsMicros(events)).as("first_us"),
+        max(tsMicros(events)).as("last_us"))
+      .orderBy("event_type")
+
   def histoLadder(events: DataFrame): DataFrame = {
     val hist = events
       .select(col("event_type"), floor(col("value")).cast("long").as("bin"))

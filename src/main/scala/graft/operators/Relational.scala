@@ -1049,6 +1049,24 @@ object Relational {
         sumMoney(col("o_totalprice")).as("sum_price"))
       .orderBy("yr", "mo")
 
+  /** q155 — lineitem served from a CSV SIDECAR (Sidecar.csv): the
+    * aggregation is deliberately plain — the operator under test is
+    * the csv WRITER+READER pair (quoting, header, explicit schema
+    * application, day-granular timestamp round-trip through text),
+    * gated against an oracle that reads the PARQUET original. min/max
+    * shipdate land in the output so a text-format timestamp drift can
+    * never pass silently. */
+  def lineitemProfile(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_linestatus").as("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("first_ship"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship"))
+      .orderBy("flag", "status")
+
   /** q152 — TPC-H Q2 shape (minimum-cost supplier): the CORRELATED
     * scalar-aggregate join fan. For every small part, keep the
     * shipment rows whose price equals that part's GLOBAL minimum

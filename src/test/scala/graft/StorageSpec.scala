@@ -87,6 +87,25 @@ class StorageSpec extends SparkSpec {
     assert(viaCsv === viaParquet)
   }
 
+  test("sidecar-served tables equal their parquet originals, µs intact") {
+    import graft.operators.{Events, Relational}
+    import graft.sources.Sidecar
+    val viaCsv = Relational.lineitemProfile(Sidecar.csv(spark, dir, "lineitem"))
+      .collect().map(_.toString).toList
+    val viaPq = Relational.lineitemProfile(Tables(spark, dir, "lineitem"))
+      .collect().map(_.toString).toList
+    assert(viaCsv === viaPq)
+    val jsonProf = Events.typeProfile(Sidecar.jsonl(spark, dir, "events"))
+      .collect()
+    val pqProf = Events.typeProfile(Tables(spark, dir, "events")).collect()
+    assert(jsonProf.map(_.toString).toList === pqProf.map(_.toString).toList)
+    // the fidelity tripwire must be armed: at least one gated min/max
+    // epoch-µs value carries sub-millisecond digits, so a reader that
+    // fell back to the default millis text pattern COULD NOT pass
+    assert(pqProf.exists(r => r.getLong(4) % 1000 != 0 || r.getLong(5) % 1000 != 0),
+      "all gated timestamps are millis-round — the µs tripwire is vacuous")
+  }
+
   test("dynamic partition overwrite backfills one day without touching others") {
     // the standard incremental-backfill pattern at 100 TB: rewrite ONE
     // date partition in place; static overwrite mode would drop ALL
