@@ -420,6 +420,12 @@ object SparkEntry {
     // events SERVED FROM a JSON-lines sidecar; µs-timestamp tripwire
     "q156_json_source" -> ((s, d) =>
       Events.typeProfile(sources.Sidecar.jsonl(s, d, "events"))),
+    // bounded-state typed-Aggregator top-k vs the oracle's window form
+    "q157_grouped_topk" -> ((s, d) =>
+      Events.groupedTopK(Tables(s, d, "events"))),
+    // bucketized interval-overlap join; oracle states the naive form
+    "q158_interval_join" -> ((s, d) =>
+      Events.concurrentSessions(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2278,6 +2284,42 @@ object SparkEntry {
         |       min(epoch_us(ts)) AS first_us,
         |       max(epoch_us(ts)) AS last_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the WINDOW formulation — the engine's bounded-state aggregator
+    // must pick identical survivors
+    "q157_grouped_topk" ->
+      """SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id, value
+        |FROM (SELECT event_type, event_id, value,
+        |             row_number() OVER (PARTITION BY event_type
+        |               ORDER BY value DESC, event_id) AS rank
+        |      FROM events)
+        |WHERE rank <= 5
+        |ORDER BY event_type, rank""".stripMargin,
+    // the NAIVE containment join — the engine's bucketized equi join
+    // must produce the identical relation (blocked ≡ naive)
+    "q158_interval_join" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |              WHEN ts - lag(ts) OVER w > INTERVAL '5 minutes' THEN 1
+        |              ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM t),
+        |iv AS (
+        |  SELECT user_id AS s_user, sess_id,
+        |         min(epoch_us(ts)) - 1800000000 AS s_us,
+        |         max(epoch_us(ts)) + 1800000000 AS e_us
+        |  FROM s GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, CAST(count(iv.s_user) AS BIGINT) AS n_concurrent
+        |FROM p LEFT JOIN iv
+        |  ON p.t_us BETWEEN iv.s_us AND iv.e_us AND iv.s_user <> p.user_id
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

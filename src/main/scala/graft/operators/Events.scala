@@ -232,6 +232,71 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** q157 — grouped TOP-K through the bounded typed Aggregator
+    * (functions.TopKAggregator) instead of the window formulation:
+    * `row_number() OVER (PARTITION BY type ORDER BY …) <= k` sorts
+    * EVERY row of every group; the aggregator's state never exceeds k
+    * pairs, collapses map-side, and ships k rows per group through the
+    * exchange. The oracle STATES the window formulation — the hash
+    * gate is the proof that the bounded-state path picks identical
+    * survivors (value DESC, event_id ASC tie-break, total order). */
+  def groupedTopK(events: DataFrame, k: Int = 5): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    events
+      .groupBy("event_type")
+      .agg(topk(col("value"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("event_type"), (col("i") + 1).cast("long").as("rank"),
+        col("p._2").as("event_id"), col("p._1").as("value"))
+      .orderBy("event_type", "rank")
+  }
+
+  /** q158 — INTERVAL-OVERLAP join via fixed-width bucket blocking: for
+    * each purchase, how many OTHER users' padded session windows
+    * [first−pad, last+pad] contain it — the "concurrent activity"
+    * enrichment every event pipeline eventually needs, and an operator
+    * class Spark does not ship: a containment join has no equi key, so
+    * the naive form plans as a BroadcastNestedLoopJoin —
+    * O(|probes|·|intervals|) at any size. The scale path is standard
+    * bucketization: each interval EXPLODES into the fixed-width
+    * buckets it touches (`sequence` — bounded fan: (pad+len)/width,
+    * 2–3 buckets at these parameters), the probe lands in exactly ONE
+    * bucket, and the join becomes an EQUI join on the bucket id with
+    * containment + user-inequality as residual — hash-partitioned,
+    * AQE-splittable, linear in probes. Any interval CONTAINING a probe
+    * overlaps the probe's bucket (it spans every bucket it touches),
+    * and the probe has exactly one bucket, so no pair can match twice
+    * or be missed: blocked ≡ naive EXACTLY — the oracle states the
+    * naive containment join and the hash gate proves the equivalence.
+    * The LEFT join keeps zero-concurrency purchases (count of the
+    * right key over NULLs, like the oracle's). Times compare in epoch
+    * MICROS, the shared oracle precision. */
+  def concurrentSessions(events: DataFrame,
+      gap: java.time.Duration = java.time.Duration.ofMinutes(5),
+      pad: java.time.Duration = java.time.Duration.ofMinutes(30),
+      bucket: java.time.Duration = java.time.Duration.ofHours(1)): DataFrame = {
+    val padUs = pad.toMillis * 1000L
+    val w = bucket.toMillis * 1000L
+    val sess = withSessionIds(events, gap)
+    val sessUs = tsMicros(sess)
+    val iv = sess.groupBy(col("user_id").as("s_user"), col("sess_id"))
+      .agg((min(sessUs) - padUs).as("s_us"), (max(sessUs) + padUs).as("e_us"))
+    val ivB = iv.withColumn("bkt",
+      explode(sequence(expr(s"s_us div $w"), expr(s"e_us div $w"))))
+    val probe = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsMicros(events).as("t_us"))
+      .withColumn("bkt", expr(s"t_us div $w"))
+    probe.join(ivB,
+        probe("bkt") === ivB("bkt") &&
+          col("t_us").between(col("s_us"), col("e_us")) &&
+          col("s_user") =!= col("user_id"),
+        "left")
+      .groupBy("event_id")
+      .agg(count(col("s_user")).as("n_concurrent"))
+      .orderBy("event_id")
+  }
+
   /** q63 — tumbling time buckets (batch twin of the streaming window
     * aggregation): events land in fixed `bucket`-wide windows aligned
     * to the epoch, counted and summed per (window, type). The bucket

@@ -1469,4 +1469,54 @@ class PipelineOpsSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(rows.map(_._1).toSet === exp)
   }
+
+  test("q157 topk: bounded aggregator ≡ window formulation, full ranks") {
+    val agg = Events.groupedTopK(t("events")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(agg.nonEmpty)
+    // every group that has >= 5 rows yields exactly ranks 1..5
+    agg.groupBy(_._1).foreach { case (ty, v) =>
+      assert(v.map(_._2).sorted.toList === (1L to v.length).toList, ty) }
+    // the window formulation through Spark itself picks the same rows
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    val win = t("events")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select("event_type", "rank", "event_id", "value")
+      .orderBy("event_type", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(agg.toList === win.toList)
+  }
+
+  test("q158 interval join: bucketized ≡ naive containment, both branches live") {
+    val blocked = Events.concurrentSessions(t("events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(blocked.nonEmpty)
+    assert(blocked.values.exists(_ > 0L), "no concurrent session — vacuous")
+    assert(blocked.values.exists(_ === 0L), "every purchase concurrent — vacuous")
+    // the naive form inside Spark (inequality-only join → BNLJ at this
+    // size) must produce the identical relation
+    val sessions = Events.sessionize(t("events")) // force same gap default
+    assert(sessions.count() > 0)
+    val evn = evNanos
+    val raw = evn.select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 1000L, r.getString(3)))
+    val gapUs = 5L * 60 * 1000000; val padUs = 30L * 60 * 1000000
+    val ivs = raw.groupBy(_._2).toSeq.flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._1))
+      val groups = sorted.foldLeft(List.empty[List[Long]]) { case (acc, e) =>
+        acc match {
+          case cur :: rest if e._3 - cur.head <= gapUs => (e._3 :: cur) :: rest
+          case _ => List(e._3) :: acc
+        }
+      }
+      groups.map(g => (u, g.min - padUs, g.max + padUs))
+    }
+    raw.filter(_._4 == "purchase").foreach { case (eid, uid, tus, _) =>
+      val expect = ivs.count { case (su, s, e) => su != uid && tus >= s && tus <= e }
+      assert(blocked(eid) === expect.toLong, s"purchase $eid")
+    }
+  }
 }
