@@ -41,6 +41,23 @@ object EventStreams {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n"), col("sum_value"))
 
+  /** Streaming grouped TOP-K — q157's bounded typed Aggregator run as
+    * a streaming aggregation (complete output mode): per event type,
+    * the k highest (value, event_id) pairs seen so far. The SAME
+    * `TopKAggregator` instance backs batch and stream, so the state
+    * bound (≤ k pairs per group, per partial) and the tie-break order
+    * are one definition, not two; streaming state is the aggregation
+    * buffer itself — k·|event types| pairs, corpus-independent.
+    * StreamingSpec pins streaming ≡ the batch q157 over the same
+    * rows. */
+  def streamingGroupedTopK(events: DataFrame, k: Int = 5): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    events
+      .groupBy("event_type")
+      .agg(topk(col("value"), col("event_id")).as("top"))
+  }
+
   /** Incremental inverted-index maintenance: the reference's batch-only
     * pipeline (`main.c++:152-159` barriers) as a continuously-updating
     * streaming aggregation — new documents arrive (with an `ingest_ts`

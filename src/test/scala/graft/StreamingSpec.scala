@@ -380,4 +380,33 @@ class StreamingSpec extends SparkSpec {
       assert(last === ((7L, 3L, 10.0)))
     } finally q.stop()
   }
+
+  test("streaming grouped top-k ≡ batch q157 over the same rows") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Double)]
+    val q = EventStreams.streamingGroupedTopK(
+        in.toDF.toDF("event_id", "event_type", "value"), k = 3)
+      .writeStream.format("memory").queryName("stopk").outputMode("complete").start()
+    try {
+      val rows = Seq(
+        (1L, "click", 5.0), (2L, "click", 9.0), (3L, "click", 1.0),
+        (4L, "click", 9.0), (5L, "click", 7.0), // tie at 9.0: id order
+        (6L, "view", 2.0), (7L, "view", 3.0))
+      in.addData(rows.take(4)); q.processAllAvailable()
+      in.addData(rows.drop(4)); q.processAllAvailable()
+      val got = spark.table("stopk").collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(p => (p.getDouble(0), p.getLong(1))).toList).toMap
+      // ≡ batch aggregator over everything that arrived; the streaming
+      // state held at most k pairs per type the whole time
+      val batch = graft.operators.Events.groupedTopK(
+          rows.toDF("event_id", "event_type", "value"), 3).collect()
+        .map(r => (r.getString(0), r.getDouble(3), r.getLong(2)))
+        .groupBy(_._1).map { case (ty, v) => ty -> v.map(p => (p._2, p._3)).toList }
+      assert(got === batch)
+      // tie at value 9.0 resolved by ascending id — total order pinned
+      assert(got("click") === List((9.0, 2L), (9.0, 4L), (7.0, 5L)))
+    } finally q.stop()
+  }
 }
