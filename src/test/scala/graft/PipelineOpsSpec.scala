@@ -1519,4 +1519,21 @@ class PipelineOpsSpec extends SparkSpec {
       assert(blocked(eid) === expect.toLong, s"purchase $eid")
     }
   }
+
+  test("q157/q158 plans: object aggregation with partials; no nested-loop join") {
+    // q157's scale claim is the BOUNDED partial aggregation: the typed
+    // Aggregator plans as ObjectHashAggregate with a partial mode
+    // before the exchange (k pairs per group per partition)
+    val topkPlan = Events.groupedTopK(t("events"))
+      .queryExecution.executedPlan.toString
+    assert(topkPlan.contains("ObjectHashAggregate"), topkPlan)
+    assert(topkPlan.contains("partial_"), "no partial aggregation mode")
+    // q158's scale claim is that bucketization turned the containment
+    // join into an EQUI join — a nested-loop/cartesian node would mean
+    // the blocking failed and the naive O(n·m) form leaked through
+    val ijPlan = Events.concurrentSessions(t("events"))
+      .queryExecution.executedPlan.toString
+    assert(!ijPlan.contains("BroadcastNestedLoopJoin") &&
+      !ijPlan.contains("CartesianProduct"), ijPlan)
+  }
 }
