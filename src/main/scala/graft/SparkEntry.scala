@@ -426,6 +426,9 @@ object SparkEntry {
     // bucketized interval-overlap join; oracle states the naive form
     "q158_interval_join" -> ((s, d) =>
       Events.concurrentSessions(Tables(s, d, "events"))),
+    // Morton clustering key, bit-for-bit oracle-gated
+    "q159_zorder_key" -> ((s, d) =>
+      Relational.zorderSample(Tables(s, d, "lineitem"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2320,6 +2323,29 @@ object SparkEntry {
         |FROM p LEFT JOIN iv
         |  ON p.t_us BETWEEN iv.s_us AND iv.e_us AND iv.s_user <> p.user_id
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    // the identical mask-and-shift Morton chain in DuckDB integer
+    // arithmetic — the key must match bit-for-bit
+    "q159_zorder_key" ->
+      """WITH s0 AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |         l_partkey, l_suppkey,
+        |         l_partkey & 2147483647 AS a, l_suppkey & 2147483647 AS b
+        |  FROM lineitem),
+        |s1 AS (SELECT * REPLACE ((a | (a << 16)) & 281470681808895 AS a,
+        |                         (b | (b << 16)) & 281470681808895 AS b) FROM s0),
+        |s2 AS (SELECT * REPLACE ((a | (a << 8)) & 71777214294589695 AS a,
+        |                         (b | (b << 8)) & 71777214294589695 AS b) FROM s1),
+        |s3 AS (SELECT * REPLACE ((a | (a << 4)) & 1085102592571150095 AS a,
+        |                         (b | (b << 4)) & 1085102592571150095 AS b) FROM s2),
+        |s4 AS (SELECT * REPLACE ((a | (a << 2)) & 3689348814741910323 AS a,
+        |                         (b | (b << 2)) & 3689348814741910323 AS b) FROM s3),
+        |s5 AS (SELECT * REPLACE ((a | (a << 1)) & 6148914691236517205 AS a,
+        |                         (b | (b << 1)) & 6148914691236517205 AS b) FROM s4)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       a | (b << 1) AS zkey
+        |FROM s5
+        |ORDER BY zkey, l_orderkey, l_linenumber
+        |LIMIT 50""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

@@ -1067,6 +1067,24 @@ object Relational {
         date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship"))
       .orderBy("flag", "status")
 
+  /** q159 — Z-ORDER (Morton) clustering key, oracle-gated bit-for-bit:
+    * the multi-dimensional layout primitive (functions.ZOrder) applied
+    * to (l_partkey, l_suppkey). The contract output is the interleaved
+    * key itself over a total-ordered sample, so both engines must agree
+    * on every bit of the mask-and-shift chain; ZOrderSpec separately
+    * DEMONSTRATES the layout property — a z-sorted file admits a
+    * secondary-dimension predicate to far fewer row groups than a
+    * single-key sort (scan-metric-proven). Pure codegen'd bit
+    * arithmetic; one TakeOrdered. */
+  def zorderSample(lineitem: DataFrame, n: Int = 50): DataFrame =
+    lineitem.select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.functions.ZOrder.mortonKey(col("l_partkey"), col("l_suppkey"))
+          .as("zkey"))
+      .orderBy(col("zkey").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(n)
+
   /** q152 — TPC-H Q2 shape (minimum-cost supplier): the CORRELATED
     * scalar-aggregate join fan. For every small part, keep the
     * shipment rows whose price equals that part's GLOBAL minimum
