@@ -272,28 +272,43 @@ object Events {
     * The LEFT join keeps zero-concurrency purchases (count of the
     * right key over NULLs, like the oracle's). Times compare in epoch
     * MICROS, the shared oracle precision. */
-  def concurrentSessions(events: DataFrame,
+  /** The padded per-session activity windows `(s_user, s_us, e_us)` —
+    * q158's interval relation, shared with the streaming probe so both
+    * paths join against ONE definition. */
+  private[graft] def sessionIntervals(events: DataFrame,
       gap: java.time.Duration = java.time.Duration.ofMinutes(5),
-      pad: java.time.Duration = java.time.Duration.ofMinutes(30),
-      bucket: java.time.Duration = java.time.Duration.ofHours(1)): DataFrame = {
+      pad: java.time.Duration = java.time.Duration.ofMinutes(30)): DataFrame = {
     val padUs = pad.toMillis * 1000L
-    val w = bucket.toMillis * 1000L
     val sess = withSessionIds(events, gap)
     val sessUs = tsMicros(sess)
-    val iv = sess.groupBy(col("user_id").as("s_user"), col("sess_id"))
+    sess.groupBy(col("user_id").as("s_user"), col("sess_id"))
       .agg((min(sessUs) - padUs).as("s_us"), (max(sessUs) + padUs).as("e_us"))
-    val ivB = iv.withColumn("bkt",
+  }
+
+  /** The bucketized probe⋈interval join shared by batch q158 and the
+    * streaming twin: probe rows are `(event_id, user_id, t_us)`. */
+  private[graft] def bucketedIntervalJoin(probe: DataFrame,
+      intervals: DataFrame, bucket: java.time.Duration): DataFrame = {
+    val w = bucket.toMillis * 1000L
+    val ivB = intervals.withColumn("bkt",
       explode(sequence(expr(s"s_us div $w"), expr(s"e_us div $w"))))
-    val probe = events.where(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), tsMicros(events).as("t_us"))
-      .withColumn("bkt", expr(s"t_us div $w"))
-    probe.join(ivB,
-        probe("bkt") === ivB("bkt") &&
+    val p = probe.withColumn("bkt", expr(s"t_us div $w"))
+    p.join(ivB,
+        p("bkt") === ivB("bkt") &&
           col("t_us").between(col("s_us"), col("e_us")) &&
           col("s_user") =!= col("user_id"),
         "left")
       .groupBy("event_id")
       .agg(count(col("s_user")).as("n_concurrent"))
+  }
+
+  def concurrentSessions(events: DataFrame,
+      gap: java.time.Duration = java.time.Duration.ofMinutes(5),
+      pad: java.time.Duration = java.time.Duration.ofMinutes(30),
+      bucket: java.time.Duration = java.time.Duration.ofHours(1)): DataFrame = {
+    val probe = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsMicros(events).as("t_us"))
+    bucketedIntervalJoin(probe, sessionIntervals(events, gap, pad), bucket)
       .orderBy("event_id")
   }
 

@@ -58,6 +58,20 @@ object EventStreams {
       .agg(topk(col("value"), col("event_id")).as("top"))
   }
 
+  /** Streaming interval-overlap probe — q158's bucketized containment
+    * join with the probe side STREAMING against a static (stored)
+    * interval relation `(s_user, s_us, e_us)`: the enrichment pattern
+    * where session windows are maintained in a store and each arriving
+    * purchase is scored against them. The stream-static LEFT join and
+    * the count aggregation reuse the EXACT batch join builder
+    * (`Events.bucketedIntervalJoin`) — one definition, two execution
+    * modes; state is the per-event_id count (complete mode), the
+    * static side is re-read per micro-batch as Spark defines.
+    * StreamingSpec pins streaming ≡ batch over the same rows. */
+  def streamingConcurrentSessions(purchases: DataFrame, intervals: DataFrame,
+      bucket: java.time.Duration = java.time.Duration.ofHours(1)): DataFrame =
+    graft.operators.Events.bucketedIntervalJoin(purchases, intervals, bucket)
+
   /** Incremental inverted-index maintenance: the reference's batch-only
     * pipeline (`main.c++:152-159` barriers) as a continuously-updating
     * streaming aggregation — new documents arrive (with an `ingest_ts`

@@ -409,4 +409,30 @@ class StreamingSpec extends SparkSpec {
       assert(got("click") === List((9.0, 2L), (9.0, 4L), (7.0, 5L)))
     } finally q.stop()
   }
+
+  test("streaming interval probe ≡ batch q158 over the same purchases") {
+    implicit val ctx = spark.sqlContext
+    val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+    val batch = graft.operators.Events.concurrentSessions(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val intervals = graft.operators.Events.sessionIntervals(events)
+    // the same purchases arrive as a stream, in two micro-batches
+    val purchases = events
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("event_id", "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS t_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = EventStreams.streamingConcurrentSessions(
+        in.toDF.toDF("event_id", "user_id", "t_us"), intervals)
+      .writeStream.format("memory").queryName("sivj").outputMode("complete").start()
+    try {
+      in.addData(purchases.take(purchases.length / 2)); q.processAllAvailable()
+      in.addData(purchases.drop(purchases.length / 2)); q.processAllAvailable()
+      val got = spark.table("sivj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === batch)
+      assert(got.values.exists(_ > 0L))
+    } finally q.stop()
+  }
 }
