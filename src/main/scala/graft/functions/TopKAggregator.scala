@@ -24,8 +24,21 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
+  /** Spark SQL's double ordering, descending: NaN sorts as the
+    * LARGEST value and -0.0 compares equal to 0.0 (Spark normalizes
+    * signed zeros in sort keys) — `sortBy(-v)` would diverge on both
+    * (-NaN is NaN, which Scala's total order puts last; -0.0 < 0.0).
+    * Ties break by ascending id, making the pick total. */
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    private def norm(v: Double) = if (v == 0.0) 0.0 else v // -0.0 -> 0.0
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(norm(b._1), norm(a._1)) // DESC
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
   private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    s.sortBy { case (v, id) => (-v, id) }.take(k)
+    s.sorted(ord).take(k)
 
   override def zero: Seq[(Double, Long)] = Vector.empty
   override def reduce(buf: Seq[(Double, Long)],

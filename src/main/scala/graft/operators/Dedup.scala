@@ -324,6 +324,18 @@ object Dedup {
     (bandExplode(agged), agged.select(col("doc_id"), col("ws"), col("n")))
   }
 
+  /** sketchRelations with the fused aggregation PERSISTED and the
+    * handle returned — for callers that run more than one action over
+    * the pair (SketchStore.save writes two tables; without the persist
+    * the corpus tokenize+MinHash tower executes once per action). The
+    * caller unpersists. */
+  private[graft] def sketchRelationsPersisted(
+      docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val agged = fusedSketchPlan(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (bandExplode(agged), agged.select(col("doc_id"), col("ws"), col("n")), agged)
+  }
+
   /** q90's PRODUCTION form: probe a STORED band index (q89's relation
     * read back — bucketed on (band, key) via `SketchStore.save`, so
     * the stored side of the candidate join needs NO exchange) with a

@@ -251,24 +251,25 @@ object Multimodal {
     var i = 12
     var sr = -1L; var ok = false; var dataOff = -1; var dataLen = -1
     // size stays Long: a corrupt chunk size with the high bit set would
-    // go negative as an Int and walk i backward — an infinite loop. Any
-    // size that is negative-as-declared or runs past the buffer ends
-    // the walk (the sentinel None path), and i must strictly advance.
+    // go negative as an Int and walk i backward — an infinite loop.
+    // The CURRENT chunk is always harvested first with its length
+    // CLAMPED to the bytes actually present (a truncated trailing data
+    // chunk — declared bigger than the file — still parses, like any
+    // real decoder); only THEN does an over-declared size end the walk
+    // (nothing past it can be located), so i always strictly advances.
     while (i + 8 <= b.length && (sr < 0 || dataOff < 0)) {
       val id = new String(b, i, 4, US_ASCII)
       val size = u32le(b, i + 4) // Long, 0 .. 0xFFFFFFFF
-      if (size > b.length.toLong) return if (sr > 0 && ok && dataOff >= 0)
-        Some((sr, dataOff, dataLen / 2)) else None
-      val sz = size.toInt
-      if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
+      if (id == "fmt " && size >= 16L && i + 8 + 16 <= b.length) {
         ok = u16le(b, i + 8) == 1 && u16le(b, i + 10) == 1 &&
           u16le(b, i + 22) == 16
         sr = u32le(b, i + 12)
       } else if (id == "data") {
         dataOff = i + 8
-        dataLen = math.max(0, math.min(sz, b.length - dataOff))
+        dataLen = math.min(size, (b.length - dataOff).toLong).toInt
       }
-      i += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      if (size > (b.length - i - 8).toLong) i = b.length // ends the walk
+      else i += 8 + size.toInt + (size.toInt & 1) // word-aligned chunks
     }
     if (sr > 0 && ok && dataOff >= 0) Some((sr, dataOff, dataLen / 2)) else None
   }

@@ -516,11 +516,37 @@ object Similarity {
     * the same parquet path canonicalize equal, so q106/q107 hit the
     * same entry without sharing DataFrame instances. */
   private val trainedPq = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int, Int, Int),
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int, Int, Int, Int),
       (DataFrame, DataFrame)]
 
   private[graft] def trainedPqSize: Int = trainedPq.size
-  private[graft] def clearTrainedPq(): Unit = trainedPq.clear()
+
+  /** Drop every memoized PQ codebook. The memo is keyed by (session,
+    * semantic plan, FILE STATE, params) — a rewrite of the underlying
+    * parquet read through a NEW `spark.read` changes the file-state
+    * component and retrains automatically — but entries for stopped
+    * sessions are only reclaimed here, so long-lived multi-session
+    * drivers should call this between corpora. */
+  def clearTrainedPq(): Unit = trainedPq.clear()
+
+  /** A fingerprint of the scanned files' (path, length, mtime) — the
+    * data-version component of the PQ memo key: the file INDEX hashes
+    * by root path alone, so without this a same-path rewrite would
+    * silently serve codes trained on the previous corpus. Non-file
+    * relations (test frames) contribute a constant; semanticHash
+    * already distinguishes their data. */
+  private def fileStateHash(u: DataFrame): Int =
+    u.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.listFiles(Nil, Nil)
+              .flatMap(_.files)
+              .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+              .hashCode()
+          case _ => 0
+        }
+    }.hashCode()
 
   /** Train-or-reuse + decode; returns the recon frame and the
     * persisted handles for the caller to release (empty on the memo
@@ -534,7 +560,7 @@ object Similarity {
       (pqDecode(codes, cents), Seq(subs, cents))
     } else {
       val key = (u.sparkSession, u.queryExecution.analyzed.semanticHash(),
-        numSubs, subDim, ksub, iters)
+        fileStateHash(u), numSubs, subDim, ksub, iters)
       val (cents, codes) = trainedPq.getOrElseUpdate(key, {
         val (c, cd, subs) = pqTrain(u, numSubs, subDim, ksub, iters)
         try (c.localCheckpoint(true), cd.localCheckpoint(true))

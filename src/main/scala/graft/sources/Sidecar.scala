@@ -31,9 +31,12 @@ object Sidecar {
 
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
+  /** Cache path keyed by the FULL sanitized sf dir (a 32-bit hashCode
+    * can collide two sf dirs onto one cache — silently serving the
+    * wrong corpus; the sanitized string cannot). */
   private def path(fmt: String, sfDir: String, name: String) =
     s"${sys.props("java.io.tmpdir")}/graft_sidecar_${fmt}_" +
-      s"${java.lang.Integer.toHexString(sfDir.hashCode)}_$name"
+      s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}_$name"
 
   private def timestamped[T](rw: Either[DataFrameReader, DataFrameWriter[Row]]) =
     rw match {
@@ -43,24 +46,45 @@ object Sidecar {
         .option("timestampNTZFormat", TsFmt))
     }
 
+  /** Write-once, concurrency-safe: the copy is produced in a
+    * process-unique staging dir and published with an atomic rename —
+    * two JVMs racing (`synchronized` only guards one) each build their
+    * own staging copy and exactly one rename wins; the loser discards
+    * its staging dir and reads the winner's. */
   private def materialize(df: DataFrame, fmt: String, out: String): Unit =
     synchronized {
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
+      val target = java.nio.file.Paths.get(out)
+      if (!java.nio.file.Files.exists(target.resolve("_SUCCESS"))) {
+        val staging = s"$out.tmp.${java.lang.ProcessHandle.current().pid()}"
         val Right(w) = timestamped(Right(df.write.mode("overwrite")))
         fmt match {
-          case "csv" => w.option("header", "true").csv(out)
-          case "json" => w.json(out)
+          case "csv" => w.option("header", "true").csv(staging)
+          case "json" => w.json(staging)
+        }
+        try java.nio.file.Files.move(java.nio.file.Paths.get(staging), target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          // another JVM published first — serve its copy
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(new java.io.File(staging))
         }
       }
     }
 
   /** `name` served from a CSV copy (header, default quoting) with the
-    * parquet schema applied on read. */
+    * parquet schema applied on read. `multiLine=true` because the API
+    * is generic over `name`: a string column with an embedded newline
+    * is QUOTED correctly by the writer, but the default line-split
+    * reader would shear the record in two and PERMISSIVE-null the
+    * halves — silently wrong aggregates, not a parse error. */
   def csv(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val pq = Tables(spark, sfDir, name)
     val out = path("csv", sfDir, name)
     materialize(pq, "csv", out)
     val Left(r) = timestamped(Left(spark.read.option("header", "true")
+      .option("multiLine", "true")
       .schema(pq.schema)))
     r.csv(out)
   }

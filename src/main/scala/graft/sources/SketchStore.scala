@@ -21,16 +21,22 @@ import graft.operators.Dedup
   * both the exchange-free plan and stored ≡ in-query results. */
 object SketchStore {
 
-  /** Sketch the corpus once and persist both relations, bucketed on
-    * their probe keys. */
+  /** Sketch the corpus ONCE and persist both relations, bucketed on
+    * their probe keys. The fused (signature + verify-set) aggregation
+    * is persisted around the two table writes — each `saveAsTable` is
+    * its own action, and without the persist the second write re-runs
+    * the whole corpus tokenize+MinHash tower (the dominant save cost
+    * at scale, paid twice). */
   def save(docs: DataFrame, name: String, nBuckets: Int = 8): Unit = {
-    val (bands, sets) = Dedup.sketchRelations(docs)
-    bands.write.mode("overwrite")
-      .bucketBy(nBuckets, "band", "key").sortBy("band", "key")
-      .saveAsTable(s"${name}_bands")
-    sets.write.mode("overwrite")
-      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(s"${name}_sets")
+    val (bands, sets, handle) = Dedup.sketchRelationsPersisted(docs)
+    try {
+      bands.write.mode("overwrite")
+        .bucketBy(nBuckets, "band", "key").sortBy("band", "key")
+        .saveAsTable(s"${name}_bands")
+      sets.write.mode("overwrite")
+        .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(s"${name}_sets")
+    } finally handle.unpersist()
   }
 
   def load(spark: SparkSession, name: String): (DataFrame, DataFrame) =

@@ -1488,6 +1488,19 @@ class PipelineOpsSpec extends SparkSpec {
       .orderBy("event_type", "rank").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(agg.toList === win.toList)
+    // NaN / signed-zero corner (absent from the testdata): the
+    // aggregator's comparator must match Spark's window ordering —
+    // NaN ranks LARGEST, -0.0 ties 0.0 and breaks by ascending id
+    import spark.implicits._
+    val synth = Seq((1L, "t", Double.NaN), (2L, "t", 5.0), (3L, "t", -0.0),
+      (4L, "t", 0.0), (5L, "t", -1.0)).toDF("event_id", "event_type", "value")
+    val aggS = Events.groupedTopK(synth, 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toList
+    val winS = synth.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 4).orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("event_id"))).toList
+    assert(aggS === winS)
+    assert(aggS.map(_._2) === List(1L, 2L, 3L, 4L))
   }
 
   test("q158 interval join: bucketized ≡ naive containment, both branches live") {

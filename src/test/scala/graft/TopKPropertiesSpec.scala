@@ -16,15 +16,25 @@ class TopKPropertiesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  private def direct(rows: List[(Double, Long)], k: Int): Seq[(Double, Long)] =
-    rows.sortBy { case (v, id) => (-v, id) }.take(k)
+  /** The intended (Spark SQL) ordering: NaN largest, -0.0 ≡ 0.0,
+    * ascending-id ties. The aggregator-vs-SPARK-WINDOW pin lives in
+    * PipelineOpsSpec; this model pins the merge lattice against it. */
+  private def direct(rows: List[(Double, Long)], k: Int): Seq[(Double, Long)] = {
+    def norm(v: Double) = if (v == 0.0) 0.0 else v
+    rows.sortWith { (a, b) =>
+      val c = java.lang.Double.compare(norm(b._1), norm(a._1))
+      if (c != 0) c < 0 else a._2 < b._2
+    }.take(k)
+  }
 
   test("any partition into partials + any merge order ≡ direct top-k") {
+    val genValue = Gen.frequency(
+      (8, Gen.chooseNum(0, 9).map(_.toDouble)), // ties common
+      (1, Gen.const(Double.NaN)), // Spark: largest
+      (1, Gen.const(-0.0))) // Spark: ≡ 0.0
     val genRows = for {
       n <- Gen.chooseNum(0, 120)
-      // small value domain so ties (the tricky case) are common
-      rows <- Gen.listOfN(n, Gen.zip(
-        Gen.chooseNum(0, 9).map(_.toDouble), Gen.chooseNum(0L, 500L)))
+      rows <- Gen.listOfN(n, Gen.zip(genValue, Gen.chooseNum(0L, 500L)))
     } yield rows
     val p = Prop.forAll(genRows, Gen.chooseNum(1, 7), Gen.chooseNum(0L, 1000L)) {
       (rows, k, seed) =>
