@@ -2243,11 +2243,12 @@ object SparkEntry {
       """SELECT l_partkey,
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS value
         |FROM lineitem
+        |WHERE l_partkey IS NOT NULL
         |GROUP BY l_partkey
         |HAVING sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
         |       * (SELECT count(DISTINCT l_partkey) FROM lineitem) * 10 >
         |       (SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-        |        FROM lineitem) * 11
+        |        FROM lineitem WHERE l_partkey IS NOT NULL) * 11
         |ORDER BY value DESC, l_partkey""".stripMargin,
     // correlated aggregate inside HAVING inside IN — the engine
     // decorrelates to two aggregations + a semi join

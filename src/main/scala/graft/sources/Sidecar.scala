@@ -33,10 +33,32 @@ object Sidecar {
 
   /** Cache path keyed by the FULL sanitized sf dir (a 32-bit hashCode
     * can collide two sf dirs onto one cache — silently serving the
-    * wrong corpus; the sanitized string cannot). */
+    * wrong corpus; the sanitized string cannot) PLUS a fingerprint of
+    * the source parquet's (path, length, mtime) files: the copy
+    * persists in tmpdir across JVM runs, and the parquet at the same
+    * path is regenerated between driver rounds — without the
+    * data-version component the stale previous corpus would be served
+    * and an oracle mismatch would masquerade as a text round-trip
+    * defect (same reason Similarity's PQ memo keys on fileStateHash). */
   private def path(fmt: String, sfDir: String, name: String) =
     s"${sys.props("java.io.tmpdir")}/graft_sidecar_${fmt}_" +
-      s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}_$name"
+      s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}_${name}_" +
+      java.lang.Integer.toHexString(sourceFingerprint(s"$sfDir/$name.parquet"))
+
+  /** Order-stable hash of every file under the source path as
+    * (relative path, length, mtime) — plain java.io so it works on the
+    * local paths the sidecar serves (cluster deployments would key on
+    * the catalog snapshot/transaction id instead). */
+  private def sourceFingerprint(src: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName).flatMap(walk))
+          .getOrElse(Nil)
+      else Seq(f)
+    walk(new java.io.File(src))
+      .map(f => (f.getPath.stripPrefix(src), f.length(), f.lastModified()))
+      .hashCode()
+  }
 
   private def timestamped[T](rw: Either[DataFrameReader, DataFrameWriter[Row]]) =
     rw match {
