@@ -429,6 +429,17 @@ object SparkEntry {
     // Morton clustering key, bit-for-bit oracle-gated
     "q159_zorder_key" -> ((s, d) =>
       Relational.zorderSample(Tables(s, d, "lineitem"))),
+    // doc-set lookup SERVED FROM the persisted R16 text index through
+    // the custom DSv2 TableProvider (word-pruned file scan); the oracle
+    // rebuilds the same answer from the raw corpus -> a green row gates
+    // write -> custom-source read -> pushdown end-to-end
+    "q160_dsv2_index" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, explode}
+      sources.IndexStore.readIndexTable(s, sources.IndexStore.textIndexFor(s, d))
+        .where(col("word").isin("batch", "scan"))
+        .select(col("word"), col("df"), explode(col("postings")).as("doc_id"))
+        .orderBy("word", "doc_id")
+    }),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2347,6 +2358,17 @@ object SparkEntry {
         |FROM s5
         |ORDER BY zkey, l_orderkey, l_linenumber
         |LIMIT 50""".stripMargin,
+    // the engine reads the PERSISTED text index through the DSv2
+    // source; the oracle re-derives postings from the raw corpus — a
+    // green row proves artifact write + custom read + pushdown ≡ the
+    // from-scratch computation
+    "q160_dsv2_index" ->
+      s"""WITH $toksCte,
+         |f AS (SELECT doc_id, word FROM toks WHERE word IN ('batch', 'scan'))
+         |SELECT word, CAST(count(*) OVER (PARTITION BY word) AS BIGINT) AS df,
+         |       doc_id
+         |FROM f
+         |ORDER BY word, doc_id""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

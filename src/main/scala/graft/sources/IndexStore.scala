@@ -136,4 +136,44 @@ object IndexStore {
       window: Int): DataFrame =
     InvertedIndex.proximityPairs(
       fetchPositions(index, w1), fetchPositions(index, w2), window)
+
+  // ---- DataSource V2 surface over the R16 text artifact ----------------
+
+  /** The R16 text index as a TABLE through the custom DSv2 source
+    * ([[IndexTextSource]]): `(word, df, postings)` with word-predicate
+    * file pruning and column pruning at the source. */
+  def readIndexTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-index").load(dir)
+
+  /** Materialize-once cache of the R16 text index for a corpus dir —
+    * q160's build step. Keyed like the Sidecar copies: sanitized path +
+    * a (path, length, mtime) fingerprint of the source parquet, so a
+    * regenerated same-path corpus can never serve a stale index. The
+    * `_GRAFT_READY` marker is written only after `writeIndex`'s
+    * post-write empty-letter touch-up, so a concurrent reader never
+    * observes a half-published artifact. */
+  def textIndexFor(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val docsPath = s"$sfDir/documents.parquet"
+      val out = s"${sys.props("java.io.tmpdir")}/graft_textindex_" +
+        s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}_" +
+        java.lang.Integer.toHexString(fingerprint(docsPath))
+      val ready = java.nio.file.Paths.get(out, "_GRAFT_READY")
+      if (!java.nio.file.Files.exists(ready)) {
+        InvertedIndex.writeIndex(Tables(spark, sfDir, "documents"), out)
+        java.nio.file.Files.createFile(ready)
+      }
+      out
+    }
+
+  private def fingerprint(src: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName).flatMap(walk))
+          .getOrElse(Nil)
+      else Seq(f)
+    walk(new java.io.File(src))
+      .map(f => (f.getPath.stripPrefix(src), f.length(), f.lastModified()))
+      .hashCode()
+  }
 }

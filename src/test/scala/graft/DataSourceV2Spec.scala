@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.InvertedIndex
+import graft.sources.{IndexStore, IndexTextScan}
+
+/** The custom DSv2 source over the persisted R16 text index
+  * (graft.sources.IndexTextSource): correctness vs the DataFrame path,
+  * word-predicate FILE pruning at planning time, pushed-filter
+  * visibility in the plan, and column pruning in the scan schema. */
+class DataSourceV2Spec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$testdataDir/documents.parquet")
+  private lazy val indexDir = IndexStore.textIndexFor(spark, testdataDir)
+  private lazy val table = IndexStore.readIndexTable(spark, indexDir)
+
+  /** Plan-shape assertions read the static plan (AQE wraps the tree in
+    * AdaptiveSparkPlanExec, hiding the scan from collect — the
+    * PartitionPruneSpec pattern). */
+  private def scanOf(df: org.apache.spark.sql.DataFrame): IndexTextScan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.collectFirst { case s: IndexTextScan => s }
+      .getOrElse(fail("no IndexTextScan in the plan"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("full table through the source ≡ postings DataFrame path") {
+    val fromSource = table.select("word", "df", "postings")
+      .orderBy("word").collect()
+    val direct = InvertedIndex.postingsUnordered(docs)
+      .select(col("word"), col("df"),
+        col("postings").cast("array<bigint>").as("postings"))
+      .orderBy("word").collect()
+    assert(fromSource.length === direct.length)
+    fromSource.zip(direct).foreach { case (a, b) =>
+      assert(a.getString(0) === b.getString(0))
+      assert(a.getLong(1) === b.getLong(1))
+      assert(a.getSeq[Long](2) === b.getSeq[Long](2))
+    }
+  }
+
+  test("word equality predicate is pushed and prunes to one letter's files") {
+    val q = table.where(col("word") === "batch").select("word", "df")
+    val scan = scanOf(q)
+    assert(scan.pushed.nonEmpty, "word = 'batch' must reach pushedFilters")
+    val parts = scan.planInputPartitions()
+    assert(parts.nonEmpty)
+    // every planned file lives under letter=b — the 1/26th cut happened
+    // at PLANNING time, before any read
+    assert(parts.forall(_.toString.contains("letter=b")),
+      s"unpruned partitions: ${parts.mkString(", ")}")
+    // and the pruned scan still answers correctly
+    val row = q.collect()
+    val expect = InvertedIndex.postingsUnordered(docs)
+      .where(col("word") === "batch").select("word", "df").collect()
+    assert(row.map(_.toString).sorted === expect.map(_.toString).sorted)
+  }
+
+  test("IN predicate prunes to exactly the named letters") {
+    val q = table.where(col("word").isin("batch", "scan"))
+    val parts = scanOf(q).planInputPartitions()
+    assert(parts.nonEmpty)
+    assert(parts.forall(p =>
+      p.toString.contains("letter=b") || p.toString.contains("letter=s")))
+    // both letters present: the artifact has words under each
+    assert(parts.exists(_.toString.contains("letter=b")))
+    assert(parts.exists(_.toString.contains("letter=s")))
+  }
+
+  test("LIKE-prefix predicate prunes by its first letter") {
+    val q = table.where(col("word").startsWith("ba"))
+    val scan = scanOf(q)
+    assert(scan.pushed.nonEmpty)
+    assert(scan.planInputPartitions().forall(_.toString.contains("letter=b")))
+    // row-level semantics stay Spark's: only ba-prefixed words survive
+    assert(q.select("word").collect().forall(_.getString(0).startsWith("ba")))
+  }
+
+  test("an unconstrained scan plans every letter's files") {
+    val parts = scanOf(table).planInputPartitions()
+    val letters = parts.map(_.toString.replaceAll(".*letter=(.).*", "$1")).toSet
+    // sf0.001 vocabulary covers most letters; at minimum it is >> 2
+    assert(letters.size > 10, s"suspiciously few letters: $letters")
+  }
+
+  test("column pruning reaches the scan schema") {
+    val q = table.where(col("word") === "batch").select("word", "df")
+    assert(scanOf(q).readSchema().fieldNames.toSet === Set("word", "df"))
+    val full = table.select("word", "df", "postings")
+    assert(scanOf(full).readSchema().fieldNames.toSet ===
+      Set("word", "df", "postings"))
+  }
+
+  test("df column equals posting-list length even when postings is pruned") {
+    val slim = table.select("word", "df").where(col("word") === "batch").collect()
+    val wide = table.select("word", "df", "postings")
+      .where(col("word") === "batch").collect()
+    assert(slim.head.getLong(1) === wide.head.getSeq[Long](2).length.toLong)
+  }
+
+  test("non-word predicates are not claimed as pushed but still apply") {
+    val q = table.where(col("df") >= 2)
+    val scan = scanOf(q)
+    assert(scan.pushed.forall(f => f.references.contains("word")),
+      "df predicate must not be claimed by the word-pushdown")
+    val expect = InvertedIndex.postingsUnordered(docs)
+      .where(col("df") >= 2).count()
+    assert(q.count() === expect)
+  }
+}
