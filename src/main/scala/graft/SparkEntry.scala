@@ -440,6 +440,10 @@ object SparkEntry {
         .select(col("word"), col("df"), explode(col("postings")).as("doc_id"))
         .orderBy("word", "doc_id")
     }),
+    // tuple NOT IN through spark.sql -> the null-aware nested-loop
+    // fallback (single-column q149 takes the BHJ isNullAwareAntiJoin path)
+    "q161_tuple_not_in" -> ((s, d) =>
+      Relational.tupleNotIn(Tables(s, d, "lineitem"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2369,6 +2373,25 @@ object SparkEntry {
          |       doc_id
          |FROM f
          |ORDER BY word, doc_id""".stripMargin,
+    // DuckDB's struct-IN uses IS-DISTINCT semantics for NULL fields, so
+    // the oracle states the TEXTBOOK tuple-NOT-IN 3VL expansion
+    // explicitly: a probe row survives iff every exclusion row has some
+    // component that definitively mismatches (tuple equality FALSE) —
+    // identical to Spark's rewrite on any corpus, NULLs included
+    "q161_tuple_not_in" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n_clean,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+        |FROM lineitem l
+        |WHERE NOT EXISTS (
+        |    SELECT 1 FROM lineitem e
+        |    WHERE e.l_returnflag = 'R' AND e.l_quantity >= 49
+        |      AND (e.l_partkey = l.l_partkey
+        |           OR e.l_partkey IS NULL OR l.l_partkey IS NULL)
+        |      AND (e.l_suppkey = l.l_suppkey
+        |           OR e.l_suppkey IS NULL OR l.l_suppkey IS NULL))
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

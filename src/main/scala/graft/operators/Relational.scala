@@ -1038,6 +1038,41 @@ object Relational {
          |LIMIT $k""".stripMargin)
   }
 
+  /** q161 — TUPLE (multi-column) `NOT IN (subquery)` through the SQL
+    * TEXT surface: lineitems whose `(l_partkey, l_suppkey)` pair never
+    * appears among heavy returned shipments. Single-column NOT IN
+    * (q149) plans as a BroadcastHashJoin with
+    * `isNullAwareAntiJoin=true`; the TUPLE form cannot — Spark rewrites
+    * it to a LeftAnti join whose condition is
+    * `(a=x AND b=y) OR isnull(a=x) OR isnull(b=y)`, and the OR-of-
+    * isnulls makes it non-equi ⟹ a BroadcastNestedLoopJoin. That
+    * fallback is the day-one SQL shape NullAwareAntiSpec's q149 test
+    * only anticipated; this query exercises it for real (plan-pinned,
+    * with the NULL-in-subquery empty-result twin).
+    *
+    * Scale shape: a nested-loop anti join is O(|probe|·|exclusion|) BY
+    * SEMANTICS (three-valued logic needs every probe row to see every
+    * exclusion row unless a match short-circuits), so the exclusion
+    * subquery MUST be parameter-sized — here the returnflag+quantity
+    * filter bounds it, it broadcasts, and the probe side streams
+    * without a shuffle. An unbounded exclusion side should be rewritten
+    * by the author to the NULL-free `LEFT ANTI` equi form instead —
+    * engines cannot make tuple-NOT-IN-with-nulls cheap, only explicit. */
+  def tupleNotIn(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("graft_lineitem_q161")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n_clean,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+        |FROM graft_lineitem_q161
+        |WHERE (l_partkey, l_suppkey) NOT IN (
+        |    SELECT l_partkey, l_suppkey FROM graft_lineitem_q161
+        |    WHERE l_returnflag = 'R' AND l_quantity >= 49)
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** q36 — date-part extraction (`year`/`month`) + grouped aggregation
     * over the order calendar. */
   def datePartsAgg(orders: DataFrame): DataFrame =

@@ -75,4 +75,67 @@ class NullAwareAntiSpec extends SparkSpec {
     assert(rows.toSeq === Seq(
       ("Brand#1", "SMALL", 3, 2L), ("Brand#1", "LARGE", 11, 1L)))
   }
+
+  // ---- q161: the TUPLE form — the nested-loop null-aware fallback ----
+
+  /** (l_partkey, l_suppkey, l_returnflag, l_linestatus, l_quantity). */
+  private def li(rows: Seq[(java.lang.Long, java.lang.Long, String)]) =
+    rows.map { case (p, s, rf) => (p, s, rf, "O", 50.0) }
+      .toDF("l_partkey", "l_suppkey", "l_returnflag", "l_linestatus",
+        "l_quantity")
+
+  test("q161 tuple NOT IN plans the null-aware NESTED-LOOP fallback") {
+    val df = Relational.tupleNotIn(li(Seq(
+      (1L: java.lang.Long, 10L: java.lang.Long, "N"),
+      (1L: java.lang.Long, 20L: java.lang.Long, "R"),
+      (2L: java.lang.Long, 10L: java.lang.Long, "N"))))
+    // the tuple rewrite is non-equi (OR of isnulls) — it MUST be a
+    // BroadcastNestedLoopJoin carrying the isnull condition, and must
+    // NOT take the single-column BHJ isNullAwareAntiJoin path
+    val bnlj = joins(df).collect {
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnlj.nonEmpty, s"expected BroadcastNestedLoopJoin in:\n" +
+      df.queryExecution.executedPlan.toString)
+    assert(bnlj.exists(
+      _.condition.exists(_.toString.toLowerCase.contains("isnull"))),
+      "the anti condition must carry the 3VL isnull branches")
+    // (1,20) is excluded (returned at qty>=49); (1,10) and (2,10) stay
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(rows.toSeq === Seq(("N", 2L)))
+  }
+
+  test("q161: a NULL exclusion component drops exactly the probes it could match") {
+    // tuple 3VL differs from single-column: (1,10) = (NULL,20) is FALSE
+    // (the 10=20 component refutes it), NOT unknown — so a NULL in the
+    // exclusion set does NOT empty the result the way q149's does. It
+    // only poisons probes no component can refute: (1,10) vs (NULL,10)
+    // is UNKNOWN AND TRUE = UNKNOWN -> that probe drops.
+    val df = Relational.tupleNotIn(li(Seq(
+      (1L: java.lang.Long, 10L: java.lang.Long, "N"),
+      (2L: java.lang.Long, 20L: java.lang.Long, "N"),
+      (null: java.lang.Long, 10L: java.lang.Long, "R"))))
+    // exclusion tuple (NULL,10): probe (1,10) -> UNKNOWN -> dropped;
+    // probe (2,20) -> FALSE -> kept. The R probe row (NULL,10) is also
+    // UNKNOWN against itself -> dropped.
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(rows.toSeq === Seq(("N", 1L)))
+  }
+
+  test("q161: a NULL probe column drops the row only when unrefuted") {
+    val df = Relational.tupleNotIn(li(Seq(
+      (null: java.lang.Long, 20L: java.lang.Long, "N"), // UNKNOWN vs (2,20)
+      (null: java.lang.Long, 30L: java.lang.Long, "N"), // FALSE (30<>20): kept
+      (2L: java.lang.Long, 20L: java.lang.Long, "R"))))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(rows.toSeq === Seq(("N", 1L)))
+  }
+
+  test("q161: an empty exclusion set keeps every probe row") {
+    val df = Relational.tupleNotIn(li(Seq(
+      (1L: java.lang.Long, 10L: java.lang.Long, "N"),
+      (2L: java.lang.Long, 20L: java.lang.Long, "N"))))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(rows.toSeq === Seq(("N", 2L)))
+  }
 }
