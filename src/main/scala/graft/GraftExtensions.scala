@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHashString].getName, "poly_hash"),
       (exprs: Seq[Expression]) => PolyHashString(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("graft_tokenize"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_tokenize"),
+      GraftExtensions.tokenizeBuilder))
     e.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
   }
 }
@@ -54,5 +58,30 @@ object GraftExtensions {
       exprs => DotProductDouble(exprs(0), exprs(1)))
     GraftColumnBridge.registerExpression(spark, "poly_hash",
       exprs => PolyHashString(exprs(0)))
+    GraftColumnBridge.registerExpression(spark, "graft_tokenize",
+      tokenizeBuilder)
+  }
+
+  /** `graft_tokenize(text)` — the engine's tokenize→normalize→filter
+    * chain as a SQL-text function: the SAME codegen'd built-in tree the
+    * Column API (`TextFns.orderedWordsOf`) analyzes to —
+    * `filter(transform(split(text,'\s+'), w -> lower(regexp_replace(
+    * w,'[^A-Za-z]',''))), v -> v <> '')` — built directly in Catalyst
+    * nodes (a Column→Expression bridge would splice an opaque
+    * `ColumnNodeExpression` the SQL analyzer never unwraps). NOT a UDF:
+    * every node is a codegen'd built-in, so the SQL surface stays in
+    * WholeStageCodegen exactly like the Column path. FunctionsSpec pins
+    * node-class shape equality between the two surfaces; q162
+    * hash-gates the result against q01's oracle. */
+  private[graft] val tokenizeBuilder: Seq[Expression] => Expression = { exprs =>
+    import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, ArrayTransform, EqualTo, LambdaFunction, Literal, Lower, Not, RegExpReplace, StringSplit, UnresolvedNamedLambdaVariable}
+    val w = UnresolvedNamedLambdaVariable(Seq("graft_tok_w"))
+    val v = UnresolvedNamedLambdaVariable(Seq("graft_tok_v"))
+    ArrayFilter(
+      ArrayTransform(
+        StringSplit(exprs(0), Literal("\\s+"), Literal(-1)),
+        LambdaFunction(
+          Lower(RegExpReplace(w, Literal("[^A-Za-z]"), Literal(""))), Seq(w))),
+      LambdaFunction(Not(EqualTo(v, Literal(""))), Seq(v)))
   }
 }

@@ -444,6 +444,17 @@ object SparkEntry {
     // fallback (single-column q149 takes the BHJ isNullAwareAntiJoin path)
     "q161_tuple_not_in" -> ((s, d) =>
       Relational.tupleNotIn(Tables(s, d, "lineitem"))),
+    // q01 through SQL TEXT with the registry-registered graft_tokenize
+    // (same expression tree as the Column API; same oracle as q01)
+    "q162_sql_tokenize" -> ((s, d) => {
+      GraftExtensions.register(s)
+      Tables(s, d, "documents").createOrReplaceTempView("graft_documents_q162")
+      s.sql(
+        """SELECT doc_id, word
+          |FROM (SELECT doc_id, explode(graft_tokenize(text)) AS word
+          |      FROM graft_documents_q162)
+          |ORDER BY doc_id, word""".stripMargin)
+    }),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2392,6 +2403,11 @@ object SparkEntry {
         |           OR e.l_suppkey IS NULL OR l.l_suppkey IS NULL))
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // q01's oracle verbatim — the SQL-text surface must produce the
+    // exact token stream the Column API produces
+    "q162_sql_tokenize" ->
+      s"""WITH $rawtoksCte
+         |SELECT doc_id, word FROM rawtoks ORDER BY doc_id, word""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

@@ -53,8 +53,14 @@ object TextFns {
     * explode). Sequence-sensitive ops (n-gram LMs, span dedup, pack
     * assembly) need order; one narrow `transform`+`filter` projection,
     * stays in codegen. */
-  def orderedWords: Column =
-    filter(transform(split(col("text"), "\\s+"), w => normalize(w)),
+  def orderedWords: Column = orderedWordsOf(col("text"))
+
+  /** [[orderedWords]] over an arbitrary input column — the ONE
+    * tokenize-expression definition the Column API and the SQL-text
+    * registration (`graft_tokenize`, GraftExtensions) both build, so
+    * the two surfaces cannot drift. */
+  def orderedWordsOf(c: Column): Column =
+    filter(transform(split(c, "\\s+"), w => normalize(w)),
       w => w =!= lit(""))
 
   /** Unicode twin of [[tokens]]: raw `(doc_id [, extraCols…], tok,

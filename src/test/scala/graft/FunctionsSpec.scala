@@ -61,6 +61,47 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_tokenize: SQL registration plans the Column API's expression tree") {
+    import graft.functions.TextFns
+    import org.apache.spark.sql.functions.col
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "Alpha beta! 123 GAMMA-delta  x"), (2L, "")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("graft_tok_spec")
+    val viaSql = spark.sql("SELECT graft_tokenize(text) AS w FROM graft_tok_spec")
+    val viaColumn = docs.select(TextFns.orderedWordsOf(col("text")).as("w"))
+    // value parity on the edges (punctuation strip, numeric-only token
+    // drop, hyphen fusion, empty text)
+    assert(viaSql.collect().map(_.getSeq[String](0).toList).toList ===
+      viaColumn.collect().map(_.getSeq[String](0).toList).toList)
+    assert(viaSql.collect().head.getSeq[String](0).toList ===
+      List("alpha", "beta", "gammadelta", "x"))
+    // NOT a UDF: both surfaces analyze to the same codegen'd built-in
+    // tree (ArrayFilter(ArrayTransform(StringSplit …))) — node-class
+    // sequence equality is the "same expression" pin (exprIds differ
+    // across plans, so semantic equality cannot compare directly)
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.expressions.head.collect {
+        case e => e.getClass.getSimpleName
+      }
+    assert(shape(viaSql) === shape(viaColumn))
+    assert(shape(viaSql).exists(_.contains("ArrayFilter")))
+    assert(!shape(viaSql).exists(_.toLowerCase.contains("udf")))
+  }
+
+  test("graft_tokenize: the build-time injection uses the same builder value") {
+    // the injectFunction tuple and the live register() path share ONE
+    // builder (GraftExtensions.tokenizeBuilder); drive it directly the
+    // way the analyzer would (a shared local session cannot rebuild
+    // itself withExtensions — getOrCreate would return the existing one)
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.functions.lit
+    val e = GraftExtensions.tokenizeBuilder(
+      Seq(GraftColumnBridge.expression(lit(" Spark 4.1 SQL! "))))
+    val out = Seq(1).toDF("i").select(GraftColumnBridge.column(e).as("w"))
+      .collect().head.getSeq[String](0).toList
+    assert(out === List("spark", "sql"))
+  }
+
   test("dot_product_double: bit-identical to the HOF left fold it replaced") {
     import graft.functions.DotProductDouble
     import org.apache.spark.sql.functions._
