@@ -444,6 +444,12 @@ object SparkEntry {
     // fallback (single-column q149 takes the BHJ isNullAwareAntiJoin path)
     "q161_tuple_not_in" -> ((s, d) =>
       Relational.tupleNotIn(Tables(s, d, "lineitem"))),
+    // TPC-H Q1 EXACT (q08 is the -style twin): cutoff + tax + all measures
+    "q163_tpch_q1" -> ((s, d) =>
+      Relational.tpchQ1(Tables(s, d, "lineitem"))),
+    // TPC-H Q4 EXACT (q73 is the -style twin): date-windowed EXISTS
+    "q164_tpch_q4" -> ((s, d) =>
+      Relational.tpchQ4(Tables(s, d, "orders"), Tables(s, d, "lineitem"))),
     // q01 through SQL TEXT with the registry-registered graft_tokenize
     // (same expression tree as the Column API; same oracle as q01)
     "q162_sql_tokenize" -> ((s, d) => {
@@ -2408,6 +2414,30 @@ object SparkEntry {
     "q162_sql_tokenize" ->
       s"""WITH $rawtoksCte
          |SELECT doc_id, word FROM rawtoks ORDER BY doc_id, word""".stripMargin,
+    "q163_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q164_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_discount > l.l_tax)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

@@ -69,6 +69,66 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** The TPC-H charge term `extprice·(1−disc)·(1+tax)` — exactly 6
+    * decimal places (2+2+2), so DECIMAL(22,6) captures it exactly; both
+    * engines compute the same IEEE double product (same association)
+    * and round to the same 6-dp value, making the sum order-independent
+    * and cross-engine exact (the lineRevenue argument, one scale up). */
+  private def lineCharge =
+    (col("l_extendedprice") * (lit(1) - col("l_discount")) *
+      (lit(1) + col("l_tax"))).cast("decimal(22,6)")
+
+  /** q163 — TPC-H Q1 EXACT shape (q08 is the "-style" twin without the
+    * shipdate cutoff, the tax term, or the full measure list): one
+    * map-side-combinable aggregation pass producing all eight measures,
+    * the pushed shipdate predicate, and the canonical 4-group output.
+    * Averages are derived sum/count (round 6) so every measure rides
+    * ONE HashAggregate — Spark computes avg the same way, and the
+    * oracle states the identical derivation. */
+  def tpchQ1(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sum(lineRevenue).cast("double").as("sum_disc_price"),
+        sum(lineCharge).cast("double").as("sum_charge"),
+        round(sum(money(col("l_quantity"))).cast("double") / count(lit(1)), 6)
+          .as("avg_qty"),
+        round(sum(money(col("l_extendedprice"))).cast("double") / count(lit(1)), 6)
+          .as("avg_price"),
+        round(sum(money(col("l_discount"))).cast("double") / count(lit(1)), 6)
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q164 — TPC-H Q4 EXACT shape (q73 is the "-style" twin without the
+    * order-date quarter window): the date-bounded EXISTS through SQL
+    * text, decorrelated by Catalyst to a left-SEMI join on the
+    * correlation key with the inner predicate pushed below the join
+    * (TpchShapeSpec pins the plan). The real Q4's
+    * `l_commitdate < l_receiptdate` inner predicate maps to
+    * `l_discount > l_tax` — this schema carries no commit/receipt
+    * dates, and the structural point is the same: an inner-relation
+    * two-COLUMN comparison (not a constant filter) that must be
+    * evaluated below the semi join, never per outer row. */
+  def tpchQ4(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    orders.createOrReplaceTempView("graft_orders_q4")
+    lineitem.createOrReplaceTempView("graft_lineitem_q4")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM graft_orders_q4 o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM graft_lineitem_q4 l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_discount > l.l_tax)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** q09 — star join: fact⋈dim⋈dim with both dimensions broadcast
     * (region: 5 rows, nation: 25 — never worth a shuffle at any scale). */
   def joinBroadcast(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =

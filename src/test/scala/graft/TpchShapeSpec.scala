@@ -138,4 +138,65 @@ class TpchShapeSpec extends SparkSpec {
     assert(canon(engine) === canon(correlated))
     assert(engine.count() > 0)
   }
+
+  /** All join nodes of the STATIC plan (AQE off for the planning pass —
+    * the PartitionPruneSpec pattern; executed query stages hide join
+    * nodes from collect). `mk` is a thunk so planning happens under the
+    * disabled flag. */
+  private def joinNodes(
+      mk: => DataFrame): Seq[org.apache.spark.sql.execution.joins.BaseJoinExec] = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mk.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q164 exact Q4: EXISTS decorrelates to ONE left-semi join; q73's plan is unchanged") {
+    val orders = Tables(spark, dir, "orders")
+    val lineitem = Tables(spark, dir, "lineitem")
+    // the exact-shape query: exactly one join, left-semi, never a
+    // nested loop (the inner two-column predicate must sit BELOW it)
+    val q4Joins = joinNodes(Relational.tpchQ4(orders, lineitem))
+    assert(q4Joins.length === 1, s"expected 1 join, got: $q4Joins")
+    assert(q4Joins.head.joinType === org.apache.spark.sql.catalyst.plans.LeftSemi)
+    assert(!q4Joins.head.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    // adding the date window must not have disturbed the -style twin:
+    // q73 still plans the same single left-semi shape
+    val q73Joins = joinNodes(Relational.existsSubquery(orders, lineitem))
+    assert(q73Joins.length === 1)
+    assert(q73Joins.head.joinType === org.apache.spark.sql.catalyst.plans.LeftSemi)
+    // and the window is strict: Q4 scans a quarter, q73 scans all orders
+    val q4n = Relational.tpchQ4(orders, lineitem)
+      .agg(org.apache.spark.sql.functions.sum("order_count")).collect()(0).getLong(0)
+    val q73n = Relational.existsSubquery(orders, lineitem)
+      .agg(org.apache.spark.sql.functions.sum("n_orders")).collect()(0).getLong(0)
+    assert(q4n > 0 && q4n < q73n)
+  }
+
+  test("q163 exact Q1: one aggregation pass, pushed shipdate filter, derived avgs") {
+    val lineitem = Tables(spark, dir, "lineitem")
+    val q1 = Relational.tpchQ1(lineitem)
+    val rows = q1.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sumQty, avgQty, n) =
+        (r.getDouble(2), r.getDouble(6), r.getLong(9))
+      assert(math.abs(avgQty - sumQty / n) < 1e-6,
+        "avg must be the derived sum/count of the same pass")
+      // charge ≥ disc_price ≥ 0 (tax and discount are non-negative)
+      assert(r.getDouble(5) >= r.getDouble(4))
+    }
+    // the cutoff must reach the parquet scan as a pushed filter
+    val scan = q1.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_shipdate"),
+      s"shipdate cutoff not pushed:\n$scan")
+    // exactly one shuffle: the groupBy — no extra exchange for the avgs
+    val exchanges = q1.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 2, // agg + the orderBy range partition
+      s"unexpected exchanges: ${exchanges.length}")
+  }
 }
