@@ -461,6 +461,21 @@ object SparkEntry {
           |      FROM graft_documents_q162)
           |ORDER BY doc_id, word""".stripMargin)
     }),
+    // stored-index -> corpus JOIN through the DSv2 source: the pruned
+    // lookup BROADCASTS (SupportsReportStatistics sizes it post-prune);
+    // oracle recomputes the match from the raw corpus
+    "q165_dsv2_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, explode, lit}
+      val idx = sources.IndexStore.readIndexTable(
+        s, sources.IndexStore.textIndexFor(s, d))
+      val hits = idx.where(col("word").isin("batch", "scan"))
+        .select(col("word"), explode(col("postings")).as("doc_id"))
+      Tables(s, d, "documents").select(col("doc_id"), col("lang"))
+        .join(hits, "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_terms"))
+        .orderBy("doc_id")
+    }),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2438,6 +2453,15 @@ object SparkEntry {
         |                AND l.l_discount > l.l_tax)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // the engine joins the PERSISTED index (DSv2 read) to documents;
+    // the oracle re-derives the matches from the raw corpus
+    "q165_dsv2_join" ->
+      s"""WITH $toksCte,
+         |f AS (SELECT doc_id, word FROM toks WHERE word IN ('batch', 'scan'))
+         |SELECT d.doc_id, d.lang, CAST(count(*) AS BIGINT) AS n_terms
+         |FROM documents d JOIN f ON d.doc_id = f.doc_id
+         |GROUP BY d.doc_id, d.lang
+         |ORDER BY d.doc_id""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

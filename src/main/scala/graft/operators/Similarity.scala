@@ -535,7 +535,7 @@ object Similarity {
     * silently serve codes trained on the previous corpus. Non-file
     * relations (test frames) contribute a constant; semanticHash
     * already distinguishes their data. */
-  private def fileStateHash(u: DataFrame): Int =
+  private[operators] def fileStateHash(u: DataFrame): Int =
     u.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {

@@ -1,8 +1,6 @@
 package graft.sources
 
-import java.util.{List => JList, Map => JMap}
-
-import scala.jdk.CollectionConverters._
+import java.util.{Map => JMap}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
@@ -140,13 +138,28 @@ private[graft] class IndexTextScanBuilder(path: String) extends ScanBuilder
 }
 
 private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
-    requiredSchema: StructType) extends Scan with Batch {
+    requiredSchema: StructType) extends Scan with Batch
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-index $path, PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${requiredSchema.simpleString}"
+
+  /** Post-pruning size estimate = the byte sum of the files the scan
+    * will actually read. Without this a DSv2 scan reports the default
+    * (MAX_VALUE-ish) size and a letter-pruned point lookup could never
+    * be chosen as a broadcast side — with it, `index ⋈ corpus` joins
+    * broadcast the pruned index automatically (spec-pinned). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val bytes: Long = planInputPartitions()
+      .map(_.asInstanceOf[IndexFilePartition].len).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 
   /** List the artifact's files, pruned to the letters the pushed
     * predicates allow — the planning-time 1/26th (or 2/26th, …) cut.
@@ -172,7 +185,7 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
         .filter(f => f.isFile && f.getLen > 0 &&
           !f.getPath.getName.startsWith("_") &&
           !f.getPath.getName.startsWith(".")))
-      .map(f => IndexFilePartition(f.getPath.toString): InputPartition)
+      .map(f => IndexFilePartition(f.getPath.toString, f.getLen): InputPartition)
       .toArray
   }
 
@@ -180,7 +193,8 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
     new IndexTextReaderFactory(pushed, requiredSchema)
 }
 
-private[graft] case class IndexFilePartition(file: String) extends InputPartition
+private[graft] case class IndexFilePartition(file: String, len: Long)
+    extends InputPartition
 
 private[graft] class IndexTextReaderFactory(pushed: Array[Filter],
     requiredSchema: StructType) extends PartitionReaderFactory {

@@ -102,6 +102,26 @@ class DataSourceV2Spec extends SparkSpec {
     assert(slim.head.getLong(1) === wide.head.getSeq[Long](2).length.toLong)
   }
 
+  test("reported statistics make the pruned lookup the broadcast join side") {
+    // without SupportsReportStatistics a DSv2 scan sizes as the default
+    // (effectively infinite) and could never broadcast; with the
+    // post-pruning byte sum it must
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val hits = table.where(col("word") === "batch")
+        .select(explode(col("postings")).as("doc_id"))
+      val joined = docs.select("doc_id", "lang").join(hits, "doc_id")
+      val bhjs = joined.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhjs.nonEmpty, "pruned index lookup did not broadcast:\n" +
+        joined.queryExecution.executedPlan.toString)
+      val expect = graft.functions.TextFns.docWords(docs)
+        .where(col("word") === "batch").count()
+      assert(joined.count() === expect)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("non-word predicates are not claimed as pushed but still apply") {
     val q = table.where(col("df") >= 2)
     val scan = scanOf(q)
