@@ -2418,6 +2418,7 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |    SELECT 1 FROM lineitem e
         |    WHERE e.l_returnflag = 'R' AND e.l_quantity >= 49
+        |      AND e.l_orderkey < 1000
         |      AND (e.l_partkey = l.l_partkey
         |           OR e.l_partkey IS NULL OR l.l_partkey IS NULL)
         |      AND (e.l_suppkey = l.l_suppkey

@@ -341,7 +341,7 @@ object Dedup {
       (sketchMemo.getOrElseUpdate(
         (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
           Similarity.fileStateHash(docs)),
-        fusedSketchPlan(docs).localCheckpoint(true)), Nil)
+        checkpointWide(fusedSketchPlan(docs))), Nil)
     }
 
   /** The two PERSISTABLE MinHash sketch relations (`SketchStore`):
@@ -675,7 +675,19 @@ object Dedup {
     else sigMemo.getOrElseUpdate(
       (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
         Similarity.fileStateHash(docs), bits),
-      simhashSigsWide(docs, bits, th).localCheckpoint(true))
+      checkpointWide(simhashSigsWide(docs, bits, th)))
+
+  /** Checkpoint a memo leaf at FULL session parallelism. AQE coalesces
+    * the small build shuffle to ~1 partition, and the leaf's accurate
+    * (tiny) stats then let consumers plan BROADCAST joins with no
+    * exchange anywhere — so a heavy downstream stage (q91's 3M-pair
+    * Hamming verify) would inherit the leaf's single partition and run
+    * single-threaded (measured: q91 2.6 → 5.1 s before this).
+    * An explicit width-N repartition at build time is one extra tiny
+    * shuffle, paid once per corpus. */
+  private def checkpointWide(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .localCheckpoint(true)
 
   /** The (doc_id, simhash) relation WITHOUT the presentation sort —
     * the form the matching operators consume (an orderBy in the

@@ -1113,11 +1113,16 @@ object Relational {
     * Scale shape: a nested-loop anti join is O(|probe|·|exclusion|) BY
     * SEMANTICS (three-valued logic needs every probe row to see every
     * exclusion row unless a match short-circuits), so the exclusion
-    * subquery MUST be parameter-sized — here the returnflag+quantity
-    * filter bounds it, it broadcasts, and the probe side streams
-    * without a shuffle. An unbounded exclusion side should be rewritten
-    * by the author to the NULL-free `LEFT ANTI` equi form instead —
-    * engines cannot make tuple-NOT-IN-with-nulls cheap, only explicit. */
+    * subquery MUST be parameter-sized — and "selective predicate" is
+    * NOT enough: a fixed-selectivity filter grows linearly with the
+    * corpus (the first cut of this query used returnflag+quantity
+    * alone — 8k exclusion rows at sf0.1 made the BNLJ a 30 s row, and
+    * at 100 TB it would be millions). The `l_orderkey < 1000` bound is
+    * a fixed KEY RANGE: constant-size at any corpus scale, so the
+    * broadcast side is truly parameter-sized by construction. An
+    * unbounded exclusion side should be rewritten by the author to the
+    * NULL-free `LEFT ANTI` equi form instead — engines cannot make
+    * tuple-NOT-IN-with-nulls cheap, only explicit. */
   def tupleNotIn(lineitem: DataFrame): DataFrame = {
     val spark = lineitem.sparkSession
     lineitem.createOrReplaceTempView("graft_lineitem_q161")
@@ -1128,7 +1133,8 @@ object Relational {
         |FROM graft_lineitem_q161
         |WHERE (l_partkey, l_suppkey) NOT IN (
         |    SELECT l_partkey, l_suppkey FROM graft_lineitem_q161
-        |    WHERE l_returnflag = 'R' AND l_quantity >= 49)
+        |    WHERE l_returnflag = 'R' AND l_quantity >= 49
+        |      AND l_orderkey < 1000)
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }

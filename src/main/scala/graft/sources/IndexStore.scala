@@ -145,6 +145,22 @@ object IndexStore {
   def readIndexTable(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("graft-index").load(dir)
 
+  /** WRITE the index artifact through the DSv2 source (the V2 commit
+    * protocol: staged attempts, all-or-nothing publish, overwrite
+    * clears only on success). The R16 layout discipline — one letter
+    * per task, df↓ word↑ within — is imposed HERE by repartition +
+    * sortWithinPartitions, exactly like the path sink
+    * (`InvertedIndex.writeIndex`); the writer itself accepts any
+    * distribution (it splits per letter as rows arrive). */
+  def writeIndexTable(postings: DataFrame, dir: String): Unit =
+    postings
+      .withColumn("letter", substring(col("word"), 1, 1))
+      .repartition(col("letter"))
+      .sortWithinPartitions(col("letter"), col("df").desc, col("word").asc)
+      .select(col("word"), col("df"),
+        col("postings").cast("array<bigint>").as("postings"))
+      .write.format("graft-index").mode("overwrite").save(dir)
+
   /** Materialize-once cache of the R16 text index for a corpus dir —
     * q160's build step. Keyed like the Sidecar copies: sanitized path +
     * a (path, length, mtime) fingerprint of the source parquet, so a

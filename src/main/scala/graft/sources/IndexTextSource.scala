@@ -100,13 +100,23 @@ object IndexTextSource {
   }
 }
 
-private[graft] class IndexTextTable(path: String) extends Table with SupportsRead {
+private[graft] class IndexTextTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_index($path)"
   override def schema(): StructType = IndexTextSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IndexTextScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val s = info.schema()
+    require(s.fieldNames.contains("word") && s.fieldNames.contains("postings"),
+      s"graft-index writes need (word, postings) columns, got ${s.simpleString}")
+    new IndexTextWriteBuilder(path, info.queryId(), s)
+  }
 }
 
 private[graft] class IndexTextScanBuilder(path: String) extends ScanBuilder

@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+/** DSv2 WRITE path for the `graft-index` source: rows of the table's
+  * own schema `(word, df?, postings)` are formatted into the R16 text
+  * grammar (`word:[id1 id2 …]`) and land in `letter=<first-letter>`
+  * directories — the same artifact [[IndexTextSource]] reads and the
+  * reference emits (`main.c++:231-266`).
+  *
+  * The interesting part is the V2 COMMIT PROTOCOL, which is what makes
+  * a 1000-executor write safe:
+  *
+  *  - every task writes its rows to files under a job-unique STAGING
+  *    directory (`_graft_staging_<queryId>/<taskId>-<attempt>/letter=X`),
+  *    so speculative / retried attempts can never collide or tear the
+  *    published artifact;
+  *  - task commit returns the attempt's file list as the commit
+  *    MESSAGE; an aborted attempt deletes its own staging subtree;
+  *  - job commit — driver-side, after every task succeeded — moves the
+  *    committed attempts' files into place and drops the staging tree;
+  *    job abort deletes staging, leaving the destination untouched.
+  *
+  * A task may receive words of many letters (the writer does not
+  * require a distribution): it keeps one open file per letter and the
+  * artifact accumulates one part-file per (task, letter), which the
+  * reader already treats as splits. Callers that want the reference's
+  * exact per-letter file layout and ordering repartition+sort first
+  * ([[IndexStore.writeIndexTable]]), exactly like the R16 sink. */
+private[graft] class IndexTextWriteBuilder(path: String, queryId: String,
+    schema: StructType) extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  /** `mode("overwrite")` plans OverwriteByExpression(true) → truncate:
+    * job commit clears the previous artifact before publishing. */
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new IndexTextBatchWrite(path, queryId, schema, truncateFirst)
+  }
+}
+
+private[graft] class IndexTextBatchWrite(path: String, queryId: String,
+    schema: StructType, truncateFirst: Boolean) extends BatchWrite {
+
+  private val staging = s"$path/_graft_staging_$queryId"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new IndexTextWriterFactory(path, staging, schema)
+
+  /** Publish: move every committed file from its attempt's staging dir
+    * into the destination letter directory. Single driver-side pass —
+    * renames, not copies (same filesystem); partial-failure window is
+    * the rename loop, which is the same exposure every Hadoop-style
+    * committer v1 accepts. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (truncateFirst) {
+      // overwrite semantics: drop the previous artifact ONLY now, when
+      // every task has succeeded — a failed job leaves the old index
+      // intact (all-or-nothing at the artifact level)
+      fs.delete(new Path(base, "_GRAFT_READY"), false)
+      Option(fs.globStatus(new Path(base, "letter=*")))
+        .foreach(_.foreach(d => fs.delete(d.getPath, true)))
+    }
+    messages.foreach {
+      case m: IndexFilesCommitted =>
+        m.files.foreach { rel =>
+          val src = new Path(staging, rel)
+          // rel = "<taskUid>/letter=X/part-..." → drop the taskUid
+          val dstRel = rel.substring(rel.indexOf('/') + 1)
+          val dst = new Path(base, dstRel)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"commit rename failed: $src -> $dst")
+        }
+      case other => throw new IllegalStateException(s"unexpected commit $other")
+    }
+    fs.delete(new Path(staging), true)
+    // R16 parity: letters with no words still get their (empty)
+    // directory, like the reference's 26 up-front ofstreams
+    ('a' to 'z').foreach { l =>
+      val dir = new Path(base, s"letter=$l")
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+    }
+    fs.create(new Path(base, "_GRAFT_READY"), true).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(new Path(staging), true)
+  }
+}
+
+private[graft] case class IndexFilesCommitted(files: Seq[String])
+  extends WriterCommitMessage
+
+private[graft] class IndexTextWriterFactory(path: String, staging: String,
+    schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new IndexTextDataWriter(staging, s"$partitionId-$taskId", partitionId, schema)
+}
+
+/** One open stream per letter seen; rows format as the R16 grammar in
+  * arrival order (callers impose the df↓/word↑ order upstream). */
+private[graft] class IndexTextDataWriter(staging: String, taskUid: String,
+    partitionId: Int, schema: StructType) extends DataWriter[InternalRow] {
+
+  private val wordAt = schema.fieldIndex("word")
+  private val postingsAt = schema.fieldIndex("postings")
+
+  private val fs = new Path(staging)
+    .getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val streams =
+    scala.collection.mutable.HashMap.empty[String, java.io.BufferedWriter]
+  private var files = List.empty[String]
+
+  private def streamFor(letter: String): java.io.BufferedWriter =
+    streams.getOrElseUpdate(letter, {
+      val rel = s"$taskUid/letter=$letter/part-$partitionId.txt"
+      files ::= rel
+      val out = fs.create(new Path(staging, rel), true)
+      new java.io.BufferedWriter(new java.io.OutputStreamWriter(out,
+        java.nio.charset.StandardCharsets.UTF_8))
+    })
+
+  override def write(row: InternalRow): Unit = {
+    val word = row.getUTF8String(wordAt).toString
+    require(word.nonEmpty, "graft-index cannot store an empty word")
+    val ids = row.getArray(postingsAt)
+    val sb = new java.lang.StringBuilder(word.length + 2 + ids.numElements() * 7)
+    sb.append(word).append(":[")
+    var i = 0
+    while (i < ids.numElements()) {
+      if (i > 0) sb.append(' ')
+      sb.append(ids.getLong(i))
+      i += 1
+    }
+    sb.append(']')
+    val w = streamFor(word.substring(0, 1))
+    w.write(sb.toString)
+    w.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    streams.values.foreach(_.close())
+    IndexFilesCommitted(files.reverse)
+  }
+
+  override def abort(): Unit = {
+    streams.values.foreach(w => try w.close() catch { case _: Throwable => () })
+    fs.delete(new Path(staging, taskUid), true)
+  }
+
+  override def close(): Unit = ()
+}

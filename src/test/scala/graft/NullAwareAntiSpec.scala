@@ -78,11 +78,12 @@ class NullAwareAntiSpec extends SparkSpec {
 
   // ---- q161: the TUPLE form — the nested-loop null-aware fallback ----
 
-  /** (l_partkey, l_suppkey, l_returnflag, l_linestatus, l_quantity). */
+  /** (l_partkey, l_suppkey, l_returnflag, l_linestatus, l_quantity,
+    * l_orderkey) — orderkey inside the exclusion's fixed key range. */
   private def li(rows: Seq[(java.lang.Long, java.lang.Long, String)]) =
-    rows.map { case (p, s, rf) => (p, s, rf, "O", 50.0) }
+    rows.map { case (p, s, rf) => (p, s, rf, "O", 50.0, 1L) }
       .toDF("l_partkey", "l_suppkey", "l_returnflag", "l_linestatus",
-        "l_quantity")
+        "l_quantity", "l_orderkey")
 
   test("q161 tuple NOT IN plans the null-aware NESTED-LOOP fallback") {
     val df = Relational.tupleNotIn(li(Seq(
