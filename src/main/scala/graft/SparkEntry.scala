@@ -461,6 +461,17 @@ object SparkEntry {
           |      FROM graft_documents_q162)
           |ORDER BY doc_id, word""".stripMargin)
     }),
+    // the artifact is WRITTEN through the DSv2 writer (V2 commit
+    // protocol) and read back whole; the oracle rebuilds the per-letter
+    // profile from the raw corpus -> a green row gates the writer
+    // (staging, commit, grammar) end-to-end
+    "q166_dsv2_write" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit, substring, sum}
+      sources.IndexStore.readIndexTable(s, sources.IndexStore.dsv2IndexFor(s, d))
+        .groupBy(substring(col("word"), 1, 1).as("letter"))
+        .agg(count(lit(1)).as("n_words"), sum(col("df")).as("sum_df"))
+        .orderBy("letter")
+    }),
     // stored-index -> corpus JOIN through the DSv2 source: the pruned
     // lookup BROADCASTS (SupportsReportStatistics sizes it post-prune);
     // oracle recomputes the match from the raw corpus
@@ -2454,6 +2465,15 @@ object SparkEntry {
         |                AND l.l_discount > l.l_tax)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // per-letter vocabulary profile of the DSv2-WRITTEN artifact; the
+    // oracle rebuilds it from the raw corpus
+    "q166_dsv2_write" ->
+      s"""WITH $postingsCte
+         |SELECT substr(word, 1, 1) AS letter,
+         |       CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(df) AS BIGINT) AS sum_df
+         |FROM post
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the engine joins the PERSISTED index (DSv2 read) to documents;
     // the oracle re-derives the matches from the raw corpus
     "q165_dsv2_join" ->

@@ -182,6 +182,23 @@ object IndexStore {
       out
     }
 
+  /** Materialize-once index artifact built through the DSV2 WRITER
+    * (q166's build step) — same fingerprint keying as [[textIndexFor]],
+    * but the artifact is produced by the V2 commit protocol
+    * (`writeIndexTable`) instead of the path sink, so the oracle gate
+    * downstream proves the writer end-to-end. The committer itself
+    * publishes `_GRAFT_READY` last. */
+  def dsv2IndexFor(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_dsv2idx_" +
+        s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}_" +
+        java.lang.Integer.toHexString(fingerprint(s"$sfDir/documents.parquet"))
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_GRAFT_READY")))
+        writeIndexTable(
+          InvertedIndex.postingsUnordered(Tables(spark, sfDir, "documents")), out)
+      out
+    }
+
   private def fingerprint(src: String): Int = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)

@@ -163,6 +163,24 @@ class DataSourceV2Spec extends SparkSpec {
     assert(words === Seq("apple"), s"stale rows survived overwrite: $words")
   }
 
+  test("pure-SQL surface: CREATE TABLE … USING graft-index") {
+    spark.sql("DROP TABLE IF EXISTS graft_idx_sql")
+    spark.sql(
+      s"CREATE TABLE graft_idx_sql USING `graft-index` LOCATION '$indexDir'")
+    try {
+      val row = spark.sql(
+        "SELECT word, df FROM graft_idx_sql WHERE word = 'batch'").collect()
+      assert(row.length === 1 && row.head.getString(0) === "batch")
+      // same answer as the DataFrame read path
+      val df = table.where(col("word") === "batch")
+        .select("word", "df").collect()
+      assert(row.head.getLong(1) === df.head.getLong(1))
+      // the catalog table serves the SAME custom scan (pushdown intact)
+      val q = spark.sql("SELECT word, df FROM graft_idx_sql WHERE word = 'batch'")
+      assert(scanOf(q).pushed.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_idx_sql")
+  }
+
   test("non-word predicates are not claimed as pushed but still apply") {
     val q = table.where(col("df") >= 2)
     val scan = scanOf(q)
