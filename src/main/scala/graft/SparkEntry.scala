@@ -487,6 +487,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_terms"))
         .orderBy("doc_id")
     }),
+    // TPC-H Q14 exact shape: month-pruned scan + broadcast part,
+    // zero-shuffle global promo-share aggregate -> ledger reads 22/22
+    "q167_tpch_q14" -> ((s, d) => Relational.tpchQ14(
+      Tables(s, d, "lineitem"), Tables(s, d, "part"))),
+    // index joined to a SELECTIVE dim with NO static word predicate:
+    // the scan implements SupportsRuntimeFiltering, so when dynamic
+    // pruning fires the dim's word set prunes letter files at RUN time
+    // (spec-pinned); the join itself guarantees correctness either way
+    "q168_dsv2_runtime" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val idx = sources.IndexStore.readIndexTable(
+        s, sources.IndexStore.textIndexFor(s, d))
+      val dim = functions.TextFns.docWords(
+          Tables(s, d, "documents").where(col("doc_id") === 5L))
+        .select("word").distinct()
+      idx.join(dim, "word").select("word", "df").orderBy("word")
+    }),
+    // corpus-wide most-frequent words THROUGH the source's top-N
+    // pushdown: the R16 grammar's per-file df desc, word asc order lets
+    // each reader stop after 25 lines (order verified as it streams)
+    "q169_dsv2_topn" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      sources.IndexStore.readIndexTable(
+          s, sources.IndexStore.textIndexFor(s, d))
+        .select("word", "df")
+        .orderBy(col("df").desc, col("word").asc)
+        .limit(25)
+    }),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2483,6 +2511,28 @@ object SparkEntry {
          |FROM documents d JOIN f ON d.doc_id = f.doc_id
          |GROUP BY d.doc_id, d.lang
          |ORDER BY d.doc_id""".stripMargin,
+    // TPC-H Q14: exact DECIMAL sums, one DOUBLE division, 6-dp round
+    "q167_tpch_q14" ->
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |             6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    // runtime-filtered index join: df of every word document 5 contains
+    "q168_dsv2_runtime" ->
+      s"""WITH $postingsCte,
+         |dimw AS (SELECT DISTINCT word FROM toks WHERE doc_id = 5)
+         |SELECT p.word, p.df
+         |FROM post p JOIN dimw USING (word)
+         |ORDER BY p.word""".stripMargin,
+    // corpus-wide top-25 by df (word asc tiebreak makes it total-ordered)
+    "q169_dsv2_topn" ->
+      s"""WITH $postingsCte
+         |SELECT word, df FROM post
+         |ORDER BY df DESC, word ASC LIMIT 25""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

@@ -822,6 +822,31 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** q167 — TPC-H Q14 EXACT shape (promotion effect), completing the
+    * 22/22 named-shape ledger: one shipdate month pushed into the
+    * LINEITEM scan, part type broadcast to the fact side, promo share
+    * = 100 · Σpromo-rev / Σrev with both sums exact DECIMAL and the
+    * single division done in DOUBLE rounded 6 dp (the q92/q139
+    * convention — identical IEEE ops on both engines). At 100 TB the
+    * month predicate is the scan-pruner (≈1/80 of the fact table under
+    * this corpus's date range) and PART broadcasts whole; the only
+    * exchange is the one-partial-row-per-task single-partition merge
+    * of the global aggregate. The real
+    * Q14's `p_type LIKE 'PROMO%'` maps to equality on this schema's
+    * categorical p_type. */
+  def tpchQ14(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", lineRevenue)
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("promo_rev"),
+        sum(lineRevenue).as("total_rev"))
+      .select(round(lit(100d) * col("promo_rev").cast("double") /
+        col("total_rev").cast("double"), 6).as("promo_revenue"))
+
   /** q144 — ROLLUP with `grouping_id()` exposed: the grouping-set
     * metadata function the q12/q32/q72 family left implicit. The
     * integer gid (bit per rolled-up column) ships alongside coalesced

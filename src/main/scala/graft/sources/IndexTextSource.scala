@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, Transform, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
 import org.apache.spark.sql.types._
@@ -98,6 +98,35 @@ object IndexTextSource {
     case StringStartsWith("word", p) => w.startsWith(p)
     case _ => true
   }
+
+  /** A filter the source can use at all (file pruning or row-level). */
+  private[sources] def usable(f: Filter): Boolean =
+    allowedLetters(f).isDefined || (f match {
+      case EqualTo("word", _) | In("word", _) | StringStartsWith("word", _) => true
+      case _ => false
+    })
+
+  /** Does a pushed V2 top-N ordering match the artifact's OWN on-disk
+    * order? The R16 grammar sorts every letter bucket `df↓ word↑`
+    * (reference `main.c++:37-44,236`; both writers impose it via
+    * `sortWithinPartitions`), so a query's `ORDER BY df DESC [, word
+    * ASC] LIMIT n` is answerable from each file's FIRST n matching
+    * lines. Accepted = exactly that prefix order (null ordering is
+    * irrelevant: neither column is nullable). Anything else → not
+    * pushed, Spark sorts above as usual. */
+  private[sources] def topNMatchesFileOrder(orders: Array[V2SortOrder]): Boolean = {
+    def isCol(o: V2SortOrder, name: String, dir: SortDirection): Boolean =
+      o.direction() == dir && (o.expression() match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array(name))
+        case _ => false
+      })
+    orders.length match {
+      case 1 => isCol(orders(0), "df", SortDirection.DESCENDING)
+      case 2 => isCol(orders(0), "df", SortDirection.DESCENDING) &&
+        isCol(orders(1), "word", SortDirection.ASCENDING)
+      case _ => false
+    }
+  }
 }
 
 private[graft] class IndexTextTable(path: String) extends Table
@@ -120,23 +149,20 @@ private[graft] class IndexTextTable(path: String) extends Table
 }
 
 private[graft] class IndexTextScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = IndexTextSource.Schema
+  private var limit: Option[Int] = None
+  private var orderedLimit = false
 
   /** Accept the word-shaped filters (they prune files + rows at the
     * source) but return EVERY filter as still-to-be-evaluated — Spark
     * keeps a Filter above the scan, so the source's filtering is an
     * optimization, never load-bearing for correctness. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f =>
-      IndexTextSource.allowedLetters(f).isDefined ||
-        // letter-unbounded word predicates are still row-evaluable
-        (f match {
-          case EqualTo("word", _) | In("word", _) | StringStartsWith("word", _) => true
-          case _ => false
-        }))
+    pushed = filters.filter(IndexTextSource.usable)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -144,17 +170,58 @@ private[graft] class IndexTextScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new IndexTextScan(path, pushed, required)
+  /** PARTIAL limit pushdown (`isPartiallyPushed` stays true, so Spark
+    * keeps the global limit): each file reader stops after its first n
+    * surviving rows — for LIMIT-without-ORDER any n rows are a correct
+    * answer, and the win is not parsing the posting tail of a 100 TB
+    * artifact for a peek query. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  /** Top-N pushdown, legal ONLY because the artifact's grammar orders
+    * every file `df↓ word↑` (checked line-by-line over the consumed
+    * prefix at read — an in-prefix mis-sort fails loudly rather than
+    * dropping rows). Partial: Spark still merges the per-file
+    * prefixes. */
+  override def pushTopN(orders: Array[V2SortOrder], n: Int): Boolean =
+    if (IndexTextSource.topNMatchesFileOrder(orders)) {
+      limit = Some(n); orderedLimit = true; true
+    } else false
+
+  /** Always PARTIAL (disambiguates the two inherited defaults, both
+    * `true`): Spark keeps the global limit / final top-N merge; the
+    * source only trims what each file reader parses. */
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan =
+    new IndexTextScan(path, pushed, required, limit, orderedLimit)
 }
 
 private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
-    requiredSchema: StructType) extends Scan with Batch
-    with SupportsReportStatistics {
+    requiredSchema: StructType, limit: Option[Int] = None,
+    orderedLimit: Boolean = false) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** Join-time filters delivered while the query RUNS (dynamic file
+    * pruning — SPARK-35779): a broadcast-side build on `word` hands
+    * this scan an IN-set before any index byte is read, and
+    * `planInputPartitions` (re-invoked by `BatchScanExec` after
+    * `filter`) drops whole letter directories. The 100 TB story:
+    * `index ⋈ (selective dim)` scans only the letters the dim's words
+    * can touch, with no static predicate in the query text at all.
+    * Purely an optimization — Spark still applies the join itself. */
+  @volatile private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("word"))
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(IndexTextSource.usable)
+  private[graft] def runtimeFilters: Array[Filter] = runtime
+  private def effective: Array[Filter] = pushed ++ runtime
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-index $path, PushedFilters: [${pushed.mkString(", ")}], " +
+      limit.map(n => s"PushedLimit: $n (ordered=$orderedLimit), ").getOrElse("") +
       s"ReadSchema: ${requiredSchema.simpleString}"
 
   /** Post-pruning size estimate = the byte sum of the files the scan
@@ -178,7 +245,7 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
     * file source (at real scale this listing comes from a manifest /
     * catalog, which is exactly the reference's manifest role). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val letterSets = pushed.flatMap(IndexTextSource.allowedLetters)
+    val letterSets = effective.flatMap(IndexTextSource.allowedLetters)
     val allowed: Option[Set[String]] =
       if (letterSets.isEmpty) None else Some(letterSets.reduce(_ intersect _))
     val base = new Path(path)
@@ -200,17 +267,19 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new IndexTextReaderFactory(pushed, requiredSchema)
+    new IndexTextReaderFactory(effective, requiredSchema, limit, orderedLimit)
 }
 
 private[graft] case class IndexFilePartition(file: String, len: Long)
     extends InputPartition
 
 private[graft] class IndexTextReaderFactory(pushed: Array[Filter],
-    requiredSchema: StructType) extends PartitionReaderFactory {
+    requiredSchema: StructType, limit: Option[Int] = None,
+    orderedLimit: Boolean = false) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new IndexTextPartitionReader(
-      partition.asInstanceOf[IndexFilePartition].file, pushed, requiredSchema)
+      partition.asInstanceOf[IndexFilePartition].file, pushed, requiredSchema,
+      limit, orderedLimit)
 }
 
 /** Streams one index file line-by-line: parse the word, row-filter on
@@ -218,11 +287,16 @@ private[graft] class IndexTextReaderFactory(pushed: Array[Filter],
   * required columns demand (`df` counts ids; `postings` materializes
   * them; neither parses when both are pruned). */
 private[graft] class IndexTextPartitionReader(file: String,
-    pushed: Array[Filter], requiredSchema: StructType)
+    pushed: Array[Filter], requiredSchema: StructType,
+    limit: Option[Int] = None, orderedLimit: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val needDf = requiredSchema.fieldNames.contains("df")
   private val needPostings = requiredSchema.fieldNames.contains("postings")
+  private var emitted = 0
+  // order-verification state for pushed top-N (df↓ word↑ per file)
+  private var lastDf = Long.MaxValue
+  private var lastWord: String = null
 
   private val fs = {
     val p = new Path(file)
@@ -235,6 +309,8 @@ private[graft] class IndexTextPartitionReader(file: String,
   private var row: InternalRow = _
 
   override def next(): Boolean = {
+    // pushed (top-)N satisfied: the rest of the file cannot contribute
+    if (limit.exists(emitted >= _)) return false
     var line = reader.readLine()
     while (line != null) {
       if (line.nonEmpty) {
@@ -243,8 +319,10 @@ private[graft] class IndexTextPartitionReader(file: String,
         // occur inside a word — the first occurrence is the separator
         if (cut > 0 && line.endsWith("]")) {
           val word = line.substring(0, cut)
+          if (orderedLimit) verifyOrder(word, line, cut)
           if (pushed.forall(IndexTextSource.wordMatches(_, word))) {
             row = buildRow(word, line.substring(cut + 2, line.length - 1))
+            emitted += 1
             return true
           }
         }
@@ -252,6 +330,24 @@ private[graft] class IndexTextPartitionReader(file: String,
       line = reader.readLine()
     }
     false
+  }
+
+  /** Top-N pushdown leans on the R16 grammar's per-file `df↓ word↑`
+    * order; CHECK it as we stream (two compares per line) so a
+    * mis-sort inside the consumed prefix fails loudly instead of
+    * silently dropping top rows. (Rows BELOW the prefix are never
+    * read — trusting the writer's sort for them is the same trade
+    * parquet min/max pruning makes with its writer's stats.) */
+  private def verifyOrder(word: String, line: String, cut: Int): Unit = {
+    val df = {
+      val ids = line.substring(cut + 2, line.length - 1)
+      if (ids.isEmpty) 0L else (ids.count(_ == ' ') + 1).toLong
+    }
+    if (df > lastDf || (df == lastDf && lastWord != null && word < lastWord))
+      throw new IllegalStateException(
+        s"graft-index top-N pushdown: $file violates the df desc, word " +
+          s"asc grammar order at '$word' (df=$df after '$lastWord' df=$lastDf)")
+    lastDf = df; lastWord = word
   }
 
   private def buildRow(word: String, ids: String): InternalRow = {

@@ -190,4 +190,99 @@ class DataSourceV2Spec extends SparkSpec {
       .where(col("df") >= 2).count()
     assert(q.count() === expect)
   }
+
+  test("top-N pushdown: ORDER BY df DESC, word LIMIT n reaches the scan") {
+    val q = table.select("word", "df")
+      .orderBy(col("df").desc, col("word").asc).limit(10)
+    val scan = scanOf(q)
+    assert(scan.description().contains("PushedLimit: 10 (ordered=true)"),
+      s"top-N not pushed: ${scan.description()}")
+    // the per-file prefixes still merge to the exact global answer
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toList
+    val full = table.select("word", "df").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, df) => (-df, w) }.take(10).toList
+    assert(got === full)
+  }
+
+  test("top-N pushdown declined when the order is not the file order") {
+    // df ASC is not the artifact's grammar order — the source must
+    // refuse, leaving Spark's own sort to do the work
+    val q = table.select("word", "df")
+      .orderBy(col("df").asc, col("word").asc).limit(10)
+    val scan = scanOf(q)
+    assert(!scan.description().contains("ordered=true"),
+      s"ascending order wrongly claimed: ${scan.description()}")
+    val got = q.collect().map(_.getLong(1)).toList
+    assert(got === got.sorted, "Spark's sort must still apply")
+  }
+
+  test("plain LIMIT pushdown trims each reader without an order claim") {
+    val q = table.limit(7)
+    val scan = scanOf(q)
+    assert(scan.description().contains("PushedLimit: 7 (ordered=false)"),
+      s"limit not pushed: ${scan.description()}")
+    assert(q.count() === 7)
+  }
+
+  test("top-N order verification fails loudly on a mis-sorted artifact") {
+    val bad = java.nio.file.Files.createTempDirectory("graft_badidx").toString
+    val dir = new java.io.File(s"$bad/letter=a"); dir.mkdirs()
+    // df order violated: 'ant' (df=1) before 'aardvark' (df=2)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir.getPath, "part-00000.txt"),
+      "ant:[3]\naardvark:[1 2]\n")
+    val t = spark.read.format("graft-index").load(bad)
+    // an unordered scan does not care about file order
+    assert(t.count() === 2)
+    // a pushed top-N leans on the order: a violation within the read
+    // prefix (the only part the reader can see) must fail loudly
+    val e = intercept[Exception] {
+      t.select("word", "df").orderBy(col("df").desc).limit(2).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      Option(t).map(x => x :: chain(x.getCause)).getOrElse(Nil)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("violates the df desc"))),
+      s"unexpected failure: $e")
+  }
+
+  test("runtime filtering: a selective dim join prunes letter files at run time") {
+    // no static word predicate anywhere — the word set only exists
+    // once the dim side has been evaluated (SupportsRuntimeFiltering)
+    val dpp = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "1000")
+    val saved = dpp.map { case (k, _) => k -> spark.conf.getOption(k) }
+    dpp.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = graft.functions.TextFns.docWords(
+          docs.where(col("doc_id") === 5L))
+        .select("word").distinct()
+      val q = table.join(dim, "word").select("word", "df").orderBy("word")
+      val got = q.collect().map(_.toString).toList
+      val scan = q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan
+      }.collectFirst { case s: IndexTextScan => s }
+        .getOrElse(fail("no IndexTextScan in the plan"))
+      assert(scan.runtimeFilters.nonEmpty,
+        "the dim's word set never reached the scan at run time")
+      // files planned after the runtime IN-set < the full artifact
+      val pruned = scan.planInputPartitions().length
+      val full = scanOf(table).planInputPartitions().length
+      assert(pruned < full, s"no file pruning: $pruned of $full")
+      // and the result is the plain join's answer
+      val expect = InvertedIndex.postingsUnordered(docs)
+        .join(graft.functions.TextFns.docWords(
+            docs.where(col("doc_id") === 5L)).select("word").distinct(),
+          "word")
+        .select("word", "df").orderBy("word").collect().map(_.toString).toList
+      assert(got === expect)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -199,4 +199,24 @@ class TpchShapeSpec extends SparkSpec {
     assert(exchanges.length <= 2, // agg + the orderBy range partition
       s"unexpected exchanges: ${exchanges.length}")
   }
+
+  test("q167 exact Q14: pushed month window, broadcast part, share in [0,100]") {
+    val q14 = Relational.tpchQ14(
+      Tables(spark, dir, "lineitem"), Tables(spark, dir, "part"))
+    val plan = q14.queryExecution.executedPlan.toString
+    // the one-month window reaches the lineitem parquet scan
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"shipdate window not pushed:\n$plan")
+    // part rides a broadcast — the fact side never shuffles for the join
+    assert(plan.contains("BroadcastHashJoin"), s"part not broadcast:\n$plan")
+    val rows = q14.collect()
+    assert(rows.length === 1)
+    val share = rows(0).getDouble(0)
+    assert(share >= 0.0 && share <= 100.0, s"promo share out of range: $share")
+    // the only shuffle is the one-row-per-task global-agg merge
+    val exchanges = q14.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 1, s"unexpected exchanges: ${exchanges.length}")
+  }
 }
