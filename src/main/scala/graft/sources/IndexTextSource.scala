@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, Transform, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
 import org.apache.spark.sql.types._
@@ -127,6 +128,32 @@ object IndexTextSource {
       case _ => false
     }
   }
+}
+
+/** Custom scan metrics (Spark UI / SQLMetrics surface): what the
+  * source's pruning actually SAVED — driver-side planned-vs-pruned
+  * file counts, task-side lines parsed and rows dropped before any
+  * posting-list work. The observability half of the pushdown story:
+  * at 100 TB "did the pruning fire" must be readable off the query's
+  * metrics, not inferred from wall-clock. */
+private[graft] object IndexMetrics {
+  final class Sum(n: String, d: String) extends CustomSumMetric {
+    override def name(): String = n
+    override def description(): String = d
+  }
+  final case class Task(n: String, v: Long) extends CustomTaskMetric {
+    override def name(): String = n
+    override def value(): Long = v
+  }
+  val PlannedFiles = "plannedIndexFiles"
+  val PrunedFiles = "prunedIndexFiles"
+  val LinesRead = "indexLinesRead"
+  val RowsSkipped = "indexRowsSkipped"
+  def supported: Array[CustomMetric] = Array(
+    new Sum(PlannedFiles, "index files planned (after letter pruning)"),
+    new Sum(PrunedFiles, "index files pruned by word predicates"),
+    new Sum(LinesRead, "index lines parsed"),
+    new Sum(RowsSkipped, "index rows dropped by pushed word predicates"))
 }
 
 private[graft] class IndexTextTable(path: String) extends Table
@@ -253,18 +280,35 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
       .sparkContext.hadoopConfiguration
     val fs = base.getFileSystem(conf)
     if (!fs.exists(base)) Array.empty
-    else fs.listStatus(base).iterator
-      .filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith("letter="))
-      .filter(d => allowed.forall(_.contains(
-        d.getPath.getName.stripPrefix("letter="))))
-      .flatMap(d => fs.listStatus(d.getPath).iterator
-        .filter(f => f.isFile && f.getLen > 0 &&
-          !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith(".")))
-      .map(f => IndexFilePartition(f.getPath.toString, f.getLen): InputPartition)
-      .toArray
+    else {
+      // one walk yields both the planned set and the pruned-count
+      // metric (the same listing a manifest/catalog serves at scale)
+      val byLetter = fs.listStatus(base).iterator
+        .filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("letter="))
+        .map(d => (d.getPath.getName.stripPrefix("letter="),
+          fs.listStatus(d.getPath)
+            .filter(f => f.isFile && f.getLen > 0 &&
+              !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))))
+        .toArray
+      val planned = byLetter
+        .filter { case (l, _) => allowed.forall(_.contains(l)) }
+        .flatMap(_._2)
+        .map(f => IndexFilePartition(f.getPath.toString, f.getLen): InputPartition)
+      plannedCount = planned.length
+      prunedCount = byLetter.map(_._2.length).sum - planned.length
+      planned
+    }
   }
+
+  @volatile private var plannedCount = 0L
+  @volatile private var prunedCount = 0L
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    IndexMetrics.supported
+  override def reportDriverMetrics(): Array[CustomTaskMetric] = Array(
+    IndexMetrics.Task(IndexMetrics.PlannedFiles, plannedCount),
+    IndexMetrics.Task(IndexMetrics.PrunedFiles, prunedCount))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new IndexTextReaderFactory(effective, requiredSchema, limit, orderedLimit)
@@ -294,9 +338,15 @@ private[graft] class IndexTextPartitionReader(file: String,
   private val needDf = requiredSchema.fieldNames.contains("df")
   private val needPostings = requiredSchema.fieldNames.contains("postings")
   private var emitted = 0
+  private var linesRead = 0L
+  private var rowsSkipped = 0L
   // order-verification state for pushed top-N (df↓ word↑ per file)
   private var lastDf = Long.MaxValue
   private var lastWord: String = null
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    IndexMetrics.Task(IndexMetrics.LinesRead, linesRead),
+    IndexMetrics.Task(IndexMetrics.RowsSkipped, rowsSkipped))
 
   private val fs = {
     val p = new Path(file)
@@ -318,13 +368,14 @@ private[graft] class IndexTextPartitionReader(file: String,
         // tokens normalize to lowercase ASCII letters, so ":[" cannot
         // occur inside a word — the first occurrence is the separator
         if (cut > 0 && line.endsWith("]")) {
+          linesRead += 1
           val word = line.substring(0, cut)
           if (orderedLimit) verifyOrder(word, line, cut)
           if (pushed.forall(IndexTextSource.wordMatches(_, word))) {
             row = buildRow(word, line.substring(cut + 2, line.length - 1))
             emitted += 1
             return true
-          }
+          } else rowsSkipped += 1
         }
       }
       line = reader.readLine()

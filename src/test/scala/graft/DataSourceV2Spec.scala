@@ -247,6 +247,28 @@ class DataSourceV2Spec extends SparkSpec {
       s"unexpected failure: $e")
   }
 
+  test("custom scan metrics: pruning and row-skip savings are observable") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = table.where(col("word") === "batch").select("word", "df")
+      q.collect()
+      val exec = q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b
+      }.headOption.getOrElse(fail("no BatchScanExec"))
+      val m = exec.metrics
+      // driver-side: the letter cut is visible as planned vs pruned
+      assert(m("plannedIndexFiles").value >= 1L, m.toString)
+      assert(m("prunedIndexFiles").value >= 1L,
+        s"letter pruning saved nothing? ${m.mapValues(_.value)}")
+      // task-side: lines were parsed, and the non-matching words of
+      // letter=b were dropped before any posting-list parse
+      assert(m("indexLinesRead").value > 0L)
+      assert(m("indexRowsSkipped").value > 0L)
+      assert(m("indexLinesRead").value ===
+        m("indexRowsSkipped").value + q.count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("runtime filtering: a selective dim join prunes letter files at run time") {
     // no static word predicate anywhere — the word set only exists
     // once the dim side has been evaluated (SupportsRuntimeFiltering)
