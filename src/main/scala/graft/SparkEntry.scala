@@ -515,6 +515,17 @@ object SparkEntry {
         .orderBy(col("df").desc, col("word").asc)
         .limit(25)
     }),
+    // the index artifact resolved as a NAMED catalog table
+    // (graft.sources.GraftCatalog): pure-SQL access with the custom
+    // scan's pushdowns intact through catalog resolution
+    "q170_catalog_sql" -> ((s, d) => {
+      val f = new java.io.File(sources.IndexStore.textIndexFor(s, d))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse", f.getParent)
+      s.sql(s"SELECT word, df FROM graft_cat.`${f.getName}` " +
+        "WHERE word LIKE 'b%' ORDER BY word")
+    }),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2533,6 +2544,11 @@ object SparkEntry {
       s"""WITH $postingsCte
          |SELECT word, df FROM post
          |ORDER BY df DESC, word ASC LIMIT 25""".stripMargin,
+    // catalog-resolved table ≡ the raw-corpus rebuild, b-prefix slice
+    "q170_catalog_sql" ->
+      s"""WITH $postingsCte
+         |SELECT word, df FROM post
+         |WHERE word LIKE 'b%' ORDER BY word""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

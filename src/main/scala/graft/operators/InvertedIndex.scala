@@ -163,6 +163,10 @@ object InvertedIndex {
         fs.create(new Path(dir, "part-00000-empty.txt")).close()
       }
     }
+    // this sink sorts every file df↓ word↑ by construction — stamp the
+    // marker that licenses the DSv2 reader's top-N pushdown
+    fs.create(new Path(base, graft.sources.IndexTextSource.SortedMarker),
+      true).close()
   }
 
   // ---- Positional index family (q95–q97) -------------------------------

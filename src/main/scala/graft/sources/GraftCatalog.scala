@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A `TableCatalog` over a warehouse directory of R16 index artifacts,
+  * completing the SQL-surface arc of the custom source: where q160
+  * reads by PATH (`spark.read.format("graft-index").load(dir)`) and
+  * q166's `CREATE TABLE … USING graft-index` names ONE table in the
+  * session catalog, this plugs a whole warehouse of index artifacts
+  * into Spark's catalog resolution:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/indexes")
+  * spark.sql("SELECT word, df FROM graft.myindex WHERE word = 'x'")
+  * spark.sql("SHOW TABLES IN graft")
+  * spark.sql("CREATE TABLE graft.t2 AS SELECT …")   // CTAS → V2 writer
+  * spark.sql("DROP TABLE graft.t2")
+  * }}}
+  *
+  * Layout: `<warehouse>/<ns…>/<name>` — an identifier's namespace
+  * path maps to subdirectories; a directory IS a table when it holds
+  * the artifact (`letter=*` buckets or the `_GRAFT_READY` marker).
+  * Loaded tables are plain [[IndexTextTable]]s, so every scan
+  * behavior (file pruning, column pruning, top-N/limit pushdown,
+  * runtime filtering, reported statistics, custom metrics) and the V2
+  * commit-protocol writer apply unchanged through the catalog path.
+  * The reference analog is its manifest-driven source
+  * (`main.c++:306-352`) promoted one level further: from a file
+  * manifest to a table namespace.
+  *
+  * Deliberately NOT implemented: `alterTable` (the artifact's schema
+  * is the R16 grammar — there is nothing to alter) and time-travel
+  * loads. `renameTable` is a filesystem rename, atomic where the FS
+  * is.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.warehouse=<dir>")
+    warehouse = new Path(w)
+  }
+
+  override def name(): String = catalogName
+
+  private def fs = warehouse.getFileSystem(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def dirFor(ident: Identifier): Path =
+    (ident.namespace() :+ ident.name()).foldLeft(warehouse)(new Path(_, _))
+
+  /** A directory is a TABLE when it carries the artifact's shape —
+    * letter buckets or the ready marker (an empty just-created table
+    * has only the marker). */
+  private def isTable(d: Path): Boolean =
+    fs.exists(new Path(d, "_GRAFT_READY")) ||
+      Option(fs.globStatus(new Path(d, "letter=*"))).exists(_.nonEmpty)
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val d = dirFor(ident)
+    fs.exists(d) && isTable(d)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = namespace.foldLeft(warehouse)(new Path(_, _))
+    if (!fs.exists(d)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(d).iterator
+      .filter(_.isDirectory)
+      .filter(s => isTable(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new IndexTextTable(dirFor(ident).toString)
+  }
+
+  /** The StructType variant is the delegation SINK of the three
+    * `createTable` defaults (TableInfo → Column[] → this), so one
+    * override serves every entry point Spark uses. */
+  override def createTable(ident: Identifier,
+      schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val names = schema.fieldNames.toSet
+    require(names.subsetOf(Set("word", "df", "postings")) && names.contains("word"),
+      s"graft catalog tables have schema (word, df, postings); got ${names.mkString(", ")}")
+    require(partitions.isEmpty,
+      "graft-index manages its own letter partitioning; PARTITIONED BY is not supported")
+    val d = dirFor(ident)
+    fs.mkdirs(d)
+    // mark the (possibly still empty) directory as a table so a
+    // create-then-insert sequence resolves between the two statements
+    fs.create(new Path(d, "_GRAFT_READY"), true).close()
+    new IndexTextTable(d.toString)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-index tables are fixed-schema R16 artifacts; ALTER is not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs.delete(dirFor(ident), true)
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    val dst = dirFor(to)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(dirFor(from), dst))
+      throw new java.io.IOException(s"rename $from -> $to failed")
+  }
+}

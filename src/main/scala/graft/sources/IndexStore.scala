@@ -179,6 +179,7 @@ object IndexStore {
         InvertedIndex.writeIndex(Tables(spark, sfDir, "documents"), out)
         java.nio.file.Files.createFile(ready)
       }
+      backfillSortedMarker(out)
       out
     }
 
@@ -196,8 +197,20 @@ object IndexStore {
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_GRAFT_READY")))
         writeIndexTable(
           InvertedIndex.postingsUnordered(Tables(spark, sfDir, "documents")), out)
+      backfillSortedMarker(out)
       out
     }
+
+  /** Artifacts cached by earlier library versions predate the
+    * `_GRAFT_SORTED` marker; both builders above sort by construction,
+    * so stamping it on a ready artifact is truthful — and keeps their
+    * top-N pushdown alive across the version boundary. */
+  private def backfillSortedMarker(out: String): Unit = {
+    val m = java.nio.file.Paths.get(out, IndexTextSource.SortedMarker)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_GRAFT_READY"))
+        && !java.nio.file.Files.exists(m))
+      java.nio.file.Files.createFile(m)
+  }
 
   private def fingerprint(src: String): Int = {
     def walk(f: java.io.File): Seq[java.io.File] =

@@ -67,6 +67,22 @@ class IndexTextSource extends TableProvider
 }
 
 object IndexTextSource {
+  /** Artifact-level marker: present iff EVERY file honors the R16
+    * `df↓ word↑` order. The sorting writers stamp it, the V2 commit
+    * maintains it (an append of unsorted data removes it), and
+    * `pushTopN` requires it — so a CTAS'd or hand-built unsorted
+    * artifact simply keeps Spark's own sort instead of mis-answering
+    * or failing. */
+  val SortedMarker = "_GRAFT_SORTED"
+
+  /** Driver-side planning check for [[SortedMarker]]. */
+  private[sources] def artifactSorted(path: String): Boolean =
+    try {
+      val p = new Path(path, SortedMarker)
+      p.getFileSystem(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration).exists(p)
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** The served schema; `df` is derived (posting-list length) so the
     * table matches `InvertedIndex.postings` column-for-column. */
   val Schema: StructType = StructType(Seq(
@@ -204,13 +220,16 @@ private[graft] class IndexTextScanBuilder(path: String) extends ScanBuilder
     * artifact for a peek query. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
-  /** Top-N pushdown, legal ONLY because the artifact's grammar orders
-    * every file `df↓ word↑` (checked line-by-line over the consumed
-    * prefix at read — an in-prefix mis-sort fails loudly rather than
-    * dropping rows). Partial: Spark still merges the per-file
-    * prefixes. */
+  /** Top-N pushdown, legal ONLY when the artifact CLAIMS the grammar's
+    * per-file `df↓ word↑` order (the `_GRAFT_SORTED` marker the
+    * sorting writers stamp — an unsorted CTAS artifact lacks it and
+    * keeps Spark's own sort), and double-checked line-by-line over the
+    * consumed prefix at read — an in-prefix mis-sort under a lying
+    * marker fails loudly rather than dropping rows. Partial: Spark
+    * still merges the per-file prefixes. */
   override def pushTopN(orders: Array[V2SortOrder], n: Int): Boolean =
-    if (IndexTextSource.topNMatchesFileOrder(orders)) {
+    if (IndexTextSource.topNMatchesFileOrder(orders) &&
+        IndexTextSource.artifactSorted(path)) {
       limit = Some(n); orderedLimit = true; true
     } else false
 

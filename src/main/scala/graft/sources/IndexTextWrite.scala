@@ -59,11 +59,23 @@ private[graft] class IndexTextBatchWrite(path: String, queryId: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val base = new Path(path)
     val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // sortedness of the artifact AFTER this commit: all new files
+    // sorted AND (we replace everything | nothing was there | what was
+    // there was already marked sorted)
+    val newSorted = messages.forall {
+      case m: IndexFilesCommitted => m.sorted
+      case _ => false
+    }
+    val hadFiles = Option(fs.globStatus(new Path(base, "letter=*/part-*")))
+      .exists(_.nonEmpty)
+    val prevSorted = fs.exists(new Path(base, IndexTextSource.SortedMarker))
+    val markSorted = newSorted && (truncateFirst || !hadFiles || prevSorted)
     if (truncateFirst) {
       // overwrite semantics: drop the previous artifact ONLY now, when
       // every task has succeeded — a failed job leaves the old index
       // intact (all-or-nothing at the artifact level)
       fs.delete(new Path(base, "_GRAFT_READY"), false)
+      fs.delete(new Path(base, IndexTextSource.SortedMarker), false)
       Option(fs.globStatus(new Path(base, "letter=*")))
         .foreach(_.foreach(d => fs.delete(d.getPath, true)))
     }
@@ -87,6 +99,10 @@ private[graft] class IndexTextBatchWrite(path: String, queryId: String,
       val dir = new Path(base, s"letter=$l")
       if (!fs.exists(dir)) fs.mkdirs(dir)
     }
+    if (markSorted)
+      fs.create(new Path(base, IndexTextSource.SortedMarker), true).close()
+    else
+      fs.delete(new Path(base, IndexTextSource.SortedMarker), false)
     fs.create(new Path(base, "_GRAFT_READY"), true).close()
   }
 
@@ -96,8 +112,11 @@ private[graft] class IndexTextBatchWrite(path: String, queryId: String,
   }
 }
 
-private[graft] case class IndexFilesCommitted(files: Seq[String])
-  extends WriterCommitMessage
+/** `sorted`: every file this task wrote was internally `df↓ word↑` —
+  * the commit aggregates these into the artifact-level
+  * `_GRAFT_SORTED` marker that licenses top-N pushdown at read. */
+private[graft] case class IndexFilesCommitted(files: Seq[String],
+    sorted: Boolean) extends WriterCommitMessage
 
 private[graft] class IndexTextWriterFactory(path: String, staging: String,
     schema: StructType) extends DataWriterFactory {
@@ -119,6 +138,12 @@ private[graft] class IndexTextDataWriter(staging: String, taskUid: String,
   private val streams =
     scala.collection.mutable.HashMap.empty[String, java.io.BufferedWriter]
   private var files = List.empty[String]
+  // per-letter-file last (df, word): detects whether THIS task's files
+  // honor the grammar's df↓ word↑ order (callers that pre-sort keep it;
+  // arbitrary CTAS input typically won't — and then must not claim it)
+  private val lastKey =
+    scala.collection.mutable.HashMap.empty[String, (Long, String)]
+  private var sorted = true
 
   private def streamFor(letter: String): java.io.BufferedWriter =
     streams.getOrElseUpdate(letter, {
@@ -142,14 +167,22 @@ private[graft] class IndexTextDataWriter(staging: String, taskUid: String,
       i += 1
     }
     sb.append(']')
-    val w = streamFor(word.substring(0, 1))
+    val letter = word.substring(0, 1)
+    if (sorted) {
+      val df = ids.numElements().toLong
+      lastKey.get(letter).foreach { case (ldf, lw) =>
+        if (df > ldf || (df == ldf && word < lw)) sorted = false
+      }
+      lastKey(letter) = (df, word)
+    }
+    val w = streamFor(letter)
     w.write(sb.toString)
     w.newLine()
   }
 
   override def commit(): WriterCommitMessage = {
     streams.values.foreach(_.close())
-    IndexFilesCommitted(files.reverse)
+    IndexFilesCommitted(files.reverse, sorted)
   }
 
   override def abort(): Unit = {

@@ -225,13 +225,33 @@ class DataSourceV2Spec extends SparkSpec {
     assert(q.count() === 7)
   }
 
-  test("top-N order verification fails loudly on a mis-sorted artifact") {
-    val bad = java.nio.file.Files.createTempDirectory("graft_badidx").toString
-    val dir = new java.io.File(s"$bad/letter=a"); dir.mkdirs()
-    // df order violated: 'ant' (df=1) before 'aardvark' (df=2)
+  test("unsorted artifact (no _GRAFT_SORTED): top-N is declined, not wrong") {
+    val raw = java.nio.file.Files.createTempDirectory("graft_unsorted").toString
+    val dir = new java.io.File(s"$raw/letter=a"); dir.mkdirs()
+    // df order violated on disk — and honestly NOT marked sorted
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir.getPath, "part-00000.txt"),
       "ant:[3]\naardvark:[1 2]\n")
+    val t = spark.read.format("graft-index").load(raw)
+    assert(t.count() === 2)
+    val q = t.select("word", "df").orderBy(col("df").desc).limit(2)
+    // without the marker the source must refuse the push …
+    assert(!scanOf(q).description().contains("ordered=true"),
+      s"pushed top-N on an unmarked artifact: ${scanOf(q).description()}")
+    // … and Spark's own sort yields the right answer anyway
+    assert(q.collect().map(_.getString(0)).toList === List("aardvark", "ant"))
+  }
+
+  test("top-N order verification fails loudly when the marker lies") {
+    val bad = java.nio.file.Files.createTempDirectory("graft_badidx").toString
+    val dir = new java.io.File(s"$bad/letter=a"); dir.mkdirs()
+    // df order violated: 'ant' (df=1) before 'aardvark' (df=2) — but
+    // the artifact CLAIMS sortedness
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir.getPath, "part-00000.txt"),
+      "ant:[3]\naardvark:[1 2]\n")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(bad, "_GRAFT_SORTED"))
     val t = spark.read.format("graft-index").load(bad)
     // an unordered scan does not care about file order
     assert(t.count() === 2)
