@@ -526,6 +526,26 @@ object SparkEntry {
       s.sql(s"SELECT word, df FROM graft_cat.`${f.getName}` " +
         "WHERE word LIKE 'b%' ORDER BY word")
     }),
+    // LSM-style incremental maintenance: base (even doc_ids) + one
+    // delta epoch (odd doc_ids); the MERGED read must equal the q02
+    // full-corpus build -> the merge algebra is hash-gated
+    "q171_index_delta_merge" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      sources.IndexStore.readMerged(s, sources.IndexStore.deltaDemoFor(s, d))
+        .withColumn("postings",
+          array_join(col("postings").cast("array<string>"), " "))
+        .orderBy(col("df").desc, col("word"))
+    }),
+    // same artifact COMPACTED: deltas folded into the base and deleted;
+    // a plain base-only scan must serve the identical full index
+    "q172_index_compact" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      sources.IndexStore.readIndexTable(
+          s, sources.IndexStore.compactDemoFor(s, d))
+        .withColumn("postings",
+          array_join(col("postings").cast("array<string>"), " "))
+        .orderBy(col("df").desc, col("word"))
+    }),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2549,6 +2569,16 @@ object SparkEntry {
       s"""WITH $postingsCte
          |SELECT word, df FROM post
          |WHERE word LIKE 'b%' ORDER BY word""".stripMargin,
+    // base+delta merged ≡ the full-corpus index (q02's oracle shape)
+    "q171_index_delta_merge" ->
+      s"""WITH $postingsCte
+         |SELECT word, df, array_to_string(postings, ' ') AS postings
+         |FROM post ORDER BY df DESC, word""".stripMargin,
+    // compacted base alone ≡ the full-corpus index
+    "q172_index_compact" ->
+      s"""WITH $postingsCte
+         |SELECT word, df, array_to_string(postings, ' ') AS postings
+         |FROM post ORDER BY df DESC, word""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

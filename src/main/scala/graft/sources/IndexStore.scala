@@ -212,6 +212,113 @@ object IndexStore {
       java.nio.file.Files.createFile(m)
   }
 
+  // ---- Incremental maintenance: LSM-style deltas + compaction --------
+  //
+  // The reference's artifact is batch-only: new documents mean a full
+  // rebuild (`main.c++` has no update path). Here new documents land as
+  // DELTA epochs — each a complete mini-artifact under `_delta_<epoch>/`
+  // written through the same V2 commit protocol — and reads merge them:
+  //
+  //   write base ──► _delta_1 ──► _delta_2 ──► … ──► compact ──► base'
+  //
+  // The `_`-prefix keeps delta dirs invisible to the plain base scan
+  // (the source only lists `letter=*`), so base-only readers are never
+  // half-merged. Merging is UNION of posting sets per word — the merge
+  // of disjoint re-index epochs is exact, and re-merging a delta that
+  // survived a crashed compaction is a no-op (idempotent recovery).
+
+  /** Append one delta epoch: a full mini-artifact via the V2 writer
+    * (staged, all-or-nothing, ready-marked). */
+  def writeIndexDelta(postings: DataFrame, dir: String, epoch: Long): Unit =
+    writeIndexTable(postings, s"$dir/_delta_$epoch")
+
+  /** Delta directories in epoch order (only READY ones — a delta whose
+    * commit never published is invisible, like its base counterpart). */
+  def listDeltas(spark: SparkSession, dir: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_delta_"))
+      .filter(s => fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_GRAFT_READY")))
+      .sortBy(_.getPath.getName.stripPrefix("_delta_").toLong)
+      .map(_.getPath.toString)
+  }
+
+  /** The up-to-date index: base ∪ deltas with per-word posting-set
+    * union. The 100 TB shape: deltas between compactions are SMALL, so
+    * their word set broadcasts and splits the base into an untouched
+    * part (passes through with NO shuffle or re-aggregation — the
+    * overwhelming majority) and a touched part that re-aggregates with
+    * the delta rows. Cost ≈ base scan + delta-sized aggregation, never
+    * a corpus-wide regroup. */
+  def readMerged(spark: SparkSession, dir: String): DataFrame = {
+    val base = readIndexTable(spark, dir)
+    val deltas = listDeltas(spark, dir)
+    if (deltas.isEmpty) base
+    else {
+      val deltaRel = deltas.map(readIndexTable(spark, _))
+        .reduce(_ unionByName _)
+      val deltaWords = broadcast(deltaRel.select("word").distinct())
+      val untouched = base.join(deltaWords, Seq("word"), "left_anti")
+      val touched = base.join(deltaWords, Seq("word"), "left_semi")
+        .unionByName(deltaRel)
+        .groupBy("word")
+        .agg(sort_array(array_distinct(flatten(collect_list(col("postings")))))
+          .as("postings"))
+        .select(col("word"), size(col("postings")).cast("long").as("df"),
+          col("postings"))
+      untouched.unionByName(touched)
+    }
+  }
+
+  /** Fold every delta into the base and drop them. Crash-safe at each
+    * step: the V2 writer stages and only truncates the old base at
+    * commit (after the merged relation — which reads the old base — is
+    * fully computed); a failure between publish and delta deletion
+    * leaves deltas whose re-merge is a semantic no-op. The rewrite is
+    * sorted (writeIndexTable), so compaction also RESTORES top-N
+    * pushdown that unsorted deltas may have lacked. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val deltas = listDeltas(spark, dir)
+    if (deltas.nonEmpty) {
+      writeIndexTable(readMerged(spark, dir), dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      deltas.foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    }
+  }
+
+  /** Materialize-once demo artifacts for the delta family (q171/q172):
+    * base = even doc_ids, one delta epoch = odd doc_ids — so the
+    * merged (resp. compacted) index must equal a full-corpus build. */
+  def deltaDemoFor(spark: SparkSession, sfDir: String): String =
+    demoArtifact(spark, sfDir, "graft_deltaidx_", compactAfter = false)
+
+  def compactDemoFor(spark: SparkSession, sfDir: String): String =
+    demoArtifact(spark, sfDir, "graft_compactidx_", compactAfter = true)
+
+  private def demoArtifact(spark: SparkSession, sfDir: String,
+      prefix: String, compactAfter: Boolean): String = synchronized {
+    val out = s"${sys.props("java.io.tmpdir")}/$prefix" +
+      s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}_" +
+      java.lang.Integer.toHexString(fingerprint(s"$sfDir/documents.parquet"))
+    val done = java.nio.file.Paths.get(out, "_DEMO_READY")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables(spark, sfDir, "documents")
+      writeIndexTable(
+        InvertedIndex.postingsUnordered(docs.where(col("doc_id") % 2 === 0)), out)
+      writeIndexDelta(
+        InvertedIndex.postingsUnordered(docs.where(col("doc_id") % 2 === 1)),
+        out, epoch = 1L)
+      if (compactAfter) compact(spark, out)
+      java.nio.file.Files.createFile(done)
+    }
+    out
+  }
+
   private def fingerprint(src: String): Int = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)

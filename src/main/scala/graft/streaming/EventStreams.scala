@@ -103,6 +103,27 @@ object EventStreams {
       .select(col("word"), col("postings"),
         size(col("postings")).cast("long").as("df"))
 
+  /** Streaming INDEX MAINTENANCE: each micro-batch of new documents
+    * lands as one LSM delta epoch in the persisted artifact
+    * (`IndexStore.writeIndexDelta` — the V2 commit protocol per
+    * epoch), so `IndexStore.readMerged` always serves the up-to-date
+    * index and periodic `compact` folds the epochs down. The
+    * reference's artifact is batch-only (`main.c++` has no update
+    * path); this is the streaming half of its lifecycle. foreachBatch
+    * is the right sink tier here: each epoch is itself a complete
+    * batch artifact, so exactly-once comes from the committer's
+    * all-or-nothing publish plus epoch-numbered idempotence (a
+    * replayed epoch overwrites its own delta dir, not the base). */
+  def indexDeltaSink(docs: DataFrame, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.IndexStore.writeIndexDelta(
+            graft.operators.InvertedIndex.postingsUnordered(batch.toDF()),
+            dir, epoch)
+    }
+
   /** Streaming exact dedup — the incremental twin of the batch
     * dedup-keep step (q21/q59): EXACTLY ONE document per distinct
     * content hash passes; later byte-identical copies are dropped.

@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.InvertedIndex
+import graft.sources.IndexStore
+import graft.streaming.EventStreams
+
+/** LSM-style incremental index maintenance (IndexStore deltas):
+  * base + delta epochs merge to the full rebuild, the base scan never
+  * sees half-merged state, compaction folds and deletes epochs with
+  * idempotent crash recovery, and the streaming sink lands epochs
+  * through the V2 committer. */
+class DeltaStoreSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$testdataDir/documents.parquet")
+
+  private def fullIndex =
+    InvertedIndex.postingsUnordered(docs)
+      .select(col("word"), col("df"),
+        col("postings").cast("array<bigint>").as("postings"))
+      .orderBy("word").collect().map(_.toString).toList
+
+  private def freshSplitArtifact(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_spec").toString
+    IndexStore.writeIndexTable(
+      InvertedIndex.postingsUnordered(docs.where(col("doc_id") % 2 === 0)), dir)
+    IndexStore.writeIndexDelta(
+      InvertedIndex.postingsUnordered(docs.where(col("doc_id") % 2 === 1)),
+      dir, epoch = 1L)
+    dir
+  }
+
+  test("merged read == full rebuild; base scan stays delta-blind") {
+    val dir = freshSplitArtifact()
+    val merged = IndexStore.readMerged(spark, dir)
+      .orderBy("word").collect().map(_.toString).toList
+    assert(merged === fullIndex)
+    // the PLAIN base scan must see only the base epoch (no torn state)
+    val baseOnly = IndexStore.readIndexTable(spark, dir)
+      .orderBy("word").collect().map(_.toString).toList
+    val evenOnly = InvertedIndex.postingsUnordered(
+        docs.where(col("doc_id") % 2 === 0))
+      .select(col("word"), col("df"),
+        col("postings").cast("array<bigint>").as("postings"))
+      .orderBy("word").collect().map(_.toString).toList
+    assert(baseOnly === evenOnly)
+    assert(baseOnly !== merged, "the split corpus should differ from full")
+  }
+
+  test("merged plan: delta words broadcast; untouched base is not re-aggregated") {
+    val dir = freshSplitArtifact()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = IndexStore.readMerged(spark, dir)
+        .queryExecution.executedPlan.toString
+      // the small delta word set drives broadcast anti/semi splits
+      assert(plan.contains("BroadcastHashJoin"), s"no broadcast split:\n$plan")
+      // exactly ONE aggregation: the touched-subset regroup — the
+      // untouched branch passes through aggregation-free
+      val aggs = plan.linesIterator.count(l => l.contains("HashAggregate") &&
+        l.contains("collect_list"))
+      assert(aggs <= 2, s"untouched base re-aggregated?\n$plan") // partial+final
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("compact folds deltas into the base, deletes them, restores sortedness") {
+    val dir = freshSplitArtifact()
+    val before = IndexStore.readMerged(spark, dir)
+      .orderBy("word").collect().map(_.toString).toList
+    IndexStore.compact(spark, dir)
+    assert(IndexStore.listDeltas(spark, dir).isEmpty, "deltas survive compact")
+    val after = IndexStore.readIndexTable(spark, dir)
+      .orderBy("word").collect().map(_.toString).toList
+    assert(after === before)
+    assert(after === fullIndex)
+    // the sorted rewrite re-licenses top-N pushdown
+    assert(new java.io.File(dir, "_GRAFT_SORTED").exists())
+    // compacting a delta-free artifact is a no-op
+    IndexStore.compact(spark, dir)
+    assert(IndexStore.readIndexTable(spark, dir)
+      .orderBy("word").collect().map(_.toString).toList === fullIndex)
+  }
+
+  test("crash recovery: re-merging a delta that survived compaction is a no-op") {
+    val dir = freshSplitArtifact()
+    IndexStore.compact(spark, dir)
+    // simulate a crash between base publish and delta deletion: the
+    // same epoch reappears
+    IndexStore.writeIndexDelta(
+      InvertedIndex.postingsUnordered(docs.where(col("doc_id") % 2 === 1)),
+      dir, epoch = 1L)
+    val merged = IndexStore.readMerged(spark, dir)
+      .orderBy("word").collect().map(_.toString).toList
+    assert(merged === fullIndex, "idempotent re-merge broke")
+  }
+
+  test("streaming sink: epochs land as deltas, merged == batch build") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdelta").toString
+    // base: even docs (batch bootstrap)
+    IndexStore.writeIndexTable(
+      InvertedIndex.postingsUnordered(docs.where(col("doc_id") % 2 === 0)), dir)
+    // stream: the odd docs arrive over two micro-batches
+    val odd = docs.where(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (b1, b2) = odd.splitAt(odd.length / 2)
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.indexDeltaSink(
+      in.toDF.toDF("doc_id", "text"), dir).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(IndexStore.listDeltas(spark, dir).size === 2)
+    val merged = IndexStore.readMerged(spark, dir)
+      .orderBy("word").collect().map(_.toString).toList
+    assert(merged === fullIndex)
+    // and compaction converges the streamed artifact too
+    IndexStore.compact(spark, dir)
+    assert(IndexStore.readIndexTable(spark, dir)
+      .orderBy("word").collect().map(_.toString).toList === fullIndex)
+  }
+}
