@@ -3,7 +3,7 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -39,7 +39,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * loads. `renameTable` is a filesystem rename, atomic where the FS
   * is.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -122,5 +122,62 @@ class GraftCatalog extends TableCatalog {
     fs.mkdirs(dst.getParent)
     if (!fs.rename(dirFor(from), dst))
       throw new java.io.IOException(s"rename $from -> $to failed")
+  }
+
+  // ---- SupportsNamespaces: directories that are not tables ----------
+
+  private def nsDir(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)(new Path(_, _))
+
+  /** A namespace is a plain directory; a table directory (artifact
+    * shape) is NOT a namespace — the two are disjoint by `isTable`. */
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val d = nsDir(namespace)
+    namespace.isEmpty || (fs.exists(d) && fs.getFileStatus(d).isDirectory &&
+      !isTable(d))
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val d = nsDir(namespace)
+    if (!fs.exists(d)) Array.empty
+    else fs.listStatus(d).iterator
+      .filter(s => s.isDirectory && !isTable(s.getPath) &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(s => namespace :+ s.getPath.getName)
+      .toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.singletonMap(
+      SupportsNamespaces.PROP_LOCATION, nsDir(namespace).toString)
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) || tableExists(
+        Identifier.of(namespace.dropRight(1), namespace.last)))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsDir(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces are bare directories; ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty)
+      throw new NoSuchNamespaceException(namespace)
+    val d = nsDir(namespace)
+    val nonEmpty = fs.listStatus(d).nonEmpty
+    if (nonEmpty && !cascade) throw new NonEmptyNamespaceException(namespace)
+    fs.delete(d, true)
   }
 }

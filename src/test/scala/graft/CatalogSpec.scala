@@ -92,6 +92,30 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_wh.rn_b")
   }
 
+  test("namespaces map to directories: CREATE/SHOW/USE-path/DROP") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wh.proj1")
+    assert(new java.io.File(s"$warehouse/proj1").isDirectory)
+    val ns = spark.sql("SHOW NAMESPACES IN graft_wh")
+      .collect().map(_.getString(0)).toSet
+    assert(ns.contains("proj1"), s"missing proj1 in $ns")
+    // table dirs are NOT namespaces (disjoint by artifact shape)
+    assert(!ns.contains("idx"), s"table listed as namespace: $ns")
+    // a table created INSIDE the namespace resolves and lists there
+    spark.sql("DROP TABLE IF EXISTS graft_wh.proj1.t")
+    spark.sql(
+      "CREATE TABLE graft_wh.proj1.t AS SELECT word, df, postings FROM graft_wh.idx LIMIT 3")
+    assert(spark.sql("SELECT count(*) FROM graft_wh.proj1.t")
+      .collect()(0).getLong(0) === 3L)
+    val tbls = spark.sql("SHOW TABLES IN graft_wh.proj1")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(tbls === Set("t"))
+    // dropping a non-empty namespace needs CASCADE
+    intercept[Exception](spark.sql("DROP NAMESPACE graft_wh.proj1"))
+    spark.sql("DROP NAMESPACE graft_wh.proj1 CASCADE")
+    assert(!new java.io.File(s"$warehouse/proj1").exists())
+  }
+
   test("CREATE TABLE with a non-index schema is rejected") {
     warehouse
     val e = intercept[Exception] {

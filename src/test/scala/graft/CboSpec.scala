@@ -111,4 +111,42 @@ class CboSpec extends SparkSpec {
         "FOR COLUMNS did not attach column-level stats")
     }
   }
+
+  test("runtime bloom filter injects on the shuffled fact join and agrees") {
+    // the other runtime-filtering deployment mode (besides DPP/q168):
+    // Spark 4 injects a bloom-filter semi-reduction on the big side of
+    // a shuffle join when the other side carries a selective filter.
+    // Thresholds are lowered so the sf0.001 fixture qualifies; the
+    // assertion is the query-level contract a 100 TB run relies on —
+    // injection happens AND does not change the answer.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle join
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def q = {
+      val li = Tables(spark, dir, "lineitem")
+      val ord = Tables(spark, dir, "orders")
+        .where(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity").as("qty"))
+    }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val withBloom = q
+      val planStr = withBloom.queryExecution.optimizedPlan.toString
+      assert(planStr.contains("might_contain"),
+        s"no bloom filter injected:\n$planStr")
+      val a = withBloom.collect().map(_.toString).sorted
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val b = q.collect().map(_.toString).sorted
+      assert(a.sameElements(b), "bloom-filtered result diverged")
+      assert(a.nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -98,6 +98,42 @@ class DeltaStoreSpec extends SparkSpec {
     assert(merged === fullIndex, "idempotent re-merge broke")
   }
 
+  test("multi-epoch overlapping deltas: per-word posting-set union, exact") {
+    import spark.implicits._
+    def postingsOf(rows: Seq[(String, Seq[Long])]) =
+      rows.toDF("word", "postings")
+        .select(col("word"), size(col("postings")).cast("long").as("df"),
+          col("postings").cast("array<bigint>").as("postings"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_multi_delta").toString
+    IndexStore.writeIndexTable(
+      postingsOf(Seq("alpha" -> Seq(1L), "beta" -> Seq(1L, 2L))), dir)
+    // epoch 1 touches an existing word and adds a new one
+    IndexStore.writeIndexDelta(
+      postingsOf(Seq("alpha" -> Seq(3L), "delta" -> Seq(3L))), dir, 1L)
+    // epoch 2 overlaps epoch 1 (re-crawl of doc 3) and adds doc 4
+    IndexStore.writeIndexDelta(
+      postingsOf(Seq("alpha" -> Seq(3L), "delta" -> Seq(3L, 4L),
+        "echo" -> Seq(4L))), dir, 2L)
+    val merged = IndexStore.readMerged(spark, dir)
+      .orderBy("word")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .toList
+    assert(merged === List(
+      ("alpha", 2L, List(1L, 3L)),
+      ("beta", 2L, List(1L, 2L)),
+      ("delta", 2L, List(3L, 4L)),
+      ("echo", 1L, List(4L))))
+    // compaction converges to the same relation and drops both epochs
+    IndexStore.compact(spark, dir)
+    assert(IndexStore.listDeltas(spark, dir).isEmpty)
+    val compacted = IndexStore.readIndexTable(spark, dir)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .toList
+    assert(compacted === merged)
+  }
+
   test("streaming sink: epochs land as deltas, merged == batch build") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
