@@ -546,6 +546,15 @@ object SparkEntry {
           array_join(col("postings").cast("array<string>"), " "))
         .orderBy(col("df").desc, col("word"))
     }),
+    // vocabulary size through COUNT(*) pushdown: each file reader
+    // emits its line count only - no word, no posting parse (spec pins
+    // the pushed aggregation + count schema)
+    "q173_dsv2_count" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, lit}
+      sources.IndexStore.readIndexTable(
+          s, sources.IndexStore.textIndexFor(s, d))
+        .agg(count(lit(1)).as("n_words"))
+    }),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2579,6 +2588,10 @@ object SparkEntry {
       s"""WITH $postingsCte
          |SELECT word, df, array_to_string(postings, ' ') AS postings
          |FROM post ORDER BY df DESC, word""".stripMargin,
+    // vocabulary size ≡ distinct-word count of the raw corpus
+    "q173_dsv2_count" ->
+      s"""WITH $postingsCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_words FROM post""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

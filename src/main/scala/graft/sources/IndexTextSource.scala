@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, Transform, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
@@ -193,12 +194,14 @@ private[graft] class IndexTextTable(path: String) extends Table
 
 private[graft] class IndexTextScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = IndexTextSource.Schema
   private var limit: Option[Int] = None
   private var orderedLimit = false
+  private var countStar = false
 
   /** Accept the word-shaped filters (they prune files + rows at the
     * source) but return EVERY filter as still-to-be-evaluated — Spark
@@ -238,13 +241,32 @@ private[graft] class IndexTextScanBuilder(path: String) extends ScanBuilder
     * source only trims what each file reader parses. */
   override def isPartiallyPushed(): Boolean = true
 
+  /** Global `COUNT(*)` pushdown — the "how big is the vocabulary"
+    * query: each reader emits ONE row with its file's grammar-line
+    * count, never materializing a word or parsing a posting; Spark
+    * sums the per-file partials (partial pushdown, so this composes
+    * with its own final aggregate). Accepted only bare: no group-by,
+    * no other aggregates — and Spark only offers it when no residual
+    * Filter sits above the scan, which (by this source's
+    * never-load-bearing filter contract) means an UNfiltered scan. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
+      limit.isEmpty
+    if (ok) countStar = true
+    ok
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+
   override def build(): Scan =
-    new IndexTextScan(path, pushed, required, limit, orderedLimit)
+    new IndexTextScan(path, pushed, required, limit, orderedLimit, countStar)
 }
 
 private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
     requiredSchema: StructType, limit: Option[Int] = None,
-    orderedLimit: Boolean = false) extends Scan with Batch
+    orderedLimit: Boolean = false, countStar: Boolean = false)
+    extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   /** Join-time filters delivered while the query RUNS (dynamic file
@@ -263,12 +285,16 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
   private[graft] def runtimeFilters: Array[Filter] = runtime
   private def effective: Array[Filter] = pushed ++ runtime
 
-  override def readSchema(): StructType = requiredSchema
+  /** Pushed COUNT(*) rewrites the served schema to the single partial-
+    * count column (Spark pairs it positionally with the aggregate). */
+  override def readSchema(): StructType =
+    if (countStar) IndexTextScan.CountSchema else requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-index $path, PushedFilters: [${pushed.mkString(", ")}], " +
       limit.map(n => s"PushedLimit: $n (ordered=$orderedLimit), ").getOrElse("") +
-      s"ReadSchema: ${requiredSchema.simpleString}"
+      (if (countStar) "PushedAggregation: [COUNT(*)], " else "") +
+      s"ReadSchema: ${readSchema().simpleString}"
 
   /** Post-pruning size estimate = the byte sum of the files the scan
     * will actually read. Without this a DSv2 scan reports the default
@@ -330,11 +356,55 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
     IndexMetrics.Task(IndexMetrics.PrunedFiles, prunedCount))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new IndexTextReaderFactory(effective, requiredSchema, limit, orderedLimit)
+    if (countStar) new IndexCountReaderFactory
+    else new IndexTextReaderFactory(effective, requiredSchema, limit, orderedLimit)
+}
+
+private[graft] object IndexTextScan {
+  val CountSchema: StructType = StructType(Seq(
+    StructField("count(*)", LongType, nullable = false)))
 }
 
 private[graft] case class IndexFilePartition(file: String, len: Long)
     extends InputPartition
+
+/** COUNT(*) pushdown reader: one row per file — the grammar-line
+  * count — with no word materialization and no posting parse. */
+private[graft] class IndexCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val file = partition.asInstanceOf[IndexFilePartition].file
+      private var linesRead = 0L
+      private var done = false
+      private var count = 0L
+      override def next(): Boolean =
+        if (done) false
+        else {
+          val p = new Path(file)
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val reader = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(p),
+              java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            var line = reader.readLine()
+            while (line != null) {
+              // same validity rule as the row reader: a grammar line
+              if (line.nonEmpty && line.indexOf(":[") > 0 && line.endsWith("]"))
+                count += 1
+              linesRead += 1
+              line = reader.readLine()
+            }
+          } finally reader.close()
+          done = true
+          true
+        }
+      override def get(): InternalRow = InternalRow(count)
+      override def close(): Unit = ()
+      override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+        IndexMetrics.Task(IndexMetrics.LinesRead, linesRead),
+        IndexMetrics.Task(IndexMetrics.RowsSkipped, 0L))
+    }
+}
 
 private[graft] class IndexTextReaderFactory(pushed: Array[Filter],
     requiredSchema: StructType, limit: Option[Int] = None,

@@ -289,6 +289,34 @@ class DataSourceV2Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("COUNT(*) pushdown: per-file line counts, no row materialization") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = table.agg(count(lit(1)).as("n_words"))
+      val scan = q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan
+      }.collectFirst { case s: IndexTextScan => s }
+        .getOrElse(fail("no IndexTextScan"))
+      assert(scan.description().contains("PushedAggregation: [COUNT(*)]"),
+        s"count(*) not pushed: ${scan.description()}")
+      // the scan serves the partial-count schema, not index rows
+      assert(scan.readSchema().fieldNames.toSeq === Seq("count(*)"))
+      val n = q.collect()(0).getLong(0)
+      assert(n === InvertedIndex.postingsUnordered(docs).count())
+      // a filtered count keeps the residual Filter above the scan, so
+      // the aggregation must NOT push — and still answers correctly
+      val filtered = table.where(col("word").startsWith("b"))
+        .agg(count(lit(1)).as("n"))
+      val fscan = filtered.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan
+      }.collectFirst { case s: IndexTextScan => s }.get
+      assert(!fscan.description().contains("PushedAggregation"))
+      assert(filtered.collect()(0).getLong(0) ===
+        InvertedIndex.postingsUnordered(docs)
+          .where(col("word").startsWith("b")).count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("runtime filtering: a selective dim join prunes letter files at run time") {
     // no static word predicate anywhere — the word set only exists
     // once the dim side has been evaluated (SupportsRuntimeFiltering)
