@@ -147,16 +147,14 @@ object IndexStore {
 
   /** WRITE the index artifact through the DSv2 source (the V2 commit
     * protocol: staged attempts, all-or-nothing publish, overwrite
-    * clears only on success). The R16 layout discipline — one letter
-    * per task, df↓ word↑ within — is imposed HERE by repartition +
-    * sortWithinPartitions, exactly like the path sink
-    * (`InvertedIndex.writeIndex`); the writer itself accepts any
-    * distribution (it splits per letter as rows arrive). */
+    * clears only on success). The R16 layout discipline — same word on
+    * one task, `df↓ word↑` within — is declared by the WRITE itself
+    * (`RequiresDistributionAndOrdering` in `IndexTextWriteBuilder`),
+    * so Spark plans the one clustering shuffle + sort and this helper
+    * just hands over rows; every artifact lands grammar-ordered and
+    * `_GRAFT_SORTED`. */
   def writeIndexTable(postings: DataFrame, dir: String): Unit =
     postings
-      .withColumn("letter", substring(col("word"), 1, 1))
-      .repartition(col("letter"))
-      .sortWithinPartitions(col("letter"), col("df").desc, col("word").asc)
       .select(col("word"), col("df"),
         col("postings").cast("array<bigint>").as("postings"))
       .write.format("graft-index").mode("overwrite").save(dir)

@@ -24,21 +24,46 @@ import org.apache.spark.sql.types.StructType
   *    committed attempts' files into place and drops the staging tree;
   *    job abort deletes staging, leaving the destination untouched.
   *
-  * A task may receive words of many letters (the writer does not
-  * require a distribution): it keeps one open file per letter and the
-  * artifact accumulates one part-file per (task, letter), which the
-  * reader already treats as splits. Callers that want the reference's
-  * exact per-letter file layout and ordering repartition+sort first
-  * ([[IndexStore.writeIndexTable]]), exactly like the R16 sink. */
+  * A task may receive words of many letters (it keeps one open file
+  * per letter; the artifact accumulates one part-file per
+  * (task, letter), which the reader treats as splits) — but the WRITE
+  * declares its preferred shape via `RequiresDistributionAndOrdering`
+  * (see [[IndexTextWriteBuilder.build]]): Spark clusters by `word` and
+  * sorts `df↓ word↑` per task, so every path that reaches this writer
+  * produces grammar-ordered, `_GRAFT_SORTED`-marked files with one
+  * engine-planned shuffle. */
 private[graft] class IndexTextWriteBuilder(path: String, queryId: String,
     schema: StructType) extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   /** `mode("overwrite")` plans OverwriteByExpression(true) → truncate:
     * job commit clears the previous artifact before publishing. */
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new Write {
+
+  /** The write DECLARES the R16 layout discipline instead of leaving
+    * it to callers (`RequiresDistributionAndOrdering`): Spark clusters
+    * incoming rows by `word` (same word → one task) and sorts each
+    * task `df↓ word↑` — so EVERY write path (CTAS, INSERT INTO, the
+    * store helpers) lands grammar-ordered files and earns the
+    * `_GRAFT_SORTED` marker, with exactly ONE shuffle planned by the
+    * engine. When the written schema carries no `df` column the sort
+    * degrades to `word↑` alone and the writer's per-file order
+    * detector correctly withholds the marker. */
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
     override def toBatch: BatchWrite =
       new IndexTextBatchWrite(path, queryId, schema, truncateFirst)
+    override def requiredDistribution(): Distribution =
+      Distributions.clustered(Array(Expressions.column("word")))
+    override def requiredOrdering(): Array[SortOrder] = {
+      val df =
+        if (schema.fieldNames.contains("df"))
+          Seq(Expressions.sort(Expressions.column("df"), SortDirection.DESCENDING))
+        else Nil
+      (df :+ Expressions.sort(Expressions.column("word"), SortDirection.ASCENDING))
+        .toArray
+    }
   }
 }
 

@@ -61,8 +61,11 @@ class CatalogSpec extends SparkSpec {
       "SELECT word, df FROM graft_wh.idx WHERE word LIKE 'b%' ORDER BY word")
       .collect()
     assert(back.map(_.toString).toSeq === expect.map(_.toString).toSeq)
-    // top-N through the CTAS'd table (pushed iff the writer observed
-    // sorted arrival and marked it — either way the answer must match)
+    // the write's RequiresDistributionAndOrdering sorts EVERY insert
+    // path, so even a CTAS artifact earns the sorted marker …
+    assert(new java.io.File(s"$warehouse/ctas_idx/_GRAFT_SORTED").exists(),
+      "CTAS artifact missing the sorted marker")
+    // … and its top-N answers match the source table's
     val top = spark.sql(
       "SELECT word FROM graft_wh.ctas_idx ORDER BY df DESC, word LIMIT 3")
       .collect().map(_.getString(0)).toSeq
