@@ -124,6 +124,41 @@ object IndexTextSource {
       case _ => false
     })
 
+  /** The conjunction of the filters' letter sets (None = unbounded). */
+  private[sources] def lettersOf(filters: Array[Filter]): Option[Set[String]] = {
+    val sets = filters.flatMap(allowedLetters)
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  /** One walk of an artifact root: (files planned under the allowed
+    * letters, total file count) — the same listing a manifest/catalog
+    * serves at scale. Shared by the batch scan and the delta-epoch
+    * streaming source (a delta dir IS an artifact root). */
+  private[sources] def listArtifactFiles(root: String,
+      allowed: Option[Set[String]]): (Array[IndexFilePartition], Int) = {
+    val base = new Path(root)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val fs = base.getFileSystem(conf)
+    if (!fs.exists(base)) (Array.empty, 0)
+    else {
+      val byLetter = fs.listStatus(base).iterator
+        .filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("letter="))
+        .map(d => (d.getPath.getName.stripPrefix("letter="),
+          fs.listStatus(d.getPath)
+            .filter(f => f.isFile && f.getLen > 0 &&
+              !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))))
+        .toArray
+      val planned = byLetter
+        .filter { case (l, _) => allowed.forall(_.contains(l)) }
+        .flatMap(_._2)
+        .map(f => IndexFilePartition(f.getPath.toString, f.getLen))
+      (planned, byLetter.map(_._2.length).sum)
+    }
+  }
+
   /** Does a pushed V2 top-N ordering match the artifact's OWN on-disk
     * order? The R16 grammar sorts every letter bucket `df↓ word↑`
     * (reference `main.c++:37-44,236`; both writers impose it via
@@ -179,6 +214,7 @@ private[graft] class IndexTextTable(path: String) extends Table
   override def schema(): StructType = IndexTextSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IndexTextScanBuilder(path)
@@ -317,34 +353,11 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
     * file source (at real scale this listing comes from a manifest /
     * catalog, which is exactly the reference's manifest role). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val letterSets = effective.flatMap(IndexTextSource.allowedLetters)
-    val allowed: Option[Set[String]] =
-      if (letterSets.isEmpty) None else Some(letterSets.reduce(_ intersect _))
-    val base = new Path(path)
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
-    val fs = base.getFileSystem(conf)
-    if (!fs.exists(base)) Array.empty
-    else {
-      // one walk yields both the planned set and the pruned-count
-      // metric (the same listing a manifest/catalog serves at scale)
-      val byLetter = fs.listStatus(base).iterator
-        .filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith("letter="))
-        .map(d => (d.getPath.getName.stripPrefix("letter="),
-          fs.listStatus(d.getPath)
-            .filter(f => f.isFile && f.getLen > 0 &&
-              !f.getPath.getName.startsWith("_") &&
-              !f.getPath.getName.startsWith("."))))
-        .toArray
-      val planned = byLetter
-        .filter { case (l, _) => allowed.forall(_.contains(l)) }
-        .flatMap(_._2)
-        .map(f => IndexFilePartition(f.getPath.toString, f.getLen): InputPartition)
-      plannedCount = planned.length
-      prunedCount = byLetter.map(_._2.length).sum - planned.length
-      planned
-    }
+    val (planned, total) =
+      IndexTextSource.listArtifactFiles(path, IndexTextSource.lettersOf(effective))
+    plannedCount = planned.length
+    prunedCount = total - planned.length
+    planned.map(p => p: InputPartition)
   }
 
   @volatile private var plannedCount = 0L
@@ -358,6 +371,67 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
   override def createReaderFactory(): PartitionReaderFactory =
     if (countStar) new IndexCountReaderFactory
     else new IndexTextReaderFactory(effective, requiredSchema, limit, orderedLimit)
+
+  /** `readStream` on the artifact TAILS ITS DELTA EPOCHS: offsets are
+    * epoch numbers, each micro-batch serves the rows of the newly
+    * READY `_delta_<epoch>/` artifacts (the base is bootstrap state — a
+    * batch read — not part of the feed). With `indexDeltaSink` on the
+    * write side this closes the loop: one artifact, batch-written,
+    * stream-appended, stream-consumed. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new IndexDeltaMicroBatchStream(path, pushed, requiredSchema)
+}
+
+private[graft] case class IndexEpochOffset(epoch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = epoch.toString
+}
+
+/** Epoch-tailing micro-batch stream over an index artifact's deltas.
+  * Progress is monotone in the epoch number (the delta writers'
+  * contract: streaming epochs are batch ids, manual epochs must
+  * increase); only READY deltas (published `_GRAFT_READY`) are
+  * visible, so a half-committed epoch can never enter a batch. Exactly
+  * once: offsets are checkpointed by the engine and each epoch's file
+  * set is immutable after publish. */
+private[graft] class IndexDeltaMicroBatchStream(path: String,
+    pushed: Array[Filter], requiredSchema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def readyEpochs: Seq[Long] = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_delta_"))
+      .filter(s => fs.exists(new Path(s.getPath, "_GRAFT_READY")))
+      .map(_.getPath.getName.stripPrefix("_delta_").toLong)
+      .sorted
+  }
+
+  override def initialOffset(): Offset = IndexEpochOffset(-1L)
+  override def latestOffset(): Offset =
+    IndexEpochOffset(readyEpochs.lastOption.getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset =
+    IndexEpochOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[IndexEpochOffset].epoch
+    val hi = end.asInstanceOf[IndexEpochOffset].epoch
+    readyEpochs.filter(e => e > lo && e <= hi)
+      .flatMap(e => IndexTextSource.listArtifactFiles(
+        s"$path/_delta_$e", IndexTextSource.lettersOf(pushed))._1)
+      .toArray.map(p => p: InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IndexTextReaderFactory(pushed, requiredSchema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[graft] object IndexTextScan {
