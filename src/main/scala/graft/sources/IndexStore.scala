@@ -238,10 +238,12 @@ object IndexStore {
     if (!fs.exists(base)) Nil
     else fs.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_delta_"))
-      .filter(s => fs.exists(
-        new org.apache.hadoop.fs.Path(s.getPath, "_GRAFT_READY")))
-      .sortBy(_.getPath.getName.stripPrefix("_delta_").toLong)
-      .map(_.getPath.toString)
+      .flatMap(s => s.getPath.getName.stripPrefix("_delta_")
+        .toLongOption.map(e => (e, s.getPath))) // ignore non-epoch dirs
+      .filter { case (_, p) => fs.exists(
+        new org.apache.hadoop.fs.Path(p, "_GRAFT_READY")) }
+      .sortBy(_._1)
+      .map(_._2.toString)
   }
 
   /** The up-to-date index: base ∪ deltas with per-word posting-set

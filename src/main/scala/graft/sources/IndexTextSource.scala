@@ -201,6 +201,8 @@ private[graft] object IndexMetrics {
   val PrunedFiles = "prunedIndexFiles"
   val LinesRead = "indexLinesRead"
   val RowsSkipped = "indexRowsSkipped"
+  val LinesWritten = "indexLinesWritten"
+  val FilesWritten = "indexFilesWritten"
   def supported: Array[CustomMetric] = Array(
     new Sum(PlannedFiles, "index files planned (after letter pruning)"),
     new Sum(PrunedFiles, "index files pruned by word predicates"),
@@ -408,7 +410,7 @@ private[graft] class IndexDeltaMicroBatchStream(path: String,
     else fs.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_delta_"))
       .filter(s => fs.exists(new Path(s.getPath, "_GRAFT_READY")))
-      .map(_.getPath.getName.stripPrefix("_delta_").toLong)
+      .flatMap(_.getPath.getName.stripPrefix("_delta_").toLongOption)
       .sorted
   }
 

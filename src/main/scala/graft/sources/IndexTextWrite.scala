@@ -54,6 +54,12 @@ private[graft] class IndexTextWriteBuilder(path: String, queryId: String,
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
     override def toBatch: BatchWrite =
       new IndexTextBatchWrite(path, queryId, schema, truncateFirst)
+    /** Write-side observability, symmetric with the scan's: per-task
+      * grammar lines and letter files written (SQL-metrics surface). */
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+      new IndexMetrics.Sum(IndexMetrics.LinesWritten, "index lines written"),
+      new IndexMetrics.Sum(IndexMetrics.FilesWritten, "index letter files written"))
     override def requiredDistribution(): Distribution =
       Distributions.clustered(Array(Expressions.column("word")))
     override def requiredOrdering(): Array[SortOrder] = {
@@ -203,7 +209,14 @@ private[graft] class IndexTextDataWriter(staging: String, taskUid: String,
     val w = streamFor(letter)
     w.write(sb.toString)
     w.newLine()
+    linesWritten += 1
   }
+
+  private var linesWritten = 0L
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
+    IndexMetrics.Task(IndexMetrics.LinesWritten, linesWritten),
+    IndexMetrics.Task(IndexMetrics.FilesWritten, files.length.toLong))
 
   override def commit(): WriterCommitMessage = {
     streams.values.foreach(_.close())

@@ -317,6 +317,24 @@ class DataSourceV2Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("write-side metrics: the task writer counts lines and letter files") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val staging = java.nio.file.Files.createTempDirectory("graft_wm").toString
+    val w = new graft.sources.IndexTextDataWriter(
+      staging, "t0", 0, graft.sources.IndexTextSource.Schema)
+    def row(word: String, ids: Array[Long]) = InternalRow.fromSeq(Seq(
+      UTF8String.fromString(word), ids.length.toLong, ArrayData.toArrayData(ids)))
+    w.write(row("apple", Array(1L, 2L)))
+    w.write(row("banana", Array(2L)))
+    w.write(row("avocado", Array(3L)))
+    val m = w.currentMetricsValues().map(t => t.name() -> t.value()).toMap
+    assert(m("indexLinesWritten") === 3L)
+    assert(m("indexFilesWritten") === 2L) // letters a and b
+    w.abort()
+  }
+
   test("runtime filtering: a selective dim join prunes letter files at run time") {
     // no static word predicate anywhere — the word set only exists
     // once the dim side has been evaluated (SupportsRuntimeFiltering)
