@@ -338,6 +338,7 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (p, Seq(p))
     } else {
+      evictStopped(sketchMemo)(_._1)
       (sketchMemo.getOrElseUpdate(
         (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
           Similarity.fileStateHash(docs)),
@@ -665,17 +666,32 @@ object Dedup {
     * one-row-per-doc checkpoint leaves; lazy (plan-audit) mode
     * bypasses so Explain keeps the full tower. */
   private val sigMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int), DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int, Int), DataFrame]
 
   /** Drop memoized signature relations (multi-corpus drivers). */
   def clearSigMemo(): Unit = sigMemo.clear()
 
   private def memoizedSigs(docs: DataFrame, bits: Int, th: Column): DataFrame =
     if (!eagerMaterialize(docs)) simhashSigsWide(docs, bits, th)
-    else sigMemo.getOrElseUpdate(
-      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
-        Similarity.fileStateHash(docs), bits),
-      checkpointWide(simhashSigsWide(docs, bits, th)))
+    else {
+      evictStopped(sigMemo)(_._1)
+      sigMemo.getOrElseUpdate(
+        (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
+          Similarity.fileStateHash(docs), bits,
+          // the token-hash expression is part of the signature
+          // definition — keep polyHash/xxhash64 entries distinct even
+          // at equal widths
+          th.toString.hashCode),
+        checkpointWide(simhashSigsWide(docs, bits, th)))
+    }
+
+  /** Entries for STOPPED sessions pin checkpointed DataFrames for the
+    * process lifetime — drop them on each memo access (a long-lived
+    * driver looping create-session → work → stop otherwise leaks). */
+  private def evictStopped[K, V](memo: scala.collection.concurrent.TrieMap[K, V])(
+      session: K => org.apache.spark.sql.SparkSession): Unit =
+    memo.keys.filter(k => session(k).sparkContext.isStopped)
+      .foreach(memo.remove)
 
   /** Checkpoint a memo leaf at FULL session parallelism. AQE coalesces
     * the small build shuffle to ~1 partition, and the leaf's accurate

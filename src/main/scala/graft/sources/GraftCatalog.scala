@@ -61,10 +61,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     (ident.namespace() :+ ident.name()).foldLeft(warehouse)(new Path(_, _))
 
   /** A directory is a TABLE when it carries the artifact's shape —
-    * letter buckets or the ready marker (an empty just-created table
-    * has only the marker). */
+    * letter buckets, a published artifact's ready marker, or the
+    * catalog's own create marker (`_GRAFT_TABLE`, distinct from
+    * `_GRAFT_READY` so an empty just-created table is never mistaken
+    * for a PUBLISHED artifact by readiness-sensitive readers). */
   private def isTable(d: Path): Boolean =
     fs.exists(new Path(d, "_GRAFT_READY")) ||
+      fs.exists(new Path(d, "_GRAFT_TABLE")) ||
       Option(fs.globStatus(new Path(d, "letter=*"))).exists(_.nonEmpty)
 
   override def tableExists(ident: Identifier): Boolean = {
@@ -96,7 +99,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       properties: JMap[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val names = schema.fieldNames.toSet
-    require(names.subsetOf(Set("word", "df", "postings")) && names.contains("word"),
+    // require up front what the WRITER will require (word + postings):
+    // a doomed CTAS should fail here, before any directory exists
+    require(names.subsetOf(Set("word", "df", "postings")) &&
+        names.contains("word") && names.contains("postings"),
       s"graft catalog tables have schema (word, df, postings); got ${names.mkString(", ")}")
     require(partitions.isEmpty,
       "graft-index manages its own letter partitioning; PARTITIONED BY is not supported")
@@ -104,7 +110,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     fs.mkdirs(d)
     // mark the (possibly still empty) directory as a table so a
     // create-then-insert sequence resolves between the two statements
-    fs.create(new Path(d, "_GRAFT_READY"), true).close()
+    // (NOT _GRAFT_READY — that marker means a published artifact)
+    fs.create(new Path(d, "_GRAFT_TABLE"), true).close()
     new IndexTextTable(d.toString)
   }
 

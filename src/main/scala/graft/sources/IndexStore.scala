@@ -319,14 +319,8 @@ object IndexStore {
     out
   }
 
-  private def fingerprint(src: String): Int = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName).flatMap(walk))
-          .getOrElse(Nil)
-      else Seq(f)
-    walk(new java.io.File(src))
-      .map(f => (f.getPath.stripPrefix(src), f.length(), f.lastModified()))
-      .hashCode()
-  }
+  /** One fingerprint definition repo-wide: [[Sidecar.sourceFingerprint]]
+    * (path, length, mtime walk) — shared so cache keying can never
+    * diverge between the sidecar copies and the index artifacts. */
+  private def fingerprint(src: String): Int = Sidecar.sourceFingerprint(src)
 }

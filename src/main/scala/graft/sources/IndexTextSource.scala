@@ -76,6 +76,15 @@ object IndexTextSource {
     * or failing. */
   val SortedMarker = "_GRAFT_SORTED"
 
+  /** The session's Hadoop configuration packaged for the tasks — a
+    * bare `new Configuration()` on the executor drops `spark.hadoop.*`
+    * settings (object-store credentials, endpoints) that driver-side
+    * planning relied on. Captured at reader-factory construction,
+    * which runs on the driver. */
+  private[sources] def sessionConf(): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
   /** Driver-side planning check for [[SortedMarker]]. */
   private[sources] def artifactSorted(path: String): Boolean =
     try {
@@ -354,9 +363,22 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
     * sharding. Driver-side cost is one directory listing, same as any
     * file source (at real scale this listing comes from a manifest /
     * catalog, which is exactly the reference's manifest role). */
+  /** One directory walk per filter state: `estimateStatistics` and the
+    * planner may each call `planInputPartitions` during a single plan
+    * (expensive listing on object stores); the cache is keyed by the
+    * allowed-letter set so a runtime-filter re-plan re-lists. */
+  @volatile private var listingCache
+      : Option[(Option[Set[String]], Array[IndexFilePartition], Int)] = None
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val (planned, total) =
-      IndexTextSource.listArtifactFiles(path, IndexTextSource.lettersOf(effective))
+    val allowed = IndexTextSource.lettersOf(effective)
+    val (planned, total) = listingCache match {
+      case Some((k, p, t)) if k == allowed => (p, t)
+      case _ =>
+        val (p, t) = IndexTextSource.listArtifactFiles(path, allowed)
+        listingCache = Some((allowed, p, t))
+        (p, t)
+    }
     plannedCount = planned.length
     prunedCount = total - planned.length
     planned.map(p => p: InputPartition)
@@ -371,8 +393,9 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
     IndexMetrics.Task(IndexMetrics.PrunedFiles, prunedCount))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (countStar) new IndexCountReaderFactory
-    else new IndexTextReaderFactory(effective, requiredSchema, limit, orderedLimit)
+    if (countStar) new IndexCountReaderFactory(Some(IndexTextSource.sessionConf()))
+    else new IndexTextReaderFactory(effective, requiredSchema, limit,
+      orderedLimit, Some(IndexTextSource.sessionConf()))
 
   /** `readStream` on the artifact TAILS ITS DELTA EPOCHS: offsets are
     * epoch numbers, each micro-batch serves the rows of the newly
@@ -420,17 +443,36 @@ private[graft] class IndexDeltaMicroBatchStream(path: String,
   override def deserializeOffset(json: String): Offset =
     IndexEpochOffset(json.toLong)
 
+  /** Epochs served by THIS run — lets an out-of-order publish fail
+    * loudly instead of being skipped silently (below). Best-effort:
+    * after a checkpoint restart the set is empty and pre-restart
+    * batches cannot be distinguished from late publishes. */
+  private val served = scala.collection.mutable.Set.empty[Long]
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[IndexEpochOffset].epoch
     val hi = end.asInstanceOf[IndexEpochOffset].epoch
-    readyEpochs.filter(e => e > lo && e <= hi)
+    val ready = readyEpochs
+    // the monotone-epoch contract, ENFORCED: a delta that became READY
+    // after a higher epoch was already committed would otherwise never
+    // enter any batch — silent data loss; make it the writer's bug
+    val late = ready.filter(e => e <= lo && served.nonEmpty && !served.contains(e))
+    if (late.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-index stream: epoch(s) ${late.mkString(", ")} published " +
+          s"out of order (offset already at $lo) — delta epochs must be " +
+          "monotonically increasing")
+    val batch = ready.filter(e => e > lo && e <= hi)
+    served ++= batch
+    batch
       .flatMap(e => IndexTextSource.listArtifactFiles(
         s"$path/_delta_$e", IndexTextSource.lettersOf(pushed))._1)
       .toArray.map(p => p: InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new IndexTextReaderFactory(pushed, requiredSchema)
+    new IndexTextReaderFactory(pushed, requiredSchema,
+      hadoopConf = Some(IndexTextSource.sessionConf()))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -446,7 +488,9 @@ private[graft] case class IndexFilePartition(file: String, len: Long)
 
 /** COUNT(*) pushdown reader: one row per file — the grammar-line
   * count — with no word materialization and no posting parse. */
-private[graft] class IndexCountReaderFactory extends PartitionReaderFactory {
+private[graft] class IndexCountReaderFactory(
+    hadoopConf: Option[org.apache.spark.util.SerializableConfiguration] = None)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val file = partition.asInstanceOf[IndexFilePartition].file
@@ -457,7 +501,8 @@ private[graft] class IndexCountReaderFactory extends PartitionReaderFactory {
         if (done) false
         else {
           val p = new Path(file)
-          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = p.getFileSystem(hadoopConf.map(_.value)
+            .getOrElse(new org.apache.hadoop.conf.Configuration()))
           val reader = new java.io.BufferedReader(
             new java.io.InputStreamReader(fs.open(p),
               java.nio.charset.StandardCharsets.UTF_8))
@@ -484,11 +529,13 @@ private[graft] class IndexCountReaderFactory extends PartitionReaderFactory {
 
 private[graft] class IndexTextReaderFactory(pushed: Array[Filter],
     requiredSchema: StructType, limit: Option[Int] = None,
-    orderedLimit: Boolean = false) extends PartitionReaderFactory {
+    orderedLimit: Boolean = false,
+    hadoopConf: Option[org.apache.spark.util.SerializableConfiguration] = None)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new IndexTextPartitionReader(
       partition.asInstanceOf[IndexFilePartition].file, pushed, requiredSchema,
-      limit, orderedLimit)
+      limit, orderedLimit, hadoopConf)
 }
 
 /** Streams one index file line-by-line: parse the word, row-filter on
@@ -497,7 +544,8 @@ private[graft] class IndexTextReaderFactory(pushed: Array[Filter],
   * them; neither parses when both are pruned). */
 private[graft] class IndexTextPartitionReader(file: String,
     pushed: Array[Filter], requiredSchema: StructType,
-    limit: Option[Int] = None, orderedLimit: Boolean = false)
+    limit: Option[Int] = None, orderedLimit: Boolean = false,
+    hadoopConf: Option[org.apache.spark.util.SerializableConfiguration] = None)
     extends PartitionReader[InternalRow] {
 
   private val needDf = requiredSchema.fieldNames.contains("df")
@@ -515,7 +563,8 @@ private[graft] class IndexTextPartitionReader(file: String,
 
   private val fs = {
     val p = new Path(file)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    p.getFileSystem(hadoopConf.map(_.value)
+      .getOrElse(new org.apache.hadoop.conf.Configuration()))
   }
   private val reader = new java.io.BufferedReader(
     new java.io.InputStreamReader(fs.open(new Path(file)),
@@ -571,7 +620,12 @@ private[graft] class IndexTextPartitionReader(file: String,
       if (ids.isEmpty) Array.empty else ids.split(' ')
     val values = requiredSchema.fieldNames.map {
       case "word" => UTF8String.fromString(word)
-      case "df" => idStrs.length.toLong
+      case "df" =>
+        // with postings pruned, COUNT the ids without splitting — for
+        // a corpus-scale word the split array IS the row's cost
+        if (needPostings) idStrs.length.toLong
+        else if (ids.isEmpty) 0L
+        else (ids.count(_ == ' ') + 1).toLong
       case "postings" => ArrayData.toArrayData(idStrs.map(_.toLong))
       case other => throw new IllegalArgumentException(
         s"graft-index has no column $other")

@@ -78,9 +78,16 @@ private[graft] class IndexTextBatchWrite(path: String, queryId: String,
 
   private val staging = s"$path/_graft_staging_$queryId"
 
+  /** The session's Hadoop configuration, shipped to the tasks — a bare
+    * `new Configuration()` on the executor would drop every
+    * `spark.hadoop.*` setting (object-store credentials, endpoints)
+    * that made the driver-side planning succeed. */
+  private val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new IndexTextWriterFactory(path, staging, schema)
+    new IndexTextWriterFactory(path, staging, schema, queryId, hadoopConf)
 
   /** Publish: move every committed file from its attempt's staging dir
     * into the destination letter directory. Single driver-side pass —
@@ -89,7 +96,7 @@ private[graft] class IndexTextBatchWrite(path: String, queryId: String,
     * committer v1 accepts. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val base = new Path(path)
-    val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = base.getFileSystem(hadoopConf.value)
     // sortedness of the artifact AFTER this commit: all new files
     // sorted AND (we replace everything | nothing was there | what was
     // there was already marked sorted)
@@ -104,11 +111,17 @@ private[graft] class IndexTextBatchWrite(path: String, queryId: String,
     if (truncateFirst) {
       // overwrite semantics: drop the previous artifact ONLY now, when
       // every task has succeeded — a failed job leaves the old index
-      // intact (all-or-nothing at the artifact level)
+      // intact (all-or-nothing at the artifact level). Delta epochs go
+      // too: they were unioned views over the OLD base — serving them
+      // over a replaced corpus would resurrect deleted documents.
+      // (compact() is safe: its merged relation is fully computed from
+      // base+deltas before this commit runs.)
       fs.delete(new Path(base, "_GRAFT_READY"), false)
       fs.delete(new Path(base, IndexTextSource.SortedMarker), false)
       Option(fs.globStatus(new Path(base, "letter=*")))
         .foreach(_.foreach(d => fs.delete(d.getPath, true)))
+      Option(fs.globStatus(new Path(base, "_delta_*")))
+        .foreach(_.foreach(d => if (d.isDirectory) fs.delete(d.getPath, true)))
     }
     messages.foreach {
       case m: IndexFilesCommitted =>
@@ -138,7 +151,7 @@ private[graft] class IndexTextBatchWrite(path: String, queryId: String,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = new Path(path).getFileSystem(hadoopConf.value)
     fs.delete(new Path(staging), true)
   }
 }
@@ -150,22 +163,28 @@ private[graft] case class IndexFilesCommitted(files: Seq[String],
     sorted: Boolean) extends WriterCommitMessage
 
 private[graft] class IndexTextWriterFactory(path: String, staging: String,
-    schema: StructType) extends DataWriterFactory {
+    schema: StructType, queryId: String,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new IndexTextDataWriter(staging, s"$partitionId-$taskId", partitionId, schema)
+    new IndexTextDataWriter(staging, s"$partitionId-$taskId", partitionId,
+      schema, queryId, Option(hadoopConf))
 }
 
 /** One open stream per letter seen; rows format as the R16 grammar in
   * arrival order (callers impose the df↓/word↑ order upstream). */
 private[graft] class IndexTextDataWriter(staging: String, taskUid: String,
-    partitionId: Int, schema: StructType) extends DataWriter[InternalRow] {
+    partitionId: Int, schema: StructType, queryId: String = "q",
+    hadoopConf: Option[org.apache.spark.util.SerializableConfiguration] = None)
+    extends DataWriter[InternalRow] {
 
   private val wordAt = schema.fieldIndex("word")
   private val postingsAt = schema.fieldIndex("postings")
 
-  private val fs = new Path(staging)
-    .getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val fs = new Path(staging).getFileSystem(
+    hadoopConf.map(_.value)
+      .getOrElse(new org.apache.hadoop.conf.Configuration()))
   private val streams =
     scala.collection.mutable.HashMap.empty[String, java.io.BufferedWriter]
   private var files = List.empty[String]
@@ -178,7 +197,11 @@ private[graft] class IndexTextDataWriter(staging: String, taskUid: String,
 
   private def streamFor(letter: String): java.io.BufferedWriter =
     streams.getOrElseUpdate(letter, {
-      val rel = s"$taskUid/letter=$letter/part-$partitionId.txt"
+      // the JOB-unique queryId rides into the FINAL file name: an
+      // append job's renames must never collide with a previous
+      // job's published part-files (partitionIds repeat across jobs;
+      // POSIX rename would silently overwrite them)
+      val rel = s"$taskUid/letter=$letter/part-$partitionId-$queryId.txt"
       files ::= rel
       val out = fs.create(new Path(staging, rel), true)
       new java.io.BufferedWriter(new java.io.OutputStreamWriter(out,
@@ -186,6 +209,8 @@ private[graft] class IndexTextDataWriter(staging: String, taskUid: String,
     })
 
   override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(wordAt) && !row.isNullAt(postingsAt),
+      "graft-index rows need non-null word and postings")
     val word = row.getUTF8String(wordAt).toString
     require(word.nonEmpty, "graft-index cannot store an empty word")
     val ids = row.getArray(postingsAt)

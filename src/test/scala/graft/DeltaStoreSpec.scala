@@ -134,6 +134,43 @@ class DeltaStoreSpec extends SparkSpec {
     assert(compacted === merged)
   }
 
+  test("overwrite clears delta epochs: a replaced corpus resurrects nothing") {
+    import spark.implicits._
+    def postingsOf(rows: Seq[(String, Seq[Long])]) =
+      rows.toDF("word", "postings")
+        .select(col("word"), size(col("postings")).cast("long").as("df"),
+          col("postings").cast("array<bigint>").as("postings"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ow_delta").toString
+    IndexStore.writeIndexTable(postingsOf(Seq("old" -> Seq(1L))), dir)
+    IndexStore.writeIndexDelta(postingsOf(Seq("stale" -> Seq(2L))), dir, 1L)
+    // a full refresh of the artifact: the old corpus's deltas must go
+    // with it, or readMerged would serve documents that no longer exist
+    IndexStore.writeIndexTable(postingsOf(Seq("fresh" -> Seq(9L))), dir)
+    assert(IndexStore.listDeltas(spark, dir).isEmpty,
+      "stale delta epochs survived an overwrite")
+    assert(IndexStore.readMerged(spark, dir)
+      .select("word").collect().map(_.getString(0)).toList === List("fresh"))
+  }
+
+  test("append jobs never collide: both jobs' rows survive in one letter") {
+    import spark.implicits._
+    def postingsOf(rows: Seq[(String, Seq[Long])]) =
+      rows.toDF("word", "postings")
+        .select(col("word"), size(col("postings")).cast("long").as("df"),
+          col("postings").cast("array<bigint>").as("postings"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_append").toString
+    // two separate APPEND jobs, same letter, same partition ids — the
+    // job-unique queryId in the published file names keeps them apart
+    postingsOf(Seq("alpha" -> Seq(1L)))
+      .write.format("graft-index").mode("append").save(dir)
+    postingsOf(Seq("apple" -> Seq(2L)))
+      .write.format("graft-index").mode("append").save(dir)
+    val words = IndexStore.readIndexTable(spark, dir)
+      .select("word").collect().map(_.getString(0)).toSet
+    assert(words === Set("alpha", "apple"),
+      s"an append overwrote the previous job's files: $words")
+  }
+
   test("streaming source: readStream tails delta epochs as micro-batches") {
     import spark.implicits._
     def postingsOf(rows: Seq[(String, Seq[Long])]) =
