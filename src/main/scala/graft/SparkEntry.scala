@@ -555,6 +555,13 @@ object SparkEntry {
           s, sources.IndexStore.textIndexFor(s, d))
         .agg(count(lit(1)).as("n_words"))
     }),
+    // correlated LATERAL (ORDER BY+LIMIT) through SQL text: Spark
+    // decorrelates to ONE window + join (spec pins no nested-loop)
+    "q174_lateral_topn" -> ((s, d) => Relational.lateralTopOrders(
+      Tables(s, d, "customer"), Tables(s, d, "orders"))),
+    // WITH RECURSIVE month spine + LEFT JOIN: gap-filled revenue series
+    "q175_recursive_gapfill" -> ((s, d) =>
+      Relational.recursiveMonthlyRevenue(Tables(s, d, "orders"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2592,6 +2599,31 @@ object SparkEntry {
     "q173_dsv2_count" ->
       s"""WITH $postingsCte
          |SELECT CAST(count(*) AS BIGINT) AS n_words FROM post""".stripMargin,
+    // DuckDB runs the same lateral; ties impossible (orderkey breaks)
+    "q174_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey,
+        |       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
+    // DuckDB mirrors the recursion; sums routed DECIMAL -> DOUBLE
+    "q175_recursive_gapfill" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+        |)
+        |SELECT strftime(months.m, '%Y-%m') AS month,
+        |       CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))),
+        |                     CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+        |FROM months LEFT JOIN orders o
+        |  ON date_trunc('month', o.o_orderdate) = months.m
+        |GROUP BY months.m
+        |ORDER BY months.m""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

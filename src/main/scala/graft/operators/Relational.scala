@@ -822,6 +822,62 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** q174 — correlated LATERAL subquery with ORDER BY + LIMIT: each
+    * customer's top-k orders by price, expressed as the SQL-text
+    * lateral join a migrating SQL user writes (the DataFrame twin is
+    * q157's bounded aggregator; the window form is q04). The scale
+    * property is in Spark's DECORRELATION: the per-row subquery plans
+    * as ONE window (rank ≤ k) over a single orders shuffle + one join —
+    * never an execute-subquery-per-customer loop and never a
+    * cartesian expansion (spec pins no BroadcastNestedLoop/Cartesian in
+    * the plan). Ties are impossible by construction (o_orderkey breaks
+    * them), so the result is total-ordered and hash-gatable. */
+  def lateralTopOrders(customer: DataFrame, orders: DataFrame,
+      k: Int = 2): DataFrame = {
+    val spark = customer.sparkSession
+    customer.createOrReplaceTempView("graft_cust_lat")
+    orders.createOrReplaceTempView("graft_ord_lat")
+    spark.sql(
+      s"""SELECT c.c_custkey, o.o_orderkey,
+         |       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+         |FROM graft_cust_lat c,
+         |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_ord_lat
+         |         WHERE o_custkey = c.c_custkey
+         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT $k) o
+         |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+  }
+
+  /** q175 — RECURSIVE CTE (Spark 4's `WITH RECURSIVE`) driving a
+    * GAP-FILLED time series: the month spine is generated by the
+    * recursion from min to max order month, then LEFT JOIN brings in
+    * revenue with empty months zero-filled — the canonical calendar-
+    * fill an analytics engine must express (a missing month silently
+    * disappearing from a windowed trend is the classic bug this op
+    * exists to prevent). Scale: the recursion materializes ~tens of
+    * MONTH rows (bounded by the date span, not the fact table); the
+    * single real pass is the one monthly aggregation. The non-recursive
+    * equivalent (`sequence()` + explode over the bounds) plans the
+    * same join; the point here is the SQL-text recursion surface. */
+  def recursiveMonthlyRevenue(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    orders.createOrReplaceTempView("graft_ord_rec")
+    spark.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT date_trunc('MONTH', (SELECT min(o_orderdate) FROM graft_ord_rec))
+        |  UNION ALL
+        |  SELECT m + INTERVAL '1' MONTH FROM months
+        |  WHERE m < date_trunc('MONTH', (SELECT max(o_orderdate) FROM graft_ord_rec))
+        |)
+        |SELECT date_format(months.m, 'yyyy-MM') AS month,
+        |       CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))),
+        |                     CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+        |FROM months LEFT JOIN graft_ord_rec o
+        |  ON date_trunc('MONTH', o.o_orderdate) = months.m
+        |GROUP BY months.m
+        |ORDER BY months.m""".stripMargin)
+  }
+
   /** q167 — TPC-H Q14 EXACT shape (promotion effect), completing the
     * 22/22 named-shape ledger: one shipdate month pushed into the
     * LINEITEM scan, part type broadcast to the fact side, promo share
