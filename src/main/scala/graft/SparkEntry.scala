@@ -562,6 +562,10 @@ object SparkEntry {
     // WITH RECURSIVE month spine + LEFT JOIN: gap-filled revenue series
     "q175_recursive_gapfill" -> ((s, d) =>
       Relational.recursiveMonthlyRevenue(Tables(s, d, "orders"))),
+    // VARIANT semi-structured path: parse once, typed extraction
+    // (q16's string path re-parses per access)
+    "q176_variant" -> ((s, d) =>
+      Events.variantExtract(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2624,6 +2628,15 @@ object SparkEntry {
         |  ON date_trunc('month', o.o_orderdate) = months.m
         |GROUP BY months.m
         |ORDER BY months.m""".stripMargin,
+    // typed k extraction ≡ DuckDB's JSON path (engine side is VARIANT)
+    "q176_variant" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

@@ -92,6 +92,28 @@ object Events {
         round(sum(col("k")).cast("double") / count(lit(1)), 2).as("avg_k"))
       .orderBy("event_type")
 
+  /** q176 — the Spark 4 VARIANT path for semi-structured data: props
+    * parses ONCE into the binary variant encoding (`parse_json`), then
+    * typed extraction (`variant_get(..., 'long')`) feeds the
+    * aggregation — vs q16's per-access string re-parse
+    * (`get_json_object` re-tokenizes the JSON text on every call; with
+    * several extracted fields at 100 TB that repeated parse IS the
+    * query cost, which is why VARIANT exists). Same aggregation shape
+    * as q16 plus min/max so the typed values flow through an ordering
+    * comparator, not just sums. */
+  def variantExtract(events: DataFrame): DataFrame =
+    events
+      .withColumn("k",
+        variant_get(parse_json(col("props")), "$.k", "long"))
+      .where(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
   /** q33 — lag/lead navigation: previous/next event value per user in
     * event-time order (event_id tiebreak ⇒ deterministic peers).
     * Ordering runs on the canonical epoch-nanos bridge, so LONG and

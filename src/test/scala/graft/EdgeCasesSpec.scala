@@ -201,6 +201,29 @@ class EdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("q176 rides the VARIANT type and agrees with the string JSON path") {
+    import org.apache.spark.sql.functions.{col, parse_json}
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // the intermediate really is the binary variant encoding
+    val vType = events.select(parse_json(col("props")).as("v")).schema("v").dataType
+    assert(vType.typeName.toLowerCase.contains("variant"),
+      s"parse_json did not produce a VARIANT: $vType")
+    // typed variant extraction ≡ q16's get_json_object string path
+    val viaVariant = Events.variantExtract(events)
+      .collect().map(_.toString).toList
+    val viaString = {
+      import org.apache.spark.sql.functions._
+      events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .where(col("k").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type").collect().map(_.toString).toList
+    }
+    assert(viaVariant === viaString)
+  }
+
   test("blank manifest line keeps later docs at their manifest positions") {
     val dir = Files.createTempDirectory("graft_blankline")
     def write(name: String, body: String) = {
