@@ -566,6 +566,10 @@ object SparkEntry {
     // (q16's string path re-parses per access)
     "q176_variant" -> ((s, d) =>
       Events.variantExtract(Tables(s, d, "events"))),
+    // SQL scripting (BEGIN/DECLARE/WHILE): procedural bucket-capacity
+    // doubling loop; oracle replays the loop as a recursive CTE
+    "q177_sql_script" -> ((s, d) =>
+      Relational.scriptBucketPlan(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2637,6 +2641,19 @@ object SparkEntry {
         |FROM events
         |WHERE json_extract_string(props, '$.k') IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the doubling loop replayed EXACTLY as recursion (closed-form
+    // 2^ceil(log2) would disagree at power-of-two boundaries)
+    "q177_sql_script" ->
+      """WITH RECURSIVE n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM events),
+        |loop(b) AS (
+        |  SELECT CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT b * 2 FROM loop, n WHERE c / CAST(b AS DOUBLE) > 1000
+        |),
+        |fin AS (SELECT max(b) AS b FROM loop)
+        |SELECT c AS n_events, b AS buckets,
+        |       round(c / CAST(b AS DOUBLE), 3) AS avg_per_bucket
+        |FROM n, fin""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

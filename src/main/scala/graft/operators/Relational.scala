@@ -878,6 +878,38 @@ object Relational {
         |ORDER BY months.m""".stripMargin)
   }
 
+  /** q177 — SQL SCRIPTING (Spark 4 `BEGIN … END`, variables, WHILE):
+    * the procedural bucket-capacity plan an operator writes by hand —
+    * double the power-of-two bucket count until expected rows/bucket
+    * falls under the target. The loop runs ON THE DRIVER over one
+    * scalar (log₂(n/target) iterations); the corpus is read exactly
+    * once, by the `count(*)` into the variable — scripting here is
+    * control flow around queries, not row-at-a-time processing. The
+    * oracle mirrors the EXACT doubling loop as a DuckDB recursive CTE
+    * (a closed-form `2^⌈log₂⌉` would disagree at exact power-of-two
+    * boundaries — floating point decides differently than the loop). */
+  def scriptBucketPlan(events: DataFrame, target: Long = 1000L): DataFrame = {
+    val spark = events.sparkSession
+    events.createOrReplaceTempView("graft_ev_script")
+    val saved = spark.conf.getOption("spark.sql.scripting.enabled")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try spark.sql(
+      s"""BEGIN
+         |  DECLARE n BIGINT;
+         |  DECLARE b BIGINT DEFAULT 1;
+         |  SET n = (SELECT count(*) FROM graft_ev_script);
+         |  WHILE n / CAST(b AS DOUBLE) > $target DO
+         |    SET b = b * 2;
+         |  END WHILE;
+         |  SELECT n AS n_events, b AS buckets,
+         |         round(n / CAST(b AS DOUBLE), 3) AS avg_per_bucket;
+         |END""".stripMargin)
+    finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.scripting.enabled", v)
+      case None => spark.conf.unset("spark.sql.scripting.enabled")
+    }
+  }
+
   /** q167 — TPC-H Q14 EXACT shape (promotion effect), completing the
     * 22/22 named-shape ledger: one shipdate month pushed into the
     * LINEITEM scan, part type broadcast to the fact side, promo share
