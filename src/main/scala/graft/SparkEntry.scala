@@ -570,6 +570,22 @@ object SparkEntry {
     // doubling loop; oracle replays the loop as a recursive CTE
     "q177_sql_script" -> ((s, d) =>
       Relational.scriptBucketPlan(Tables(s, d, "events"))),
+    // per-letter profile via the `_letter` METADATA column with the
+    // scan's reported key-grouped layout: the aggregation plans with
+    // NO shuffle (storage-partitioned execution, spec-pinned)
+    "q178_dsv2_letter_agg" -> ((s, d) =>
+      sources.IndexStore.letterProfileViaLayout(
+        s, sources.IndexStore.textIndexFor(s, d))),
+    // survivors of a catalog-SQL `DELETE FROM … WHERE word LIKE 't%'`
+    // through SupportsDelete (letter-pruned file rewrite); the oracle
+    // rebuilds the survivor set from the raw corpus
+    "q179_dsv2_delete" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      sources.IndexStore.readIndexTable(
+          s, sources.IndexStore.deleteDemoFor(s, d))
+        .select("word", "df")
+        .orderBy(col("word"))
+    }),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2654,6 +2670,22 @@ object SparkEntry {
         |SELECT c AS n_events, b AS buckets,
         |       round(c / CAST(b AS DOUBLE), 3) AS avg_per_bucket
         |FROM n, fin""".stripMargin,
+    // per-letter profile ≡ raw-corpus rebuild (engine side reads the
+    // `_letter` metadata column and plans shuffle-free)
+    "q178_dsv2_letter_agg" ->
+      s"""WITH $postingsCte
+         |SELECT substr(word, 1, 1) AS letter,
+         |       CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(df) AS BIGINT) AS sum_df,
+         |       CAST(max(df) AS BIGINT) AS max_df
+         |FROM post
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // survivors of DELETE WHERE word LIKE 't%' ≡ the raw-corpus index
+    // minus the t-words
+    "q179_dsv2_delete" ->
+      s"""WITH $postingsCte
+         |SELECT word, df FROM post
+         |WHERE word NOT LIKE 't%' ORDER BY word""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

@@ -291,6 +291,49 @@ object IndexStore {
     }
   }
 
+  /** Per-letter vocabulary profile computed WITHOUT a shuffle: the
+    * scan reports its letter layout (`SupportsReportPartitioning` over
+    * the `_letter` metadata column, one key per `letter=` directory),
+    * so with V2 bucketing on Spark groups same-letter files into
+    * key-grouped partitions and the whole aggregation is map-side —
+    * storage-partitioned execution, the 26-bucket reduce phase of the
+    * reference (`main.c++:180-227`) with the exchange planned away
+    * (DataSourceV2Spec pins zero ShuffleExchange below the agg). */
+  def letterProfileViaLayout(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    readIndexTable(spark, dir)
+      .select(col(IndexTextSource.LetterCol).as("letter"), col("df"))
+      .groupBy("letter")
+      .agg(count(lit(1)).as("n_words"), sum(col("df")).as("sum_df"),
+        max(col("df")).as("max_df"))
+      .orderBy("letter")
+  }
+
+  /** Materialize-once artifact for the DELETE query (q179): a full
+    * index built through the V2 writer, then `DELETE FROM … WHERE word
+    * LIKE 't%'` issued as CATALOG SQL — analysis admits it via
+    * `canDeleteWhere` (word-shaped, exactly evaluable), and
+    * `deleteWhere` rewrites only the `letter=t` files. The oracle
+    * rebuilds the survivor set from the raw corpus, so a green row
+    * gates the whole metadata-delete path end-to-end. */
+  def deleteDemoFor(spark: SparkSession, sfDir: String): String = synchronized {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_delidx_" +
+      s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}_" +
+      java.lang.Integer.toHexString(fingerprint(s"$sfDir/documents.parquet"))
+    val done = java.nio.file.Paths.get(out, "_DEMO_READY")
+    if (!java.nio.file.Files.exists(done)) {
+      writeIndexTable(
+        InvertedIndex.postingsUnordered(Tables(spark, sfDir, "documents")), out)
+      val f = new java.io.File(out)
+      spark.conf.set("spark.sql.catalog.graft_delcat",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_delcat.warehouse", f.getParent)
+      spark.sql(s"DELETE FROM graft_delcat.`${f.getName}` WHERE word LIKE 't%'")
+      java.nio.file.Files.createFile(done)
+    }
+    out
+  }
+
   /** Materialize-once demo artifacts for the delta family (q171/q172):
     * base = even doc_ids, one delta epoch = odd doc_ids — so the
     * merged (resp. compacted) index must equal a full-corpus build. */

@@ -5,12 +5,12 @@ import java.util.{Map => JMap}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, Transform, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
+import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -101,6 +101,26 @@ object IndexTextSource {
     StructField("postings", ArrayType(LongType, containsNull = false),
       nullable = false)))
 
+  /** Metadata column names (`SupportsMetadataColumns`): the artifact's
+    * physical layout surfaced to queries on request — `_letter` is the
+    * R16 bucket the row lives in (the file's `letter=` directory, i.e.
+    * the reference's reducer bucket, `main.c++:180-205`), `_file` the
+    * absolute file path (the `input_file_name()` analog). Underscore
+    * names keep them out of `SELECT *` and clash-free with data
+    * columns, per the connector contract. */
+  val LetterCol = "_letter"
+  val FileCol = "_file"
+
+  /** The `letter=x` component of an artifact file path ("" when the
+    * file is not under a letter directory — never true for files this
+    * source plans, which all come from `listArtifactFiles`). */
+  private[sources] def letterOfFile(file: String): String = {
+    val parent = new Path(file).getParent
+    if (parent != null && parent.getName.startsWith("letter="))
+      parent.getName.stripPrefix("letter=")
+    else ""
+  }
+
   /** The set of first letters a pushed `word` predicate permits, or
     * None when it does not constrain the letter (the conjunction of
     * all pushed predicates' sets prunes the letter directories). */
@@ -124,6 +144,70 @@ object IndexTextSource {
     }
     case StringStartsWith("word", p) => w.startsWith(p)
     case _ => true
+  }
+
+  /** A filter [[wordMatches]] evaluates EXACTLY (no default-true
+    * fallback) — the admission rule for DELETE, where matching must be
+    * precise rather than merely conservative. `IsNotNull(word)` is
+    * exact because served words are never null; `AlwaysTrue` (a bare
+    * `DELETE FROM t`) matches every row. */
+  private[sources] def deletable(f: Filter): Boolean = f match {
+    case EqualTo("word", _: String) => true
+    case In("word", _) => true // null/non-string members match no word
+    case StringStartsWith("word", _) => true
+    case IsNotNull("word") => true
+    case _: AlwaysTrue => true
+    case _ => false
+  }
+
+  /** Row-level DELETE over an artifact: rewrite only the files the
+    * filters' letter bound allows (a word-bounded delete touches
+    * 1/26th of the files before a byte is read — same pruning as the
+    * scan), dropping exactly the grammar lines the conjunction
+    * matches. Distributed: one task per affected file; each streams
+    * its file once and rewrites it only if a line was dropped.
+    * Relative line order is preserved, so the R16 `df↓ word↑` file
+    * order (and the `_GRAFT_SORTED` marker's truth) survives. Empty
+    * result files are kept — the reference creates letter files even
+    * when empty (`main.c++:233`). */
+  private[sources] def deleteMatching(root: String, filters: Array[Filter]): Unit = {
+    val (files, _) = listArtifactFiles(root, lettersOf(filters))
+    if (files.isEmpty) return
+    val conf = sessionConf()
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.sparkContext
+      .parallelize(files.map(_.file).toIndexedSeq, files.length)
+      .foreach { f =>
+        val path = new Path(f)
+        val fs = path.getFileSystem(conf.value)
+        val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(path), java.nio.charset.StandardCharsets.UTF_8))
+        val kept = new scala.collection.mutable.ArrayBuffer[String]()
+        var dropped = 0
+        try {
+          var line = reader.readLine()
+          while (line != null) {
+            val cut = line.indexOf(":[")
+            val isRow = line.nonEmpty && cut > 0 && line.endsWith("]")
+            if (isRow && filters.forall(wordMatches(_, line.substring(0, cut))))
+              dropped += 1
+            else kept += line
+            line = reader.readLine()
+          }
+        } finally reader.close()
+        if (dropped > 0) {
+          // `.`-prefixed staging file is invisible to the lister; the
+          // delete+rename publish is the same move the V2 committer makes
+          val tmp = new Path(path.getParent, s".${path.getName}.deleting")
+          val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+          try kept.foreach { l => out.write(l); out.write("\n") }
+          finally out.close()
+          fs.delete(path, false)
+          if (!fs.rename(tmp, path))
+            throw new java.io.IOException(s"delete rewrite failed to publish $f")
+        }
+      }
   }
 
   /** A filter the source can use at all (file pruning or row-level). */
@@ -220,13 +304,42 @@ private[graft] object IndexMetrics {
 }
 
 private[graft] class IndexTextTable(path: String) extends Table
-    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with SupportsMetadataColumns with SupportsDelete {
   override def name(): String = s"graft_index($path)"
   override def schema(): StructType = IndexTextSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** Layout metadata on request: the row's R16 letter bucket and its
+    * physical file (`input_file_name()` analog for a custom source). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = IndexTextSource.LetterCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "R16 letter bucket (letter= directory)"
+    },
+    new MetadataColumn {
+      override def name(): String = IndexTextSource.FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "absolute path of the index file"
+    })
+
+  /** Metadata-level DELETE (`SupportsDelete`): accepted only for
+    * word-shaped conjunctions this source can evaluate EXACTLY
+    * (file-level letter pruning + row-level word matching) — anything
+    * else returns false and the statement fails analysis instead of
+    * over- or under-deleting. The rewrite drops matching grammar lines
+    * in place; line order within a file is preserved, so the artifact's
+    * `df↓ word↑` sort (and with it top-N pushdown) survives a delete. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(IndexTextSource.deletable)
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    IndexTextSource.deleteMatching(path, filters)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IndexTextScanBuilder(path)
   override def newWriteBuilder(
@@ -314,7 +427,25 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
     requiredSchema: StructType, limit: Option[Int] = None,
     orderedLimit: Boolean = false, countStar: Boolean = false)
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
+
+  /** The artifact's layout, DECLARED (`SupportsReportPartitioning`):
+    * rows are key-grouped by the `_letter` metadata column (each split
+    * is one file under one `letter=` directory — [[IndexFilePartition]]
+    * carries the key via `HasPartitionKey`). When a query reads
+    * `_letter` and `spark.sql.sources.v2.bucketing.enabled` is on,
+    * Spark groups same-letter splits and plans per-letter
+    * aggregations/joins with NO Exchange — storage-partitioned
+    * execution, the DSv2 analog of bucketed-table shuffle elimination
+    * (the reference's 26 reducer buckets, `main.c++:180-205`, made
+    * visible to the planner). Queries that don't read `_letter` can't
+    * resolve the key expression and keep the ordinary path. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(Expressions.identity(IndexTextSource.LetterCol)),
+      planInputPartitions().length)
 
   /** Join-time filters delivered while the query RUNS (dynamic file
     * pruning — SPARK-35779): a broadcast-side build on `word` hands
@@ -483,8 +614,16 @@ private[graft] object IndexTextScan {
     StructField("count(*)", LongType, nullable = false)))
 }
 
+/** One artifact file = one split. `HasPartitionKey` exposes the file's
+  * letter bucket as its partition key, which is what lets Spark GROUP
+  * same-letter files into key-grouped partitions (storage-partitioned
+  * execution) when the scan also reports `KeyGroupedPartitioning` —
+  * see [[IndexTextScan.outputPartitioning]]. */
 private[graft] case class IndexFilePartition(file: String, len: Long)
-    extends InputPartition
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(UTF8String.fromString(IndexTextSource.letterOfFile(file)))
+}
 
 /** COUNT(*) pushdown reader: one row per file — the grammar-line
   * count — with no word materialization and no posting parse. */
@@ -615,6 +754,11 @@ private[graft] class IndexTextPartitionReader(file: String,
     lastDf = df; lastWord = word
   }
 
+  // metadata-column values are per-file constants, computed once
+  private lazy val letterValue = UTF8String.fromString(
+    IndexTextSource.letterOfFile(file))
+  private lazy val fileValue = UTF8String.fromString(file)
+
   private def buildRow(word: String, ids: String): InternalRow = {
     lazy val idStrs: Array[String] =
       if (ids.isEmpty) Array.empty else ids.split(' ')
@@ -627,6 +771,8 @@ private[graft] class IndexTextPartitionReader(file: String,
         else if (ids.isEmpty) 0L
         else (ids.count(_ == ' ') + 1).toLong
       case "postings" => ArrayData.toArrayData(idStrs.map(_.toLong))
+      case IndexTextSource.LetterCol => letterValue
+      case IndexTextSource.FileCol => fileValue
       case other => throw new IllegalArgumentException(
         s"graft-index has no column $other")
     }

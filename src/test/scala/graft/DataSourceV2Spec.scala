@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 
 import graft.operators.InvertedIndex
-import graft.sources.{IndexStore, IndexTextScan}
+import graft.sources.{IndexStore, IndexTextScan, IndexTextSource}
 
 /** The custom DSv2 source over the persisted R16 text index
   * (graft.sources.IndexTextSource): correctness vs the DataFrame path,
@@ -372,5 +372,81 @@ class DataSourceV2Spec extends SparkSpec {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
+  }
+
+  test("metadata columns: _letter is the bucket, _file the physical file") {
+    val rows = table.select(col("word"), col("_letter"), col("_file"))
+      .where(col("word").startsWith("b")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(1) === r.getString(0).take(1))
+      assert(r.getString(2).contains(s"letter=${r.getString(1)}"),
+        s"_file ${r.getString(2)} not under letter=${r.getString(1)}")
+    }
+    // metadata columns stay out of SELECT *
+    assert(table.columns.toSet === Set("word", "df", "postings"))
+  }
+
+  test("reported layout: per-letter aggregation plans with NO shuffle") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = IndexStore.letterProfileViaLayout(spark, indexDir)
+      // drop the presentation orderBy: the claim is about the agg
+      val agg = IndexStore.readIndexTable(spark, indexDir)
+        .select(col("_letter").as("letter"), col("df"))
+        .groupBy("letter")
+        .agg(count(lit(1)).as("n_words"), sum(col("df")).as("sum_df"),
+          max(col("df")).as("max_df"))
+      val shuffles = agg.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        "letter-grouped agg still shuffles:\n" +
+          agg.queryExecution.executedPlan.toString)
+      // and the key-grouped answer ≡ the substring formulation
+      val expect = table
+        .select(substring(col("word"), 1, 1).as("letter"), col("df"))
+        .groupBy("letter")
+        .agg(count(lit(1)).as("n_words"), sum(col("df")).as("sum_df"),
+          max(col("df")).as("max_df"))
+        .orderBy("letter").collect().map(_.toString).toList
+      assert(q.collect().map(_.toString).toList === expect)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("DELETE via SupportsDelete: word-shaped predicates rewrite only their letters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toString
+    IndexStore.writeIndexTable(InvertedIndex.postingsUnordered(docs), dir)
+    val before = IndexStore.readIndexTable(spark, dir)
+      .select("word").collect().map(_.getString(0)).toSet
+    assert(before.exists(_.startsWith("b")))
+    // untouched letters keep their file bytes (delete must not rewrite them)
+    val aFiles = Option(new java.io.File(dir, "letter=a").listFiles()).get
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => f.getName -> f.lastModified()).toMap
+    spark.conf.set("spark.sql.catalog.graft_delspec",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_delspec.warehouse",
+      new java.io.File(dir).getParent)
+    val tbl = s"graft_delspec.`${new java.io.File(dir).getName}`"
+    spark.sql(s"DELETE FROM $tbl WHERE word LIKE 'b%'")
+    val after = IndexStore.readIndexTable(spark, dir)
+      .select("word").collect().map(_.getString(0)).toSet
+    assert(after === before.filterNot(_.startsWith("b")))
+    Option(new java.io.File(dir, "letter=a").listFiles()).get
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach(f => assert(f.lastModified() === aFiles(f.getName),
+        s"letter=a file ${f.getName} was rewritten by a b-bounded delete"))
+    // the surviving artifact still honors the R16 order: top-N stays legal
+    assert(new java.io.File(dir, IndexTextSource.SortedMarker).exists)
+    val top = IndexStore.readIndexTable(spark, dir)
+      .select("word", "df").orderBy(col("df").desc, col("word")).limit(5)
+    assert(top.collect().length === 5)
+    // a predicate the source cannot evaluate exactly must be REFUSED
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $tbl WHERE df > 3")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"),
+      s"unexpected refusal shape: ${e.getMessage}")
   }
 }
