@@ -586,6 +586,15 @@ object SparkEntry {
         .select("word", "df")
         .orderBy(col("word"))
     }),
+    // STORAGE-PARTITIONED join of two artifacts of the same corpus
+    // (path-sink build vs V2-writer build): letter-aligned key-grouped
+    // partitions, no Exchange on either side (spec-pinned); equal df
+    // everywhere ≡ the two write paths agree — which the oracle states
+    // as one df served twice
+    "q180_dsv2_spj" -> ((s, d) =>
+      sources.IndexStore.crossArtifactJoin(s,
+        sources.IndexStore.textIndexFor(s, d),
+        sources.IndexStore.dsv2IndexFor(s, d))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2686,6 +2695,12 @@ object SparkEntry {
       s"""WITH $postingsCte
          |SELECT word, df FROM post
          |WHERE word NOT LIKE 't%' ORDER BY word""".stripMargin,
+    // the two artifacts index the SAME corpus, so the letter+word SPJ
+    // must pair every word with itself: one rebuild, df served twice
+    "q180_dsv2_spj" ->
+      s"""WITH $postingsCte
+         |SELECT word, df AS df_text, df AS df_v2
+         |FROM post ORDER BY word""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

@@ -309,6 +309,34 @@ object IndexStore {
       .orderBy("letter")
   }
 
+  /** Cross-artifact consistency join, STORAGE-PARTITIONED: both scans
+    * report their letter layout, the join keys (letter, word) contain
+    * the partition key, and the merge-hinted join plans with NO
+    * Exchange on either side — Spark aligns the two artifacts'
+    * key-grouped partitions directly (SPJ, the DSv2 successor of
+    * bucketed-table joins). At 100 TB this is index ⋈ index without
+    * shuffling either side: the layout both writers declared
+    * (`RequiresDistributionAndOrdering`) is finally CONSUMED by the
+    * planner on the read side. DataSourceV2Spec pins the plan. */
+  def crossArtifactJoin(spark: SparkSession, dirA: String, dirB: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // join keys (letter, word) STRICTLY CONTAIN the partition key
+    // (letter): co-partitioning on the letter subset is sufficient for
+    // correctness, so relax the exact-match default and let mismatched
+    // letter sets (one side missing a letter) align by pushed values
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    val a = readIndexTable(spark, dirA)
+      .select(col(IndexTextSource.LetterCol).as("letter"), col("word"),
+        col("df").as("df_text"))
+    val b = readIndexTable(spark, dirB)
+      .select(col(IndexTextSource.LetterCol).as("letter"), col("word"),
+        col("df").as("df_v2"))
+    a.hint("merge").join(b, Seq("letter", "word"))
+      .select(col("word"), col("df_text"), col("df_v2"))
+      .orderBy("word")
+  }
+
   /** Materialize-once artifact for the DELETE query (q179): a full
     * index built through the V2 writer, then `DELETE FROM … WHERE word
     * LIKE 't%'` issued as CATALOG SQL — analysis admits it via

@@ -414,6 +414,36 @@ class DataSourceV2Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("storage-partitioned join: two artifacts join with NO shuffle on either side") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dirB = IndexStore.dsv2IndexFor(spark, testdataDir)
+      val q = IndexStore.crossArtifactJoin(spark, indexDir, dirB)
+      // the claim is about the join: strip the presentation orderBy
+      val a = IndexStore.readIndexTable(spark, indexDir)
+        .select(col("_letter").as("letter"), col("word"), col("df").as("df_text"))
+      val b = IndexStore.readIndexTable(spark, dirB)
+        .select(col("_letter").as("letter"), col("word"), col("df").as("df_v2"))
+      val join = a.hint("merge").join(b, Seq("letter", "word"))
+      val plan = join.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"storage-partitioned join still shuffles:\n$plan")
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.nonEmpty, s"expected a sort-merge join:\n$plan")
+      // both artifacts index the same corpus: every word pairs with
+      // itself and the two dfs agree
+      val rows = q.collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+      assert(rows.length ===
+        IndexStore.readIndexTable(spark, indexDir).count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("DELETE via SupportsDelete: word-shaped predicates rewrite only their letters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_del").toString
     IndexStore.writeIndexTable(InvertedIndex.postingsUnordered(docs), dir)
