@@ -595,6 +595,16 @@ object SparkEntry {
       sources.IndexStore.crossArtifactJoin(s,
         sources.IndexStore.textIndexFor(s, d),
         sources.IndexStore.dsv2IndexFor(s, d))),
+    // distribution DRIFT monitor: per-language PSI of doc-length
+    // buckets vs the whole corpus; ln terms 1e-9-quantized before the
+    // sum (the q88 cross-engine determinism pattern)
+    "q181_psi_drift" -> ((s, d) =>
+      TextAnalysis.psiDrift(Tables(s, d, "documents"))),
+    // pairwise Jensen-Shannon divergence between language word
+    // distributions (mixing diagnostics), densified on the lang×vocab
+    // grid so absent words contribute their p·ln2 term
+    "q182_js_divergence" -> ((s, d) =>
+      TextAnalysis.jsDivergence(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2701,6 +2711,55 @@ object SparkEntry {
       s"""WITH $postingsCte
          |SELECT word, df AS df_text, df AS df_v2
          |FROM post ORDER BY word""".stripMargin,
+    // PSI replayed with the same bucket rule, division shape, and
+    // 1e-9 term quantization (floor before sum) as the engine
+    "q181_psi_drift" ->
+      """WITH b AS (SELECT lang,
+        |            least(CAST(floor(n_chars / 100.0) AS BIGINT), 5) AS bucket
+        |          FROM documents),
+        |cnt AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c
+        |        FROM b GROUP BY 1, 2),
+        |lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+        |ob AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS oc FROM cnt GROUP BY 1),
+        |gt AS (SELECT CAST(sum(c) AS BIGINT) AS ot FROM cnt),
+        |terms AS (
+        |  SELECT cnt.lang,
+        |         CAST(floor((cnt.c / CAST(lt.t AS DOUBLE)
+        |                     - ob.oc / CAST(gt.ot AS DOUBLE))
+        |              * ln((cnt.c / CAST(lt.t AS DOUBLE))
+        |                   / (ob.oc / CAST(gt.ot AS DOUBLE))) * 1e9) AS BIGINT) AS tq
+        |  FROM cnt JOIN lt USING (lang) JOIN ob USING (bucket) CROSS JOIN gt)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(sum(tq) AS DOUBLE) / 1e9 AS psi
+        |FROM terms GROUP BY lang ORDER BY lang""".stripMargin,
+    // JSD replayed on the same lang×vocab grid with the same mixture
+    // form 2p/(p+q) and 1e-9 per-word quantization
+    "q182_js_divergence" ->
+      s"""WITH $rawtoksCte,
+         |wc AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+         |       FROM rawtoks GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM wc GROUP BY 1),
+         |dist AS (SELECT lang, word, c / CAST(t AS DOUBLE) AS p
+         |         FROM wc JOIN tot USING (lang)),
+         |grid AS (SELECT w.word, l.lang, coalesce(d.p, 0.0) AS p
+         |         FROM (SELECT DISTINCT word FROM wc) w
+         |         CROSS JOIN (SELECT lang FROM tot) l
+         |         LEFT JOIN dist d ON d.lang = l.lang AND d.word = w.word),
+         |pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |                 a.p AS pa, b.p AS pb
+         |          FROM grid a JOIN grid b
+         |            ON a.word = b.word AND a.lang < b.lang),
+         |terms AS (
+         |  SELECT lang_a, lang_b,
+         |    CAST(floor((CASE WHEN pa > 0
+         |                     THEN pa * ln(2.0 * pa / (pa + pb))
+         |                     ELSE 0.0 END
+         |              + CASE WHEN pb > 0
+         |                     THEN pb * ln(2.0 * pb / (pa + pb))
+         |                     ELSE 0.0 END) * 0.5 * 1e9) AS BIGINT) AS tq
+         |  FROM pairs)
+         |SELECT lang_a, lang_b, CAST(sum(tq) AS DOUBLE) / 1e9 AS jsd
+         |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

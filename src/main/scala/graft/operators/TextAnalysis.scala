@@ -487,4 +487,86 @@ object TextAnalysis {
         length(col("red")).cast("long").as("red_len"),
         substring(col("red"), 1, 40).as("red_prefix"))
       .orderBy("doc_id")
+
+  /** q181 — distribution DRIFT: Population Stability Index of each
+    * language's document-length distribution against the whole corpus,
+    * over fixed 100-char buckets. The monitoring op of a training
+    * pipeline: "did this slice's length profile move away from the
+    * mix?" PSI = Σ_b (p_b − q_b)·ln(p_b/q_b), summed over the buckets
+    * the slice actually occupies (p_b > 0; q_b > 0 follows because the
+    * corpus contains the slice — no smoothing constant to pick).
+    * Determinism across engines: each bucket's term is floor-quantized
+    * to 1e-9 BEFORE the sum (the q88 pattern), so libm-vs-JVM ln ulps
+    * cannot move the total. Scale: one pass to bucket counts (lang ×
+    * 6 buckets), everything after is parameter-sized. */
+  def psiDrift(docs: DataFrame, bucketWidth: Int = 100,
+      maxBucket: Int = 5): DataFrame = {
+    val cnt = docs
+      .select(col("lang"),
+        least(floor(col("n_chars") / lit(bucketWidth.toDouble)),
+          lit(maxBucket.toLong)).as("bucket"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val langTot = cnt.groupBy("lang").agg(sum(col("c")).as("t"))
+    val overall = cnt.groupBy("bucket").agg(sum(col("c")).as("oc"))
+    val grandTot = overall.agg(sum(col("oc")).as("ot"))
+    cnt.join(langTot, "lang")
+      .join(overall, "bucket")
+      .crossJoin(broadcast(grandTot))
+      .withColumn("p", col("c").cast("double") / col("t"))
+      .withColumn("q", col("oc").cast("double") / col("ot"))
+      .withColumn("term_q",
+        floor((col("p") - col("q")) * log(col("p") / col("q")) * 1e9)
+          .cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_buckets"),
+        (sum(col("term_q")).cast("double") / 1e9).as("psi"))
+      .orderBy("lang")
+  }
+
+  /** q182 — Jensen–Shannon divergence between every pair of languages'
+    * WORD distributions (token frequencies with multiplicity): the
+    * mixing-diagnostics op — "how far apart are these two slices'
+    * vocabular profiles?", bounded [0, ln 2], symmetric, no smoothing
+    * needed (a word absent from one side contributes p·ln 2 through
+    * the mixture). Per-word terms are floor-quantized to 1e-9 before
+    * the pair sum (cross-engine ln determinism, the q88 pattern).
+    * Scale: one tokenize to (lang, word) counts — vocabulary-sized —
+    * then a word-keyed self-join of the |langs| distributions;
+    * nothing corpus-sized is ever broadcast or windowed. */
+  def jsDivergence(docs: DataFrame): DataFrame = {
+    val wc = TextFns.tokens(docs, Seq("lang"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("c"))
+    val tot = wc.groupBy("lang").agg(sum(col("c")).as("t"))
+    // densify on the (lang × vocab) grid so a word ABSENT from one
+    // side still contributes its p·ln2 term to every pair it belongs
+    // to (a word-keyed outer join alone would lose absent-side pairs);
+    // langs is parameter-sized → broadcast, the grid stays
+    // vocabulary-keyed
+    val dist = wc.join(tot, "lang")
+      .select(col("lang"), col("word"),
+        (col("c").cast("double") / col("t")).as("p"))
+    val grid = wc.select("word").distinct()
+      .crossJoin(broadcast(tot.select("lang")))
+      .join(dist, Seq("lang", "word"), "left")
+      .na.fill(0.0, Seq("p"))
+    val a = grid.select(col("lang").as("lang_a"), col("word"),
+      col("p").as("pa"))
+    val b = grid.select(col("lang").as("lang_b"), col("word"),
+      col("p").as("pb"))
+    a.join(b, Seq("word"))
+      .where(col("lang_a") < col("lang_b"))
+      .withColumn("term_q",
+        floor((
+          when(col("pa") > 0,
+            col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))))
+            .otherwise(lit(0.0)) +
+          when(col("pb") > 0,
+            col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+            .otherwise(lit(0.0))) * 0.5 * 1e9).cast("long"))
+      .groupBy("lang_a", "lang_b")
+      .agg((sum(col("term_q")).cast("double") / 1e9).as("jsd"))
+      .orderBy("lang_a", "lang_b")
+  }
 }

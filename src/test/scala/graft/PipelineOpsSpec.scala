@@ -1549,4 +1549,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!ijPlan.contains("BroadcastNestedLoopJoin") &&
       !ijPlan.contains("CartesianProduct"), ijPlan)
   }
+
+  test("q181 PSI: non-negative, zero against itself, covers every lang") {
+    val docs = t("documents")
+    val psi = TextAnalysis.psiDrift(docs).collect()
+    val nLangs = docs.select("lang").distinct().count()
+    assert(psi.length === nLangs)
+    // each (p−q)·ln(p/q) term is ≥ 0, so the quantized sum is too
+    psi.foreach(r => assert(r.getDouble(2) >= 0.0, r.toString))
+    // a slice that IS the corpus cannot drift: single-lang input → 0
+    val one = TextAnalysis.psiDrift(docs.where(col("lang") === "en")).collect()
+    assert(one.length === 1 && one.head.getDouble(2) === 0.0)
+  }
+
+  test("q182 JSD: bounded by ln 2, symmetric pairs, disjoint vocab maxes out") {
+    val docs = t("documents")
+    val jsd = TextAnalysis.jsDivergence(docs).collect()
+    val nLangs = docs.select("lang").distinct().count()
+    assert(jsd.length === nLangs * (nLangs - 1) / 2)
+    jsd.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= math.log(2.0) + 1e-9,
+        r.toString)
+    }
+    // identical distributions → 0: duplicate one lang's docs under two names
+    import spark.implicits._
+    val same = Seq((1L, "alpha beta", "l1"), (2L, "alpha beta", "l2"))
+      .toDF("doc_id", "text", "lang")
+    val z = TextAnalysis.jsDivergence(same).collect()
+    assert(z.length === 1 && math.abs(z.head.getDouble(2)) < 1e-6)
+    // disjoint vocabularies → exactly ln 2 (within quantization)
+    val disj = Seq((1L, "alpha beta", "l1"), (2L, "gamma delta", "l2"))
+      .toDF("doc_id", "text", "lang")
+    val m = TextAnalysis.jsDivergence(disj).collect()
+    assert(m.length === 1 &&
+      math.abs(m.head.getDouble(2) - math.log(2.0)) < 1e-6)
+  }
 }
