@@ -605,6 +605,18 @@ object SparkEntry {
     // grid so absent words contribute their p·ln2 term
     "q182_js_divergence" -> ((s, d) =>
       TextAnalysis.jsDivergence(Tables(s, d, "documents"))),
+    // TIME TRAVEL: VERSION AS OF 0 on a generation-retaining artifact
+    // (base = even doc_ids, delta folded by compaction) must serve the
+    // PRE-compaction index; the oracle rebuilds it from the even half
+    // of the raw corpus
+    "q183_time_travel" -> ((s, d) => {
+      val f = new java.io.File(sources.IndexStore.timeTravelDemoFor(s, d))
+      s.conf.set("spark.sql.catalog.graft_ttcat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_ttcat.warehouse", f.getParent)
+      s.sql(s"SELECT word, df FROM graft_ttcat.`${f.getName}` " +
+        "VERSION AS OF 0 ORDER BY word")
+    }),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2653,11 +2665,13 @@ object SparkEntry {
         |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
     // DuckDB mirrors the recursion; sums routed DECIMAL -> DOUBLE
     "q175_recursive_gapfill" ->
-      """WITH RECURSIVE months(m) AS (
-        |  SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+      """WITH RECURSIVE months(m, mx) AS (
+        |  SELECT date_trunc('month', min(o_orderdate)),
+        |         date_trunc('month', max(o_orderdate))
+        |  FROM orders
         |  UNION ALL
-        |  SELECT m + INTERVAL 1 MONTH FROM months
-        |  WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+        |  SELECT m + INTERVAL 1 MONTH, mx FROM months
+        |  WHERE m < mx
         |)
         |SELECT strftime(months.m, '%Y-%m') AS month,
         |       CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))),
@@ -2760,6 +2774,17 @@ object SparkEntry {
          |  FROM pairs)
          |SELECT lang_a, lang_b, CAST(sum(tq) AS DOUBLE) / 1e9 AS jsd
          |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // generation 0 ≡ the index of the EVEN half of the corpus (the
+    // pre-compaction base the snapshot retained)
+    "q183_time_travel" ->
+      """WITH evtoks AS (
+        |  SELECT DISTINCT doc_id,
+        |         lower(regexp_replace(w, '[^A-Za-z]', '', 'g')) AS word
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+        |        FROM documents WHERE doc_id % 2 = 0)
+        |  WHERE lower(regexp_replace(w, '[^A-Za-z]', '', 'g')) <> '')
+        |SELECT word, CAST(count(*) AS BIGINT) AS df
+        |FROM evtoks GROUP BY word ORDER BY word""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

@@ -34,10 +34,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (`main.c++:306-352`) promoted one level further: from a file
   * manifest to a table namespace.
   *
+  * TIME TRAVEL: `VERSION AS OF n` loads `_gen_<n>/` — the complete
+  * pre-compaction base that `IndexStore.compact(…, retainGeneration =
+  * true)` snapshots before each rewrite. A generation is itself a full
+  * artifact, so a version read is a plain artifact read (every scan
+  * behavior intact) — never unmerged state, never a merge inside a
+  * Scan. `TIMESTAMP AS OF` resolves to the newest generation published
+  * at or before the instant, or the current base when none is newer.
+  *
   * Deliberately NOT implemented: `alterTable` (the artifact's schema
-  * is the R16 grammar — there is nothing to alter) and time-travel
-  * loads. `renameTable` is a filesystem rename, atomic where the FS
-  * is.
+  * is the R16 grammar — there is nothing to alter). `renameTable` is a
+  * filesystem rename, atomic where the FS is.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -88,6 +95,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new IndexTextTable(dirFor(ident).toString)
+  }
+
+  /** `VERSION AS OF n`: serve retained generation n (`_gen_<n>/`, a
+    * complete artifact snapshotted by generation-retaining
+    * compaction). Only PUBLISHED generations (ready marker) resolve. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val d = dirFor(ident)
+    val g = version.trim.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-index versions are generation numbers; got '$version'"))
+    val gen = new Path(d, s"_gen_$g")
+    if (!fs.exists(new Path(gen, "_GRAFT_READY")))
+      throw new NoSuchTableException(ident)
+    new IndexTextTable(gen.toString)
+  }
+
+  /** `TIMESTAMP AS OF t` (micros since epoch): generation g was the
+    * LIVE base until the moment it was snapshotted, so t resolves to
+    * the OLDEST generation published after t — and to the current base
+    * when every snapshot predates t. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val d = dirFor(ident)
+    val tsMillis = timestampMicros / 1000L
+    val gens = Option(fs.globStatus(new Path(d, "_gen_*")))
+      .getOrElse(Array.empty)
+      .filter(s => s.isDirectory &&
+        fs.exists(new Path(s.getPath, "_GRAFT_READY")))
+      .flatMap(s => s.getPath.getName.stripPrefix("_gen_").toLongOption
+        .map(g => (g, fs.getFileStatus(
+          new Path(s.getPath, "_GRAFT_READY")).getModificationTime)))
+      .sortBy(_._1)
+    // a generation g is the base that was LIVE until its snapshot time;
+    // the first generation snapshotted AFTER t is therefore t's state,
+    // and if every snapshot predates t the current base is the answer
+    gens.find(_._2 > tsMillis) match {
+      case Some((g, _)) => new IndexTextTable(new Path(d, s"_gen_$g").toString)
+      case None => new IndexTextTable(d.toString)
+    }
   }
 
   /** The StructType variant is the delegation SINK of the three

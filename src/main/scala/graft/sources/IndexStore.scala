@@ -279,16 +279,73 @@ object IndexStore {
     * fully computed); a failure between publish and delta deletion
     * leaves deltas whose re-merge is a semantic no-op. The rewrite is
     * sorted (writeIndexTable), so compaction also RESTORES top-N
-    * pushdown that unsorted deltas may have lacked. */
-  def compact(spark: SparkSession, dir: String): Unit = {
+    * pushdown that unsorted deltas may have lacked.
+    *
+    * With `retainGeneration = true` the PRE-compaction base is first
+    * snapshotted into `_gen_<n>/` — a complete, immutable mini-artifact
+    * — before the rewrite, which is what makes TIME TRAVEL exact:
+    * `VERSION AS OF n` (GraftCatalog) serves generation n as a plain
+    * artifact read, no merge-inside-a-Scan, no unmerged state. The
+    * `_`-prefix keeps generations invisible to base scans and the
+    * delta stream alike. Snapshot-then-rewrite is crash-ordered: a
+    * failure after the copy leaves an extra ready generation and the
+    * intact current base — re-running compacts into generation n+1. */
+  def compact(spark: SparkSession, dir: String,
+      retainGeneration: Boolean = false): Unit = {
     val deltas = listDeltas(spark, dir)
     if (deltas.nonEmpty) {
+      if (retainGeneration) snapshotGeneration(spark, dir)
       writeIndexTable(readMerged(spark, dir), dir)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       deltas.foreach(d =>
         fs.delete(new org.apache.hadoop.fs.Path(d), true))
     }
+  }
+
+  /** Published (ready) generation numbers of an artifact, ascending. */
+  def listGenerations(spark: SparkSession, dir: String): Seq[Long] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_gen_"))
+      .filter(s => fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_GRAFT_READY")))
+      .flatMap(_.getPath.getName.stripPrefix("_gen_").toLongOption)
+      .sorted
+  }
+
+  /** Copy the current base (letter buckets + sort marker) into the
+    * next `_gen_<n>/` and publish it with `_GRAFT_READY` LAST, so a
+    * half-copied generation is never visible. A physical copy keeps
+    * every generation self-contained (a generation never dangles on
+    * files a later compaction rewrites); a deployment with a manifest
+    * layer would record file references instead — same contract. */
+  private def snapshotGeneration(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(conf)
+    // number past every _gen_ dir, ready or not — a crashed partial
+    // snapshot must not be overwritten into
+    val next = fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_gen_"))
+      .flatMap(_.getPath.getName.stripPrefix("_gen_").toLongOption)
+      .foldLeft(-1L)(math.max) + 1
+    val gen = new org.apache.hadoop.fs.Path(base, s"_gen_$next")
+    fs.mkdirs(gen)
+    fs.listStatus(base).foreach { s =>
+      if (s.isDirectory && s.getPath.getName.startsWith("letter="))
+        org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+          new org.apache.hadoop.fs.Path(gen, s.getPath.getName),
+          false, conf)
+    }
+    val sorted = new org.apache.hadoop.fs.Path(base, IndexTextSource.SortedMarker)
+    if (fs.exists(sorted))
+      fs.create(new org.apache.hadoop.fs.Path(
+        gen, IndexTextSource.SortedMarker), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(gen, "_GRAFT_READY"), true).close()
+    next
   }
 
   /** Per-letter vocabulary profile computed WITHOUT a shuffle: the
@@ -371,8 +428,16 @@ object IndexStore {
   def compactDemoFor(spark: SparkSession, sfDir: String): String =
     demoArtifact(spark, sfDir, "graft_compactidx_", compactAfter = true)
 
+  /** q183's artifact: compacted WITH generation retention, so
+    * `VERSION AS OF 0` must serve the pre-compaction base (the
+    * even-doc_id index) while the live table serves the full merge. */
+  def timeTravelDemoFor(spark: SparkSession, sfDir: String): String =
+    demoArtifact(spark, sfDir, "graft_ttidx_", compactAfter = true,
+      retain = true)
+
   private def demoArtifact(spark: SparkSession, sfDir: String,
-      prefix: String, compactAfter: Boolean): String = synchronized {
+      prefix: String, compactAfter: Boolean,
+      retain: Boolean = false): String = synchronized {
     val out = s"${sys.props("java.io.tmpdir")}/$prefix" +
       s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}_" +
       java.lang.Integer.toHexString(fingerprint(s"$sfDir/documents.parquet"))
@@ -384,7 +449,7 @@ object IndexStore {
       writeIndexDelta(
         InvertedIndex.postingsUnordered(docs.where(col("doc_id") % 2 === 1)),
         out, epoch = 1L)
-      if (compactAfter) compact(spark, out)
+      if (compactAfter) compact(spark, out, retainGeneration = retain)
       java.nio.file.Files.createFile(done)
     }
     out

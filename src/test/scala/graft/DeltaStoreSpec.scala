@@ -229,4 +229,62 @@ class DeltaStoreSpec extends SparkSpec {
     assert(IndexStore.readIndexTable(spark, dir)
       .orderBy("word").collect().map(_.toString).toList === fullIndex)
   }
+
+  test("time travel: retained generation serves the pre-compaction base exactly") {
+    val dir = freshSplitArtifact()
+    val baseRows = IndexStore.readIndexTable(spark, dir)
+      .orderBy("word").collect().map(_.toString).toList
+    IndexStore.compact(spark, dir, retainGeneration = true)
+    assert(IndexStore.listGenerations(spark, dir) === Seq(0L))
+    // live table = the full merge; generation 0 = the old base, exact
+    assert(IndexStore.readIndexTable(spark, dir)
+      .orderBy("word").collect().map(_.toString).toList === fullIndex)
+    assert(IndexStore.readIndexTable(spark, s"$dir/_gen_0")
+      .orderBy("word").collect().map(_.toString).toList === baseRows)
+    // SQL surface: VERSION AS OF via the catalog, pushdown intact
+    spark.conf.set("spark.sql.catalog.graft_tt",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tt.warehouse",
+      new java.io.File(dir).getParent)
+    val tbl = s"graft_tt.`${new java.io.File(dir).getName}`"
+    val v0 = spark.sql(s"SELECT word, df FROM $tbl VERSION AS OF 0 ORDER BY word")
+      .collect().map(_.toString).toList
+    assert(v0 === IndexStore.readIndexTable(spark, s"$dir/_gen_0")
+      .select("word", "df").orderBy("word").collect().map(_.toString).toList)
+    // a second retained compaction stacks generation 1
+    IndexStore.writeIndexDelta(
+      InvertedIndex.postingsUnordered(docs.where(col("doc_id") === 1L)),
+      dir, epoch = 2L)
+    IndexStore.compact(spark, dir, retainGeneration = true)
+    assert(IndexStore.listGenerations(spark, dir) === Seq(0L, 1L))
+    assert(spark.sql(s"SELECT word FROM $tbl VERSION AS OF 1").count() ===
+      fullIndex.size.toLong)
+    // a version that was never published fails as a missing table,
+    // and the base scan stays generation-blind
+    assertThrows[Exception](
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 7").collect())
+    assert(IndexStore.readIndexTable(spark, dir).count() ===
+      fullIndex.size.toLong)
+  }
+
+  test("time travel: TIMESTAMP AS OF resolves by snapshot instant") {
+    val dir = freshSplitArtifact()
+    val before = System.currentTimeMillis() * 1000L // micros
+    Thread.sleep(1100) // FS mtime granularity can be a full second
+    IndexStore.compact(spark, dir, retainGeneration = true)
+    spark.conf.set("spark.sql.catalog.graft_tt2",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tt2.warehouse",
+      new java.io.File(dir).getParent)
+    val tbl = s"graft_tt2.`${new java.io.File(dir).getName}`"
+    def at(micros: Long) = spark.sql(
+      s"SELECT word FROM $tbl TIMESTAMP AS OF " +
+        s"timestamp_micros(${micros}L)").count()
+    // before the snapshot instant → generation 0 (the old base);
+    // far in the future → the live merged table
+    assert(at(before) ===
+      IndexStore.readIndexTable(spark, s"$dir/_gen_0").count())
+    assert(at((System.currentTimeMillis() + 60000) * 1000L) ===
+      fullIndex.size.toLong)
+  }
 }
