@@ -617,6 +617,18 @@ object SparkEntry {
       s.sql(s"SELECT word, df FROM graft_ttcat.`${f.getName}` " +
         "VERSION AS OF 0 ORDER BY word")
     }),
+    // MERGE INTO (SupportsRowLevelOperations, whole-artifact
+    // copy-on-write): a half-corpus index synced to the full corpus by
+    // one upsert+prune statement; the result must equal the q02
+    // full-corpus build
+    "q184_merge_sync" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      sources.IndexStore.readIndexTable(
+          s, sources.IndexStore.mergeDemoFor(s, d))
+        .withColumn("postings",
+          array_join(col("postings").cast("array<string>"), " "))
+        .orderBy(col("df").desc, col("word"))
+    }),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2785,6 +2797,11 @@ object SparkEntry {
         |  WHERE lower(regexp_replace(w, '[^A-Za-z]', '', 'g')) <> '')
         |SELECT word, CAST(count(*) AS BIGINT) AS df
         |FROM evtoks GROUP BY word ORDER BY word""".stripMargin,
+    // MERGE-synced artifact ≡ the full-corpus index (q171/q172's shape)
+    "q184_merge_sync" ->
+      s"""WITH $postingsCte
+         |SELECT word, df, array_to_string(postings, ' ') AS postings
+         |FROM post ORDER BY df DESC, word""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

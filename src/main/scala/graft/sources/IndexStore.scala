@@ -419,6 +419,41 @@ object IndexStore {
     out
   }
 
+  /** q184's artifact: a HALF-corpus index synced to the full corpus by
+    * one catalog-SQL MERGE INTO (upsert changed words, insert new
+    * ones, delete words the source no longer has) through the
+    * row-level-operation rewrite — the DML answer to the LSM delta
+    * path (q171): same end state, one declarative statement. */
+  def mergeDemoFor(spark: SparkSession, sfDir: String): String = synchronized {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_mergeidx_" +
+      s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}_" +
+      java.lang.Integer.toHexString(fingerprint(s"$sfDir/documents.parquet"))
+    val done = java.nio.file.Paths.get(out, "_DEMO_READY")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables(spark, sfDir, "documents")
+      writeIndexTable(
+        InvertedIndex.postingsUnordered(docs.where(col("doc_id") % 2 === 0)), out)
+      InvertedIndex.postingsUnordered(docs)
+        .select(col("word"), col("df"),
+          col("postings").cast("array<bigint>").as("postings"))
+        .createOrReplaceTempView("graft_merge_demo_src")
+      val f = new java.io.File(out)
+      spark.conf.set("spark.sql.catalog.graft_mergecat",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_mergecat.warehouse", f.getParent)
+      spark.sql(
+        s"""MERGE INTO graft_mergecat.`${f.getName}` t
+           |USING graft_merge_demo_src s
+           |ON t.word = s.word
+           |WHEN MATCHED THEN UPDATE SET df = s.df, postings = s.postings
+           |WHEN NOT MATCHED THEN
+           |  INSERT (word, df, postings) VALUES (s.word, s.df, s.postings)
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      java.nio.file.Files.createFile(done)
+    }
+    out
+  }
+
   /** Materialize-once demo artifacts for the delta family (q171/q172):
     * base = even doc_ids, one delta epoch = odd doc_ids — so the
     * merged (resp. compacted) index must equal a full-corpus build. */

@@ -5,7 +5,7 @@ import java.util.{Map => JMap}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, Transform, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
@@ -305,7 +305,8 @@ private[graft] object IndexMetrics {
 
 private[graft] class IndexTextTable(path: String) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with SupportsMetadataColumns with SupportsDelete {
+    with SupportsMetadataColumns with SupportsDelete
+    with SupportsRowLevelOperations {
   override def name(): String = s"graft_index($path)"
   override def schema(): StructType = IndexTextSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -340,6 +341,25 @@ private[graft] class IndexTextTable(path: String) extends Table
     filters.forall(IndexTextSource.deletable)
   override def deleteWhere(filters: Array[Filter]): Unit =
     IndexTextSource.deleteMatching(path, filters)
+
+  /** Row-level DML (`SupportsRowLevelOperations`): MERGE INTO, UPDATE,
+    * and the DELETEs [[canDeleteWhere]] refuses, as GROUP-BASED
+    * (copy-on-write) rewrites where the rewrite group is the WHOLE
+    * artifact — Spark reads every surviving/updated/inserted row
+    * through the operation's scan and the paired write publishes the
+    * replacement through the full V2 commit protocol (staged,
+    * truncate-only-on-success, grammar order re-imposed by
+    * `RequiresDistributionAndOrdering`, so DML output keeps top-N
+    * pushdown). Division of labor: word-shaped DELETEs still take the
+    * letter-pruned METADATA path (Spark's metadata-only optimization
+    * folds the rewrite back into [[deleteWhere]] — spec-pinned by
+    * byte-stable untouched letters); everything else pays one honest
+    * artifact rewrite, the R16 analog of a copy-on-write table whose
+    * partition is the table. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(path, info.command())
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IndexTextScanBuilder(path)
   override def newWriteBuilder(
@@ -352,7 +372,41 @@ private[graft] class IndexTextTable(path: String) extends Table
   }
 }
 
-private[graft] class IndexTextScanBuilder(path: String) extends ScanBuilder
+/** The GROUP-BASED row-level operation: whole-artifact copy-on-write.
+  * Its scan is a [[IndexTextScanBuilder]] in `rowLevel` mode — it
+  * accepts NO pushed filters and ignores runtime filters, because with
+  * truncate-replace semantics every unread row is a LOST row: the scan
+  * must deliver the complete artifact to the rewrite. Its write is the
+  * ordinary V2 committer pre-set to truncate: the replacement data
+  * (carry-over + updated + inserted rows, computed by Spark's rewrite
+  * plan) atomically supersedes the artifact on commit, and a failed
+  * job leaves the old artifact intact. */
+private[graft] class GraftRowLevelOperation(path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new IndexTextScanBuilder(path, rowLevel = true)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new IndexTextWriteBuilder(path, info.queryId(), info.schema())
+      .truncate().asInstanceOf[IndexTextWriteBuilder]
+  /** `_letter` must ride the rewrite: Spark's ReplaceDataExec only
+    * uses the PROJECTING write task when a metadata projection exists
+    * — with no required metadata attrs it hands the writer the raw
+    * rewrite rows, `__row_operation` column included (the data columns
+    * shift and the write corrupts). Requiring one (cheap, per-file
+    * constant) metadata column routes every row through the data
+    * projection, so the writer always sees exactly the table schema. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(IndexTextSource.LetterCol))
+  override def description(): String = s"graft-index $cmd (copy-on-write)"
+}
+
+private[graft] class IndexTextScanBuilder(path: String,
+    rowLevel: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownAggregates {
@@ -366,9 +420,13 @@ private[graft] class IndexTextScanBuilder(path: String) extends ScanBuilder
   /** Accept the word-shaped filters (they prune files + rows at the
     * source) but return EVERY filter as still-to-be-evaluated — Spark
     * keeps a Filter above the scan, so the source's filtering is an
-    * optimization, never load-bearing for correctness. */
+    * optimization, never load-bearing for correctness.
+    *
+    * In `rowLevel` mode nothing is accepted: a copy-on-write rewrite
+    * must read the WHOLE artifact (a pruned file's rows would vanish
+    * at the truncate-replace commit). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(IndexTextSource.usable)
+    if (!rowLevel) pushed = filters.filter(IndexTextSource.usable)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -381,7 +439,8 @@ private[graft] class IndexTextScanBuilder(path: String) extends ScanBuilder
     * surviving rows — for LIMIT-without-ORDER any n rows are a correct
     * answer, and the win is not parsing the posting tail of a 100 TB
     * artifact for a peek query. */
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean =
+    if (rowLevel) false else { limit = Some(n); true }
 
   /** Top-N pushdown, legal ONLY when the artifact CLAIMS the grammar's
     * per-file `df↓ word↑` order (the `_GRAFT_SORTED` marker the
@@ -391,7 +450,7 @@ private[graft] class IndexTextScanBuilder(path: String) extends ScanBuilder
     * marker fails loudly rather than dropping rows. Partial: Spark
     * still merges the per-file prefixes. */
   override def pushTopN(orders: Array[V2SortOrder], n: Int): Boolean =
-    if (IndexTextSource.topNMatchesFileOrder(orders) &&
+    if (!rowLevel && IndexTextSource.topNMatchesFileOrder(orders) &&
         IndexTextSource.artifactSorted(path)) {
       limit = Some(n); orderedLimit = true; true
     } else false
@@ -410,7 +469,7 @@ private[graft] class IndexTextScanBuilder(path: String) extends ScanBuilder
     * Filter sits above the scan, which (by this source's
     * never-load-bearing filter contract) means an UNfiltered scan. */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val ok = agg.groupByExpressions().isEmpty &&
+    val ok = !rowLevel && agg.groupByExpressions().isEmpty &&
       agg.aggregateExpressions().length == 1 &&
       agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
       limit.isEmpty
@@ -420,12 +479,14 @@ private[graft] class IndexTextScanBuilder(path: String) extends ScanBuilder
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
   override def build(): Scan =
-    new IndexTextScan(path, pushed, required, limit, orderedLimit, countStar)
+    new IndexTextScan(path, pushed, required, limit, orderedLimit, countStar,
+      rowLevel)
 }
 
 private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
     requiredSchema: StructType, limit: Option[Int] = None,
-    orderedLimit: Boolean = false, countStar: Boolean = false)
+    orderedLimit: Boolean = false, countStar: Boolean = false,
+    rowLevel: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -439,13 +500,19 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
     * aggregations/joins with NO Exchange — storage-partitioned
     * execution, the DSv2 analog of bucketed-table shuffle elimination
     * (the reference's 26 reducer buckets, `main.c++:180-205`, made
-    * visible to the planner). Queries that don't read `_letter` can't
-    * resolve the key expression and keep the ordinary path. */
+    * visible to the planner). Reported ONLY when the scan serves
+    * `_letter`: Spark's conversion of the key expression HARD-FAILS
+    * (not skips) on a reference the output can't resolve, so a scan
+    * without the metadata column must say UnknownPartitioning. */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-      Array(Expressions.identity(IndexTextSource.LetterCol)),
-      planInputPartitions().length)
+    if (readSchema().fieldNames.contains(IndexTextSource.LetterCol))
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.identity(IndexTextSource.LetterCol)),
+        planInputPartitions().length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        planInputPartitions().length)
 
   /** Join-time filters delivered while the query RUNS (dynamic file
     * pruning — SPARK-35779): a broadcast-side build on `word` hands
@@ -457,9 +524,12 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
     * Purely an optimization — Spark still applies the join itself. */
   @volatile private var runtime: Array[Filter] = Array.empty
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("word"))
+    if (rowLevel) Array.empty else Array(Expressions.column("word"))
+  /** In rowLevel mode runtime filters are IGNORED: the rewrite's
+    * truncate-replace commit makes any pruned row a lost row, so the
+    * copy-on-write scan always reads the complete artifact. */
   override def filter(filters: Array[Filter]): Unit =
-    runtime = filters.filter(IndexTextSource.usable)
+    if (!rowLevel) runtime = filters.filter(IndexTextSource.usable)
   private[graft] def runtimeFilters: Array[Filter] = runtime
   private def effective: Array[Filter] = pushed ++ runtime
 
