@@ -359,4 +359,46 @@ object EventStreams {
     * columns (l_returnflag, l_partkey). */
   def streamingHllRegisters(lineitem: DataFrame): DataFrame =
     graft.operators.Sketches.hllRegisters(lineitem)
+
+  /** Streaming DRIFT MONITOR — q181's PSI run per tumbling window
+    * against a FIXED reference distribution (the expected value-bucket
+    * shares, e.g. last month's profile): the production alarm that
+    * says "this hour's traffic no longer looks like the corpus we
+    * trained on". Shape keeps streaming state minimal: the per-bucket
+    * histogram is ONE windowed aggregation (conditional counts — B
+    * columns, not B state rows, and no chained stateful operators),
+    * and PSI is a stateless projection over it with the reference
+    * inlined as literals — state is exactly one row per open window.
+    * Terms are 1e-9 floor-quantized before the sum, the q181/q88
+    * determinism convention, so a replayed window reproduces its PSI
+    * bit-for-bit. Out-of-range values clamp into the edge buckets
+    * (every event is counted; the reference must be > 0 per bucket —
+    * enforced — so PSI is always finite). */
+  def streamingPsiDrift(events: DataFrame, reference: Seq[Double],
+      bucketWidth: Double = 100.0, windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(reference.nonEmpty && reference.forall(_ > 0) &&
+      math.abs(reference.sum - 1.0) < 1e-6,
+      "reference must be a positive distribution summing to 1")
+    val b = reference.length
+    val bucket = greatest(
+      least(floor(col("value") / bucketWidth), lit((b - 1).toLong)), lit(0L))
+    val counts = (0 until b).map(i =>
+      count(when(bucket === i.toLong, 1)).as(s"c$i"))
+    val agg = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(counts.head, counts.tail: _*)
+    val total = (0 until b).map(i => col(s"c$i")).reduce(_ + _)
+    val terms = (0 until b).map { i =>
+      val p = col(s"c$i").cast("double") / col("n").cast("double")
+      val q = lit(reference(i))
+      when(col(s"c$i") > 0,
+        floor((p - q) * log(p / q) * 1e9).cast("long")).otherwise(lit(0L))
+    }
+    agg
+      .withColumn("n", total)
+      .select(col("window.start").as("win_start"), col("n"),
+        (terms.reduce(_ + _).cast("double") / 1e9).as("psi"))
+  }
 }

@@ -30,6 +30,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI drift: per-window PSI vs reference, replay-deterministic") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // window 1 (10:00): perfectly matches the reference (2:1:1 over
+    // buckets of width 10 → shares 0.5/0.25/0.25) → PSI exactly 0
+    in.addData(
+      Ev(1, ts(1), "e", 5.0), Ev(1, ts(2), "e", 6.0),   // bucket 0 ×2
+      Ev(1, ts(3), "e", 15.0),                          // bucket 1
+      Ev(1, ts(4), "e", 25.0))                          // bucket 2
+    // window 2 (11:00, later batch): everything in bucket 2 → drift;
+    // one value out of range clamps into the edge bucket
+    in.addData(
+      Ev(2, Timestamp.valueOf("2024-01-01 11:05:00"), "e", 27.0),
+      Ev(2, Timestamp.valueOf("2024-01-01 11:06:00"), "e", 29.0),
+      Ev(2, Timestamp.valueOf("2024-01-01 11:07:00"), "e", 999.0))
+    val ref = Seq(0.5, 0.25, 0.25)
+    val q = EventStreams.streamingPsiDrift(in.toDF, ref,
+        bucketWidth = 10.0, windowLen = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("psidrift")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("psidrift").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(rows.length === 2)
+      assert(rows(0)._2 === 4L && rows(0)._3 === 0.0,
+        s"matching window must have zero drift: ${rows(0)}")
+      // drifted window: recompute with the same quantized formula
+      val expect = math.floor((1.0 - 0.25) * math.log(1.0 / 0.25) * 1e9) / 1e9
+      assert(rows(1)._2 === 3L && math.abs(rows(1)._3 - expect) < 1e-12,
+        s"drifted window PSI: ${rows(1)._3} vs $expect")
+    } finally q.stop()
+  }
+
   test("session windows split on the inactivity gap (batch frame)") {
     val df = Seq(
       Ev(1, ts(0), "click", 1.0), Ev(1, ts(2), "click", 1.0), // session A
