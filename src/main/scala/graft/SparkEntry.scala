@@ -629,6 +629,11 @@ object SparkEntry {
           array_join(col("postings").cast("array<string>"), " "))
         .orderBy(col("df").desc, col("word"))
     }),
+    // BFS shortest-hop distances over the q111/q112 near-dup graph
+    // from the smallest edge-bearing node; oracle replays it as a
+    // recursive CTE with min-dist aggregation
+    "q185_bfs_hops" -> ((s, d) =>
+      Graph.bfsHops(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2802,6 +2807,19 @@ object SparkEntry {
       s"""WITH $postingsCte
          |SELECT word, df, array_to_string(postings, ' ') AS postings
          |FROM post ORDER BY df DESC, word""".stripMargin,
+    // BFS over the SAME graph CTEs as q111/q112; recursion bounded at
+    // 4 hops, min-dist ≡ the engine's frontier distance
+    "q185_bfs_hops" ->
+      s"""WITH RECURSIVE $neardupGraphCtes,
+         |seed AS (SELECT min(u) AS s FROM deg),
+         |bfs(u, dist) AS (
+         |  SELECT s, CAST(0 AS BIGINT) FROM seed
+         |  UNION
+         |  SELECT s2.v, b.dist + 1 FROM bfs b JOIN sym s2 ON s2.u = b.u
+         |  WHERE b.dist < 4
+         |)
+         |SELECT u AS doc_id, CAST(min(dist) AS BIGINT) AS dist
+         |FROM bfs GROUP BY u ORDER BY doc_id""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

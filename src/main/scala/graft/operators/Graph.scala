@@ -154,4 +154,37 @@ object Graph {
           .otherwise(lit(0.0)))
       .orderBy(col("tri").desc, col("doc_id").asc)
   }
+
+  /** q185 — BFS shortest-hop distances from a deterministic seed (the
+    * smallest node carrying an edge) over the same near-dup graph as
+    * q111/q112: "how many near-dup steps away is each document from
+    * the canonical template" — the reachability question a dedup
+    * pipeline asks when it propagates a keep/drop decision through a
+    * cluster. Frontier expansion, `maxHops` bounded rounds: each round
+    * is ONE join of the frontier to the edge relation (keyed, map-side
+    * combinable distinct) and one anti-join against the known set —
+    * both frontier-sized, never corpus-sized; intermediates are
+    * checkpoint-truncated like the q49/q111 loops. Unreached nodes are
+    * absent from the output (the contract states reached-within-k).
+    * The oracle replays it as a DuckDB recursive CTE with min-dist
+    * aggregation — frontier-BFS distance ≡ min over all ≤k-hop walks. */
+  def bfsHops(docs: DataFrame, cap: Long = 1000L, threshold: Double = 0.95,
+      maxHops: Int = 4): DataFrame = {
+    val edges = materialized(docs,
+      Dedup.nearDupJaccard(docs, cap, threshold).select("doc_a", "doc_b"))
+    val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    var known = materialized(docs,
+      sym.agg(min(col("u")).as("doc_id")).withColumn("dist", lit(0L)))
+    var frontier = known
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(sym, frontier("doc_id") === sym("u"))
+        .select(col("v").as("doc_id")).distinct()
+        .join(known, Seq("doc_id"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+      frontier = materialized(docs, next)
+      known = materialized(docs, known.unionByName(frontier))
+    }
+    known.orderBy("doc_id")
+  }
 }

@@ -655,6 +655,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows === expected)
   }
 
+  test("q185 BFS hops: seed at zero, every frontier node touches the previous one") {
+    import graft.operators.{Dedup, Graph}
+    val docs = t("documents")
+    val dists = Graph.bfsHops(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dists.nonEmpty)
+    // exactly one seed, at distance 0, and it is the smallest node
+    // that carries an edge
+    val edges = Dedup.nearDupJaccard(docs, 1000L, 0.95)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    assert(dists.count(_._2 == 0L) === 1)
+    val (seed, _) = dists.find(_._2 == 0L).get
+    assert(seed === sym.keys.min)
+    // BFS invariant: every node at distance h > 0 has a neighbor at h-1,
+    // and none at a distance < h-1 (else its own distance would be smaller)
+    dists.filter(_._2 > 0).foreach { case (n, h) =>
+      val nbrDists = sym(n).flatMap(dists.get)
+      assert(nbrDists.contains(h - 1), s"node $n at $h lacks an h-1 neighbor")
+      assert(nbrDists.forall(_ >= h - 1), s"node $n at $h beside a closer node")
+    }
+  }
+
   test("q111 pagerank: connected docs out-rank isolated ones, invariant, exact") {
     import graft.operators.{Dedup, Graph}
     import org.apache.spark.sql.functions.col
