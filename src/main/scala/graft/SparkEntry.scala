@@ -634,6 +634,19 @@ object SparkEntry {
     // recursive CTE with min-dist aggregation
     "q185_bfs_hops" -> ((s, d) =>
       Graph.bfsHops(Tables(s, d, "documents"))),
+    // GROUPED aggregate pushdown: COUNT(*) GROUP BY _letter — each
+    // reader emits one (letter, line-count) row per file, no word or
+    // posting ever parsed (the letter IS the directory); spec pins the
+    // pushed grouped aggregation and the count schema
+    "q186_dsv2_group_count" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      sources.IndexStore.readIndexTable(
+          s, sources.IndexStore.textIndexFor(s, d))
+        .groupBy(col("_letter"))
+        .agg(count(lit(1)).as("n_words"))
+        .select(col("_letter").as("letter"), col("n_words"))
+        .orderBy("letter")
+    }),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2820,6 +2833,12 @@ object SparkEntry {
          |)
          |SELECT u AS doc_id, CAST(min(dist) AS BIGINT) AS dist
          |FROM bfs GROUP BY u ORDER BY doc_id""".stripMargin,
+    // grouped pushdown ≡ raw-corpus per-letter vocabulary counts
+    "q186_dsv2_group_count" ->
+      s"""WITH $postingsCte
+         |SELECT substr(word, 1, 1) AS letter,
+         |       CAST(count(*) AS BIGINT) AS n_words
+         |FROM post GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

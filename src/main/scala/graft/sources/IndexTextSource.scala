@@ -468,25 +468,38 @@ private[graft] class IndexTextScanBuilder(path: String,
     * no other aggregates — and Spark only offers it when no residual
     * Filter sits above the scan, which (by this source's
     * never-load-bearing filter contract) means an UNfiltered scan. */
+  /** Accepted forms: bare global `COUNT(*)`, and `COUNT(*) GROUP BY
+    * _letter` — the letter IS the file's directory, so each reader
+    * emits ONE (letter, line-count) row per file with no word
+    * materialization and no posting parse; Spark's final aggregate
+    * merges the per-file partials (and with the reported letter layout
+    * it merges them WITHOUT a shuffle). */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val ok = !rowLevel && agg.groupByExpressions().isEmpty &&
+    val groups = agg.groupByExpressions()
+    val groupOk = groups.isEmpty || (groups.length == 1 && (groups(0) match {
+      case nr: NamedReference =>
+        nr.fieldNames.sameElements(Array(IndexTextSource.LetterCol))
+      case _ => false
+    }))
+    val ok = !rowLevel && groupOk &&
       agg.aggregateExpressions().length == 1 &&
       agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
       limit.isEmpty
-    if (ok) countStar = true
+    if (ok) { countStar = true; countByLetter = groups.nonEmpty }
     ok
   }
+  private var countByLetter = false
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
   override def build(): Scan =
     new IndexTextScan(path, pushed, required, limit, orderedLimit, countStar,
-      rowLevel)
+      rowLevel, countByLetter)
 }
 
 private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
     requiredSchema: StructType, limit: Option[Int] = None,
     orderedLimit: Boolean = false, countStar: Boolean = false,
-    rowLevel: Boolean = false)
+    rowLevel: Boolean = false, countByLetter: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -536,12 +549,16 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
   /** Pushed COUNT(*) rewrites the served schema to the single partial-
     * count column (Spark pairs it positionally with the aggregate). */
   override def readSchema(): StructType =
-    if (countStar) IndexTextScan.CountSchema else requiredSchema
+    if (countStar && countByLetter) IndexTextScan.CountByLetterSchema
+    else if (countStar) IndexTextScan.CountSchema
+    else requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-index $path, PushedFilters: [${pushed.mkString(", ")}], " +
       limit.map(n => s"PushedLimit: $n (ordered=$orderedLimit), ").getOrElse("") +
-      (if (countStar) "PushedAggregation: [COUNT(*)], " else "") +
+      (if (countStar && countByLetter)
+        s"PushedAggregation: [COUNT(*) GROUP BY ${IndexTextSource.LetterCol}], "
+      else if (countStar) "PushedAggregation: [COUNT(*)], " else "") +
       s"ReadSchema: ${readSchema().simpleString}"
 
   /** Post-pruning size estimate = the byte sum of the files the scan
@@ -594,7 +611,8 @@ private[graft] class IndexTextScan(path: String, val pushed: Array[Filter],
     IndexMetrics.Task(IndexMetrics.PrunedFiles, prunedCount))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (countStar) new IndexCountReaderFactory(Some(IndexTextSource.sessionConf()))
+    if (countStar) new IndexCountReaderFactory(Some(IndexTextSource.sessionConf()),
+      withLetter = countByLetter)
     else new IndexTextReaderFactory(effective, requiredSchema, limit,
       orderedLimit, Some(IndexTextSource.sessionConf()))
 
@@ -682,6 +700,10 @@ private[graft] class IndexDeltaMicroBatchStream(path: String,
 private[graft] object IndexTextScan {
   val CountSchema: StructType = StructType(Seq(
     StructField("count(*)", LongType, nullable = false)))
+  /** Grouped pushdown serves group columns first, then the partial. */
+  val CountByLetterSchema: StructType = StructType(Seq(
+    StructField(IndexTextSource.LetterCol, StringType, nullable = false),
+    StructField("count(*)", LongType, nullable = false)))
 }
 
 /** One artifact file = one split. `HasPartitionKey` exposes the file's
@@ -696,9 +718,12 @@ private[graft] case class IndexFilePartition(file: String, len: Long)
 }
 
 /** COUNT(*) pushdown reader: one row per file — the grammar-line
-  * count — with no word materialization and no posting parse. */
+  * count — with no word materialization and no posting parse. With
+  * `withLetter` the row also carries the file's letter (the grouped
+  * form — the letter is the DIRECTORY, so grouping costs nothing). */
 private[graft] class IndexCountReaderFactory(
-    hadoopConf: Option[org.apache.spark.util.SerializableConfiguration] = None)
+    hadoopConf: Option[org.apache.spark.util.SerializableConfiguration] = None,
+    withLetter: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
@@ -728,7 +753,11 @@ private[graft] class IndexCountReaderFactory(
           done = true
           true
         }
-      override def get(): InternalRow = InternalRow(count)
+      override def get(): InternalRow =
+        if (withLetter)
+          InternalRow(
+            UTF8String.fromString(IndexTextSource.letterOfFile(file)), count)
+        else InternalRow(count)
       override def close(): Unit = ()
       override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
         IndexMetrics.Task(IndexMetrics.LinesRead, linesRead),

@@ -444,6 +444,25 @@ class DataSourceV2Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("grouped COUNT pushdown: per-letter counts from file line counts alone") {
+    val q = table.groupBy(col("_letter")).agg(count(lit(1)).as("n_words"))
+    val scan = scanOf(q)
+    assert(scan.description().contains("COUNT(*) GROUP BY _letter"),
+      s"grouped aggregation not pushed: ${scan.description()}")
+    assert(scan.readSchema().fieldNames.toSeq === Seq("_letter", "count(*)"))
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toList
+    val expect = table
+      .select(substring(col("word"), 1, 1).as("l"))
+      .groupBy("l").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toList
+    assert(got === expect)
+    // a word filter blocks the push (residual Filter above the scan)
+    val filtered = table.where(col("word").startsWith("b"))
+      .groupBy(col("_letter")).agg(count(lit(1)))
+    assert(!scanOf(filtered).description().contains("GROUP BY"),
+      "grouped aggregation must not push under a residual filter")
+  }
+
   test("DELETE via SupportsDelete: word-shaped predicates rewrite only their letters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_del").toString
     IndexStore.writeIndexTable(InvertedIndex.postingsUnordered(docs), dir)
