@@ -647,6 +647,10 @@ object SparkEntry {
         .select(col("_letter").as("letter"), col("n_words"))
         .orderBy("letter")
     }),
+    // per-language word-distribution Shannon entropy (nats) beside
+    // token/vocab counts; same 1e-9 ln-term quantization as q181/q182
+    "q187_vocab_entropy" -> ((s, d) =>
+      TextAnalysis.vocabEntropy(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2839,6 +2843,24 @@ object SparkEntry {
          |SELECT substr(word, 1, 1) AS letter,
          |       CAST(count(*) AS BIGINT) AS n_words
          |FROM post GROUP BY 1 ORDER BY 1""".stripMargin,
+    // entropy replayed with the same division shape and quantization
+    "q187_vocab_entropy" ->
+      s"""WITH $rawtoksCte,
+         |wc AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+         |       FROM rawtoks GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t,
+         |               CAST(count(*) AS BIGINT) AS vocab
+         |        FROM wc GROUP BY 1),
+         |terms AS (
+         |  SELECT wc.lang,
+         |         CAST(floor((wc.c / CAST(tot.t AS DOUBLE))
+         |              * ln(wc.c / CAST(tot.t AS DOUBLE)) * 1e9) AS BIGINT) AS tq
+         |  FROM wc JOIN tot USING (lang))
+         |SELECT t.lang, t.t AS n_tokens, t.vocab,
+         |       -CAST(sum(tq) AS DOUBLE) / 1e9 AS entropy
+         |FROM terms JOIN tot t USING (lang)
+         |GROUP BY t.lang, t.t, t.vocab
+         |ORDER BY t.lang""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

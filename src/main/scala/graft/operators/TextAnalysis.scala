@@ -524,6 +524,29 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q187 — Shannon entropy of each language's word distribution (in
+    * nats), with token and vocabulary counts: the diversity signal a
+    * mixing pipeline reads next to q181/q182 (a slice whose entropy
+    * collapses is template spam; one whose entropy spikes is noise).
+    * Per-word `p·ln p` terms floor-quantized to 1e-9 before the sum —
+    * the shared cross-engine ln convention. One tokenize to
+    * vocabulary-sized counts; everything after is lang-keyed. */
+  def vocabEntropy(docs: DataFrame): DataFrame = {
+    val wc = TextFns.tokens(docs, Seq("lang"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("c"))
+    val tot = wc.groupBy("lang")
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("vocab"))
+    wc.join(tot, "lang")
+      .withColumn("term_q",
+        floor((col("c").cast("double") / col("t"))
+          * log(col("c").cast("double") / col("t")) * 1e9).cast("long"))
+      .groupBy("lang")
+      .agg(max(col("t")).as("n_tokens"), max(col("vocab")).as("vocab"),
+        (-sum(col("term_q")).cast("double") / 1e9).as("entropy"))
+      .orderBy("lang")
+  }
+
   /** q182 — Jensen–Shannon divergence between every pair of languages'
     * WORD distributions (token frequencies with multiplicity): the
     * mixing-diagnostics op — "how far apart are these two slices'

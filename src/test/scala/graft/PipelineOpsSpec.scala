@@ -1575,6 +1575,24 @@ class PipelineOpsSpec extends SparkSpec {
       !ijPlan.contains("CartesianProduct"), ijPlan)
   }
 
+  test("q187 entropy: bounded by ln(vocab), zero for a one-word corpus") {
+    val docs = t("documents")
+    val rows = TextAnalysis.vocabEntropy(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vocab, h) = (r.getLong(2), r.getDouble(3))
+      assert(h >= 0.0 && h <= math.log(vocab.toDouble) + 1e-6, r.toString)
+    }
+    import spark.implicits._
+    val mono = Seq((1L, "alpha alpha alpha", "l1")).toDF("doc_id", "text", "lang")
+    val m = TextAnalysis.vocabEntropy(mono).collect()
+    assert(m.length === 1 && m.head.getDouble(3) === 0.0)
+    // uniform two-word corpus → exactly ln 2 (within quantization)
+    val uni = Seq((1L, "alpha beta", "l1")).toDF("doc_id", "text", "lang")
+    val u = TextAnalysis.vocabEntropy(uni).collect()
+    assert(math.abs(u.head.getDouble(3) - math.log(2.0)) < 1e-6)
+  }
+
   test("q181 PSI: non-negative, zero against itself, covers every lang") {
     val docs = t("documents")
     val psi = TextAnalysis.psiDrift(docs).collect()
