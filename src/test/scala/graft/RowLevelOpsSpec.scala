@@ -97,6 +97,21 @@ class RowLevelOpsSpec extends SparkSpec {
     assert(new java.io.File(dir, "_GRAFT_READY").exists)
   }
 
+  test("row-level DML preserves retained generations (history survives rewrites)") {
+    val dir = freshArtifact(evenOnly = true)
+    IndexStore.writeIndexDelta(
+      InvertedIndex.postingsUnordered(docs.where(col("doc_id") % 2 === 1)),
+      dir, epoch = 1L)
+    IndexStore.compact(spark, dir, retainGeneration = true)
+    val gen0 = IndexStore.readIndexTable(spark, s"$dir/_gen_0")
+      .orderBy("word").collect().map(_.toString).toList
+    val tbl = cat(dir)
+    spark.sql(s"UPDATE $tbl SET postings = array(1L), df = 1L WHERE word = 'batch'")
+    assert(IndexStore.listGenerations(spark, dir) === Seq(0L))
+    assert(IndexStore.readIndexTable(spark, s"$dir/_gen_0")
+      .orderBy("word").collect().map(_.toString).toList === gen0)
+  }
+
   test("a failed rewrite leaves the artifact intact (all-or-nothing)") {
     val dir = freshArtifact()
     val tbl = cat(dir)
