@@ -53,7 +53,8 @@ object SparkEntry {
     "q16_json_extract" -> ((s, d) => Events.jsonExtract(Tables(s, d, "events"))),
     "q17_date_trunc_agg" -> ((s, d) => Events.dateTruncAgg(Tables(s, d, "events"))),
     // ---- LLM-pipeline extensions ----
-    "q18_near_dup_jaccard" -> ((s, d) => Dedup.nearDupJaccard(Tables(s, d, "documents"), 1000L, 0.95)),
+    "q18_near_dup_jaccard" -> ((s, d) =>
+      Dedup.nearDupPairsShared(Tables(s, d, "documents"), 1000L, 0.95)),
     "q19_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables(s, d, "embeddings"), 20, 3)),
     "q20_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables(s, d, "documents"))),
     // ---- LLM-pipeline: dedup family ----
