@@ -652,6 +652,35 @@ object SparkEntry {
     // token/vocab counts; same 1e-9 ln-term quantization as q181/q182
     "q187_vocab_entropy" -> ((s, d) =>
       TextAnalysis.vocabEntropy(Tables(s, d, "documents"))),
+    // SQL PIPE syntax (|>): filter |> AGGREGATE |> HAVING-WHERE |>
+    // project |> order — parses to the SAME plan as the classic
+    // GROUP BY + HAVING text (spec pins sameSemantics)
+    "q188_pipe_sql" -> ((s, d) =>
+      Relational.pipeSqlAgg(Tables(s, d, "lineitem"))),
+    // collation-aware grouping: cased tokens merged under UTF8_LCASE
+    // inside the aggregate, variant counts per case-insensitive word
+    "q189_collate_vocab" -> ((s, d) =>
+      TextAnalysis.collatedVocab(Tables(s, d, "documents"))),
+    // parameterized SQL (:name binds at parse time) + IDENTIFIER(:tbl)
+    // table resolution — the injection-safe service-layer surface
+    "q190_param_sql" -> ((s, d) =>
+      Relational.paramIdentifierAgg(Tables(s, d, "documents"))),
+    // corpus-internal duplicate char-13-gram rate per document (the
+    // boilerplate diagnostic; q60's cross-corpus twin)
+    "q191_dup_ngram_rate" -> ((s, d) =>
+      TextAnalysis.dupNgramRate(Tables(s, d, "documents"))),
+    // SQL UDF: CREATE FUNCTION … RETURN expr — macro-inlined, the
+    // optimized plan carries the body, not a call (spec-pinned)
+    "q192_sql_udf" -> ((s, d) =>
+      Relational.sqlUdfRevenue(Tables(s, d, "lineitem"))),
+    // SQL TABLE function: a parameterized relation, inlined at the
+    // call site with the argument folded into the pushed predicate
+    "q193_sql_tvf" -> ((s, d) =>
+      Relational.sqlTvfLangProfile(Tables(s, d, "documents"))),
+    // winnowing fingerprints (MOSS): window-min over char-8-gram
+    // polyhashes, per-doc distinct-print profile
+    "q194_winnow" -> ((s, d) =>
+      TextAnalysis.winnowFingerprints(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2862,6 +2891,79 @@ object SparkEntry {
          |FROM terms JOIN tot t USING (lang)
          |GROUP BY t.lang, t.t, t.vocab
          |ORDER BY t.lang""".stripMargin,
+    // pipe-syntax chain replayed as the classic GROUP BY + HAVING text
+    // (the equivalence the engine-side spec pins via sameSemantics)
+    "q188_pipe_sql" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) > 0
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // UTF8_LCASE grouping ≡ GROUP BY lower(word) on the ASCII-only
+    // [A-Za-z]+ token grammar (R6) — the equivalence the spec pins
+    "q189_collate_vocab" ->
+      """WITH ctoks AS (
+        |  SELECT regexp_replace(w, '[^A-Za-z]', '', 'g') AS cw
+        |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+        |  WHERE regexp_replace(w, '[^A-Za-z]', '', 'g') <> '')
+        |SELECT lower(cw) AS word,
+        |       CAST(count(DISTINCT cw) AS BIGINT) AS n_variants,
+        |       CAST(count(*) AS BIGINT) AS occurrences
+        |FROM ctoks GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the bound parameters replayed as literals — binding is parse-time
+    // literal construction, so the two texts are one query
+    "q190_param_sql" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE n_chars >= 300
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // corpus-internal duplicate-gram rate: distinct (doc, 13-gram)
+    // relation joined to its own gram document frequency (q60's idiom)
+    "q191_dup_ngram_rate" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 13) AS gram
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 11)) AS p
+        |        FROM documents WHERE len(text) >= 13)),
+        |gdf AS (SELECT gram, CAST(count(*) AS BIGINT) AS gdf FROM g GROUP BY 1)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN gdf.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       CAST(sum(CASE WHEN gdf.gdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate
+        |FROM g JOIN gdf USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // the UDF's inlined body replayed directly (inlining is the claim
+    // the engine-side spec pins; the oracle states the semantics)
+    "q192_sql_udf" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the TVF's body with the argument inlined as a literal
+    "q193_sql_tvf" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents WHERE n_chars >= 280
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // identical winnowing algebra: gram polyhash, ROWS window min over
+    // full windows only, per-doc distinct-print profile
+    "q194_winnow" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, CAST(len(text) AS BIGINT) AS tlen, p,
+         |         ${polyHashSql("substr(text, CAST(p AS INT), 8)")} AS h
+         |  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS p
+         |        FROM documents WHERE len(text) >= 11)),
+         |w AS (
+         |  SELECT doc_id, tlen, p,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM g)
+         |SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,
+         |       CAST(count(*) AS BIGINT) AS n_windows,
+         |       min(fp) AS min_fp, max(fp) AS max_fp
+         |FROM w WHERE p <= tlen - 10
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

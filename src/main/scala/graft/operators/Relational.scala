@@ -1402,6 +1402,148 @@ object Relational {
       .orderBy(col("value").desc, col("l_partkey").asc)
   }
 
+  /** q188 — SQL PIPE syntax (`|>`, Spark 4): the linear query grammar
+    * a migrating user increasingly writes instead of nested SELECTs —
+    * each `|>` stage consumes the previous result top-to-bottom, so
+    * filter → aggregate → post-aggregate filter → project → order read
+    * in EXECUTION order. The analyzer marks each stage with a
+    * `PipeOperator` node; the optimizer erases them, leaving the exact
+    * relational tree the classic GROUP BY + HAVING form produces (spec
+    * pins `sameResult` on the optimized plans), so every Catalyst
+    * property the suite has audited — partial aggregation, pushdown,
+    * AQE — applies unchanged: pipe syntax is surface, not engine.
+    * Post-aggregation `|> WHERE` is the HAVING analog; money sums go
+    * through DECIMAL then DOUBLE per the q08 convention. */
+  def pipeSqlAgg(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("graft_li_pipe")
+    spark.sql(
+      """FROM graft_li_pipe
+        ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        ||> AGGREGATE count(*) AS n_rows,
+        |             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n_rows > 0
+        ||> SELECT l_returnflag, l_linestatus, n_rows,
+        |          round(sum_qty, 2) AS sum_qty, round(revenue, 2) AS revenue
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** The classic-syntax twin of [[pipeSqlAgg]] — exists so the spec can
+    * assert `sameResult` on the optimized plans: the pipe chain and the
+    * GROUP BY + HAVING text must optimize to one plan, not two
+    * dialects. */
+  def pipeSqlAggClassic(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("graft_li_pipe")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, n_rows,
+        |       round(sum_qty, 2) AS sum_qty, round(revenue, 2) AS revenue
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM graft_li_pipe
+        |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |  GROUP BY l_returnflag, l_linestatus)
+        |WHERE n_rows > 0
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** q190 — PARAMETERIZED SQL + the IDENTIFIER clause: the injection-
+    * safe text surface (`spark.sql(text, args)`) a service layer runs —
+    * values bind as TYPED literals through `:name` markers and the
+    * table name resolves through `IDENTIFIER(:tbl)`, so neither is ever
+    * string-spliced into the query. Binding happens at PARSE time
+    * (parameterized parse, not substitution): a value containing SQL
+    * text stays a value (spec pins the injection shape), and the bound
+    * plan is byte-identical to the literal text's plan (spec pins
+    * `sameSemantics` against the literal form). Engine cost is
+    * unchanged — parameters reach Catalyst as foldable literals, so
+    * pushdown sees `n_chars >= 300` exactly as if it were typed. */
+  def paramIdentifierAgg(docs: DataFrame,
+      minChars: Long = 300L): DataFrame = {
+    val spark = docs.sparkSession
+    docs.createOrReplaceTempView("graft_docs_param")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM IDENTIFIER(:tbl)
+        |WHERE n_chars >= :minChars
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+      Map("tbl" -> "graft_docs_param", "minChars" -> minChars))
+  }
+
+  /** q192 — SQL UDF (`CREATE FUNCTION … RETURN expr`, Spark 4): the
+    * reusable-logic surface that does NOT leave codegen. Unlike a JVM
+    * UDF (an opaque black box that kills pushdown and column pruning
+    * around it), a SQL UDF is MACRO-INLINED by the analyzer: the
+    * optimized plan contains the expanded expression and no function
+    * call at all (spec pins the function name absent from the
+    * optimized plan and `sameResult` with the hand-inlined text), so
+    * whole-stage codegen, constant folding, and filter pushdown treat
+    * it exactly as if the user had typed the body. The body is the
+    * suite's one shared line-revenue definition (q08/q07's DECIMAL
+    * convention) — the use case SQL UDFs exist for: one definition,
+    * N call sites, zero plan cost. */
+  def sqlUdfRevenue(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("graft_li_udf")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_line_rev(
+        |  price DOUBLE, disc DOUBLE) RETURNS DECIMAL(18,4)
+        |RETURN CAST(price * (1 - disc) AS DECIMAL(18,4))""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag,
+        |       CAST(sum(graft_line_rev(l_extendedprice, l_discount)) AS DOUBLE)
+        |         AS revenue,
+        |       count(*) AS n_rows
+        |FROM graft_li_udf
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** The hand-inlined twin of [[sqlUdfRevenue]] — exists so the spec
+    * can assert the UDF call and the typed-out body optimize to ONE
+    * plan (`sameResult`): proof the function is erased, not executed.
+    */
+  def sqlUdfRevenueInline(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("graft_li_udf")
+    spark.sql(
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS revenue,
+        |       count(*) AS n_rows
+        |FROM graft_li_udf
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** q193 — SQL TABLE function (`CREATE FUNCTION … RETURNS TABLE`,
+    * Spark 4): a parameterized relation — the view-with-arguments a
+    * migrating user writes for "the same report at a different
+    * threshold". Like the scalar form (q192) it is inlined at
+    * invocation: `FROM graft_lang_profile(280)` plans as the plain
+    * filter→aggregate tree with the argument folded into the pushed
+    * predicate (spec pins the function name absent from the optimized
+    * plan), so a TVF costs exactly what its body costs. Body follows
+    * the q20 averaging convention (exact LONG sum / count, one IEEE
+    * division). */
+  def sqlTvfLangProfile(docs: DataFrame, minChars: Long = 280L): DataFrame = {
+    val spark = docs.sparkSession
+    docs.createOrReplaceTempView("graft_docs_tvf")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_lang_profile(
+        |  min_chars BIGINT)
+        |RETURNS TABLE(lang STRING, n_docs BIGINT, avg_chars DOUBLE)
+        |RETURN SELECT lang, count(*) AS n_docs,
+        |              CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |       FROM graft_docs_tvf WHERE n_chars >= min_chars
+        |       GROUP BY lang""".stripMargin)
+    spark.sql(
+      s"SELECT * FROM graft_lang_profile($minChars) ORDER BY lang")
+  }
+
   /** q154 — TPC-H Q20 shape (dominant-supplier semi-join chain):
     * suppliers in the ASIA region who, for some small part inside one
     * ship-year, carried MORE THAN HALF of that part's shipped

@@ -592,4 +592,114 @@ object TextAnalysis {
       .agg((sum(col("term_q")).cast("double") / 1e9).as("jsd"))
       .orderBy("lang_a", "lang_b")
   }
+
+  /** q189 — case-insensitive vocabulary merge via COLLATION (Spark 4):
+    * tokens keep their original case (only the non-letter strip of R6
+    * applied) and the aggregation groups on the token UNDER
+    * `UTF8_LCASE` — collation-aware grouping INSIDE the hash aggregate,
+    * not a lowercase projection bolted on front. That is the
+    * engine-level difference: a collated group key lets every
+    * downstream consumer (joins, distinct, sort) inherit
+    * case-insensitivity from the TYPE, where `lower()` must be
+    * re-applied at each site (and composes wrongly with locale-special
+    * casings). Output key is `lower(...)` of the group — deterministic
+    * where the collation group's representative value is not; variant
+    * counts come from a binary-collation `countDistinct` inside each
+    * ci-group. The oracle replays it as GROUP BY lower(word): for the
+    * ASCII-only `[A-Za-z]+` token grammar (R6), UTF8_LCASE equality ≡
+    * lowercase equality — the equivalence the spec pins, alongside the
+    * grouped key actually carrying the collation. One tokenize, one
+    * shuffle, vocabulary-sized output. */
+  def collatedVocab(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .select(regexp_replace(col("tok"), "[^A-Za-z]", "").as("cw"))
+      .where(length(col("cw")) > 0)
+      .groupBy(collate(col("cw"), "UTF8_LCASE").as("ci"))
+      .agg(countDistinct(col("cw")).as("n_variants"),
+        count(lit(1)).as("occurrences"))
+      .select(lower(col("ci")).as("word"), col("n_variants"),
+        col("occurrences"))
+      .orderBy("word")
+
+  /** q191 — duplicate n-gram rate: for each document, the share of its
+    * distinct character `n`-grams that occur in at least `minDf`
+    * documents — the corpus-INTERNAL duplication diagnostic (the
+    * cross-corpus twin of q60's contamination), the signal that says
+    * "this document is mostly boilerplate the corpus already has"
+    * before any MinHash pass runs. Shape: one (doc, gram) distinct
+    * relation feeds BOTH its own gram-frequency aggregate and the
+    * join back — the exchange under the distinct is planned once and
+    * reused (ReusedExchange, no second corpus scan); the join key is
+    * the gram, AQE-splittable under skew (a viral gram is one hot key,
+    * not a hot partition by construction of the hash shuffle). Rate is
+    * an exact integer ratio evaluated in one IEEE division — identical
+    * on both engines, no rounding needed. Nothing corpus-sized is
+    * broadcast; state is gram-keyed counts, linear in corpus size. */
+  /** q194 — WINNOWING document fingerprints (Schleimer et al., the
+    * MOSS algorithm): hash every char `k`-gram, slide a window of `w`
+    * consecutive hashes, keep each window's MINIMUM — the classic
+    * guarantee that any match of length ≥ k+w−1 between two documents
+    * shares at least one selected fingerprint, at ~2/(w+1) of the
+    * full gram density. This is the fingerprint SELECTION step q30's
+    * whole-document hash and q60/q191's exhaustive gram sets bracket:
+    * position-robust like grams, storage-light like a digest. Engine
+    * shape: gram hashes are one `polyHash` projection (the custom
+    * codegen expression, q30's cross-engine fold), the window min is
+    * a doc-partitioned ROWS window — bounded by DOCUMENT length, never
+    * corpus-sized (the safe kind of window; one doc_id shuffle
+    * total), and the output is per-doc summary stats over the
+    * DISTINCT selected prints. Full windows only (`p ≤ len−k−w+2`),
+    * so both engines see identical window frames; ties keep the same
+    * min value, so tie-breaking never matters. The oracle replays the
+    * identical window algebra in DuckDB. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    winnowPrints(docs, k, w)
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("fp")).as("n_fp"),
+        count(lit(1)).as("n_windows"),
+        min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+      .orderBy("doc_id")
+
+  /** The per-window print relation `(doc_id, p, fp)` behind
+    * [[winnowFingerprints]] — one row per FULL window, `fp` = the
+    * window's min gram hash. Exposed so the guarantee ("any shared
+    * substring of length ≥ k+w−1 shares a selected print") is testable
+    * against the actual selection, not a summary. */
+  private[graft] def winnowPrints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.where(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"), length(col("text")).as("tlen"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("tlen"), col("p"),
+        TextFns.polyHash(expr(s"substring(text, p, $k)")).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .where(col("p") <= col("tlen") - (k + w - 2))
+      .select("doc_id", "p", "fp")
+  }
+
+  def dupNgramRate(docs: DataFrame, n: Int = 13, minDf: Long = 2L): DataFrame = {
+    val grams = docs.where(length(col("text")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (n - 1))).as("p"),
+        col("text"))
+      .select(col("doc_id"), expr(s"substring(text, p, $n)").as("gram"))
+      .distinct()
+    val gdf = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    grams.join(gdf, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= minDf, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_rate",
+        col("n_dup").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over event streams (SURVEY §2.B:
   * streaming is an engine extension — the reference is strictly batch,
@@ -330,6 +331,54 @@ object EventStreams {
           state.update(next)
           next
       }
+  }
+
+  /** The Spark-4 arbitrary-state processor behind
+    * [[statefulUserTotals]]: per-user running totals in a typed
+    * `ValueState`, the transformWithState form of the
+    * mapGroupsWithState logic in [[userTotals]]. State is declared
+    * against the HANDLE (named, encoder-typed, TTL-capable) rather
+    * than threaded through the function signature — the API difference
+    * that lets one processor compose several state variables, timers,
+    * and TTL eviction where GroupState holds exactly one value
+    * forever. */
+  class RunningTotalProcessor extends StatefulProcessor[Long, Ev, UserTotal] {
+    @transient private var totals: ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal]("totals",
+        Encoders.product[UserTotal], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserTotal] = {
+      val prev =
+        if (totals.exists()) totals.get() else UserTotal(key, 0L, 0.0)
+      var n = prev.n
+      var t = prev.total
+      rows.foreach { e => n += 1; t += e.value }
+      val next = UserTotal(key, n, t)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** transformWithState (Spark 4's arbitrary-state successor of
+    * mapGroupsWithState): the [[userTotals]] semantics re-expressed
+    * through a [[StatefulProcessor]] — named encoder-typed state
+    * acquired from the handle in `init`, one emitted row per key per
+    * batch in Update mode. Runs on the RocksDB state-store provider
+    * (required by the API; the spec sets it), which is also the
+    * 100 TB answer for state that outgrows executor heaps: keyed state
+    * pages to local disk + changelog instead of living JVM-resident
+    * the way HDFSBackedStateStore keeps it. StreamingSpec pins
+    * transformWithState ≡ mapGroupsWithState ≡ batch groupBy across
+    * multi-batch delivery. */
+  def statefulUserTotals(events: Dataset[Ev]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming count-min sketch — the q118 frequency state maintained

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, TextAnalysis}
+import graft.sources.Tables
+
+/** q188 pipe syntax, q189 collation grouping, q190 parameterized SQL,
+  * q191 duplicate-gram rate — the Spark-4 SQL-surface batch. The
+  * engine claims are: pipe syntax is SURFACE (same plan as classic
+  * text), parameter binding is parse-time and injection-safe, and the
+  * collated group key carries case-insensitivity in its TYPE. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private def t(n: String) = Tables(spark, testdataDir, n)
+
+  // ---- q188: SQL pipe syntax ----
+
+  test("q188 pipe chain optimizes to the classic GROUP BY + HAVING plan") {
+    val pipe = Relational.pipeSqlAgg(t("lineitem"))
+    val classic = Relational.pipeSqlAggClassic(t("lineitem"))
+    // the analyzed pipe plan carries PipeOperator marker nodes (so
+    // Dataset.sameSemantics is false by design); the optimizer erases
+    // them — the two texts must reach ONE optimized plan
+    assert(pipe.queryExecution.optimizedPlan
+        .sameResult(classic.queryExecution.optimizedPlan),
+      "pipe |> chain must optimize to the classic text's plan — surface, not dialect")
+    val a = pipe.collect().map(_.toSeq).toList
+    val b = classic.collect().map(_.toSeq).toList
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("q188 post-aggregate |> WHERE is HAVING, not a row filter") {
+    // a pipe WHERE after AGGREGATE sees aggregate output columns —
+    // n_rows resolves; the same name before aggregation would not
+    val li = t("lineitem")
+    li.createOrReplaceTempView("graft_li_pipe_having")
+    val high = spark.sql(
+      """FROM graft_li_pipe_having
+        ||> AGGREGATE count(*) AS n_rows GROUP BY l_returnflag
+        ||> WHERE n_rows > 1
+        ||> ORDER BY l_returnflag""".stripMargin)
+    val expected = spark.sql(
+      """SELECT l_returnflag, count(*) AS n_rows
+        |FROM graft_li_pipe_having GROUP BY l_returnflag
+        |HAVING count(*) > 1 ORDER BY l_returnflag""".stripMargin)
+    assert(high.collect().map(_.toSeq).toList ===
+      expected.collect().map(_.toSeq).toList)
+  }
+
+  // ---- q189: collation-aware grouping ----
+
+  test("q189 grouping key carries the UTF8_LCASE collation in its type") {
+    val agg = TextAnalysis.collatedVocab(t("documents"))
+      .queryExecution.analyzed.collect { case a: Aggregate => a }
+    assert(agg.nonEmpty)
+    val keyTypes = agg.flatMap(_.groupingExpressions).map(_.dataType.toString)
+    assert(keyTypes.exists(_.contains("UTF8_LCASE")),
+      s"expected a UTF8_LCASE-collated group key, got: $keyTypes")
+  }
+
+  test("q189 merges case variants exactly as GROUP BY lower(word)") {
+    import spark.implicits._
+    val docs = Seq((1L, "Ab aB AB cd x1y"), (2L, "ab CD tt")).toDF("doc_id", "text")
+    val got = TextAnalysis.collatedVocab(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    // ab: variants {Ab, aB, AB, ab} = 4, occurrences 4; cd: {cd, CD} = 2/2;
+    // tt: 1/1; "x1y" normalizes to xy: 1/1
+    assert(got === List(("ab", 4L, 4L), ("cd", 2L, 2L),
+      ("tt", 1L, 1L), ("xy", 1L, 1L)))
+  }
+
+  test("q189 collated path ≡ lower() path on the real corpus") {
+    val docs = t("documents")
+    val viaCollation = TextAnalysis.collatedVocab(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val viaLower = docs
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .select(regexp_replace(col("tok"), "[^A-Za-z]", "").as("cw"))
+      .where(length(col("cw")) > 0)
+      .groupBy(lower(col("cw")).as("word"))
+      .agg(countDistinct(col("cw")).as("n_variants"),
+        count(lit(1)).as("occurrences"))
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(viaCollation === viaLower)
+  }
+
+  // ---- q190: parameterized SQL + IDENTIFIER ----
+
+  test("q190 bound parameters produce the literal text's results") {
+    val docs = t("documents")
+    val bound = Relational.paramIdentifierAgg(docs).collect().map(_.toSeq).toList
+    docs.createOrReplaceTempView("graft_docs_param_lit")
+    val literal = spark.sql(
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM graft_docs_param_lit WHERE n_chars >= 300
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+      .collect().map(_.toSeq).toList
+    assert(bound === literal)
+    assert(bound.nonEmpty)
+  }
+
+  test("q190 an injection-shaped IDENTIFIER value fails, never reparses") {
+    t("documents").createOrReplaceTempView("graft_docs_param")
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) AS n FROM IDENTIFIER(:tbl)",
+        Map("tbl" -> "graft_docs_param WHERE 1=0")).collect()
+    }
+    // the value is rejected as an invalid identifier — it is never
+    // spliced into the statement as SQL text
+    assert(e.getMessage.toLowerCase.contains("identifier") ||
+      e.getMessage.contains("PARSE_SYNTAX_ERROR"))
+  }
+
+  test("q190 value parameters bind as typed literals that reach pushdown") {
+    val plan = Relational.paramIdentifierAgg(t("documents"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("300"),
+      s"bound literal must appear in the optimized filter, got:\n$plan")
+  }
+
+  // ---- q191: duplicate n-gram rate ----
+
+  test("q191 exact rates on a constructed corpus") {
+    import spark.implicits._
+    // doc 1 and 2 share identical text → every gram duplicated (rate 1);
+    // doc 3 is unique → rate 0; doc 4 is too short for any 13-gram
+    val docs = Seq(
+      (1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"),
+      (3L, "zyxwvutsrqponmlk"), (4L, "short")).toDF("doc_id", "text")
+    val got = TextAnalysis.dupNgramRate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toList
+    assert(got === List(
+      (1L, 4L, 4L, 1.0), (2L, 4L, 4L, 1.0), (3L, 4L, 0L, 0.0)))
+  }
+
+  test("q191 gram relation is computed once (reused exchange, one scan)") {
+    val df = TextAnalysis.dupNgramRate(t("documents"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"the distinct (doc, gram) exchange must feed both consumers once:\n$plan")
+  }
+}

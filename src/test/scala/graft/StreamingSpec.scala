@@ -416,6 +416,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState totals ≡ mapGroupsWithState across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    // the Spark-4 arbitrary-state API requires the RocksDB provider —
+    // also the 100 TB mode: keyed state pages to local disk instead of
+    // living JVM-resident
+    val saved = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = EventStreams.statefulUserTotals(in.toDS)
+        .writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update").start()
+      try {
+        in.addData(Ev(7, ts(1), "click", 1.5), Ev(7, ts(2), "click", 2.5),
+          Ev(9, ts(1), "view", 4.0))
+        q.processAllAvailable()
+        in.addData(Ev(7, ts(3), "view", 6.0), Ev(9, ts(2), "view", 1.0))
+        q.processAllAvailable()
+        val last = spark.table("tws_totals").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSet
+        // same final state the mapGroupsWithState twin (test above)
+        // and a batch groupBy produce over these rows
+        assert(last === Set((7L, 3L, 10.0), (9L, 2L, 5.0)))
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming grouped top-k ≡ batch q157 over the same rows") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String, Double)]
