@@ -681,6 +681,15 @@ object SparkEntry {
     // polyhashes, per-doc distinct-print profile
     "q194_winnow" -> ((s, d) =>
       TextAnalysis.winnowFingerprints(Tables(s, d, "documents"))),
+    // winnow print inversion → near-dup candidate pairs (fp-keyed
+    // join, df-capped; the MOSS select→invert→pair path completed)
+    "q195_winnow_pairs" -> ((s, d) =>
+      TextAnalysis.winnowPairs(Tables(s, d, "documents"))),
+    // documents SERVED FROM an XML sidecar (Spark 4 native xml);
+    // oracle reads the parquet — escaping/trimming tripwired by a
+    // content polyhash sum
+    "q196_xml_source" -> ((s, d) =>
+      TextAnalysis.docProfile(sources.Sidecar.xml(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -2964,6 +2973,48 @@ object SparkEntry {
          |       min(fp) AS min_fp, max(fp) AS max_fp
          |FROM w WHERE p <= tlen - 10
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // identical winnow selection, then the SAME inversion algebra:
+    // distinct prints, df-cap [2, 10], fp-keyed pair join, containment
+    // over the capped print sets
+    "q195_winnow_pairs" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, CAST(len(text) AS BIGINT) AS tlen, p,
+         |         ${polyHashSql("substr(text, CAST(p AS INT), 8)")} AS h
+         |  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS p
+         |        FROM documents WHERE len(text) >= 11)),
+         |prints AS (
+         |  SELECT DISTINCT doc_id, fp FROM (
+         |    SELECT doc_id, p, tlen,
+         |           min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |    FROM g) WHERE p <= tlen - 10),
+         |kept AS (
+         |  SELECT doc_id, fp FROM prints
+         |  WHERE fp IN (SELECT fp FROM prints GROUP BY fp
+         |               HAVING count(*) BETWEEN 2 AND 10)),
+         |sizes AS (SELECT doc_id, count(*) AS n_prints FROM kept GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM kept a JOIN kept b
+         |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT p.doc_a, p.doc_b, p.n_shared,
+         |       CAST(p.n_shared AS DOUBLE) / least(sa.n_prints, sb.n_prints)
+         |         AS containment
+         |FROM pairs p
+         |JOIN sizes sa ON sa.doc_id = p.doc_a
+         |JOIN sizes sb ON sb.doc_id = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+    // engine side reads an XML copy; the oracle reads the parquet — a
+    // text round-trip defect (escaping, trimming, encoding) moves the
+    // bounded polyhash content signature
+    "q196_xml_source" ->
+      s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(sum(len(text)) AS BIGINT) AS sum_len,
+         |       CAST(sum(${polyHashSql("text")} % 1000003) AS BIGINT) AS text_sig
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

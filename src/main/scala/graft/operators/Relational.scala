@@ -1481,7 +1481,9 @@ object Relational {
     * around it), a SQL UDF is MACRO-INLINED by the analyzer: the
     * optimized plan contains the expanded expression and no function
     * call at all (spec pins the function name absent from the
-    * optimized plan and `sameResult` with the hand-inlined text), so
+    * optimized plan, the body's cast present, and results identical
+    * to the hand-inlined text; the only inlining residue is the
+    * parameter-binding aliases in a collapsed Project), so
     * whole-stage codegen, constant folding, and filter pushdown treat
     * it exactly as if the user had typed the body. The body is the
     * suite's one shared line-revenue definition (q08/q07's DECIMAL
@@ -1504,9 +1506,9 @@ object Relational {
   }
 
   /** The hand-inlined twin of [[sqlUdfRevenue]] — exists so the spec
-    * can assert the UDF call and the typed-out body optimize to ONE
-    * plan (`sameResult`): proof the function is erased, not executed.
-    */
+    * can assert the UDF call and the typed-out body produce identical
+    * results from structurally-equal plans (modulo the parameter
+    * aliases): proof the function is erased, not executed. */
   def sqlUdfRevenueInline(lineitem: DataFrame): DataFrame = {
     val spark = lineitem.sparkSession
     lineitem.createOrReplaceTempView("graft_li_udf")

@@ -685,6 +685,72 @@ object TextAnalysis {
       .select("doc_id", "p", "fp")
   }
 
+  /** q196 — the documents profile read THROUGH a text-format sidecar
+    * (the operator under test is the format round-trip, Sidecar.xml for
+    * the gated run): per (lang, source) counts plus three tripwires
+    * that make silent text-format corruption impossible to pass —
+    * `sum_len` (trimming/truncation shows up as a shorter corpus),
+    * `text_sig` (a bounded sum of per-document content polyhashes: ANY
+    * byte-level drift — entity escaping, encoding, newline handling —
+    * moves it with overwhelming probability; each term is reduced mod
+    * 1e6+3 so the BIGINT sum can never overflow either engine), and
+    * the n_chars sum (numeric column round-trip). The oracle reads the
+    * PARQUET original, so a green row gates writer escaping + reader
+    * parsing end-to-end, exactly like q155/q156 for CSV/JSON-lines. */
+  def docProfile(docs: DataFrame): DataFrame =
+    docs.groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_len"),
+        sum(TextFns.polyHash(col("text")) % 1000003L).as("text_sig"))
+      .orderBy("lang", "source")
+
+  /** q195 — winnowing CANDIDATE PAIRS: the inversion step that turns
+    * q194's per-document fingerprints into the near-dup pair relation
+    * MOSS actually reports — documents sharing ≥ `minShared` selected
+    * prints, scored by containment over the capped print sets. This
+    * completes the winnowing dedup path (select → invert → pair) the
+    * way LSH banding completes MinHash (q22): the pair candidates come
+    * from a FINGERPRINT-keyed equi-join, never an all-pairs stage.
+    *
+    * The `maxDf` cap is the standard MOSS move: a print occurring in
+    * more than `maxDf` documents is boilerplate (license headers, nav
+    * chrome) — joining through it would square a hot bucket for pairs
+    * that share only furniture. Dropping it bounds every join bucket
+    * at `maxDf` rows BY CONSTRUCTION; a surviving hot KEY is
+    * AQE-splittable. `n_a`/`n_b` (containment denominators) count each
+    * doc's prints over the SAME capped relation, so the score is
+    * internally consistent: shared/min(|A|,|B|) of the prints that
+    * were allowed to vote. Distinct (doc, fp) is built once and feeds
+    * the df aggregate, both denominator counts, and the pair join from
+    * one reused exchange. The oracle replays the identical algebra
+    * (window-min selection included) in DuckDB. */
+  def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+      maxDf: Long = 10L, minShared: Long = 2L): DataFrame = {
+    val prints = winnowPrints(docs, k, w)
+      .select("doc_id", "fp").distinct()
+    val kept = prints.join(
+      prints.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df").between(2L, maxDf)).select("fp"),
+      Seq("fp"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_prints"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_prints", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_prints", "n_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def dupNgramRate(docs: DataFrame, n: Int = 13, minDf: Long = 2L): DataFrame = {
     val grams = docs.where(length(col("text")) >= n)
       .select(col("doc_id"),

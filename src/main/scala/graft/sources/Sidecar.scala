@@ -82,6 +82,7 @@ object Sidecar {
         fmt match {
           case "csv" => w.option("header", "true").csv(staging)
           case "json" => w.json(staging)
+          case "xml" => w.option("rowTag", "row").xml(staging)
         }
         try java.nio.file.Files.move(java.nio.file.Paths.get(staging), target,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -119,5 +120,26 @@ object Sidecar {
     materialize(pq, "json", out)
     val Left(r) = timestamped(Left(spark.read.schema(pq.schema)))
     r.json(out)
+  }
+
+  /** `name` served from an XML copy (Spark 4's NATIVE xml source —
+    * the spark-xml package folded into core) with the parquet schema
+    * applied on read. Two text-format traps pinned here:
+    * `ignoreSurroundingSpaces=false` because the reader's default
+    * TRIMS element text — a document whose content starts or ends with
+    * whitespace would silently round-trip shorter (the content-hash
+    * tripwire in q196's aggregate would catch it as a hash mismatch);
+    * and entity escaping (`&`, `<`, `>` in document text) is the
+    * writer's job — served text must be byte-identical to the parquet
+    * original, which the oracle gate checks through the polyhash sum. */
+  def xml(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val pq = Tables(spark, sfDir, name)
+    val out = path("xml", sfDir, name)
+    materialize(pq, "xml", out)
+    val Left(r) = timestamped(Left(spark.read
+      .option("rowTag", "row")
+      .option("ignoreSurroundingSpaces", "false")
+      .schema(pq.schema)))
+    r.xml(out)
   }
 }

@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming surface over event streams (SURVEY §2.B:
   * streaming is an engine extension — the reference is strictly batch,
@@ -283,6 +284,90 @@ object EventStreams {
         col("c.event_id").as("click_id"),
         col("p.event_id").as("purchase_id"),
         col("p.value").as("purchase_value"))
+
+  /** LEFT OUTER stream-stream join — the variant that answers "which
+    * clicks never converted": matched rows emit immediately like the
+    * inner form; an UNMATCHED click emits with null purchase columns
+    * only once BOTH watermarks pass its join bound (before that a
+    * matching purchase could still arrive — emitting early would be
+    * wrong, so the null-extension is watermark-delayed by design).
+    * Same state-bounding contract as [[clickPurchaseJoin]]: the time
+    * bound in the condition lets each side evict buffered rows; an
+    * unbounded outer join would hold the left side forever waiting to
+    * prove a negative. */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes", within: String = "1 hour"): DataFrame =
+    clicks.withWatermark("ts", watermark).alias("c")
+      .join(
+        purchases.withWatermark("ts", watermark).alias("p"),
+        expr(s"""c.user_id = p.user_id AND
+                 p.ts >= c.ts AND p.ts <= c.ts + interval '$within'"""),
+        "left_outer")
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        col("p.value").as("purchase_value"))
+
+  case class UserTopK(user_id: Long, topk: Seq[Double])
+
+  /** ListState processor: per-user top-`k` values with state bounded
+    * at k BY CONSTRUCTION — the transformWithState twin of the q157
+    * TopKAggregator contract (state never exceeds k per key at any
+    * point, here across unbounded micro-batches). `ListState` is the
+    * right state shape: the merged top-k is rewritten wholesale per
+    * batch (clear + put), which the changelog-backed RocksDB provider
+    * turns into one value write, not k point updates. */
+  class TopKProcessor(k: Int) extends StatefulProcessor[Long, Ev, UserTopK] {
+    @transient private var vals: ListState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      vals = getHandle.getListState[Double]("topk",
+        Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserTopK] = {
+      val merged = (vals.get().toSeq ++ rows.map(_.value))
+        .sorted(Ordering[Double].reverse).take(k)
+      vals.clear()
+      vals.put(merged.toArray)
+      Iterator.single(UserTopK(key, merged))
+    }
+  }
+
+  /** Per-user running top-`k` via [[TopKProcessor]] — state ≤ k
+    * doubles per user forever, RocksDB-backed. StreamingSpec pins the
+    * final rows ≡ a batch per-user top-k over the same delivery. */
+  def statefulTopK(events: Dataset[Ev], k: Int = 3): Dataset[UserTopK] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TopKProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** OFFLINE STATE INSPECTION — the state-store batch READER
+    * (`format("statestore")`, Spark 4): a stopped (or running)
+    * streaming query's keyed state served as a plain DataFrame from
+    * its checkpoint, no query restart required. This is the ops
+    * surface a 100 TB streaming deployment debugs with: "what does the
+    * state for key X actually hold", "how many keys per partition"
+    * (skew), "did the watermark evict" are all SQL over the checkpoint
+    * instead of log archaeology. Reads the SAME files the query
+    * recovers from, so what it shows is what a restart would load. */
+  def stateOf(spark: org.apache.spark.sql.SparkSession,
+      checkpoint: String, operatorId: Int = 0): DataFrame =
+    spark.read.format("statestore")
+      .option("path", checkpoint)
+      .option("operatorId", operatorId.toString)
+      .load()
+
+  /** The checkpoint's operator METADATA (`format("state-metadata")`):
+    * which stateful operators exist, their ids and state-store names,
+    * and the min/max batch ids readable — the discovery step before
+    * [[stateOf]] picks an operator. */
+  def stateMetadataOf(spark: org.apache.spark.sql.SparkSession,
+      checkpoint: String): DataFrame =
+    spark.read.format("state-metadata").load(checkpoint)
 
   case class Alert(user_id: Long, total: Double, crossed_at_n: Long)
 

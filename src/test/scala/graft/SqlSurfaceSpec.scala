@@ -146,4 +146,36 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"),
       s"the distinct (doc, gram) exchange must feed both consumers once:\n$plan")
   }
+
+  // ---- q192: SQL UDF ----
+
+  test("q192 the SQL UDF is macro-inlined: no call node, one plan with the body") {
+    val viaUdf = Relational.sqlUdfRevenue(t("lineitem"))
+    val inlined = Relational.sqlUdfRevenueInline(t("lineitem"))
+    val opt = viaUdf.queryExecution.optimizedPlan
+    assert(!opt.toString.toLowerCase.contains("graft_line_rev"),
+      s"the UDF must be erased from the optimized plan:\n$opt")
+    // the body's expression is IN the plan (the only residue of the
+    // call is the parameter-binding aliases in a collapsed Project)
+    assert(opt.toString.contains("as decimal(18,4)"),
+      s"the inlined body's cast must appear in the optimized plan:\n$opt")
+    assert(viaUdf.collect().map(_.toSeq).toList ===
+      inlined.collect().map(_.toSeq).toList)
+  }
+
+  // ---- q193: SQL table function ----
+
+  test("q193 the TVF inlines; its argument folds into the pushed predicate") {
+    val df = Relational.sqlTvfLangProfile(t("documents"))
+    val opt = df.queryExecution.optimizedPlan
+    assert(!opt.toString.toLowerCase.contains("graft_lang_profile"),
+      s"the TVF must be erased from the optimized plan:\n$opt")
+    assert(opt.toString.contains("280"),
+      s"the argument must reach the optimized filter as a literal:\n$opt")
+    val pushed = df.queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters") &&
+      pushed.contains("GreaterThanOrEqual(n_chars,280)"),
+      s"the folded argument must reach the parquet scan:\n$pushed")
+    assert(df.collect().nonEmpty)
+  }
 }

@@ -106,6 +106,46 @@ class StorageSpec extends SparkSpec {
       "all gated timestamps are millis-round — the µs tripwire is vacuous")
   }
 
+  test("xml sidecar serves the parquet documents byte-identically") {
+    import graft.operators.TextAnalysis
+    import graft.sources.Sidecar
+    val viaXml = TextAnalysis.docProfile(Sidecar.xml(spark, dir, "documents"))
+      .collect().map(_.toString).toList
+    val viaPq = TextAnalysis.docProfile(Tables(spark, dir, "documents"))
+      .collect().map(_.toString).toList
+    assert(viaXml === viaPq)
+    assert(viaXml.nonEmpty)
+  }
+
+  test("xml round-trip survives markup-hostile text under the sidecar options") {
+    import spark.implicits._
+    // the characters the XML writer must escape (& < > " ') plus
+    // embedded newlines and leading/trailing whitespace the reader's
+    // DEFAULT would trim (ignoreSurroundingSpaces defaults true —
+    // the sidecar pins it false). \r excluded: XML 1.0 parsers
+    // normalize line endings, a documented format limit, not a bug.
+    val nasty = Seq(
+      (1L, "a & b < c > d \"quoted\" 'single'"),
+      (2L, "  leading and trailing  "),
+      (3L, "line one\nline two\n\ttabbed"),
+      (4L, "unicode: é中文 ☃"),
+      (5L, "<tag>looks like markup</tag> &amp; entity-shaped"))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_xml_rt").toString + "/docs"
+    nasty.write.option("rowTag", "row").xml(out)
+    val back = spark.read
+      .option("rowTag", "row")
+      .option("ignoreSurroundingSpaces", "false")
+      .schema(nasty.schema)
+      .xml(out)
+    val got = back.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    val want = nasty.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    assert(got === want)
+  }
+
   test("dynamic partition overwrite backfills one day without touching others") {
     // the standard incremental-backfill pattern at 100 TB: rewrite ONE
     // date partition in place; static overwrite mode would drop ALL

@@ -271,6 +271,99 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join null-extends only after the watermark") {
+    import EventStreams.EvId
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[EvId]
+    val purchases = MemoryStream[EvId]
+    val q = EventStreams.clickPurchaseLeftJoin(clicks.toDF, purchases.toDF)
+      .writeStream.format("memory").queryName("sslj").outputMode("append").start()
+    try {
+      clicks.addData(
+        EvId(1L, 7L, ts(0), 0.0),  // will match
+        EvId(2L, 8L, ts(0), 0.0))  // never matches — must null-extend
+      purchases.addData(EvId(101L, 7L, ts(30), 5.0))
+      q.processAllAvailable()
+      def rowsFor78 = spark.table("sslj").collect()
+        .filter(r => r.getLong(0) == 7L || r.getLong(0) == 8L)
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      // the match emits immediately; the negative CANNOT be proven yet
+      assert(rowsFor78 === Set((7L, 1L, 101L)))
+      // push BOTH watermarks past click B's join bound (ts0 + 1h + 10m)
+      val future = Timestamp.valueOf("2024-01-02 12:00:00")
+      clicks.addData(EvId(3L, 99L, future, 0.0))
+      purchases.addData(EvId(103L, 98L, future, 0.0))
+      q.processAllAvailable()
+      clicks.addData(EvId(4L, 99L, future, 0.0))
+      purchases.addData(EvId(104L, 98L, future, 0.0))
+      q.processAllAvailable()
+      // now the unmatched click is emitted with null purchase columns
+      assert(rowsFor78 === Set((7L, 1L, 101L), (8L, 2L, -1L)))
+    } finally q.stop()
+  }
+
+  test("transformWithState ListState top-k ≡ batch top-k, state ≤ k per key") {
+    implicit val ctx = spark.sqlContext
+    val saved = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = EventStreams.statefulTopK(in.toDS, k = 3)
+        .writeStream.format("memory").queryName("tws_topk")
+        .outputMode("update").start()
+      try {
+        in.addData(Ev(7, ts(1), "a", 5.0), Ev(7, ts(2), "a", 1.0),
+          Ev(7, ts(3), "a", 9.0), Ev(7, ts(4), "a", 7.0))
+        q.processAllAvailable()
+        // 4 values seen, only 3 survive in state — the 1.0 is gone
+        in.addData(Ev(7, ts(5), "a", 8.0), Ev(9, ts(1), "b", 2.0))
+        q.processAllAvailable()
+        val last = spark.table("tws_topk").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+          .groupBy(_._1).map { case (k, rs) => (k, rs.last._2) }
+        // batch top-3 over the full delivery: 9, 8, 7 (5 evicted at k=3)
+        assert(last(7L) === List(9.0, 8.0, 7.0))
+        assert(last(9L) === List(2.0))
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("statestore reader serves a stopped query's keyed state offline") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ss_read").toString
+    val in = MemoryStream[Ev]
+    val counts = in.toDF.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val q = counts.writeStream.format("memory").queryName("ss_counts")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(Ev(7, ts(1), "a", 1.5), Ev(7, ts(2), "a", 2.5),
+        Ev(9, ts(1), "b", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the checkpoint answers offline — no restart, no running query
+    val meta = EventStreams.stateMetadataOf(spark, ckpt).collect()
+    assert(meta.exists(_.toString.contains("stateStoreSave")),
+      s"state-metadata must list the aggregation operator: ${meta.mkString}")
+    // the value struct carries the aggregation BUFFER (count, sum) —
+    // what a restart recovers, not the query's output aliases
+    val state = EventStreams.stateOf(spark, ckpt)
+      .select(col("key.user_id"), col("value.count"), col("value.sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(state === Set((7L, 2L, 4.0), (9L, 1L, 4.0)),
+      "offline state read must equal what a restart would recover")
+  }
+
   test("flatMapGroupsWithState alerts exactly once per threshold crossing") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
