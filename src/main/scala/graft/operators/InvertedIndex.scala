@@ -84,11 +84,22 @@ object InvertedIndex {
     // (deterministic: the value depends only on df). The tie-broken
     // window would make rank ≡ dense_rank — words are unique per group.
     val wd = Window.partitionBy(col("letter")).orderBy(col("df").desc)
+    // dense_rank comes AFTER the rank filter — provably equivalent
+    // (every row with higher df has strictly smaller rank, so it
+    // survives whenever the current row does, and equal-df rows never
+    // affect dense_rank) and it unlocks two plan wins: the filter sits
+    // directly above the rank window, so Catalyst inserts
+    // WindowGroupLimit (each group feeds a k-row heap into the sort
+    // instead of sorting the whole group — the survival move for a
+    // 100 TB letter group), and the second window then runs over ≤ k
+    // rows per group instead of the full vocabulary. Same letter
+    // partitioning, so still one exchange. Spec pins the
+    // WindowGroupLimit node; the q04 oracle pins the equivalence.
     postingsUnordered(docs)
       .withColumn("letter", substring(col("word"), 1, 1))
       .withColumn("rnk", rank().over(w).cast("long"))
-      .withColumn("drnk", dense_rank().over(wd).cast("long"))
       .where(col("rnk") <= k)
+      .withColumn("drnk", dense_rank().over(wd).cast("long"))
       .select("letter", "word", "df", "rnk", "drnk")
       .orderBy(col("letter").asc, col("rnk").asc, col("word").asc)
   }

@@ -347,6 +347,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[filterPipeline]] INSTRUMENTED with the Observation API — the
+    * telemetry a production corpus gate ships with: total / kept /
+    * per-reason drop counts accumulated ON THE EXECUTORS during the
+    * one pass that computes the decision (an `AggregatingAccumulator`
+    * under a CollectMetrics node — NOT a second aggregation job, and
+    * NOT a driver-side recount of collected rows). At 100 TB the
+    * difference is running the pipeline once vs twice; the spec pins
+    * the observed metrics ≡ an independent recount. */
+  def filterPipelineObserved(docs: DataFrame)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation("filter_pipeline")
+    val out = filterPipeline(docs).observe(obs,
+      count(lit(1)).as("n_docs"),
+      sum(col("keep").cast("long")).as("n_kept"),
+      sum((col("reason") === "lang").cast("long")).as("n_lang"),
+      sum((col("reason") === "quality").cast("long")).as("n_quality"),
+      sum((col("reason") === "repetition").cast("long")).as("n_repetition"))
+    (out, obs)
+  }
+
   /** q79 — vocabulary frequency table: the top-`k` corpus words with
     * raw counts and CUMULATIVE corpus coverage — the statistic a
     * BPE/vocab-construction step reads off first ("how many tokens do

@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over event streams (SURVEY §2.B:
   * streaming is an engine extension — the reference is strictly batch,
@@ -343,6 +343,68 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new TopKProcessor(k),
         TimeMode.None(), OutputMode.Update())
+  }
+
+  case class SessAgg(n: Long, first_ms: Long, last_ms: Long, timer_ms: Long)
+  case class UserSession(user_id: Long, n: Long, first_ms: Long, last_ms: Long)
+
+  /** EVENT-TIME TIMER processor: session summaries emitted on
+    * INACTIVITY — the pattern GroupStateTimeout covers for
+    * mapGroupsWithState, re-expressed through transformWithState's
+    * explicit timer API. Each batch of a user's events extends the
+    * open session and MOVES the one registered timer to
+    * `last_ts + gap` (delete + re-register — the handle holds real
+    * timer state, not a timeout conf); when the WATERMARK passes the
+    * timer, `handleExpiredTimer` fires once, emits the closed session,
+    * and clears state. Event-time mode makes expiry replay-
+    * deterministic: a timer fires because the data's own clock
+    * advanced, never because the wall clock did. */
+  class SessionGapProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Ev, UserSession] {
+    @transient private var sess: ValueState[SessAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessAgg]("sess",
+        Encoders.product[SessAgg], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserSession] = {
+      val times = rows.map(_.ts.getTime).toSeq
+      val prev = if (sess.exists()) Some(sess.get()) else None
+      prev.foreach(p => getHandle.deleteTimer(p.timer_ms))
+      val first = math.min(prev.map(_.first_ms).getOrElse(Long.MaxValue), times.min)
+      val last = math.max(prev.map(_.last_ms).getOrElse(Long.MinValue), times.max)
+      val timer = last + gapMs
+      sess.update(SessAgg(prev.map(_.n).getOrElse(0L) + times.size, first, last, timer))
+      getHandle.registerTimer(timer)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[UserSession] = {
+      val out =
+        if (sess.exists()) {
+          val s = sess.get()
+          Iterator.single(UserSession(key, s.n, s.first_ms, s.last_ms))
+        } else Iterator.empty
+      sess.clear()
+      out
+    }
+  }
+
+  /** Inactivity-closed sessions via [[SessionGapProcessor]] — the
+    * timer half of the transformWithState API (the ValueState /
+    * ListState halves are [[statefulUserTotals]] / [[statefulTopK]]).
+    * Input must carry an event-time watermark; sessions close when the
+    * watermark, not the wall clock, passes last-event + gap. */
+  def timedSessions(events: Dataset[Ev], gapMs: Long = 600000L,
+      watermark: String = "0 seconds"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionGapProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** OFFLINE STATE INSPECTION — the state-store batch READER

@@ -288,4 +288,15 @@ class OperatorsSpec extends SparkSpec {
       bkt >= 0 && bkt < 100 && (if (bkt < 90) s == "train" else s == "val") })
     assert(a.map(_._3).distinct.sorted.toList === List("train", "val"))
   }
+
+  test("q04 rank filter plans a WindowGroupLimit (per-group heap, no full sort)") {
+    // Catalyst's rank-limit optimization: `rank <= k` over a window
+    // inserts WindowGroupLimit — each group keeps a k-row heap BEFORE
+    // the window sort, so a 100 TB letter group ships k survivors, not
+    // the group. Without it, top-k-per-group sorts every group fully.
+    val plan = graft.operators.InvertedIndex.topkPerLetter(t("documents"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rank-filter to trigger WindowGroupLimit:\n$plan")
+  }
 }

@@ -1628,4 +1628,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m.length === 1 &&
       math.abs(m.head.getDouble(2) - math.log(2.0)) < 1e-6)
   }
+
+  test("observed filter pipeline: executor-side metrics ≡ an independent recount") {
+    val (df, obs) = TextAnalysis.filterPipelineObserved(t("documents"))
+    val rows = df.collect()
+    val metrics = obs.get
+    assert(metrics("n_docs") === rows.length.toLong)
+    assert(metrics("n_kept") === rows.count(_.getBoolean(4)).toLong)
+    assert(metrics("n_lang") === rows.count(_.getString(5) == "lang").toLong)
+    assert(metrics("n_quality") ===
+      rows.count(_.getString(5) == "quality").toLong)
+    assert(metrics("n_repetition") ===
+      rows.count(_.getString(5) == "repetition").toLong)
+    // the telemetry must ride the SAME job: a CollectMetrics node in
+    // the plan, not a second aggregation query
+    assert(df.queryExecution.optimizedPlan.toString.contains("CollectMetrics"))
+  }
 }

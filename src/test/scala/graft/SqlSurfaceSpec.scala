@@ -147,6 +147,23 @@ class SqlSurfaceSpec extends SparkSpec {
       s"the distinct (doc, gram) exchange must feed both consumers once:\n$plan")
   }
 
+  test("EXECUTE IMMEDIATE runs dynamic text with USING parameters, not splices") {
+    t("documents").createOrReplaceTempView("graft_docs_ei")
+    // the dynamic-text escape hatch still binds values as PARAMETERS —
+    // the composed statement is parameterized, never string-assembled
+    val viaEi = spark.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT lang, count(*) AS n FROM graft_docs_ei
+        |   WHERE n_chars >= ? GROUP BY lang ORDER BY lang'
+        |  USING 300""".stripMargin).collect().map(_.toSeq).toList
+    val direct = spark.sql(
+      """SELECT lang, count(*) AS n FROM graft_docs_ei
+        |WHERE n_chars >= 300 GROUP BY lang ORDER BY lang""".stripMargin)
+      .collect().map(_.toSeq).toList
+    assert(viaEi === direct)
+    assert(viaEi.nonEmpty)
+  }
+
   // ---- q192: SQL UDF ----
 
   test("q192 the SQL UDF is macro-inlined: no call node, one plan with the body") {

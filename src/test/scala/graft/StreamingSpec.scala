@@ -336,6 +336,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers close sessions on inactivity, watermark-driven") {
+    implicit val ctx = spark.sqlContext
+    val saved = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = EventStreams.timedSessions(in.toDS, gapMs = 600000L)
+        .writeStream.format("memory").queryName("tws_sess")
+        .outputMode("append").start()
+      try {
+        in.addData(Ev(7, ts(0), "a", 0.0), Ev(7, ts(2), "a", 0.0),
+          Ev(9, ts(1), "b", 0.0))
+        q.processAllAvailable()
+        // watermark has not passed last+gap: nothing closed yet
+        assert(spark.table("tws_sess").count() === 0L)
+        // a later event elsewhere advances the event-time clock past
+        // both open sessions' gap bound
+        val later = Timestamp.valueOf("2024-01-01 11:00:00")
+        in.addData(Ev(99, later, "c", 0.0))
+        q.processAllAvailable()
+        in.addData(Ev(99, Timestamp.valueOf("2024-01-01 11:01:00"), "c", 0.0))
+        q.processAllAvailable()
+        val closed = spark.table("tws_sess").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .filter(r => r._1 == 7L || r._1 == 9L).toSet
+        assert(closed === Set(
+          (7L, 2L, ts(0).getTime, ts(2).getTime),
+          (9L, 1L, ts(1).getTime, ts(1).getTime)),
+          "sessions must close exactly when the watermark passes last+gap")
+        // user 99's session is still open — its timer is ahead of the
+        // watermark, so nothing for it may have been emitted
+        assert(!spark.table("tws_sess").collect().exists(_.getLong(0) == 99L))
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("statestore reader serves a stopped query's keyed state offline") {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     implicit val ctx = spark.sqlContext
