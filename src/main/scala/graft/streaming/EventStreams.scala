@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over event streams (SURVEY §2.B:
   * streaming is an engine extension — the reference is strictly batch,
@@ -342,6 +342,48 @@ object EventStreams {
     events
       .groupByKey(_.user_id)
       .transformWithState(new TopKProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** MapState processor: per-user PER-EVENT-TYPE counts in one keyed
+    * map — the state shape where ValueState would force a whole-map
+    * rewrite per batch and ListState would force a scan: `MapState`
+    * gives point reads/writes per event type (RocksDB turns each
+    * `updateValue` into one keyed put, untouched types cost nothing).
+    * Emits the updated (user, type, n) rows each batch in Update
+    * mode; the spec pins the final state ≡ a batch
+    * `groupBy(user_id, event_type).count` over the same delivery. */
+  class TypeCountProcessor extends StatefulProcessor[Long, Ev, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val prev = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  /** Per-(user, event_type) running counts via [[TypeCountProcessor]] —
+    * with [[statefulUserTotals]] (ValueState), [[statefulTopK]]
+    * (ListState) and [[timedSessions]] (timers) this completes the
+    * transformWithState state-shape surface. */
+  def statefulTypeCounts(events: Dataset[Ev]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 

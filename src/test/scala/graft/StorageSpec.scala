@@ -192,4 +192,27 @@ class StorageSpec extends SparkSpec {
       assert(got === batch)
     } finally q.stop()
   }
+
+  test("Trigger.AvailableNow drains the backlog and terminates itself") {
+    // the BACKFILL trigger: one invocation processes everything
+    // available, then stops — streaming exactly-once semantics with
+    // batch-job scheduling (the mode a 100 TB catch-up run uses; a
+    // continuous trigger would hold the cluster forever, a plain batch
+    // read would lose the source's exactly-once bookkeeping).
+    val stage = Files.createTempDirectory("graft_avnow_src").toString
+    val docs = Tables(spark, dir, "documents").limit(40)
+      .select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(stage)
+    val streamed = spark.readStream.schema(docs.schema).parquet(stage)
+    val q = streamed.groupBy().count()
+      .writeStream.format("memory").queryName("avnow")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // no stop(): AvailableNow must terminate on its own
+    assert(q.awaitTermination(60000),
+      "AvailableNow query must self-terminate after draining")
+    assert(spark.table("avnow").collect().map(_.getLong(0)).toList ===
+      List(40L))
+  }
 }

@@ -336,6 +336,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState per-type counts ≡ batch groupBy") {
+    implicit val ctx = spark.sqlContext
+    val saved = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = EventStreams.statefulTypeCounts(in.toDS)
+        .writeStream.format("memory").queryName("tws_types")
+        .outputMode("update").start()
+      try {
+        in.addData(Ev(7, ts(1), "click", 0.0), Ev(7, ts(2), "view", 0.0),
+          Ev(9, ts(1), "click", 0.0))
+        q.processAllAvailable()
+        in.addData(Ev(7, ts(3), "click", 0.0), Ev(9, ts(2), "click", 0.0))
+        q.processAllAvailable()
+        // last emitted row per (user, type) = the final map entry
+        val last = spark.table("tws_types").collect()
+          .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+          .groupBy(_._1).map { case (k, rs) => (k, rs.map(_._2).max) }
+        assert(last === Map(
+          (7L, "click") -> 2L, (7L, "view") -> 1L, (9L, "click") -> 2L))
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("event-time timers close sessions on inactivity, watermark-driven") {
     implicit val ctx = spark.sqlContext
     val saved = spark.conf.getOption(
