@@ -648,15 +648,17 @@ object TextAnalysis {
     * documents — the corpus-INTERNAL duplication diagnostic (the
     * cross-corpus twin of q60's contamination), the signal that says
     * "this document is mostly boilerplate the corpus already has"
-    * before any MinHash pass runs. Shape: one (doc, gram) distinct
-    * relation feeds BOTH its own gram-frequency aggregate and the
-    * join back — the exchange under the distinct is planned once and
-    * reused (ReusedExchange, no second corpus scan); the join key is
-    * the gram, AQE-splittable under skew (a viral gram is one hot key,
-    * not a hot partition by construction of the hash shuffle). Rate is
-    * an exact integer ratio evaluated in one IEEE division — identical
-    * on both engines, no rounding needed. Nothing corpus-sized is
-    * broadcast; state is gram-keyed counts, linear in corpus size. */
+    * before any MinHash pass runs. Shape: ONE linear pipeline — the
+    * distinct (doc, gram-hash) relation gets its gram document
+    * frequency from a gram-partitioned count WINDOW (not a groupBy +
+    * join back, which costs a fourth corpus-sized exchange plus a
+    * join build), then aggregates per doc; grams travel as codegen'd
+    * polyhash longs, and the oracle folds the identical hash. A viral
+    * gram is one window partition — the same skew exposure the join
+    * bucket had, one pass cheaper. Rate is an exact integer ratio
+    * evaluated in one IEEE division — identical on both engines.
+    * Nothing corpus-sized is broadcast; one corpus scan total
+    * (spec-pinned). */
   /** q194 — WINNOWING document fingerprints (Schleimer et al., the
     * MOSS algorithm): hash every char `k`-gram, slide a window of `w`
     * consecutive hashes, keep each window's MINIMUM — the classic
@@ -750,17 +752,28 @@ object TextAnalysis {
       maxDf: Long = 10L, minShared: Long = 2L): DataFrame = {
     val prints = winnowPrints(docs, k, w)
       .select("doc_id", "fp").distinct()
+    // the df-cap stays a JOIN against the aggregated fp list — unlike
+    // q191's window fold, measured SLOWER here as a window (3.5 vs
+    // 2.9 s at sf0.1): the cap filter leaves only near-dup fps, a
+    // relation small enough for AQE to broadcast into the semi side,
+    // where the window must sort EVERY print by fp first. The capped
+    // result is persisted because it feeds THREE consumers (sizes +
+    // both pair-join sides) whose pruned subtrees diverge beyond
+    // exchange reuse — the gram explode + window-min + distinct run
+    // once (bench: 4.3 → 2.9 s at sf0.1); the persisted relation is
+    // near-dup prints only, far smaller than the corpus
     val kept = prints.join(
       prints.groupBy("fp").agg(count(lit(1)).as("df"))
         .where(col("df").between(2L, maxDf)).select("fp"),
       Seq("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_prints"))
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-    pairs
+    val result = pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_prints", "n_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
@@ -769,17 +782,33 @@ object TextAnalysis {
         (col("n_shared").cast("double") /
           least(col("n_a"), col("n_b")).cast("double")).as("containment"))
       .orderBy("doc_a", "doc_b")
+    Dedup.finishWith(result, kept)
   }
 
   def dupNgramRate(docs: DataFrame, n: Int = 13, minDf: Long = 2L): DataFrame = {
+    // grams travel as codegen'd polyhashes, not 13-byte strings: the
+    // distinct + df-agg + join shuffles carry 8-byte longs (bench:
+    // 4.8 → ~2.5 s at sf0.1, and the ratio improves with n). The
+    // oracle folds the identical hash, so the gate stays exact; hash
+    // equality ≡ gram equality up to the ~n²/2⁶¹ collision bound the
+    // q18/q22/q24 xxhash encoding already rides.
     val grams = docs.where(length(col("text")) >= n)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (n - 1))).as("p"),
         col("text"))
-      .select(col("doc_id"), expr(s"substring(text, p, $n)").as("gram"))
+      .select(col("doc_id"),
+        TextFns.polyHash(expr(s"substring(text, p, $n)")).as("gram"))
       .distinct()
-    val gdf = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
-    grams.join(gdf, Seq("gram"))
+    // gram document frequency as a WINDOW over the distinct relation,
+    // not a groupBy + join back: one linear pipeline — distinct
+    // (shuffle 1) → gram-partitioned count window (shuffle 2) →
+    // doc aggregate (shuffle 3) — where the join shape paid a fourth
+    // corpus-sized exchange plus the hash-join build. A hot
+    // (boilerplate) gram is one window partition ≡ one join bucket:
+    // same skew exposure, one less pass.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    grams
+      .withColumn("gdf", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),

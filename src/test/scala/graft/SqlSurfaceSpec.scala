@@ -139,12 +139,15 @@ class SqlSurfaceSpec extends SparkSpec {
       (1L, 4L, 4L, 1.0), (2L, 4L, 4L, 1.0), (3L, 4L, 0L, 0.0)))
   }
 
-  test("q191 gram relation is computed once (reused exchange, one scan)") {
+  test("q191 is one linear pipeline: a single corpus scan, no join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
     val df = TextAnalysis.dupNgramRate(t("documents"))
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"),
-      s"the distinct (doc, gram) exchange must feed both consumers once:\n$plan")
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case r: LogicalRelation => r }.size === 1,
+      s"the gram-df window shape must read the corpus exactly once:\n$opt")
+    assert(opt.collect { case j: Join => j }.isEmpty,
+      s"gram df rides a window over the distinct relation, not a join back:\n$opt")
   }
 
   test("EXECUTE IMMEDIATE runs dynamic text with USING parameters, not splices") {
