@@ -690,6 +690,10 @@ object SparkEntry {
     // content polyhash sum
     "q196_xml_source" -> ((s, d) =>
       TextAnalysis.docProfile(sources.Sidecar.xml(s, d, "documents"))),
+    // higher-order functions over the embedding array: transform/
+    // aggregate/filter/exists/forall inside codegen, zero shuffles
+    "q197_hof_profile" -> ((s, d) =>
+      Similarity.hofVectorProfile(Tables(s, d, "embeddings"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -3018,6 +3022,20 @@ object SparkEntry {
          |       CAST(sum(len(text)) AS BIGINT) AS sum_len,
          |       CAST(sum(${polyHashSql("text")} % 1000003) AS BIGINT) AS text_sig
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // each HOF replayed with its DuckDB list twin; the quadratic term
+    // quantized to a LONG per element so the fold is an exact integer
+    // sum on both engines
+    "q197_hof_profile" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS BIGINT) AS dim,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(embedding, x ->
+        |           CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6) AS BIGINT))),
+        |         (a, b) -> a + b) AS ssq_q,
+        |       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) < 0.0)) AS BIGINT) AS n_neg,
+        |       len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.9)) > 0 AS has_big,
+        |       len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 10.0)) = 0 AS bounded
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
   )
 
   /** The q124 oracle — ALSO q130's: the merge query's contract is

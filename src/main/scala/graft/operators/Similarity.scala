@@ -306,6 +306,33 @@ object Similarity {
         (col("sq").cast("double") / col("n") / 1e6).as("mean_q"))
       .orderBy("pos")
 
+  /** q197 — per-vector profile via HIGHER-ORDER FUNCTIONS: the array
+    * combinators (`transform`/`aggregate`/`filter`/`exists`/`forall`)
+    * applied to the embedding column — the surface a pipeline author
+    * reaches for BEFORE writing a UDF, and the reason they rarely need
+    * one: every lambda here evaluates inside codegen over the unboxed
+    * array, per-row, zero shuffles (the whole query is scan → project
+    * → TakeOrdered). The sum-of-squares term is floor-quantized to a
+    * LONG per element before the fold, so the aggregate is an exact
+    * integer sum — order-independent, bit-identical on both engines
+    * (the q65/q87 convention); float→double casts are exact by IEEE
+    * widening. DuckDB replays each combinator with its list twins
+    * (`list_transform`/`list_reduce`/`list_filter`). */
+  def hofVectorProfile(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      aggregate(
+        transform(col("embedding"),
+          x => floor(x.cast("double") * x.cast("double") * 1e6).cast("long")),
+        lit(0L), (acc, t) => acc + t).as("ssq_q"),
+      size(filter(col("embedding"), x => x.cast("double") < 0.0))
+        .cast("long").as("n_neg"),
+      exists(col("embedding"), x => x.cast("double") > 0.9).as("has_big"),
+      forall(col("embedding"), x => abs(x.cast("double")) <= lit(10.0))
+        .as("bounded"))
+      .orderBy("vec_id")
+
   /** q87 — int8 scalar quantization of the embedding column: the
     * standard vector-index compression step (scale each vector by
     * 127/max|x|, round to integers in [-127, 127]). Rounding is the

@@ -117,6 +117,16 @@ class StorageSpec extends SparkSpec {
     assert(viaXml.nonEmpty)
   }
 
+  test("xml sidecar round-trips events timestamps at µs precision") {
+    import graft.operators.Events
+    import graft.sources.Sidecar
+    val viaXml = Events.typeProfile(Sidecar.xml(spark, dir, "events"))
+      .collect().map(_.toString).toList
+    val viaPq = Events.typeProfile(Tables(spark, dir, "events"))
+      .collect().map(_.toString).toList
+    assert(viaXml === viaPq)
+  }
+
   test("xml round-trip survives markup-hostile text under the sidecar options") {
     import spark.implicits._
     // the characters the XML writer must escape (& < > " ') plus

@@ -60,6 +60,31 @@ class WinnowSpec extends SparkSpec {
     assert(prints.size < grams.size)
   }
 
+  test("q194 guarantee holds over 30 random planted pairs (fixed seed)") {
+    import spark.implicits._
+    // randomized adversary, deterministic replay: random prefixes /
+    // suffixes / shared blocks of random length ≥ k+w-1; every pair
+    // (2i, 2i+1) must share a selected print REGARDLESS of where the
+    // shared block lands or what surrounds it
+    val rnd = new scala.util.Random(0x9147L)
+    def s(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val cases = (0 until 30).map { i =>
+      val shared = s(K + W - 1 + rnd.nextInt(20))
+      val a = (2L * i, s(rnd.nextInt(40)) + shared + s(rnd.nextInt(40)))
+      val b = (2L * i + 1, s(rnd.nextInt(40)) + shared + s(rnd.nextInt(40)))
+      (a, b)
+    }
+    val docs = cases.flatMap(c => Seq(c._1, c._2)).toDF("doc_id", "text")
+    val byDoc = TextAnalysis.winnowPrints(docs, K, W)
+      .select("doc_id", "fp").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, fs) => (d, fs.map(_._2).toSet) }
+    cases.foreach { case ((ida, _), (idb, _)) =>
+      assert(byDoc(ida).intersect(byDoc(idb)).nonEmpty,
+        s"pair ($ida, $idb) shared a block ≥ k+w-1 but no selected print")
+    }
+  }
+
   test("q195 inversion finds the planted pair with a bounded containment") {
     import spark.implicits._
     // a long shared block → several shared prints; unrelated third doc
