@@ -694,6 +694,10 @@ object SparkEntry {
     // aggregate/filter/exists/forall inside codegen, zero shuffles
     "q197_hof_profile" -> ((s, d) =>
       Similarity.hofVectorProfile(Tables(s, d, "embeddings"))),
+    // Efraimidis-Spirakis weighted sample with hash-derived uniforms:
+    // deterministic, partitioning-invariant, one TakeOrdered
+    "q198_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -3025,6 +3029,15 @@ object SparkEntry {
     // each HOF replayed with its DuckDB list twin; the quadratic term
     // quantized to a LONG per element so the fold is an exact integer
     // sum on both engines
+    // same hash-derived uniform, same quantized ln-key, same top-k —
+    // the sample is a deterministic function of the data, so the two
+    // engines must select IDENTICAL rows
+    "q198_weighted_sample" ->
+      s"""SELECT doc_id, n_chars,
+         |       CAST(floor(ln(CAST(${polyHashSql("CAST(doc_id AS VARCHAR)")} % 1000003 + 1 AS DOUBLE) / 1000005.0)
+         |                  / n_chars * 1e9) AS BIGINT) AS key_q
+         |FROM documents WHERE n_chars > 0
+         |ORDER BY key_q DESC, doc_id LIMIT 50""".stripMargin,
     "q197_hof_profile" ->
       """SELECT vec_id,
         |       CAST(len(embedding) AS BIGINT) AS dim,

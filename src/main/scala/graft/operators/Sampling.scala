@@ -224,4 +224,32 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_chars"), col("cum"))
       .orderBy("source", "cum", "doc_id")
   }
+
+  /** q198 — WEIGHTED sampling without replacement (Efraimidis–
+    * Spirakis A-Res): every record gets key = ln(u)/w for a uniform
+    * u ∈ (0,1) and weight w > 0; the k LARGEST keys are a weighted
+    * sample without replacement — each doc's inclusion probability
+    * proportional to its weight (here `n_chars`: the byte-budget
+    * sampling a mixing pipeline applies when longer documents should
+    * carry proportionally more mass). The twist that makes it an
+    * ENGINE operator: u is not `rand()` (partitioning-dependent,
+    * un-oracle-able) but a hash-derived rational —
+    * `(polyHash(doc_id) mod M + 1)/(M+2)` — so the sample is a pure
+    * deterministic projection, reproducible across engines, runs, and
+    * partitionings (the q45 discipline applied to weighted sampling);
+    * re-keying by a salt string would re-draw it. The ln-key is
+    * floor-quantized to 1e-9 (the shared libm-ulp fence) and the
+    * selection is one TakeOrdered — a per-partition k-heap, no
+    * shuffle, no sort of the corpus at any scale. */
+  def weightedSample(docs: DataFrame, k: Int = 50): DataFrame = {
+    val M = 1000003L
+    val u = (pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(M)) + 1L)
+      .cast("double") / lit((M + 2).toDouble)
+    docs
+      .where(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        floor(log(u) / col("n_chars") * 1e9).cast("long").as("key_q"))
+      .orderBy(col("key_q").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

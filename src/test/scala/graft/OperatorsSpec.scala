@@ -289,6 +289,27 @@ class OperatorsSpec extends SparkSpec {
     assert(a.map(_._3).distinct.sorted.toList === List("train", "val"))
   }
 
+  test("q198 weighted sample is partitioning-invariant and weight-biased") {
+    val docs = t("documents")
+    val a = Sampling.weightedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val b = Sampling.weightedSample(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(a === b, "the sample must be a pure function of the data")
+    assert(a.size === 50)
+    // weight = n_chars → the sample's mean length must sit above the
+    // corpus mean (deterministic on this corpus, not a flaky
+    // statistical bound: the fixed hash fixes the draw)
+    val sampleMean = a.map(_._2).sum.toDouble / a.size
+    val corpusMean = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"length-weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
+    // selection is a per-partition heap, never a corpus sort
+    val plan = Sampling.weightedSample(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q04 rank filter plans a WindowGroupLimit (per-group heap, no full sort)") {
     // Catalyst's rank-limit optimization: `rank <= k` over a window
     // inserts WindowGroupLimit — each group keeps a k-row heap BEFORE
