@@ -345,6 +345,28 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** CHAINED stateful operators in one streaming query (Spark ≥ 3.4
+    * unlocked this; before, a second stateful op required an
+    * intermediate sink + second query): 5-minute per-type counts
+    * re-aggregated into 15-minute rollups by windowing OVER the first
+    * aggregation's window column. Both stages run in append mode off
+    * ONE watermark — the inner window closes, its row flows straight
+    * into the outer aggregation, and the outer row emits when the
+    * outer window closes. This is the streaming form of the q120
+    * agg-merge contract: partial aggregates compose, so the rollup
+    * never re-reads events. State = open windows at both grains, both
+    * watermark-evicted. */
+  def chainedWindowRollup(events: DataFrame,
+      watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n5"))
+      .groupBy(window(col("window"), "15 minutes"), col("event_type"))
+      .agg(sum(col("n5")).as("n15"), max(col("n5")).as("peak5"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n15"), col("peak5"))
+
   case class TypeCount(user_id: Long, event_type: String, n: Long)
 
   /** MapState processor: per-user PER-EVENT-TYPE counts in one keyed

@@ -336,6 +336,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("chained stateful ops: 5-min counts roll up to 15-min in ONE query") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.chainedWindowRollup(in.toDF)
+      .writeStream.format("memory").queryName("chain_roll")
+      .outputMode("append").start()
+    try {
+      // two 5-min windows inside the 10:00–10:15 rollup window
+      in.addData(
+        Ev(1, ts(1), "click", 0.0), Ev(2, ts(2), "click", 0.0),
+        Ev(3, ts(3), "click", 0.0),                       // 10:00 window: 3
+        Ev(4, ts(7), "click", 0.0), Ev(5, ts(8), "click", 0.0), // 10:05: 2
+        Ev(6, ts(1), "view", 0.0))                        // 10:00 view: 1
+      q.processAllAvailable()
+      // advance the single watermark past 10:15 so BOTH stages close
+      in.addData(Ev(9, Timestamp.valueOf("2024-01-01 11:00:00"), "x", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(9, Timestamp.valueOf("2024-01-01 11:05:00"), "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("chain_roll").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(got === Set(
+        ("2024-01-01 10:00:00.0", "click", 5L, 3L),
+        ("2024-01-01 10:00:00.0", "view", 1L, 1L)),
+        "the rollup must compose the closed 5-min partials exactly")
+    } finally q.stop()
+  }
+
   test("transformWithState MapState per-type counts ≡ batch groupBy") {
     implicit val ctx = spark.sqlContext
     val saved = spark.conf.getOption(
