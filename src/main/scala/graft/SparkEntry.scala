@@ -698,6 +698,10 @@ object SparkEntry {
     // deterministic, partitioning-invariant, one TakeOrdered
     "q198_weighted_sample" -> ((s, d) =>
       Sampling.weightedSample(Tables(s, d, "documents"))),
+    // BPE merge training: 4 rounds of weighted pair argmax +
+    // greedy-leftmost merge over the vocabulary (tokenizer induction)
+    "q199_bpe_merges" -> ((s, d) =>
+      Bpe.bpeMerges(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -799,6 +803,53 @@ object SparkEntry {
        |cents2 AS (SELECT cent_id, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM (
        |            SELECT cell AS cent_id, list(m ORDER BY pos) AS cv
        |            FROM m2 GROUP BY cell))""".stripMargin
+
+  /** The q199 oracle: the BPE training loop unrolled into `rounds`
+    * chained CTE blocks (DuckDB mirror of Bpe.bpeMerges — identical
+    * pair/argmax/greedy-merge/rebuild algebra per round). */
+  private def bpeOracleSql(rounds: Int): String = {
+    val head =
+      s"""WITH $rawtoksCte,
+         |r0 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |         list_transform(range(1, len(word) + 1),
+         |                        i -> substr(word, CAST(i AS INT), 1)) AS syms
+         |  FROM rawtoks GROUP BY word)""".stripMargin
+    val blocks = (1 to rounds).map { k =>
+      val prev = s"r${k - 1}"
+      s"""p$k AS (
+         |  SELECT word, freq, i,
+         |         syms[CAST(i AS INT)] AS a, syms[CAST(i + 1 AS INT)] AS b
+         |  FROM (SELECT word, freq, syms, unnest(range(1, len(syms))) AS i
+         |        FROM $prev)),
+         |b$k AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p$k
+         |        GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+         |m$k AS (SELECT p.word, p.i,
+         |          row_number() OVER (PARTITION BY p.word ORDER BY p.i) AS rn
+         |        FROM p$k p JOIN b$k bb ON p.a = bb.a AND p.b = bb.b),
+         |mm$k AS (SELECT word, i FROM (
+         |          SELECT word, i,
+         |            row_number() OVER (PARTITION BY word, i - rn ORDER BY i) AS kk
+         |          FROM m$k) WHERE kk % 2 = 1),
+         |r$k AS (
+         |  SELECT word, freq, list(s ORDER BY p) AS syms FROM (
+         |    SELECT ap.word, ap.freq, ap.p,
+         |      CASE WHEN st.i IS NOT NULL
+         |        THEN ap.syms[CAST(ap.p AS INT)] || ap.syms[CAST(ap.p + 1 AS INT)]
+         |        ELSE ap.syms[CAST(ap.p AS INT)] END AS s,
+         |      sec.i IS NOT NULL AS skip
+         |    FROM (SELECT word, freq, syms, unnest(range(1, len(syms) + 1)) AS p
+         |          FROM $prev) ap
+         |    LEFT JOIN mm$k st ON st.word = ap.word AND st.i = ap.p
+         |    LEFT JOIN mm$k sec ON sec.word = ap.word AND sec.i = ap.p - 1)
+         |  WHERE NOT skip GROUP BY word, freq)""".stripMargin
+    }
+    val tail = (1 to rounds).map { k =>
+      s"""SELECT $k AS step, a AS lhs, b AS rhs, a || b AS merged,
+         |       cnt AS pair_count FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (head +: blocks).mkString(",\n") + s"\n$tail\nORDER BY step"
+  }
 
   private def polyHashSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -3029,6 +3080,13 @@ object SparkEntry {
     // each HOF replayed with its DuckDB list twin; the quadratic term
     // quantized to a LONG per element so the fold is an exact integer
     // sum on both engines
+    // BPE loop replayed as GENERATED chained CTEs — one block per
+    // round, each computing pairs → weighted argmax (cnt desc, pair
+    // asc) → greedy-leftmost merge positions (odd offsets within
+    // consecutive runs) → rebuilt symbol arrays; the final SELECT
+    // unions the per-round argmax rows. Every round's argmax depends
+    // on all previous merges, so the hash gates the whole loop.
+    "q199_bpe_merges" -> bpeOracleSql(4),
     // same hash-derived uniform, same quantized ln-key, same top-k —
     // the sample is a deterministic function of the data, so the two
     // engines must select IDENTICAL rows

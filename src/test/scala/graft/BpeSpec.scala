@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Bpe
+
+/** q199 BPE merge training — hand-checkable corpora pin the weighted
+  * argmax, the (cnt desc, pair asc) tie-break, the GREEDY-LEFTMOST
+  * overlapping-run rule, and early termination when nothing merges. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def merges(texts: Seq[String], rounds: Int = 4) =
+    Bpe.bpeMerges(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), rounds)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toList
+
+  test("hand-computed merge sequence, then early stop when fully merged") {
+    // vocab: aaab freq 2, ab freq 1
+    // r1: (a,a) weighted 2·2=4 beats (a,b) 2+1=3 → aaab = [aa,a,b]
+    // r2: (a,b) 2+1=3 beats (aa,a) 2 → [aa,ab], [ab]
+    // r3: (aa,ab) 2 beats nothing else → [aaab]
+    // r4: ab has no pair partner left with any other word? (aaab,?) no
+    //     pairs remain in aaab (1 symbol); ab is 1 symbol — STOP at 3
+    val got = merges(Seq("aaab aaab ab"))
+    assert(got === List(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("greedy-leftmost: overlapping runs merge at odd offsets") {
+    // "aaaa": (a,a) at positions 1,2,3 — one run; merges land at 1 and
+    // 3 (never the overlapping 2) → [aa,aa]; round 2 merges those
+    val got = merges(Seq("aaaa"), rounds = 2)
+    assert(got === List(
+      (1, "a", "a", "aa", 3L),
+      (2, "aa", "aa", "aaaa", 1L)))
+  }
+
+  test("tie-break is (count desc, pair asc)") {
+    // "xy" and "ab" each once: (a,b) and (x,y) both cnt 1 → (a,b) wins
+    val got = merges(Seq("xy ab"), rounds = 1)
+    assert(got === List((1, "a", "b", "ab", 1L)))
+  }
+
+  test("frequencies weight the argmax (vocabulary-level training)") {
+    // "zq" appears 3×, "ab" once: (z,q) cnt 3 wins though both are
+    // single vocabulary entries
+    val got = merges(Seq("zq zq zq ab"), rounds = 1)
+    assert(got === List((1, "z", "q", "zq", 3L)))
+  }
+}
