@@ -702,6 +702,10 @@ object SparkEntry {
     // greedy-leftmost merge over the vocabulary (tokenizer induction)
     "q199_bpe_merges" -> ((s, d) =>
       Bpe.bpeMerges(Tables(s, d, "documents"))),
+    // encode with the learned merges: vocabulary-sized encoder table
+    // joined to per-doc token counts (corpus never re-iterated)
+    "q200_bpe_encode" -> ((s, d) =>
+      Bpe.bpeEncode(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -807,7 +811,8 @@ object SparkEntry {
   /** The q199 oracle: the BPE training loop unrolled into `rounds`
     * chained CTE blocks (DuckDB mirror of Bpe.bpeMerges — identical
     * pair/argmax/greedy-merge/rebuild algebra per round). */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeOracleSql(rounds: Int,
+      tailOverride: Option[String] = None): String = {
     val head =
       s"""WITH $rawtoksCte,
          |r0 AS (
@@ -844,11 +849,12 @@ object SparkEntry {
          |    LEFT JOIN mm$k sec ON sec.word = ap.word AND sec.i = ap.p - 1)
          |  WHERE NOT skip GROUP BY word, freq)""".stripMargin
     }
-    val tail = (1 to rounds).map { k =>
-      s"""SELECT $k AS step, a AS lhs, b AS rhs, a || b AS merged,
-         |       cnt AS pair_count FROM b$k""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    (head +: blocks).mkString(",\n") + s"\n$tail\nORDER BY step"
+    val tail = tailOverride.getOrElse(
+      (1 to rounds).map { k =>
+        s"""SELECT $k AS step, a AS lhs, b AS rhs, a || b AS merged,
+           |       cnt AS pair_count FROM b$k""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY step")
+    (head +: blocks).mkString(",\n") + s"\n$tail"
   }
 
   private def polyHashSql(e: String): String =
@@ -3087,6 +3093,15 @@ object SparkEntry {
     // unions the per-round argmax rows. Every round's argmax depends
     // on all previous merges, so the hash gates the whole loop.
     "q199_bpe_merges" -> bpeOracleSql(4),
+    // same generated training chain; the tail joins the FINAL symbol
+    // table (the encoder) back to per-doc token occurrences
+    "q200_bpe_encode" -> bpeOracleSql(4, Some(
+      """SELECT t.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(len(r4.syms)) AS BIGINT) AS n_bpe,
+        |       CAST(sum(len(r4.syms)) AS DOUBLE) / count(*) AS expansion
+        |FROM rawtoks t JOIN r4 ON t.word = r4.word
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     // same hash-derived uniform, same quantized ln-key, same top-k —
     // the sample is a deterministic function of the data, so the two
     // engines must select IDENTICAL rows

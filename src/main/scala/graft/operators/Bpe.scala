@@ -32,6 +32,59 @@ object Bpe {
   def bpeMerges(docs: DataFrame, rounds: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    train(docs, rounds)._1.toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("step")
+  }
+
+  /** q200 — APPLY the learned merges: per-document BPE token counts.
+    * The encode step never iterates the corpus — the trained final
+    * symbol table (word → merged symbols) IS the encoder, and it is
+    * VOCABULARY-sized; documents join to it once and aggregate. At
+    * 100 TB: one tokenize pass for training, one for encoding, and a
+    * vocabulary join — no per-merge corpus rewrite anywhere. Output:
+    * exact whitespace-token and BPE-token counts per doc plus their
+    * ratio (one IEEE division of exact integers). */
+  def bpeEncode(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    val vocab = train(docs, rounds)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+    TextFns.tokens(docs)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .join(vocab, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("n_sub")).as("n_bpe"))
+      .withColumn("expansion",
+        col("n_bpe").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Session memo of the trained (merge list, encoder table) pair —
+    * q199 reports the merges, q200 applies them; training once per
+    * (session, corpus fingerprint, rounds) is the same artifact
+    * discipline as the sketch/codebook/pair/print memos. Lazy
+    * (plan-audit) mode bypasses it. */
+  private val trainMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int),
+      (Seq[(Int, String, String, String, Long)], DataFrame)]
+
+  /** Drop memoized BPE training results (multi-corpus drivers). */
+  def clearTrainMemo(): Unit = trainMemo.clear()
+
+  private def train(docs: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) =
+    if (!Dedup.eagerMaterialize(docs)) trainLoop(docs, rounds)
+    else {
+      Dedup.evictStopped(trainMemo)(_._1)
+      trainMemo.getOrElseUpdate(
+        (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
+          Similarity.fileStateHash(docs), rounds),
+        trainLoop(docs, rounds))
+    }
+
+  /** The training loop: returns the merge list AND the final
+    * (word, freq, syms) relation — the encoder table q200 joins to. */
+  private def trainLoop(docs: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
 
     // vocabulary with frequencies; symbols start as single chars.
     // (transform+substring, not split(word, "") — Java's split keeps a
@@ -59,9 +112,8 @@ object Bpe {
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
       if (bestRows.isEmpty) {
-        // degenerate vocabulary (all 1-char words): nothing to merge
-        return merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
-          .orderBy("step")
+        // nothing left to merge: early stop, current table is final
+        return (merges.toSeq, syms)
       }
       val (ba, bb, cnt) =
         (bestRows(0).getString(0), bestRows(0).getString(1), bestRows(0).getLong(2))
@@ -83,8 +135,7 @@ object Bpe {
         explode(sequence(lit(1), size(col("syms")))).as("p"), col("syms"))
       syms = rebuild(allPos, mergePos).localCheckpoint(true)
     }
-    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
-      .orderBy("step")
+    (merges.toSeq, syms)
   }
 
   /** Rebuild per-word symbol arrays after a merge round: a merge-start
