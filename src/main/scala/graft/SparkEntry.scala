@@ -2995,21 +2995,20 @@ object SparkEntry {
         |FROM documents WHERE n_chars >= 300
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // corpus-internal duplicate-gram rate: distinct (doc, 13-gram)
-    // relation joined to its own gram document frequency (q60's idiom);
-    // grams fold to the shared polyhash on BOTH engines (the engine
-    // shuffles 8-byte longs, not strings — the gate stays exact)
+    // relation joined to its own gram document frequency (q60's
+    // idiom). The oracle counts RAW STRING grams; the engine shuffles
+    // xxhash64 longs — agreement is the injectivity EncodingSpec pins
     "q191_dup_ngram_rate" ->
-      s"""WITH g AS (
-         |  SELECT DISTINCT doc_id,
-         |         ${polyHashSql("substr(text, CAST(p AS INT), 13)")} AS gram
-         |  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 11)) AS p
-         |        FROM documents WHERE len(text) >= 13)),
-         |gdf AS (SELECT gram, CAST(count(*) AS BIGINT) AS gdf FROM g GROUP BY 1)
-         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         |       CAST(sum(CASE WHEN gdf.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-         |       CAST(sum(CASE WHEN gdf.gdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate
-         |FROM g JOIN gdf USING (gram)
-         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 13) AS gram
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 11)) AS p
+        |        FROM documents WHERE len(text) >= 13)),
+        |gdf AS (SELECT gram, CAST(count(*) AS BIGINT) AS gdf FROM g GROUP BY 1)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN gdf.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       CAST(sum(CASE WHEN gdf.gdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate
+        |FROM g JOIN gdf USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // the UDF's inlined body replayed directly (inlining is the claim
     // the engine-side spec pins; the oracle states the semantics)
     "q192_sql_udf" ->

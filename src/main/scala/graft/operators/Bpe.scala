@@ -67,19 +67,14 @@ object Bpe {
     .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int),
       (Seq[(Int, String, String, String, Long)], DataFrame)]
 
+
   /** Drop memoized BPE training results (multi-corpus drivers). */
   def clearTrainMemo(): Unit = trainMemo.clear()
 
   private def train(docs: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) =
-    if (!Dedup.eagerMaterialize(docs)) trainLoop(docs, rounds)
-    else {
-      Dedup.evictStopped(trainMemo)(_._1)
-      trainMemo.getOrElseUpdate(
-        (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
-          Similarity.fileStateHash(docs), rounds),
-        trainLoop(docs, rounds))
-    }
+    Dedup.corpusMemo(trainMemo, docs, rounds)(
+      trainLoop(docs, rounds))(trainLoop(docs, rounds))
 
   /** The training loop: returns the merge list AND the final
     * (word, freq, syms) relation — the encoder table q200 joins to. */

@@ -86,20 +86,15 @@ object Dedup {
     * never serve stale pairs. Lazy (plan-audit) mode bypasses the memo
     * so audited plans keep the full pair tower. */
   private val pairMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Long, Double), DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, (Long, Double)), DataFrame]
 
   /** Drop memoized pair relations (multi-corpus drivers). */
   def clearPairMemo(): Unit = pairMemo.clear()
 
   def nearDupPairsShared(docs: DataFrame, cap: Long, threshold: Double): DataFrame =
-    if (!eagerMaterialize(docs)) nearDupJaccard(docs, cap, threshold)
-    else {
-      evictStopped(pairMemo)(_._1)
-      pairMemo.getOrElseUpdate(
-        (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
-          Similarity.fileStateHash(docs), cap, threshold),
-        nearDupJaccard(docs, cap, threshold).localCheckpoint(true))
-    }
+    corpusMemo(pairMemo, docs, (cap, threshold))(
+      nearDupJaccard(docs, cap, threshold).localCheckpoint(true))(
+      nearDupJaccard(docs, cap, threshold))
 
   /** q123 — prefix-filtering set-similarity join (Chaudhuri/Bayardo
     * "All-Pairs"): the third linear-scale near-dup path beside
@@ -351,7 +346,7 @@ object Dedup {
     * Each query still pays its OWN band-join + verify (only the build
     * is shared — the SketchStore.save ≙ probe split, in-session). */
   private val sketchMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, Int), DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Unit), DataFrame]
 
   /** Drop memoized sketch relations (multi-corpus drivers). */
   def clearSketchMemo(): Unit = sketchMemo.clear()
@@ -365,13 +360,10 @@ object Dedup {
       val p = fusedSketchPlan(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (p, Seq(p))
-    } else {
-      evictStopped(sketchMemo)(_._1)
-      (sketchMemo.getOrElseUpdate(
-        (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
-          Similarity.fileStateHash(docs)),
-        checkpointWide(fusedSketchPlan(docs))), Nil)
-    }
+    } else
+      (corpusMemo(sketchMemo, docs, ())(
+        checkpointWide(fusedSketchPlan(docs)))(
+        fusedSketchPlan(docs)), Nil)
 
   /** The two PERSISTABLE MinHash sketch relations (`SketchStore`):
     * `bands` (doc_id, ks, band, key) — the LSH probe index — and
@@ -694,24 +686,17 @@ object Dedup {
     * one-row-per-doc checkpoint leaves; lazy (plan-audit) mode
     * bypasses so Explain keeps the full tower. */
   private val sigMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int, Int), DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, (Int, Int)), DataFrame]
 
   /** Drop memoized signature relations (multi-corpus drivers). */
   def clearSigMemo(): Unit = sigMemo.clear()
 
   private def memoizedSigs(docs: DataFrame, bits: Int, th: Column): DataFrame =
-    if (!eagerMaterialize(docs)) simhashSigsWide(docs, bits, th)
-    else {
-      evictStopped(sigMemo)(_._1)
-      sigMemo.getOrElseUpdate(
-        (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
-          Similarity.fileStateHash(docs), bits,
-          // the token-hash expression is part of the signature
-          // definition — keep polyHash/xxhash64 entries distinct even
-          // at equal widths
-          th.toString.hashCode),
-        checkpointWide(simhashSigsWide(docs, bits, th)))
-    }
+    // the token-hash expression is part of the signature definition —
+    // keep polyHash/xxhash64 entries distinct even at equal widths
+    corpusMemo(sigMemo, docs, (bits, th.toString.hashCode))(
+      checkpointWide(simhashSigsWide(docs, bits, th)))(
+      simhashSigsWide(docs, bits, th))
 
   /** Entries for STOPPED sessions pin checkpointed DataFrames for the
     * process lifetime — drop them on each memo access (a long-lived
@@ -720,6 +705,25 @@ object Dedup {
       session: K => org.apache.spark.sql.SparkSession): Unit =
     memo.keys.filter(k => session(k).sparkContext.isStopped)
       .foreach(memo.remove)
+
+  /** The ONE corpus-memo discipline every artifact cache shares
+    * (sketches, signatures, pairs, winnow prints, BPE training):
+    * bypass in lazy (plan-audit) mode so Explain keeps the full
+    * tower, evict stopped sessions, key by (session, plan
+    * semanticHash, file-state fingerprint, params) so a same-path
+    * corpus rewrite or different parameters can never serve a stale
+    * artifact. */
+  private[operators] def corpusMemo[P, V](
+      memo: scala.collection.concurrent.TrieMap[
+        (org.apache.spark.sql.SparkSession, Int, Int, P), V],
+      docs: DataFrame, params: P)(build: => V)(lazyBuild: => V): V =
+    if (!eagerMaterialize(docs)) lazyBuild
+    else {
+      evictStopped(memo)(_._1)
+      memo.getOrElseUpdate(
+        (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
+          Similarity.fileStateHash(docs), params), build)
+    }
 
   /** Checkpoint a memo leaf at FULL session parallelism. AQE coalesces
     * the small build shuffle to ~1 partition, and the leaf's accurate

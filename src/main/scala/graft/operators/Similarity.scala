@@ -309,14 +309,22 @@ object Similarity {
   /** q197 — per-vector profile via HIGHER-ORDER FUNCTIONS: the array
     * combinators (`transform`/`aggregate`/`filter`/`exists`/`forall`)
     * applied to the embedding column — the surface a pipeline author
-    * reaches for BEFORE writing a UDF, and the reason they rarely need
-    * one: every lambda here evaluates inside codegen over the unboxed
-    * array, per-row, zero shuffles (the whole query is scan → project
-    * → TakeOrdered). The sum-of-squares term is floor-quantized to a
-    * LONG per element before the fold, so the aggregate is an exact
-    * integer sum — order-independent, bit-identical on both engines
-    * (the q65/q87 convention); float→double casts are exact by IEEE
-    * widening. DuckDB replays each combinator with its list twins
+    * reaches for BEFORE writing a UDF (no serialization boundary, no
+    * closure shipping, fully analyzable by Catalyst). Honest cost
+    * note: Spark's array HOFs are `CodegenFallback` — each lambda
+    * runs INTERPRETED with per-element boxing (this file's header
+    * calls that the suite's biggest scale-killer, and it is exactly
+    * why `DotProductDouble`/`PolyHashString` exist for the hot
+    * paths). q197 is the API-surface demonstration on a per-row
+    * bounded 64-element array where interpretation cost is immaterial
+    * and the whole query is scan → project → TakeOrdered (zero
+    * shuffles); a pairwise or corpus-scale loop over these combinators
+    * would be the custom-expression trigger, not a pattern to copy.
+    * The sum-of-squares term is floor-quantized to a LONG per element
+    * before the fold, so the aggregate is an exact integer sum —
+    * order-independent, bit-identical on both engines (the q65/q87
+    * convention); float→double casts are exact by IEEE widening.
+    * DuckDB replays each combinator with its list twins
     * (`list_transform`/`list_reduce`/`list_filter`). */
   def hofVectorProfile(embeddings: DataFrame): DataFrame =
     embeddings.select(

@@ -648,17 +648,64 @@ object TextAnalysis {
     * documents — the corpus-INTERNAL duplication diagnostic (the
     * cross-corpus twin of q60's contamination), the signal that says
     * "this document is mostly boilerplate the corpus already has"
-    * before any MinHash pass runs. Shape: ONE linear pipeline — the
-    * distinct (doc, gram-hash) relation gets its gram document
-    * frequency from a gram-partitioned count WINDOW (not a groupBy +
-    * join back, which costs a fourth corpus-sized exchange plus a
-    * join build), then aggregates per doc; grams travel as codegen'd
-    * polyhash longs, and the oracle folds the identical hash. A viral
-    * gram is one window partition — the same skew exposure the join
-    * bucket had, one pass cheaper. Rate is an exact integer ratio
-    * evaluated in one IEEE division — identical on both engines.
-    * Nothing corpus-sized is broadcast; one corpus scan total
-    * (spec-pinned). */
+    * before any MinHash pass runs. Shape: grams travel as `xxhash64`
+    * longs — the q18/q22/q24 encoding discipline (64-bit: spurious
+    * collisions ~n²/2⁶⁴; polyHash's mod-1e9+7 space would saturate at
+    * corpus scale and inflate every dup count) — through a distinct,
+    * a map-side-combinable gram-frequency aggregate, and ONE left
+    * join back against the dup-gram set, whose gram key is
+    * AQE-skew-splittable (a viral boilerplate gram is a hot KEY the
+    * planner can split). A window formulation (count over
+    * partition-by-gram) measures the same warm (~0.35 s at sf0.1;
+    * an apparent 14× gap in first-run probes was cold-JIT noise) but
+    * was REJECTED: a window partition cannot be split, so the
+    * viral-gram case becomes one task buffering the whole key group —
+    * exactly the straggler this diagnostic exists to detect. The ORACLE
+    * counts the raw string grams; agreement of the two countings is
+    * the injectivity EncodingSpec pins. Rate is an exact integer
+    * ratio in one IEEE division. */
+  def dupNgramRate(docs: DataFrame, n: Int = 13, minDf: Long = 2L): DataFrame = {
+    val grams = docs.where(length(col("text")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (n - 1))).as("p"),
+        col("text"))
+      .select(col("doc_id"),
+        xxhash64(expr(s"substring(text, p, $n)")).as("gram"))
+      .distinct()
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .where(col("gdf") >= minDf)
+      .select("gram").withColumn("hit", lit(1L))
+    grams.join(dup, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_dup"))
+      .withColumn("dup_rate",
+        col("n_dup").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** q196 — the documents profile read THROUGH a text-format sidecar
+    * (the operator under test is the format round-trip, Sidecar.xml for
+    * the gated run): per (lang, source) counts plus three tripwires
+    * that make silent text-format corruption impossible to pass —
+    * `sum_len` (trimming/truncation shows up as a shorter corpus),
+    * `text_sig` (a bounded sum of per-document content polyhashes: ANY
+    * byte-level drift — entity escaping, encoding, newline handling —
+    * moves it with overwhelming probability; each term is reduced mod
+    * 1e6+3 so the BIGINT sum can never overflow either engine), and
+    * the n_chars sum (numeric column round-trip). The oracle reads the
+    * PARQUET original, so a green row gates writer escaping + reader
+    * parsing end-to-end, exactly like q155/q156 for CSV/JSON-lines. */
+  def docProfile(docs: DataFrame): DataFrame =
+    docs.groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_len"),
+        sum(TextFns.polyHash(col("text")) % 1000003L).as("text_sig"))
+      .orderBy("lang", "source")
+
   /** q194 — WINNOWING document fingerprints (Schleimer et al., the
     * MOSS algorithm): hash every char `k`-gram, slide a window of `w`
     * consecutive hashes, keep each window's MINIMUM — the classic
@@ -695,20 +742,15 @@ object TextAnalysis {
     * w) — a corpus rewrite or different parameters can never serve
     * stale prints. Lazy (plan-audit) mode bypasses it. */
   private val printMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int, Int), DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, (Int, Int)), DataFrame]
 
   /** Drop memoized print relations (multi-corpus drivers). */
   def clearPrintMemo(): Unit = printMemo.clear()
 
   private def winnowPrintsShared(docs: DataFrame, k: Int, w: Int): DataFrame =
-    if (!Dedup.eagerMaterialize(docs)) winnowPrints(docs, k, w)
-    else {
-      Dedup.evictStopped(printMemo)(_._1)
-      printMemo.getOrElseUpdate(
-        (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
-          Similarity.fileStateHash(docs), k, w),
-        winnowPrints(docs, k, w).localCheckpoint(true))
-    }
+    Dedup.corpusMemo(printMemo, docs, (k, w))(
+      winnowPrints(docs, k, w).localCheckpoint(true))(
+      winnowPrints(docs, k, w))
 
   /** The per-window print relation `(doc_id, p, fp)` behind
     * [[winnowFingerprints]] — one row per FULL window, `fp` = the
@@ -731,26 +773,7 @@ object TextAnalysis {
       .select("doc_id", "p", "fp")
   }
 
-  /** q196 — the documents profile read THROUGH a text-format sidecar
-    * (the operator under test is the format round-trip, Sidecar.xml for
-    * the gated run): per (lang, source) counts plus three tripwires
-    * that make silent text-format corruption impossible to pass —
-    * `sum_len` (trimming/truncation shows up as a shorter corpus),
-    * `text_sig` (a bounded sum of per-document content polyhashes: ANY
-    * byte-level drift — entity escaping, encoding, newline handling —
-    * moves it with overwhelming probability; each term is reduced mod
-    * 1e6+3 so the BIGINT sum can never overflow either engine), and
-    * the n_chars sum (numeric column round-trip). The oracle reads the
-    * PARQUET original, so a green row gates writer escaping + reader
-    * parsing end-to-end, exactly like q155/q156 for CSV/JSON-lines. */
-  def docProfile(docs: DataFrame): DataFrame =
-    docs.groupBy("lang", "source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("sum_chars"),
-        sum(length(col("text")).cast("long")).as("sum_len"),
-        sum(TextFns.polyHash(col("text")) % 1000003L).as("text_sig"))
-      .orderBy("lang", "source")
+
 
   /** q195 — winnowing CANDIDATE PAIRS: the inversion step that turns
     * q194's per-document fingerprints into the near-dup pair relation
@@ -809,36 +832,5 @@ object TextAnalysis {
     Dedup.finishWith(result, kept)
   }
 
-  def dupNgramRate(docs: DataFrame, n: Int = 13, minDf: Long = 2L): DataFrame = {
-    // grams travel as codegen'd polyhashes, not 13-byte strings: the
-    // distinct + df-agg + join shuffles carry 8-byte longs (bench:
-    // 4.8 → ~2.5 s at sf0.1, and the ratio improves with n). The
-    // oracle folds the identical hash, so the gate stays exact; hash
-    // equality ≡ gram equality up to the ~n²/2⁶¹ collision bound the
-    // q18/q22/q24 xxhash encoding already rides.
-    val grams = docs.where(length(col("text")) >= n)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - (n - 1))).as("p"),
-        col("text"))
-      .select(col("doc_id"),
-        TextFns.polyHash(expr(s"substring(text, p, $n)")).as("gram"))
-      .distinct()
-    // gram document frequency as a WINDOW over the distinct relation,
-    // not a groupBy + join back: one linear pipeline — distinct
-    // (shuffle 1) → gram-partitioned count window (shuffle 2) →
-    // doc aggregate (shuffle 3) — where the join shape paid a fourth
-    // corpus-sized exchange plus the hash-join build. A hot
-    // (boilerplate) gram is one window partition ≡ one join bucket:
-    // same skew exposure, one less pass.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
-    grams
-      .withColumn("gdf", count(lit(1)).over(w))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("gdf") >= minDf, 1L).otherwise(0L)).as("n_dup"))
-      .withColumn("dup_rate",
-        col("n_dup").cast("double") / col("n_grams"))
-      .orderBy("doc_id")
-  }
+
 }

@@ -139,15 +139,20 @@ class SqlSurfaceSpec extends SparkSpec {
       (1L, 4L, 4L, 1.0), (2L, 4L, 4L, 1.0), (3L, 4L, 0L, 0.0)))
   }
 
-  test("q191 is one linear pipeline: a single corpus scan, no join") {
-    import org.apache.spark.sql.catalyst.plans.logical.Join
-    import org.apache.spark.sql.execution.datasources.LogicalRelation
+  test("q191 gram relation is computed once; dup membership is a JOIN, not a window") {
     val df = TextAnalysis.dupNgramRate(t("documents"))
-    val opt = df.queryExecution.optimizedPlan
-    assert(opt.collect { case r: LogicalRelation => r }.size === 1,
-      s"the gram-df window shape must read the corpus exactly once:\n$opt")
-    assert(opt.collect { case j: Join => j }.isEmpty,
-      s"gram df rides a window over the distinct relation, not a join back:\n$opt")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // one corpus scan: the distinct (doc, gram) exchange feeds both
+    // the gram-frequency aggregate and the join back
+    assert(plan.contains("ReusedExchange"),
+      s"the distinct (doc, gram) exchange must feed both consumers once:\n$plan")
+    // and the dup-set membership stays a gram-keyed JOIN — a window
+    // partition cannot be AQE-split under a viral boilerplate gram
+    // (the measured-faster window variant was rejected for exactly
+    // that; see the operator's doc)
+    assert(!plan.contains("WindowExec") || plan.contains("Join"),
+      s"dup membership must be the skew-splittable join shape:\n$plan")
   }
 
   test("EXECUTE IMMEDIATE runs dynamic text with USING parameters, not splices") {
