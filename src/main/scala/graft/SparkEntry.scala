@@ -706,6 +706,10 @@ object SparkEntry {
     // joined to per-doc token counts (corpus never re-iterated)
     "q200_bpe_encode" -> ((s, d) =>
       Bpe.bpeEncode(Tables(s, d, "documents"))),
+    // Deequ-shaped data-quality audit: 5 constraint classes in two
+    // fact scans + one key aggregate; explicit null-safe rule algebra
+    "q201_dq_audit" -> ((s, d) =>
+      Relational.dqAudit(Tables(s, d, "lineitem"), Tables(s, d, "orders"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -3085,6 +3089,42 @@ object SparkEntry {
     // each HOF replayed with its DuckDB list twin; the quadratic term
     // quantized to a LONG per element so the fold is an exact integer
     // sum on both engines
+    // five UNION ALL'd rule rows over the same null-explicit algebra;
+    // a NULL flag/discount/date counts as a violation on BOTH engines
+    "q201_dq_audit" ->
+      """SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+        |FROM (
+        |  SELECT 'li_discount_range' AS rule,
+        |         CAST(count(*) AS BIGINT) AS n_checked,
+        |         CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+        |                        OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_flag_accepted',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN l_returnflag IS NULL
+        |                        OR l_returnflag NOT IN ('A','N','R')
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_shipdate_complete',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_pk_unique',
+        |         CAST(sum(c) AS BIGINT),
+        |         CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'li_orderkey_ref',
+        |         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |         CAST(count(*) AS BIGINT)
+        |  FROM lineitem l WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |ORDER BY rule""".stripMargin,
     // BPE loop replayed as GENERATED chained CTEs — one block per
     // round, each computing pairs → weighted argmax (cnt desc, pair
     // asc) → greedy-leftmost merge positions (odd offsets within

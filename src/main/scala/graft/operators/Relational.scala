@@ -1402,6 +1402,54 @@ object Relational {
       .orderBy(col("value").desc, col("l_partkey").asc)
   }
 
+  /** q201 — DATA-QUALITY AUDIT (the Deequ-shaped check battery a
+    * warehouse runs before trusting a load): five constraint classes
+    * over lineitem — completeness (NULL ship dates), accepted values
+    * (return flag ∈ {A,N,R}), range (discount ∈ [0, 0.1]), key
+    * uniqueness ((orderkey, linenumber) duplicate rows), and
+    * referential integrity (orderkey present in orders) — emitted as
+    * ONE (rule, n_checked, n_violations, pass) relation. Engine
+    * shape: the three row-local rules fold into a SINGLE aggregation
+    * pass (conditional sums — one corpus scan covers all three),
+    * uniqueness is one keyed aggregate, and the reference check is a
+    * left-anti join (broadcast/AQE-planned); `stack` unpivots the
+    * fused pass into rule rows. Null handling is written EXPLICITLY
+    * (`isNull OR NOT IN`) so both engines count a NULL flag as a
+    * violation instead of three-valued-logic silently dropping it —
+    * the classic DQ-check bug. At 100 TB this is two fact scans + one
+    * key aggregate, not five passes. */
+  def dqAudit(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val rowRules = lineitem.agg(
+      count(lit(1)).as("n"),
+      sum(col("l_shipdate").isNull.cast("long")).as("v_null"),
+      sum((col("l_returnflag").isNull ||
+        !col("l_returnflag").isin("A", "N", "R")).cast("long")).as("v_flag"),
+      sum((col("l_discount").isNull || col("l_discount") < 0.0 ||
+        col("l_discount") > 0.1).cast("long")).as("v_disc"))
+      .select(expr(
+        """stack(3,
+          |  'li_discount_range', n, v_disc,
+          |  'li_flag_accepted', n, v_flag,
+          |  'li_shipdate_complete', n, v_null)
+          |AS (rule, n_checked, n_violations)""".stripMargin))
+    val dupRows = lineitem
+      .groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("v"))
+      .select(lit("li_pk_unique").as("rule"), col("n").as("n_checked"),
+        col("v").as("n_violations"))
+    val orphans = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .crossJoin(broadcast(lineitem.agg(count(lit(1)).as("n"))))
+      .select(lit("li_orderkey_ref").as("rule"), col("n").as("n_checked"),
+        col("v").as("n_violations"))
+    rowRules.unionByName(dupRows).unionByName(orphans)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy("rule")
+  }
+
   /** q188 — SQL PIPE syntax (`|>`, Spark 4): the linear query grammar
     * a migrating user increasingly writes instead of nested SELECTs —
     * each `|>` stage consumes the previous result top-to-bottom, so

@@ -30,6 +30,18 @@ class EncodingSpec extends SparkSpec {
         countDistinct(xxhash64(col("gram"))).as("nh")).collect()(0)
       assert(gramCounts.getLong(0) === gramCounts.getLong(1),
         s"gram-hash collision at $dir")
+      // q191's 13-gram encoding rides the same assumption: its oracle
+      // counts STRING grams while the engine shuffles xxhash64 longs —
+      // this is the injectivity that makes the two countings equal
+      val g13 = docs.where(length(col("text")) >= 13)
+        .select(explode(sequence(lit(1), length(col("text")) - 12)).as("p"),
+          col("text"))
+        .select(expr("substring(text, p, 13)").as("gram")).distinct()
+      val g13Counts = g13.agg(
+        count(lit(1)).as("n"),
+        countDistinct(xxhash64(col("gram"))).as("nh")).collect()(0)
+      assert(g13Counts.getLong(0) === g13Counts.getLong(1),
+        s"13-gram-hash collision at $dir (q191's encoding assumption)")
     }
   }
 

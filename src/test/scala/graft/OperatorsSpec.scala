@@ -289,6 +289,38 @@ class OperatorsSpec extends SparkSpec {
     assert(a.map(_._3).distinct.sorted.toList === List("train", "val"))
   }
 
+  test("q201 dq audit counts planted violations null-safely; flags the corpus's real PK issue") {
+    import spark.implicits._
+    import java.sql.Date
+    val d = Date.valueOf("1998-01-01")
+    val li = Seq(
+      (1L, 1, Option(d), Option("A"), Option(0.05)),
+      (1L, 1, Option(d), Option("N"), Option(0.0)),    // dup key (1,1)
+      (2L, 1, Option.empty[Date], Option("R"), Option(0.1)), // null shipdate
+      (3L, 1, Option(d), Option.empty[String], Option(0.2)), // null flag + range
+      (9L, 1, Option(d), Option("X"), Option(-0.01)))  // bad flag + range + orphan
+      .toDF("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag", "l_discount")
+    val ord = Seq(1L, 2L, 3L).toDF("o_orderkey")
+    val got = Relational.dqAudit(li, ord).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toList
+    assert(got === List(
+      ("li_discount_range", 5L, 2L, false),
+      ("li_flag_accepted", 5L, 2L, false),   // NULL counts as a violation
+      ("li_orderkey_ref", 5L, 1L, false),
+      ("li_pk_unique", 5L, 2L, false),       // both rows of the dup key
+      ("li_shipdate_complete", 5L, 1L, false)))
+    // …and on the real corpus the audit EARNS ITS KEEP: four rules
+    // pass, but the synthetic generator does NOT enforce the
+    // (l_orderkey, l_linenumber) key it mimics — the audit flags it
+    val real = Relational.dqAudit(t("lineitem"), t("orders")).collect()
+      .map(r => (r.getString(0), r.getBoolean(3))).toMap
+    assert(real("li_discount_range") && real("li_flag_accepted") &&
+      real("li_orderkey_ref") && real("li_shipdate_complete"))
+    assert(!real("li_pk_unique"),
+      "the synthetic lineitem has duplicate (orderkey, linenumber) pairs — if this ever passes, the generator changed")
+  }
+
   test("q198 weighted sample is partitioning-invariant and weight-biased") {
     val docs = t("documents")
     val a = Sampling.weightedSample(docs).collect()

@@ -203,6 +203,31 @@ class StorageSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet schema evolution: mergeSchema reads old + new epochs as one table") {
+    import spark.implicits._
+    // the lake-evolution story: an early epoch wrote (doc_id, text);
+    // a later epoch added a quality column. mergeSchema=true serves
+    // the UNION schema with nulls for the old files — no rewrite of
+    // history, which at 100 TB is the difference between a config
+    // flag and a petabyte backfill.
+    val root = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "old doc")).toDF("doc_id", "text")
+      .write.parquet(s"$root/epoch=0")
+    Seq((2L, "new doc", 0.9)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$root/epoch=1")
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(merged.columns.sorted.toList ===
+      List("doc_id", "epoch", "quality", "text"))
+    val rows = merged.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toList
+    assert(rows === List((1L, "old doc", -1.0), (2L, "new doc", 0.9)))
+    // and WITHOUT the flag the first-listed footer wins — the silent
+    // column-loss mode the option exists to prevent
+    val unmerged = spark.read.parquet(root)
+    assert(unmerged.columns.length <= merged.columns.length)
+  }
+
   test("Trigger.AvailableNow drains the backlog and terminates itself") {
     // the BACKFILL trigger: one invocation processes everything
     // available, then stops — streaming exactly-once semantics with
