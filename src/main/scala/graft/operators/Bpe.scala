@@ -76,6 +76,18 @@ object Bpe {
     Dedup.corpusMemo(trainMemo, docs, rounds)(
       trainLoop(docs, rounds))(trainLoop(docs, rounds))
 
+  /** Per-round lineage truncation — skipped in plan-audit mode so the
+    * audited plan keeps the round tower (the Graph.materialized
+    * convention). The argmax collect per round still EXECUTES in
+    * audit mode: an iterative driver loop has no plan-only form — its
+    * per-round argmax IS data-dependent (same caveat as the q49/q58
+    * CC loops, whose audit drivers accept the run). */
+  private def roundCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+      .get("spark.graft.eagerMaterialize", "true").toBoolean)
+      df.localCheckpoint(true)
+    else df
+
   /** The training loop: returns the merge list AND the final
     * (word, freq, syms) relation — the encoder table q200 joins to. */
   private def trainLoop(docs: DataFrame, rounds: Int)
@@ -84,11 +96,10 @@ object Bpe {
     // vocabulary with frequencies; symbols start as single chars.
     // (transform+substring, not split(word, "") — Java's split keeps a
     // trailing empty element under limit -1, DuckDB's does not.)
-    var syms = TextFns.tokens(docs)
+    var syms = roundCheckpoint(TextFns.tokens(docs)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("syms",
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      .localCheckpoint(true)
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
 
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, String, Long)]
     for (r <- 1 to rounds) {
@@ -128,7 +139,7 @@ object Bpe {
 
       val allPos = syms.select(col("word"), col("freq"),
         explode(sequence(lit(1), size(col("syms")))).as("p"), col("syms"))
-      syms = rebuild(allPos, mergePos).localCheckpoint(true)
+      syms = roundCheckpoint(rebuild(allPos, mergePos))
     }
     (merges.toSeq, syms)
   }

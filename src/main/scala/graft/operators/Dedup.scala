@@ -363,7 +363,10 @@ object Dedup {
     } else
       (corpusMemo(sketchMemo, docs, ())(
         checkpointWide(fusedSketchPlan(docs)))(
-        fusedSketchPlan(docs)), Nil)
+        // unreachable: the outer branch already took the lazy path;
+        // fail loudly if that guard is ever removed, because the lazy
+        // contract here returns a PERSISTED frame plus its handle
+        sys.error("fusedSketch lazy path must persist and return handles")), Nil)
 
   /** The two PERSISTABLE MinHash sketch relations (`SketchStore`):
     * `bands` (doc_id, ks, band, key) — the LSH probe index — and

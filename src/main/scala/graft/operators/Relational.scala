@@ -1419,13 +1419,14 @@ object Relational {
     * the classic DQ-check bug. At 100 TB this is two fact scans + one
     * key aggregate, not five passes. */
   def dqAudit(lineitem: DataFrame, orders: DataFrame): DataFrame = {
-    val rowRules = lineitem.agg(
+    val fused = lineitem.agg(
       count(lit(1)).as("n"),
       sum(col("l_shipdate").isNull.cast("long")).as("v_null"),
       sum((col("l_returnflag").isNull ||
         !col("l_returnflag").isin("A", "N", "R")).cast("long")).as("v_flag"),
       sum((col("l_discount").isNull || col("l_discount") < 0.0 ||
         col("l_discount") > 0.1).cast("long")).as("v_disc"))
+    val rowRules = fused
       .select(expr(
         """stack(3,
           |  'li_discount_range', n, v_disc,
@@ -1442,7 +1443,10 @@ object Relational {
       .join(orders.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("v"))
-      .crossJoin(broadcast(lineitem.agg(count(lit(1)).as("n"))))
+      // n_checked comes from the SAME fused aggregate the row rules
+      // use (subtree reuse) — not a fresh lineitem.agg, which would
+      // be a third full fact scan for a number already computed
+      .crossJoin(broadcast(fused.select(col("n"))))
       .select(lit("li_orderkey_ref").as("rule"), col("n").as("n_checked"),
         col("v").as("n_violations"))
     rowRules.unionByName(dupRows).unionByName(orphans)

@@ -662,7 +662,12 @@ object TextAnalysis {
     * viral-gram case becomes one task buffering the whole key group —
     * exactly the straggler this diagnostic exists to detect. The ORACLE
     * counts the raw string grams; agreement of the two countings is
-    * the injectivity EncodingSpec pins. Rate is an exact integer
+    * the injectivity EncodingSpec pins — which also means a future
+    * fixture with a real 13-gram xxhash64 collision would show as a
+    * RED VERIFY ROW with no engine bug (a harness false-negative,
+    * odds ~n²/2⁶⁴). Deliberate: the alternative — twinning the hash
+    * into the oracle — made the gate blind to hash saturation, the
+    * round-7 review finding that forced this shape. Rate is an exact integer
     * ratio in one IEEE division. */
   def dupNgramRate(docs: DataFrame, n: Int = 13, minDf: Long = 2L): DataFrame = {
     val grams = docs.where(length(col("text")) >= n)

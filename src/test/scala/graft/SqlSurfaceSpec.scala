@@ -151,8 +151,8 @@ class SqlSurfaceSpec extends SparkSpec {
     // partition cannot be AQE-split under a viral boilerplate gram
     // (the measured-faster window variant was rejected for exactly
     // that; see the operator's doc)
-    assert(!plan.contains("WindowExec") || plan.contains("Join"),
-      s"dup membership must be the skew-splittable join shape:\n$plan")
+    assert(!plan.contains("WindowExec"),
+      s"dup membership must be the skew-splittable join shape, never a window:\n$plan")
   }
 
   test("EXECUTE IMMEDIATE runs dynamic text with USING parameters, not splices") {

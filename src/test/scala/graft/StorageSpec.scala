@@ -222,10 +222,12 @@ class StorageSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toList
     assert(rows === List((1L, "old doc", -1.0), (2L, "new doc", 0.9)))
-    // and WITHOUT the flag the first-listed footer wins — the silent
-    // column-loss mode the option exists to prevent
-    val unmerged = spark.read.parquet(root)
-    assert(unmerged.columns.length <= merged.columns.length)
+    // the old epoch genuinely lacks the column (so the union schema
+    // above was mergeSchema's work, not a property of the files) —
+    // and a plain read of it can never surface `quality`
+    val oldOnly = spark.read.parquet(s"$root/epoch=0")
+    assert(!oldOnly.columns.contains("quality"))
+    assert(oldOnly.columns.sorted.toList === List("doc_id", "text"))
   }
 
   test("Trigger.AvailableNow drains the backlog and terminates itself") {
