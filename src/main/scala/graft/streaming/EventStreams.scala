@@ -345,6 +345,30 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** STREAMING data-quality gate — q201's row-local rule algebra run
+    * per event-time window: a load's violation counts are known while
+    * it lands, not after a nightly batch audit. Same explicit
+    * null-safe rules (a NULL value/type IS a violation — three-valued
+    * logic never silently passes a check), ONE windowed aggregation
+    * with conditional sums (no per-rule stream). StreamingSpec pins
+    * the windowed counts ≡ the batch rule algebra over the same rows. */
+  def streamingDqCounts(events: DataFrame,
+      window: String = "10 minutes", watermark: String = "10 minutes",
+      accepted: Seq[String] = Seq("click", "view", "purchase", "signup",
+        "error")): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(
+        count(lit(1)).as("n_checked"),
+        sum((col("value").isNull || col("value") < 0.0).cast("long"))
+          .as("v_value_range"),
+        sum((col("event_type").isNull ||
+          !col("event_type").isin(accepted: _*)).cast("long"))
+          .as("v_type_accepted"))
+      .select(col("window.start").as("w_start"), col("n_checked"),
+        col("v_value_range"), col("v_type_accepted"))
+
   /** CHAINED stateful operators in one streaming query (Spark ≥ 3.4
     * unlocked this; before, a second stateful op required an
     * intermediate sink + second query): 5-minute per-type counts

@@ -336,6 +336,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dq counts ≡ the batch rule algebra over the same rows") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.streamingDqCounts(in.toDF)
+      .writeStream.format("memory").queryName("sdq")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        Ev(1, ts(1), "click", 1.0),
+        Ev(2, ts(2), "view", -0.5),     // range violation
+        Ev(3, ts(3), "bogus", 2.0),     // accepted-values violation
+        Ev(4, ts(4), "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sdq").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toList === List((4L, 1L, 1L)),
+        "one 10-min window: 4 checked, 1 range violation, 1 type violation")
+    } finally q.stop()
+  }
+
   test("chained stateful ops: 5-min counts roll up to 15-min in ONE query") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
