@@ -1443,9 +1443,12 @@ object Relational {
       .join(orders.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("v"))
-      // n_checked comes from the SAME fused aggregate the row rules
-      // use (subtree reuse) — not a fresh lineitem.agg, which would
-      // be a third full fact scan for a number already computed
+      // n_checked references the SAME fused aggregate subtree the row
+      // rules use — REUSABLE by ReuseExchange (not guaranteed: AQE
+      // replanning can plan the two physical aggregates differently,
+      // in which case this costs one extra scan — perf only, results
+      // unaffected). Still better than a fresh lineitem.agg, which
+      // could never be reused
       .crossJoin(broadcast(fused.select(col("n"))))
       .select(lit("li_orderkey_ref").as("rule"), col("n").as("n_checked"),
         col("v").as("n_violations"))
@@ -1453,6 +1456,17 @@ object Relational {
       .withColumn("pass", col("n_violations") === 0L)
       .orderBy("rule")
   }
+
+  /** Temp-view (and view-dependent function) names for the SQL-text
+    * operators are derived from the INPUT plan's semanticHash: two
+    * concurrent calls on different DataFrames in one session register
+    * different names instead of clobbering each other's view between
+    * registration and sql(); the same input re-registers the same
+    * (identical) definition, which createOrReplace makes idempotent.
+    * Hex of the hash keeps the suffix identifier-safe (no '-'). */
+  private def viewFor(df: DataFrame, base: String): String =
+    base + "_" + java.lang.Integer.toHexString(
+      df.queryExecution.analyzed.semanticHash())
 
   /** q188 — SQL PIPE syntax (`|>`, Spark 4): the linear query grammar
     * a migrating user increasingly writes instead of nested SELECTs —
@@ -1468,9 +1482,10 @@ object Relational {
     * through DECIMAL then DOUBLE per the q08 convention. */
   def pipeSqlAgg(lineitem: DataFrame): DataFrame = {
     val spark = lineitem.sparkSession
-    lineitem.createOrReplaceTempView("graft_li_pipe")
+    val v = viewFor(lineitem, "graft_li_pipe")
+    lineitem.createOrReplaceTempView(v)
     spark.sql(
-      """FROM graft_li_pipe
+      s"""FROM $v
         ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         ||> AGGREGATE count(*) AS n_rows,
         |             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1488,15 +1503,16 @@ object Relational {
     * dialects. */
   def pipeSqlAggClassic(lineitem: DataFrame): DataFrame = {
     val spark = lineitem.sparkSession
-    lineitem.createOrReplaceTempView("graft_li_pipe")
+    val v = viewFor(lineitem, "graft_li_pipe")
+    lineitem.createOrReplaceTempView(v)
     spark.sql(
-      """SELECT l_returnflag, l_linestatus, n_rows,
+      s"""SELECT l_returnflag, l_linestatus, n_rows,
         |       round(sum_qty, 2) AS sum_qty, round(revenue, 2) AS revenue
         |FROM (
         |  SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        |  FROM graft_li_pipe
+        |  FROM $v
         |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |  GROUP BY l_returnflag, l_linestatus)
         |WHERE n_rows > 0
@@ -1517,14 +1533,15 @@ object Relational {
   def paramIdentifierAgg(docs: DataFrame,
       minChars: Long = 300L): DataFrame = {
     val spark = docs.sparkSession
-    docs.createOrReplaceTempView("graft_docs_param")
+    val v = viewFor(docs, "graft_docs_param")
+    docs.createOrReplaceTempView(v)
     spark.sql(
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM IDENTIFIER(:tbl)
         |WHERE n_chars >= :minChars
         |GROUP BY lang ORDER BY lang""".stripMargin,
-      Map("tbl" -> "graft_docs_param", "minChars" -> minChars))
+      Map("tbl" -> v, "minChars" -> minChars))
   }
 
   /** q192 — SQL UDF (`CREATE FUNCTION … RETURN expr`, Spark 4): the
@@ -1543,17 +1560,21 @@ object Relational {
     * N call sites, zero plan cost. */
   def sqlUdfRevenue(lineitem: DataFrame): DataFrame = {
     val spark = lineitem.sparkSession
-    lineitem.createOrReplaceTempView("graft_li_udf")
+    val v = viewFor(lineitem, "graft_li_udf")
+    lineitem.createOrReplaceTempView(v)
+    // the function name stays FIXED: its body is input-independent
+    // (a pure expression), so a concurrent re-registration replaces
+    // the definition with an identical one — harmless by idempotence
     spark.sql(
       """CREATE OR REPLACE TEMPORARY FUNCTION graft_line_rev(
         |  price DOUBLE, disc DOUBLE) RETURNS DECIMAL(18,4)
         |RETURN CAST(price * (1 - disc) AS DECIMAL(18,4))""".stripMargin)
     spark.sql(
-      """SELECT l_returnflag,
+      s"""SELECT l_returnflag,
         |       CAST(sum(graft_line_rev(l_extendedprice, l_discount)) AS DOUBLE)
         |         AS revenue,
         |       count(*) AS n_rows
-        |FROM graft_li_udf
+        |FROM $v
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
@@ -1563,13 +1584,14 @@ object Relational {
     * aliases): proof the function is erased, not executed. */
   def sqlUdfRevenueInline(lineitem: DataFrame): DataFrame = {
     val spark = lineitem.sparkSession
-    lineitem.createOrReplaceTempView("graft_li_udf")
+    val v = viewFor(lineitem, "graft_li_udf")
+    lineitem.createOrReplaceTempView(v)
     spark.sql(
-      """SELECT l_returnflag,
+      s"""SELECT l_returnflag,
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
         |         AS revenue,
         |       count(*) AS n_rows
-        |FROM graft_li_udf
+        |FROM $v
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
@@ -1585,17 +1607,22 @@ object Relational {
     * division). */
   def sqlTvfLangProfile(docs: DataFrame, minChars: Long = 280L): DataFrame = {
     val spark = docs.sparkSession
-    docs.createOrReplaceTempView("graft_docs_tvf")
+    val v = viewFor(docs, "graft_docs_tvf")
+    // the TVF body REFERENCES the view, so the function name must vary
+    // with the input too — a fixed function name over a per-input view
+    // would still cross-wire two concurrent callers
+    val fn = viewFor(docs, "graft_lang_profile")
+    docs.createOrReplaceTempView(v)
     spark.sql(
-      """CREATE OR REPLACE TEMPORARY FUNCTION graft_lang_profile(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(
         |  min_chars BIGINT)
         |RETURNS TABLE(lang STRING, n_docs BIGINT, avg_chars DOUBLE)
         |RETURN SELECT lang, count(*) AS n_docs,
         |              CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
-        |       FROM graft_docs_tvf WHERE n_chars >= min_chars
+        |       FROM $v WHERE n_chars >= min_chars
         |       GROUP BY lang""".stripMargin)
     spark.sql(
-      s"SELECT * FROM graft_lang_profile($minChars) ORDER BY lang")
+      s"SELECT * FROM $fn($minChars) ORDER BY lang")
   }
 
   /** q154 — TPC-H Q20 shape (dominant-supplier semi-join chain):

@@ -51,4 +51,47 @@ class BpeSpec extends SparkSpec {
     val got = merges(Seq("zq zq zq ab"), rounds = 1)
     assert(got === List((1, "z", "q", "zq", 3L)))
   }
+
+  private def encoderRows(e: org.apache.spark.sql.DataFrame) =
+    e.select(col("word"), col("freq"),
+        org.apache.spark.sql.functions.array_join(col("syms"), " ").as("s"))
+      .orderBy("word").collect().map(_.toString).toList
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+
+  test("driver-local trainer ≡ relational trainer: merges AND encoder table") {
+    // the production path (trainLocal) and the oracle-replayable
+    // relational twin must agree exactly — merge sequence, counts,
+    // and the final word→symbols encoder — on the real corpus
+    val docs = spark.read.parquet(s"$testdataDir/documents.parquet")
+    val (mLocal, eLocal) = Bpe.trainLocal(docs, 4)
+    val (mRel, eRel) = Bpe.trainRelational(docs, 4)
+    assert(mLocal === mRel)
+    assert(encoderRows(eLocal) === encoderRows(eRel))
+    assert(mLocal.size === 4)
+  }
+
+  test("production merge counts: >=1000 merges train driver-local in bounded time") {
+    // a vocabulary with guaranteed >=1000 distinct merge rules: all
+    // 3-letter words over a 10-letter alphabet — every one of the
+    // 1000 words must eventually become its own single symbol, and
+    // each round mints exactly one new symbol string, so exhaustion
+    // takes >=1000 rounds. This is the merge count a real tokenizer
+    // needs a meaningful fraction of (30k-50k), infeasible as a
+    // per-round Spark job chain but seconds driver-local.
+    val letters = "abcdefghij"
+    val words = for (a <- letters; b <- letters; c <- letters)
+      yield s"$a$b$c"
+    val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val (m, enc) = Bpe.trainLocal(docs, 1500)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(m.size >= 1000, s"expected >=1000 merges, got ${m.size}")
+    assert(m.size < 1500, "loop should exhaust (early-stop) before the cap")
+    // exhaustion means every word IS one symbol — the encoder agrees
+    assert(enc.where(org.apache.spark.sql.functions.size(col("syms")) =!= 1)
+      .count() === 0L)
+    // merge steps are dense and correctly numbered
+    assert(m.map(_._1) === (1 to m.size).toList)
+    assert(secs < 60.0, s"driver-local training took ${secs}s")
+  }
 }

@@ -141,9 +141,16 @@ class StorageSpec extends SparkSpec {
       (4L, "unicode: é中文 ☃"),
       (5L, "<tag>looks like markup</tag> &amp; entity-shaped"))
       .toDF("doc_id", "text")
+    // the empty string is the classic text-format trap (an empty
+    // element CAN read back as NULL under default options); under the
+    // sidecar's pinned ignoreSurroundingSpaces=false it round-trips
+    // intact — asserted as row 6 so a future option or Spark-version
+    // drift that silently nulls it fails HERE, not via downstream
+    // NULL-skipping aggregates
+    val withEmpty = nasty.unionByName(Seq((6L, "")).toDF("doc_id", "text"))
     val out = java.nio.file.Files
       .createTempDirectory("graft_xml_rt").toString + "/docs"
-    nasty.write.option("rowTag", "row").xml(out)
+    withEmpty.write.option("rowTag", "row").xml(out)
     val back = spark.read
       .option("rowTag", "row")
       .option("ignoreSurroundingSpaces", "false")
@@ -151,7 +158,7 @@ class StorageSpec extends SparkSpec {
       .xml(out)
     val got = back.orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toList
-    val want = nasty.orderBy("doc_id").collect()
+    val want = withEmpty.orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toList
     assert(got === want)
   }
