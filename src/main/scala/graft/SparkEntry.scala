@@ -710,6 +710,13 @@ object SparkEntry {
     // fact scans + one key aggregate; explicit null-safe rule algebra
     "q201_dq_audit" -> ((s, d) =>
       Relational.dqAudit(Tables(s, d, "lineitem"), Tables(s, d, "orders"))),
+    // incremental CC label maintenance: stored labels (doc_id < 250)
+    // + the batch's delta edges (q90's new×old probe ∪ batch-only
+    // new×new LSH) → full-corpus labels via contracted-subgraph CC;
+    // oracle = q58's from-scratch closure, so the hash match IS the
+    // merge ≡ rebuild proof
+    "q202_incremental_clusters" -> ((s, d) =>
+      Dedup.incrementalClusters(Tables(s, d, "documents"), 250L, 0.95)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -811,6 +818,41 @@ object SparkEntry {
        |cents2 AS (SELECT cent_id, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM (
        |            SELECT cell AS cent_id, list(m ORDER BY pos) AS cv
        |            FROM m2 GROUP BY cell))""".stripMargin
+
+  /** The from-scratch full-corpus cluster closure — q58's oracle, and
+    * VERBATIM q202's: the incremental label merge must reproduce the
+    * rebuild exactly (merge ≡ rebuild), so both queries hash against
+    * one oracle text. Edge set = q22's LSH candidate chain (MinHash
+    * bands → candidates → exact-Jaccard verify), closure = recursive
+    * CTE reachability, label = min doc_id per component. */
+  private lazy val fullClusterOracle: String =
+    s"""WITH RECURSIVE $toksCte,
+       |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+       |perms(i, a, b) AS (VALUES $permsValues),
+       |sig AS (SELECT doc_id, i, min((a*th + b) % ${Hashing.P}) AS minh
+       |        FROM th CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // ${Hashing.RowsPerBand} AS band,
+       |                 string_agg(minh::VARCHAR, '_' ORDER BY i) AS key
+       |          FROM sig GROUP BY i // ${Hashing.RowsPerBand}, doc_id),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |$setsCte,
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |           ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
+       |    FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
+       |  WHERE jaccard >= 0.95),
+       |sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
+       |        UNION ALL SELECT doc_b, doc_a FROM edges),
+       |reach(u, v) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+       |SELECT u AS doc_id, min(v) AS cluster_id,
+       |       (u = min(v)) AS is_canonical
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   /** The q199 oracle: the BPE training loop unrolled into `rounds`
     * chained CTE blocks (DuckDB mirror of Bpe.bpeMerges — identical
@@ -1401,35 +1443,11 @@ object SparkEntry {
         |               FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q49's oracle closure, but the edge set is q22's LSH candidate
-    // chain over the FULL corpus — the linear-scale decision path
-    "q58_dedup_clusters_scale" ->
-      s"""WITH RECURSIVE $toksCte,
-         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
-         |perms(i, a, b) AS (VALUES $permsValues),
-         |sig AS (SELECT doc_id, i, min((a*th + b) % ${Hashing.P}) AS minh
-         |        FROM th CROSS JOIN perms GROUP BY doc_id, i),
-         |bands AS (SELECT doc_id, i // ${Hashing.RowsPerBand} AS band,
-         |                 string_agg(minh::VARCHAR, '_' ORDER BY i) AS key
-         |          FROM sig GROUP BY i // ${Hashing.RowsPerBand}, doc_id),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |$setsCte,
-         |edges AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT doc_a, doc_b,
-         |           ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
-         |    FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
-         |  WHERE jaccard >= 0.95),
-         |sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
-         |        UNION ALL SELECT doc_b, doc_a FROM edges),
-         |reach(u, v) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
-         |SELECT u AS doc_id, min(v) AS cluster_id,
-         |       (u = min(v)) AS is_canonical
-         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    // chain over the FULL corpus — the linear-scale decision path.
+    // SHARED with q202: the incremental merge must equal this
+    // from-scratch closure (merge ≡ rebuild), so the two queries gate
+    // against the IDENTICAL oracle text.
+    "q58_dedup_clusters_scale" -> fullClusterOracle,
     "q59_dedup_keep" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies,
         |       CAST(min(len(text)) AS BIGINT) AS n_bytes
@@ -3141,6 +3159,9 @@ object SparkEntry {
         |       CAST(sum(len(r4.syms)) AS DOUBLE) / count(*) AS expansion
         |FROM rawtoks t JOIN r4 ON t.word = r4.word
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // merge ≡ rebuild: the incremental label merge gates against the
+    // from-scratch full-corpus closure VERBATIM (shared with q58)
+    "q202_incremental_clusters" -> fullClusterOracle,
     // same hash-derived uniform, same quantized ln-key, same top-k —
     // the sample is a deterministic function of the data, so the two
     // engines must select IDENTICAL rows

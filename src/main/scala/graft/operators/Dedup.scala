@@ -673,6 +673,108 @@ object Dedup {
     out
   }
 
+  /** Delta edges CONTRACTED through the stored labels: any endpoint
+    * with a stored label is replaced by that label (its component's
+    * canonical id); endpoints without one (the new batch) stay
+    * themselves. Self-loops after contraction — both endpoints inside
+    * one old component — carry no new connectivity and are dropped.
+    * The result is delta-sized: its node universe is new doc ids plus
+    * the labels of delta-ADJACENT old components only, never the
+    * corpus. */
+  private[graft] def contractEdges(storedLabels: DataFrame,
+      deltaEdges: DataFrame): DataFrame =
+    deltaEdges
+      .join(storedLabels.select(col("doc_id").as("doc_a"),
+        col("cluster_id").as("la")), Seq("doc_a"), "left")
+      .join(storedLabels.select(col("doc_id").as("doc_b"),
+        col("cluster_id").as("lb")), Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+
+  /** INCREMENTAL maintenance of the dedup DECISION (round-7 verdict
+    * #1): stored cluster labels + a new batch's near-dup edges →
+    * updated full-corpus labels WITHOUT recomputing the old graph —
+    * the merge ≡ rebuild law (q98/q105/q120/q130) applied to
+    * connected components, the suite's most expensive operator.
+    *
+    * Why contraction is lossless: each old component is already
+    * labeled by its min doc id, so collapsing it to that single label
+    * node preserves exactly the connectivity the delta can touch; the
+    * merged component's min over contracted node ids equals the
+    * rebuild's min over all member doc ids (an old label IS its
+    * component's min; new ids represent themselves). Old components
+    * with no delta-adjacent edge never enter the loop and keep their
+    * stored labels verbatim — new ids can never displace an old min
+    * (they are larger by the batch split), and no new edge exists
+    * between purely-old pairs (ClusterPropertiesSpec pins both).
+    *
+    * Scale shape: the CC loop runs over the CONTRACTED graph — delta
+    * edges and their adjacent component labels, a batch-sized
+    * relation, while rebuild loops over every edge endpoint in the
+    * corpus. The stored label table participates only in equi joins
+    * (doc_id / cluster_id keyed — in production read back bucketed on
+    * doc_id so the contraction join is exchange-free on the stored
+    * side, the SketchStore layout). Nothing is broadcast, nothing is
+    * corpus-quadratic.
+    *
+    * `storedLabels`: (doc_id, cluster_id) for the old corpus;
+    * `newNodes`: (doc_id) of the batch (disjoint from stored);
+    * `deltaEdges`: (doc_a, doc_b) near-dup edges with ≥1 new endpoint
+    * (new×new and new×old — the q90/q94 incremental probes produce
+    * exactly these). Output: (doc_id, cluster_id, is_canonical) over
+    * old ∪ new — identical to a from-scratch [[clusterLabels]] run on
+    * the full graph. */
+  def mergeClusterLabels(storedLabels: DataFrame, newNodes: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
+    val contracted = contractEdges(storedLabels, deltaEdges)
+    // node universe of the sub-problem: every new doc (isolated ones
+    // label themselves inside clusterLabels) + contracted endpoints
+    val subNodes = newNodes.select(col("doc_id"))
+      .unionByName(contracted.select(col("doc_a").as("doc_id")))
+      .unionByName(contracted.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val relabel = clusterLabels(subNodes, contracted)
+      .select(col("doc_id").as("old_label"), col("cluster_id").as("new_label"))
+    // old docs: stored label rides through unless its component was
+    // delta-adjacent (then it maps to the merged component's label);
+    // new docs: their sub-problem label directly (every new doc is in
+    // subNodes, so the coalesce default only covers old components)
+    val oldFinal = storedLabels
+      .join(relabel, storedLabels("cluster_id") === col("old_label"), "left")
+      .select(storedLabels("doc_id"),
+        coalesce(col("new_label"), storedLabels("cluster_id")).as("cluster_id"))
+    val newFinal = newNodes
+      .join(relabel, newNodes("doc_id") === col("old_label"), "left")
+      .select(newNodes("doc_id"),
+        coalesce(col("new_label"), newNodes("doc_id")).as("cluster_id"))
+    oldFinal.unionByName(newFinal)
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** q202 — the oracle-gated query form of [[mergeClusterLabels]]:
+    * yesterday's corpus is `doc_id < cap` (its labels computed here
+    * stand in for the stored table, exactly the q90/q94 convention),
+    * the batch is `doc_id >= cap`, and the delta edge set is the two
+    * incremental probes the suite already trusts — q90's new×old
+    * band-join plus a batch-only LSH pass for new×new (signatures are
+    * per-document, so batch-only sketching equals full-corpus
+    * sketching for those docs). The oracle is q58's from-scratch
+    * closure over the FULL corpus: a hash match IS the merge ≡
+    * rebuild proof. */
+  def incrementalClusters(docs: DataFrame, cap: Long,
+      threshold: Double): DataFrame = {
+    val newDocs = docs.where(col("doc_id") >= cap)
+    val stored = dedupClustersScale(docs.where(col("doc_id") < cap), threshold)
+      .select("doc_id", "cluster_id")
+    val delta = incrementalNearDup(docs, cap, threshold)
+      .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
+      .unionByName(minhashNearDup(newDocs, threshold)
+        .select("doc_a", "doc_b"))
+    mergeClusterLabels(stored, newDocs.select("doc_id"), delta)
+  }
+
   /** q23 — SimHash document signatures: per-token polyHash votes ±1 on
     * each of SimHashBits bit positions; the signature packs the sign of
     * each vote sum. All-integer arithmetic → bit-identical across
