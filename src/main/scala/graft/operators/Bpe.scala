@@ -101,7 +101,29 @@ object Bpe {
   private def train(docs: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) =
     Dedup.corpusMemo(trainMemo, docs, rounds)(
-      trainLocal(docs, rounds))(trainRelational(docs, rounds))
+      trainedArtifact(docs, rounds))(trainRelational(docs, rounds))
+
+  /** Artifact-backed training (ArtifactStore): with
+    * `spark.graft.artifactDir` set, the (merges, encoder) pair
+    * persists across drivers under the corpus fingerprint — a
+    * restarted pipeline loads its tokenizer instead of retraining.
+    * The merge list rides as a tiny DataFrame (one row per round) and
+    * is collected back ordered by step; disabled-store calls pass the
+    * local result through with only a rounds-sized local round-trip. */
+  private def trainedArtifact(docs: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (mergesDf, encoder) = graft.sources.ArtifactStore.loadOrBuildPair(
+        "bpe_train", docs, rounds.toString) {
+      val (m, e) = trainLocal(docs, rounds)
+      (m.toDF("step", "lhs", "rhs", "merged", "pair_count"), e)
+    }
+    val merges = mergesDf.orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    (merges, encoder)
+  }
 
   /** The one distributed step both trainers share: corpus → (word,
     * freq) vocabulary. Map-side combinable, one shuffle. */

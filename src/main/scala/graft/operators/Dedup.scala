@@ -362,7 +362,8 @@ object Dedup {
       (p, Seq(p))
     } else
       (corpusMemo(sketchMemo, docs, ())(
-        checkpointWide(fusedSketchPlan(docs)))(
+        checkpointWide(graft.sources.ArtifactStore
+          .loadOrBuild("minhash_sketch", docs, "")(fusedSketchPlan(docs))))(
         // unreachable: the outer branch already took the lazy path;
         // fail loudly if that guard is ever removed, because the lazy
         // contract here returns a PERSISTED frame plus its handle
@@ -800,7 +801,9 @@ object Dedup {
     // the token-hash expression is part of the signature definition —
     // keep polyHash/xxhash64 entries distinct even at equal widths
     corpusMemo(sigMemo, docs, (bits, th.toString.hashCode))(
-      checkpointWide(simhashSigsWide(docs, bits, th)))(
+      checkpointWide(graft.sources.ArtifactStore
+        .loadOrBuild("simhash_sigs", docs, s"$bits-${th.toString.hashCode}")(
+          simhashSigsWide(docs, bits, th))))(
       simhashSigsWide(docs, bits, th))
 
   /** Entries for STOPPED sessions pin checkpointed DataFrames for the

@@ -570,7 +570,7 @@ object Similarity {
     * silently serve codes trained on the previous corpus. Non-file
     * relations (test frames) contribute a constant; semanticHash
     * already distinguishes their data. */
-  private[operators] def fileStateHash(u: DataFrame): Int =
+  private[graft] def fileStateHash(u: DataFrame): Int =
     u.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
@@ -597,9 +597,20 @@ object Similarity {
       val key = (u.sparkSession, u.queryExecution.analyzed.semanticHash(),
         fileStateHash(u), numSubs, subDim, ksub, iters)
       val (cents, codes) = trainedPq.getOrElseUpdate(key, {
-        val (c, cd, subs) = pqTrain(u, numSubs, subDim, ksub, iters)
-        try (c.localCheckpoint(true), cd.localCheckpoint(true))
-        finally { subs.unpersist(); c.unpersist() }
+        // artifact-backed (ArtifactStore): with spark.graft.artifactDir
+        // set, a restarted driver loads the trained codebook + codes
+        // instead of re-running Lloyd; intermediates persist only on
+        // the build path and are released after the checkpoints
+        var release: () => Unit = () => ()
+        try {
+          val (cDf, cdDf) = graft.sources.ArtifactStore.loadOrBuildPair(
+              "pq_codebook", u, s"$numSubs-$subDim-$ksub-$iters") {
+            val (c, cd, subs) = pqTrain(u, numSubs, subDim, ksub, iters)
+            release = () => { subs.unpersist(); c.unpersist() }
+            (c, cd)
+          }
+          (cDf.localCheckpoint(true), cdDf.localCheckpoint(true))
+        } finally release()
       })
       (pqDecode(codes, cents), Nil)
     }

@@ -754,7 +754,9 @@ object TextAnalysis {
 
   private def winnowPrintsShared(docs: DataFrame, k: Int, w: Int): DataFrame =
     Dedup.corpusMemo(printMemo, docs, (k, w))(
-      winnowPrints(docs, k, w).localCheckpoint(true))(
+      graft.sources.ArtifactStore
+        .loadOrBuild("winnow_prints", docs, s"$k-$w")(winnowPrints(docs, k, w))
+        .localCheckpoint(true))(
       winnowPrints(docs, k, w))
 
   /** The per-window print relation `(doc_id, p, fp)` behind

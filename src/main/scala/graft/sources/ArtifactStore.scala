@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** PERSISTENT backing for the session artifact memos (round-7 verdict
+  * #6): the sketch / signature / winnow-print / PQ-codebook / BPE
+  * training builds die with the JVM when only the in-memory memo
+  * holds them — a restarted pipeline re-sketches its whole corpus.
+  * With `spark.graft.artifactDir` set, each memo build is routed
+  * through a parquet artifact keyed by the SAME fingerprint as the
+  * memo itself — (artifact name, input-plan semanticHash, file-state
+  * fingerprint, parameter repr) — with load-or-build semantics: the
+  * first session writes the artifact, every later session (or a
+  * restarted driver) reads it back instead of re-running the corpus
+  * tower. Unset (the default), everything behaves exactly as before —
+  * session-scoped memo only.
+  *
+  * Key discipline is inherited from `Dedup.corpusMemo`: the
+  * semanticHash pins the QUERY (a different source projection can
+  * never alias), the file-state fingerprint pins the DATA VERSION
+  * (path, length, mtime of every file — a same-path corpus rewrite
+  * changes the key, so stale artifacts are unreachable rather than
+  * merely invalidated), and the parameter repr pins the build
+  * configuration. Superseded artifact directories are left in place
+  * (they are keyed, so they can never be served wrongly); reclaiming
+  * them is a retention policy, not a correctness concern.
+  *
+  * ORDER is deliberately not part of the contract: artifacts are
+  * UNORDERED relations (per-doc sketches, signatures, prints, codes)
+  * whose consumers aggregate or join — ordered outputs (q18's pair
+  * list) are not artifact-backed. Writes repartition to the session
+  * shuffle width so a read-back that feeds a heavy verify stage is
+  * not a single-partition leaf (callers additionally checkpointWide
+  * where width must survive AQE).
+  *
+  * Concurrency: two drivers building the SAME key race on the
+  * overwrite — run concurrent pipelines with distinct artifact dirs
+  * (the single-writer contract of every artifact store); readers of a
+  * COMPLETED artifact ( _SUCCESS present) are always safe. */
+object ArtifactStore {
+
+  /** Observability counters (spec-asserted): artifact reads served /
+    * builds executed while the store was enabled. */
+  val hits = new AtomicLong(0L)
+  val misses = new AtomicLong(0L)
+
+  private def root(df: DataFrame): Option[String] =
+    Option(df.sparkSession.conf.get("spark.graft.artifactDir", ""))
+      .map(_.trim).filter(_.nonEmpty)
+
+  /** The artifact directory for (name, keyDf, params) under `r` —
+    * hex-encoded fingerprint components keep it filesystem-safe. */
+  private def artifactPath(r: String, name: String, keyDf: DataFrame,
+      params: String): String = {
+    val sem = java.lang.Integer.toHexString(
+      keyDf.queryExecution.analyzed.semanticHash())
+    val fst = java.lang.Integer.toHexString(
+      graft.operators.Similarity.fileStateHash(keyDf))
+    val par = java.lang.Integer.toHexString(params.hashCode)
+    s"$r/$name-$sem-$fst-$par"
+  }
+
+  private def exists(df: DataFrame, dir: String): Boolean = {
+    val p = new Path(dir, "_SUCCESS")
+    p.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private def writeRead(df: DataFrame, dir: String): DataFrame = {
+    val spark = df.sparkSession
+    // width survives into the files (small-file packing on read can
+    // still coalesce; width-sensitive callers checkpointWide the
+    // read-back, same as they do the computed build)
+    df.repartition(spark.sessionState.conf.numShufflePartitions)
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  /** Load the artifact if present, else run `build`, persist it, and
+    * return the read-back (a parquet leaf — lineage to the corpus is
+    * gone either way). Identity pass-through when the store is
+    * disabled. */
+  def loadOrBuild(name: String, keyDf: DataFrame, params: String)(
+      build: => DataFrame): DataFrame =
+    root(keyDf) match {
+      case None => build
+      case Some(r) =>
+        val dir = artifactPath(r, name, keyDf, params)
+        if (exists(keyDf, dir)) {
+          hits.incrementAndGet()
+          keyDf.sparkSession.read.parquet(dir)
+        } else {
+          misses.incrementAndGet()
+          writeRead(build, dir)
+        }
+    }
+
+  /** Two-relation artifacts (PQ codebook + codes, BPE merges +
+    * encoder): both sides live under one keyed directory, so they can
+    * only ever be served as the pair they were trained as. `build`
+    * runs at most once (builds that persist intermediates release
+    * them at the call site, after consuming the returned pair). */
+  def loadOrBuildPair(name: String, keyDf: DataFrame, params: String)(
+      build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) =
+    root(keyDf) match {
+      case None => build
+      case Some(r) =>
+        val dir = artifactPath(r, name, keyDf, params)
+        val spark = keyDf.sparkSession
+        if (exists(keyDf, s"$dir/b")) {
+          hits.incrementAndGet()
+          (spark.read.parquet(s"$dir/a"), spark.read.parquet(s"$dir/b"))
+        } else {
+          misses.incrementAndGet()
+          val (a, b) = build
+          // a first, b last: the pair's completion marker is b's
+          // _SUCCESS (checked above), so a half-written artifact is
+          // never served
+          (writeRead(a, s"$dir/a"), writeRead(b, s"$dir/b"))
+        }
+    }
+}
