@@ -717,6 +717,11 @@ object SparkEntry {
     // merge ≡ rebuild proof
     "q202_incremental_clusters" -> ((s, d) =>
       Dedup.incrementalClusters(Tables(s, d, "documents"), 250L, 0.95)),
+    // REAL-format image decode: genuine PNGs (ImageIO encode+decode —
+    // DEFLATE, filters, CRCs) through the q31 kernel boundary; the
+    // oracle recomputes dims + all three channel sums text-side
+    "q203_png_features" -> ((s, d) =>
+      Multimodal.pngFeatures(s, Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -3162,6 +3167,32 @@ object SparkEntry {
     // merge ≡ rebuild: the incremental label merge gates against the
     // from-scratch full-corpus closure VERBATIM (shared with q58)
     "q202_incremental_clusters" -> fullClusterOracle,
+    // the PNG round trip recomputed text-side: dims from the byte sum
+    // (q31's idiom), channel sums from the pixel formulas — r reads
+    // the payload cyclically, g is affine in the pixel index, b wraps
+    // their sum; the engine's numbers come from DECODED pixels, so a
+    // match proves the real encode→decode chain
+    "q203_png_features" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |           (a, b) -> a + b) AS bsum
+        |  FROM documents),
+        |dim AS (SELECT doc_id, text, n,
+        |               8 + bsum % 24 AS w, 8 + bsum % 16 AS h FROM m),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |         CASE WHEN n = 0 THEN 0
+        |              ELSE ascii(substr(text, CAST(i % n AS INT) + 1, 1)) END AS r,
+        |         (i * 31 + 7) % 256 AS g
+        |  FROM (SELECT doc_id, text, n, w, h, unnest(range(0, w * h)) AS i
+        |        FROM dim))
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(sum(r) AS BIGINT) AS r_sum,
+        |       CAST(sum(g) AS BIGINT) AS g_sum,
+        |       CAST(sum((r + g) % 256) AS BIGINT) AS b_sum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     // same hash-derived uniform, same quantized ln-key, same top-k —
     // the sample is a deterministic function of the data, so the two
     // engines must select IDENTICAL rows

@@ -139,4 +139,66 @@ class MultimodalSpec extends SparkSpec {
       assert(peak === (if (ss.isEmpty) 0L else ss.map(math.abs).max))
     }
   }
+
+  test("q203: the encoded blob is a genuine PNG and ImageIO round-trips it exactly") {
+    val payload = "hello png".getBytes(US_ASCII)
+    val png = Multimodal.encodePng(payload)
+    // real PNG container: 8-byte signature, IHDR first chunk
+    assert(png.take(8).toSeq ===
+      Seq[Int](0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    assert(new String(png.slice(12, 16), US_ASCII) === "IHDR")
+    val Seq(f) = Multimodal.decodePngBatch(Seq((1L, png)))
+    val sum = payload.map(_ & 0xff).sum
+    val (w, h) = (8 + sum % 24, 8 + sum % 16)
+    assert(f.width === w.toLong && f.height === h.toLong)
+    // exact per-channel sums from the pixel formulas (lossless PNG)
+    val px = (0 until w * h).map { i =>
+      val r = payload(i % payload.length) & 0xff
+      val g = (i * 31 + 7) % 256
+      (r, g, (r + g) % 256)
+    }
+    assert(f.r_sum === px.map(_._1.toLong).sum)
+    assert(f.g_sum === px.map(_._2.toLong).sum)
+    assert(f.b_sum === px.map(_._3.toLong).sum)
+  }
+
+  test("q203: malformed PNG payloads degrade to the sentinel row, no stage failure") {
+    val garbage = "not a png at all".getBytes(US_ASCII)
+    val truncated = Multimodal.encodePng("abc".getBytes(US_ASCII)).take(20)
+    val good = Multimodal.encodePng("ok".getBytes(US_ASCII))
+    val out = Multimodal.decodePngBatch(
+      Seq((1L, garbage), (2L, truncated), (3L, good)))
+    assert(out(0).width === -1L && out(0).height === -1L)
+    assert(out(1).width === -1L)
+    assert(out(2).width > 0L && out(2).height > 0L)
+    // and through the full distributed path: a poisoned corpus still
+    // completes with sentinels in place
+    val docs = Seq((1L, "fine document"), (2L, "also fine"))
+      .toDF("doc_id", "text")
+    assert(Multimodal.pngFeatures(spark, docs).count() === 2L)
+  }
+
+  test("q203 png features on real testdata ≡ text-side brute force") {
+    val real = graft.sources.Tables(spark, testdataDir, "documents")
+    val got = Multimodal.pngFeatures(spark, real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val texts = real.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    got.foreach { case (id, w, h, rs, gs, bs) =>
+      val bytes = texts(id).getBytes(US_ASCII)
+      val sum = bytes.map(_ & 0xff).map(_.toLong).sum
+      assert(w === 8 + sum % 24)
+      assert(h === 8 + sum % 16)
+      val px = (0 until (w * h).toInt).map { i =>
+        val r = if (bytes.isEmpty) 0 else bytes((i % bytes.length).toInt) & 0xff
+        val g = (i * 31 + 7) % 256
+        (r.toLong, g.toLong, ((r + g) % 256).toLong)
+      }
+      assert(rs === px.map(_._1).sum)
+      assert(gs === px.map(_._2).sum)
+      assert(bs === px.map(_._3).sum)
+    }
+  }
 }
