@@ -669,7 +669,8 @@ object TextAnalysis {
     * into the oracle — made the gate blind to hash saturation, the
     * round-7 review finding that forced this shape. Rate is an exact integer
     * ratio in one IEEE division. */
-  def dupNgramRate(docs: DataFrame, n: Int = 13, minDf: Long = 2L): DataFrame = {
+  def dupNgramRate(docs: DataFrame, n: Int = 13, minDf: Long = 2L,
+      materializeDup: Boolean = false): DataFrame = {
     val grams = docs.where(length(col("text")) >= n)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (n - 1))).as("p"),
@@ -677,9 +678,26 @@ object TextAnalysis {
       .select(col("doc_id"),
         xxhash64(expr(s"substring(text, p, $n)")).as("gram"))
       .distinct()
-    val dup = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    val dupRaw = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
       .where(col("gdf") >= minDf)
       .select("gram").withColumn("hit", lit(1L))
+    // Skew honesty (measured in SkewSpec): in the DEFAULT fused shape
+    // the dup aggregate rides the SAME gram exchange the join uses, so
+    // the join's dup child is an aggregate subtree, not a shuffle
+    // read — and AQE's OptimizeSkewedJoin only matches shuffle-read
+    // children on BOTH sides, so a pathologically hot boilerplate
+    // gram rides ONE join task. `materializeDup = true` cuts the dup
+    // side to a leaf — exactly the shape a production pipeline has
+    // when the gram-df relation is read back from storage — which
+    // makes both join children canonical ENSURE_REQUIREMENTS shuffles
+    // and the hot partition AQE-splittable (SkewSpec asserts the
+    // split fires and results are unchanged). Cost: one extra
+    // exchange; the default keeps the fused single-reuse shape for
+    // the common non-pathological corpus.
+    val dup =
+      if (materializeDup && Dedup.eagerMaterialize(docs))
+        dupRaw.localCheckpoint(true)
+      else dupRaw
     grams.join(dup, Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(
