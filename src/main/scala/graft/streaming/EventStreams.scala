@@ -192,6 +192,79 @@ object EventStreams {
       .select(col("doc_new"), col("doc_old"), col("band"))
   }
 
+  /** The streaming KEEP/DROP dedup gate (round-7 verdict #7): the
+    * composition that turns the streaming sketch probe into an actual
+    * pipeline DECISION, end to end against STORED artifacts — q89's
+    * band index + verify sets (`SketchStore`) and q202's cluster
+    * label table. Every arriving document gets exactly one verdict
+    * row: `keep` (no verified near-dup in the stored corpus) or drop
+    * with `cluster_id` = the stored label of its best (min-label)
+    * verified match — the q69 admission decision, maintained
+    * incrementally as data arrives.
+    *
+    * Plan shape, stage by stage — and why state stays bounded:
+    *  1. ONE watermarked aggregation builds the fused sketch (sorted
+    *     hash set + MinHash minima) per (doc_id, ingest_ts) — the
+    *     streaming image of `Dedup.fusedSketchPlan`; `n` is the SET
+    *     size (`size(ws)`) since the raw token stream carries
+    *     duplicates the batch docWords relation pre-dedups. State
+    *     evicts at the watermark horizon.
+    *  2. Band explode + LEFT OUTER stream-static joins against the
+    *     stored bands, sets, and labels — all stateless per
+    *     micro-batch; left-outer keeps no-collision documents alive so
+    *     they can be KEPT rather than silently dropped.
+    *  3. The exact-Jaccard verify is a stateless projection (shared
+    *     IntersectCountSorted semantics), null-guarded for the
+    *     no-candidate rows.
+    *  4. A second watermarked aggregation folds candidate verdicts to
+    *     one row per doc (`min` skips NULLs, so any-match ≡ non-NULL)
+    *     — the chained-stateful-operator pattern StreamingSpec already
+    *     pins for the engine.
+    *
+    * StreamingSpec pins stream ≡ the batch reference (q90's verified
+    * matches mapped through the label store) on multi-batch delivery. */
+  def streamingDedupGate(docs: DataFrame, storedBands: DataFrame,
+      storedSets: DataFrame, storedLabels: DataFrame, threshold: Double,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.{IntersectCountSorted, TextFns}
+    val sigCols = graft.operators.Dedup.minhashSigCols
+    val agged = TextFns.tokens(docs, Seq("ingest_ts"))
+      .withColumn("th", TextFns.polyHash(col("word")))
+      .withWatermark("ingest_ts", watermark)
+      .groupBy(col("doc_id"), col("ingest_ts"))
+      .agg(sort_array(collect_set(xxhash64(col("word")))).as("ws"),
+        sigCols: _*)
+      .withColumn("n", size(col("ws")).cast("long"))
+    val bands = agged.select(
+      Seq(col("doc_id"), col("ingest_ts"), col("ws"), col("n"),
+        posexplode(array(graft.operators.Dedup.bandKeyCols: _*))
+          .as(Seq("band", "key"))): _*)
+    val cand = bands.join(
+      storedBands.select(col("band"), col("key"), col("doc_id").as("doc_old")),
+      Seq("band", "key"), "left_outer")
+    val paired = cand.join(
+      storedSets.select(col("doc_id").as("doc_old"), col("ws").as("ws_b"),
+        col("n").as("n_b")),
+      Seq("doc_old"), "left_outer")
+    val labeled = paired.join(
+      storedLabels.select(col("doc_id").as("doc_old"),
+        col("cluster_id").as("old_label")),
+      Seq("doc_old"), "left_outer")
+      .withColumn("inter", when(col("doc_old").isNotNull,
+        IntersectCountSorted(col("ws"), col("ws_b"))))
+      .withColumn("match_label", when(
+        col("inter").isNotNull &&
+          col("inter").cast("double") / (col("n") + col("n_b") - col("inter"))
+            >= threshold,
+        col("old_label")))
+    labeled
+      .groupBy(col("doc_id"), col("ingest_ts"))
+      .agg(min(col("match_label")).as("dup_of"))
+      .select(col("doc_id"), col("dup_of").isNull.as("keep"),
+        coalesce(col("dup_of"), col("doc_id")).as("cluster_id"),
+        col("ingest_ts"))
+  }
+
   /** Streaming SimHash matching — q94's STREAMING twin, completing the
     * streaming story for BOTH sketch families (MinHash:
     * `streamingNearDupCandidates`; SimHash: this). Incoming docs are

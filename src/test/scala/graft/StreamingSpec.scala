@@ -544,6 +544,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming keep/drop gate ≡ batch keep-set over stored sketches + labels, multi-batch") {
+    // the end-to-end composition (round-7 verdict #7): stored band
+    // index + verify sets (q89/SketchStore shape) + stored cluster
+    // labels (q202's table) -> one keep/drop verdict per arriving doc.
+    // Delivered across THREE micro-batches; the collected verdicts
+    // must equal the batch reference = q90's verified matches mapped
+    // through the label store (min label wins; no match = keep).
+    implicit val ctx = spark.sqlContext
+    val oldDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // near-dup of 1 → cluster 1
+      (3L, "completely different vocabulary over here tonight"))
+      .toDF("doc_id", "text")
+    val (storedBands, storedSets) = graft.operators.Dedup.sketchRelations(oldDocs)
+    val storedLabels = graft.operators.Dedup.dedupClustersScale(oldDocs, 0.95)
+      .select("doc_id", "cluster_id")
+    val newDocs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // dup of cluster 1
+      (11L, "entirely novel content nothing matches"), // keep
+      (12L, "completely different vocabulary over here tonight"), // dup of 3
+      (13L, "another fresh unseen document arrives")) // keep
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.streamingDedupGate(
+        in.toDF.toDF("doc_id", "text", "ingest_ts"),
+        storedBands, storedSets, storedLabels, 0.95, "10 minutes")
+      .writeStream.format("memory").queryName("gate").outputMode("append").start()
+    try {
+      in.addData(
+        (10L, "alpha beta gamma delta epsilon zeta", ts(0)),
+        (11L, "entirely novel content nothing matches", ts(1)))
+      q.processAllAvailable()
+      in.addData(
+        (12L, "completely different vocabulary over here tonight", ts(2)),
+        (13L, "another fresh unseen document arrives", ts(3)))
+      q.processAllAvailable()
+      // two chained stateful aggregations: the mover advances the
+      // watermark through both before verdicts finalize
+      in.addData((14L, "watermark mover", Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("gate").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+        .filter(_._1 < 14L).toSet
+      // batch reference: the trusted q90 stored-probe verify, folded
+      // through the label table exactly as the gate folds it
+      val labelOf = storedLabels.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val matches = graft.operators.Dedup
+        .incrementalNearDupStored(storedBands, storedSets, newDocs, 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val dupOf = matches.groupBy(_._1)
+        .map { case (d, ms) => d -> ms.map(m => labelOf(m._2)).min }
+      val expected = Seq(10L, 11L, 12L, 13L).map { d =>
+        (d, !dupOf.contains(d), dupOf.getOrElse(d, d))
+      }.toSet
+      assert(got === expected)
+      // non-vacuity: both verdicts occur, and a dropped doc inherits
+      // the STORED cluster label (the min of the 1-2 pair for doc 10)
+      assert(got === Set((10L, false, 1L), (11L, true, 11L),
+        (12L, false, 3L), (13L, true, 13L)))
+    } finally q.stop()
+  }
+
   test("streaming SimHash matches ≡ the batch incremental operator") {
     implicit val ctx = spark.sqlContext
     val oldDocs = Seq(
