@@ -722,6 +722,13 @@ object SparkEntry {
     // oracle recomputes dims + all three channel sums text-side
     "q203_png_features" -> ((s, d) =>
       Multimodal.pngFeatures(s, Tables(s, d, "documents"))),
+    // ANN served FROM the stored graft-vectors DSv2 artifact: the
+    // candidate scan is runtime-pruned to the queries' buckets (only
+    // probed cells' files are read); oracle = q26's text verbatim
+    "q204_vector_store_ann" -> ((s, d) =>
+      Similarity.lshAnnStored(Tables(s, d, "embeddings"),
+        s.read.format("graft-vectors")
+          .load(sources.VectorStore.lshStoreFor(s, d)), 20, 3)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -823,6 +830,24 @@ object SparkEntry {
        |cents2 AS (SELECT cent_id, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM (
        |            SELECT cell AS cent_id, list(m ORDER BY pos) AS cv
        |            FROM m2 GROUP BY cell))""".stripMargin
+
+  /** The LSH ANN probe — q26's oracle, and VERBATIM q204's: the
+    * stored-artifact probe (graft-vectors DSv2 scan) must reproduce
+    * the in-query form exactly, so both hash against one text. */
+  private lazy val lshAnnOracle: String =
+    s"""WITH $embCte,
+       |eb AS (SELECT vec_id, v, nrm, CAST($lshBucketSql AS BIGINT) AS bucket FROM e),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+       |         ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+       |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 20)
+       |SELECT vec_a, vec_b, bucket, round(cos, 2) AS cos_sim, rnk FROM (
+       |  SELECT vec_a, vec_b, bucket, cos,
+       |         row_number() OVER (PARTITION BY vec_a
+       |                            ORDER BY round(cos, 6) DESC, vec_b) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 3 ORDER BY vec_a, rnk, vec_b""".stripMargin
 
   /** The from-scratch full-corpus cluster closure — q58's oracle, and
     * VERBATIM q202's: the incremental label merge must reproduce the
@@ -1140,20 +1165,11 @@ object SparkEntry {
          |         ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
          |  FROM ec a JOIN ec b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
-    "q26_ann_lsh" ->
-      s"""WITH $embCte,
-         |eb AS (SELECT vec_id, v, nrm, CAST($lshBucketSql AS BIGINT) AS bucket FROM e),
-         |pairs AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
-         |         ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
-         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-         |  WHERE a.vec_id < 20)
-         |SELECT vec_a, vec_b, bucket, round(cos, 2) AS cos_sim, rnk FROM (
-         |  SELECT vec_a, vec_b, bucket, cos,
-         |         row_number() OVER (PARTITION BY vec_a
-         |                            ORDER BY round(cos, 6) DESC, vec_b) AS rnk
-         |  FROM pairs)
-         |WHERE rnk <= 3 ORDER BY vec_a, rnk, vec_b""".stripMargin,
+    // SHARED with q204: the stored-artifact probe must reproduce the
+    // in-query LSH ANN exactly (same bucket formula, same norm fold,
+    // same scoring), so both gate against ONE oracle text — the hash
+    // match doubles as the store round-trip proof.
+    "q26_ann_lsh" -> lshAnnOracle,
     "q27_lang_id" ->
       s"""WITH $rawtoksCte,
          |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
@@ -3193,6 +3209,9 @@ object SparkEntry {
         |       CAST(sum(g) AS BIGINT) AS g_sum,
         |       CAST(sum((r + g) % 256) AS BIGINT) AS b_sum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // the stored-artifact ANN probe ≡ the in-query LSH ANN (q26's
+    // oracle verbatim — the shared-oracle round-trip proof)
+    "q204_vector_store_ann" -> lshAnnOracle,
     // same hash-derived uniform, same quantized ln-key, same top-k —
     // the sample is a deterministic function of the data, so the two
     // engines must select IDENTICAL rows

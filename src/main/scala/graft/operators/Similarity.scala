@@ -89,6 +89,55 @@ object Similarity {
       when(dotW > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** (vec_id, v, bucket) over the raw embeddings — THE cell
+    * assignment the stored vector artifact and every probe share
+    * (`VectorStore.saveLshBinary` writes it; `lshAnnStored` probes
+    * it). One definition, so a stored bucket can never drift from a
+    * freshly computed one — the minhashSigCols rule for the vector
+    * family. */
+  private[graft] def lshBucketed(embeddings: DataFrame,
+      dim: Int = 64): DataFrame =
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim))
+
+  /** q204 — q26's ANN probe served FROM the stored `graft-vectors`
+    * artifact: the candidate side is the DSv2 table (cell-pruned scan)
+    * instead of the in-query bucket projection; queries keep their
+    * parquet-side full-precision vectors. Semantics are IDENTICAL to
+    * q26 — same bucket formula, same norm fold, same scoring and
+    * ranking — so the two queries share ONE oracle text (the q58/q202
+    * shared-oracle pattern), and the hash match proves the whole
+    * write → binary store → pruned scan → score chain.
+    *
+    * Scale shape: the query side is `nQueries` rows, broadcast; the
+    * stored side's scan is RUNTIME-pruned to the queries' buckets
+    * (`SupportsRuntimeFiltering` — the q168 dynamic-file-pruning
+    * story), so the probe reads only the probed cells' files, never
+    * the corpus. VectorSourceSpec pins the opened-file count. */
+  def lshAnnStored(embeddings: DataFrame, stored: DataFrame, nQueries: Int,
+      k: Int, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = withNorm(embeddings).withColumn("bucket", lshBucket(col("v"), dim))
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("nrm_a"), col("bucket"))
+    val c = stored
+      .select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket"))
+      .withColumn("nrm_b", sqrt(dot(col("vb"), col("vb"))))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cos6").desc, col("vec_b").asc)
+    broadcast(q).join(c, Seq("bucket"))
+      .where(col("vec_a") =!= col("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
+      .withColumn("cos6", round(col("cos"), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("vec_a"), col("vec_b"), col("bucket"),
+        round(col("cos"), 2).as("cos_sim"), col("rnk"))
+      .orderBy("vec_a", "rnk", "vec_b")
+  }
+
   /** q43 — IVF-style approximate nearest neighbors: the other classic
     * ANN scale path beside `lshAnn`. A FIXED-SIZE coarse codebook —
     * `numCents` vectors picked by a deterministic hash-ordered sample

@@ -21,6 +21,73 @@ import graft.operators.Similarity
   * concatenates cleanly. */
 object VectorStore {
 
+  /** Write the LSH-BUCKETED BINARY vector artifact the
+    * `graft-vectors` DSv2 source serves (round-7 verdict #8): one
+    * `bucket=<b>/part-<b>.bin` file per LSH cell, rows `(vec_id LONG,
+    * dim INT, dim DOUBLEs)` big-endian. Distributed write: vectors
+    * repartition ON the bucket (each cell lands wholly in one task),
+    * sort within the partition so a task streams each of its cells
+    * into one file sequentially, and files go through the Hadoop
+    * FileSystem API (object stores work unchanged). The readiness
+    * marker publishes LAST — a concurrent reader never plans a
+    * half-written artifact. At production scale a cell spans several
+    * files (shard the repartition key with a salt; the source already
+    * plans per-FILE splits, so nothing else changes). */
+  def saveLshBinary(embeddings: DataFrame, path: String): Unit = {
+    val bucketed = Similarity.lshBucketed(embeddings)
+      .select(col("bucket"), col("vec_id"), col("v"))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      embeddings.sparkSession.sparkContext.hadoopConfiguration)
+    bucketed.repartition(col("bucket")).sortWithinPartitions("bucket", "vec_id")
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(conf.value)
+        var bucket = Long.MinValue
+        var out: java.io.DataOutputStream = null
+        def roll(b: Long): Unit = {
+          if (out != null) out.close()
+          bucket = b
+          out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            fs.create(new org.apache.hadoop.fs.Path(
+              s"$path/bucket=$b/part-$b.bin"), true), 1 << 16))
+        }
+        try {
+          rows.foreach { r =>
+            val b = r.getLong(0)
+            if (out == null || b != bucket) roll(b)
+            out.writeLong(r.getLong(1))
+            val v = r.getSeq[Double](2)
+            out.writeInt(v.length)
+            v.foreach(out.writeDouble)
+          }
+        } finally if (out != null) out.close()
+      }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(embeddings.sparkSession.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(path,
+      VectorBinSource.ReadyMarker), true).close()
+  }
+
+  /** Materialize-once LSH vector artifact for a testdata sf dir — the
+    * `IndexStore.textIndexFor` convention: tmpdir location keyed by
+    * the embeddings file state, built only when the readiness marker
+    * is absent. */
+  def lshStoreFor(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val src = s"$sfDir/embeddings.parquet"
+      val st = java.nio.file.Files.readAttributes(
+        java.nio.file.Paths.get(src),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      val fp = (src, st.size(), st.lastModifiedTime().toMillis).hashCode
+      val out = s"${sys.props("java.io.tmpdir")}/graft_vecstore_" +
+        s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}_" +
+        java.lang.Integer.toHexString(fp)
+      val ready = java.nio.file.Paths.get(out, VectorBinSource.ReadyMarker)
+      if (!java.nio.file.Files.exists(ready))
+        saveLshBinary(spark.read.parquet(src), out)
+      out
+    }
+
   /** Train PQ on the corpus and persist codebooks + codes. */
   def savePq(embeddings: DataFrame, path: String): Unit = {
     val u = Similarity.unitVecsOf(embeddings)
