@@ -1,0 +1,146 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-query SCALING-EXPONENT measurement for the heavy dedup rows
+  * (round-7 verdict #4): runs q58 / q123 / q22 / q91 / q191 at three
+  * corpus scales — sf0.01 (0.1×), sf0.1 (1×), and a synthesized 10×
+  * corpus — and reports each query's fitted exponent
+  * `α = log(t_10x / t_1x) / log 10`, the mechanical check that the
+  * blocked/bucketed designs really are ~linear (α ≈ 1; an
+  * all-pairs regression would read as α ≈ 2).
+  *
+  * The 10× corpus is 10 VOCABULARY-DISJOINT replicas of sf0.1's
+  * documents: every token of replica k is prefixed with a letter tag
+  * (`z<k>z…` — letters only, so the `[^A-Za-z]` normalizer keeps the
+  * tag), which (a) preserves each replica's internal near-dup
+  * structure EXACTLY (the token map is injective), and (b) makes
+  * replicas mutually disjoint (no cross-replica candidate can arise),
+  * so candidate volume, bucket occupancy, and component structure all
+  * scale by precisely 10 — scale is the ONLY variable. doc_ids remap
+  * to k·N + id. Built once under target/ (repo-local), fingerprinted
+  * by the source file state.
+  *
+  * Every (query, scale) run CLEARS the session artifact memos first —
+  * the exponent must price the full operator including its sketch
+  * build, not a memo hit. Times are min-of-2 (the suite's bench
+  * convention). Output: one JSON line per query with the three times
+  * and the exponent, plus a table ready for PLANS.md. */
+object ScaleProbe {
+
+  private def clearMemos(): Unit = {
+    graft.operators.Dedup.clearSketchMemo()
+    graft.operators.Dedup.clearSigMemo()
+    graft.operators.Dedup.clearPairMemo()
+    graft.operators.TextAnalysis.clearPrintMemo()
+  }
+
+  /** 10 disjoint tagged replicas of `docs` (see scaladoc). */
+  private def replicate(docs: DataFrame, copies: Int, n: Long): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"),
+        explode(sequence(lit(0), lit(copies - 1))).as("k"))
+      .select(
+        (col("k") * n + col("doc_id")).as("doc_id"),
+        // token-wise letter tag: split → prefix each token → rejoin
+        array_join(
+          transform(split(col("text"), "\\s+"),
+            t => concat(lit("z"), chr(col("k") + lit(97)), lit("z"), t)),
+          " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = "/root/testdata/sf0.1/documents.parquet"
+    val tenXPath = {
+      val st = java.nio.file.Files.readAttributes(
+        java.nio.file.Paths.get(base),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      val fp = java.lang.Integer.toHexString(
+        (base, st.size(), st.lastModifiedTime().toMillis).hashCode)
+      val out = s"/root/repo/target/scaleprobe/documents10x_$fp"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+        val docs = spark.read.parquet(base)
+        val n = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+        replicate(docs, 10, n)
+          .repartition(32).write.mode("overwrite").parquet(out)
+      }
+      out
+    }
+
+    def docsAt(scale: String): DataFrame = scale match {
+      case "0.1x" => spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      case "1x" => spark.read.parquet(base)
+      case "10x" => spark.read.parquet(tenXPath)
+    }
+
+    val queries: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "q22_minhash_lsh" -> ((d: DataFrame) =>
+        graft.operators.Dedup.minhashNearDup(d, 0.95)),
+      "q58_dedup_clusters_scale" -> ((d: DataFrame) =>
+        graft.operators.Dedup.dedupClustersScale(d, 0.95)),
+      "q91_simhash_match_scale" -> ((d: DataFrame) =>
+        graft.operators.Dedup.simhashMatchScale(d, 3)),
+      // the PRODUCTION width beside the oracle width: q91's 28-bit
+      // buckets saturate as the corpus grows (7-bit blocks, 128
+      // values), so its exponent drifts above 1 by design — the
+      // documented 64-bit widening (16-bit blocks) is the fix, and
+      // measuring both makes the capacity story a NUMBER
+      "q91_at_64bit" -> ((d: DataFrame) =>
+        graft.operators.Dedup.simhashMatch64(d, 3)),
+      "q123_prefix_filter" -> ((d: DataFrame) =>
+        graft.operators.Dedup.prefixFilterNearDup(d)),
+      "q191_dup_ngram_rate" -> ((d: DataFrame) =>
+        graft.operators.TextAnalysis.dupNgramRate(d)))
+
+    // FULL materialization: df.count() would let the optimizer drop
+    // row-count-preserving subtrees (q191's 1:≤1 outer join vanishes
+    // under count-only pruning — measured 0.13 s vs the real ~1 s);
+    // toRdd.count() executes the plan that computes every output
+    // column.
+    def runFull(df: DataFrame): Unit = { df.queryExecution.toRdd.count(); () }
+
+    val scales = Seq("0.1x", "1x", "10x")
+    // JVM/codegen warmup outside the measured window
+    clearMemos()
+    queries.foreach { case (_, f) => runFull(f(docsAt("0.1x"))) }
+
+    val rows = queries.map { case (name, f) =>
+      val times = scales.map { s =>
+        val t = (1 to 2).map { _ =>
+          clearMemos()
+          val d = docsAt(s)
+          val t0 = System.nanoTime()
+          runFull(f(d))
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        s -> t
+      }.toMap
+      val alpha = math.log(times("10x") / times("1x")) / math.log(10.0)
+      println(f"""{"query":"$name","t_01x":${times("0.1x")}%.3f,"t_1x":${times("1x")}%.3f,"t_10x":${times("10x")}%.3f,"exponent_1x_to_10x":$alpha%.3f}""")
+      (name, times("0.1x"), times("1x"), times("10x"), alpha)
+    }
+    println("| query | sf0.01 (0.1×) s | sf0.1 (1×) s | 10× s | exponent 1×→10× |")
+    println("|---|---|---|---|---|")
+    rows.foreach { case (n, a, b, c, e) =>
+      println(f"| $n | $a%.2f | $b%.2f | $c%.2f | $e%.2f |")
+    }
+    val worst = rows.map(_._5).max
+    println(f"""{"metric":"scale_exponent_worst","value":$worst%.3f,"queries":${rows.size}}""")
+    spark.stop()
+    // mechanical gate: a superlinear regression (α substantially
+    // above 1) fails the probe loudly
+    if (worst > 1.35) sys.exit(1)
+  }
+}
