@@ -89,6 +89,155 @@ object Similarity {
       when(dotW > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** A second independent hyperplane family: `Hashing.planeWeight`'s
+    * lattice repeats with period 17 in the plane index, so planes
+    * 8–15 are genuinely distinct from q26's 0–7 (and a third family
+    * would start aliasing — two is the safe maximum on this lattice).
+    */
+  private def lshBucket2(v: Column, dim: Int): Column =
+    (Hashing.NumPlanes until 2 * Hashing.NumPlanes).map { p =>
+      val w = array((0 until dim).map(d =>
+        lit(Hashing.planeWeight(p, d).toDouble)): _*)
+      when(dot(v, w) > 0, lit(1L << (p - Hashing.NumPlanes)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Graph-based ANN (round-7 "What's missing" #4): a deterministic
+    * single-layer NAVIGABLE-SMALL-WORLD graph (Malkov et al.'s NSW —
+    * the flat ancestor of HNSW, the right fit for a BATCH engine where
+    * per-query latency hierarchies buy nothing but graph build cost).
+    *
+    * Build — all relational, nothing all-pairs:
+    *  - LOCAL candidate links from TWO independent LSH families'
+    *    cell self-joins (multi-probe in family space — a true
+    *    neighbor missed by one sign pattern is usually caught by the
+    *    other; bounded occupancy, the q26 capacity lever);
+    *  - LONG-RANGE candidates from `longLinks` hash-derived ids per
+    *    node (`xxhash64(src, j) mod n` — the deterministic stand-in
+    *    for NSW's random insertion order, giving the graph its
+    *    small-world shortcuts);
+    *  - the `m` best-by-cosine per node, then ONE NN-DESCENT
+    *    refinement round (Dong et al.: a neighbor of my neighbor is a
+    *    candidate neighbor — one self-join of the bounded base graph)
+    *    and re-selection;
+    *  - SYMMETRIZE for navigability, then RE-PRUNE to 2m — the hard
+    *    degree bound (the HNSW pruning rule; a hub keeps only its
+    *    best 2m in-links, trading strict symmetry — NswSpec pins the
+    *    bound, ≥50% bidirectionality, and recall).
+    * Edge count is n·(≤2m): linear in the corpus, built with bucket
+    * joins + windows — never a distance matrix. */
+  def nswGraph(embeddings: DataFrame, m: Int = 8,
+      longLinks: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = withNorm(embeddings)
+    def topPerSrc(scored: DataFrame, lim: Int): DataFrame = scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos6").desc, col("dst").asc)))
+      .where(col("rnk") <= lim)
+      .select("src", "dst", "cos6")
+    def score(cand: DataFrame): DataFrame = cand
+      .join(u.select(col("vec_id").as("src"), col("v").as("vs"),
+        col("nrm").as("ns")), "src")
+      .join(u.select(col("vec_id").as("dst"), col("v").as("vd"),
+        col("nrm").as("nd")), "dst")
+      .withColumn("cos6",
+        round(dot(col("vs"), col("vd")) / (col("ns") * col("nd")), 6))
+      .select("src", "dst", "cos6")
+    // local candidates from TWO independent LSH families (multi-probe
+    // in family space: a true neighbor missed by one sign pattern is
+    // usually caught by the other) + hash-derived long-range links
+    val b1 = lshBucketed(embeddings).select(col("vec_id"), col("bucket"))
+    val b2 = u.select(col("vec_id"), lshBucket2(col("v"), 64).as("bucket"))
+    def bucketPairs(b: DataFrame): DataFrame = b.alias("a")
+      .join(b.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val nRow = broadcast(embeddings.agg(count(lit(1)).as("n")))
+    val far = embeddings.select(col("vec_id").as("src")).crossJoin(nRow)
+      .select(col("src"), explode(array((0 until longLinks).map(j =>
+        pmod(xxhash64(col("src"), lit(j)), col("n"))): _*)).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val base = topPerSrc(score(
+      bucketPairs(b1).unionByName(bucketPairs(b2)).unionByName(far)
+        .distinct()), m)
+    // ONE NN-descent refinement round (Dong et al.): a neighbor of my
+    // neighbor is a candidate neighbor — the standard k-NN-graph
+    // improvement, one self-join of the bounded base graph (≤ m²
+    // candidates per node), after which the m best survive
+    val twoHop = base.alias("a")
+      .join(base.alias("b"), col("a.dst") === col("b.src"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val refined = topPerSrc(score(
+      base.select("src", "dst").unionByName(twoHop).distinct()), m)
+    // symmetrize for navigability, then RE-PRUNE to 2m — the degree
+    // bound is by construction (an in-demand hub keeps its best 2m;
+    // the HNSW pruning rule), at the cost of strict symmetry
+    topPerSrc(
+      refined.unionByName(refined.select(col("dst").as("src"),
+        col("src").as("dst"), col("cos6"))).distinct(),
+      2 * m)
+  }
+
+  /** GREEDY BEAM SEARCH over the NSW graph — the probe. Every query
+    * starts from the SAME deterministic entry set (the `beam`
+    * smallest hash-ranked node ids — the fixed-entry convention that
+    * replaces HNSW's top-layer descent) and expands `rounds` times:
+    * frontier ⋈ edges → score the neighbors against the query vector
+    * → keep the best `beam` per query. All per-round work is
+    * equi-joins keyed on node id — cost ∝ frontier·degree, NEVER the
+    * corpus — with the per-round localCheckpoint lineage discipline
+    * of the CC loops (fixed round count: no data-dependent driver
+    * reads at all, unlike CC's convergence probe). Output matches the
+    * q19/q26 shape; NswSpec pins recall against the exact q19
+    * baseline, determinism, and the degree bound. */
+  def nswSearch(embeddings: DataFrame, nQueries: Int, k: Int,
+      beam: Int = 12, rounds: Int = 4, m: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eager = Dedup.eagerMaterialize(embeddings)
+    def leaf(df: DataFrame): DataFrame =
+      if (eager) df.localCheckpoint(true) else df
+    // the graph is the ITERATIVE loop's constant — materialize once
+    val edges = leaf(nswGraph(embeddings, m).select("src", "dst"))
+    val u = withNorm(embeddings)
+    val queries = broadcast(u.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
+    val entries = broadcast(u.select(col("vec_id").as("node"))
+      .withColumn("hr", xxhash64(col("node"), lit(7L)))
+      .orderBy(col("hr").asc, col("node").asc).limit(beam)
+      .select("node"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(u.select(col("vec_id").as("node"), col("v").as("nv"),
+        col("nrm").as("nn")), "node")
+      .join(queries, "qid")
+      .withColumn("cos6",
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .select("qid", "node", "cos6")
+    def prune(frontier: DataFrame): DataFrame = frontier
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos6").desc, col("node").asc)))
+      .where(col("rnk") <= beam)
+      .select("qid", "node", "cos6")
+    var best = leaf(prune(score(
+      queries.select("qid").crossJoin(entries))))
+    for (_ <- 1 to rounds) {
+      val neigh = best.select(col("qid"), col("node").as("src"))
+        .join(edges, "src")
+        .select(col("qid"), col("dst").as("node"))
+        .distinct()
+      best = leaf(prune(
+        best.unionByName(score(neigh)).dropDuplicates("qid", "node")))
+    }
+    best.where(col("qid") =!= col("node"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos6").desc, col("node").asc))
+        .cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid").as("vec_a"), col("node").as("vec_b"),
+        col("cos6").as("cos_sim"), col("rnk"))
+      .orderBy("vec_a", "rnk", "vec_b")
+  }
+
   /** (vec_id, v, bucket) over the raw embeddings — THE cell
     * assignment the stored vector artifact and every probe share
     * (`VectorStore.saveLshBinary` writes it; `lshAnnStored` probes

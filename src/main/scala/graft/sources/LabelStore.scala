@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** The dedup DECISION as a PERSISTED, MAINTAINED artifact — the
+  * production loop around `Dedup.mergeClusterLabels` (q202's
+  * operator): cluster labels live in a bucketed catalog table, and a
+  * daily ingest UPDATES them from the stored sketch index without
+  * ever recomputing the old graph.
+  *
+  * The full daily cycle ([[update]] + [[commit]]):
+  *
+  *  1. probe the STORED band index with the batch
+  *     (`SketchStore.probe` — only the batch is sketched, the q90
+  *     contract) → cross edges;
+  *  2. one batch-internal LSH pass → new×new edges;
+  *  3. `mergeClusterLabels(stored labels, batch, edges)` — CC over
+  *     the delta-sized contracted subgraph only (merge ≡ rebuild,
+  *     oracle-proven by q202);
+  *  4. write the updated labels back and APPEND the batch's sketches
+  *     to the stored index — so TOMORROW's ingest probes today's
+  *     corpus. The loop closes: LabelStoreSpec runs TWO generations
+  *     of ingest and pins each day's labels ≡ a from-scratch rebuild
+  *     over everything seen so far.
+  *
+  * Layout: labels bucketed on `doc_id` — the contraction join's key —
+  * so the stored side of every update enters its joins exchange-free
+  * (the SketchStore rationale: cost ∝ batch, not corpus). */
+object LabelStore {
+
+  /** Persist a label relation (doc_id, cluster_id), bucketed on the
+    * update path's join key. */
+  def save(labels: DataFrame, name: String, nBuckets: Int = 8): Unit =
+    labels.select("doc_id", "cluster_id").write.mode("overwrite")
+      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(name)
+
+  def load(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
+
+  /** Updated FULL label relation (old ∪ batch) from the stored labels
+    * + stored sketch index + the arriving batch. Pure read — call
+    * [[commit]] to persist the result and extend the sketch index. */
+  def update(spark: SparkSession, name: String, sketchName: String,
+      newDocs: DataFrame, threshold: Double): DataFrame = {
+    val (bands, sets) = SketchStore.load(spark, sketchName)
+    val cross = Dedup.incrementalNearDupStored(bands, sets, newDocs, threshold)
+      .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
+    val within = Dedup.minhashNearDup(newDocs, threshold)
+      .select("doc_a", "doc_b")
+    Dedup.mergeClusterLabels(load(spark, name),
+      newDocs.select("doc_id"), cross.unionByName(within))
+  }
+
+  /** Persist the updated labels and APPEND the batch's sketches to
+    * the stored index (bucket-spec-compatible append, so the layout
+    * that makes probes exchange-free survives every generation).
+    * `updated` is materialized BEFORE the label table is overwritten
+    * — it reads from that very table. */
+  def commit(spark: SparkSession, name: String, sketchName: String,
+      newDocs: DataFrame, updated: DataFrame, nBuckets: Int = 8): Unit = {
+    val frozen = updated.select("doc_id", "cluster_id").localCheckpoint(true)
+    save(frozen, name, nBuckets)
+    SketchStore.append(newDocs, sketchName, nBuckets)
+  }
+}

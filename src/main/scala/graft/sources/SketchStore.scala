@@ -42,6 +42,24 @@ object SketchStore {
   def load(spark: SparkSession, name: String): (DataFrame, DataFrame) =
     (spark.table(s"${name}_bands"), spark.table(s"${name}_sets"))
 
+  /** APPEND a new batch's sketches to the stored index with the SAME
+    * bucket spec — the write that closes the daily-ingest loop
+    * (`LabelStore.commit`): after it, tomorrow's probe sees today's
+    * corpus, still exchange-free on the stored side. Spark validates
+    * the bucket spec against the existing table, so a drifted layout
+    * fails loudly instead of silently degrading every later probe. */
+  def append(docs: DataFrame, name: String, nBuckets: Int = 8): Unit = {
+    val (bands, sets, handle) = Dedup.sketchRelationsPersisted(docs)
+    try {
+      bands.write.mode("append")
+        .bucketBy(nBuckets, "band", "key").sortBy("band", "key")
+        .saveAsTable(s"${name}_bands")
+      sets.write.mode("append")
+        .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(s"${name}_sets")
+    } finally handle.unpersist()
+  }
+
   /** Probe the stored index with a new batch (only the batch is
     * sketched; the corpus is read from the bucketed tables). */
   def probe(spark: SparkSession, name: String, newDocs: DataFrame,

@@ -106,6 +106,52 @@ class BucketedStoreSpec extends SparkSpec {
     }
   }
 
+  test("label store: two generations of daily ingest, each == full rebuild") {
+    // the CLOSED incremental-dedup loop (q202 productized): day-0
+    // corpus -> stored labels + sketch index; each later day probes
+    // the stored index (only the batch is sketched), merges labels
+    // over the contracted delta, commits, and APPENDS its sketches so
+    // the NEXT day probes today's corpus. Two generations deep, every
+    // committed label table must equal a from-scratch rebuild over
+    // everything seen so far — merge ≡ rebuild as a maintained LAW,
+    // not a one-shot query.
+    import graft.sources.LabelStore
+    val docs = Tables(spark, dir, "documents")
+    val day0 = docs.where($"doc_id" < 200)
+    val day1 = docs.where($"doc_id" >= 200 && $"doc_id" < 350)
+    val day2 = docs.where($"doc_id" >= 350)
+    val (labelTbl, sketchTbl) = ("graft_labels_gen", "graft_sketch_gen")
+    Seq(s"${sketchTbl}_bands", s"${sketchTbl}_sets", labelTbl)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // day 0: bootstrap both stores from the initial corpus
+    LabelStore.save(Dedup.dedupClustersScale(day0, 0.95), labelTbl)
+    SketchStore.save(day0, sketchTbl)
+
+    def ingest(batch: DataFrame): Unit = {
+      val updated = LabelStore.update(spark, labelTbl, sketchTbl, batch, 0.95)
+      LabelStore.commit(spark, labelTbl, sketchTbl, batch, updated)
+    }
+    def storedLabels = LabelStore.load(spark, labelTbl)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toList
+    def rebuilt(upTo: Long) = Dedup
+      .dedupClustersScale(docs.where($"doc_id" < upTo), 0.95)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toList
+
+    ingest(day1)
+    assert(storedLabels === rebuilt(350L), "generation 1 diverged from rebuild")
+    ingest(day2)
+    assert(storedLabels === rebuilt(Long.MaxValue),
+      "generation 2 diverged from rebuild — the appended sketches or the " +
+        "second merge broke the loop")
+    // non-vacuity: generation 2 must contain at least one cross-DAY
+    // cluster (a day-2 doc labeled by an earlier canonical)
+    assert(storedLabels.exists { case (id, cl) => id >= 350L && cl < 350L },
+      "no day-2 doc joined an earlier cluster — the probe path was idle")
+    Seq(s"${sketchTbl}_bands", s"${sketchTbl}_sets", labelTbl)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("pq store: bucketed codes reconstruct with ZERO exchanges") {
     val emb = Tables(spark, dir, "embeddings")
     try {
