@@ -729,6 +729,12 @@ object SparkEntry {
       Similarity.lshAnnStored(Tables(s, d, "embeddings"),
         s.read.format("graft-vectors")
           .load(sources.VectorStore.lshStoreFor(s, d)), 20, 3)),
+    // the NSW graph BUILD (graph-based ANN's index): two LSH families
+    // + polyHash long links → top-m → NN-descent round → symmetrize →
+    // hard 2m prune; the oracle replays every stage, so the graph is
+    // hash-gated edge for edge (the beam SEARCH stays spec-gated)
+    "q205_nsw_graph" -> ((s, d) =>
+      Similarity.nswGraphQuery(Tables(s, d, "embeddings"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -974,6 +980,80 @@ object SparkEntry {
         s"list_transform(list_zip(v, $w), p -> p[1] * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
       s"(CASE WHEN $dotW > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
+
+  /** The SECOND hyperplane family (planes 8–15 — `Similarity
+    * .lshBucket2`'s mirror; the lattice repeats with period 17, so
+    * these are the only other non-aliasing planes). */
+  private val lshBucket2Sql: String =
+    (Hashing.NumPlanes until 2 * Hashing.NumPlanes).map { p =>
+      val w = (0 until 64).map(d => Hashing.planeWeight(p, d)).mkString("[", ",", "]")
+      val dotW = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(list_zip(v, $w), p -> p[1] * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+      s"(CASE WHEN $dotW > 0 THEN CAST(${1L << (p - Hashing.NumPlanes)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** q205's oracle: the NSW graph build replayed stage by stage —
+    * two bucket families' self-joins + polyHash long links → DISTINCT
+    * candidates → cosine → top-m per src → NN-descent self-join →
+    * re-score → top-m → symmetrize → top-2m. Every stage is the exact
+    * mirror of `Similarity.nswGraph` (same folds, same round-6, same
+    * (cos6 desc, dst asc) window order), so the hash gates the whole
+    * construction edge for edge. */
+  private lazy val nswGraphOracle: String = {
+    val farUnion = (0 until 4).map { j =>
+      s"""SELECT vec_id AS src,
+         |       ${polyHashSql(s"'nsw$j:' || CAST(vec_id AS VARCHAR)")} % n AS dst
+         |FROM e CROSS JOIN cnt""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $embCte,
+       |eb AS (SELECT vec_id, v, nrm,
+       |              CAST($lshBucketSql AS BIGINT) AS bk1,
+       |              CAST($lshBucket2Sql AS BIGINT) AS bk2 FROM e),
+       |cnt AS (SELECT count(*) AS n FROM e),
+       |cand AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst
+       |    FROM eb a JOIN eb b ON a.bk1 = b.bk1 AND a.vec_id <> b.vec_id
+       |    UNION ALL
+       |    SELECT a.vec_id, b.vec_id
+       |    FROM eb a JOIN eb b ON a.bk2 = b.bk2 AND a.vec_id <> b.vec_id
+       |    UNION ALL
+       |    SELECT src, dst FROM ($farUnion) WHERE src <> dst)),
+       |sc AS (SELECT c.src, c.dst,
+       |              round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos6
+       |       FROM cand c JOIN e a ON c.src = a.vec_id
+       |                   JOIN e b ON c.dst = b.vec_id),
+       |base AS (SELECT src, dst, cos6 FROM (
+       |  SELECT src, dst, cos6,
+       |         row_number() OVER (PARTITION BY src
+       |                            ORDER BY cos6 DESC, dst) AS r
+       |  FROM sc) WHERE r <= 8),
+       |cand2 AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM base
+       |  UNION ALL
+       |  SELECT a.src, b.dst FROM base a JOIN base b ON a.dst = b.src
+       |  WHERE a.src <> b.dst)),
+       |sc2 AS (SELECT c.src, c.dst,
+       |               round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos6
+       |        FROM cand2 c JOIN e a ON c.src = a.vec_id
+       |                     JOIN e b ON c.dst = b.vec_id),
+       |ref AS (SELECT src, dst, cos6 FROM (
+       |  SELECT src, dst, cos6,
+       |         row_number() OVER (PARTITION BY src
+       |                            ORDER BY cos6 DESC, dst) AS r
+       |  FROM sc2) WHERE r <= 8),
+       |sym AS (SELECT DISTINCT src, dst, cos6 FROM (
+       |  SELECT src, dst, cos6 FROM ref
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst, cos6 FROM ref)),
+       |fin AS (SELECT src, dst, cos6 FROM (
+       |  SELECT src, dst, cos6,
+       |         row_number() OVER (PARTITION BY src
+       |                            ORDER BY cos6 DESC, dst) AS r
+       |  FROM sym) WHERE r <= 16)
+       |SELECT src, dst, cos6 FROM fin
+       |ORDER BY src, cos6 DESC, dst""".stripMargin
+  }
 
   /** DuckDB equivalents, one per `queries` key (driver runs at sf0.01). */
   def oracleSql: Map[String, String] = oracleSqlHead ++ oracleSqlTail
@@ -3212,6 +3292,8 @@ object SparkEntry {
     // the stored-artifact ANN probe ≡ the in-query LSH ANN (q26's
     // oracle verbatim — the shared-oracle round-trip proof)
     "q204_vector_store_ann" -> lshAnnOracle,
+    // the NSW graph build replayed stage by stage (see nswGraphOracle)
+    "q205_nsw_graph" -> nswGraphOracle,
     // same hash-derived uniform, same quantized ln-key, same top-k —
     // the sample is a deterministic function of the data, so the two
     // engines must select IDENTICAL rows

@@ -153,9 +153,15 @@ object Similarity {
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
     val nRow = broadcast(embeddings.agg(count(lit(1)).as("n")))
+    // long links via polyHash (NOT xxhash64): the cross-engine hash,
+    // so the whole BUILD is oracle-replayable (q205) — the
+    // SimHash64 lesson inverted: choosing the mirrored hash here buys
+    // a DuckDB gate for free
     val far = embeddings.select(col("vec_id").as("src")).crossJoin(nRow)
       .select(col("src"), explode(array((0 until longLinks).map(j =>
-        pmod(xxhash64(col("src"), lit(j)), col("n"))): _*)).as("dst"))
+        pmod(graft.functions.TextFns.polyHash(
+          concat(lit(s"nsw$j:"), col("src").cast("string"))), col("n"))): _*))
+        .as("dst"))
       .where(col("src") =!= col("dst"))
     val base = topPerSrc(score(
       bucketPairs(b1).unionByName(bucketPairs(b2)).unionByName(far)
@@ -178,6 +184,16 @@ object Similarity {
         col("src").as("dst"), col("cos6"))).distinct(),
       2 * m)
   }
+
+  /** q205 — the NSW graph BUILD as an oracle-gated relation (the
+    * SEARCH stays spec-gated — a beam search has no DuckDB replay,
+    * but the build is pure relational algebra: bucket joins, the
+    * mirrored polyHash long links, windows, one self-join — so the
+    * whole graph is hash-gated cross-engine, edge for edge). */
+  def nswGraphQuery(embeddings: DataFrame, m: Int = 8,
+      longLinks: Int = 4): DataFrame =
+    nswGraph(embeddings, m, longLinks)
+      .orderBy(col("src"), col("cos6").desc, col("dst"))
 
   /** GREEDY BEAM SEARCH over the NSW graph — the probe. Every query
     * starts from the SAME deterministic entry set (the `beam`
