@@ -973,24 +973,24 @@ object SparkEntry {
 
   /** DuckDB mirror of Similarity.lshBucket: per-plane sign bit of the
     * weighted sum, weights interpolated from Hashing.planeWeight. */
-  private val lshBucketSql: String =
-    (0 until Hashing.NumPlanes).map { p =>
+  /** One sign-bit fold generator for any plane RANGE — the SQL twin
+    * of `Similarity.lshBucketRange`, so both families (and any future
+    * one) share a single definition on both engines. */
+  private def lshBucketSqlRange(from: Int, until: Int): String =
+    (from until until).map { p =>
       val w = (0 until 64).map(d => Hashing.planeWeight(p, d)).mkString("[", ",", "]")
       val dotW = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"list_transform(list_zip(v, $w), p -> p[1] * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
-      s"(CASE WHEN $dotW > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      s"(CASE WHEN $dotW > 0 THEN CAST(${1L << (p - from)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
+
+  private val lshBucketSql: String = lshBucketSqlRange(0, Hashing.NumPlanes)
 
   /** The SECOND hyperplane family (planes 8–15 — `Similarity
     * .lshBucket2`'s mirror; the lattice repeats with period 17, so
     * these are the only other non-aliasing planes). */
   private val lshBucket2Sql: String =
-    (Hashing.NumPlanes until 2 * Hashing.NumPlanes).map { p =>
-      val w = (0 until 64).map(d => Hashing.planeWeight(p, d)).mkString("[", ",", "]")
-      val dotW = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        s"list_transform(list_zip(v, $w), p -> p[1] * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
-      s"(CASE WHEN $dotW > 0 THEN CAST(${1L << (p - Hashing.NumPlanes)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }.mkString(" + ")
+    lshBucketSqlRange(Hashing.NumPlanes, 2 * Hashing.NumPlanes)
 
   /** q205's oracle: the NSW graph build replayed stage by stage —
     * two bucket families' self-joins + polyHash long links → DISTINCT

@@ -236,8 +236,12 @@ object Multimodal {
       batch: Seq[(Long, Array[Byte])]): Seq[PngFeatures] =
     batch.map { case (id, bytes) =>
       val img =
+        // NonFatal, not just IOException: ImageIO's PNG reader throws
+        // RuntimeExceptions (IllegalArgument/NegativeArraySize/IOOB)
+        // on fuzzed IHDRs — any undecodable payload must degrade to
+        // the sentinel, never fail the stage (the q31/q128 contract)
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null)
         PngFeatures(id, -1L, -1L, bytes.length.toLong, unsignedSum(bytes, 0), -1L)
       else {

@@ -82,12 +82,20 @@ object Similarity {
     * lattice: bit p = sign(Σ_d w(p,d)·v_d). `dim` must match the
     * embedding width — zip_with null-pads a mismatch, which would
     * silently send every vector to bucket 0. */
-  private[operators] def lshBucket(v: Column, dim: Int): Column =
-    (0 until Hashing.NumPlanes).map { p =>
-      val w = array((0 until dim).map(d => lit(Hashing.planeWeight(p, d).toDouble)): _*)
-      val dotW = dot(v, w)
-      when(dotW > 0, lit(1L << p)).otherwise(lit(0L))
+  /** Sign-bit fold over one plane RANGE — the single definition both
+    * families share (an edit to the bucket fold reaches every
+    * consumer; the q205 oracle generator mirrors the same range
+    * parameterization). */
+  private def lshBucketRange(v: Column, dim: Int, from: Int,
+      until: Int): Column =
+    (from until until).map { p =>
+      val w = array((0 until dim).map(d =>
+        lit(Hashing.planeWeight(p, d).toDouble)): _*)
+      when(dot(v, w) > 0, lit(1L << (p - from))).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  private[operators] def lshBucket(v: Column, dim: Int): Column =
+    lshBucketRange(v, dim, 0, Hashing.NumPlanes)
 
   /** A second independent hyperplane family: `Hashing.planeWeight`'s
     * lattice repeats with period 17 in the plane index, so planes
@@ -95,12 +103,7 @@ object Similarity {
     * would start aliasing — two is the safe maximum on this lattice).
     */
   private def lshBucket2(v: Column, dim: Int): Column =
-    (Hashing.NumPlanes until 2 * Hashing.NumPlanes).map { p =>
-      val w = array((0 until dim).map(d =>
-        lit(Hashing.planeWeight(p, d).toDouble)): _*)
-      when(dot(v, w) > 0, lit(1L << (p - Hashing.NumPlanes)))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+    lshBucketRange(v, dim, Hashing.NumPlanes, 2 * Hashing.NumPlanes)
 
   /** Graph-based ANN (round-7 "What's missing" #4): a deterministic
     * single-layer NAVIGABLE-SMALL-WORLD graph (Malkov et al.'s NSW —

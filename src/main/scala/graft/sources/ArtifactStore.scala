@@ -47,21 +47,47 @@ object ArtifactStore {
   val hits = new AtomicLong(0L)
   val misses = new AtomicLong(0L)
 
+  /** BUILD-DEFINITION version, part of every artifact key. The
+    * in-memory memos never had cross-restart exposure, but a stored
+    * artifact survives code changes — BUMP THIS whenever any routed
+    * build's definition changes observable output (Hashing constants,
+    * sketch widths, winnow parameters, trainer algebra), so old
+    * artifacts become unreachable instead of silently stale. */
+  val DefVersion = "v1"
+
   private def root(df: DataFrame): Option[String] =
     Option(df.sparkSession.conf.get("spark.graft.artifactDir", ""))
       .map(_.trim).filter(_.nonEmpty)
 
   /** The artifact directory for (name, keyDf, params) under `r` —
-    * hex-encoded fingerprint components keep it filesystem-safe. */
+    * hex-encoded fingerprint components keep it filesystem-safe.
+    * Params hash via MD5 of the full string (a 32-bit String.hashCode
+    * is trivially collidable — "Aa"/"BB" — and a collision here would
+    * SERVE THE WRONG ARTIFACT). */
   private def artifactPath(r: String, name: String, keyDf: DataFrame,
       params: String): String = {
     val sem = java.lang.Integer.toHexString(
       keyDf.queryExecution.analyzed.semanticHash())
     val fst = java.lang.Integer.toHexString(
       graft.operators.Similarity.fileStateHash(keyDf))
-    val par = java.lang.Integer.toHexString(params.hashCode)
-    s"$r/$name-$sem-$fst-$par"
+    val par = java.security.MessageDigest.getInstance("MD5")
+      .digest(params.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+    s"$r/$name-$DefVersion-$sem-$fst-$par"
   }
+
+  /** Per-directory build lock: the memos' getOrElseUpdate is
+    * non-atomic for concurrent first callers (documented benign for
+    * the in-memory case — both build, one wins), but two concurrent
+    * OVERWRITE writes into one artifact directory are NOT benign
+    * (one job deletes the dir under the other's commit). Serialize
+    * same-key builds in-process and re-check existence inside the
+    * lock; concurrent DRIVERS remain covered by the documented
+    * single-writer-per-dir contract. */
+  private val buildLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def locked[A](dir: String)(body: => A): A =
+    buildLocks.getOrElseUpdate(dir, new Object).synchronized(body)
 
   private def exists(df: DataFrame, dir: String): Boolean = {
     val p = new Path(dir, "_SUCCESS")
@@ -88,12 +114,14 @@ object ArtifactStore {
       case None => build
       case Some(r) =>
         val dir = artifactPath(r, name, keyDf, params)
-        if (exists(keyDf, dir)) {
-          hits.incrementAndGet()
-          keyDf.sparkSession.read.parquet(dir)
-        } else {
-          misses.incrementAndGet()
-          writeRead(build, dir)
+        locked(dir) {
+          if (exists(keyDf, dir)) {
+            hits.incrementAndGet()
+            keyDf.sparkSession.read.parquet(dir)
+          } else {
+            misses.incrementAndGet()
+            writeRead(build, dir)
+          }
         }
     }
 
@@ -109,16 +137,18 @@ object ArtifactStore {
       case Some(r) =>
         val dir = artifactPath(r, name, keyDf, params)
         val spark = keyDf.sparkSession
-        if (exists(keyDf, s"$dir/b")) {
-          hits.incrementAndGet()
-          (spark.read.parquet(s"$dir/a"), spark.read.parquet(s"$dir/b"))
-        } else {
-          misses.incrementAndGet()
-          val (a, b) = build
-          // a first, b last: the pair's completion marker is b's
-          // _SUCCESS (checked above), so a half-written artifact is
-          // never served
-          (writeRead(a, s"$dir/a"), writeRead(b, s"$dir/b"))
+        locked(dir) {
+          if (exists(keyDf, s"$dir/b")) {
+            hits.incrementAndGet()
+            (spark.read.parquet(s"$dir/a"), spark.read.parquet(s"$dir/b"))
+          } else {
+            misses.incrementAndGet()
+            val (a, b) = build
+            // a first, b last: the pair's completion marker is b's
+            // _SUCCESS (checked above), so a half-written artifact is
+            // never served
+            (writeRead(a, s"$dir/a"), writeRead(b, s"$dir/b"))
+          }
         }
     }
 }

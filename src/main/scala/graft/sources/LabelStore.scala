@@ -43,27 +43,51 @@ object LabelStore {
 
   /** Updated FULL label relation (old ∪ batch) from the stored labels
     * + stored sketch index + the arriving batch. Pure read — call
-    * [[commit]] to persist the result and extend the sketch index. */
+    * [[commit]] to persist the result and extend the sketch index.
+    *
+    * IDEMPOTENT by construction: batch docs already present in the
+    * stored labels are anti-joined away (a full retry of an already-
+    * committed batch is a no-op merge), and a batch doc whose sketch
+    * already reached the index (the half-committed-crash case, see
+    * [[commit]]) self-matches in the probe as an exact self-pair,
+    * which the contraction's self-loop filter drops — so the RECOVERY
+    * RULE after any crash is simply: re-run the day's ingest. */
   def update(spark: SparkSession, name: String, sketchName: String,
       newDocs: DataFrame, threshold: Double): DataFrame = {
+    val stored = load(spark, name)
+    val fresh = newDocs.join(stored.select("doc_id"), Seq("doc_id"), "left_anti")
     val (bands, sets) = SketchStore.load(spark, sketchName)
-    val cross = Dedup.incrementalNearDupStored(bands, sets, newDocs, threshold)
+    val cross = Dedup.incrementalNearDupStored(bands, sets, fresh, threshold)
       .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
-    val within = Dedup.minhashNearDup(newDocs, threshold)
+      // a retried batch's docs may already be IN the stored index:
+      // drop exact self-pairs (doc probing its own stored sketch)
+      .where(col("doc_a") =!= col("doc_b"))
+    val within = Dedup.minhashNearDup(fresh, threshold)
       .select("doc_a", "doc_b")
-    Dedup.mergeClusterLabels(load(spark, name),
-      newDocs.select("doc_id"), cross.unionByName(within))
+    Dedup.mergeClusterLabels(stored,
+      fresh.select("doc_id"), cross.unionByName(within))
   }
 
   /** Persist the updated labels and APPEND the batch's sketches to
     * the stored index (bucket-spec-compatible append, so the layout
     * that makes probes exchange-free survives every generation).
-    * `updated` is materialized BEFORE the label table is overwritten
-    * — it reads from that very table. */
+    * `updated` is materialized BEFORE anything is written — it reads
+    * from the very tables being replaced.
+    *
+    * Crash-safety ORDER: sketches append FIRST, labels commit LAST.
+    * The two writes are not atomic together; a crash between them
+    * leaves the batch's sketches stored but its labels absent, and
+    * re-running the SAME day's ingest converges ([[update]] is
+    * idempotent: self-pairs drop in contraction, duplicate sketch
+    * rows only duplicate candidate pairs, and the label algebra —
+    * min folds throughout — is insensitive to duplicated edges). The
+    * reverse order would instead leave labeled docs INVISIBLE to
+    * tomorrow's probe: near-dups of the crashed batch would be kept
+    * wrongly, silently and permanently. */
   def commit(spark: SparkSession, name: String, sketchName: String,
       newDocs: DataFrame, updated: DataFrame, nBuckets: Int = 8): Unit = {
     val frozen = updated.select("doc_id", "cluster_id").localCheckpoint(true)
-    save(frozen, name, nBuckets)
     SketchStore.append(newDocs, sketchName, nBuckets)
+    save(frozen, name, nBuckets)
   }
 }

@@ -244,8 +244,15 @@ private[graft] class VectorBinPartitionReader(p: VectorFilePartition,
         val vi = schema.fieldIndex("v")
         values(vi) = new GenericArrayData(arr)
       } else {
+        // skipBytes returns 0 at EOF (JDK contract) — a truncated file
+        // must FAIL the task, not spin it forever
         var left = dim * 8
-        while (left > 0) left -= in.skipBytes(left)
+        while (left > 0) {
+          val s = in.skipBytes(left)
+          if (s <= 0) throw new java.io.EOFException(
+            s"truncated vector file ${p.file}: $left payload bytes missing")
+          left -= s
+        }
       }
       consumed += 8L + 4L + dim * 8L
       current = InternalRow.fromSeq(values.toIndexedSeq)

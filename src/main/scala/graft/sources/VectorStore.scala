@@ -42,14 +42,30 @@ object VectorStore {
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(conf.value)
+        // TASK-COMMIT protocol: each bucket streams to an
+        // attempt-unique TEMP name and renames into place only after a
+        // clean close — a zombie first attempt or a speculative
+        // duplicate can then never interleave bytes into a published
+        // file. The content is a deterministic function of the bucket,
+        // so whichever attempt wins the rename race publishes the same
+        // bytes; a losing rename just deletes its temp.
+        val attempt = java.util.UUID.randomUUID().toString
         var bucket = Long.MinValue
         var out: java.io.DataOutputStream = null
+        var tmp: org.apache.hadoop.fs.Path = null
+        def commit(): Unit = if (out != null) {
+          out.close(); out = null
+          val dst = new org.apache.hadoop.fs.Path(
+            s"$path/bucket=$bucket/part-$bucket.bin")
+          if (fs.exists(dst) || !fs.rename(tmp, dst)) fs.delete(tmp, false)
+        }
         def roll(b: Long): Unit = {
-          if (out != null) out.close()
+          commit()
           bucket = b
+          tmp = new org.apache.hadoop.fs.Path(
+            s"$path/bucket=$b/.part-$b.bin.$attempt.tmp")
           out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-            fs.create(new org.apache.hadoop.fs.Path(
-              s"$path/bucket=$b/part-$b.bin"), true), 1 << 16))
+            fs.create(tmp, true), 1 << 16))
         }
         try {
           rows.foreach { r =>
@@ -60,7 +76,8 @@ object VectorStore {
             out.writeInt(v.length)
             v.foreach(out.writeDouble)
           }
-        } finally if (out != null) out.close()
+          commit()
+        } finally if (out != null) { out.close(); fs.delete(tmp, false) }
       }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(embeddings.sparkSession.sparkContext.hadoopConfiguration)

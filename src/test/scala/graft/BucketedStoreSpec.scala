@@ -144,6 +144,13 @@ class BucketedStoreSpec extends SparkSpec {
     assert(storedLabels === rebuilt(Long.MaxValue),
       "generation 2 diverged from rebuild — the appended sketches or the " +
         "second merge broke the loop")
+    // full-retry idempotence — the documented crash-recovery rule is
+    // "re-run the day's ingest": an already-committed batch anti-joins
+    // to an empty fresh set, self-pairs drop in contraction, and the
+    // duplicated sketch rows cannot move any min-fold label
+    ingest(day2)
+    assert(storedLabels === rebuilt(Long.MaxValue),
+      "retrying a committed day changed the labels — recovery rule broken")
     // non-vacuity: generation 2 must contain at least one cross-DAY
     // cluster (a day-2 doc labeled by an earlier canonical)
     assert(storedLabels.exists { case (id, cl) => id >= 350L && cl < 350L },

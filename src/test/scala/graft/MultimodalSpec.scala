@@ -166,11 +166,17 @@ class MultimodalSpec extends SparkSpec {
     val garbage = "not a png at all".getBytes(US_ASCII)
     val truncated = Multimodal.encodePng("abc".getBytes(US_ASCII)).take(20)
     val good = Multimodal.encodePng("ok".getBytes(US_ASCII))
+    // fuzzed IHDR: valid signature, width field zeroed — ImageIO's PNG
+    // reader throws (often a RuntimeException, not IOException) on
+    // such headers; the kernel must degrade, not fail the stage
+    val fuzzed = Multimodal.encodePng("ok".getBytes(US_ASCII)).clone()
+    fuzzed(16) = 0; fuzzed(17) = 0; fuzzed(18) = 0; fuzzed(19) = 0
     val out = Multimodal.decodePngBatch(
-      Seq((1L, garbage), (2L, truncated), (3L, good)))
+      Seq((1L, garbage), (2L, truncated), (3L, good), (4L, fuzzed)))
     assert(out(0).width === -1L && out(0).height === -1L)
     assert(out(1).width === -1L)
     assert(out(2).width > 0L && out(2).height > 0L)
+    assert(out(3).width === -1L, "fuzzed IHDR must yield the sentinel")
     // and through the full distributed path: a poisoned corpus still
     // completes with sentinels in place
     val docs = Seq((1L, "fine document"), (2L, "also fine"))
