@@ -735,6 +735,15 @@ object SparkEntry {
     // hash-gated edge for edge (the beam SEARCH stays spec-gated)
     "q205_nsw_graph" -> ((s, d) =>
       Similarity.nswGraphQuery(Tables(s, d, "embeddings"))),
+    // incremental ANN-graph maintenance: stored base (vec_id < 250)
+    // merged with DELTA candidates only (top-m merge law — exact);
+    // oracle = q205's full-build closure VERBATIM, so the hash match
+    // is merge ≡ rebuild for the graph family
+    "q206_nsw_incremental" -> ((s, d) =>
+      Similarity.nswGraphIncremental(Tables(s, d, "embeddings"), 250L)
+        .orderBy(org.apache.spark.sql.functions.col("src"),
+          org.apache.spark.sql.functions.col("cos6").desc,
+          org.apache.spark.sql.functions.col("dst"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1000,16 +1009,18 @@ object SparkEntry {
     * (cos6 desc, dst asc) window order), so the hash gates the whole
     * construction edge for edge. */
   private lazy val nswGraphOracle: String = {
+    // mod SRC, not corpus size: links point to EARLIER ids only (NSW
+    // insertion-order semantics) — growth-stable, which is what lets
+    // q206 share this oracle (no old link moves when the corpus grows)
     val farUnion = (0 until 4).map { j =>
       s"""SELECT vec_id AS src,
-         |       ${polyHashSql(s"'nsw$j:' || CAST(vec_id AS VARCHAR)")} % n AS dst
-         |FROM e CROSS JOIN cnt""".stripMargin
+         |       ${polyHashSql(s"'nsw$j:' || CAST(vec_id AS VARCHAR)")} % vec_id AS dst
+         |FROM e WHERE vec_id > 0""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH $embCte,
        |eb AS (SELECT vec_id, v, nrm,
        |              CAST($lshBucketSql AS BIGINT) AS bk1,
        |              CAST($lshBucket2Sql AS BIGINT) AS bk2 FROM e),
-       |cnt AS (SELECT count(*) AS n FROM e),
        |cand AS (
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT a.vec_id AS src, b.vec_id AS dst
@@ -3294,6 +3305,9 @@ object SparkEntry {
     "q204_vector_store_ann" -> lshAnnOracle,
     // the NSW graph build replayed stage by stage (see nswGraphOracle)
     "q205_nsw_graph" -> nswGraphOracle,
+    // merge ≡ rebuild for the graph: the incremental base merge must
+    // reproduce the full build edge for edge (shared oracle text)
+    "q206_nsw_incremental" -> nswGraphOracle,
     // same hash-derived uniform, same quantized ln-key, same top-k —
     // the sample is a deterministic function of the data, so the two
     // engines must select IDENTICAL rows

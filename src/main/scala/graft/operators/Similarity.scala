@@ -129,64 +129,135 @@ object Similarity {
     *    bound, ≥50% bidirectionality, and recall).
     * Edge count is n·(≤2m): linear in the corpus, built with bucket
     * joins + windows — never a distance matrix. */
-  def nswGraph(embeddings: DataFrame, m: Int = 8,
-      longLinks: Int = 4): DataFrame = {
+  private def nswTopPerSrc(scored: DataFrame, lim: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val u = withNorm(embeddings)
-    def topPerSrc(scored: DataFrame, lim: Int): DataFrame = scored
+    scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy("src").orderBy(col("cos6").desc, col("dst").asc)))
       .where(col("rnk") <= lim)
       .select("src", "dst", "cos6")
-    def score(cand: DataFrame): DataFrame = cand
-      .join(u.select(col("vec_id").as("src"), col("v").as("vs"),
-        col("nrm").as("ns")), "src")
-      .join(u.select(col("vec_id").as("dst"), col("v").as("vd"),
-        col("nrm").as("nd")), "dst")
-      .withColumn("cos6",
-        round(dot(col("vs"), col("vd")) / (col("ns") * col("nd")), 6))
-      .select("src", "dst", "cos6")
-    // local candidates from TWO independent LSH families (multi-probe
-    // in family space: a true neighbor missed by one sign pattern is
-    // usually caught by the other) + hash-derived long-range links
+  }
+
+  private def nswScore(u: DataFrame, cand: DataFrame): DataFrame = cand
+    .join(u.select(col("vec_id").as("src"), col("v").as("vs"),
+      col("nrm").as("ns")), "src")
+    .join(u.select(col("vec_id").as("dst"), col("v").as("vd"),
+      col("nrm").as("nd")), "dst")
+    .withColumn("cos6",
+      round(dot(col("vs"), col("vd")) / (col("ns") * col("nd")), 6))
+    .select("src", "dst", "cos6")
+
+  /** The raw candidate PAIR relation for one node set: both bucket
+    * families' self-joins + the polyHash long links. `restrictToNew`
+    * (the incremental path) keeps only pairs with ≥1 endpoint ≥ cap —
+    * applied BEFORE scoring, so the expensive stage prices the delta,
+    * not the corpus. */
+  private def nswCandidates(embeddings: DataFrame, longLinks: Int,
+      newCap: Option[Long]): DataFrame = {
+    val u = withNorm(embeddings)
     val b1 = lshBucketed(embeddings).select(col("vec_id"), col("bucket"))
     val b2 = u.select(col("vec_id"), lshBucket2(col("v"), 64).as("bucket"))
     def bucketPairs(b: DataFrame): DataFrame = b.alias("a")
       .join(b.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-    val nRow = broadcast(embeddings.agg(count(lit(1)).as("n")))
     // long links via polyHash (NOT xxhash64): the cross-engine hash,
-    // so the whole BUILD is oracle-replayable (q205) — the
-    // SimHash64 lesson inverted: choosing the mirrored hash here buys
-    // a DuckDB gate for free
-    val far = embeddings.select(col("vec_id").as("src")).crossJoin(nRow)
+    // so the whole BUILD is oracle-replayable (q205) — and mod SRC,
+    // not mod corpus-size: each node links only to EARLIER ids (the
+    // insertion-order semantics of real NSW), which makes every
+    // node's link set GROWTH-STABLE — the property the incremental
+    // merge (q206) rests on (a `mod n` rule would re-link the whole
+    // corpus every time n grows)
+    val far = embeddings.select(col("vec_id").as("src"))
+      .where(col("src") > 0)
       .select(col("src"), explode(array((0 until longLinks).map(j =>
         pmod(graft.functions.TextFns.polyHash(
-          concat(lit(s"nsw$j:"), col("src").cast("string"))), col("n"))): _*))
+          concat(lit(s"nsw$j:"), col("src").cast("string"))), col("src"))): _*))
         .as("dst"))
       .where(col("src") =!= col("dst"))
-    val base = topPerSrc(score(
-      bucketPairs(b1).unionByName(bucketPairs(b2)).unionByName(far)
-        .distinct()), m)
-    // ONE NN-descent refinement round (Dong et al.): a neighbor of my
-    // neighbor is a candidate neighbor — the standard k-NN-graph
-    // improvement, one self-join of the bounded base graph (≤ m²
-    // candidates per node), after which the m best survive
+    val all = bucketPairs(b1).unionByName(bucketPairs(b2)).unionByName(far)
+    newCap.map(c => all.where(col("src") >= c || col("dst") >= c))
+      .getOrElse(all)
+      .distinct()
+  }
+
+  /** The scored top-m base graph — the artifact the incremental path
+    * stores and merges (production keeps it beside the final graph,
+    * the way HNSW retains its insertion state). */
+  private[graft] def nswBase(embeddings: DataFrame, m: Int = 8,
+      longLinks: Int = 4): DataFrame =
+    nswTopPerSrc(nswScore(withNorm(embeddings),
+      nswCandidates(embeddings, longLinks, None)), m)
+
+  /** The build's polish tail over a base graph: ONE NN-descent
+    * refinement round (Dong et al.: a neighbor of my neighbor is a
+    * candidate neighbor — one self-join of the m-bounded base, ≤ m²
+    * candidates per node), then symmetrize for navigability and
+    * RE-PRUNE to 2m (the HNSW degree rule — an in-demand hub keeps
+    * its best 2m, trading strict symmetry). Linear in the edge set. */
+  private def nswRefine(u: DataFrame, base: DataFrame, m: Int): DataFrame = {
     val twoHop = base.alias("a")
       .join(base.alias("b"), col("a.dst") === col("b.src"))
       .select(col("a.src").as("src"), col("b.dst").as("dst"))
       .where(col("src") =!= col("dst"))
-    val refined = topPerSrc(score(
+    val refined = nswTopPerSrc(nswScore(u,
       base.select("src", "dst").unionByName(twoHop).distinct()), m)
-    // symmetrize for navigability, then RE-PRUNE to 2m — the degree
-    // bound is by construction (an in-demand hub keeps its best 2m;
-    // the HNSW pruning rule), at the cost of strict symmetry
-    topPerSrc(
+    nswTopPerSrc(
       refined.unionByName(refined.select(col("dst").as("src"),
         col("src").as("dst"), col("cos6"))).distinct(),
       2 * m)
   }
+
+  def nswGraph(embeddings: DataFrame, m: Int = 8,
+      longLinks: Int = 4): DataFrame =
+    nswRefine(withNorm(embeddings), nswBase(embeddings, m, longLinks), m)
+
+  /** q206 — INCREMENTAL maintenance of the ANN graph: merge ≡ rebuild
+    * for the NSW index, completing the law across every artifact
+    * family (sketches q90/q94, postings q98/q171, labels q202, PQ
+    * codes `encodePq`, and now the graph). The stored base relation
+    * (`nswBase` over yesterday's corpus — computed in-query as the
+    * stand-in, the q202 convention) merges with the DELTA candidates
+    * only: every candidate pair involving a new node (new×new and
+    * new×old bucket pairs from both families + the new nodes' long
+    * links — old nodes' links are growth-stable by the mod-src rule,
+    * and no old link can point at a new id). Exactness is the top-m
+    * MERGE LAW: top-m(A ∪ B) = top-m(top-m(A) ∪ B) under the
+    * deterministic (cos6 desc, dst asc) order, so the merged base
+    * equals the full rebuild's base EDGE FOR EDGE; the polish tail
+    * (NN-descent + symmetrize + prune) then runs over the m-bounded
+    * merged base — linear in edges, no corpus scoring. The expensive
+    * stage — cosine scoring of raw candidates — prices ONLY the
+    * delta. Oracle = q205's full-build oracle VERBATIM: the hash
+    * match IS the merge ≡ rebuild proof (the q58/q202 and q26/q204
+    * shared-oracle pattern, third instance). */
+  def nswGraphIncremental(embeddings: DataFrame, cap: Long, m: Int = 8,
+      longLinks: Int = 4): DataFrame = {
+    val baseOld = nswBase(embeddings.where(col("vec_id") < cap), m, longLinks)
+    nswPolish(embeddings, nswMergeBase(embeddings, baseOld, cap, m, longLinks), m)
+  }
+
+  /** The incremental MERGE step alone (the piece `GraphStore.update`
+    * runs over a stored base): top-m(stored base ∪ delta-only scored
+    * candidates). `dropDuplicates` on the pair key makes a RETRY of a
+    * half-committed day converge — a delta pair already folded into
+    * the stored base would otherwise occupy two window ranks and push
+    * a real edge out of the top m (cos6 is a deterministic function
+    * of the pair, so pair-key dedup is lossless). */
+  private[graft] def nswMergeBase(embeddings: DataFrame, storedBase: DataFrame,
+      oldCap: Long, m: Int = 8, longLinks: Int = 4): DataFrame = {
+    val deltaScored = nswScore(withNorm(embeddings),
+      nswCandidates(embeddings, longLinks, Some(oldCap)))
+    nswTopPerSrc(storedBase.select("src", "dst", "cos6")
+      .unionByName(deltaScored).dropDuplicates("src", "dst"), m)
+  }
+
+  /** The polish tail over an m-bounded base, public face for the
+    * store cycle (NN-descent + symmetrize + 2m prune — linear in the
+    * edge set, no raw-candidate scoring). */
+  private[graft] def nswPolish(embeddings: DataFrame, base: DataFrame,
+      m: Int = 8): DataFrame =
+    nswRefine(withNorm(embeddings), base, m)
 
   /** q205 — the NSW graph BUILD as an oracle-gated relation (the
     * SEARCH stays spec-gated — a beam search has no DuckDB replay,
@@ -212,12 +283,27 @@ object Similarity {
     * baseline, determinism, and the degree bound. */
   def nswSearch(embeddings: DataFrame, nQueries: Int, k: Int,
       beam: Int = 12, rounds: Int = 4, m: Int = 8): DataFrame = {
+    // the graph is the ITERATIVE loop's constant — materialize once
+    // (a STORED graph is already a table-scan leaf and goes through
+    // nswSearchOver untouched, keeping its bucketed layout)
+    val fresh = nswGraph(embeddings, m).select("src", "dst")
+    val edges = if (Dedup.eagerMaterialize(embeddings))
+      fresh.localCheckpoint(true) else fresh
+    nswSearchOver(embeddings, edges, nQueries, k, beam, rounds)
+  }
+
+  /** The beam search over a CALLER-SUPPLIED edge relation — the probe
+    * a stored graph serves (`GraphStore.load` hands its bucketed
+    * graph table here: the loop's per-round frontier ⋈ edges join
+    * then consumes the stored side exchange-free, so probe cost is
+    * ∝ frontier·degree with the graph never reshuffled). */
+  def nswSearchOver(embeddings: DataFrame, graphEdges: DataFrame,
+      nQueries: Int, k: Int, beam: Int = 12, rounds: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val eager = Dedup.eagerMaterialize(embeddings)
     def leaf(df: DataFrame): DataFrame =
       if (eager) df.localCheckpoint(true) else df
-    // the graph is the ITERATIVE loop's constant — materialize once
-    val edges = leaf(nswGraph(embeddings, m).select("src", "dst"))
+    val edges = graphEdges.select("src", "dst")
     val u = withNorm(embeddings)
     val queries = broadcast(u.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))

@@ -184,4 +184,61 @@ class BucketedStoreSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS pq_codes")
     }
   }
+
+  test("graph store: two generations of ingest, each == full rebuild (q206 productized)") {
+    // the CLOSED incremental-ANN loop: day-0 embeddings -> stored
+    // (base, graph, watermark); each later day scores ONLY delta
+    // candidates, merges into the stored base (the top-m merge law),
+    // re-polishes, commits with the watermark LAST. Every committed
+    // graph must equal a from-scratch rebuild over everything seen —
+    // the LabelStore law applied to the ANN index.
+    import graft.sources.GraphStore
+    val emb = Tables(spark, dir, "embeddings")
+    val name = "graft_nsw_gen"
+    val tables = Seq(name, s"${name}_base", s"${name}_meta")
+    try {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      def edges(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toList
+      def stored = { val (_, g, _) = GraphStore.load(spark, name); edges(g) }
+      def rebuilt(cap: Long) =
+        edges(Similarity.nswGraph(emb.where($"vec_id" < cap)))
+      def ingest(cap: Long): Unit = {
+        val (b, g) = GraphStore.update(spark, name, emb, cap)
+        GraphStore.commit(spark, name, b, g, cap)
+      }
+      GraphStore.build(spark, name, emb.where($"vec_id" < 200), 200L)
+      assert(stored === rebuilt(200L), "bootstrap diverged from rebuild")
+      ingest(350L)
+      assert(stored === rebuilt(350L), "generation 1 diverged from rebuild")
+      ingest(Long.MaxValue)
+      assert(stored === rebuilt(Long.MaxValue),
+        "generation 2 diverged — the stored base or the merge broke the loop")
+      // full-retry idempotence (the crash-recovery rule is re-run the
+      // day): a committed day's re-run sees an empty delta and the
+      // merge's pair-key dedup absorbs any half-written base rows
+      ingest(Long.MaxValue)
+      assert(stored === rebuilt(Long.MaxValue),
+        "retrying a committed day changed the graph — recovery rule broken")
+      // the stored graph SERVES the probe: beam search over the
+      // bucketed table is byte-identical to search over a fresh build
+      val (_, g, wm) = GraphStore.load(spark, name)
+      assert(wm === Long.MaxValue)
+      def canon(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toList
+      assert(canon(Similarity.nswSearchOver(emb, g, 20, 3)) ===
+        canon(Similarity.nswSearch(emb, 20, 3)))
+      // 100 TB property: the search loop's frontier ⋈ edges join
+      // consumes the stored bucketed graph with NO exchange on the
+      // stored side — the graph is never reshuffled per probe round
+      planMode {
+        val frontier = emb.where($"vec_id" < 5).select($"vec_id".as("src"))
+        val plan = frontier.join(spark.table(name), "src")
+          .queryExecution.executedPlan
+        assert(storedSideShuffleFree(plan, name),
+          s"stored graph re-shuffled under the probe join:\n$plan")
+      }
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

@@ -53,6 +53,25 @@ class NswSpec extends SparkSpec {
     assert(got.toList === again.toList)
   }
 
+  test("incremental graph merge == full rebuild, edge for edge (q206)") {
+    // the top-m merge law made mechanical: stored base over the old
+    // half + delta-only candidate scoring must reproduce the full
+    // build EXACTLY — at several cap positions, including a tiny old
+    // corpus (almost everything is delta) and a tiny batch
+    val full = Similarity.nswGraph(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toList
+    for (cap <- Seq(50L, 250L, 450L)) {
+      val inc = Similarity.nswGraphIncremental(emb, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toList
+      assert(inc === full, s"cap=$cap diverged from the rebuild")
+    }
+    // non-vacuity: old nodes' lists DID change (some old src gained a
+    // new dst — the merge path, not just concatenation)
+    val gained = Similarity.nswGraph(emb).where(
+      col("src") < 250L && col("dst") >= 250L).count()
+    assert(gained > 0L, "no old node links to a new node — merge untested")
+  }
+
   test("beam search navigates beyond the entry set (the graph earns its keep)") {
     // with rounds = 0 the search can only rank the fixed entry nodes;
     // with rounds > 0 it must strictly improve — otherwise the edge
