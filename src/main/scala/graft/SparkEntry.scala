@@ -744,6 +744,16 @@ object SparkEntry {
         .orderBy(org.apache.spark.sql.functions.col("src"),
           org.apache.spark.sql.functions.col("cos6").desc,
           org.apache.spark.sql.functions.col("dst"))),
+    // orders SERVED FROM an ORC sidecar copy (the other lake format);
+    // oracle reads the parquet — µs-grain timestamps in the output so
+    // a type-mapping drift can never pass silently
+    "q207_orc_source" -> ((s, d) =>
+      Relational.ordersProfile(sources.Sidecar.orc(s, d, "orders"))),
+    // documents SERVED FROM an Avro sidecar (row-oriented landing-zone
+    // format); SAME profile + oracle text as q196 — one content gate,
+    // three serving formats (parquet-oracle vs xml/avro round trips)
+    "q208_avro_source" -> ((s, d) =>
+      TextAnalysis.docProfile(sources.Sidecar.avro(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1008,6 +1018,18 @@ object SparkEntry {
     * mirror of `Similarity.nswGraph` (same folds, same round-6, same
     * (cos6 desc, dst asc) window order), so the hash gates the whole
     * construction edge for edge. */
+  /** Shared by q196 (XML sidecar) and q208 (Avro sidecar): ONE
+    * content gate — group counts, char sums, and a bounded polyhash
+    * text signature — applied to the same documents table served
+    * through different round-trip formats, while the oracle always
+    * reads the parquet original. */
+  private lazy val docProfileOracle: String =
+    s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(sum(len(text)) AS BIGINT) AS sum_len,
+       |       CAST(sum(${polyHashSql("text")} % 1000003) AS BIGINT) AS text_sig
+       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private lazy val nswGraphOracle: String = {
     // mod SRC, not corpus size: links point to EARLIER ids only (NSW
     // insertion-order semantics) — growth-stable, which is what lets
@@ -3210,12 +3232,20 @@ object SparkEntry {
     // engine side reads an XML copy; the oracle reads the parquet — a
     // text round-trip defect (escaping, trimming, encoding) moves the
     // bounded polyhash content signature
-    "q196_xml_source" ->
-      s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
-         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         |       CAST(sum(len(text)) AS BIGINT) AS sum_len,
-         |       CAST(sum(${polyHashSql("text")} % 1000003) AS BIGINT) AS text_sig
-         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q196_xml_source" -> docProfileOracle,
+    // same content gate through the Avro round trip (length-prefixed
+    // strings, local-timestamp logical types) — shared text with q196
+    "q208_avro_source" -> docProfileOracle,
+    // engine side reads an ORC copy; the oracle reads the parquet —
+    // µs timestamps + integer-cent sums pin the type mapping
+    "q207_orc_source" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |       min(epoch_us(o_orderdate)) AS first_us,
+        |       max(epoch_us(o_orderdate)) AS last_us
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // each HOF replayed with its DuckDB list twin; the quadratic term
     // quantized to a LONG per element so the fold is an exact integer
     // sum on both engines

@@ -1292,6 +1292,27 @@ object Relational {
         date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship"))
       .orderBy("flag", "status")
 
+  /** q207 — orders served from an ORC SIDECAR (Sidecar.orc): the
+    * aggregation is plain on purpose — the operator under test is the
+    * ORC writer+reader pair (TIMESTAMP_NTZ attribute, double payload
+    * bits, explicit-schema application), gated against an oracle that
+    * reads the PARQUET original. Timestamps land in the output at
+    * MICROSECOND grain (unix_micros, the q156 tripwire) so a
+    * precision-losing round trip can never pass silently; the price
+    * sum in integer cents pins the double bits. */
+  def ordersProfile(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_c"),
+        min(unix_micros(col("o_orderdate")
+          .cast(org.apache.spark.sql.types.TimestampType))).as("first_us"),
+        max(unix_micros(col("o_orderdate")
+          .cast(org.apache.spark.sql.types.TimestampType))).as("last_us"))
+      .orderBy("status", "priority")
+
   /** q159 — Z-ORDER (Morton) clustering key, oracle-gated bit-for-bit:
     * the multi-dimensional layout primitive (functions.ZOrder) applied
     * to (l_partkey, l_suppkey). The contract output is the interleaved

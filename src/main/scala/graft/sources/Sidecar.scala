@@ -83,6 +83,8 @@ object Sidecar {
           case "csv" => w.option("header", "true").csv(staging)
           case "json" => w.json(staging)
           case "xml" => w.option("rowTag", "row").xml(staging)
+          case "orc" => w.orc(staging)
+          case "avro" => w.format("org.apache.spark.sql.avro.AvroFileFormat").save(staging)
         }
         try java.nio.file.Files.move(java.nio.file.Paths.get(staging), target,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -141,5 +143,38 @@ object Sidecar {
       .option("ignoreSurroundingSpaces", "false")
       .schema(pq.schema)))
     r.xml(out)
+  }
+
+  /** `name` served from an ORC copy (Spark-native columnar source —
+    * the other major lake format beside parquet). Binary format, so
+    * no text-escaping traps; what the gate covers instead is the
+    * TYPE-MAPPING round trip: TIMESTAMP_NTZ (written as ORC timestamp
+    * with the NTZ attribute since Spark 3.4), DOUBLE payload bits,
+    * and string encoding — plus the reader honoring the explicit
+    * parquet schema rather than ORC's embedded one. */
+  def orc(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val pq = Tables(spark, sfDir, name)
+    val out = path("orc", sfDir, name)
+    materialize(pq, "orc", out)
+    spark.read.schema(pq.schema).orc(out)
+  }
+
+  /** `name` served from an Avro copy (the row-oriented interchange
+    * format a streaming landing zone typically hands a lake; folded
+    * into spark-sql in Spark 4 like XML). The gate covers Avro's
+    * LOGICAL-TYPE round trip — TIMESTAMP_NTZ → local-timestamp-micros,
+    * TIMESTAMP → timestamp-micros — and UTF-8 text fidelity through
+    * Avro's length-prefixed (never escaped) string encoding, checked
+    * by the caller's polyhash content signature. Addressed by the
+    * implementation CLASS: the classes ship in spark-sql here but the
+    * `avro` short name is not in this distribution's
+    * DataSourceRegister service file, so the short name alone throws
+    * "external data source module". */
+  def avro(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val pq = Tables(spark, sfDir, name)
+    val out = path("avro", sfDir, name)
+    materialize(pq, "avro", out)
+    spark.read.schema(pq.schema)
+      .format("org.apache.spark.sql.avro.AvroFileFormat").load(out)
   }
 }

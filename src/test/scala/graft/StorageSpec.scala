@@ -163,6 +163,32 @@ class StorageSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("orc sidecar serves orders with µs-exact NTZ timestamps") {
+    import graft.operators.Relational
+    import graft.sources.Sidecar
+    val viaOrc = Relational.ordersProfile(Sidecar.orc(spark, dir, "orders"))
+      .collect().map(_.toString).toList
+    val viaPq = Relational.ordersProfile(Tables(spark, dir, "orders"))
+      .collect().map(_.toString).toList
+    assert(viaOrc === viaPq)
+    assert(viaOrc.nonEmpty)
+  }
+
+  test("avro sidecar serves the parquet documents byte-identically") {
+    // same content gate as the XML twin — Avro strings are
+    // length-prefixed, never escaped, so EVERY markup-hostile case
+    // (entities, newlines, surrounding whitespace, empty string) must
+    // survive with no option pinning at all
+    import graft.operators.TextAnalysis
+    import graft.sources.Sidecar
+    val viaAvro = TextAnalysis.docProfile(Sidecar.avro(spark, dir, "documents"))
+      .collect().map(_.toString).toList
+    val viaPq = TextAnalysis.docProfile(Tables(spark, dir, "documents"))
+      .collect().map(_.toString).toList
+    assert(viaAvro === viaPq)
+    assert(viaAvro.nonEmpty)
+  }
+
   test("dynamic partition overwrite backfills one day without touching others") {
     // the standard incremental-backfill pattern at 100 TB: rewrite ONE
     // date partition in place; static overwrite mode would drop ALL
