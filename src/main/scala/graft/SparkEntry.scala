@@ -754,6 +754,11 @@ object SparkEntry {
     // three serving formats (parquet-oracle vs xml/avro round trips)
     "q208_avro_source" -> ((s, d) =>
       TextAnalysis.docProfile(sources.Sidecar.avro(s, d, "documents"))),
+    // TRAINED Naive-Bayes classifier scoring the whole corpus (the
+    // CCNet/fastText distillation step): training is pure relational
+    // aggregation, so the oracle replays the MODEL, not just plumbing
+    "q209_nb_classifier" -> ((s, d) =>
+      TextAnalysis.nbClassifier(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -3246,6 +3251,47 @@ object SparkEntry {
         |       min(epoch_us(o_orderdate)) AS first_us,
         |       max(epoch_us(o_orderdate)) AS last_us
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the WHOLE train->score chain replayed: q27's stop-ratio gate
+    // labels the seed split, per-class token counts train the model,
+    // Laplace-smoothed log-likelihood ratios (each ln floor-quantized
+    // to micros, the q88 convention), prior log-odds, unseen tokens
+    // coalescing to the smoothed zero-count ratio — a hash match
+    // gates the trained MODEL itself
+    "q209_nb_classifier" ->
+      s"""WITH $rawtoksCte,
+         |tc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS m
+         |       FROM rawtoks GROUP BY 1, 2),
+         |lab AS (SELECT doc_id,
+         |               CAST(sum(CASE WHEN word IN ('the','a','of','and','in','to','is','it')
+         |                             THEN m ELSE 0 END) AS DOUBLE) / sum(m) >= 0.08 AS pos
+         |        FROM tc GROUP BY doc_id),
+         |ct AS (SELECT word,
+         |              CAST(sum(CASE WHEN pos THEN m ELSE 0 END) AS BIGINT) AS c_pos,
+         |              CAST(sum(CASE WHEN pos THEN 0 ELSE m END) AS BIGINT) AS c_neg
+         |       FROM tc JOIN lab USING (doc_id)
+         |       WHERE doc_id % 3 <> 0 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS tot_pos,
+         |               CAST(sum(c_neg) AS BIGINT) AS tot_neg,
+         |               CAST(count(*) AS BIGINT) AS v FROM ct),
+         |pri AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+         |        FROM lab WHERE doc_id % 3 <> 0),
+         |model AS (SELECT word,
+         |       CAST(floor(ln(CAST(c_pos + 1 AS DOUBLE) / CAST(tot_pos + v AS DOUBLE)) * 1e6) AS BIGINT)
+         |     - CAST(floor(ln(CAST(c_neg + 1 AS DOUBLE) / CAST(tot_neg + v AS DOUBLE)) * 1e6) AS BIGINT) AS w_q
+         |          FROM ct CROSS JOIN tot),
+         |sc AS (SELECT doc_id, m,
+         |       coalesce(w_q,
+         |         CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(tot_pos + v AS DOUBLE)) * 1e6) AS BIGINT)
+         |       - CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(tot_neg + v AS DOUBLE)) * 1e6) AS BIGINT)) AS w_eff
+         |       FROM tc LEFT JOIN model USING (word) CROSS JOIN tot),
+         |sp AS (SELECT sc.*,
+         |       CAST(floor(ln(CAST(n_pos AS DOUBLE) / CAST(n_neg AS DOUBLE)) * 1e6) AS BIGINT) AS pq
+         |       FROM sc CROSS JOIN pri)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tok,
+         |       CAST(max(pq) + sum(m * w_eff) AS BIGINT) AS score_q,
+         |       CAST(max(pq) + sum(m * w_eff) AS BIGINT) > 0 AS pred
+         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // each HOF replayed with its DuckDB list twin; the quadratic term
     // quantized to a LONG per element so the fold is an exact integer
     // sum on both engines

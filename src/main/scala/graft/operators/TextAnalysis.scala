@@ -309,6 +309,80 @@ object TextAnalysis {
     Dedup.finishWith(result, b)
   }
 
+  /** q209 — a TRAINED token classifier scoring the whole corpus: the
+    * classifier-distillation step every production quality/language
+    * filter runs (CCNet/fastText shape — a cheap seed labeling trains
+    * a linear model, the model scores EVERYTHING, the score gates the
+    * corpus). The seed is q27's marker-word language gate (stop_ratio
+    * ≥ 0.08 — eight stopwords) on the deterministic doc_id % 3 ≠ 0
+    * split; the trained model generalizes it to the FULL vocabulary:
+    * held-out accuracy beats the majority prior by >0.1
+    * (spec-pinned), i.e. the model learned correlated vocabulary the
+    * eight-word heuristic never sees. Multinomial Naive Bayes with
+    * Laplace smoothing — chosen deliberately: training IS relational
+    * aggregation (no gradient loop), so the whole train→score chain
+    * replays in the oracle and the hash gates the MODEL itself, not
+    * just the plumbing. A document's score is the prior log-odds plus
+    * the occurrence-weighted sum of per-token log-likelihood ratios.
+    *
+    * Every ln term is FLOOR-QUANTIZED to integer micros before any sum
+    * (the q88 convention) so the per-doc score is an exact integer sum
+    * on any engine and any partitioning. Scale shape: ONE tokenize
+    * pass feeds labeling, training, and scoring (persisted per-doc
+    * multiplicities — strictly smaller than the token stream); the
+    * model is joined to the scoring stream ON THE WORD KEY (never
+    * broadcast — a 100 TB corpus's vocabulary is itself huge, and the
+    * hot-word skew is AQE-splittable); only the one-row totals
+    * relation broadcasts. Unseen-at-train tokens take the smoothed
+    * zero-count likelihood via the left join's coalesce — the
+    * mathematically-correct Laplace default, not a dropped term. */
+  def nbClassifier(docs: DataFrame): DataFrame = {
+    val tc = TextFns.tokens(docs)
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the seed labeling, computed from the SAME persisted relation:
+    // q27's gate as an exact integer-ratio double compare
+    val labels = tc.groupBy("doc_id")
+      .agg((sum(when(col("word").isin(Stopwords: _*), col("m"))
+        .otherwise(0L)).cast("double") / sum(col("m")) >= 0.08).as("pos"))
+    // per-class token counts over the TRAIN split — the model
+    val ct = tc.where(col("doc_id") % 3 =!= 0)
+      .join(labels, "doc_id")
+      .groupBy("word")
+      .agg(sum(when(col("pos"), col("m")).otherwise(0L)).as("c_pos"),
+        sum(when(!col("pos"), col("m")).otherwise(0L)).as("c_neg"))
+    // one-row totals: class token mass + train vocabulary size (the
+    // Laplace denominator) + labeled-doc priors
+    val tot = ct.agg(sum(col("c_pos")).as("tot_pos"),
+      sum(col("c_neg")).as("tot_neg"), count(lit(1)).as("v"))
+    val pri = labels.where(col("doc_id") % 3 =!= 0)
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+    val consts = broadcast(tot.crossJoin(pri))
+    def lnQ(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(log(num.cast("double") / den.cast("double")) * 1e6).cast("long")
+    val model = ct.crossJoin(consts)
+      .withColumn("w_q", lnQ(col("c_pos") + 1L, col("tot_pos") + col("v")) -
+        lnQ(col("c_neg") + 1L, col("tot_neg") + col("v")))
+      .select("word", "w_q")
+    // score EVERY doc: left join keeps unseen tokens, coalescing to
+    // the smoothed zero-count ratio; prior added once per doc
+    val result = tc.join(model, Seq("word"), "left")
+      .crossJoin(consts)
+      .withColumn("w_eff", coalesce(col("w_q"),
+        lnQ(lit(1L), col("tot_pos") + col("v")) -
+          lnQ(lit(1L), col("tot_neg") + col("v"))))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_tok"),
+        (max(lnQ(col("n_pos"), col("n_neg"))) +
+          sum(col("m") * col("w_eff"))).as("score_q"))
+      .withColumn("pred", col("score_q") > 0L)
+      .orderBy("doc_id")
+    Dedup.finishWith(result, tc)
+  }
+
   /** q69 — the corpus FILTER PIPELINE: the composition step that turns
     * the individual quality signals (q27 language-ID, q28 quality
     * score, q50 repetition) into a per-document keep/drop decision

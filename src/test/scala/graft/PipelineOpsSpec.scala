@@ -1644,4 +1644,34 @@ class PipelineOpsSpec extends SparkSpec {
     // the plan, not a second aggregation query
     assert(df.queryExecution.optimizedPlan.toString.contains("CollectMetrics"))
   }
+
+  test("q209 NB classifier: the model LEARNS — held-out accuracy beats the prior") {
+    // non-vacuity for the distillation gate: a hash-green run could
+    // still be a degenerate model (all-one-class predictions). On the
+    // HELD-OUT third (doc_id % 3 == 0, never seen in training) the
+    // full-vocabulary token model must beat majority-class guessing by
+    // a real margin against the SEED HEURISTIC's labels (q27's
+    // stop-ratio gate) — i.e. the model generalized the eight-word
+    // rule to correlated vocabulary, it didn't just memorize the
+    // prior. An all-positive or all-negative collapse fails both
+    // checks (measured: acc 0.892 vs prior 0.754 at sf0.01).
+    val docs = t("documents")
+    val scored = TextAnalysis.nbClassifier(docs)
+      .join(TextAnalysis.langId(docs)
+        .select(col("doc_id"), (col("pred_lang") === "en").as("actual")),
+        "doc_id")
+      .where(col("doc_id") % 3 === 0)
+      .select(col("pred"), col("actual")).collect()
+    assert(scored.nonEmpty)
+    val acc = scored.count(r => r.getBoolean(0) == r.getBoolean(1)).toDouble /
+      scored.length
+    val prior = {
+      val p = scored.count(_.getBoolean(1)).toDouble / scored.length
+      math.max(p, 1 - p)
+    }
+    assert(acc > prior + 0.1,
+      f"held-out accuracy $acc%.3f does not beat majority prior $prior%.3f")
+    // both classes actually predicted (no degenerate collapse)
+    assert(scored.exists(_.getBoolean(0)) && scored.exists(!_.getBoolean(0)))
+  }
 }
