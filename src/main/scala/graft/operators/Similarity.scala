@@ -181,13 +181,38 @@ object Similarity {
       .distinct()
   }
 
+  /** Session memo of the FULL-corpus scored candidate relation — the
+    * dominant cost of every NSW entry point (q205 full build, q206
+    * incremental, the q205 search's fresh build), built ONCE per
+    * (session, corpus plan, file state, longLinks) and consumed by all
+    * of them. q206's split rides the q202 shared-pass argument:
+    * every candidate generator is PER-NODE (both LSH bucket functions
+    * hash the node's own vector; long links are polyHash mod SRC), so
+    * restricting the full scored relation by endpoint cap reproduces
+    * EXACTLY the separate old-corpus and delta passes — restriction ≡
+    * separate passes, re-verified by the shared oracle's hash gate.
+    * Checkpointed WIDE (explicit repartition to session parallelism)
+    * for the same reason as Dedup's memo leaves: AQE coalesces the
+    * small build to ~1 partition and every downstream window/join
+    * would inherit it. Lazy plan-audit mode bypasses the memo so
+    * audited plans keep the full candidate tower. */
+  private val nswScoredMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int), DataFrame]
+
+  private def nswScoredAll(embeddings: DataFrame, longLinks: Int): DataFrame = {
+    def fresh = nswScore(withNorm(embeddings),
+      nswCandidates(embeddings, longLinks, None))
+    Dedup.corpusMemo(nswScoredMemo, embeddings, longLinks)(
+      fresh.repartition(embeddings.sparkSession.sessionState.conf
+        .numShufflePartitions).localCheckpoint(true))(fresh)
+  }
+
   /** The scored top-m base graph — the artifact the incremental path
     * stores and merges (production keeps it beside the final graph,
     * the way HNSW retains its insertion state). */
   private[graft] def nswBase(embeddings: DataFrame, m: Int = 8,
       longLinks: Int = 4): DataFrame =
-    nswTopPerSrc(nswScore(withNorm(embeddings),
-      nswCandidates(embeddings, longLinks, None)), m)
+    nswTopPerSrc(nswScoredAll(embeddings, longLinks), m)
 
   /** The build's polish tail over a base graph: ONE NN-descent
     * refinement round (Dong et al.: a neighbor of my neighbor is a
@@ -233,8 +258,20 @@ object Similarity {
     * shared-oracle pattern, third instance). */
   def nswGraphIncremental(embeddings: DataFrame, cap: Long, m: Int = 8,
       longLinks: Int = 4): DataFrame = {
-    val baseOld = nswBase(embeddings.where(col("vec_id") < cap), m, longLinks)
-    nswPolish(embeddings, nswMergeBase(embeddings, baseOld, cap, m, longLinks), m)
+    // the in-query form computes the stored side as a stand-in (the
+    // q202 oracle convention), so BOTH halves come from the ONE
+    // memoized full-corpus scored pass, split by the cap (restriction
+    // ≡ separate passes — see nswScoredMemo): old base = pairs with
+    // both endpoints old; delta = pairs with ≥1 new endpoint. The
+    // PRODUCTION path (GraphStore.update → nswMergeBase) never builds
+    // the old side — it reads the stored base and scores delta only.
+    val scored = nswScoredAll(embeddings, longLinks)
+    val baseOld = nswTopPerSrc(
+      scored.where(col("src") < cap && col("dst") < cap), m)
+    val merged = nswTopPerSrc(baseOld.select("src", "dst", "cos6")
+      .unionByName(scored.where(col("src") >= cap || col("dst") >= cap))
+      .dropDuplicates("src", "dst"), m)
+    nswPolish(embeddings, merged, m)
   }
 
   /** The incremental MERGE step alone (the piece `GraphStore.update`
