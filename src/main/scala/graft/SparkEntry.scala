@@ -759,6 +759,11 @@ object SparkEntry {
     // aggregation, so the oracle replays the MODEL, not just plumbing
     "q209_nb_classifier" -> ((s, d) =>
       TextAnalysis.nbClassifier(Tables(s, d, "documents"))),
+    // q209's embedding-space twin: nearest-centroid classification
+    // from ground-truth class prototypes trained on the seed split —
+    // the supervised member of the embedding family
+    "q210_centroid_classify" -> ((s, d) =>
+      Similarity.centroidClassify(Tables(s, d, "embeddings"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -3292,6 +3297,31 @@ object SparkEntry {
          |       CAST(max(pq) + sum(m * w_eff) AS BIGINT) AS score_q,
          |       CAST(max(pq) + sum(m * w_eff) AS BIGINT) > 0 AS pred
          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the trained prototypes replayed: quantized-integer dimension
+    // means per class on the seed split (the q92 centroid rule), then
+    // the 6-dp cosine argmax with lowest-label tiebreak
+    "q210_centroid_classify" ->
+      s"""WITH ec AS (SELECT vec_id, CAST(label AS BIGINT) AS actual,
+         |                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |            FROM embeddings),
+         |en AS (SELECT vec_id, actual, v, sqrt(${dotSql("v", "v")}) AS nrm FROM ec),
+         |dm AS (SELECT actual AS lbl, pos,
+         |              CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS m
+         |       FROM (SELECT actual, z[2] AS pos, CAST(z[1] AS DOUBLE) AS x
+         |             FROM (SELECT actual, unnest(list_zip(v, range(1, len(v) + 1))) AS z
+         |                   FROM en WHERE vec_id % 3 <> 0))
+         |       GROUP BY 1, 2),
+         |cents AS (SELECT cent_id, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM (
+         |            SELECT lbl AS cent_id, list(m ORDER BY pos) AS cv
+         |            FROM dm GROUP BY lbl))
+         |SELECT vec_id, pred, cos6, actual, pred = actual AS correct FROM (
+         |  SELECT en.vec_id, c.cent_id AS pred, en.actual,
+         |         round(${dotSql("en.v", "c.cv")} / (en.nrm * c.cnrm), 6) AS cos6,
+         |         row_number() OVER (PARTITION BY en.vec_id
+         |           ORDER BY round(${dotSql("en.v", "c.cv")} / (en.nrm * c.cnrm), 6) DESC,
+         |                    c.cent_id) AS r
+         |  FROM en CROSS JOIN cents c) WHERE r = 1
+         |ORDER BY vec_id""".stripMargin,
     // each HOF replayed with its DuckDB list twin; the quadratic term
     // quantized to a LONG per element so the fold is an exact integer
     // sum on both engines

@@ -579,6 +579,54 @@ object Similarity {
     Dedup.finishWith(result, e)
   }
 
+  /** q210 — NEAREST-CENTROID (Rocchio / prototype) classification:
+    * the SUPERVISED member of the embedding family. q92 learns cells
+    * without labels; this one learns one prototype per ground-truth
+    * class from the labeled seed split (vec_id % 3 ≠ 0 — the q209
+    * split convention, q209's embedding-space twin) and scores the
+    * WHOLE corpus: semantic labeling / domain routing of embeddings
+    * at cost k·d per vector, no per-query neighbor search. Training
+    * is one aggregation, so — like q209 — the oracle replays the
+    * trained MODEL, not just the assignment. Honesty note: the
+    * testdata's label column is geometric NOISE (measured
+    * within-class mean cosine 0.005 vs 0.0006 cross), so held-out
+    * accuracy on it is chance by construction of the data; the
+    * oracle gates the trained-model math on the real corpus, and the
+    * LEARNING property is spec-pinned on a synthetic separable frame
+    * (acc 1.0 — the q59 drive-the-branch convention).
+    *
+    * Determinism is the q92 rule end to end: class means via
+    * floor-quantized integer dimension sums (exact under any
+    * partitioning), assignment by 6-dp-rounded cosine with lowest-
+    * label tiebreak. Scale shape: the train side collapses map-side
+    * to k×d rows before its only shuffle; the prototype frame is k×d
+    * and broadcast; scoring is ONE map-side pass over the corpus
+    * (the assignCells struct-max — no window, no shuffle of anything
+    * corpus-sized). */
+  def centroidClassify(embeddings: DataFrame): DataFrame = {
+    val e = withNorm(embeddings)
+    val lab = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("actual"))
+    val cents = e.join(lab, "vec_id")
+      .where(col("vec_id") % 3 =!= 0)
+      .select(col("actual").as("lbl"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("lbl", "pos")
+      .agg(sum(floor(col("x") * 1e6).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .withColumn("m", col("sq").cast("double") / col("n") / 1e6)
+      .groupBy("lbl")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .select(col("lbl").as("cent_id"), col("cv"),
+        sqrt(dot(col("cv"), col("cv"))).as("cnrm"))
+    assignCells(e, cents)
+      .join(lab, "vec_id")
+      .select(col("vec_id"), col("cell").as("pred"),
+        col("ccos6").as("cos6"), col("actual"),
+        (col("cell") === col("actual")).as("correct"))
+      .orderBy("vec_id")
+  }
+
   /** q93 — SEMANTIC deduplication (the SemDeDup shape: Abbas et al.
     * 2023, arXiv:2303.09540): embedding-space near-dup clustering,
     * the decision step a training pipeline runs over embeddings the
