@@ -764,6 +764,12 @@ object SparkEntry {
     // the supervised member of the embedding family
     "q210_centroid_classify" -> ((s, d) =>
       Similarity.centroidClassify(Tables(s, d, "embeddings"))),
+    // PCA top component by integer power iteration: one distributed
+    // covariance pass, then a d²-bounded driver-local loop; the oracle
+    // replays BOTH stages (all 8 rounds unrolled), gating the trained
+    // component itself
+    "q211_pca_component" -> ((s, d) =>
+      Similarity.pcaTopComponent(Tables(s, d, "embeddings"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1039,6 +1045,43 @@ object SparkEntry {
        |       CAST(sum(len(text)) AS BIGINT) AS sum_len,
        |       CAST(sum(${polyHashSql("text")} % 1000003) AS BIGINT) AS text_sig
        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q211 — the full PCA replay: quantized covariance + all power-
+    * iteration rounds unrolled (integer state each round, so both
+    * engines and the driver-local loop agree bit-for-bit). The pair
+    * stage here is a vec_id self-join — fine for the oracle's replay;
+    * the ENGINE builds the same sums map-side from a nested array
+    * transform (no corpus shuffle). */
+  private lazy val pcaOracle: String = {
+    val roundCtes = (1 to 8).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      s"""t$r AS (SELECT a, CAST(sum(c * w) AS BIGINT) AS t
+         |        FROM cov JOIN $prev ON b = pos GROUP BY a),
+         |mx$r AS (SELECT CAST(max(abs(t)) AS BIGINT) AS mx FROM t$r),
+         |w$r AS (SELECT a AS pos,
+         |               CAST(floor(CAST(t AS DOUBLE) / mx * 1e3 + 0.5) AS BIGINT) AS w
+         |        FROM t$r CROSS JOIN mx$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ec AS (SELECT vec_id,
+       |                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |            FROM embeddings),
+       |q AS (SELECT vec_id, z[2] AS pos,
+       |             CAST(floor(CAST(z[1] AS DOUBLE) * 1e6) AS BIGINT) AS xq
+       |      FROM (SELECT vec_id, unnest(list_zip(v, range(0, len(v)))) AS z
+       |            FROM ec)),
+       |s AS (SELECT pos, CAST(sum(xq) AS BIGINT) AS sx,
+       |             CAST(count(*) AS BIGINT) AS n FROM q GROUP BY pos),
+       |pp AS (SELECT qa.pos AS a, qb.pos AS b,
+       |              CAST(sum(qa.xq * qb.xq) AS BIGINT) AS spp
+       |       FROM q qa JOIN q qb ON qa.vec_id = qb.vec_id GROUP BY 1, 2),
+       |cov AS (SELECT a, b,
+       |        CAST(floor((CAST(spp AS DOUBLE) - CAST(sa.sx AS DOUBLE) * sb.sx / sa.n) / sa.n) AS BIGINT) AS c
+       |        FROM pp JOIN s sa ON sa.pos = a JOIN s sb ON sb.pos = b),
+       |w0 AS (SELECT pos, CAST(1000 AS BIGINT) AS w FROM s),
+       |$roundCtes
+       |SELECT w8.pos, w8.w AS loading_q, mx8.mx AS lam_q
+       |FROM w8 CROSS JOIN mx8 ORDER BY pos""".stripMargin
+  }
 
   private lazy val nswGraphOracle: String = {
     // mod SRC, not corpus size: links point to EARLIER ids only (NSW
@@ -3322,6 +3365,8 @@ object SparkEntry {
          |                    c.cent_id) AS r
          |  FROM en CROSS JOIN cents c) WHERE r = 1
          |ORDER BY vec_id""".stripMargin,
+    // the trained component replayed stage by stage (see pcaOracle)
+    "q211_pca_component" -> pcaOracle,
     // each HOF replayed with its DuckDB list twin; the quadratic term
     // quantized to a LONG per element so the fold is an exact integer
     // sum on both engines

@@ -627,6 +627,79 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q211 — TOP PRINCIPAL COMPONENT of the embedding corpus by power
+    * iteration: the whitening / dimensionality primitive of an
+    * embedding pipeline (PCA-reduce before clustering is the SemDeDup
+    * paper's own preprocessing). Two stages with very different scale
+    * shapes, split accordingly:
+    *
+    *  1. COVARIANCE — the corpus-sized work: each vector emits its
+    *     d² quantized outer-product cells from a nested array
+    *     `transform` (map-side, NO self-join — an explode-join
+    *     formulation would shuffle the corpus on vec_id; this one
+    *     shuffles only the d²-row partial aggregates). Entries are
+    *     exact BIGINT sums of floor-quantized micros (overflow headroom
+    *     to ~1e9 rows at these magnitudes; beyond that the sums move
+    *     to DECIMAL(38,0), same discipline as q49's observe).
+    *  2. POWER ITERATION — d²-BOUNDED work (4096 cells at d=64),
+    *     collected once and iterated driver-local: the Bpe.trainLocal
+    *     precedent (driver-local is the production shape once the
+    *     relation is parameter-bounded, never corpus-sized). Eight
+    *     fixed rounds; each round is integer matrix·vector (exact),
+    *     then renormalization to w ∈ [-1000, 1000] via
+    *     floor(t/max|t|·1e3 + 0.5) — pure IEEE ops on exact integers,
+    *     so Scala, Spark SQL, and DuckDB agree bit-for-bit, and the
+    *     integer state kills the order-dependent-double-sum hazard a
+    *     float power iteration would have.
+    *
+    * The ORACLE replays both stages — the covariance relation and all
+    * eight unrolled rounds — so the hash gates the trained component,
+    * not plumbing (the q92/q209/q210 trained-model gate, fourth
+    * member). Output: one row per dimension with the quantized loading
+    * and the shared un-normalized eigenvalue estimate `lam_q`
+    * (max|t| of the final round — exact integer). Sign is pinned by
+    * the all-ones start vector. */
+  def pcaTopComponent(embeddings: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    val q = embeddings
+      .select(transform(asDouble(col("embedding")),
+        x => floor(x * 1e6).cast("long")).as("xq"))
+    // d² outer-product cells per vector, map-side (a, b, xa·xb)
+    val cells = q.select(explode(flatten(transform(col("xq"), (xa, a) =>
+      transform(col("xq"), (xb, b) =>
+        struct(a.as("a"), b.as("b"), (xa * xb).as("p")))))).as("z"))
+      .select(col("z.a").cast("long").as("a"), col("z.b").cast("long").as("b"),
+        col("z.p"))
+    val spp = cells.groupBy("a", "b").agg(sum(col("p")).as("spp"))
+    val sums = q.select(posexplode(col("xq")).as(Seq("pos", "x")))
+      .select(col("pos").cast("long").as("pos"), col("x"))
+      .groupBy("pos").agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    // centered covariance entry, floor-quantized: exact integer inputs
+    // through a FIXED double expression -> identical on every engine
+    val cov = spp
+      .join(sums.select(col("pos").as("a"), col("sx").as("sxa"), col("n")), "a")
+      .join(sums.select(col("pos").as("b"), col("sx").as("sxb")), "b")
+      .select(col("a"), col("b"),
+        floor((col("spp").cast("double") -
+          col("sxa").cast("double") * col("sxb") / col("n")) / col("n"))
+          .cast("long").as("c"))
+    // d²-bounded: collect and iterate driver-local (exact integers)
+    val cm = cov.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val d = (cm.keysIterator.map(_._1).max + 1).toInt
+    var w = Array.fill(d)(1000L)
+    var lam = 0L
+    for (_ <- 0 until rounds) {
+      val t = Array.tabulate(d)(a =>
+        (0 until d).map(b => cm.getOrElse((a.toLong, b.toLong), 0L) * w(b)).sum)
+      lam = t.map(math.abs).max
+      w = t.map(v => math.floor(v.toDouble / lam * 1e3 + 0.5).toLong)
+    }
+    import spark.implicits._
+    w.zipWithIndex.map { case (l, p) => (p.toLong, l, lam) }
+      .toSeq.toDF("pos", "loading_q", "lam_q")
+      .orderBy("pos")
+  }
+
   /** q93 — SEMANTIC deduplication (the SemDeDup shape: Abbas et al.
     * 2023, arXiv:2303.09540): embedding-space near-dup clustering,
     * the decision step a training pipeline runs over embeddings the

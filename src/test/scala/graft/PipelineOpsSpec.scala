@@ -1710,4 +1710,53 @@ class PipelineOpsSpec extends SparkSpec {
       plan.contains("BroadcastExchange"),
       s"prototype frame not broadcast:\n$plan")
   }
+
+  test("q211 PCA: recovers a planted dominant direction; eigenvalue dominates") {
+    import spark.implicits._
+    // synthetic frame with a KNOWN first component: variance along a
+    // fixed unit direction u (dims 0 and 1, equal weight) is 25x any
+    // other dim's noise — the power iteration must align with u
+    val dim = 6
+    val synth = (0L until 120L).map { i =>
+      val s = ((i % 9).toInt - 4) * 0.25f // strong signal in [-1, 1]
+      val v = Array.tabulate(dim) {
+        case 0 => s * 0.7071f
+        case 1 => s * 0.7071f
+        case d => 0.05f * (((i * 13 + d * 5) % 7) - 3) // small noise
+      }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.pcaTopComponent(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    // loadings quantized to [-1000, 1000]: dims 0/1 carry the
+    // component (equal, full-scale), the rest are near zero
+    assert(math.abs(got(0)) > 900 && math.abs(got(1)) > 900,
+      s"planted direction not recovered: ${got.toList}")
+    assert(got(0) === got(1), "equal-weight dims diverged")
+    assert((2 until dim).forall(d => math.abs(got(d)) < 200),
+      s"noise dims not suppressed: ${got.toList}")
+    // real corpus: deterministic, one row per dimension, and the
+    // eigenvalue estimate DOMINATES every single-dimension variance
+    // (lambda_max >= max diag of the covariance — Rayleigh on e_d)
+    val emb = t("embeddings")
+    val rows = Similarity.pcaTopComponent(emb).collect()
+    assert(rows.length === 64)
+    val again = Similarity.pcaTopComponent(emb).collect()
+    assert(rows.map(_.toString).toList === again.map(_.toString).toList)
+    val lam = rows.head.getLong(2)
+    // rebuild the covariance diagonal independently (driver-side,
+    // exact integer arithmetic mirroring the operator's quantization)
+    val xs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+    val n = xs.length
+    val maxDiag = (0 until 64).map { d =>
+      val s = xs.map(_(d)).sum
+      val pp = xs.map(v => v(d) * v(d)).sum
+      math.floor((pp.toDouble - s.toDouble * s / n) / n).toLong
+    }.max
+    // lam_q is at w-scale 1000: compare against maxDiag * 1000 (the
+    // Rayleigh quotient of a unit basis vector at the same scale)
+    assert(lam >= maxDiag * 1000L,
+      s"lam_q $lam below a basis direction's variance ${maxDiag * 1000L}")
+  }
 }
