@@ -633,14 +633,16 @@ object Similarity {
     * paper's own preprocessing). Two stages with very different scale
     * shapes, split accordingly:
     *
-    *  1. COVARIANCE — the corpus-sized work: each vector emits its
-    *     d² quantized outer-product cells from a nested array
-    *     `transform` (map-side, NO self-join — an explode-join
-    *     formulation would shuffle the corpus on vec_id; this one
-    *     shuffles only the d²-row partial aggregates). Entries are
-    *     exact BIGINT sums of floor-quantized micros (overflow headroom
-    *     to ~1e9 rows at these magnitudes; beyond that the sums move
-    *     to DECIMAL(38,0), same discipline as q49's observe).
+    *  1. COVARIANCE — the corpus-sized work: ONE typed-Aggregator
+    *     pass (`GramAggregator`) folds each vector's d² quantized
+    *     outer product + column sums + count into a flat Long buffer
+    *     per partition (the classic distributed Gram shape — no
+    *     self-join, no per-cell Generate; partials merge as flat
+    *     array adds, exactly a HashAggregate's combine discipline).
+    *     Entries are exact BIGINT sums of floor-quantized micros
+    *     (overflow headroom to ~1e9 rows at these magnitudes; beyond
+    *     that the sums move to DECIMAL(38,0), same discipline as
+    *     q49's observe).
     *  2. POWER ITERATION — d²-BOUNDED work (4096 cells at d=64),
     *     collected once and iterated driver-local: the Bpe.trainLocal
     *     precedent (driver-local is the production shape once the
@@ -661,36 +663,30 @@ object Similarity {
     * the all-ones start vector. */
   def pcaTopComponent(embeddings: DataFrame, rounds: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
     val q = embeddings
       .select(transform(asDouble(col("embedding")),
         x => floor(x * 1e6).cast("long")).as("xq"))
-    // d² outer-product cells per vector, map-side (a, b, xa·xb)
-    val cells = q.select(explode(flatten(transform(col("xq"), (xa, a) =>
-      transform(col("xq"), (xb, b) =>
-        struct(a.as("a"), b.as("b"), (xa * xb).as("p")))))).as("z"))
-      .select(col("z.a").cast("long").as("a"), col("z.b").cast("long").as("b"),
-        col("z.p"))
-    val spp = cells.groupBy("a", "b").agg(sum(col("p")).as("spp"))
-    val sums = q.select(posexplode(col("xq")).as(Seq("pos", "x")))
-      .select(col("pos").cast("long").as("pos"), col("x"))
-      .groupBy("pos").agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    // ONE corpus pass: gram cells + column sums + count in a flat
+    // buffer (GramAggregator) — the only stage that touches the data
+    val gram = org.apache.spark.sql.functions.udaf(
+      new graft.functions.GramAggregator(d),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val buf = q.agg(gram(col("xq")).as("g")).head().getSeq[Long](0).toArray
+    val n = buf(d * d + d)
+    def sx(i: Int): Long = buf(d * d + i)
     // centered covariance entry, floor-quantized: exact integer inputs
     // through a FIXED double expression -> identical on every engine
-    val cov = spp
-      .join(sums.select(col("pos").as("a"), col("sx").as("sxa"), col("n")), "a")
-      .join(sums.select(col("pos").as("b"), col("sx").as("sxb")), "b")
-      .select(col("a"), col("b"),
-        floor((col("spp").cast("double") -
-          col("sxa").cast("double") * col("sxb") / col("n")) / col("n"))
-          .cast("long").as("c"))
-    // d²-bounded: collect and iterate driver-local (exact integers)
-    val cm = cov.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
-    val d = (cm.keysIterator.map(_._1).max + 1).toInt
+    // (mirrors the oracle's CAST(spp AS DOUBLE) - sa*sb/n, / n, floor)
+    val cm = Array.tabulate(d, d)((a, b) =>
+      math.floor((buf(a * d + b).toDouble -
+        sx(a).toDouble * sx(b) / n) / n).toLong)
+    // d²-bounded: iterate driver-local (exact integers)
     var w = Array.fill(d)(1000L)
     var lam = 0L
     for (_ <- 0 until rounds) {
       val t = Array.tabulate(d)(a =>
-        (0 until d).map(b => cm.getOrElse((a.toLong, b.toLong), 0L) * w(b)).sum)
+        (0 until d).map(b => cm(a)(b) * w(b)).sum)
       lam = t.map(math.abs).max
       w = t.map(v => math.floor(v.toDouble / lam * 1e3 + 0.5).toLong)
     }

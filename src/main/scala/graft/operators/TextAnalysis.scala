@@ -330,10 +330,12 @@ object TextAnalysis {
     * on any engine and any partitioning. Scale shape: ONE tokenize
     * pass feeds labeling, training, and scoring (persisted per-doc
     * multiplicities — strictly smaller than the token stream); the
-    * model is joined to the scoring stream ON THE WORD KEY (never
-    * broadcast — a 100 TB corpus's vocabulary is itself huge, and the
-    * hot-word skew is AQE-splittable); only the one-row totals
-    * relation broadcasts. Unseen-at-train tokens take the smoothed
+    * model joins the scoring stream as an EQUI JOIN on the word key —
+    * Catalyst broadcasts it while it fits (as at test scale) and
+    * degrades to a shuffle join when a 100 TB vocabulary doesn't,
+    * with hot-word skew AQE-splittable; nothing here REQUIRES the
+    * model to fit in memory. The one-row totals relation broadcasts
+    * by construction. Unseen-at-train tokens take the smoothed
     * zero-count likelihood via the left join's coalesce — the
     * mathematically-correct Laplace default, not a dropped term. */
   def nbClassifier(docs: DataFrame): DataFrame = {
