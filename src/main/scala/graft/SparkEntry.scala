@@ -770,6 +770,11 @@ object SparkEntry {
     // component itself
     "q211_pca_component" -> ((s, d) =>
       Similarity.pcaTopComponent(Tables(s, d, "embeddings"))),
+    // the REDUCE step: every embedding projected onto q211's trained
+    // component — a literal-array integer fold, zero shuffles; the
+    // oracle replays train + apply end to end
+    "q212_pca_project" -> ((s, d) =>
+      Similarity.pcaProject(Tables(s, d, "embeddings"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1052,7 +1057,7 @@ object SparkEntry {
     * stage here is a vec_id self-join — fine for the oracle's replay;
     * the ENGINE builds the same sums map-side from a nested array
     * transform (no corpus shuffle). */
-  private lazy val pcaOracle: String = {
+  private lazy val pcaCtes: String = {
     val roundCtes = (1 to 8).map { r =>
       val prev = if (r == 1) "w0" else s"w${r - 1}"
       s"""t$r AS (SELECT a, CAST(sum(c * w) AS BIGINT) AS t
@@ -1062,9 +1067,9 @@ object SparkEntry {
          |               CAST(floor(CAST(t AS DOUBLE) / mx * 1e3 + 0.5) AS BIGINT) AS w
          |        FROM t$r CROSS JOIN mx$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ec AS (SELECT vec_id,
-       |                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |            FROM embeddings),
+    s"""ec AS (SELECT vec_id,
+       |               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings),
        |q AS (SELECT vec_id, z[2] AS pos,
        |             CAST(floor(CAST(z[1] AS DOUBLE) * 1e6) AS BIGINT) AS xq
        |      FROM (SELECT vec_id, unnest(list_zip(v, range(0, len(v)))) AS z
@@ -1078,10 +1083,22 @@ object SparkEntry {
        |        CAST(floor((CAST(spp AS DOUBLE) - CAST(sa.sx AS DOUBLE) * sb.sx / sa.n) / sa.n) AS BIGINT) AS c
        |        FROM pp JOIN s sa ON sa.pos = a JOIN s sb ON sb.pos = b),
        |w0 AS (SELECT pos, CAST(1000 AS BIGINT) AS w FROM s),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private lazy val pcaOracle: String =
+    s"""WITH $pcaCtes
        |SELECT w8.pos, w8.w AS loading_q, mx8.mx AS lam_q
        |FROM w8 CROSS JOIN mx8 ORDER BY pos""".stripMargin
-  }
+
+  /** q212 — the projection shares the FULL training replay (pcaCtes),
+    * so its hash gates train + apply end to end. */
+  private lazy val pcaProjectOracle: String =
+    s"""WITH $pcaCtes
+       |SELECT q.vec_id, CAST(sum(q.xq * w8.w) AS BIGINT) AS proj_q,
+       |       CAST(CAST(sum(q.xq * w8.w) AS BIGINT) AS DOUBLE) / 1e9 AS proj
+       |FROM q JOIN w8 ON q.pos = w8.pos
+       |GROUP BY q.vec_id ORDER BY q.vec_id""".stripMargin
 
   private lazy val nswGraphOracle: String = {
     // mod SRC, not corpus size: links point to EARLIER ids only (NSW
@@ -3367,6 +3384,8 @@ object SparkEntry {
          |ORDER BY vec_id""".stripMargin,
     // the trained component replayed stage by stage (see pcaOracle)
     "q211_pca_component" -> pcaOracle,
+    // train + apply end to end (shared pcaCtes)
+    "q212_pca_project" -> pcaProjectOracle,
     // each HOF replayed with its DuckDB list twin; the quadratic term
     // quantized to a LONG per element so the fold is an exact integer
     // sum on both engines

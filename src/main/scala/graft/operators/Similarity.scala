@@ -696,6 +696,30 @@ object Similarity {
       .orderBy("pos")
   }
 
+  /** q212 — the REDUCE step q211 exists for: every embedding projected
+    * onto the trained component (the 1-D reduction a pipeline feeds to
+    * downstream binning/clustering; PCA-reduce-then-cluster is the
+    * SemDeDup preprocessing). The component is d-BOUNDED, so it rides
+    * the plan as a LITERAL array and the projection is a pure map-side
+    * integer fold per vector — zero shuffles before the presentation
+    * sort, the q45 class of plan. proj_q = Σ xq·w is an exact BIGINT
+    * (array-ordered fold ≡ the oracle's join-sum because integer
+    * addition commutes); `proj` renders it at natural scale (1e6
+    * quantization × 1e3 component scale). The oracle replays the FULL
+    * train + apply chain (shared pcaCtes), so the hash gates the
+    * trained component and its application together. */
+  def pcaProject(embeddings: DataFrame, rounds: Int = 8): DataFrame = {
+    val w = pcaTopComponent(embeddings, rounds).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    embeddings.select(col("vec_id"),
+      aggregate(zip_with(
+        transform(asDouble(col("embedding")), x => floor(x * 1e6).cast("long")),
+        typedLit(w), (x, c) => x * c), lit(0L), (acc, t) => acc + t)
+        .as("proj_q"))
+      .withColumn("proj", col("proj_q").cast("double") / 1e9)
+      .orderBy("vec_id")
+  }
+
   /** q93 — SEMANTIC deduplication (the SemDeDup shape: Abbas et al.
     * 2023, arXiv:2303.09540): embedding-space near-dup clustering,
     * the decision step a training pipeline runs over embeddings the

@@ -1759,4 +1759,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lam >= maxDiag * 1000L,
       s"lam_q $lam below a basis direction's variance ${maxDiag * 1000L}")
   }
+
+  test("q212 PCA projection: recovers the planted signal; map-side plan") {
+    import spark.implicits._
+    // same planted frame as q211: the projection must be (up to global
+    // sign) a near-affine function of the planted signal s
+    val dim = 6
+    val synth = (0L until 120L).map { i =>
+      val s = ((i % 9).toInt - 4) * 0.25f
+      val v = Array.tabulate(dim) {
+        case 0 => s * 0.7071f
+        case 1 => s * 0.7071f
+        case d => 0.05f * (((i * 13 + d * 5) % 7) - 3)
+      }
+      (i, v, s.toDouble)
+    }
+    val proj = Similarity.pcaProject(synth.map(t => (t._1, t._2))
+      .toDF("vec_id", "embedding")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val pairs = synth.map(t => (t._3, proj(t._1)))
+    val (sx, py) = (pairs.map(_._1), pairs.map(_._2))
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val (ma, mb) = (a.sum / a.size, b.sum / b.size)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+        b.map(y => (y - mb) * (y - mb)).sum)
+    }
+    assert(math.abs(corr(sx, py)) > 0.99,
+      f"projection decorrelated from the planted signal: ${corr(sx, py)}%.3f")
+    // 100 TB shape: the projection itself is map-side — no hash
+    // exchange anywhere (the only exchange is the presentation sort)
+    val plan = Similarity.pcaProject(t("embeddings"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"projection shuffled the corpus:\n$plan")
+  }
 }
