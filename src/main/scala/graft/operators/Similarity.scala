@@ -199,12 +199,21 @@ object Similarity {
   private val nswScoredMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int), DataFrame]
 
+  /** Drop memoized scored-candidate relations (multi-corpus drivers,
+    * artifact-store tests). */
+  def clearNswScoredMemo(): Unit = nswScoredMemo.clear()
+
   private def nswScoredAll(embeddings: DataFrame, longLinks: Int): DataFrame = {
     def fresh = nswScore(withNorm(embeddings),
       nswCandidates(embeddings, longLinks, None))
+    // artifact-backed like every memo family (sketches, sigs, prints,
+    // PQ, BPE): with spark.graft.artifactDir set, a RESTARTED session
+    // loads the scored relation instead of re-scoring the corpus
     Dedup.corpusMemo(nswScoredMemo, embeddings, longLinks)(
-      fresh.repartition(embeddings.sparkSession.sessionState.conf
-        .numShufflePartitions).localCheckpoint(true))(fresh)
+      graft.sources.ArtifactStore.loadOrBuild(
+          "nsw_scored", embeddings, s"ll$longLinks")(fresh)
+        .repartition(embeddings.sparkSession.sessionState.conf
+          .numShufflePartitions).localCheckpoint(true))(fresh)
   }
 
   /** The scored top-m base graph — the artifact the incremental path

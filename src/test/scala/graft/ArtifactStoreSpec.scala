@@ -102,4 +102,32 @@ class ArtifactStoreSpec extends SparkSpec {
       assert(Bpe.bpeEncode(s2.read.parquet(corpusPath), 4).count() > 0)
     } finally spark.conf.unset("spark.graft.artifactDir")
   }
+
+  test("NSW scored-candidate artifact: a second session loads instead of re-scoring") {
+    import graft.operators.Similarity
+    Similarity.clearNswScoredMemo()
+    spark.conf.set("spark.graft.artifactDir", storeDir)
+    try {
+      val (h0, m0) = counters
+      val embPath = s"$testdataDir/embeddings.parquet"
+      def edges(g: org.apache.spark.sql.DataFrame) = g.collect()
+        .map(_.toString).sorted.toList
+      val g1 = edges(Similarity.nswGraph(spark.read.parquet(embPath)))
+      assert(counters === ((h0, m0 + 1)), "first session must BUILD the artifact")
+      // a NEW session: fresh memo key — without the store the whole
+      // candidate+scoring tower re-runs; with it the scored relation
+      // is READ BACK and only the windows/polish re-run
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.artifactDir", storeDir)
+      val g2 = edges(Similarity.nswGraph(s2.read.parquet(embPath)))
+      assert(counters === ((h0 + 1, m0 + 1)), "second session must LOAD, not re-score")
+      assert(g2 === g1)
+      // the incremental path in the SAME session rides the in-memory
+      // memo of the loaded artifact — zero further store traffic
+      assert(Similarity.nswGraphIncremental(
+        s2.read.parquet(embPath), 250L).count() > 0)
+      assert(counters === ((h0 + 1, m0 + 1)),
+        "q206 must reuse the session memo, not re-touch the store")
+    } finally spark.conf.unset("spark.graft.artifactDir")
+  }
 }
