@@ -102,7 +102,16 @@ object ScaleProbe {
       "q123_prefix_filter" -> ((d: DataFrame) =>
         graft.operators.Dedup.prefixFilterNearDup(d)),
       "q191_dup_ngram_rate" -> ((d: DataFrame) =>
-        graft.operators.TextAnalysis.dupNgramRate(d)))
+        graft.operators.TextAnalysis.dupNgramRate(d)),
+      // round-8 heavy rows: the incremental-cluster query form (cap =
+      // half the id space, scaling with the corpus like the bench's
+      // fixed split) and the trained-NB corpus scorer
+      "q202_incremental_clusters" -> ((d: DataFrame) => {
+        val cap = (d.agg(max(col("doc_id"))).head().getLong(0) + 1) / 2
+        graft.operators.Dedup.incrementalClusters(d, cap, 0.95)
+      }),
+      "q209_nb_classifier" -> ((d: DataFrame) =>
+        graft.operators.TextAnalysis.nbClassifier(d)))
 
     // FULL materialization: df.count() would let the optimizer drop
     // row-count-preserving subtrees (q191's 1:≤1 outer join vanishes
