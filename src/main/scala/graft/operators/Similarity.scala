@@ -18,13 +18,13 @@ import graft.functions.{DotProductDouble, Hashing}
 object Similarity {
 
   /** Cast ARRAY<FLOAT> → ARRAY<DOUBLE> so all accumulation is in f64. */
-  private[operators] def asDouble(c: Column): Column =
+  private[graft] def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
   /** Dot product — codegen'd primitive loop (DotProductDouble); the
     * left-fold order matches DuckDB's list_reduce, so the result is
     * bit-identical. */
-  private[operators] def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     DotProductDouble(a, b)
 
   private[operators] def cosine(a: Column, b: Column): Column =
@@ -33,7 +33,7 @@ object Similarity {
   /** (vec_id, v, nrm) — the norm is computed ONCE per vector here, not
     * per candidate pair (an O(pairs·dim) → O(n·dim) saving; the pair
     * stage then does a single dot per pair). Same fold, same doubles. */
-  private[operators] def withNorm(embeddings: DataFrame): DataFrame =
+  private[graft] def withNorm(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))

@@ -758,4 +758,82 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("n"),
         (terms.reduce(_ + _).cast("double") / 1e9).as("psi"))
   }
+
+  /** Streaming ANN probe over the STORED navigable graph — the
+    * GraphStore consumer a live retrieval service runs: each arriving
+    * query vector (qid, embedding, ingest_ts) greedily descends the
+    * stored NSW edges for a FIXED number of hops and emits its top-k
+    * neighbors. Completes the streaming story for the similarity
+    * family the way `streamingNearDupCandidates`/`streamingSimhash
+    * Matches` did for the sketch families.
+    *
+    * Norm/dot/cosine and the hash-ranked entry rule are the SHARED
+    * batch definitions (`Similarity.withNorm/dot`, the q205 search's
+    * xxhash64-entry rank) — a streamed score must equal a batch score
+    * bit for bit, forever.
+    *
+    * Algorithm note — greedy CHAIN, not the batch search's
+    * union-accumulate: each hop keeps the top `beam` of the PREVIOUS
+    * frontier's scored neighbors (a per-hop watermarked top-k
+    * aggregation via the bounded TopKAggregator), because the batch
+    * form's running-best union would need a streaming self-union of
+    * aggregated branches. The chain is the classic greedy NSW descent;
+    * the spec pins stream ≡ the same chain run as a batch plan, plus
+    * descent-improves-on-entries. State stays bounded everywhere: the
+    * per-hop dedup and top-k aggregations all key on (qid, ingest_ts)
+    * under the watermark, the entry frame is `beam` rows, and the
+    * stored graph/corpus enter only as STATIC join sides (bucketed on
+    * `src` when served by GraphStore — the probe never reshuffles
+    * them). */
+  def streamingAnnProbe(queries: DataFrame, embeddings: DataFrame,
+      graphEdges: DataFrame, k: Int, beam: Int = 12, hops: Int = 2,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val u = Similarity.withNorm(embeddings)
+    val nodeVecs = u.select(col("vec_id").as("node"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    val entryVecs = broadcast(u
+      .withColumn("hr", xxhash64(col("vec_id"), lit(7L)))
+      .orderBy(col("hr").asc, col("vec_id").asc).limit(beam)
+      .select(col("vec_id").as("node"), col("v").as("nv"),
+        col("nrm").as("nn")))
+    val edges = graphEdges.select("src", "dst")
+    val q0 = queries
+      .select(col("qid"), col("ingest_ts"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(Similarity.dot(col("qv"), col("qv"))))
+      .withWatermark("ingest_ts", watermark)
+    def cos6 = round(Similarity.dot(col("qv"), col("nv")) /
+      (col("qn") * col("nn")), 6).as("cos6")
+    val keep = Seq("qid", "ingest_ts", "qv", "qn")
+    def prune(scored: DataFrame, kk: Int): DataFrame = {
+      val topk = udaf(new graft.functions.TopKAggregator(kk),
+        ExpressionEncoder[(Double, Long)]())
+      scored.groupBy(keep.map(col): _*)
+        .agg(topk(col("cos6"), col("node")).as("best"))
+        .select(keep.map(col) :+
+          posexplode(col("best")).as(Seq("rnk0", "e")): _*)
+        .select(keep.map(col) :+ col("e._2").as("node") :+
+          col("e._1").as("cos6") :+ (col("rnk0") + 1).cast("long").as("rnk"): _*)
+    }
+    // hop 0: the fixed entry set, scored per arriving query
+    var frontier = prune(
+      q0.crossJoin(entryVecs).withColumn("cos6", cos6), beam)
+    for (_ <- 1 to hops) {
+      val neigh = frontier
+        .select((keep.map(col) :+ col("node").as("src")): _*)
+        .join(edges, "src")
+        .select((keep.map(col) :+ col("dst").as("node")): _*)
+        // two frontier nodes sharing a neighbor: bounded streaming
+        // dedup (the subset carries the event-time column)
+        .dropDuplicates("qid", "ingest_ts", "node")
+      frontier = prune(
+        neigh.join(nodeVecs, "node").withColumn("cos6", cos6), beam)
+    }
+    prune(frontier.where(col("qid") =!= col("node"))
+      .select((keep.map(col) :+ col("node") :+ col("cos6")): _*), k)
+      .select(col("qid"), col("node").as("vec_b"),
+        col("cos6").as("cos_sim"), col("rnk"), col("ingest_ts"))
+  }
 }

@@ -786,4 +786,57 @@ class StreamingSpec extends SparkSpec {
       assert(got.values.exists(_ > 0L))
     } finally q.stop()
   }
+
+  test("streaming ANN probe over the stored graph ≡ the same descent as a batch plan") {
+    implicit val ctx = spark.sqlContext
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val edges = graft.operators.Similarity.nswGraph(emb)
+      .select("src", "dst").localCheckpoint(true)
+    // query vectors taken from the corpus (qids offset so self-exclusion
+    // in the probe never hides a corpus match)
+    val qrows = emb.where($"vec_id" < 5).collect()
+      .map(r => (r.getLong(0) + 1000L, r.getSeq[Float](1)))
+    val in = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val q = EventStreams.streamingAnnProbe(
+        in.toDF.toDF("qid", "embedding", "ingest_ts"), emb, edges, 3)
+      .writeStream.format("memory").queryName("annp").outputMode("append").start()
+    try {
+      in.addData(qrows.take(3).zipWithIndex.map { case ((id, v), i) =>
+        (id, v, ts(i)) }.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(qrows.drop(3).zipWithIndex.map { case ((id, v), i) =>
+        (id, v, ts(3 + i)) }.toIndexedSeq)
+      q.processAllAvailable()
+      // the chain has several stateful stages: advance the watermark
+      // far enough to finalize them all
+      in.addData((9999L, qrows.head._2,
+        Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("annp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .filter(_._1 < 9999L).toSet
+      // the SAME builder on a batch frame (watermark a no-op there)
+      val batchIn = qrows.zipWithIndex
+        .map { case ((id, v), i) => (id, v, ts(i)) }.toSeq
+        .toDF("qid", "embedding", "ingest_ts")
+      val expected = EventStreams.streamingAnnProbe(batchIn, emb, edges, 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(got === expected)
+      assert(got.nonEmpty && got.exists(_._4 === 1L))
+      // the descent earns its keep in streaming too: 2-hop top-1 must
+      // beat the entries-only (hops = 0) top-1 for at least one query
+      // and never lose
+      val hop0 = EventStreams
+        .streamingAnnProbe(batchIn, emb, edges, 3, hops = 0).collect()
+        .filter(_.getLong(3) == 1L).map(r => r.getLong(0) -> r.getDouble(2))
+        .toMap
+      val hop2 = expected.filter(_._4 == 1L).map(t => t._1 -> t._3).toMap
+      assert(hop2.forall { case (qid, c) => c >= hop0(qid) })
+      assert(hop2.exists { case (qid, c) => c > hop0(qid) },
+        "2-hop descent never improved on the entry ranking")
+    } finally q.stop()
+  }
 }
