@@ -775,6 +775,28 @@ object SparkEntry {
     // oracle replays train + apply end to end
     "q212_pca_project" -> ((s, d) =>
       Similarity.pcaProject(Tables(s, d, "embeddings"))),
+    // the classifier's EVAL GATE: confusion matrix + exact
+    // integer-micros accuracy/precision/recall/F1 on the held-out
+    // third vs the seed labels — the promote-or-reject row of a
+    // distillation loop, one extra reduce over what q209 pays
+    "q213_classifier_eval" -> ((s, d) =>
+      TextAnalysis.nbEval(Tables(s, d, "documents"))),
+    // AUC as relational algebra: exact rank-sum in integer 2×-units
+    // through the two-level score-bucket histogram (the q148 shape —
+    // no corpus-sized unpartitioned window)
+    "q214_classifier_auc" -> ((s, d) =>
+      TextAnalysis.nbAuc(Tables(s, d, "documents"))),
+    // per-type OLS trend, integer-exact: daily-mean micros regressed
+    // on the CENTERED day index; slope/intercept via explicit pmod
+    // floor-division (negative slopes exist — Spark div truncates,
+    // DuckDB // floors)
+    "q215_ols_trend" -> ((s, d) =>
+      Events.olsTrend(Tables(s, d, "events"))),
+    // SemDeDup with its OWN preprocessing: PCA-project → equal-width
+    // 1-D bins → within-bin cosine edges → connected components; one
+    // hash gates the trained component through the dedup decision
+    "q216_pca_bin_dedup" -> ((s, d) =>
+      Similarity.pcaBinDedup(Tables(s, d, "embeddings"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1085,6 +1107,48 @@ object SparkEntry {
        |w0 AS (SELECT pos, CAST(1000 AS BIGINT) AS w FROM s),
        |$roundCtes""".stripMargin
   }
+
+  /** q209/q213/q214 — the NB train→score chain as a shared CTE block
+    * ending in `nbscored(doc_id, n_tok, score_q, pred, pos)`: q209
+    * projects the scored corpus, q213's confusion metrics and q214's
+    * rank-sum AUC evaluate the held-out third. One text, three gates —
+    * the metrics judge exactly the relation the classifier ships. */
+  private lazy val nbCtes: String =
+    s"""$rawtoksCte,
+       |tc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS m
+       |       FROM rawtoks GROUP BY 1, 2),
+       |lab AS (SELECT doc_id,
+       |               CAST(sum(CASE WHEN word IN ('the','a','of','and','in','to','is','it')
+       |                             THEN m ELSE 0 END) AS DOUBLE) / sum(m) >= 0.08 AS pos
+       |        FROM tc GROUP BY doc_id),
+       |ct AS (SELECT word,
+       |              CAST(sum(CASE WHEN pos THEN m ELSE 0 END) AS BIGINT) AS c_pos,
+       |              CAST(sum(CASE WHEN pos THEN 0 ELSE m END) AS BIGINT) AS c_neg
+       |       FROM tc JOIN lab USING (doc_id)
+       |       WHERE doc_id % 3 <> 0 GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS tot_pos,
+       |               CAST(sum(c_neg) AS BIGINT) AS tot_neg,
+       |               CAST(count(*) AS BIGINT) AS v FROM ct),
+       |pri AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+       |        FROM lab WHERE doc_id % 3 <> 0),
+       |model AS (SELECT word,
+       |       CAST(floor(ln(CAST(c_pos + 1 AS DOUBLE) / CAST(tot_pos + v AS DOUBLE)) * 1e6) AS BIGINT)
+       |     - CAST(floor(ln(CAST(c_neg + 1 AS DOUBLE) / CAST(tot_neg + v AS DOUBLE)) * 1e6) AS BIGINT) AS w_q
+       |          FROM ct CROSS JOIN tot),
+       |sc AS (SELECT doc_id, m,
+       |       coalesce(w_q,
+       |         CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(tot_pos + v AS DOUBLE)) * 1e6) AS BIGINT)
+       |       - CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(tot_neg + v AS DOUBLE)) * 1e6) AS BIGINT)) AS w_eff
+       |       FROM tc LEFT JOIN model USING (word) CROSS JOIN tot),
+       |sp AS (SELECT sc.*,
+       |       CAST(floor(ln(CAST(n_pos AS DOUBLE) / CAST(n_neg AS DOUBLE)) * 1e6) AS BIGINT) AS pq
+       |       FROM sc CROSS JOIN pri),
+       |nbscored AS (
+       |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tok,
+       |         CAST(max(pq) + sum(m * w_eff) AS BIGINT) AS score_q,
+       |         CAST(max(pq) + sum(m * w_eff) AS BIGINT) > 0 AS pred, pos
+       |  FROM sp JOIN lab USING (doc_id) GROUP BY doc_id, pos)""".stripMargin
 
   private lazy val pcaOracle: String =
     s"""WITH $pcaCtes
@@ -3323,40 +3387,122 @@ object SparkEntry {
     // coalescing to the smoothed zero-count ratio — a hash match
     // gates the trained MODEL itself
     "q209_nb_classifier" ->
-      s"""WITH $rawtoksCte,
-         |tc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS m
-         |       FROM rawtoks GROUP BY 1, 2),
-         |lab AS (SELECT doc_id,
-         |               CAST(sum(CASE WHEN word IN ('the','a','of','and','in','to','is','it')
-         |                             THEN m ELSE 0 END) AS DOUBLE) / sum(m) >= 0.08 AS pos
-         |        FROM tc GROUP BY doc_id),
-         |ct AS (SELECT word,
-         |              CAST(sum(CASE WHEN pos THEN m ELSE 0 END) AS BIGINT) AS c_pos,
-         |              CAST(sum(CASE WHEN pos THEN 0 ELSE m END) AS BIGINT) AS c_neg
-         |       FROM tc JOIN lab USING (doc_id)
-         |       WHERE doc_id % 3 <> 0 GROUP BY 1),
-         |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS tot_pos,
-         |               CAST(sum(c_neg) AS BIGINT) AS tot_neg,
-         |               CAST(count(*) AS BIGINT) AS v FROM ct),
-         |pri AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         |               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
-         |        FROM lab WHERE doc_id % 3 <> 0),
-         |model AS (SELECT word,
-         |       CAST(floor(ln(CAST(c_pos + 1 AS DOUBLE) / CAST(tot_pos + v AS DOUBLE)) * 1e6) AS BIGINT)
-         |     - CAST(floor(ln(CAST(c_neg + 1 AS DOUBLE) / CAST(tot_neg + v AS DOUBLE)) * 1e6) AS BIGINT) AS w_q
-         |          FROM ct CROSS JOIN tot),
-         |sc AS (SELECT doc_id, m,
-         |       coalesce(w_q,
-         |         CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(tot_pos + v AS DOUBLE)) * 1e6) AS BIGINT)
-         |       - CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(tot_neg + v AS DOUBLE)) * 1e6) AS BIGINT)) AS w_eff
-         |       FROM tc LEFT JOIN model USING (word) CROSS JOIN tot),
-         |sp AS (SELECT sc.*,
-         |       CAST(floor(ln(CAST(n_pos AS DOUBLE) / CAST(n_neg AS DOUBLE)) * 1e6) AS BIGINT) AS pq
-         |       FROM sc CROSS JOIN pri)
-         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tok,
-         |       CAST(max(pq) + sum(m * w_eff) AS BIGINT) AS score_q,
-         |       CAST(max(pq) + sum(m * w_eff) AS BIGINT) > 0 AS pred
-         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $nbCtes
+         |SELECT doc_id, n_tok, score_q, pred
+         |FROM nbscored ORDER BY doc_id""".stripMargin,
+    // held-out confusion metrics over the SAME nbscored relation;
+    // integer-micros divisions (`//` here, `div` Spark-side — both
+    // truncate on these non-negative operands), vacuous-truth 1e6 pins
+    "q213_classifier_eval" ->
+      s"""WITH $nbCtes,
+         |held AS (SELECT pred, pos FROM nbscored WHERE doc_id % 3 = 0),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |             CAST(sum(CASE WHEN pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |             CAST(sum(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |             CAST(sum(CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |             CAST(sum(CASE WHEN NOT pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |      FROM held)
+         |SELECT n_test, tp, fp, fn, tn,
+         |       CAST((tp + tn) * 1000000 // n_test AS BIGINT) AS acc_micros,
+         |       CAST(CASE WHEN tp + fp = 0 THEN 1000000
+         |                 ELSE tp * 1000000 // (tp + fp) END AS BIGINT) AS prec_micros,
+         |       CAST(CASE WHEN tp + fn = 0 THEN 1000000
+         |                 ELSE tp * 1000000 // (tp + fn) END AS BIGINT) AS rec_micros,
+         |       CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 1000000
+         |                 ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS BIGINT) AS f1_micros
+         |FROM c""".stripMargin,
+    // exact rank-sum AUC in 2×-units through the two-level bucket
+    // histogram (pmod floor-div: Spark div truncates, DuckDB // floors
+    // — scores go negative, so the bucket rule is spelled out)
+    "q214_classifier_auc" ->
+      s"""WITH $nbCtes,
+         |per AS (SELECT score_q,
+         |               CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+         |               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_n,
+         |               CAST((score_q - ((score_q % 1000000) + 1000000) % 1000000) // 1000000 AS BIGINT) AS bkt
+         |        FROM nbscored WHERE doc_id % 3 = 0 GROUP BY score_q),
+         |blw AS (SELECT bkt,
+         |               coalesce(sum(bn) OVER (ORDER BY bkt
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below_bkt
+         |        FROM (SELECT bkt, sum(n_n) AS bn FROM per GROUP BY bkt)),
+         |wi AS (SELECT per.*, below_bkt,
+         |              coalesce(sum(n_n) OVER (PARTITION BY per.bkt ORDER BY score_q
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS in_bkt
+         |       FROM per JOIN blw ON per.bkt = blw.bkt),
+         |f AS (SELECT CAST(sum(n_p) AS BIGINT) AS n_pos,
+         |             CAST(sum(n_n) AS BIGINT) AS n_neg,
+         |             CAST(sum(n_p * (2 * (below_bkt + in_bkt) + n_n)) AS BIGINT) AS auc_num2
+         |      FROM wi)
+         |SELECT n_pos, n_neg, auc_num2,
+         |       CAST(CASE WHEN n_pos * n_neg = 0 THEN 1000000
+         |                 ELSE auc_num2 * 1000000 // (2 * n_pos * n_neg) END AS BIGINT) AS auc_micros
+         |FROM f""".stripMargin,
+    // daily-mean micros per (type, day), centered day index from a
+    // partitioned window, closed-form OLS with pmod floor-divisions
+    // mirrored text-for-text (slopes go negative)
+    "q215_ols_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_q,
+        |         CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM events GROUP BY 1, 2),
+        |yd AS (SELECT event_type, day,
+        |              CASE WHEN n_ev = 0 THEN 0
+        |                   ELSE (sum_q - ((sum_q % n_ev) + n_ev) % n_ev) // n_ev END AS y,
+        |              min(day) OVER (PARTITION BY event_type) AS d0
+        |       FROM daily),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |             CAST(sum(day - d0) AS BIGINT) AS sum_d,
+        |             CAST(sum(y) AS BIGINT) AS sum_y,
+        |             CAST(sum((day - d0) * y) AS BIGINT) AS sum_dy,
+        |             CAST(sum((day - d0) * (day - d0)) AS BIGINT) AS sum_d2
+        |      FROM yd GROUP BY 1),
+        |fit AS (SELECT s.*,
+        |  CAST(CASE WHEN n_days * sum_d2 - sum_d * sum_d = 0 THEN 0
+        |    ELSE ((n_days * sum_dy - sum_d * sum_y)
+        |          - (((n_days * sum_dy - sum_d * sum_y) % (n_days * sum_d2 - sum_d * sum_d))
+        |             + (n_days * sum_d2 - sum_d * sum_d)) % (n_days * sum_d2 - sum_d * sum_d))
+        |         // (n_days * sum_d2 - sum_d * sum_d) END AS BIGINT) AS slope_q
+        |  FROM s)
+        |SELECT event_type, n_days, sum_d, sum_y, slope_q,
+        |       CAST(CASE WHEN n_days = 0 THEN 0
+        |         ELSE ((sum_y - slope_q * sum_d)
+        |               - (((sum_y - slope_q * sum_d) % n_days) + n_days) % n_days)
+        |              // n_days END AS BIGINT) AS intercept_q
+        |FROM fit ORDER BY event_type""".stripMargin,
+    // the full chain replayed: pcaCtes (train) + projection + binning
+    // + within-bin edges + recursive closure (the q93 reach pattern).
+    // MATERIALIZED is load-bearing: DuckDB inlines CTEs per reference,
+    // and pcaCtes under the recursive closure multiplies the parquet
+    // scan into thousands of opens (measured: fd exhaustion at the
+    // default limit) — pinning the four fan-out CTEs bounds it
+    "q216_pca_bin_dedup" ->
+      s"""WITH RECURSIVE $pcaCtes,
+         |$embCte,
+         |proj AS MATERIALIZED (SELECT q.vec_id, CAST(sum(q.xq * w8.w) AS BIGINT) AS proj_q
+         |         FROM q JOIN w8 ON q.pos = w8.pos GROUP BY q.vec_id),
+         |mm AS (SELECT CAST(min(proj_q) AS BIGINT) AS lo,
+         |              CAST(max(proj_q) AS BIGINT) AS hi FROM proj),
+         |binned AS MATERIALIZED (SELECT vec_id,
+         |             CAST(CASE WHEN hi = lo THEN 0
+         |               ELSE ((proj_q - lo) * 16) // (hi - lo + 1) END AS BIGINT) AS bin
+         |           FROM proj CROSS JOIN mm),
+         |eb AS MATERIALIZED (SELECT e.vec_id, e.v, e.nrm, b.bin
+         |       FROM e JOIN binned b ON e.vec_id = b.vec_id),
+         |edges AS (SELECT a.vec_id AS ea, b.vec_id AS eb2
+         |          FROM eb a JOIN eb b ON a.bin = b.bin AND a.vec_id < b.vec_id
+         |          WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4),
+         |sym AS MATERIALIZED (SELECT ea AS u, eb2 AS w FROM edges
+         |        UNION ALL SELECT eb2, ea FROM edges),
+         |reach(u, w) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.u, s2.w FROM reach r JOIN sym s2 ON r.w = s2.u),
+         |lab AS (SELECT u AS vec_id, min(w) AS cluster_id FROM reach GROUP BY u)
+         |SELECT l.vec_id, b.bin, l.cluster_id,
+         |       (l.vec_id = l.cluster_id) AS is_canonical
+         |FROM lab l JOIN binned b ON l.vec_id = b.vec_id
+         |ORDER BY l.vec_id""".stripMargin,
     // the trained prototypes replayed: quantized-integer dimension
     // means per class on the seed split (the q92 centroid rule), then
     // the 6-dp cosine argmax with lowest-label tiebreak

@@ -717,6 +717,57 @@ object Events {
       .orderBy("k")
   }
 
+  /** Explicit pmod FLOOR division as SQL text — Spark `div` truncates
+    * toward zero while DuckDB `//` floors, so any engine-crossing
+    * division whose operands can go negative must spell the floor out
+    * (the q214 bucket lesson). Requires b > 0; b = 0 pins to 0 so a
+    * degenerate denominator is a visible zero, not an error. */
+  private def fdiv(a: String, b: String): String =
+    s"CASE WHEN ($b) = 0 THEN 0 " +
+      s"ELSE (($a) - ((($a) % ($b)) + ($b)) % ($b)) div ($b) END"
+
+  /** q215 — per-type OLS TREND, integer-exact: the drift detector a
+    * metrics pipeline runs over event values (is this signal going up
+    * or down, and how fast). Two-stage shape: (1) the corpus-sized
+    * pass reduces to ONE row per (type, day) — value micros sum +
+    * count, so the daily mean is an exact integer division; (2) the
+    * day-bounded relation takes its per-type min day from a
+    * PARTITIONED window (no second pass over events; the regressor is
+    * CENTERED so Σd² stays ~days², never epoch-day-sized, which is
+    * what keeps every closed-form product inside BIGINT), then the
+    * five OLS sums close the fit:
+    * slope = (nΣdy − ΣdΣy) / (nΣd² − (Σd)²), intercept from the
+    * residual — both as explicit pmod floor-divisions (negative
+    * slopes exist; Spark `div` truncation would silently disagree
+    * with the oracle's floor). A single-day type has zero denominator
+    * → slope pins to 0 (flat), intercept degrades to the day mean.
+    * Everything after stage 1 is bounded by types × days. */
+  def olsTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("eus", tsMicros(events))
+      .withColumn("day", expr("eus div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("sum_q"),
+        count(lit(1)).as("n_ev"))
+      .withColumn("y", expr(fdiv("sum_q", "n_ev")))
+    daily
+      .withColumn("d0", min(col("day")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .withColumn("d", col("day") - col("d0"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("d")).as("sum_d"),
+        sum(col("y")).as("sum_y"), sum(col("d") * col("y")).as("sum_dy"),
+        sum(col("d") * col("d")).as("sum_d2"))
+      .withColumn("slope_q", expr(fdiv(
+        "n_days * sum_dy - sum_d * sum_y",
+        "n_days * sum_d2 - sum_d * sum_d")))
+      .withColumn("intercept_q", expr(fdiv(
+        "sum_y - slope_q * sum_d", "n_days")))
+      .select("event_type", "n_days", "sum_d", "sum_y", "slope_q",
+        "intercept_q")
+      .orderBy("event_type")
+  }
+
   /** q17 — per-day, per-type temporal rollup. The day leaves as a
     * 'yyyy-MM-dd' string so both engines compare the same value. */
   def dateTruncAgg(events: DataFrame): DataFrame =

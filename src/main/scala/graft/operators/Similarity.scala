@@ -729,6 +729,51 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q216 — SemDeDup with the paper's OWN preprocessing: q212's PCA
+    * projection partitions the corpus into equal-width 1-D bins and
+    * the q93 decision (within-cell cosine edges → connected
+    * components → min-id canonical) runs inside each bin. This closes
+    * the q211→q212→dedup chain as ONE oracle-gated relation: the hash
+    * gates trained component + projection + binning + edge predicate
+    * + closure together. Versus q93's hash-seeded cells, PCA bins put
+    * geometrically-near vectors in the SAME cell by construction —
+    * the recall/cost trade SemDeDup actually makes (cross-bin
+    * near-dups are the accepted loss, the bin count is the knob).
+    * Scale: the projection is a map-side literal-array fold (q212);
+    * the min/max frame is ONE broadcast row; the pair stage shuffles
+    * on `bin` and is quadratic only within a bin; the component loop
+    * is the endpoint-bounded q49 iteration. Equal-width integer
+    * binning (exact `div` on the non-negative shifted projection —
+    * hi = lo pins to bin 0) rather than quantiles keeps the bin rule
+    * a pure scalar so both engines replay it without a rank pass. */
+  def pcaBinDedup(embeddings: DataFrame, bins: Int = 16,
+      threshold: Double = 0.4): DataFrame = {
+    val proj = pcaProject(embeddings).select("vec_id", "proj_q")
+    val mm = proj.agg(min(col("proj_q")).as("lo"), max(col("proj_q")).as("hi"))
+    val binned = proj.crossJoin(broadcast(mm))
+      .withColumn("bin", expr(s"CASE WHEN hi = lo THEN 0 " +
+        s"ELSE ((proj_q - lo) * $bins) div (hi - lo + 1) END"))
+      .select("vec_id", "bin")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = withNorm(embeddings).join(binned, "vec_id")
+    val a = e.select(col("bin"), col("vec_id").as("doc_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("bin"), col("vec_id").as("doc_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val edges = a.join(b, Seq("bin"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("doc_a", "doc_b")
+    val labels = Dedup.clusterLabels(
+      embeddings.select(col("vec_id").as("doc_id")), edges)
+    val result = labels
+      .join(binned.select(col("vec_id").as("doc_id"), col("bin")), "doc_id")
+      .select(col("doc_id").as("vec_id"), col("bin"),
+        col("cluster_id"), col("is_canonical"))
+      .orderBy("vec_id")
+    Dedup.finishWith(result, binned)
+  }
+
   /** q93 — SEMANTIC deduplication (the SemDeDup shape: Abbas et al.
     * 2023, arXiv:2303.09540): embedding-space near-dup clustering,
     * the decision step a training pipeline runs over embeddings the

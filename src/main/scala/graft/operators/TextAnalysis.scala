@@ -338,7 +338,17 @@ object TextAnalysis {
     * by construction. Unseen-at-train tokens take the smoothed
     * zero-count likelihood via the left join's coalesce — the
     * mathematically-correct Laplace default, not a dropped term. */
-  def nbClassifier(docs: DataFrame): DataFrame = {
+  def nbClassifier(docs: DataFrame): DataFrame =
+    nbScoredLabeled(docs)
+      .select("doc_id", "n_tok", "score_q", "pred")
+      .orderBy("doc_id")
+
+  /** The q209 train→score chain with the SEED LABEL kept on every row
+    * — the shared core of the classifier family: q209 projects it to
+    * the scored corpus, q213/q214 evaluate the held-out third against
+    * the seed labels. One definition, so the scored relation the
+    * metrics judge is the scored relation the classifier ships. */
+  private[graft] def nbScoredLabeled(docs: DataFrame): DataFrame = {
     val tc = TextFns.tokens(docs)
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("m"))
@@ -381,8 +391,78 @@ object TextAnalysis {
         (max(lnQ(col("n_pos"), col("n_neg"))) +
           sum(col("m") * col("w_eff"))).as("score_q"))
       .withColumn("pred", col("score_q") > 0L)
-      .orderBy("doc_id")
-    Dedup.finishWith(result, tc)
+    Dedup.finishWith(result.join(labels, "doc_id"), tc)
+  }
+
+  /** q213 — the classifier's EVAL GATE as an oracle-gated relation:
+    * confusion matrix + accuracy / precision / recall / F1 over the
+    * held-out third (doc_id % 3 == 0, never seen in training) against
+    * the q27 seed labels — the metrics row a production distillation
+    * loop actually promotes or rejects a model on. Every ratio is an
+    * exact integer-micros division (`div` truncation ≡ DuckDB `//` on
+    * the non-negative operands here), so the row replays bit-for-bit;
+    * zero-denominator cases pin to 1_000_000 (the q146 vacuous-truth
+    * convention) rather than NULL. Scale: the metrics are ONE
+    * aggregation over the scored relation — four boolean counts — so
+    * the eval costs one extra reduce over what q209 already pays. */
+  def nbEval(docs: DataFrame): DataFrame =
+    nbScoredLabeled(docs)
+      .where(col("doc_id") % 3 === 0)
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("pred") && col("pos")).cast("long")).as("tp"),
+        sum((col("pred") && !col("pos")).cast("long")).as("fp"),
+        sum((!col("pred") && col("pos")).cast("long")).as("fn"),
+        sum((!col("pred") && !col("pos")).cast("long")).as("tn"))
+      .withColumn("acc_micros", expr("(tp + tn) * 1000000 div n_test"))
+      .withColumn("prec_micros", expr(
+        "CASE WHEN tp + fp = 0 THEN 1000000 ELSE tp * 1000000 div (tp + fp) END"))
+      .withColumn("rec_micros", expr(
+        "CASE WHEN tp + fn = 0 THEN 1000000 ELSE tp * 1000000 div (tp + fn) END"))
+      .withColumn("f1_micros", expr(
+        "CASE WHEN 2 * tp + fp + fn = 0 THEN 1000000 " +
+          "ELSE 2 * tp * 1000000 div (2 * tp + fp + fn) END"))
+
+  /** q214 — AUC as RELATIONAL ALGEBRA: the threshold-free ranking
+    * metric (Mann–Whitney rank-sum) over the held-out third, exact in
+    * integer 2×-units (a positive-above-negative pair counts 2, an
+    * equal-score pair counts 1 — the standard tie convention with no
+    * halves). The naive shape is a corpus-sized unpartitioned window
+    * (single-task sort — the q148 trap); this is the two-level
+    * histogram form instead: per-score counts roll up into
+    * ~1e6-wide score BUCKETS, the global cumulative sum runs over the
+    * BOUNDED bucket histogram (the only unpartitioned window —
+    * range/1e6 rows, never corpus-sized), and within-bucket
+    * cumulatives are windows PARTITIONED by bucket. Bucketing uses an
+    * explicit pmod floor-div — Spark `div` truncates toward zero while
+    * DuckDB `//` floors, and scores go negative, so the naive div
+    * would silently disagree at engine boundaries. Headroom: the
+    * micros numerator overflows past ~2e12 pos×neg held-out pairs;
+    * beyond that the one-row final division moves to DECIMAL(38,0)
+    * (the q49 observe convention). */
+  def nbAuc(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = nbScoredLabeled(docs)
+      .where(col("doc_id") % 3 === 0)
+      .groupBy("score_q")
+      .agg(sum(col("pos").cast("long")).as("n_p"),
+        sum((!col("pos")).cast("long")).as("n_n"))
+      .withColumn("bkt", expr(
+        "(score_q - ((score_q % 1000000) + 1000000) % 1000000) div 1000000"))
+    val wBkt = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val below = per.groupBy("bkt").agg(sum(col("n_n")).as("bn"))
+      .withColumn("below_bkt", coalesce(sum(col("bn")).over(wBkt), lit(0L)))
+      .select("bkt", "below_bkt")
+    val wIn = Window.partitionBy("bkt").orderBy("score_q")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per.join(below, "bkt")
+      .withColumn("in_bkt", coalesce(sum(col("n_n")).over(wIn), lit(0L)))
+      .agg(sum(col("n_p")).as("n_pos"), sum(col("n_n")).as("n_neg"),
+        sum(col("n_p") * (lit(2L) * (col("below_bkt") + col("in_bkt")) +
+          col("n_n"))).as("auc_num2"))
+      .withColumn("auc_micros", expr(
+        "CASE WHEN n_pos * n_neg = 0 THEN 1000000 " +
+          "ELSE auc_num2 * 1000000 div (2 * n_pos * n_neg) END"))
   }
 
   /** q69 — the corpus FILTER PIPELINE: the composition step that turns

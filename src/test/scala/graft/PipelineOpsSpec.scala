@@ -572,6 +572,35 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q216 PCA-bin dedup: duplicates always co-cluster, labeling total, bins respected") {
+    import spark.implicits._
+    val emb = t("embeddings")
+    val rows = Similarity.pcaBinDedup(emb, bins = 16, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.length === emb.count(), "labeling must be total")
+    rows.foreach { case (id, bin, cl, canon) =>
+      assert(cl <= id); assert(canon === (id == cl))
+      assert(bin >= 0 && bin < 16)
+    }
+    assert(rows.groupBy(_._3).exists(_._2.length > 1),
+      "no multi-member cluster — threshold vacuous on the fixture")
+    // the SemDeDup guarantee the 1-D binning must never break: an
+    // EXACT duplicate has the same projection, hence the same bin,
+    // hence cosine 1 within the bin — it can never escape its twin's
+    // cluster regardless of where the bin boundaries fall
+    val base = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray))
+    val planted = (base.take(5).map { case (id, v) => (id + 100000L, v) }
+      ++ base).toSeq.toDF("vec_id", "embedding")
+    val lab = Similarity.pcaBinDedup(planted, bins = 16, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    base.take(5).foreach { case (id, _) =>
+      assert(lab(id + 100000L) === lab(id),
+        s"planted duplicate of $id escaped its cluster")
+    }
+  }
+
   test("q108 tpch q18: HAVING gate holds, order deterministic, non-vacuous") {
     import graft.operators.Relational
     val got = Relational.tpchQ18(t("customer"), t("orders"), t("lineitem"))
@@ -1673,6 +1702,87 @@ class PipelineOpsSpec extends SparkSpec {
       f"held-out accuracy $acc%.3f does not beat majority prior $prior%.3f")
     // both classes actually predicted (no degenerate collapse)
     assert(scored.exists(_.getBoolean(0)) && scored.exists(!_.getBoolean(0)))
+  }
+
+  test("q213 eval metrics ≡ independent held-out recount; q214 AUC ≡ O(n²) pair count") {
+    val docs = t("documents")
+    // independent ground truth: q209 predictions joined with the q27
+    // seed gate (langId's en decision IS the 0.08 stop-ratio rule),
+    // recounted driver-side — the eval row must agree cell for cell
+    val held = TextAnalysis.nbClassifier(docs)
+      .join(TextAnalysis.langId(docs)
+        .select(col("doc_id"), (col("pred_lang") === "en").as("pos")),
+        "doc_id")
+      .where(col("doc_id") % 3 === 0)
+      .select(col("score_q"), col("pred"), col("pos")).collect()
+    val tp = held.count(r => r.getBoolean(1) && r.getBoolean(2)).toLong
+    val fp = held.count(r => r.getBoolean(1) && !r.getBoolean(2)).toLong
+    val fn = held.count(r => !r.getBoolean(1) && r.getBoolean(2)).toLong
+    val tn = held.count(r => !r.getBoolean(1) && !r.getBoolean(2)).toLong
+    val ev = TextAnalysis.nbEval(docs).collect().head
+    assert(ev.getLong(0) === held.length.toLong)
+    assert((ev.getLong(1), ev.getLong(2), ev.getLong(3), ev.getLong(4)) ===
+      ((tp, fp, fn, tn)))
+    assert(ev.getLong(5) === (tp + tn) * 1000000L / held.length)
+    assert(ev.getLong(8) === 2 * tp * 1000000L / (2 * tp + fp + fn))
+    // AUC: the bucketed two-window form must equal the brute-force
+    // pairwise rank-sum (2 per strictly-ordered pair, 1 per tie) —
+    // and the trained model must actually RANK (auc > 0.5 + margin)
+    val scoresP = held.filter(_.getBoolean(2)).map(_.getLong(0))
+    val scoresN = held.filterNot(_.getBoolean(2)).map(_.getLong(0))
+    val num2 = (for (p <- scoresP; n <- scoresN) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    val auc = TextAnalysis.nbAuc(docs).collect().head
+    assert(auc.getLong(0) === scoresP.length.toLong)
+    assert(auc.getLong(1) === scoresN.length.toLong)
+    assert(auc.getLong(2) === num2, "bucketed rank-sum ≠ brute force")
+    assert(auc.getLong(3) > 700000L,
+      s"AUC ${auc.getLong(3)} micros — model does not rank held-out docs")
+  }
+
+  test("q215 OLS trend: planted exact line recovered; floor-div recount on the corpus") {
+    import spark.implicits._
+    // a noiseless planted line per type: value = a + b·day with a, b
+    // exactly representable — the fit must recover slope_q = b·1e6 and
+    // intercept_q = a·1e6 EXACTLY (integer closed form, no tolerance);
+    // the negative slope drives the pmod floor-div branch
+    val synth = (for {
+      day <- 0 until 7; rep <- 0 until 3
+    } yield Seq(
+      (day.toLong * 86400L * 1000000000L + rep * 1000L, "up", 3.5 + 2.25 * day),
+      (day.toLong * 86400L * 1000000000L + rep * 1000L, "down", 100.0 - 0.5 * day)
+    )).flatten.toDF("ts", "event_type", "value")
+    val fit = Events.olsTrend(synth).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(fit("up") === ((2250000L, 3500000L)))
+    assert(fit("down") === ((-500000L, 100000000L)))
+    // corpus: the closed form recounted driver-side in BigInt floor
+    // arithmetic from the raw rows — must agree cell for cell
+    def fl(a: BigInt, b: BigInt): Long =
+      (if (b == 0) BigInt(0) else (a - ((a % b) + b) % b) / b).toLong
+    val raw = evNanos.select(col("event_type"), expr("ts div 1000").as("eus"),
+      col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000000L,
+        math.floor(r.getDouble(2) * 1e6).toLong))
+    val expect = raw.groupBy(r => (r._1, r._2)).map { case ((t, d), rs) =>
+      (t, d, fl(rs.map(x => BigInt(x._3)).sum, rs.length)) }
+      .groupBy(_._1).map { case (t, ds) =>
+        val d0 = ds.map(_._2).min
+        val pts = ds.map(x => (BigInt(x._2 - d0), BigInt(x._3))).toSeq
+        val (n, sd, sy) = (BigInt(pts.length), pts.map(_._1).sum, pts.map(_._2).sum)
+        val sdy = pts.map(p => p._1 * p._2).sum
+        val sd2 = pts.map(p => p._1 * p._1).sum
+        val slope = fl(n * sdy - sd * sy, n * sd2 - sd * sd)
+        t -> ((n.toLong, sd.toLong, sy.toLong, slope,
+          fl(sy - slope * sd, n)))
+      }
+    val got = Events.olsTrend(t("events")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(expect(r.getString(0)) === ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))))
+    }
   }
 
   test("q210 centroid classifier: learns separable classes, structural pins on the corpus") {
