@@ -797,6 +797,11 @@ object SparkEntry {
     // hash gates the trained component through the dedup decision
     "q216_pca_bin_dedup" -> ((s, d) =>
       Similarity.pcaBinDedup(Tables(s, d, "embeddings"))),
+    // edit-distance join at k = 4 via PassJoin segment blocking
+    // (pigeonhole-exhaustive — the oracle is the naive theta form, so
+    // the hash match proves blocked ≡ naive at the harder k)
+    "q217_edit_distance_join" -> ((s, d) =>
+      Dedup.editDistanceJoin(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -3503,6 +3508,17 @@ object SparkEntry {
          |       (l.vec_id = l.cluster_id) AS is_canonical
          |FROM lab l JOIN binned b ON l.vec_id = b.vec_id
          |ORDER BY l.vec_id""".stripMargin,
+    // the naive length-filtered theta form (the length filter is
+    // implied by ed <= 4, so it only prunes the oracle's quadratic
+    // work) — a hash match proves the PassJoin blocking lost nothing
+    "q217_edit_distance_join" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS ed
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id
+        | AND abs(length(a.text) - length(b.text)) <= 4
+        |WHERE levenshtein(a.text, b.text) <= 4
+        |ORDER BY 1, 2""".stripMargin,
     // the trained prototypes replayed: quantized-integer dimension
     // means per class on the seed split (the q92 centroid rule), then
     // the 6-dp cosine argmax with lowest-label tiebreak

@@ -195,6 +195,79 @@ object Dedup {
       .orderBy("cust_a", "cust_b")
   }
 
+  /** q217 — edit-distance-bounded near-dup JOIN at k > 1 via PASSJOIN
+    * segment blocking (Li, Deng, Feng 2011): q140's deletion
+    * neighborhoods explode combinatorially past k = 1 (|s|^k
+    * variants), so the production path for "documents within k CHARACTER
+    * edits" partitions each INDEXED string into k+1 segments — k edits
+    * can touch at most k of them, so any string within distance k
+    * contains at least one segment EXACTLY, shifted by at most the net
+    * prefix length change (±k). Blocking is therefore exhaustive by
+    * pigeonhole: the equi-join on (indexed length, segment ordinal,
+    * segment hash) generates every true pair, `levenshtein` verify
+    * removes false candidates, and the oracle states the naive
+    * length-filtered theta form — the hash match PROVES blocked ≡
+    * naive (the q91/q140 convention at the harder k).
+    *
+    * Scale shape: the index side emits k+1 keys per doc; the probe
+    * side ≤ (2k+1)²·(k+1) keys (length window × shift window ×
+    * segments) — linear fan-out with constant factor ~405 at k = 4,
+    * vs the quadratic all-pairs matrix. Segments ride the shuffle as
+    * xxhash64 (8-byte keys, never the substring — the q82 span
+    * discipline; a hash collision only ADDS a candidate, which verify
+    * then kills, so hashing cannot lose a pair). Empty segments (docs
+    * shorter than k+1 chars) hash "" on both sides and still match —
+    * the guarantee holds for degenerate lengths with no special
+    * bucket. The verify uses the THRESHOLDED levenshtein (banded DP:
+    * O(k·n) not O(n²) per candidate). Non-equal doc guard + canonical
+    * (a < b) orientation + DISTINCT before the text join-back, so
+    * each unordered pair is verified once. */
+  def editDistanceJoin(docs: DataFrame, k: Int = 4, segs: Int = 5)
+      : DataFrame = {
+    require(segs == k + 1, "pigeonhole needs exactly k+1 segments")
+    def ss(lb: String, i: String) = s"cast(($i) * ($lb) div $segs as int)"
+    def sl(lb: String, i: String) =
+      s"(cast((($i) + 1) * ($lb) div $segs as int) - ${ss(lb, i)})"
+    val d = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("l"))
+    val idx = d.select(col("doc_id").as("doc_b"), col("l").as("lb"),
+      explode(expr(
+        s"""transform(sequence(0, ${segs - 1}), i -> struct(
+           |  i AS i,
+           |  xxhash64(substring(text, ${ss("l", "i")} + 1, ${sl("l", "i")})) AS h))"""
+          .stripMargin)).as("s"))
+      .select(col("doc_b"), col("lb"), col("s.i"), col("s.h"))
+    // probe: for each candidate indexed length lb within ±k and each
+    // segment, hash the probe substring at every admissible shift;
+    // sequence() reverses when upper < lower, so the window is clamped
+    // via greatest() and re-filtered (empty window → empty array)
+    val lo = s"greatest(0, ${ss("lb", "i")} - $k)"
+    val hi = s"least(l - ${sl("lb", "i")}, ${ss("lb", "i")} + $k)"
+    val probe = d.select(col("doc_id").as("doc_a"), explode(expr(
+      s"""flatten(transform(sequence(greatest(0, l - $k), l + $k), lb ->
+         |  flatten(transform(sequence(0, ${segs - 1}), i ->
+         |    transform(
+         |      filter(sequence($lo, greatest($lo, $hi)), p -> p <= $hi),
+         |      p -> struct(
+         |        lb AS lb, i AS i,
+         |        xxhash64(substring(text, p + 1, ${sl("lb", "i")})) AS h))))))"""
+        .stripMargin)).as("s"))
+      .select(col("doc_a"), col("s.lb"), col("s.i"), col("s.h"))
+    val cand = probe.join(idx, Seq("lb", "i", "h"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    val ta = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = d.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("ed",
+        levenshtein(col("text_a"), col("text_b"), k).cast("long"))
+      .where(col("ed") >= 0L)
+      .select("doc_a", "doc_b", "ed")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q146 — the LSH RECALL measurement as an oracle-gated relation:
     * the claim "MinHash-LSH recovers X% of the true near-dup pairs"
     * has been a spec assertion since round 1 — this makes it a QUERY

@@ -96,6 +96,55 @@ class BlockingPropertiesSpec extends SparkSpec {
     checkProp(p, 25)
   }
 
+  test("PassJoin k=4 ≡ naive levenshtein on random strings (short + planted-edit long)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def naive(rows: Seq[(Long, String)]): Set[(Long, Long, Long)] =
+      (for {
+        (i, a) <- rows; (j, b) <- rows
+        if i < j; e = lev(a, b) if e <= 4
+      } yield (i, j, e.toLong)).toSet
+    def blocked(rows: Seq[(Long, String)]): Set[(Long, Long, Long)] =
+      Dedup.editDistanceJoin(rows.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // regime 1 — strings SHORTER than k+1 segments (empty-segment
+    // degenerate case): tiny alphabet forces dense matches
+    val genShort = for {
+      n <- Gen.choose(2, 7)
+      ss <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+      } yield cs.mkString)
+    } yield ss.distinct.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val p = Prop.forAll(genShort) { rows => blocked(rows) == naive(rows) }
+    checkProp(p, 20)
+    // regime 2 — LONG strings with planted edit scripts at exactly the
+    // threshold boundary (3, 4, and 5 edits: the 5-edit pair must be
+    // excluded even though it shares many segments)
+    val base = (0 until 6).map(i =>
+      (0 until 60).map(j => ('a' + (i * 31 + j * 7) % 26).toChar).mkString)
+    def edit(s: String, ops: Int, seed: Int): String =
+      (0 until ops).foldLeft(s) { (acc, o) =>
+        val p0 = (seed * 13 + o * 29) % math.max(1, acc.length)
+        o % 3 match {
+          case 0 => acc.substring(0, p0) + "zz".charAt(o % 2) + acc.substring(p0 + 1)
+          case 1 => acc.substring(0, p0) + "q" + acc.substring(p0)
+          case 2 => acc.substring(0, p0) + acc.substring(math.min(p0 + 1, acc.length))
+        }
+      }
+    val planted = base.zipWithIndex.flatMap { case (s, i) =>
+      Seq((i * 10L, s), (i * 10L + 1, edit(s, 1 + i % 5, i)))
+    }
+    assert(blocked(planted) === naive(planted))
+    assert(naive(planted).nonEmpty, "planted pairs all above threshold — vacuous")
+  }
+
   test("CMS estimate ≥ exact count on every random corpus (sketch invariant)") {
     val vocab = Vector("qq", "ww", "rr", "tt", "yy")
     val genDocs = for {
