@@ -343,12 +343,18 @@ object TextAnalysis {
       .select("doc_id", "n_tok", "score_q", "pred")
       .orderBy("doc_id")
 
-  /** The q209 train→score chain with the SEED LABEL kept on every row
-    * — the shared core of the classifier family: q209 projects it to
-    * the scored corpus, q213/q214 evaluate the held-out third against
-    * the seed labels. One definition, so the scored relation the
-    * metrics judge is the scored relation the classifier ships. */
-  private[graft] def nbScoredLabeled(docs: DataFrame): DataFrame = {
+  /** The q209 quantized-ln convention, shared by the whole NB family. */
+  private def lnQ(num: org.apache.spark.sql.Column,
+      den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(log(num.cast("double") / den.cast("double")) * 1e6).cast("long")
+
+  /** The q209 TRAINING stages — (persisted doc×word counts, seed
+    * labels, one-row consts, word→w_q model) — shared by the batch
+    * scorer below and the [[nbModelArtifact]] export the streaming
+    * gate loads. One definition, so the deployed model can never
+    * drift from the gated one. */
+  private def nbParts(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tc = TextFns.tokens(docs)
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("m"))
@@ -372,13 +378,40 @@ object TextAnalysis {
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
     val consts = broadcast(tot.crossJoin(pri))
-    def lnQ(num: org.apache.spark.sql.Column,
-        den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      floor(log(num.cast("double") / den.cast("double")) * 1e6).cast("long")
     val model = ct.crossJoin(consts)
       .withColumn("w_q", lnQ(col("c_pos") + 1L, col("tot_pos") + col("v")) -
         lnQ(col("c_neg") + 1L, col("tot_neg") + col("v")))
       .select("word", "w_q")
+    (tc, labels, consts, model)
+  }
+
+  /** The trained q209 model as ONE portable relation — the artifact a
+    * pipeline stores and a scorer (batch elsewhere, or the streaming
+    * keep/drop gate) loads: per-word weight rows (`kind = 'w'`) plus
+    * the two scalars the scoring formula needs — the prior log-odds
+    * (`kind = 'prior'`) and the unseen-token default weight
+    * (`kind = 'default'`). Same training stages as the gated scorer
+    * ([[nbParts]]), so a stored model is exactly the verified one. */
+  def nbModelArtifact(docs: DataFrame): DataFrame = {
+    val (tc, _, consts, model) = nbParts(docs)
+    val art = model.select(lit("w").as("kind"), col("word"), col("w_q"))
+      .unionByName(consts.select(lit("prior").as("kind"),
+        lit(null).cast("string").as("word"),
+        lnQ(col("n_pos"), col("n_neg")).as("w_q")))
+      .unionByName(consts.select(lit("default").as("kind"),
+        lit(null).cast("string").as("word"),
+        (lnQ(lit(1L), col("tot_pos") + col("v")) -
+          lnQ(lit(1L), col("tot_neg") + col("v"))).as("w_q")))
+    Dedup.finishWith(art, tc)
+  }
+
+  /** The q209 train→score chain with the SEED LABEL kept on every row
+    * — the shared core of the classifier family: q209 projects it to
+    * the scored corpus, q213/q214 evaluate the held-out third against
+    * the seed labels. One definition, so the scored relation the
+    * metrics judge is the scored relation the classifier ships. */
+  private[graft] def nbScoredLabeled(docs: DataFrame): DataFrame = {
+    val (tc, labels, consts, model) = nbParts(docs)
     // score EVERY doc: left join keeps unseen tokens, coalescing to
     // the smoothed zero-count ratio; prior added once per doc
     val result = tc.join(model, Seq("word"), "left")

@@ -265,6 +265,44 @@ object EventStreams {
         col("ingest_ts"))
   }
 
+  /** Streaming QUALITY gate — the trained q209 model applied to
+    * ARRIVING documents: the other half of a streaming corpus intake
+    * beside [[streamingDedupGate]] (that one drops duplicates, this
+    * one drops low-quality docs — together they are q69's decision
+    * maintained online). The model arrives as the [[graft.operators
+    * .TextAnalysis.nbModelArtifact]] relation (per-word weights + the
+    * prior and unseen-token scalars), so the gate scores with EXACTLY
+    * the verified batch formula: score = prior + Σ_occurrences w_eff
+    * (≡ the batch Σ m·w_eff — occurrence summation distributes over
+    * multiplicity grouping, which is what lets the stream skip the
+    * per-(doc,word) pre-aggregation and run ONE stateful operator).
+    * Shape: the raw token stream LEFT-joins the static weight table
+    * (stream-static joins are stateless; unseen words coalesce to the
+    * smoothed default — the Laplace semantics, not a dropped term),
+    * then a single watermarked per-doc fold emits the verdict. The
+    * two scalars are read from the bounded artifact at query-build
+    * time; only the word table rides the join, broadcast while it
+    * fits and shuffle-degradable when a production vocabulary
+    * doesn't. StreamingSpec pins stream ≡ batch q209 predictions on
+    * multi-batch delivery. */
+  def streamingNbGate(docs: DataFrame, modelArtifact: DataFrame,
+      cutoff: Long = 0L, watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFns
+    val scalars = modelArtifact.where(col("kind") =!= "w")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val model = modelArtifact.where(col("kind") === "w")
+      .select("word", "w_q")
+    TextFns.tokens(docs, Seq("ingest_ts"))
+      .join(model, Seq("word"), "left_outer")
+      .withColumn("w_eff", coalesce(col("w_q"), lit(scalars("default"))))
+      .withWatermark("ingest_ts", watermark)
+      .groupBy(col("doc_id"), col("ingest_ts"))
+      .agg(count(lit(1)).as("n_tok"),
+        (lit(scalars("prior")) + sum(col("w_eff"))).as("score_q"))
+      .select(col("doc_id"), col("n_tok"), col("score_q"),
+        (col("score_q") > cutoff).as("keep"), col("ingest_ts"))
+  }
+
   /** Streaming SimHash matching — q94's STREAMING twin, completing the
     * streaming story for BOTH sketch families (MinHash:
     * `streamingNearDupCandidates`; SimHash: this). Incoming docs are

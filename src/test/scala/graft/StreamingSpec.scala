@@ -608,6 +608,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming NB quality gate ≡ batch q209 scores, multi-batch, both verdicts") {
+    implicit val ctx = spark.sqlContext
+    val corpus = graft.sources.Tables(spark, testdataDir, "documents")
+    val artifact = graft.operators.TextAnalysis.nbModelArtifact(corpus)
+    // the verified batch scorer is the reference, row for row
+    val batch = graft.operators.TextAnalysis.nbClassifier(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    // stream a mix that drives BOTH verdicts
+    val keepIds = batch.filter(_._2._3).keys.take(5)
+    val dropIds = batch.filterNot(_._2._3).keys.take(4)
+    assert(keepIds.nonEmpty && dropIds.nonEmpty,
+      "corpus does not drive both verdicts")
+    val texts = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = (keepIds ++ dropIds).toSeq
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.streamingNbGate(
+        in.toDF.toDF("doc_id", "text", "ingest_ts"), artifact)
+      .writeStream.format("memory").queryName("nbgate")
+      .outputMode("append").start()
+    try {
+      ids.grouped(3).zipWithIndex.foreach { case (g, i) =>
+        in.addData(g.map(d => (d, texts(d), ts(i))): _*)
+        q.processAllAvailable()
+      }
+      in.addData((999999L, "watermark mover",
+        Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("nbgate").collect()
+        .filter(_.getLong(0) != 999999L)
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))).toMap
+      assert(got.keySet === ids.toSet)
+      ids.foreach { d =>
+        assert(got(d) === batch(d), s"doc $d: stream ${got(d)} ≠ batch")
+      }
+      assert(got.values.exists(_._3) && got.values.exists(!_._3))
+    } finally q.stop()
+  }
+
   test("streaming SimHash matches ≡ the batch incremental operator") {
     implicit val ctx = spark.sqlContext
     val oldDocs = Seq(
