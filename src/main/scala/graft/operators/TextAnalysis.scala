@@ -405,12 +405,26 @@ object TextAnalysis {
     Dedup.finishWith(art, tc)
   }
 
+  private val nbMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Unit), DataFrame]
+
+  /** Drop the memoized NB scored relation (multi-corpus drivers). */
+  def clearNbMemo(): Unit = nbMemo.clear()
+
   /** The q209 train→score chain with the SEED LABEL kept on every row
     * — the shared core of the classifier family: q209 projects it to
     * the scored corpus, q213/q214 evaluate the held-out third against
     * the seed labels. One definition, so the scored relation the
-    * metrics judge is the scored relation the classifier ships. */
-  private[graft] def nbScoredLabeled(docs: DataFrame): DataFrame = {
+    * metrics judge is the scored relation the classifier ships.
+    * Session-memoized (the sketch-memo discipline — three queries,
+    * one train+score pass); the DURABLE artifact of this family is
+    * the model itself ([[nbModelArtifact]]), not the scored corpus,
+    * so the memo is deliberately not store-backed. */
+  private[graft] def nbScoredLabeled(docs: DataFrame): DataFrame =
+    Dedup.corpusMemo(nbMemo, docs, ())(
+      nbScoredBuild(docs))(nbScoredBuild(docs))
+
+  private def nbScoredBuild(docs: DataFrame): DataFrame = {
     val (tc, labels, consts, model) = nbParts(docs)
     // score EVERY doc: left join keeps unseen tokens, coalescing to
     // the smoothed zero-count ratio; prior added once per doc

@@ -34,6 +34,8 @@ object ScaleProbe {
     graft.operators.Dedup.clearSigMemo()
     graft.operators.Dedup.clearPairMemo()
     graft.operators.TextAnalysis.clearPrintMemo()
+    graft.operators.TextAnalysis.clearNbMemo()
+    graft.operators.Similarity.clearPcaMemo()
   }
 
   /** 10 disjoint tagged replicas of `docs` (see scaladoc). */

@@ -130,4 +130,32 @@ class ArtifactStoreSpec extends SparkSpec {
         "q206 must reuse the session memo, not re-touch the store")
     } finally spark.conf.unset("spark.graft.artifactDir")
   }
+
+  test("PCA component artifact: a second session loads the trained component") {
+    import graft.operators.Similarity
+    Similarity.clearPcaMemo()
+    spark.conf.set("spark.graft.artifactDir", storeDir)
+    try {
+      val (h0, m0) = counters
+      val embPath = s"$testdataDir/embeddings.parquet"
+      def comp(df: org.apache.spark.sql.DataFrame) =
+        Similarity.pcaTopComponent(df).collect().map(_.toString).toList
+      val c1 = comp(spark.read.parquet(embPath))
+      assert(counters === ((h0, m0 + 1)), "first session must BUILD the artifact")
+      // a NEW session: without the store the covariance pass (the only
+      // corpus-sized stage) re-runs; with it the d-row component table
+      // is read back
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.artifactDir", storeDir)
+      val c2 = comp(s2.read.parquet(embPath))
+      assert(counters === ((h0 + 1, m0 + 1)), "second session must LOAD, not retrain")
+      assert(c2 === c1)
+      // the projection and the binned dedup ride the SAME memoized
+      // component in-session — zero further store traffic
+      assert(Similarity.pcaProject(s2.read.parquet(embPath)).count() > 0)
+      assert(Similarity.pcaBinDedup(s2.read.parquet(embPath)).count() > 0)
+      assert(counters === ((h0 + 1, m0 + 1)),
+        "q212/q216 must reuse the session memo, not re-touch the store")
+    } finally spark.conf.unset("spark.graft.artifactDir")
+  }
 }
