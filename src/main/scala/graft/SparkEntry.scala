@@ -802,6 +802,11 @@ object SparkEntry {
     // the hash match proves blocked ≡ naive at the harder k)
     "q217_edit_distance_join" -> ((s, d) =>
       Dedup.editDistanceJoin(Tables(s, d, "documents"))),
+    // merge ≡ rebuild for the OLS fit state: stored daily sums + the
+    // new batch's partials merge by addition, fit re-closes from the
+    // day-bounded state; oracle = q215's text VERBATIM
+    "q218_incremental_ols" -> ((s, d) =>
+      Events.olsTrendIncremental(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1154,6 +1159,39 @@ object SparkEntry {
        |         CAST(max(pq) + sum(m * w_eff) AS BIGINT) AS score_q,
        |         CAST(max(pq) + sum(m * w_eff) AS BIGINT) > 0 AS pred, pos
        |  FROM sp JOIN lab USING (doc_id) GROUP BY doc_id, pos)""".stripMargin
+
+  /** q215/q218 — shared full-corpus OLS replay (q218 is the
+    * incremental merge whose hash match proves merge = rebuild). */
+  private lazy val olsOracle: String =
+    """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_q,
+        |         CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM events GROUP BY 1, 2),
+        |yd AS (SELECT event_type, day,
+        |              CASE WHEN n_ev = 0 THEN 0
+        |                   ELSE (sum_q - ((sum_q % n_ev) + n_ev) % n_ev) // n_ev END AS y,
+        |              min(day) OVER (PARTITION BY event_type) AS d0
+        |       FROM daily),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |             CAST(sum(day - d0) AS BIGINT) AS sum_d,
+        |             CAST(sum(y) AS BIGINT) AS sum_y,
+        |             CAST(sum((day - d0) * y) AS BIGINT) AS sum_dy,
+        |             CAST(sum((day - d0) * (day - d0)) AS BIGINT) AS sum_d2
+        |      FROM yd GROUP BY 1),
+        |fit AS (SELECT s.*,
+        |  CAST(CASE WHEN n_days * sum_d2 - sum_d * sum_d = 0 THEN 0
+        |    ELSE ((n_days * sum_dy - sum_d * sum_y)
+        |          - (((n_days * sum_dy - sum_d * sum_y) % (n_days * sum_d2 - sum_d * sum_d))
+        |             + (n_days * sum_d2 - sum_d * sum_d)) % (n_days * sum_d2 - sum_d * sum_d))
+        |         // (n_days * sum_d2 - sum_d * sum_d) END AS BIGINT) AS slope_q
+        |  FROM s)
+        |SELECT event_type, n_days, sum_d, sum_y, slope_q,
+        |       CAST(CASE WHEN n_days = 0 THEN 0
+        |         ELSE ((sum_y - slope_q * sum_d)
+        |               - (((sum_y - slope_q * sum_d) % n_days) + n_days) % n_days)
+        |              // n_days END AS BIGINT) AS intercept_q
+        |FROM fit ORDER BY event_type""".stripMargin
 
   private lazy val pcaOracle: String =
     s"""WITH $pcaCtes
@@ -3445,36 +3483,10 @@ object SparkEntry {
     // daily-mean micros per (type, day), centered day index from a
     // partitioned window, closed-form OLS with pmod floor-divisions
     // mirrored text-for-text (slopes go negative)
-    "q215_ols_trend" ->
-      """WITH daily AS (
-        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-        |         CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_q,
-        |         CAST(count(*) AS BIGINT) AS n_ev
-        |  FROM events GROUP BY 1, 2),
-        |yd AS (SELECT event_type, day,
-        |              CASE WHEN n_ev = 0 THEN 0
-        |                   ELSE (sum_q - ((sum_q % n_ev) + n_ev) % n_ev) // n_ev END AS y,
-        |              min(day) OVER (PARTITION BY event_type) AS d0
-        |       FROM daily),
-        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
-        |             CAST(sum(day - d0) AS BIGINT) AS sum_d,
-        |             CAST(sum(y) AS BIGINT) AS sum_y,
-        |             CAST(sum((day - d0) * y) AS BIGINT) AS sum_dy,
-        |             CAST(sum((day - d0) * (day - d0)) AS BIGINT) AS sum_d2
-        |      FROM yd GROUP BY 1),
-        |fit AS (SELECT s.*,
-        |  CAST(CASE WHEN n_days * sum_d2 - sum_d * sum_d = 0 THEN 0
-        |    ELSE ((n_days * sum_dy - sum_d * sum_y)
-        |          - (((n_days * sum_dy - sum_d * sum_y) % (n_days * sum_d2 - sum_d * sum_d))
-        |             + (n_days * sum_d2 - sum_d * sum_d)) % (n_days * sum_d2 - sum_d * sum_d))
-        |         // (n_days * sum_d2 - sum_d * sum_d) END AS BIGINT) AS slope_q
-        |  FROM s)
-        |SELECT event_type, n_days, sum_d, sum_y, slope_q,
-        |       CAST(CASE WHEN n_days = 0 THEN 0
-        |         ELSE ((sum_y - slope_q * sum_d)
-        |               - (((sum_y - slope_q * sum_d) % n_days) + n_days) % n_days)
-        |              // n_days END AS BIGINT) AS intercept_q
-        |FROM fit ORDER BY event_type""".stripMargin,
+    "q215_ols_trend" -> olsOracle,
+    // merge == rebuild for the fit state: shared text, the hash match
+    // IS the law (the q202/q206 convention applied to regression)
+    "q218_incremental_ols" -> olsOracle,
     // the full chain replayed: pcaCtes (train) + projection + binning
     // + within-bin edges + recursive closure (the q93 reach pattern).
     // MATERIALIZED is load-bearing: DuckDB inlines CTEs per reference,

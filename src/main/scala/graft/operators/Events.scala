@@ -742,15 +742,26 @@ object Events {
     * with the oracle's floor). A single-day type has zero denominator
     * → slope pins to 0 (flat), intercept degrades to the day mean.
     * Everything after stage 1 is bounded by types × days. */
-  def olsTrend(events: DataFrame): DataFrame = {
-    val daily = events
+  def olsTrend(events: DataFrame): DataFrame =
+    olsFit(olsDailyState(events))
+
+  /** q215's stage 1 — the per-(type, day) value-micros sums. This is
+    * the operator's MERGEABLE STATE: both columns are plain sums, so
+    * partial states over any row partition of the corpus merge by
+    * addition (the q120/q130 partial-aggregate law) — which is what
+    * q218 exploits. */
+  private def olsDailyState(events: DataFrame): DataFrame =
+    events
       .withColumn("eus", tsMicros(events))
       .withColumn("day", expr("eus div 86400000000"))
       .groupBy("event_type", "day")
       .agg(sum(floor(col("value") * 1e6).cast("long")).as("sum_q"),
         count(lit(1)).as("n_ev"))
-      .withColumn("y", expr(fdiv("sum_q", "n_ev")))
+
+  /** q215's stage 2 — close the fit from the day-bounded state. */
+  private def olsFit(daily: DataFrame): DataFrame =
     daily
+      .withColumn("y", expr(fdiv("sum_q", "n_ev")))
       .withColumn("d0", min(col("day")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
       .withColumn("d", col("day") - col("d0"))
@@ -766,6 +777,26 @@ object Events {
       .select("event_type", "n_days", "sum_d", "sum_y", "slope_q",
         "intercept_q")
       .orderBy("event_type")
+
+  /** q218 — INCREMENTAL maintenance of the q215 fit: merge ≡ rebuild
+    * applied to the newest operator's state, extending the suite's
+    * law (sketches q90/q94, postings q98/q171, labels q202, graph
+    * q206) to regression. Yesterday's stored per-(type, day) sums
+    * (stand-in: events below `cap`, the q202 oracle convention —
+    * production reads the state table) merge with the new batch's
+    * partial state by ADDITION — sum_q and n_ev are plain sums, so
+    * day rows straddling the split collapse exactly — and the
+    * day-bounded fit re-closes. Only the BATCH is scanned; the
+    * stored side is day-bounded state, never old events. Oracle =
+    * q215's full-corpus text VERBATIM (shared constant): the hash
+    * match IS merge ≡ rebuild. */
+  def olsTrendIncremental(events: DataFrame, cap: Long = 5000L): DataFrame = {
+    val stored = olsDailyState(events.where(col("event_id") < cap))
+    val delta = olsDailyState(events.where(col("event_id") >= cap))
+    val merged = stored.unionByName(delta)
+      .groupBy("event_type", "day")
+      .agg(sum(col("sum_q")).as("sum_q"), sum(col("n_ev")).as("n_ev"))
+    olsFit(merged)
   }
 
   /** q17 — per-day, per-type temporal rollup. The day leaves as a

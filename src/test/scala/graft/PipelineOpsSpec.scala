@@ -1785,6 +1785,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q218 incremental OLS ≡ rebuild at three caps; a straddling day actually merges") {
+    val ev = t("events")
+    val full = Events.olsTrend(ev).collect().map(_.toString).toList
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val mid = maxId / 2
+    for (cap <- Seq(1L, mid, maxId)) {
+      val inc = Events.olsTrendIncremental(ev, cap).collect()
+        .map(_.toString).toList
+      assert(inc === full, s"cap $cap: incremental ≠ rebuild")
+    }
+    // non-vacuity of the MERGE itself: at the mid cap both sides are
+    // non-empty and at least one (type, day) cell exists on BOTH
+    // sides of the split — the additive collapse actually fires
+    val below = ev.where(col("event_id") < mid)
+    val above = ev.where(col("event_id") >= mid)
+    assert(below.count() > 0 && above.count() > 0)
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val straddle = cells(below).intersect(cells(above))
+    assert(straddle.nonEmpty,
+      "no (type, day) straddles the cap — the merge-by-addition is untested")
+  }
+
   test("q210 centroid classifier: learns separable classes, structural pins on the corpus") {
     import spark.implicits._
     // LEARNING pin on a synthetic separable frame (the q59 convention:
