@@ -221,7 +221,10 @@ object Dedup {
     * bucket. The verify uses the THRESHOLDED levenshtein (banded DP:
     * O(k·n) not O(n²) per candidate). Non-equal doc guard + canonical
     * (a < b) orientation + DISTINCT before the text join-back, so
-    * each unordered pair is verified once. */
+    * each unordered pair is verified once. Probe-side hashing costs
+    * O(fan-out × segLen) chars per doc; at a larger k the upgrade is
+    * an O(1)-per-substring polynomial hash over modular prefix sums
+    * (sum-window expressible), unnecessary at k = 4's constants. */
   def editDistanceJoin(docs: DataFrame, k: Int = 4, segs: Int = 5)
       : DataFrame = {
     require(segs == k + 1, "pigeonhole needs exactly k+1 segments")

@@ -113,7 +113,14 @@ object ScaleProbe {
         graft.operators.Dedup.incrementalClusters(d, cap, 0.95)
       }),
       "q209_nb_classifier" -> ((d: DataFrame) =>
-        graft.operators.TextAnalysis.nbClassifier(d)))
+        graft.operators.TextAnalysis.nbClassifier(d)),
+      // round-8 continuation: the PassJoin blocking join — candidate
+      // volume is fan-out-linear by construction; the exponent makes
+      // that a measured number (replicas are length-disjoint only by
+      // content, so cross-replica candidates CAN arise and the probe
+      // prices them honestly)
+      "q217_edit_distance_join" -> ((d: DataFrame) =>
+        graft.operators.Dedup.editDistanceJoin(d)))
 
     // FULL materialization: df.count() would let the optimizer drop
     // row-count-preserving subtrees (q191's 1:≤1 outer join vanishes
