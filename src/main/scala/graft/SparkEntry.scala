@@ -807,6 +807,10 @@ object SparkEntry {
     // day-bounded state; oracle = q215's text VERBATIM
     "q218_incremental_ols" -> ((s, d) =>
       Events.olsTrendIncremental(Tables(s, d, "events"))),
+    // the REAL-LIBRARY audio decode (AudioSystem reader stack) beside
+    // q128's hand-rolled walker; shares q128's oracle text VERBATIM
+    "q219_wav_audiosystem" -> ((s, d) =>
+      Multimodal.audioFeaturesLib(s, Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1192,6 +1196,31 @@ object SparkEntry {
         |               - (((sum_y - slope_q * sum_d) % n_days) + n_days) % n_days)
         |              // n_days END AS BIGINT) AS intercept_q
         |FROM fit ORDER BY event_type""".stripMargin
+
+  /** q128/q219 — shared WAV feature replay (two decode kernels, one
+    * gate: the hand-rolled chunk walker and the AudioSystem library
+    * reader must both match the text-side recompute). */
+  private lazy val wavOracle: String =
+    """WITH a AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ''),
+        |           c -> CAST((ascii(c) - 128) * 256 AS BIGINT)) AS s,
+        |         list_transform(string_split(text, ''),
+        |           c -> CAST(ascii(c) AS BIGINT)) AS bs,
+        |         CAST(length(text) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n,
+        |         8000 + (list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
+        |                   (p, q) -> p + q) % 4000) AS sample_rate,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(s, x -> x * x)), (p, q) -> p + q) AS energy,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(s, x -> abs(x))), (p, q) -> greatest(p, q)) AS peak_abs
+        |  FROM a)
+        |SELECT doc_id, sample_rate, n AS n_samples,
+        |       n * 1000000 // sample_rate AS duration_micros, energy, peak_abs
+        |FROM b ORDER BY doc_id""".stripMargin
 
   private lazy val pcaOracle: String =
     s"""WITH $pcaCtes
@@ -3742,27 +3771,10 @@ object SparkEntry {
          |       CAST(sum(${polyHashSql(rowStr)}) AS BIGINT) AS checksum
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     },
-    "q128_audio_features" ->
-      """WITH a AS (
-        |  SELECT doc_id,
-        |         list_transform(string_split(text, ''),
-        |           c -> CAST((ascii(c) - 128) * 256 AS BIGINT)) AS s,
-        |         list_transform(string_split(text, ''),
-        |           c -> CAST(ascii(c) AS BIGINT)) AS bs,
-        |         CAST(length(text) AS BIGINT) AS n
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, n,
-        |         8000 + (list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
-        |                   (p, q) -> p + q) % 4000) AS sample_rate,
-        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |           list_transform(s, x -> x * x)), (p, q) -> p + q) AS energy,
-        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |           list_transform(s, x -> abs(x))), (p, q) -> greatest(p, q)) AS peak_abs
-        |  FROM a)
-        |SELECT doc_id, sample_rate, n AS n_samples,
-        |       n * 1000000 // sample_rate AS duration_micros, energy, peak_abs
-        |FROM b ORDER BY doc_id""".stripMargin,
+    "q128_audio_features" -> wavOracle,
+    // the LIBRARY decoder (AudioSystem) against the SAME oracle text:
+    // hash match proves library-decode == hand-parse == text recompute
+    "q219_wav_audiosystem" -> wavOracle,
   )
 
   /** The q111 oracle: the q49 edge CTEs + three unrolled integer-

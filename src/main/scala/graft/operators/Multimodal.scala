@@ -416,6 +416,74 @@ object Multimodal {
           length(col("media")).cast("long").as("n_bytes")).as("meta"))
   }
 
+  /** The LIBRARY decode for one WAV payload — q219's kernel:
+    * `javax.sound.sampled.AudioSystem` (the pure-JVM audio stack with
+    * real container negotiation: reader SPI dispatch, format
+    * validation, frame accounting) instead of q128's hand-rolled
+    * chunk walker. Only PCM-signed 16-bit mono little-endian is
+    * accepted — the same contract the walker enforces — and the
+    * features are computed by the SAME sample fold, so the two
+    * kernels must agree bit-for-bit on every well-formed file.
+    * Undecodable or off-contract payloads degrade to the sentinel
+    * (the q31/q128/q203 rule; AudioSystem throws
+    * UnsupportedAudioFileException on garbage — NonFatal-caught, a
+    * poison byte string cannot fail the stage). */
+  private[graft] def decodeWavAudioSystem(id: Long,
+      bytes: Array[Byte]): AudioFeatures =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val pcm16MonoLe = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+          !fmt.isBigEndian
+        if (!pcm16MonoLe)
+          AudioFeatures(id, -1L, bytes.length.toLong, -1L, -1L, -1L)
+        else {
+          val data = ais.readAllBytes()
+          val sr = fmt.getSampleRate.toLong
+          val n = data.length / 2
+          var energy = 0L; var peak = 0L; var k = 0
+          while (k < n) {
+            val raw = u16le(data, 2 * k)
+            val s = (if (raw >= 0x8000) raw - 0x10000 else raw).toLong
+            energy += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            k += 1
+          }
+          AudioFeatures(id, sr, n.toLong, n.toLong * 1000000L / sr,
+            energy, peak)
+        }
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        AudioFeatures(id, -1L, bytes.length.toLong, -1L, -1L, -1L)
+    }
+
+  /** q219 — the REAL-LIBRARY audio decode beside q128's hand-rolled
+    * walker (the PNG/ImageIO closure applied to the audio modality):
+    * same synthesized WAV corpus, same feature contract, but the
+    * decode goes through AudioSystem's reader stack. Shares q128's
+    * oracle text VERBATIM — the hash match proves library-decode ≡
+    * hand-parse ≡ the text-side recompute, the shared-oracle law
+    * (q26/q204, q58/q202, q205/q206, q215/q218) applied to FORMAT
+    * DECODERS. Same 100 TB shape: batched mapPartitions, fixed
+    * schema, no shuffle before the final order. */
+  def audioFeaturesLib(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[(Long, Array[Byte])] =
+      audioTable(docs).select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+    media
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map {
+        case (id, bytes) => decodeWavAudioSystem(id, bytes)
+      }))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** q128 — audio decode/feature-extract: the SECOND modality through
     * the q31 kernel boundary, proving the plumbing is
     * container-agnostic. Encode synthesizes a genuine RIFF/WAVE file

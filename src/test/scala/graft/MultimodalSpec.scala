@@ -121,6 +121,36 @@ class MultimodalSpec extends SparkSpec {
       .sample_rate === -1L)
   }
 
+  test("q219: AudioSystem decode ≡ the hand-rolled walker on every corpus file") {
+    // the two kernels share one feature contract; on every well-formed
+    // encoded doc they must agree field for field (the shared-oracle
+    // gate, pinned here without Spark in the loop)
+    val docs = graft.sources.Tables(spark, testdataDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      val wav = Multimodal.encodeWav(r.getString(1).getBytes(US_ASCII))
+      val hand = Multimodal.audioFeaturesOf(r.getLong(0), wav)
+      val lib = Multimodal.decodeWavAudioSystem(r.getLong(0), wav)
+      assert(lib === hand, s"doc ${r.getLong(0)}: library ≠ walker")
+    }
+    // poison payloads: sentinel, never an exception — garbage bytes,
+    // a truncated header, and an off-contract format (stereo flag)
+    assert(Multimodal.decodeWavAudioSystem(1L,
+      "not audio at all".getBytes(US_ASCII)).sample_rate === -1L)
+    val wav = Multimodal.encodeWav("hi".getBytes(US_ASCII))
+    assert(Multimodal.decodeWavAudioSystem(2L,
+      wav.take(30)).sample_rate === -1L)
+    val stereo = wav.clone(); stereo(22) = 2 // channels = 2 in fmt
+    assert(Multimodal.decodeWavAudioSystem(3L, stereo).sample_rate === -1L)
+    // the distributed path carries the sentinel rule too
+    import spark.implicits._
+    val poisoned = Seq((1L, "good text"), (2L, "also fine")).toDF("doc_id", "text")
+    val out = Multimodal.audioFeaturesLib(spark, poisoned).collect()
+    assert(out.length === 2 && out.forall(_.getLong(1) > 0))
+  }
+
   test("q128 audio features on real testdata ≡ text-side brute force") {
     val real = graft.sources.Tables(spark, testdataDir, "documents")
     val got = Multimodal.audioFeatures(spark, real).collect()
