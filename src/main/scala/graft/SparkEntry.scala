@@ -811,6 +811,10 @@ object SparkEntry {
     // q128's hand-rolled walker; shares q128's oracle text VERBATIM
     "q219_wav_audiosystem" -> ((s, d) =>
       Multimodal.audioFeaturesLib(s, Tables(s, d, "documents"))),
+    // GROUP BY ALL + ORDER BY ALL + lateral column alias in one
+    // statement; the oracle is the fully explicit classic form
+    "q220_sql_sugar" -> ((s, d) =>
+      Relational.sqlSugarAgg(Tables(s, d, "orders"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -3549,6 +3553,20 @@ object SparkEntry {
          |       (l.vec_id = l.cluster_id) AS is_canonical
          |FROM lab l JOIN binned b ON l.vec_id = b.vec_id
          |ORDER BY l.vec_id""".stripMargin,
+    // the fully EXPLICIT classic form of q220's sugared text: proves
+    // GROUP BY ALL inferred {status, priority}, the lateral alias
+    // bound to the select item, and ORDER BY ALL ordered every column
+    "q220_sql_sugar" ->
+      """WITH g AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM orders
+        |  GROUP BY o_orderstatus, o_orderpriority)
+        |SELECT o_orderstatus, o_orderpriority, n, sum_cents,
+        |       sum_cents // n AS avg_cents,
+        |       (sum_cents // n) * n AS floor_cents
+        |FROM g
+        |ORDER BY o_orderstatus, o_orderpriority, n, sum_cents, avg_cents, floor_cents""".stripMargin,
     // the naive length-filtered theta form (the length filter is
     // implied by ed <= 4, so it only prunes the oracle's quadratic
     // work) — a hash match proves the PassJoin blocking lost nothing

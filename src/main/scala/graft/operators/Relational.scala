@@ -1626,6 +1626,42 @@ object Relational {
     * plan), so a TVF costs exactly what its body costs. Body follows
     * the q20 averaging convention (exact LONG sum / count, one IEEE
     * division). */
+  /** q220 — modern-SQL ergonomics parity: GROUP BY ALL (grouping keys
+    * inferred = the non-aggregate select items), ORDER BY ALL (total
+    * order over the whole select list, left to right), and a LATERAL
+    * COLUMN ALIAS (`sum_cents` reused by `avg_cents` inside the same
+    * list) in one statement — the three sugars a migrating analyst
+    * writes daily. The ORACLE states the fully EXPLICIT classic form,
+    * so the hash match proves the sugared text resolves to exactly
+    * the explicit relation (inference picked the right keys, the
+    * lateral alias bound to the select item and not a base column,
+    * ALL ordered every output column). Engine limitation found and
+    * pinned here: Spark 4.1 REJECTS a lateral column alias inside a
+    * GROUP BY ALL statement ([UNSUPPORTED_FEATURE
+    * .LATERAL_COLUMN_ALIAS_IN_GROUP_BY]), so the sugars are layered —
+    * inner GROUP BY ALL, outer lateral-alias CHAIN (`avg_cents`
+    * defined from `sum_cents`/`n`, then itself consumed by
+    * `floor_cents` — two hops, the alias must resolve left-to-right)
+    * + ORDER BY ALL. Cents via round(×100) with identical expression
+    * text on both engines; avg is integer `div` over non-negative
+    * operands (≡ DuckDB `//`). */
+  def sqlSugarAgg(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val v = viewFor(orders, "graft_ord_sugar")
+    orders.createOrReplaceTempView(v)
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, n, sum_cents,
+         |       sum_cents div n AS avg_cents,
+         |       avg_cents * n AS floor_cents
+         |FROM (
+         |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         |  FROM $v
+         |  GROUP BY ALL
+         |)
+         |ORDER BY ALL""".stripMargin)
+  }
+
   def sqlTvfLangProfile(docs: DataFrame, minChars: Long = 280L): DataFrame = {
     val spark = docs.sparkSession
     val v = viewFor(docs, "graft_docs_tvf")

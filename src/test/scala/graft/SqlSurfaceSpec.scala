@@ -203,4 +203,65 @@ class SqlSurfaceSpec extends SparkSpec {
       s"the folded argument must reach the parquet scan:\n$pushed")
     assert(df.collect().nonEmpty)
   }
+
+  // ---- q220: GROUP BY ALL / ORDER BY ALL / lateral column alias ----
+
+  test("q220 sugared text optimizes to the fully explicit classic plan") {
+    val sugared = Relational.sqlSugarAgg(t("orders"))
+    t("orders").createOrReplaceTempView("graft_ord_sugar_classic")
+    // the lateral alias chain desugars to NESTED projections (Spark
+    // inserts a Project per alias hop so the div is evaluated once) —
+    // the explicit form states those subqueries literally
+    val classic = spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, n, sum_cents, avg_cents,
+        |       avg_cents * n AS floor_cents
+        |FROM (
+        |  SELECT o_orderstatus, o_orderpriority, n, sum_cents,
+        |         sum_cents div n AS avg_cents
+        |  FROM (
+        |    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |    FROM graft_ord_sugar_classic
+        |    GROUP BY o_orderstatus, o_orderpriority
+        |  )
+        |)
+        |ORDER BY o_orderstatus, o_orderpriority, n, sum_cents,
+        |         avg_cents, floor_cents""".stripMargin)
+    // the sugars must be SURFACE: one optimized plan for both texts —
+    // GROUP BY ALL inferred exactly {status, priority}, the lateral
+    // alias chain expanded to the explicit nested projections, ORDER
+    // BY ALL enumerated the whole select list left to right
+    assert(sugared.queryExecution.optimizedPlan
+        .sameResult(classic.queryExecution.optimizedPlan),
+      "GROUP BY ALL / ORDER BY ALL / lateral alias must be sugar, not dialect")
+    val a = sugared.collect().map(_.toSeq).toList
+    assert(a === classic.collect().map(_.toSeq).toList)
+    assert(a.nonEmpty)
+  }
+
+  test("q220 lateral alias chain resolves left-to-right across two hops") {
+    // floor_cents consumes avg_cents, itself defined from base items
+    // in the SAME select list — two-hop lateral resolution
+    val row = spark.sql(
+      """SELECT sum_cents div n AS avg_cents, avg_cents * n AS floor_cents
+        |FROM (SELECT 7L AS sum_cents, 2L AS n)""".stripMargin).collect()
+    assert(row.map(_.toSeq).toList === List(Seq(3L, 6L)))
+  }
+
+  test("q220 engine limitation pinned: lateral alias + GROUP BY ALL rejected") {
+    // Spark 4.1 cannot combine a lateral column alias with GROUP BY
+    // ALL in one statement — the reason sqlSugarAgg is layered. Pinned
+    // so a version that lifts the restriction fails HERE (then the
+    // operator can fuse back to one statement).
+    t("orders").createOrReplaceTempView("graft_ord_sugar_limit")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+          |       n + 0L AS n2
+          |FROM graft_ord_sugar_limit GROUP BY ALL""".stripMargin).collect()
+    }
+    assert(e.getCondition != null &&
+      e.getCondition.contains("LATERAL_COLUMN_ALIAS_IN_GROUP_BY"),
+      s"expected the documented restriction, got: ${e.getMessage}")
+  }
 }
