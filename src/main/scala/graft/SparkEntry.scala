@@ -815,6 +815,15 @@ object SparkEntry {
     // statement; the oracle is the fully explicit classic form
     "q220_sql_sugar" -> ((s, d) =>
       Relational.sqlSugarAgg(Tables(s, d, "orders"))),
+    // chi-squared feature selection over the q209 label split: the
+    // top-50 class-associated tokens, integer-exact contingency
+    "q221_chi2_features" -> ((s, d) =>
+      TextAnalysis.chi2Features(Tables(s, d, "documents"))),
+    // schema-evolution read: documents served from a two-generation
+    // parquet layout (gen0 pre-dates `lang`, reversed column order)
+    // merged by name; oracle reconstructs the generation rule
+    "q222_evolved_scan" -> ((s, d) =>
+      TextAnalysis.evolvedProfile(sources.Sidecar.evolvedDocuments(s, d))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -3567,6 +3576,45 @@ object SparkEntry {
         |       (sum_cents // n) * n AS floor_cents
         |FROM g
         |ORDER BY o_orderstatus, o_orderpriority, n, sum_cents, avg_cents, floor_cents""".stripMargin,
+    // chi-squared replay over the SHARED q209 token/label CTEs (the
+    // unreferenced model CTEs prune away): document-level 2x2
+    // contingency on the train split, one double expression with
+    // identical text, floor-quantized to micros after all arithmetic
+    "q221_chi2_features" ->
+      s"""WITH $nbCtes,
+         |trn AS (SELECT tc.word, lab.pos FROM tc JOIN lab USING (doc_id)
+         |        WHERE doc_id % 3 <> 0),
+         |cls AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |        FROM lab WHERE doc_id % 3 <> 0),
+         |dfreq AS (SELECT word,
+         |                 CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS df_pos,
+         |                 CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS df_neg
+         |          FROM trn GROUP BY 1),
+         |x AS (SELECT word, df_pos, df_neg, np, nn,
+         |             np - df_pos AS cc, nn - df_neg AS dd,
+         |             CAST(df_pos * (nn - df_neg) - df_neg * (np - df_pos) AS DOUBLE) AS det
+         |      FROM dfreq CROSS JOIN cls
+         |      WHERE df_pos + df_neg >= 5)
+         |SELECT word, df_pos, df_neg,
+         |       CASE WHEN (df_pos + df_neg) * (cc + dd) = 0 OR np * nn = 0 THEN 0
+         |            ELSE CAST(floor(1e6 * (CAST(np + nn AS DOUBLE) * det * det /
+         |                 (CAST((df_pos + df_neg) * (cc + dd) AS DOUBLE) * CAST(np * nn AS DOUBLE)))) AS BIGINT)
+         |       END AS chi2_q,
+         |       df_pos * nn > df_neg * np AS pos_assoc
+         |FROM x
+         |ORDER BY chi2_q DESC, word
+         |LIMIT 50""".stripMargin,
+    // the evolved two-generation read, replayed over the ORIGINAL
+    // table via the generation rule: gen0 (even ids) lost `lang` to
+    // the pre-evolution schema, so those rows group under '<gen0>'
+    "q222_evolved_scan" ->
+      s"""SELECT CASE WHEN doc_id % 2 = 0 THEN '<gen0>' ELSE lang END AS lang_slot,
+         |       source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(sum(len(text)) AS BIGINT) AS sum_len,
+         |       CAST(sum(${polyHashSql("text")} % 1000003) AS BIGINT) AS text_sig
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the naive length-filtered theta form (the length filter is
     // implied by ed <= 4, so it only prunes the oracle's quadratic
     // work) — a hash match proves the PassJoin blocking lost nothing

@@ -512,6 +512,58 @@ object TextAnalysis {
           "ELSE auc_num2 * 1000000 div (2 * n_pos * n_neg) END"))
   }
 
+  /** q221 — chi-squared FEATURE SELECTION over the q209 label split:
+    * the step a classifier-distillation pipeline runs between seed
+    * labeling and training — rank every vocabulary token by its
+    * class association and keep the top k, so the deployed model
+    * carries thousands of weights instead of the full open
+    * vocabulary. Document-level 2×2 contingency per word on the TRAIN
+    * split (a = pos docs containing it, b = neg docs; c/d their
+    * complements against the one-row class totals), χ² =
+    * n·(ad−bc)²/((a+b)(c+d)·np·nn). The determinant and every margin
+    * are EXACT BIGINT products (doc counts, so the 2^53 double-mantissa
+    * ceiling is ~9e7 labeled train docs per class — the oracle
+    * convention; past that the det cast moves to DECIMAL(38,0));
+    * the single double expression has IDENTICAL text on both engines
+    * and floor-quantizes to micros AFTER all arithmetic, so the
+    * ranking replays bit-for-bit. Words present in EVERY train doc
+    * (c+d = 0 — 'the' at corpus scale) take χ² = 0 via the explicit
+    * zero-denominator guard rather than NaN. Scale shape: reuses
+    * q209's ONE persisted (doc,word,m) fold (presence = row
+    * existence); the contingency is a vocabulary-sized aggregation;
+    * class totals are a one-row broadcast; top-k via orderBy+limit
+    * plans TakeOrdered — nothing corpus-sized crosses an exchange
+    * after the first fold. `pos_assoc` reports the association
+    * DIRECTION as an exact integer cross-multiply (a·nn > b·np), the
+    * χ² statistic being direction-blind. */
+  def chi2Features(docs: DataFrame, k: Int = 50, minDf: Long = 5L): DataFrame = {
+    val (tc, labels, _, _) = nbParts(docs)
+    val train = tc.where(col("doc_id") % 3 =!= 0).join(labels, "doc_id")
+    val cls = broadcast(labels.where(col("doc_id") % 3 =!= 0)
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn")))
+    val contingency = train.groupBy("word")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("df_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("df_neg"))
+      .where(col("df_pos") + col("df_neg") >= minDf)
+      .crossJoin(cls)
+      .withColumn("cc", col("np") - col("df_pos"))
+      .withColumn("dd", col("nn") - col("df_neg"))
+      .withColumn("det", (col("df_pos") * col("dd") -
+        col("df_neg") * col("cc")).cast("double"))
+    val scored = contingency.withColumn("chi2_q",
+      when((col("df_pos") + col("df_neg")) * (col("cc") + col("dd")) === 0L ||
+          col("np") * col("nn") === 0L, 0L)
+        .otherwise(floor(lit(1e6) *
+          ((col("np") + col("nn")).cast("double") * col("det") * col("det") /
+            (((col("df_pos") + col("df_neg")) * (col("cc") + col("dd"))).cast("double") *
+              (col("np") * col("nn")).cast("double")))).cast("long")))
+      .withColumn("pos_assoc", col("df_pos") * col("nn") > col("df_neg") * col("np"))
+      .select("word", "df_pos", "df_neg", "chi2_q", "pos_assoc")
+      .orderBy(col("chi2_q").desc, col("word")).limit(k)
+    Dedup.finishWith(scored, tc)
+  }
+
   /** q69 — the corpus FILTER PIPELINE: the composition step that turns
     * the individual quality signals (q27 language-ID, q28 quality
     * score, q50 repetition) into a per-document keep/drop decision
@@ -923,6 +975,26 @@ object TextAnalysis {
     * the n_chars sum (numeric column round-trip). The oracle reads the
     * PARQUET original, so a green row gates writer escaping + reader
     * parsing end-to-end, exactly like q155/q156 for CSV/JSON-lines. */
+  /** q222 — [[docProfile]]'s tripwire battery over the two-generation
+    * EVOLVED layout (`Sidecar.evolvedDocuments`): gen0 files predate
+    * the `lang` column, so their rows group under the `<gen0>` slot
+    * via the NULL the merged schema assigns them — the oracle
+    * reconstructs the slot from the generation rule (`doc_id % 2`)
+    * over the ORIGINAL table, so a green row proves (a) both
+    * generations' rows arrived, (b) the missing column surfaced as
+    * NULL exactly on gen0 rows, and (c) text/numeric content survived
+    * gen0's reversed physical column order byte-for-byte (the
+    * polyhash signature + both sums). */
+  def evolvedProfile(docs: DataFrame): DataFrame =
+    docs.groupBy(coalesce(col("lang"), lit("<gen0>")).as("lang_slot"),
+        col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_len"),
+        sum(TextFns.polyHash(col("text")) % 1000003L).as("text_sig"))
+      .orderBy("lang_slot", "source")
+
   def docProfile(docs: DataFrame): DataFrame =
     docs.groupBy("lang", "source")
       .agg(

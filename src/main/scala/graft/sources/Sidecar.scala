@@ -177,4 +177,52 @@ object Sidecar {
     spark.read.schema(pq.schema)
       .format("org.apache.spark.sql.avro.AvroFileFormat").load(out)
   }
+
+  /** `documents` served from a TWO-GENERATION evolved parquet layout —
+    * the schema-evolution read every long-lived lake table eventually
+    * faces: generation 0 (even doc_ids) was written BEFORE the `lang`
+    * column existed, and with a DIFFERENT physical column order;
+    * generation 1 (odd doc_ids) carries the full current schema. The
+    * merged read (`mergeSchema=true`) must reconcile the two footers
+    * by NAME: gen0 rows surface `lang` as NULL (the missing-column
+    * semantics an added column implies for old files), and gen0's
+    * reversed physical layout must not shear values across columns
+    * (parquet column resolution is by name, never position — the trap
+    * a CSV-shaped mental model walks into). Scale note: footer
+    * reconciliation is a per-FILE planning cost, not per-row; a
+    * production table pins the merged schema in its catalog instead —
+    * the read semantics gated here are identical either way. Same
+    * staging + atomic-rename publication discipline as
+    * [[materialize]], with a root `_SUCCESS` stamped only after BOTH
+    * generations land (a reader can never see one generation of a
+    * half-published copy). */
+  def evolvedDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val pq = Tables(spark, sfDir, "documents")
+    val out = path("evolved", sfDir, "documents")
+    synchronized {
+      val target = java.nio.file.Paths.get(out)
+      if (!java.nio.file.Files.exists(target.resolve("_SUCCESS"))) {
+        val staging = s"$out.tmp.${java.lang.ProcessHandle.current().pid()}"
+        val gen0Cols = pq.columns.filterNot(_ == "lang").reverse.map(col)
+        pq.where(col("doc_id") % 2 === 0).select(gen0Cols.toSeq: _*)
+          .write.mode("overwrite").parquet(s"$staging/gen0")
+        pq.where(col("doc_id") % 2 =!= 0)
+          .write.mode("overwrite").parquet(s"$staging/gen1")
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(staging).resolve("_SUCCESS"))
+          java.nio.file.Files.move(java.nio.file.Paths.get(staging), target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } catch { case _: java.nio.file.FileSystemException =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(new java.io.File(staging))
+        }
+      }
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/gen0", s"$out/gen1")
+  }
 }

@@ -1929,4 +1929,67 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"projection shuffled the corpus:\n$plan")
   }
+
+  test("q221 chi2 features: exact recount; planted perfect predictor tops the list") {
+    import spark.implicits._
+    // driver-side exact recount on the real corpus: rebuild each
+    // returned word's 2x2 contingency from an independent tokenize
+    // and recompute chi2_q with the same double formula
+    val docs = t("documents")
+    val rows = TextAnalysis.chi2Features(docs).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val stop = Set("the", "a", "of", "and", "in", "to", "is", "it")
+    val toks = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split("\\s+")
+          .map(_.replaceAll("[^A-Za-z]", "").toLowerCase)
+          .filter(_.nonEmpty).toSeq)
+    val pos = toks.map { case (id, ws) =>
+      id -> (ws.count(stop).toDouble / ws.size >= 0.08)
+    }.toMap
+    val train = toks.filter(_._1 % 3 != 0)
+    val np = train.count(t => pos(t._1)).toLong
+    val nn = train.length - np
+    val byWord = train.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (w, xs) =>
+        w -> (xs.count(x => pos(x._2)).toLong, xs.count(x => !pos(x._2)).toLong)
+      }
+    rows.foreach { r =>
+      val (w, a, b) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (ea, eb) = byWord(w)
+      assert((a, b) === (ea, eb), s"contingency mismatch for '$w'")
+      val (cc, dd) = (np - a, nn - b)
+      val det = (a * dd - b * cc).toDouble
+      val expected =
+        if ((a + b) * (cc + dd) == 0 || np * nn == 0) 0L
+        else math.floor(1e6 * ((np + nn).toDouble * det * det /
+          (((a + b) * (cc + dd)).toDouble * (np * nn).toDouble))).toLong
+      assert(r.getLong(3) === expected, s"chi2_q mismatch for '$w'")
+      assert(r.getBoolean(4) === (a * nn > b * np), s"direction mismatch for '$w'")
+    }
+    // ranking is chi2 desc with the word tiebreak
+    assert(rows.map(r => (-r.getLong(3), r.getString(0))).toSeq ===
+      rows.map(r => (-r.getLong(3), r.getString(0))).sortBy(identity).toSeq)
+    // the label-DEFINING stopwords must be pos-associated when present
+    rows.filter(r => stop(r.getString(0))).foreach(r =>
+      assert(r.getBoolean(4), s"stopword '${r.getString(0)}' not pos-associated"))
+
+    // planted frame: 'zebra' appears in every pos train doc and no neg
+    // doc (perfect predictor -> max chi2); 'cat' in every doc (zero
+    // discrimination); train ids 1,2,4,5,7,8 split 3 pos / 3 neg
+    val synth = (1L to 9L).map { i =>
+      val txt = if (i % 2 == 0) "the the the a of zebra cat unique" + i
+        else "xray yankee whisky victor uniform cat unique" + i
+      (i, txt)
+    }.toDF("doc_id", "text")
+    val sr = TextAnalysis.chi2Features(synth, k = 10, minDf = 2L).collect()
+    val byName = sr.map(r => r.getString(0) -> r).toMap
+    assert(byName.contains("zebra") && byName.contains("cat"))
+    assert(byName("zebra").getLong(3) > byName("cat").getLong(3),
+      "the perfect predictor must outrank the uninformative word")
+    assert(byName("cat").getLong(3) === 0L,
+      "a word present in every doc discriminates nothing")
+    assert(byName("zebra").getBoolean(4) && !byName("xray").getBoolean(4))
+    assert(sr.head.getString(0) != "cat")
+  }
 }

@@ -263,6 +263,40 @@ class StorageSpec extends SparkSpec {
     assert(oldOnly.columns.sorted.toList === List("doc_id", "text"))
   }
 
+  test("q222 evolved sidecar: NULL lang exactly on gen0, reversed layout never shears") {
+    // the gated two-generation layout (the oracle checks aggregate
+    // tripwires; this pins the ROW-LEVEL semantics): gen0 = even ids
+    // written without `lang` and with the physical column order
+    // REVERSED — resolution must be by name, values must not shear
+    val docs = Tables(spark, dir, "documents")
+    val merged = graft.sources.Sidecar.evolvedDocuments(spark, dir)
+    assert(merged.count() === docs.count())
+    val joined = merged.alias("m")
+      .join(docs.alias("o"), col("m.doc_id") === col("o.doc_id"))
+      .select(col("m.doc_id"), col("m.lang").as("m_lang"),
+        col("o.lang").as("o_lang"), col("m.text").as("m_text"),
+        col("o.text").as("o_text"), col("m.n_chars").as("m_nc"),
+        col("o.n_chars").as("o_nc"))
+      .collect()
+    assert(joined.length === docs.count())
+    joined.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0) assert(r.isNullAt(1), s"gen0 doc $id must have NULL lang")
+      else assert(r.getString(1) === r.getString(2), s"gen1 doc $id lang drifted")
+      // value shear under the reversed gen0 layout would swap columns
+      assert(r.getString(3) === r.getString(4), s"doc $id text sheared")
+      assert(r.getLong(5) === r.getLong(6), s"doc $id n_chars sheared")
+    }
+    // the gen0 files GENUINELY lack the column and carry the reversed
+    // physical order (so the merge above was by-name reconciliation,
+    // not a property of identical files)
+    val out = merged.inputFiles.map(_.replaceAll("/[^/]*$", ""))
+      .distinct.filter(_.endsWith("gen0")).head
+    val gen0 = spark.read.parquet(out)
+    assert(!gen0.columns.contains("lang"))
+    assert(gen0.columns.toList === docs.columns.filterNot(_ == "lang").reverse.toList)
+  }
+
   test("Trigger.AvailableNow drains the backlog and terminates itself") {
     // the BACKFILL trigger: one invocation processes everything
     // available, then stops — streaming exactly-once semantics with
