@@ -824,6 +824,11 @@ object SparkEntry {
     // merged by name; oracle reconstructs the generation rule
     "q222_evolved_scan" -> ((s, d) =>
       TextAnalysis.evolvedProfile(sources.Sidecar.evolvedDocuments(s, d))),
+    // merge == rebuild for the TRAINED CLASSIFIER's fit state: stored
+    // counts + batch partials merge by addition, model re-closes;
+    // oracle = q209's from-scratch text verbatim
+    "q223_incremental_nb" -> ((s, d) =>
+      TextAnalysis.nbIncremental(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1176,6 +1181,14 @@ object SparkEntry {
        |         CAST(max(pq) + sum(m * w_eff) AS BIGINT) AS score_q,
        |         CAST(max(pq) + sum(m * w_eff) AS BIGINT) > 0 AS pred, pos
        |  FROM sp JOIN lab USING (doc_id) GROUP BY doc_id, pos)""".stripMargin
+
+  /** q209/q223 — shared from-scratch NB replay (q223 is the
+    * incremental state merge whose hash match proves merge ≡
+    * rebuild). */
+  private lazy val nbClassifierOracle: String =
+    s"""WITH $nbCtes
+       |SELECT doc_id, n_tok, score_q, pred
+       |FROM nbscored ORDER BY doc_id""".stripMargin
 
   /** q215/q218 — shared full-corpus OLS replay (q218 is the
     * incremental merge whose hash match proves merge = rebuild). */
@@ -3471,10 +3484,11 @@ object SparkEntry {
     // to micros, the q88 convention), prior log-odds, unseen tokens
     // coalescing to the smoothed zero-count ratio — a hash match
     // gates the trained MODEL itself
-    "q209_nb_classifier" ->
-      s"""WITH $nbCtes
-         |SELECT doc_id, n_tok, score_q, pred
-         |FROM nbscored ORDER BY doc_id""".stripMargin,
+    "q209_nb_classifier" -> nbClassifierOracle,
+    // merge == rebuild for the classifier fit state: SHARED text —
+    // the hash match IS the law (the q202/q206/q218 convention
+    // applied to the trained model)
+    "q223_incremental_nb" -> nbClassifierOracle,
     // held-out confusion metrics over the SAME nbscored relation;
     // integer-micros divisions (`//` here, `div` Spark-side — both
     // truncate on these non-negative operands), vacuous-truth 1e6 pins

@@ -355,34 +355,60 @@ object TextAnalysis {
     * drift from the gated one. */
   private def nbParts(docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (tc, labels) = nbBase(docs)
+    val (consts, model) = nbFromState(
+      nbCountState(tc, labels, lit(true)), nbPriorState(labels, lit(true)))
+    (tc, labels, consts, model)
+  }
+
+  /** The shared tokenize + seed-label stages: persisted (doc, word, m)
+    * multiplicities and q27's stop-ratio gate as an exact
+    * integer-ratio double compare over the SAME persisted relation. */
+  private def nbBase(docs: DataFrame): (DataFrame, DataFrame) = {
     val tc = TextFns.tokens(docs)
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the seed labeling, computed from the SAME persisted relation:
-    // q27's gate as an exact integer-ratio double compare
     val labels = tc.groupBy("doc_id")
       .agg((sum(when(col("word").isin(Stopwords: _*), col("m"))
         .otherwise(0L)).cast("double") / sum(col("m")) >= 0.08).as("pos"))
-    // per-class token counts over the TRAIN split — the model
-    val ct = tc.where(col("doc_id") % 3 =!= 0)
+    (tc, labels)
+  }
+
+  /** The NB FIT STATE, count half: per-class token counts over the
+    * train split restricted by `docPred` — plain sums, so two states
+    * MERGE BY ADDITION (the q218 additivity that licenses q223). */
+  private def nbCountState(tc: DataFrame, labels: DataFrame,
+      docPred: org.apache.spark.sql.Column): DataFrame =
+    tc.where(col("doc_id") % 3 =!= 0 && docPred)
       .join(labels, "doc_id")
       .groupBy("word")
       .agg(sum(when(col("pos"), col("m")).otherwise(0L)).as("c_pos"),
         sum(when(!col("pos"), col("m")).otherwise(0L)).as("c_neg"))
-    // one-row totals: class token mass + train vocabulary size (the
-    // Laplace denominator) + labeled-doc priors
-    val tot = ct.agg(sum(col("c_pos")).as("tot_pos"),
-      sum(col("c_neg")).as("tot_neg"), count(lit(1)).as("v"))
-    val pri = labels.where(col("doc_id") % 3 =!= 0)
+
+  /** The NB fit state, prior half: labeled-doc counts (also plain
+    * sums) over the train split restricted by `docPred`. */
+  private def nbPriorState(labels: DataFrame,
+      docPred: org.apache.spark.sql.Column): DataFrame =
+    labels.where(col("doc_id") % 3 =!= 0 && docPred)
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+
+  /** Close the model from the fit state: one-row totals (class token
+    * mass + vocabulary size, the Laplace denominator), broadcast
+    * consts, per-word quantized log-likelihood-ratio weights. The
+    * vocabulary size is COUNT of state rows — derivable from the
+    * merged state, which is what makes the state self-contained. */
+  private def nbFromState(ct: DataFrame, pri: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val tot = ct.agg(sum(col("c_pos")).as("tot_pos"),
+      sum(col("c_neg")).as("tot_neg"), count(lit(1)).as("v"))
     val consts = broadcast(tot.crossJoin(pri))
     val model = ct.crossJoin(consts)
       .withColumn("w_q", lnQ(col("c_pos") + 1L, col("tot_pos") + col("v")) -
         lnQ(col("c_neg") + 1L, col("tot_neg") + col("v")))
       .select("word", "w_q")
-    (tc, labels, consts, model)
+    (consts, model)
   }
 
   /** The trained q209 model as ONE portable relation — the artifact a
@@ -426,8 +452,16 @@ object TextAnalysis {
 
   private def nbScoredBuild(docs: DataFrame): DataFrame = {
     val (tc, labels, consts, model) = nbParts(docs)
-    // score EVERY doc: left join keeps unseen tokens, coalescing to
-    // the smoothed zero-count ratio; prior added once per doc
+    nbScoreAll(tc, labels, consts, model)
+  }
+
+  /** Score EVERY doc with a closed model: left join keeps unseen
+    * tokens, coalescing to the smoothed zero-count ratio; prior added
+    * once per doc. Shared by the from-scratch chain and q223's
+    * merged-state chain — one scoring definition, so incremental ≡
+    * rebuild reduces to state equality. */
+  private def nbScoreAll(tc: DataFrame, labels: DataFrame,
+      consts: DataFrame, model: DataFrame): DataFrame = {
     val result = tc.join(model, Seq("word"), "left")
       .crossJoin(consts)
       .withColumn("w_eff", coalesce(col("w_q"),
@@ -439,6 +473,38 @@ object TextAnalysis {
           sum(col("m") * col("w_eff"))).as("score_q"))
       .withColumn("pred", col("score_q") > 0L)
     Dedup.finishWith(result.join(labels, "doc_id"), tc)
+  }
+
+  /** q223 — INCREMENTAL maintenance of the trained classifier: merge ≡
+    * rebuild extended to the newest trained-model family. The NB fit
+    * state is (word, c_pos, c_neg) token counts plus the (n_pos,
+    * n_neg) doc priors — ALL plain sums, so yesterday's stored state
+    * (stand-in: train docs below `cap`, the q202/q218 oracle
+    * convention — production loads the state relation from storage
+    * and tokenizes only the batch) merges with the new batch's
+    * partials BY ADDITION; the Laplace vocabulary size is the merged
+    * state's row count, so the model re-closes from state alone —
+    * no old document is ever re-tokenized on the production path.
+    * Labeling is row-local (a doc's own stop-ratio), so per-split
+    * labeling ≡ full-corpus labeling by construction. Oracle = q209's
+    * from-scratch text VERBATIM — the hash match IS merge ≡ rebuild
+    * (the law now spans sketches, postings, labels, graph,
+    * regression, and the trained classifier). Scoring reuses the ONE
+    * shared definition ([[nbScoreAll]]), so the proof reduces to fit-
+    * state equality. */
+  def nbIncremental(docs: DataFrame, cap: Long = 300L): DataFrame = {
+    val (tc, labels) = nbBase(docs)
+    val ct = nbCountState(tc, labels, col("doc_id") < cap)
+      .unionByName(nbCountState(tc, labels, col("doc_id") >= cap))
+      .groupBy("word")
+      .agg(sum(col("c_pos")).as("c_pos"), sum(col("c_neg")).as("c_neg"))
+    val pri = nbPriorState(labels, col("doc_id") < cap)
+      .unionByName(nbPriorState(labels, col("doc_id") >= cap))
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
+    val (consts, model) = nbFromState(ct, pri)
+    nbScoreAll(tc, labels, consts, model)
+      .select("doc_id", "n_tok", "score_q", "pred")
+      .orderBy("doc_id")
   }
 
   /** q213 — the classifier's EVAL GATE as an oracle-gated relation:

@@ -1992,4 +1992,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byName("zebra").getBoolean(4) && !byName("xray").getBoolean(4))
     assert(sr.head.getString(0) != "cat")
   }
+
+  test("q223 incremental NB ≡ rebuild at three caps; the state merge actually fires") {
+    val docs = t("documents")
+    val full = TextAnalysis.nbClassifier(docs).collect().map(_.toSeq).toList
+    assert(full.nonEmpty)
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    // cap 0 = everything is the batch; maxId+1 = everything stored;
+    // mid = a genuine split — all three must close to the same model
+    for (cap <- Seq(0L, maxId / 2, maxId + 1)) {
+      val inc = TextAnalysis.nbIncremental(docs, cap).collect().map(_.toSeq).toList
+      assert(inc === full, s"incremental(cap=$cap) diverged from rebuild")
+    }
+    // non-vacuity at the mid cap: at least one word carries train
+    // occurrences on BOTH sides of the split, so the additive count
+    // merge genuinely collapses two partial rows into one
+    val cap = maxId / 2
+    val sides = graft.functions.TextFns.tokens(docs)
+      .where(col("doc_id") % 3 =!= 0)
+      .groupBy("word")
+      .agg(countDistinct(when(col("doc_id") < cap, 1)).as("lo"),
+        countDistinct(when(col("doc_id") >= cap, 1)).as("hi"))
+      .where(col("lo") > 0 && col("hi") > 0)
+    assert(sides.count() > 0,
+      "no word straddles the split — the merge case is vacuous at this cap")
+  }
 }
