@@ -829,6 +829,10 @@ object SparkEntry {
     // oracle = q209's from-scratch text verbatim
     "q223_incremental_nb" -> ((s, d) =>
       TextAnalysis.nbIncremental(Tables(s, d, "documents"))),
+    // the q221 -> q209 composition: NB trained on the chi2-selected
+    // vocabulary only (the bounded deployed model)
+    "q224_nb_selected" -> ((s, d) =>
+      TextAnalysis.nbSelected(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1181,6 +1185,33 @@ object SparkEntry {
        |         CAST(max(pq) + sum(m * w_eff) AS BIGINT) AS score_q,
        |         CAST(max(pq) + sum(m * w_eff) AS BIGINT) > 0 AS pred, pos
        |  FROM sp JOIN lab USING (doc_id) GROUP BY doc_id, pos)""".stripMargin
+
+  /** q221/q224 — the chi2 contingency + ranking as a shared fragment
+    * ending in `chi2ranked(word, df_pos, df_neg, chi2_q, pos_assoc)`:
+    * q221 projects the top-k list; q224 feeds the selection into
+    * restricted NB training. Expects `tc`/`lab` in scope (nbCtes). */
+  private lazy val chi2Ctes: String =
+    s"""trn AS (SELECT tc.word, lab.pos FROM tc JOIN lab USING (doc_id)
+       |        WHERE doc_id % 3 <> 0),
+       |cls AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |        FROM lab WHERE doc_id % 3 <> 0),
+       |dfreq AS (SELECT word,
+       |                 CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS df_pos,
+       |                 CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS df_neg
+       |          FROM trn GROUP BY 1),
+       |x AS (SELECT word, df_pos, df_neg, np, nn,
+       |             np - df_pos AS cc, nn - df_neg AS dd,
+       |             CAST(df_pos * (nn - df_neg) - df_neg * (np - df_pos) AS DOUBLE) AS det
+       |      FROM dfreq CROSS JOIN cls
+       |      WHERE df_pos + df_neg >= 5),
+       |chi2ranked AS (SELECT word, df_pos, df_neg,
+       |       CASE WHEN (df_pos + df_neg) * (cc + dd) = 0 OR np * nn = 0 THEN 0
+       |            ELSE CAST(floor(1e6 * (CAST(np + nn AS DOUBLE) * det * det /
+       |                 (CAST((df_pos + df_neg) * (cc + dd) AS DOUBLE) * CAST(np * nn AS DOUBLE)))) AS BIGINT)
+       |       END AS chi2_q,
+       |       df_pos * nn > df_neg * np AS pos_assoc
+       |FROM x)""".stripMargin
 
   /** q209/q223 — shared from-scratch NB replay (q223 is the
     * incremental state merge whose hash match proves merge ≡
@@ -3596,29 +3627,40 @@ object SparkEntry {
     // identical text, floor-quantized to micros after all arithmetic
     "q221_chi2_features" ->
       s"""WITH $nbCtes,
-         |trn AS (SELECT tc.word, lab.pos FROM tc JOIN lab USING (doc_id)
-         |        WHERE doc_id % 3 <> 0),
-         |cls AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
-         |               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
-         |        FROM lab WHERE doc_id % 3 <> 0),
-         |dfreq AS (SELECT word,
-         |                 CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS df_pos,
-         |                 CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS df_neg
-         |          FROM trn GROUP BY 1),
-         |x AS (SELECT word, df_pos, df_neg, np, nn,
-         |             np - df_pos AS cc, nn - df_neg AS dd,
-         |             CAST(df_pos * (nn - df_neg) - df_neg * (np - df_pos) AS DOUBLE) AS det
-         |      FROM dfreq CROSS JOIN cls
-         |      WHERE df_pos + df_neg >= 5)
-         |SELECT word, df_pos, df_neg,
-         |       CASE WHEN (df_pos + df_neg) * (cc + dd) = 0 OR np * nn = 0 THEN 0
-         |            ELSE CAST(floor(1e6 * (CAST(np + nn AS DOUBLE) * det * det /
-         |                 (CAST((df_pos + df_neg) * (cc + dd) AS DOUBLE) * CAST(np * nn AS DOUBLE)))) AS BIGINT)
-         |       END AS chi2_q,
-         |       df_pos * nn > df_neg * np AS pos_assoc
-         |FROM x
+         |$chi2Ctes
+         |SELECT word, df_pos, df_neg, chi2_q, pos_assoc
+         |FROM chi2ranked
          |ORDER BY chi2_q DESC, word
          |LIMIT 50""".stripMargin,
+    // the q221 -> q209 composition: the selection CTE feeds restricted
+    // training (v = |selection|); out-of-selection tokens contribute
+    // nothing at scoring, so a selection-free doc scores the prior
+    "q224_nb_selected" ->
+      s"""WITH $nbCtes,
+         |$chi2Ctes,
+         |sel AS (SELECT word FROM chi2ranked ORDER BY chi2_q DESC, word LIMIT 50),
+         |tcsel AS (SELECT tc.* FROM tc JOIN sel USING (word)),
+         |ct2 AS (SELECT word,
+         |               CAST(sum(CASE WHEN pos THEN m ELSE 0 END) AS BIGINT) AS c_pos,
+         |               CAST(sum(CASE WHEN pos THEN 0 ELSE m END) AS BIGINT) AS c_neg
+         |        FROM tcsel JOIN lab USING (doc_id)
+         |        WHERE doc_id % 3 <> 0 GROUP BY 1),
+         |tot2 AS (SELECT CAST(sum(c_pos) AS BIGINT) AS tot_pos,
+         |                CAST(sum(c_neg) AS BIGINT) AS tot_neg,
+         |                CAST(count(*) AS BIGINT) AS v FROM ct2),
+         |model2 AS (SELECT word,
+         |       CAST(floor(ln(CAST(c_pos + 1 AS DOUBLE) / CAST(tot_pos + v AS DOUBLE)) * 1e6) AS BIGINT)
+         |     - CAST(floor(ln(CAST(c_neg + 1 AS DOUBLE) / CAST(tot_neg + v AS DOUBLE)) * 1e6) AS BIGINT) AS w_q
+         |           FROM ct2 CROSS JOIN tot2),
+         |sc2 AS (SELECT tc.doc_id, tc.m, model2.w_q,
+         |               CAST(floor(ln(CAST(n_pos AS DOUBLE) / CAST(n_neg AS DOUBLE)) * 1e6) AS BIGINT) AS pq
+         |        FROM tc LEFT JOIN model2 USING (word) CROSS JOIN pri)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN w_q IS NOT NULL THEN m ELSE 0 END) AS BIGINT) AS n_sel,
+         |       CAST(max(pq) + sum(m * coalesce(w_q, 0)) AS BIGINT) AS score_q,
+         |       CAST(max(pq) + sum(m * coalesce(w_q, 0)) AS BIGINT) > 0 AS pred
+         |FROM sc2 GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     // the evolved two-generation read, replayed over the ORIGINAL
     // table via the generation rule: gen0 (even ids) lost `lang` to
     // the pre-evolution schema, so those rows group under '<gen0>'

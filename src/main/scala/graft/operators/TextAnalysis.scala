@@ -603,7 +603,15 @@ object TextAnalysis {
     * DIRECTION as an exact integer cross-multiply (a·nn > b·np), the
     * χ² statistic being direction-blind. */
   def chi2Features(docs: DataFrame, k: Int = 50, minDf: Long = 5L): DataFrame = {
-    val (tc, labels, _, _) = nbParts(docs)
+    val (tc, labels) = nbBase(docs)
+    val scored = chi2Ranked(tc, labels, k, minDf)
+    Dedup.finishWith(scored, tc)
+  }
+
+  /** The q221 ranking over an existing (tc, labels) pair — shared
+    * with q224 so selection and training read ONE tokenize pass. */
+  private def chi2Ranked(tc: DataFrame, labels: DataFrame,
+      k: Int, minDf: Long): DataFrame = {
     val train = tc.where(col("doc_id") % 3 =!= 0).join(labels, "doc_id")
     val cls = broadcast(labels.where(col("doc_id") % 3 =!= 0)
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
@@ -627,7 +635,42 @@ object TextAnalysis {
       .withColumn("pos_assoc", col("df_pos") * col("nn") > col("df_neg") * col("np"))
       .select("word", "df_pos", "df_neg", "chi2_q", "pos_assoc")
       .orderBy(col("chi2_q").desc, col("word")).limit(k)
-    Dedup.finishWith(scored, tc)
+    scored
+  }
+
+  /** q224 — the q221 → q209 COMPOSITION: Naive Bayes trained on the
+    * chi2-selected vocabulary only — the deployed shape of a
+    * distilled quality filter (a bounded model of k weights instead
+    * of the open vocabulary, the memory/latency trade every
+    * production fastText-style gate makes). Training counts, the
+    * Laplace totals, and the vocabulary size all restrict to the
+    * selected words (v = |selection| — the smoothing mass matches the
+    * model that ships); scoring keeps EVERY document (out-of-selection
+    * tokens contribute NOTHING — they are out-of-vocabulary by
+    * design, not Laplace-defaulted — so a doc with no selected token
+    * scores exactly the prior, spec-pinned), and `n_sel` reports how
+    * many of a doc's occurrences the bounded model actually saw. The
+    * selection is the q221 ranking VERBATIM (shared builder over the
+    * same persisted tokenize), so the oracle replays selection +
+    * restricted training + scoring in one text. Scale: the k-row
+    * selection broadcasts into the vocabulary-sized count state;
+    * everything downstream is the q209 shape. */
+  def nbSelected(docs: DataFrame, k: Int = 50, minDf: Long = 5L): DataFrame = {
+    val (tc, labels) = nbBase(docs)
+    val sel = chi2Ranked(tc, labels, k, minDf).select("word")
+    val tcSel = tc.join(broadcast(sel), "word")
+    val (consts, model) = nbFromState(
+      nbCountState(tcSel, labels, lit(true)), nbPriorState(labels, lit(true)))
+    val result = tc.join(model, Seq("word"), "left")
+      .crossJoin(consts)
+      .groupBy("doc_id")
+      .agg(sum(when(col("w_q").isNotNull, col("m")).otherwise(0L)).as("n_sel"),
+        (max(lnQ(col("n_pos"), col("n_neg"))) +
+          sum(col("m") * coalesce(col("w_q"), lit(0L)))).as("score_q"))
+      .withColumn("pred", col("score_q") > 0L)
+      .select("doc_id", "n_sel", "score_q", "pred")
+      .orderBy("doc_id")
+    Dedup.finishWith(result, tc)
   }
 
   /** q69 — the corpus FILTER PIPELINE: the composition step that turns

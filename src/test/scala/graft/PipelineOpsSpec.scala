@@ -2017,4 +2017,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sides.count() > 0,
       "no word straddles the split — the merge case is vacuous at this cap")
   }
+
+  test("q224 selected NB: bounded model still learns; OOV docs score the bare prior") {
+    import spark.implicits._
+    val docs = t("documents")
+    // learning retained at 50 features: held-out accuracy still beats
+    // the majority prior against the seed labels (the selection keeps
+    // the label-defining stopwords, so the distilled model cannot
+    // collapse)
+    val scored = TextAnalysis.nbSelected(docs)
+      .join(TextAnalysis.langId(docs)
+        .select(col("doc_id"), (col("pred_lang") === "en").as("actual")), "doc_id")
+      .where(col("doc_id") % 3 === 0)
+      .select(col("pred"), col("actual")).collect()
+    assert(scored.nonEmpty)
+    val acc = scored.count(r => r.getBoolean(0) == r.getBoolean(1)).toDouble /
+      scored.length
+    val prior = {
+      val p = scored.count(_.getBoolean(1)).toDouble / scored.length
+      math.max(p, 1 - p)
+    }
+    assert(acc > prior + 0.1,
+      f"selected-model accuracy $acc%.3f does not beat prior $prior%.3f")
+
+    // a document with NO selected vocabulary scores exactly the prior
+    // log-odds (out-of-selection tokens contribute nothing — they are
+    // OOV by design, not Laplace-defaulted); driven synthetically:
+    // doc 10's words are all below minDf so none can be selected
+    val synth = ((1L to 9L).map { i =>
+      val txt = if (i % 2 == 0) "the the the a of zebra cat extra"
+        else "xray yankee whisky victor uniform cat extra"
+      (i, txt)
+    } :+ (10L, "qqq vvv jjj")).toDF("doc_id", "text")
+    val rows = TextAnalysis.nbSelected(synth, k = 5, minDf = 2L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // train docs: ids % 3 != 0 -> 1,2,4,5,7,8,10; pos = stopword docs
+    // {2,4,8}, neg = {1,5,7,10}
+    val expectedPrior = math.floor(math.log(3.0 / 4.0) * 1e6).toLong
+    assert(rows(10L)._1 === 0L, "doc 10 must match no selected word")
+    assert(rows(10L)._2 === expectedPrior,
+      s"an OOV doc's score must be the bare prior: ${rows(10L)._2} vs $expectedPrior")
+    // a stopword-bearing doc DID match selected vocabulary
+    assert(rows(2L)._1 > 0L)
+  }
 }
