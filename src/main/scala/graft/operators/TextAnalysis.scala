@@ -475,6 +475,25 @@ object TextAnalysis {
     Dedup.finishWith(result.join(labels, "doc_id"), tc)
   }
 
+  /** The q223 fit state as ONE portable mergeable relation — per-word
+    * count rows (`kind = 'w'`) and the doc-prior row (`kind =
+    * 'prior'`, counts riding the same two columns), so ONE additive
+    * rule — `groupBy(kind, word).sum` — merges any number of stored
+    * states and batch partials (the property the streaming delta sink
+    * leans on: every epoch appends a partial, the read-side fold
+    * closes the state, and the model re-closes from state alone
+    * exactly as q223 proves). */
+  def nbStateDelta(docs: DataFrame): DataFrame = {
+    val (tc, labels) = nbBase(docs)
+    val state = nbCountState(tc, labels, lit(true))
+      .select(lit("w").as("kind"), col("word"), col("c_pos"), col("c_neg"))
+      .unionByName(nbPriorState(labels, lit(true))
+        .select(lit("prior").as("kind"),
+          lit(null).cast("string").as("word"),
+          col("n_pos").as("c_pos"), col("n_neg").as("c_neg")))
+    Dedup.finishWith(state, tc)
+  }
+
   /** q223 — INCREMENTAL maintenance of the trained classifier: merge ≡
     * rebuild extended to the newest trained-model family. The NB fit
     * state is (word, c_pos, c_neg) token counts plus the (n_pos,

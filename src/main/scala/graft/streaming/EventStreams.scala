@@ -874,4 +874,41 @@ object EventStreams {
       .select(col("qid"), col("node").as("vec_b"),
         col("cos6").as("cos_sim"), col("rnk"), col("ingest_ts"))
   }
+
+  /** Streaming FIT-STATE maintenance — the ONLINE half of q223,
+    * closing the classifier lifecycle the way `indexDeltaSink` closes
+    * the index's: each micro-batch of arriving documents lands its
+    * batch PARTIAL of the NB fit state (per-word class counts + doc
+    * priors, `TextAnalysis.nbStateDelta` — the q209-gated training
+    * stages over just the batch) as one epoch of an LSM-style delta
+    * store, and the read side folds every epoch with the ONE additive
+    * merge rule. Exactly-once comes from epoch-numbered idempotence
+    * (a replayed epoch OVERWRITES its own delta dir, never the
+    * others — the indexDeltaSink argument verbatim); the additive
+    * law (q223) is what makes per-epoch partials sufficient: no
+    * epoch ever needs another epoch's documents. foreachBatch is the
+    * right tier because each epoch is itself a complete batch
+    * artifact — and it sidesteps the chained-stateful-aggregation
+    * restriction (a per-doc label agg feeding a per-word rollup
+    * cannot both finalize in one append-mode query). */
+  def nbStateDeltaSink(docs: DataFrame, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.TextAnalysis.nbStateDelta(
+              batch.toDF().drop("ingest_ts"))
+            .write.mode("overwrite").parquet(s"$dir/epoch=$epoch")
+    }
+
+  /** The read-side fold of [[nbStateDeltaSink]]'s epochs: ONE additive
+    * groupBy closes the whole fit state (word counts AND the prior
+    * row — they share the relation shape precisely so one rule merges
+    * both). The closed state is what `TextAnalysis.nbIncremental`
+    * proves sufficient to re-close the model. */
+  def mergedNbState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("kind", "word")
+      .agg(sum(col("c_pos")).as("c_pos"), sum(col("c_neg")).as("c_neg"))
 }

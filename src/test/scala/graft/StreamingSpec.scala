@@ -881,4 +881,49 @@ class StreamingSpec extends SparkSpec {
         "2-hop descent never improved on the entry ranking")
     } finally q.stop()
   }
+
+  test("streaming NB fit-state deltas fold to the one-shot batch state") {
+    // the online half of q223: each micro-batch lands its state
+    // PARTIAL as an epoch; the additive read-side fold must equal the
+    // state computed over ALL documents at once — merge ≡ rebuild
+    // delivered epoch by epoch
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_nbstate").toString
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.nbStateDeltaSink(
+      in.toDF.toDF("doc_id", "text", "ingest_ts"), out).start()
+    val batches = Seq(
+      Seq((1L, "the the a of and in to is it filler", ts(0)),
+        (2L, "xray yankee whisky victor", ts(1))),
+      Seq((4L, "the a of and more the words here", ts(2)),
+        (5L, "quebec papa oscar november", ts(3))),
+      Seq((7L, "the of the of the of content", ts(4)),
+        (8L, "mike lima kilo juliett", ts(5)),
+        (9L, "held out doc the a of", ts(6))))
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      // three delta epochs landed (one per non-empty micro-batch)
+      val epochs = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      assert(epochs.length === 3, s"expected 3 epochs, got ${epochs.length}")
+      val merged = EventStreams.mergedNbState(spark, out)
+        .collect()
+        .map(r => (r.getString(0), Option(r.getString(1)).getOrElse(""),
+          r.getLong(2), r.getLong(3))).toSet
+      val oneShot = graft.operators.TextAnalysis.nbStateDelta(
+          batches.flatten.map(t => (t._1, t._2)).toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getString(0), Option(r.getString(1)).getOrElse(""),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(merged === oneShot,
+        "folded epoch partials diverged from the one-shot fit state")
+      // non-vacuity: a word ('the') carries counts in MORE than one
+      // epoch, so the additive fold genuinely collapsed partial rows
+      val perEpochThe = epochs.map(e =>
+        spark.read.parquet(e.getPath).where($"word" === "the").count()).sum
+      assert(perEpochThe > 1, "no word straddles epochs — the fold is vacuous")
+      // the prior row folded too (kind='prior', one row after merge)
+      assert(merged.count(_._1 == "prior") === 1)
+    } finally q.stop()
+  }
 }
