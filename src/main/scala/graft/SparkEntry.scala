@@ -833,6 +833,14 @@ object SparkEntry {
     // vocabulary only (the bounded deployed model)
     "q224_nb_selected" -> ((s, d) =>
       TextAnalysis.nbSelected(Tables(s, d, "documents"))),
+    // the full ROC threshold sweep over the held-out third (q213 is
+    // one point, q214 the area, this the curve); bounded bucket rows
+    "q225_roc_curve" -> ((s, d) =>
+      TextAnalysis.nbRoc(Tables(s, d, "documents"))),
+    // reliability diagram: per-bucket predicted vs actual positive
+    // share — the miscalibration read before trusting a cutoff
+    "q226_calibration" -> ((s, d) =>
+      TextAnalysis.nbCalibration(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -3567,6 +3575,39 @@ object SparkEntry {
          |       CAST(CASE WHEN n_pos * n_neg = 0 THEN 1000000
          |                 ELSE auc_num2 * 1000000 // (2 * n_pos * n_neg) END AS BIGINT) AS auc_micros
          |FROM f""".stripMargin,
+    // the full ROC sweep: cumulative-from-above over the bounded
+    // bucket histogram (q214's bucket rule verbatim), micros ratios
+    "q225_roc_curve" ->
+      s"""WITH $nbCtes,
+         |per AS (SELECT CAST((score_q - ((score_q % 1000000) + 1000000) % 1000000) // 1000000 AS BIGINT) AS bkt,
+         |               CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS b_p,
+         |               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS b_n
+         |        FROM nbscored WHERE doc_id % 3 = 0 GROUP BY 1),
+         |cum AS (SELECT bkt,
+         |               CAST(sum(b_p) OVER (ORDER BY bkt DESC
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         |               CAST(sum(b_n) OVER (ORDER BY bkt DESC
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+         |        FROM per),
+         |roctot AS (SELECT CAST(sum(b_p) AS BIGINT) AS pp,
+         |                  CAST(sum(b_n) AS BIGINT) AS nn FROM per)
+         |SELECT bkt, tp, fp,
+         |       CAST(CASE WHEN pp = 0 THEN 1000000 ELSE tp * 1000000 // pp END AS BIGINT) AS tpr_micros,
+         |       CAST(CASE WHEN nn = 0 THEN 1000000 ELSE fp * 1000000 // nn END AS BIGINT) AS fpr_micros
+         |FROM cum CROSS JOIN roctot ORDER BY bkt""".stripMargin,
+    // reliability diagram over the same bucket rule: predicted vs
+    // actual positive share per bucket, exact micros
+    "q226_calibration" ->
+      s"""WITH $nbCtes,
+         |b AS (SELECT CAST((score_q - ((score_q % 1000000) + 1000000) % 1000000) // 1000000 AS BIGINT) AS bkt,
+         |             CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+         |             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_actual_pos
+         |      FROM nbscored WHERE doc_id % 3 = 0 GROUP BY 1)
+         |SELECT bkt, n_docs, n_pred_pos, n_actual_pos,
+         |       CAST(n_pred_pos * 1000000 // n_docs AS BIGINT) AS pred_rate_micros,
+         |       CAST(n_actual_pos * 1000000 // n_docs AS BIGINT) AS actual_rate_micros
+         |FROM b ORDER BY bkt""".stripMargin,
     // daily-mean micros per (type, day), centered day index from a
     // partitioned window, closed-form OLS with pmod floor-divisions
     // mirrored text-for-text (slopes go negative)

@@ -597,6 +597,64 @@ object TextAnalysis {
           "ELSE auc_num2 * 1000000 div (2 * n_pos * n_neg) END"))
   }
 
+  /** q225 — the ROC CURVE as a relation: the threshold sweep a model
+    * gate runs to PICK its cutoff (q213 is one point, q214 the area,
+    * this the whole curve). One row per ~1e6-wide score BUCKET over
+    * the held-out third: (tp, fp) = held-out docs scoring AT OR ABOVE
+    * the bucket (the "keep everything from here up" operating point),
+    * TPR/FPR in exact integer micros. The cumulative-from-above sums
+    * run over the BOUNDED bucket histogram — the q214/q148 shape; the
+    * only unpartitioned window never sees the corpus — and bucketing
+    * reuses q214's explicit pmod floor-div (scores go negative).
+    * Zero-class edges pin to the 1e6 vacuous-truth convention. */
+  def nbRoc(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = nbScoredLabeled(docs)
+      .where(col("doc_id") % 3 === 0)
+      .groupBy(expr(
+        "(score_q - ((score_q % 1000000) + 1000000) % 1000000) div 1000000")
+        .as("bkt"))
+      .agg(sum(col("pos").cast("long")).as("b_p"),
+        sum((!col("pos")).cast("long")).as("b_n"))
+    val wGe = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = broadcast(per.agg(sum(col("b_p")).as("pp"),
+      sum(col("b_n")).as("nn")))
+    per
+      .withColumn("tp", sum(col("b_p")).over(wGe))
+      .withColumn("fp", sum(col("b_n")).over(wGe))
+      .crossJoin(totals)
+      .select(col("bkt"), col("tp"), col("fp"),
+        expr("CASE WHEN pp = 0 THEN 1000000 ELSE tp * 1000000 div pp END")
+          .as("tpr_micros"),
+        expr("CASE WHEN nn = 0 THEN 1000000 ELSE fp * 1000000 div nn END")
+          .as("fpr_micros"))
+      .orderBy("bkt")
+  }
+
+  /** q226 — CALIBRATION bins (the reliability diagram as a relation):
+    * does the score MEAN what it claims? Held-out docs grouped by the
+    * same score bucket; per bucket the predicted-positive share and
+    * the ACTUAL seed-label-positive share, both in exact integer
+    * micros — the divergence between them is the miscalibration a
+    * production gate reads before trusting a cutoff. One aggregation
+    * over the shared scored relation; rows bounded by the score
+    * range, never the corpus. */
+  def nbCalibration(docs: DataFrame): DataFrame =
+    nbScoredLabeled(docs)
+      .where(col("doc_id") % 3 === 0)
+      .groupBy(expr(
+        "(score_q - ((score_q % 1000000) + 1000000) % 1000000) div 1000000")
+        .as("bkt"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pred").cast("long")).as("n_pred_pos"),
+        sum(col("pos").cast("long")).as("n_actual_pos"))
+      .withColumn("pred_rate_micros",
+        expr("n_pred_pos * 1000000 div n_docs"))
+      .withColumn("actual_rate_micros",
+        expr("n_actual_pos * 1000000 div n_docs"))
+      .orderBy("bkt")
+
   /** q221 — chi-squared FEATURE SELECTION over the q209 label split:
     * the step a classifier-distillation pipeline runs between seed
     * labeling and training — rank every vocabulary token by its

@@ -2060,4 +2060,48 @@ class PipelineOpsSpec extends SparkSpec {
     // a stopword-bearing doc DID match selected vocabulary
     assert(rows(2L)._1 > 0L)
   }
+
+  test("q225 ROC / q226 calibration ≡ brute-force recount; curve endpoints pinned") {
+    val docs = t("documents")
+    // independent held-out ground truth: q209 scores + the q27 gate
+    val scored = TextAnalysis.nbClassifier(docs)
+      .join(TextAnalysis.langId(docs)
+        .select(col("doc_id"), (col("pred_lang") === "en").as("pos")), "doc_id")
+      .where(col("doc_id") % 3 === 0)
+      .select("score_q", "pred", "pos").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(scored.nonEmpty)
+    def bkt(s: Long) = Math.floorDiv(s, 1000000L)
+    val pp = scored.count(_._3).toLong
+    val nn = scored.length - pp
+
+    val roc = TextAnalysis.nbRoc(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val expRoc = scored.map(t => bkt(t._1)).distinct.sorted.map { b =>
+      val tp = scored.count(t => bkt(t._1) >= b && t._3).toLong
+      val fp = scored.count(t => bkt(t._1) >= b && !t._3).toLong
+      (b, tp, fp,
+        if (pp == 0) 1000000L else tp * 1000000L / pp,
+        if (nn == 0) 1000000L else fp * 1000000L / nn)
+    }.toSeq
+    assert(roc.toSeq === expRoc)
+    // endpoints: the lowest threshold keeps everything (tpr = fpr = 1e6);
+    // counts are non-increasing as the threshold rises
+    assert(roc.head._2 === pp && roc.head._3 === nn)
+    assert(roc.sliding(2).forall(p => p(0)._2 >= p(1)._2 && p(0)._3 >= p(1)._3))
+
+    val cal = TextAnalysis.nbCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cal.map(_._2).sum === scored.length.toLong)
+    cal.foreach { case (b, n, npred, nact) =>
+      val in = scored.filter(t => bkt(t._1) == b)
+      assert(n === in.length.toLong)
+      assert(npred === in.count(_._2).toLong)
+      assert(nact === in.count(_._3).toLong)
+      // pred = score > 0, so every bucket except 0 is prediction-pure
+      if (b != 0L) assert(npred === 0L || npred === n,
+        s"bucket $b mixes predictions")
+    }
+  }
 }
