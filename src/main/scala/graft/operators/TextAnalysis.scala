@@ -354,12 +354,42 @@ object TextAnalysis {
     * gate loads. One definition, so the deployed model can never
     * drift from the gated one. */
   private def nbParts(docs: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val (tc, labels) = nbBase(docs)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame => DataFrame) = {
+    val (tc, labels, fin) = nbBaseShared(docs)
     val (consts, model) = nbFromState(
       nbCountState(tc, labels, lit(true)), nbPriorState(labels, lit(true)))
-    (tc, labels, consts, model)
+    (tc, labels, consts, model, fin)
   }
+
+  private val nbBaseMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Unit),
+      (DataFrame, DataFrame)]
+
+  private def checkpointWideTA(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .localCheckpoint(true)
+
+  /** Session-shared (tc, labels) — the ONE tokenize+label pass behind
+    * the whole classifier family (q209/q213/q214 via the scored memo,
+    * q221 selection, q223 incremental, q224 selected, q225/q226 eval,
+    * the model artifact): the sketch-memo discipline applied to the
+    * family's common prefix. Returns the pair plus the FINISH function
+    * the consumer must apply to its result — on the memo path the
+    * leaves are checkpointed (wide, the q91 lesson) and nothing needs
+    * releasing; on the lazy/audit path the per-query persisted tc
+    * rides the normal finishWith lifecycle. */
+  private def nbBaseShared(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame => DataFrame) =
+    if (!Dedup.eagerMaterialize(docs)) {
+      val (tc, labels) = nbBase(docs)
+      (tc, labels, r => Dedup.finishWith(r, tc))
+    } else {
+      val (tc, labels) = Dedup.corpusMemo(nbBaseMemo, docs, ()) {
+        val (t, l) = nbBase(docs)
+        try (checkpointWideTA(t), checkpointWideTA(l)) finally t.unpersist()
+      } { val (t, l) = nbBase(docs); (t, l) }
+      (tc, labels, r => Dedup.finishWith(r))
+    }
 
   /** The shared tokenize + seed-label stages: persisted (doc, word, m)
     * multiplicities and q27's stop-ratio gate as an exact
@@ -419,7 +449,7 @@ object TextAnalysis {
     * (`kind = 'default'`). Same training stages as the gated scorer
     * ([[nbParts]]), so a stored model is exactly the verified one. */
   def nbModelArtifact(docs: DataFrame): DataFrame = {
-    val (tc, _, consts, model) = nbParts(docs)
+    val (_, _, consts, model, fin) = nbParts(docs)
     val art = model.select(lit("w").as("kind"), col("word"), col("w_q"))
       .unionByName(consts.select(lit("prior").as("kind"),
         lit(null).cast("string").as("word"),
@@ -428,14 +458,15 @@ object TextAnalysis {
         lit(null).cast("string").as("word"),
         (lnQ(lit(1L), col("tot_pos") + col("v")) -
           lnQ(lit(1L), col("tot_neg") + col("v"))).as("w_q")))
-    Dedup.finishWith(art, tc)
+    fin(art)
   }
 
   private val nbMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, Int, Int, Unit), DataFrame]
 
-  /** Drop the memoized NB scored relation (multi-corpus drivers). */
-  def clearNbMemo(): Unit = nbMemo.clear()
+  /** Drop the memoized NB scored relation + the shared (tc, labels)
+    * base pair (multi-corpus drivers). */
+  def clearNbMemo(): Unit = { nbMemo.clear(); nbBaseMemo.clear() }
 
   /** The q209 train→score chain with the SEED LABEL kept on every row
     * — the shared core of the classifier family: q209 projects it to
@@ -451,8 +482,8 @@ object TextAnalysis {
       nbScoredBuild(docs))(nbScoredBuild(docs))
 
   private def nbScoredBuild(docs: DataFrame): DataFrame = {
-    val (tc, labels, consts, model) = nbParts(docs)
-    nbScoreAll(tc, labels, consts, model)
+    val (tc, labels, consts, model, fin) = nbParts(docs)
+    nbScoreAll(tc, labels, consts, model, fin)
   }
 
   /** Score EVERY doc with a closed model: left join keeps unseen
@@ -461,7 +492,8 @@ object TextAnalysis {
     * merged-state chain — one scoring definition, so incremental ≡
     * rebuild reduces to state equality. */
   private def nbScoreAll(tc: DataFrame, labels: DataFrame,
-      consts: DataFrame, model: DataFrame): DataFrame = {
+      consts: DataFrame, model: DataFrame,
+      fin: DataFrame => DataFrame): DataFrame = {
     val result = tc.join(model, Seq("word"), "left")
       .crossJoin(consts)
       .withColumn("w_eff", coalesce(col("w_q"),
@@ -472,7 +504,7 @@ object TextAnalysis {
         (max(lnQ(col("n_pos"), col("n_neg"))) +
           sum(col("m") * col("w_eff"))).as("score_q"))
       .withColumn("pred", col("score_q") > 0L)
-    Dedup.finishWith(result.join(labels, "doc_id"), tc)
+    fin(result.join(labels, "doc_id"))
   }
 
   /** The q223 fit state as ONE portable mergeable relation — per-word
@@ -512,7 +544,7 @@ object TextAnalysis {
     * shared definition ([[nbScoreAll]]), so the proof reduces to fit-
     * state equality. */
   def nbIncremental(docs: DataFrame, cap: Long = 300L): DataFrame = {
-    val (tc, labels) = nbBase(docs)
+    val (tc, labels, fin) = nbBaseShared(docs)
     val ct = nbCountState(tc, labels, col("doc_id") < cap)
       .unionByName(nbCountState(tc, labels, col("doc_id") >= cap))
       .groupBy("word")
@@ -521,7 +553,7 @@ object TextAnalysis {
       .unionByName(nbPriorState(labels, col("doc_id") >= cap))
       .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
     val (consts, model) = nbFromState(ct, pri)
-    nbScoreAll(tc, labels, consts, model)
+    nbScoreAll(tc, labels, consts, model, fin)
       .select("doc_id", "n_tok", "score_q", "pred")
       .orderBy("doc_id")
   }
@@ -680,9 +712,8 @@ object TextAnalysis {
     * DIRECTION as an exact integer cross-multiply (a·nn > b·np), the
     * χ² statistic being direction-blind. */
   def chi2Features(docs: DataFrame, k: Int = 50, minDf: Long = 5L): DataFrame = {
-    val (tc, labels) = nbBase(docs)
-    val scored = chi2Ranked(tc, labels, k, minDf)
-    Dedup.finishWith(scored, tc)
+    val (tc, labels, fin) = nbBaseShared(docs)
+    fin(chi2Ranked(tc, labels, k, minDf))
   }
 
   /** The q221 ranking over an existing (tc, labels) pair — shared
@@ -733,7 +764,7 @@ object TextAnalysis {
     * selection broadcasts into the vocabulary-sized count state;
     * everything downstream is the q209 shape. */
   def nbSelected(docs: DataFrame, k: Int = 50, minDf: Long = 5L): DataFrame = {
-    val (tc, labels) = nbBase(docs)
+    val (tc, labels, fin) = nbBaseShared(docs)
     val sel = chi2Ranked(tc, labels, k, minDf).select("word")
     val tcSel = tc.join(broadcast(sel), "word")
     val (consts, model) = nbFromState(
@@ -747,7 +778,7 @@ object TextAnalysis {
       .withColumn("pred", col("score_q") > 0L)
       .select("doc_id", "n_sel", "score_q", "pred")
       .orderBy("doc_id")
-    Dedup.finishWith(result, tc)
+    fin(result)
   }
 
   /** q69 — the corpus FILTER PIPELINE: the composition step that turns
