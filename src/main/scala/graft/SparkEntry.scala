@@ -841,6 +841,15 @@ object SparkEntry {
     // share — the miscalibration read before trusting a cutoff
     "q226_calibration" -> ((s, d) =>
       TextAnalysis.nbCalibration(Tables(s, d, "documents"))),
+    // market-basket association pairs within orders: support,
+    // two-way confidence, lift in exact micros; fan-out bounded by
+    // basket size
+    "q227_basket_pairs" -> ((s, d) =>
+      Relational.basketPairs(Tables(s, d, "lineitem"))),
+    // RFM segmentation on the histogram-boundary scale path (never
+    // ntile over the customer population)
+    "q228_rfm_segments" -> ((s, d) =>
+      Relational.rfmSegments(Tables(s, d, "orders"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -3608,6 +3617,69 @@ object SparkEntry {
          |       CAST(n_pred_pos * 1000000 // n_docs AS BIGINT) AS pred_rate_micros,
          |       CAST(n_actual_pos * 1000000 // n_docs AS BIGINT) AS actual_rate_micros
          |FROM b ORDER BY bkt""".stripMargin,
+    // basket pairs replayed: within-order self-join (a < b), support
+    // counts, two-way confidence and lift in integer micros
+    "q227_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+        |               FROM lineitem),
+        |pairs AS (SELECT x.part AS part_a, y.part AS part_b,
+        |                 CAST(count(*) AS BIGINT) AS sup_ab
+        |          FROM items x JOIN items y
+        |            ON x.ok = y.ok AND x.part < y.part
+        |          GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sup AS (SELECT part, CAST(count(*) AS BIGINT) AS sup FROM items GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM items)
+        |SELECT part_a, part_b, sup_ab, sa.sup AS sup_a, sb.sup AS sup_b,
+        |       sup_ab * 1000000 // sa.sup AS conf_ab_micros,
+        |       sup_ab * 1000000 // sb.sup AS conf_ba_micros,
+        |       sup_ab * n_baskets * 1000000 // (sa.sup * sb.sup) AS lift_micros
+        |FROM pairs JOIN sup sa ON sa.part = part_a
+        |           JOIN sup sb ON sb.part = part_b
+        |CROSS JOIN nb
+        |ORDER BY part_a, part_b""".stripMargin,
+    // RFM replayed: three bounded histograms, the q148 boundary rule
+    // (min bin with 100*cum >= p*n), strictly-greater scoring
+    "q228_rfm_segments" ->
+      s"""WITH per AS (SELECT o_custkey,
+         |  CAST(max(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS r_v,
+         |  CAST(count(*) AS BIGINT) AS f_v,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+         |  FROM orders GROUP BY 1),
+         |per2 AS (SELECT *, m_cents // 10000 AS m_v FROM per),
+         |${Seq(("r", "r_v"), ("f", "f_v"), ("m", "m_v")).map { case (t, v) =>
+            s"""${t}h AS (SELECT $v AS bin, CAST(count(*) AS BIGINT) AS cnt
+               |           FROM per2 GROUP BY 1),
+               |${t}c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin
+               |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               |          FROM ${t}h),
+               |${t}n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM ${t}h),
+               |${t}b AS (SELECT
+               |  CAST(min(CASE WHEN cum * 100 >= n * 20 THEN bin END) AS BIGINT) AS ${t}b20,
+               |  CAST(min(CASE WHEN cum * 100 >= n * 40 THEN bin END) AS BIGINT) AS ${t}b40,
+               |  CAST(min(CASE WHEN cum * 100 >= n * 60 THEN bin END) AS BIGINT) AS ${t}b60,
+               |  CAST(min(CASE WHEN cum * 100 >= n * 80 THEN bin END) AS BIGINT) AS ${t}b80
+               |  FROM ${t}c CROSS JOIN ${t}n)""".stripMargin
+          }.mkString(",\n")},
+         |scored AS (SELECT m_cents,
+         |  1 + (CASE WHEN r_v > rb20 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN r_v > rb40 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN r_v > rb60 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN r_v > rb80 THEN 1 ELSE 0 END) AS r_score,
+         |  1 + (CASE WHEN f_v > fb20 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN f_v > fb40 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN f_v > fb60 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN f_v > fb80 THEN 1 ELSE 0 END) AS f_score,
+         |  1 + (CASE WHEN m_v > mb20 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN m_v > mb40 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN m_v > mb60 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN m_v > mb80 THEN 1 ELSE 0 END) AS m_score
+         |  FROM per2 CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb)
+         |SELECT CAST(r_score AS BIGINT) AS r_score,
+         |       CAST(f_score AS BIGINT) AS f_score,
+         |       CAST(m_score AS BIGINT) AS m_score,
+         |       CAST(count(*) AS BIGINT) AS n_customers,
+         |       CAST(sum(m_cents) AS BIGINT) AS sum_cents
+         |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // daily-mean micros per (type, day), centered day index from a
     // partitioned window, closed-form OLS with pmod floor-divisions
     // mirrored text-for-text (slopes go negative)

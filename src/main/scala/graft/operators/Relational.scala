@@ -1720,4 +1720,105 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"))
       .orderBy("s_suppkey")
   }
+
+  /** q227 — MARKET-BASKET association pairs (support / confidence /
+    * lift), the frequent-itemset primitive the suite lacked: baskets
+    * are orders, items the DISTINCT parts in each order, candidate
+    * pairs generated WITHIN each basket only (a < b), so the pair
+    * fan-out is quadratic in BASKET SIZE (≤ 7 lines in this schema —
+    * bounded by the order, never the catalog; a retail-scale basket
+    * would cap or prefix-prune per order, the q123 discipline) and
+    * rides ONE orderkey-partitioned self-join. Pair support counts,
+    * per-part supports joined back twice (Catalyst broadcasts the
+    * part-support relation while it fits, degrades to shuffle when a
+    * 100 TB catalog doesn't), confidence both directions and lift in
+    * exact integer micros (`div` ≡ `//` on these non-negative
+    * operands; lift's numerator sup_ab·N·1e6 overflows BIGINT past
+    * ~9e18 — ~1e6 baskets at 1e6-support pairs — beyond which the
+    * one-column division moves to DECIMAL(38,0), the q214 headroom
+    * convention). minSupport bounds the output to genuinely frequent
+    * pairs. */
+  def basketPairs(lineitem: DataFrame, minSupport: Long = 3L): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("part")).distinct()
+    val pairs = items.as("x").join(items.as("y"), Seq("ok"))
+      .where(col("x.part") < col("y.part"))
+      .select(col("x.part").as("part_a"), col("y.part").as("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("sup_ab"))
+      .where(col("sup_ab") >= minSupport)
+    val sup = items.groupBy("part").agg(count(lit(1)).as("sup"))
+    val n = broadcast(items.select("ok").distinct()
+      .agg(count(lit(1)).as("n_baskets")))
+    pairs
+      .join(sup.withColumnRenamed("part", "part_a")
+        .withColumnRenamed("sup", "sup_a"), "part_a")
+      .join(sup.withColumnRenamed("part", "part_b")
+        .withColumnRenamed("sup", "sup_b"), "part_b")
+      .crossJoin(n)
+      .select(col("part_a"), col("part_b"), col("sup_ab"),
+        col("sup_a"), col("sup_b"),
+        expr("sup_ab * 1000000 div sup_a").as("conf_ab_micros"),
+        expr("sup_ab * 1000000 div sup_b").as("conf_ba_micros"),
+        expr("sup_ab * n_baskets * 1000000 div (sup_a * sup_b)")
+          .as("lift_micros"))
+      .orderBy("part_a", "part_b")
+  }
+
+  /** q228 — RFM SEGMENTATION (recency / frequency / monetary), the
+    * classic customer-analytics rollup, built on the SCALE path: each
+    * metric's quintile boundaries come from the q148 bounded-histogram
+    * rule (min bin with 100·cum ≥ p·n) — never an `ntile` window over
+    * the customer population (a corpus-sized unpartitioned sort, the
+    * q148 trap). Metrics are exact integers (recency = last-order day
+    * index, frequency = order count, monetary = cents floor-divided
+    * to 100-unit bins so the histogram range stays ~10⁴ — boundary
+    * GRANULARITY is the only approximation, scores are exact given
+    * the bins); scoring is 1 + three broadcast one-row boundary
+    * comparisons per metric (strictly-greater, so ties share a
+    * score deterministically); the output is the ≤ 5³ segment grid
+    * with customer counts and exact cents mass. One custkey shuffle +
+    * three bounded-histogram aggregations; the per-customer relation
+    * is persisted across its four consumers. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = orders
+      .withColumn("eus", unix_micros(col("o_orderdate")
+        .cast(org.apache.spark.sql.types.TimestampType)))
+      .groupBy(col("o_custkey"))
+      .agg(max(expr("eus div 86400000000")).as("r_v"),
+        count(lit(1)).as("f_v"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("m_cents"))
+      .withColumn("m_v", expr("m_cents div 10000"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bounds(m: String, tag: String): DataFrame = {
+      val hist = per.groupBy(col(m).as("bin")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the only unpartitioned window: over the BOUNDED histogram
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+      val tot = broadcast(hist.agg(sum(col("cnt")).as("n")))
+      cum.crossJoin(tot).agg(
+        min(when(col("cum") * 100 >= col("n") * 20, col("bin"))).as(s"${tag}20"),
+        min(when(col("cum") * 100 >= col("n") * 40, col("bin"))).as(s"${tag}40"),
+        min(when(col("cum") * 100 >= col("n") * 60, col("bin"))).as(s"${tag}60"),
+        min(when(col("cum") * 100 >= col("n") * 80, col("bin"))).as(s"${tag}80"))
+    }
+    def score(v: String, tag: String) =
+      (lit(1L) + (col(v) > col(s"${tag}20")).cast("long") +
+        (col(v) > col(s"${tag}40")).cast("long") +
+        (col(v) > col(s"${tag}60")).cast("long") +
+        (col(v) > col(s"${tag}80")).cast("long")).as(s"${tag}_score")
+    val result = per
+      .crossJoin(broadcast(bounds("r_v", "rb")))
+      .crossJoin(broadcast(bounds("f_v", "fb")))
+      .crossJoin(broadcast(bounds("m_v", "mb")))
+      .select(col("m_cents"), score("r_v", "rb"), score("f_v", "fb"),
+        score("m_v", "mb"))
+      .groupBy(col("rb_score").as("r_score"), col("fb_score").as("f_score"),
+        col("mb_score").as("m_score"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("m_cents")).as("sum_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+    Dedup.finishWith(result, per)
+  }
 }

@@ -2104,4 +2104,90 @@ class PipelineOpsSpec extends SparkSpec {
         s"bucket $b mixes predictions")
     }
   }
+
+  test("q227 basket pairs ≡ brute-force recount; lift branches both live") {
+    import spark.implicits._
+    val li = t("lineitem")
+    val rows = Relational.basketPairs(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    // driver-side recount over the raw collected rows
+    val baskets = li.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).map { case (ok, xs) => ok -> xs.map(_._2).toSet }
+    val nB = baskets.size.toLong
+    val sup = baskets.values.flatten.groupBy(identity)
+      .map { case (p, xs) => p -> xs.size.toLong }
+    val pairSup = baskets.values.toSeq
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(c => (c(0), c(1))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= 3L)
+    val expected = pairSup.toSeq.sortBy(_._1).map { case ((a, b), sab) =>
+      (a, b, sab, sup(a), sup(b),
+        sab * 1000000L / sup(a), sab * 1000000L / sup(b),
+        sab * nB * 1000000L / (sup(a) * sup(b)))
+    }
+    assert(rows.toSeq === expected)
+    // positively-associated pairs exist on the real corpus (min-
+    // support cuts the negative-lift tail at this scale, so the <1
+    // branch is driven synthetically below)
+    assert(rows.exists(_._8 > 1000000L))
+    // planted extremes: a perfectly co-occurring pair (lift > 1), a
+    // frequent but ANTI-associated pair (lift < 1), and a pair whose
+    // co-occurrence misses min-support (no row at all)
+    val synth = (
+      (1L to 3L).flatMap(b => Seq(10L, 11L, 40L, 20L).map((b, _))) ++
+      Seq((4L, 40L), (4L, 20L)) ++
+      (5L to 7L).flatMap(b => Seq(40L, 41L).map((b, _))) ++
+      (8L to 9L).flatMap(b => Seq(41L, 21L).map((b, _))) ++
+      (10L to 12L).map((_, 41L))
+    ).toDF("l_orderkey", "l_partkey")
+    val sr = Relational.basketPairs(synth, minSupport = 3L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(7))).toMap
+    // 10 and 11 appear in exactly the 3 baskets they share: lift =
+    // 3*12/(3*3) = 4
+    assert(sr((10L, 11L)) === 4000000L, "perfect co-occurrence lift")
+    // 40 (7 baskets) and 41 (8 baskets) overlap in only 3: lift =
+    // 3*12/(7*8) < 1
+    assert(sr((40L, 41L)) === 3L * 12L * 1000000L / 56L)
+    assert(sr((40L, 41L)) < 1000000L, "anti-association must read below 1")
+    // 20 and 21 never co-occur: below min-support, no row
+    assert(!sr.contains((20L, 21L)), "sub-support pair must be cut")
+  }
+
+  test("q228 RFM ≡ brute-force recount; grid covers every customer") {
+    val o = t("orders")
+    val grid = Relational.rfmSegments(o).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4))))
+    assert(grid.nonEmpty)
+    assert(grid.forall { case ((r, f, m), _) =>
+      r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5 })
+    // recount: per-customer metrics, q148 boundary rule, scoring
+    val per = o.select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("eus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (ck, xs) =>
+        (ck, xs.map(_._2 / 86400000000L).max, xs.size.toLong,
+          xs.map(_._3).sum)
+      }.toSeq
+    def bnds(vs: Seq[Long]): Seq[Long] = {
+      val hist = vs.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+        .toSeq.sortBy(_._1)
+      val n = vs.size.toLong
+      val cum = hist.scanLeft((0L, 0L)) { case ((_, c), (b, k)) => (b, c + k) }.tail
+      Seq(20, 40, 60, 80).map(p => cum.find(_._2 * 100 >= n * p).get._1)
+    }
+    val (rb, fb, mb) = (bnds(per.map(_._2)), bnds(per.map(_._3)),
+      bnds(per.map(_._4 / 10000L)))
+    def sc(v: Long, b: Seq[Long]) = 1L + b.count(v > _)
+    val expected = per.groupBy { case (_, r, f, mc) =>
+        (sc(r, rb), sc(f, fb), sc(mc / 10000L, mb)) }
+      .map { case (k, xs) => k -> (xs.size.toLong, xs.map(_._4).sum) }
+    assert(grid.toMap === expected)
+    assert(grid.map(_._2._1).sum === per.size.toLong,
+      "every customer must land in exactly one segment")
+  }
 }
