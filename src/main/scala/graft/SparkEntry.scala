@@ -850,6 +850,14 @@ object SparkEntry {
     // ntile over the customer population)
     "q228_rfm_segments" -> ((s, d) =>
       Relational.rfmSegments(Tables(s, d, "orders"))),
+    // gaps-and-islands: per-user consecutive-active-day streaks; the
+    // distinct collapses events before the user-partitioned window
+    "q229_activity_streaks" -> ((s, d) =>
+      Events.activityStreaks(Tables(s, d, "events"))),
+    // robust outliers: median + MAD both on the bounded-histogram
+    // path, exact integer gate dev > 3*mad
+    "q230_mad_outliers" -> ((s, d) =>
+      Events.madOutliers(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -3680,6 +3688,58 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_customers,
          |       CAST(sum(m_cents) AS BIGINT) AS sum_cents
          |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // gaps-and-islands replay: island_id = day - row_number per user,
+    // two rollups; max_by ties impossible (island ends are distinct)
+    "q229_activity_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |                     epoch_us(ts) // 86400000000 AS day
+        |              FROM events),
+        |isl AS (SELECT user_id, day,
+        |               day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |        FROM days),
+        |st AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len,
+        |              CAST(max(day) AS BIGINT) AS streak_end
+        |       FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |       CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(max(len) AS BIGINT) AS longest_streak,
+        |       CAST(max_by(len, streak_end) AS BIGINT) AS latest_streak_len,
+        |       CAST(max(streak_end) AS BIGINT) AS last_active_day
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
+    // MAD replay: two chained histogram lower-medians (2*cum >= n),
+    // integer 3*mad gate
+    "q230_mad_outliers" ->
+      """WITH b AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS bin
+        |           FROM events),
+        |h1 AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT event_type, bin,
+        |              sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM h1),
+        |n1 AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        |       FROM h1 GROUP BY 1),
+        |med AS (SELECT c1.event_type, CAST(min(bin) AS BIGINT) AS med
+        |        FROM c1 JOIN n1 USING (event_type)
+        |        WHERE cum * 2 >= n GROUP BY 1),
+        |d AS (SELECT b.event_type, med, abs(bin - med) AS dev
+        |      FROM b JOIN med USING (event_type)),
+        |h2 AS (SELECT event_type, dev, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, dev,
+        |              sum(cnt) OVER (PARTITION BY event_type ORDER BY dev
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM h2),
+        |n2 AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        |       FROM h2 GROUP BY 1),
+        |mad AS (SELECT c2.event_type, CAST(min(dev) AS BIGINT) AS mad
+        |        FROM c2 JOIN n2 USING (event_type)
+        |        WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT d.event_type, med, mad,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN dev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     // daily-mean micros per (type, day), centered day index from a
     // partitioned window, closed-form OLS with pmod floor-divisions
     // mirrored text-for-text (slopes go negative)

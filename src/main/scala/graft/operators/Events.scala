@@ -809,4 +809,80 @@ object Events {
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("day", "event_type")
+
+  /** q229 — ACTIVITY STREAKS (gaps-and-islands): per-user runs of
+    * consecutive active DAYS — the retention primitive behind streak
+    * features and churn heuristics, and the canonical islands
+    * pattern: island_id = day − row_number over the user's DISTINCT
+    * active days (both exact integers, so consecutive days share an
+    * id and any gap starts a new one). Shapes that matter at scale:
+    * the distinct collapses events-per-day BEFORE the window (the
+    * window sees ≤ active-days rows per user, never raw events); the
+    * one window is PARTITIONED by user (bounded by one user's
+    * history, the q54/q137 shape — never corpus-wide); both
+    * aggregations are map-side-combinable. Output: per-user day
+    * count, streak count, longest/latest streak — bounded by the
+    * user population. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = events
+      .withColumn("eus", tsMicros(events))
+      .select(col("user_id"), expr("eus div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"), max(col("day")).as("streak_end"))
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        max_by(col("len"), col("streak_end")).as("latest_streak_len"),
+        max(col("streak_end")).as("last_active_day"))
+      .orderBy("user_id")
+  }
+
+  /** q230 — MAD outliers: the ROBUST twin of q117's z-score gate (a
+    * mean/stddev gate is itself dragged by the outliers it hunts; the
+    * median absolute deviation is breakdown-point-0.5 robust). Both
+    * medians ride the q129 bounded-histogram path — per-type
+    * lower-median bin by the all-integer 2·cum ≥ n rule, then a
+    * SECOND bounded histogram over |bin − med| (deviation range ≤
+    * value range, still bounded) — so nothing corpus-sized is ever
+    * sorted; the gate `dev > 3·mad` is an exact integer comparison
+    * decided BEFORE any reporting arithmetic (the q117 discipline).
+    * Values enter as whole-unit bins (the q129 grain — at this data's
+    * [0,1000] range that is the documented resolution; a finer corpus
+    * scales the bin width, not the algorithm). Output: one row per
+    * type with med, mad, outlier count and total — bounded by the
+    * type vocabulary. */
+  def madOutliers(events: DataFrame): DataFrame = {
+    val binned = events
+      .select(col("event_type"), floor(col("value")).cast("long").as("bin"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def lowerMedian(df: DataFrame, c: String): DataFrame = {
+      val hist = df.groupBy(col("event_type"), col(c).as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum(col("cnt")).over(w))
+        .join(broadcast(hist.groupBy("event_type")
+          .agg(sum(col("cnt")).as("n"))), Seq("event_type"))
+        .where(col("cum") * 2 >= col("n"))
+        .groupBy("event_type")
+        .agg(min(col("bin")).as("med"))
+    }
+    val med = lowerMedian(binned, "bin")
+    val devs = binned.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("bin") - col("med")))
+    val mad = lowerMedian(devs.select(col("event_type"),
+      col("dev").as("bin")), "bin").withColumnRenamed("med", "mad")
+    val result = devs.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("dev") > col("mad") * 3L).cast("long")).as("n_outliers"))
+      .orderBy("event_type")
+    graft.operators.Dedup.finishWith(result, binned)
+  }
 }

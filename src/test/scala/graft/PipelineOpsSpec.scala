@@ -2190,4 +2190,73 @@ class PipelineOpsSpec extends SparkSpec {
     assert(grid.map(_._2._1).sum === per.size.toLong,
       "every customer must land in exactly one segment")
   }
+
+  test("q229 streaks ≡ brute-force recount; gap/merge/dedup branches planted") {
+    import spark.implicits._
+    val ev = t("events")
+    val rows = Events.activityStreaks(ev).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.nonEmpty)
+    val byUser = evNanos.select(col("user_id"), (col("ts") / 1000L).cast("long").as("eus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 86400000000L))
+      .distinct.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted }
+    byUser.foreach { case (u, ds) =>
+      // islands: split where the day gap exceeds 1
+      val streaks = ds.foldLeft(List.empty[List[Long]]) {
+        case (acc, d) if acc.nonEmpty && acc.head.head == d - 1 =>
+          (d :: acc.head) :: acc.tail
+        case (acc, d) => List(d) :: acc
+      }.map(_.reverse).reverse
+      val expected = (ds.size.toLong, streaks.size.toLong,
+        streaks.map(_.size).max.toLong,
+        streaks.maxBy(_.last).size.toLong, ds.max)
+      assert(rows(u) === expected, s"user $u streak profile diverged")
+    }
+    // planted: duplicate events one day, a gap, a single-day island
+    def t0(day: Long, h: Int) =
+      new java.sql.Timestamp(day * 86400000L + h * 3600000L)
+    val synth = Seq(
+      (1L, t0(0, 1)), (1L, t0(0, 5)), (1L, t0(1, 2)), (1L, t0(2, 3)),
+      (1L, t0(5, 0)), (1L, t0(7, 1)), (1L, t0(8, 1)))
+      .toDF("user_id", "ts")
+    val got = Events.activityStreaks(synth).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(got.toList === List((6L, 3L, 3L, 2L, 8L)),
+      "planted [0-2],[5],[7-8] profile diverged")
+  }
+
+  test("q230 MAD ≡ exact recount; robust where the z-score gate is dragged") {
+    import spark.implicits._
+    val rows = Events.madOutliers(t("events")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // driver recount of both chained lower-medians and the gate
+    val byType = t("events").select(col("event_type"),
+        floor(col("value")).cast("long").as("bin"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (ty, xs) => ty -> xs.map(_._2).sorted }
+    def lowerMed(vs: Seq[Long]): Long = {
+      val n = vs.size.toLong
+      // min bin whose cumulative count doubles to >= n
+      vs.distinct.sorted.find(b => vs.count(_ <= b).toLong * 2 >= n).get
+    }
+    rows.foreach { case (ty, med, mad, nEv, nOut) =>
+      val vs = byType(ty)
+      assert(med === lowerMed(vs), s"$ty median")
+      val devs = vs.map(v => math.abs(v - med))
+      assert(mad === lowerMed(devs), s"$ty mad")
+      assert(nEv === vs.size.toLong)
+      assert(nOut === devs.count(_ > mad * 3).toLong, s"$ty outlier count")
+    }
+    // robustness planted: one wild point cannot drag the MAD gate the
+    // way it drags a mean/stddev gate — the clean cluster stays inside
+    val synth = ((1 to 20).map(i => ("a", 100.0 + (i % 3))) :+ ("a", 1.0e6))
+      .toDF("event_type", "value")
+    val g = Events.madOutliers(synth).collect()(0)
+    assert(g.getLong(4) === 1L, "exactly the wild point flags")
+    assert(g.getLong(1) === 100L || g.getLong(1) === 101L)
+  }
 }
