@@ -16,6 +16,13 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Wrong-results guard (found in-round via the q206 merge law; see
+      // NswSpec "union partitioning claim"): Spark 4.1's default
+      // spark.sql.unionOutputPartitioning=true lets a window/distinct
+      // above a union of co-partitioned branches skip its shuffle, and
+      // under AQE + broadcast towers the claim is not always honored by
+      // the union's actual partition layout.
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
       // natively; read as epoch-nanos LONG (Events converts explicitly).

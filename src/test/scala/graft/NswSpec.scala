@@ -72,6 +72,41 @@ class NswSpec extends SparkSpec {
     assert(gained > 0L, "no old node links to a new node — merge untested")
   }
 
+  test("q206 law survives an artifact-primed memo (union-partitioning regression)") {
+    // REGRESSION for a WRONG-RESULTS Spark 4.1 hazard found in-round:
+    // with the default spark.sql.unionOutputPartitioning=true, priming
+    // the NSW scored memo through the ARTIFACT path (a parquet-backed
+    // leaf instead of the fresh-computed one) flipped the twoHop join
+    // to broadcast, the union's co-partitioning CLAIM then propagated
+    // up the aggregate/join tower, and the refine window's shuffle was
+    // elided over partitions that were not actually key-aligned —
+    // nswGraph silently returned a DIFFERENT (wrong) graph while the
+    // incremental path's dropDuplicates happened to mask it. The
+    // library pins the conf off in every session it builds; this test
+    // pins BOTH the conf and the scenario end to end.
+    assert(spark.conf.get("spark.sql.unionOutputPartitioning") === "false",
+      "library sessions must disable the union partitioning claim")
+    def run() = Similarity.nswGraph(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toList
+    Similarity.clearNswScoredMemo()
+    val clean = run()
+    // prime the memo through the artifact store exactly as a restarted
+    // pipeline would, then recompute over the primed (parquet-leaf) memo
+    Similarity.clearNswScoredMemo()
+    val dir = java.nio.file.Files.createTempDirectory("nsw_reg").toString
+    spark.conf.set("spark.graft.artifactDir", dir)
+    try Similarity.nswGraph(
+      spark.read.parquet(s"$testdataDir/embeddings.parquet")).count()
+    finally spark.conf.unset("spark.graft.artifactDir")
+    val primed = run()
+    val inc = Similarity.nswGraphIncremental(emb, 250L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toList
+    assert(primed === clean,
+      "artifact-primed rebuild diverged from the fresh build")
+    assert(inc === clean, "incremental diverged over the primed memo")
+    Similarity.clearNswScoredMemo()
+  }
+
   test("beam search navigates beyond the entry set (the graph earns its keep)") {
     // with rounds = 0 the search can only rank the fixed entry nodes;
     // with rounds > 0 it must strictly improve — otherwise the edge
