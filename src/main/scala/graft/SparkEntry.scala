@@ -858,6 +858,46 @@ object SparkEntry {
     // path, exact integer gate dev > 3*mad
     "q230_mad_outliers" -> ((s, d) =>
       Events.madOutliers(Tables(s, d, "events"))),
+    // chance-corrected agreement (Cohen's kappa) between the trained
+    // classifier and its seed teacher, per split — all-integer
+    "q231_kappa_agreement" -> ((s, d) =>
+      TextAnalysis.nbKappa(Tables(s, d, "documents"))),
+    // retry/replay collapse: immediate-predecessor lag gate within
+    // 60 s per (user, type); one window shuffle, bounded rollup
+    "q232_event_dedup" -> ((s, d) =>
+      Events.eventDedup(Tables(s, d, "events"))),
+    // the dedup savings report over q58's memoized cluster labels:
+    // per-cluster-size docs/chars dropped, totals reconcile to corpus
+    "q233_dedup_report" -> ((s, d) =>
+      Dedup.dedupReport(Tables(s, d, "documents"))),
+    // EXACT per-stratum quota split via order-preserving bucket
+    // histogram + boundary-bucket rank (blocked ≡ naive, hash-gated)
+    "q234_quota_split" -> ((s, d) =>
+      Sampling.quotaSplit(Tables(s, d, "documents"))),
+    // exact two-sample KS drift statistic per source pair on the
+    // bounded length histogram — integer CDF cross-products
+    "q235_ks_drift" -> ((s, d) =>
+      TextAnalysis.ksDrift(Tables(s, d, "documents"))),
+    // cross-source duplication matrix over the q21 content hash;
+    // per-key fan-out bounded by the source vocabulary
+    "q236_dup_source_matrix" -> ((s, d) =>
+      Dedup.dupSourceMatrix(Tables(s, d, "documents"))),
+    // top-k 3-step event-type paths inside gap sessions: two leads
+    // over the one q54 session window, TakeOrdered cut
+    "q237_event_paths" -> ((s, d) =>
+      Events.eventPaths(Tables(s, d, "events"))),
+    // recency-weighted user value, exact power-of-two weekly decay
+    // (arithmetic shift both engines); anchor = corpus max day
+    "q238_decay_scores" -> ((s, d) =>
+      Events.decayScores(Tables(s, d, "events"))),
+    // top-k PMI collocations, quantized-ln micros, min-count gated
+    // before the marginal joins
+    "q239_pmi_collocations" -> ((s, d) =>
+      TextAnalysis.pmiCollocations(Tables(s, d, "documents"))),
+    // distinct-gram diversity of full corpus vs q58-kept canonicals:
+    // one gram pass + the memoized cluster labels, one row
+    "q240_dedup_diversity" -> ((s, d) =>
+      TextAnalysis.dedupDiversity(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -984,8 +1024,10 @@ object SparkEntry {
     * one oracle text. Edge set = q22's LSH candidate chain (MinHash
     * bands → candidates → exact-Jaccard verify), closure = recursive
     * CTE reachability, label = min doc_id per component. */
-  private lazy val fullClusterOracle: String =
-    s"""WITH RECURSIVE $toksCte,
+  /** The q58/q202 recursive closure up to `reach(u, v)` — shared by
+    * the cluster-label oracles and q233's savings-report rollup. */
+  private lazy val clusterReachCtes: String =
+    s"""$toksCte,
        |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
        |perms(i, a, b) AS (VALUES $permsValues),
        |sig AS (SELECT doc_id, i, min((a*th + b) % ${Hashing.P}) AS minh
@@ -1008,7 +1050,10 @@ object SparkEntry {
        |reach(u, v) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)""".stripMargin
+
+  private lazy val fullClusterOracle: String =
+    s"""WITH RECURSIVE $clusterReachCtes
        |SELECT u AS doc_id, min(v) AS cluster_id,
        |       (u = min(v)) AS is_canonical
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
@@ -3740,6 +3785,183 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN dev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type)
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // per-split confusion matrix -> chance-corrected kappa, all
+    // integer; DuckDB // floors, mirroring the Spark pmod floor-div
+    // (kappa goes negative for worse-than-chance raters)
+    "q231_kappa_agreement" ->
+      s"""WITH $nbCtes,
+         |cm AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 'held' ELSE 'train' END AS split,
+         |              CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(CASE WHEN pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |              CAST(sum(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |              CAST(sum(CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |              CAST(sum(CASE WHEN NOT pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |       FROM nbscored GROUP BY 1),
+         |k AS (SELECT *, (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) AS e2 FROM cm)
+         |SELECT split, n, tp, fp, fn, tn,
+         |       CAST((tp + tn) * 1000000 // n AS BIGINT) AS po_micros,
+         |       CAST(e2 * 1000000 // (n * n) AS BIGINT) AS pe_micros,
+         |       CAST(CASE WHEN n * n - e2 = 0 THEN 1000000
+         |                 ELSE ((n * (tp + tn) - e2) * 1000000) // (n * n - e2)
+         |            END AS BIGINT) AS kappa_micros
+         |FROM k ORDER BY split""".stripMargin,
+    // immediate-predecessor lag gate at µs precision (the tsMicros
+    // boundary contract), ties broken by event_id
+    "q232_event_dedup" ->
+      """WITH w AS (SELECT event_type,
+        |                  epoch_us(ts) AS eus,
+        |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |                    ORDER BY epoch_us(ts), event_id) AS prev
+        |           FROM events),
+        |v AS (SELECT event_type,
+        |             CASE WHEN prev IS NOT NULL AND eus - prev <= 60000000
+        |                  THEN 1 ELSE 0 END AS is_dup
+        |      FROM w)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(is_dup) AS BIGINT) AS n_dups,
+        |       CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_rate_micros
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q58 closure (shared reach CTEs) rolled up to the savings
+    // report: per-cluster aggregates, then the bounded size rollup
+    "q233_dedup_report" ->
+      s"""WITH RECURSIVE $clusterReachCtes,
+         |clusters AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |per AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz,
+         |               CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         |               CAST(min_by(n_chars, doc_id) AS BIGINT) AS chars_kept
+         |        FROM clusters JOIN documents USING (doc_id) GROUP BY 1)
+         |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(sum(sz) AS BIGINT) AS n_docs,
+         |       CAST(sum(chars_total) AS BIGINT) AS chars_total,
+         |       CAST(sum(chars_total - chars_kept) AS BIGINT) AS chars_dropped
+         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the NAIVE global per-stratum rank — the driver hash match proves
+    // the bucket-histogram blocked selection ≡ this form
+    "q234_quota_split" ->
+      s"""WITH r AS (SELECT doc_id, lang,
+         |                  row_number() OVER (PARTITION BY lang
+         |                    ORDER BY ${polyHashSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk,
+         |                  count(*) OVER (PARTITION BY lang) AS n
+         |           FROM documents)
+         |SELECT doc_id, lang,
+         |       CASE WHEN rk <= n * 80 // 100 THEN 'train' ELSE 'val' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // exact KS: integer CDF cross-products over the per-pair value
+    // union; one bounded window per source pair
+    "q235_ks_drift" ->
+      """WITH h AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
+        |      FROM t a JOIN t b ON a.source < b.source),
+        |s AS (SELECT src_a, src_b, n_a, n_b, v,
+        |             CAST(sum(CASE WHEN h.source = src_a THEN c ELSE 0 END) AS BIGINT) AS ca,
+        |             CAST(sum(CASE WHEN h.source = src_b THEN c ELSE 0 END) AS BIGINT) AS cb
+        |      FROM h JOIN p ON h.source = src_a OR h.source = src_b
+        |      GROUP BY 1, 2, 3, 4, 5),
+        |c AS (SELECT src_a, src_b, n_a, n_b,
+        |             sum(ca) OVER win AS cum_a, sum(cb) OVER win AS cum_b
+        |      FROM s WINDOW win AS (PARTITION BY src_a, src_b ORDER BY v
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT src_a, src_b, n_a, n_b,
+        |       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+        |       CAST(max(abs(cum_a * n_b - cum_b * n_a)) * 1000000 // (n_a * n_b) AS BIGINT) AS d_micros
+        |FROM c GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
+    // hash-level self-join on md5(text); diagonal = within-source
+    // duplication, off-diagonal = cross-source sharing; zero-filled
+    // over the total source-pair universe
+    "q236_dup_source_matrix" ->
+      """WITH per AS (SELECT md5(text) AS hash, source, CAST(count(*) AS BIGINT) AS copies
+        |             FROM documents GROUP BY 1, 2),
+        |diag AS (SELECT source AS src_a, source AS src_b,
+        |                CAST(count(*) AS BIGINT) AS n_shared_texts,
+        |                CAST(sum(copies) AS BIGINT) AS n_docs
+        |         FROM per WHERE copies >= 2 GROUP BY 1, 2),
+        |cr AS (SELECT a.source AS src_a, b.source AS src_b,
+        |              CAST(count(*) AS BIGINT) AS n_shared_texts,
+        |              CAST(sum(a.copies + b.copies) AS BIGINT) AS n_docs
+        |       FROM per a JOIN per b ON a.hash = b.hash AND a.source < b.source
+        |       GROUP BY 1, 2),
+        |obs AS (SELECT * FROM diag UNION ALL SELECT * FROM cr),
+        |s AS (SELECT DISTINCT source FROM documents),
+        |u AS (SELECT a.source AS src_a, b.source AS src_b
+        |      FROM s a JOIN s b ON a.source <= b.source)
+        |SELECT u.src_a, u.src_b,
+        |       CAST(coalesce(n_shared_texts, 0) AS BIGINT) AS n_shared_texts,
+        |       CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
+        |FROM u LEFT JOIN obs ON u.src_a = obs.src_a AND u.src_b = obs.src_b
+        |ORDER BY u.src_a, u.src_b""".stripMargin,
+    // the q54 session CTEs (4 h gap — the path-mining density knob)
+    // + two leads inside (user, session); top-k ties break by path
+    "q237_event_paths" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |              WHEN ts - lag(ts) OVER w > INTERVAL '240 minutes' THEN 1
+        |              ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM t),
+        |p AS (
+        |  SELECT event_type AS s1,
+        |         lead(event_type, 1) OVER w2 AS s2,
+        |         lead(event_type, 2) OVER w2 AS s3
+        |  FROM s
+        |  WINDOW w2 AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id))
+        |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin,
+    // µ-quantized value >> min(age_weeks, 62) — both engines'
+    // arithmetic shift floor-divides; anchor from a scalar subquery
+    "q238_decay_scores" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |                  CAST(floor(value * 1e6) AS BIGINT) AS v_q
+        |           FROM events),
+        |a AS (SELECT CAST(max(day) AS BIGINT) AS now_day FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(v_q >> CAST(least((now_day - day) // 7, 62) AS INT)) AS BIGINT) AS score_q,
+        |       CAST(max(day) AS BIGINT) AS last_day
+        |FROM e CROSS JOIN a GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // one bigram fold; marginals and N are sums over the bigram
+    // vocabulary; quantized-ln micros (the q88 convention)
+    "q239_pmi_collocations" ->
+      s"""WITH $ordtoksCte,
+         |p AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+         |      FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+         |            FROM ordtoks WHERE len(ws) >= 2)),
+         |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM p GROUP BY 1, 2),
+         |m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+         |m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c GROUP BY 1),
+         |nb AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM c)
+         |SELECT w1, w2, c12,
+         |       CAST(floor(ln(CAST(c12 * nb AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)) * 1e6) AS BIGINT) AS pmi_q
+         |FROM c JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nb
+         |WHERE c12 >= 5
+         |ORDER BY pmi_q DESC, w1, w2 LIMIT 50""".stripMargin,
+    // the q58 closure feeding a kept flag into ONE distinct-gram
+    // aggregation; the oracle counts raw grams (q191 convention:
+    // the engine's 64-bit gram hash is collision-negligible)
+    "q240_dedup_diversity" ->
+      s"""WITH RECURSIVE $clusterReachCtes,
+         |clusters AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |g AS (SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 13) AS gram
+         |      FROM (SELECT doc_id, text, unnest(range(1, len(text) - 11)) AS p
+         |            FROM documents WHERE len(text) >= 13)),
+         |j AS (SELECT g.gram, (c.doc_id = c.cluster_id) AS kept
+         |      FROM g JOIN clusters c USING (doc_id)),
+         |k AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |      FROM clusters)
+         |SELECT n_docs, n_kept,
+         |       CAST(count(DISTINCT gram) AS BIGINT) AS grams_all,
+         |       CAST(count(DISTINCT CASE WHEN kept THEN gram END) AS BIGINT) AS grams_kept,
+         |       CAST(count(DISTINCT CASE WHEN kept THEN gram END) * 1000000
+         |            // count(DISTINCT gram) AS BIGINT) AS retained_micros
+         |FROM j CROSS JOIN k GROUP BY n_docs, n_kept""".stripMargin,
     // daily-mean micros per (type, day), centered day index from a
     // partitioned window, closed-form OLS with pmod floor-divisions
     // mirrored text-for-text (slopes go negative)

@@ -327,6 +327,54 @@ object Dedup {
       .select("doc_id", "n_copies", "n_bytes")
       .orderBy("doc_id")
 
+  /** q236 — the cross-source DUPLICATION MATRIX: for every source
+    * pair, how many distinct texts appear in both (and per source, how
+    * many are duplicated within it) — the provenance question behind
+    * every dedup pass ("is source X a mirror of source Y, or do my
+    * dups come from within-crawl retries?"), answered before deciding
+    * which source's copy to keep.
+    *
+    * Shape: ONE corpus aggregation to (hash, source, copies) — the
+    * q21 content hash, map-side combinable; everything after operates
+    * on the hash-level relation (≤ one row per distinct text per
+    * source). The pair stage is a self-equi-join ON THE HASH whose
+    * per-key fan-out is bounded by the SOURCE VOCABULARY (a text can
+    * appear in at most |sources| sides — config-bounded, never
+    * corpus), so no key explodes at any scale. Diagonal rows (src_a =
+    * src_b) report within-source duplication: texts with ≥2 copies in
+    * that source, with n_docs counting all copies; off-diagonal rows
+    * count texts shared by the pair with n_docs = copies in a + in b.
+    * The matrix is TOTAL — every source pair appears, zero-filled when
+    * clean — because the audit must distinguish "no duplication" from
+    * "pair not checked" (a clean corpus yields s·(s+1)/2 zero rows,
+    * not an empty relation). */
+  def dupSourceMatrix(docs: DataFrame): DataFrame = {
+    val per = docs
+      .groupBy(md5(col("text")).as("hash"), col("source"))
+      .agg(count(lit(1)).as("copies"))
+    val diag = per.where(col("copies") >= 2L)
+      .groupBy(col("source").as("src_a"))
+      .agg(count(lit(1)).as("n_shared_texts"),
+        sum(col("copies")).as("n_docs"))
+      .withColumn("src_b", col("src_a"))
+    val cross = per.as("a")
+      .join(per.as("b"), col("a.hash") === col("b.hash") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_texts"),
+        sum(col("a.copies") + col("b.copies")).as("n_docs"))
+    val srcs = docs.select("source").distinct()
+    val universe = srcs.select(col("source").as("src_a"))
+      .join(srcs.select(col("source").as("src_b")),
+        col("src_a") <= col("src_b"))
+    universe
+      .join(diag.unionByName(cross), Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_shared_texts"), lit(0L)).as("n_shared_texts"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** q22 — MinHash + LSH near-dup detection: the linear-scale path
     * (shingle→minhash→band→bucket-join→verify). Candidates are pairs
     * agreeing on ALL RowsPerBand minima in at least one band; each
@@ -616,8 +664,58 @@ object Dedup {
     * the exact one (components may split where LSH misses an edge,
     * never merge wrongly) — pinned by spec. */
   def dedupClustersScale(docs: DataFrame, threshold: Double): DataFrame =
-    clusterLabels(docs.select("doc_id"),
-      minhashNearDup(docs, threshold).select("doc_a", "doc_b"))
+    corpusMemo(clusterMemo, docs, math.round(threshold * 1e6))(
+      clusterLabels(docs.select("doc_id"),
+        minhashNearDup(docs, threshold).select("doc_a", "doc_b"))
+        .localCheckpoint(true))(
+      clusterLabels(docs.select("doc_id"),
+        minhashNearDup(docs, threshold).select("doc_a", "doc_b")))
+
+  /** Session memo for the SCALE-PATH cluster labels: the CC loop is
+    * the suite's most expensive stage, and two consumers now read its
+    * output (q58's contract relation, q233's savings report) — one
+    * loop per (corpus, threshold), the sketch-memo discipline. Labels
+    * are corpus-ROW-sized (three narrow columns), far under the memo
+    * family's existing leaves. */
+  private val clusterMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Long), DataFrame]
+
+  def clearClusterMemo(): Unit = clusterMemo.clear()
+
+  /** q233 — the dedup SAVINGS REPORT: what running the q58 decision
+    * would actually delete, as a bounded per-cluster-size relation —
+    * the number a pipeline owner reads before signing off on a dedup
+    * pass (how many docs go, how many chars, and whether the mass
+    * sits in a few giant clusters or a long tail of pairs).
+    *
+    * Shape: cluster labels come from the session-memoized scale path
+    * (ONE CC run shared with q58, never recomputed here); one join
+    * back to the corpus for sizes — the canonical kept doc is
+    * `min_by(n_chars, doc_id)` INSIDE the per-cluster aggregate (no
+    * second join; canonical = min doc_id is the label contract); the
+    * final rollup groups by cluster size, whose domain is bounded by
+    * the largest near-dup family, not the corpus. chars_dropped =
+    * Σ(total − kept) over clusters of that size — exact integers end
+    * to end. Singleton clusters are REPORTED (size-1 row, zero
+    * dropped): the report's totals must reconcile with the corpus
+    * (Σ n_docs = |corpus|), so auditors can detect a labels/corpus
+    * mismatch from the report alone. */
+  def dedupReport(docs: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val perCluster = dedupClustersScale(docs, threshold)
+      .select("doc_id", "cluster_id")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz"),
+        sum(col("n_chars")).as("chars_total"),
+        min_by(col("n_chars"), col("doc_id")).as("chars_kept"))
+    perCluster
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("chars_total")).as("chars_total"),
+        sum(col("chars_total") - col("chars_kept")).as("chars_dropped"))
+      .orderBy("cluster_size")
+  }
 
   /** Connected components over an explicit undirected edge list;
     * every node (even isolated) gets the min node id of its component.

@@ -885,4 +885,106 @@ object Events {
       .orderBy("event_type")
     graft.operators.Dedup.finishWith(result, binned)
   }
+
+  /** q232 — retry/replay collapse over the event log: an event is a
+    * DUP of its immediate predecessor when the previous event of the
+    * same (user, type) key arrived within `windowSec` — the
+    * impression/click/telemetry dedup every ingest runs before events
+    * feed counts (client retries and at-least-once delivery otherwise
+    * inflate every downstream metric). CHAIN semantics, stated
+    * deliberately: each event compares to its immediate predecessor,
+    * so a burst A-B-C with gaps ≤ window marks B and C both dup even
+    * if C−A exceeds the window — the collapse-consecutive-retries
+    * rule (the alternative, compare-to-last-KEPT, is inherently
+    * sequential state; this form is one window function).
+    *
+    * Shape: ONE shuffle on (user_id, event_type) for the lag window —
+    * user-keyed partitions, millions of tiny groups, no stratum-sized
+    * task anywhere — then the bounded per-type rollup.
+    * Ties (same µs timestamp) break by event_id, so the verdict is
+    * deterministic on any engine and partitioning; timestamps cross
+    * the oracle boundary at µs (the tsMicros contract). */
+  /** q237 — session PATH MINING: the top-k most frequent 3-step
+    * event-type paths taken INSIDE a gap session (q135's transition
+    * matrix is first-order; real funnel analysis asks "what three
+    * steps do users actually chain?"). Paths never cross a session
+    * boundary — the two leads are windowed over (user, sess_id), so a
+    * login that follows yesterday's purchase is not a path. The gap
+    * default (4 h) matches this stream's density — at ~2 events per
+    * user-day, q54's 5-minute UI-burst gap leaves almost every
+    * session below 3 events and the relation degenerates to one row;
+    * the gap is the operator's knob, not a constant.
+    *
+    * Shape: the q54 session assignment (two stacked windows, ONE
+    * user_id exchange), two `lead`s over the same (user, session)
+    * window — no self-joins, the classic k-gram-by-window trick — a
+    * path-vocabulary-bounded aggregation, and a TakeOrdered top-k
+    * (per-partition heap, never a corpus sort). Ties break by path
+    * text so the cut is deterministic cross-engine. */
+  def eventPaths(events: DataFrame, k: Int = 20,
+      gap: java.time.Duration = java.time.Duration.ofMinutes(240)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tsn = tsNanos(events)
+    val sess = withSessionIds(events, gap)
+      .withColumn("tsn", tsn)
+    val w = Window.partitionBy("user_id", "sess_id")
+      .orderBy(col("tsn").asc, col("event_id").asc)
+    sess
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .where(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("t2").as("s2"),
+        col("t3").as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(k)
+  }
+
+  /** q238 — recency-weighted user value with POWER-OF-TWO decay: each
+    * event contributes its µ-quantized value halved once per week of
+    * age — the feature-engineering step behind "recent activity
+    * matters more" scores, made EXACT so the relation is oracle-gated
+    * rather than float-trusted. The decay is an arithmetic right
+    * shift (shift = min(age_weeks, 62)): both engines floor-divide by
+    * 2^shift (DuckDB `>>` and Spark `shiftright` are arithmetic
+    * shifts — verified for negative inputs too, though this corpus's
+    * values are nonnegative), so the per-user sum is an exact integer
+    * on any partitioning. The anchor "now" is the corpus max day — a
+    * one-row broadcast cross (the q93/q209 consts pattern), never a
+    * driver-side read — so the relation is a pure function of the
+    * table. One corpus aggregation on user_id after the row-local
+    * shift; nothing else. */
+  def decayScores(events: DataFrame): DataFrame = {
+    val withDay = events
+      .withColumn("eus", tsMicros(events))
+      .withColumn("day", expr("eus div 86400000000"))
+      .withColumn("v_q", floor(col("value") * 1e6).cast("long"))
+    val anchor = withDay.agg(max(col("day")).as("now_day"))
+    withDay.crossJoin(broadcast(anchor))
+      .withColumn("shift",
+        least(expr("(now_day - day) div 7"), lit(62L)).cast("int"))
+      .withColumn("term", expr("shiftright(v_q, shift)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("term")).as("score_q"),
+        max(col("day")).as("last_day"))
+      .orderBy("user_id")
+  }
+
+  def eventDedup(events: DataFrame, windowSec: Long = 60L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("eus", "event_id")
+    events
+      .withColumn("eus", tsMicros(events))
+      .withColumn("prev", lag(col("eus"), 1).over(w))
+      .withColumn("is_dup", col("prev").isNotNull &&
+        col("eus") - col("prev") <= lit(windowSec * 1000000L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("is_dup").cast("long")).as("n_dups"))
+      .withColumn("dup_rate_micros",
+        expr("n_dups * 1000000 div n_events"))
+      .orderBy("event_type")
+  }
 }

@@ -252,4 +252,69 @@ object Sampling {
       .orderBy(col("key_q").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Order-preserving hash-bucket width for [[quotaSplit]]: polyHash
+    * values live in [0, P) with P = 1e9+7, so `h div 2^18` yields
+    * ~3,815 contiguous buckets — bounded regardless of corpus size,
+    * and a monotone PREFIX of the (h, doc_id) order, which is what
+    * makes the blocked selection below ≡ the naive global rank. */
+  private val QuotaBucketWidth = 262144L
+
+  /** q234 — EXACT per-stratum quota split: each `lang` contributes
+    * precisely `floor(n_lang · pct / 100)` documents to train (the
+    * eval-set contract q45's bucket split cannot make — hash buckets
+    * give the rate in expectation only, and a small stratum can miss
+    * its quota by enough to skew per-language eval).
+    *
+    * The naive shape is `row_number() OVER (PARTITION BY lang ORDER BY
+    * h, doc_id) <= quota` — one task per stratum sorting the whole
+    * stratum (the q68/q148 single-task-window trap; a web-scale lang
+    * is most of the corpus). The scale shape here is two-level
+    * selection over an order-preserving bucket histogram:
+    *
+    *  1. per-(lang, bucket) counts — BOUNDED (langs × ~3.8k buckets),
+    *     one map-side-combinable aggregation of the corpus;
+    *  2. cumulative counts per lang over that bounded relation (a
+    *     window over thousands of rows, never the corpus) find each
+    *     stratum's BOUNDARY bucket — every earlier bucket is entirely
+    *     train, every later one entirely val;
+    *  3. docs join the broadcast boundary relation: non-boundary rows
+    *     decide row-locally (zero shuffle); only the ~n/3.8k boundary-
+    *     bucket rows per lang are ranked — a window PARTITIONED BY
+    *     (lang, bucket), so its partitions shrink WITH the bucket
+    *     count, never a whole stratum in one task.
+    *
+    * Because bucket = h div 2^18 is a monotone prefix of the (h,
+    * doc_id) order, (bucket, then h, doc_id within the boundary) is
+    * EXACTLY the naive global order — the oracle states the naive
+    * windowed form and the driver hash match proves blocked ≡ naive
+    * (the q22/q91/q217 blocking law applied to split assignment). */
+  def quotaSplit(docs: DataFrame, pctTrain: Int = 80): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("lang"),
+        TextFns.polyHash(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", expr(s"h div $QuotaBucketWidth"))
+    val hist = keyed.groupBy("lang", "bucket").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .join(hist.groupBy("lang").agg(sum(col("cnt")).as("n")), "lang")
+      .withColumn("quota", expr(s"n * $pctTrain div 100"))
+      .select(col("lang"), col("bucket"), col("cum"),
+        (col("cum") - col("cnt")).as("cb"), col("quota"))
+    val tagged = keyed.join(broadcast(bounds), Seq("lang", "bucket"))
+    val sure = tagged
+      .where(col("cum") <= col("quota") || col("cb") >= col("quota"))
+      .select(col("doc_id"), col("lang"),
+        when(col("cum") <= col("quota"), lit("train"))
+          .otherwise(lit("val")).as("split"))
+    val edgeW = Window.partitionBy("lang", "bucket").orderBy("h", "doc_id")
+    val edge = tagged
+      .where(col("cb") < col("quota") && col("quota") < col("cum"))
+      .withColumn("rk", row_number().over(edgeW))
+      .select(col("doc_id"), col("lang"),
+        when(col("rk") <= col("quota") - col("cb"), lit("train"))
+          .otherwise(lit("val")).as("split"))
+    sure.unionByName(edge).orderBy("doc_id")
+  }
 }

@@ -1349,5 +1349,179 @@ object TextAnalysis {
     Dedup.finishWith(result, kept)
   }
 
+  /** q231 — Cohen's kappa between the trained classifier (q209's pred)
+    * and its seed teacher (the stop-ratio heuristic), per split: raw
+    * agreement overstates filter consensus when one class dominates
+    * (two filters that both say "keep almost everything" agree ~always
+    * by chance), so the chance-corrected kappa is the number a
+    * pipeline reads before treating two quality gates as redundant.
+    * Reporting BOTH splits exposes the generalization gap: train-split
+    * agreement is what the model memorized, held-split agreement is
+    * what transfers.
+    *
+    * All-integer: κ = (n·(tp+tn) − E) / (n² − E) with E = (tp+fp)(tp+fn)
+    * + (fn+tn)(fp+tn); both sides are exact BIGINT counts from ONE
+    * bounded confusion aggregation (the q213 matrix, grouped by
+    * split), and the micros render floor-divides with the pmod rule —
+    * κ goes NEGATIVE for worse-than-chance raters, where truncating
+    * div and floor div disagree (the q214 bucket lesson). den = 0 ⟺
+    * both raters constant and identical ⟺ po = 1: κ := 1e6 by
+    * convention. Headroom: n²·1e6 overflows past n ≈ 3e6 per split;
+    * beyond that the one-row final division moves to DECIMAL(38,0)
+    * (the q49 observe convention). Scale: the scored relation is the
+    * session-memoized q209 pass (no new corpus scan); everything after
+    * is a 2-row aggregate. */
+  def nbKappa(docs: DataFrame): DataFrame =
+    kappaFrom(nbScoredLabeled(docs)
+      .withColumn("split", when(col("doc_id") % 3 === 0, lit("held"))
+        .otherwise(lit("train")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        sum((col("pred") && col("pos")).cast("long")).as("tp"),
+        sum((col("pred") && !col("pos")).cast("long")).as("fp"),
+        sum((!col("pred") && col("pos")).cast("long")).as("fn"),
+        sum((!col("pred") && !col("pos")).cast("long")).as("tn")))
+      .orderBy("split")
 
+  /** The κ arithmetic alone, over a (split, n, tp, fp, fn, tn)
+    * confusion relation — factored out so the spec can drive the
+    * worse-than-chance (negative, floor-div) and den = 0 branches
+    * with planted matrices the real corpus never produces. */
+  private[graft] def kappaFrom(cm: DataFrame): DataFrame =
+    cm.withColumn("po_micros", expr("(tp + tn) * 1000000 div n"))
+      .withColumn("e2", expr(
+        "(tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)"))
+      .withColumn("pe_micros", expr("e2 * 1000000 div (n * n)"))
+      .withColumn("kappa_micros", expr(
+        """CASE WHEN n * n - e2 = 0 THEN 1000000
+          |ELSE ((n * (tp + tn) - e2) * 1000000
+          |      - pmod((n * (tp + tn) - e2) * 1000000, n * n - e2))
+          |     div (n * n - e2) END""".stripMargin))
+      .select("split", "n", "tp", "fp", "fn", "tn",
+        "po_micros", "pe_micros", "kappa_micros")
+
+  /** q239 — COLLOCATIONS by pointwise mutual information: the top-k
+    * bigrams whose co-occurrence beats the independence baseline —
+    * the phrase-mining step (tokenizer vocab candidates, stop-phrase
+    * lists) that q62's conditional-probability LM ranking cannot do
+    * (P(w2|w1) rewards frequent w1s; PMI normalizes BOTH marginals).
+    *
+    * PMI = ln(c12·N / (c1·c2)) with every count an exact integer from
+    * ONE bigram aggregation (marginals and N are SUMS OVER THE
+    * BIGRAM-VOCABULARY relation, never a second corpus pass) and the
+    * ln floor-quantized to micros (the q88/q209 convention) so the
+    * ranking is engine-exact. The min-count gate (c12 ≥ 5) is applied
+    * BEFORE the marginal joins — the classic PMI-loves-hapax fix and
+    * also the cost bound: only gated bigrams join. Top-k cut breaks
+    * ties by (w1, w2) — deterministic cross-engine. Headroom: c12·N
+    * overflows BIGINT past N ≈ 3e9 bigrams; past that the ratio moves
+    * to DECIMAL(38,0) (the q49 convention). Scale: one corpus
+    * tokenize+fold, then everything is vocabulary-sized; the final
+    * TakeOrdered is a per-partition heap. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L,
+      k: Int = 50): DataFrame = {
+    val b = docBigrams(docs).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = b.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val c2 = b.groupBy("w2").agg(sum(col("c12")).as("c2"))
+    val n = b.agg(sum(col("c12")).as("nb"))
+    val result = b.where(col("c12") >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_q", lnQ(col("c12") * col("nb"), col("c1") * col("c2")))
+      .select("w1", "w2", "c12", "pmi_q")
+      .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+      .limit(k)
+    Dedup.finishWith(result, b)
+  }
+
+  /** q240 — what dedup DOES to the data: distinct 13-gram diversity of
+    * the full corpus vs the q58-kept canonicals, in one row — the
+    * content-level companion to q233's byte accounting (bytes dropped
+    * is what dedup costs; grams retained is what it preserves — a
+    * near-dup pass should drop many documents while losing almost no
+    * distinct content, and THIS relation is that claim as a number).
+    *
+    * Shape: cluster labels come from the session-memoized q58 scale
+    * path (no second CC run); ONE gram pass (the q191 extraction —
+    * grams ride as xxhash64, never materialized as strings) left-joins
+    * the label relation and ONE aggregation computes both distinct
+    * counts (`count(distinct gram)` and the kept-only conditional) —
+    * Spark plans the two distincts as one Expand, still a single scan.
+    * The oracle counts distinct RAW grams; the engine counts distinct
+    * 64-bit gram hashes (the q191 convention — a collision would
+    * merge two grams in a ~2⁻⁴⁵ event at this scale; at 100 TB the
+    * same relation runs on the hash and the ratio absorbs it). */
+  def dedupDiversity(docs: DataFrame, n: Int = 13,
+      threshold: Double = 0.95): DataFrame = {
+    val labels = Dedup.dedupClustersScale(docs, threshold)
+    val kept = labels.where(col("is_canonical")).select("doc_id")
+      .withColumn("is_kept", lit(true))
+    val grams = docs.where(length(col("text")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (n - 1))).as("p"),
+        col("text"))
+      .select(col("doc_id"),
+        xxhash64(expr(s"substring(text, p, $n)")).as("gram"))
+      .distinct()
+    val counts = labels.agg(count(lit(1)).as("n_docs"),
+      sum(col("is_canonical").cast("long")).as("n_kept"))
+    grams.join(kept, Seq("doc_id"), "left")
+      .agg(countDistinct(col("gram")).as("grams_all"),
+        countDistinct(when(col("is_kept"), col("gram"))).as("grams_kept"))
+      .crossJoin(broadcast(counts))
+      .select(col("n_docs"), col("n_kept"), col("grams_all"),
+        col("grams_kept"),
+        expr("grams_kept * 1000000 div grams_all").as("retained_micros"))
+  }
+
+  /** q235 — distribution DRIFT between sources: the exact two-sample
+    * Kolmogorov–Smirnov statistic on the `n_chars` length
+    * distribution, for every source pair — the check a pipeline runs
+    * before mixing a new source into a training set (or comparing a
+    * crawl snapshot against the last one): a large D means the new
+    * slice is length-shifted and the mixture weights need a second
+    * look.
+    *
+    * Exact and bounded, no corpus sort: per-(source, value) counts
+    * collapse the corpus into a BOUNDED histogram (value range ×
+    * sources — n_chars is a bounded document property, the q129/q230
+    * bin discipline); the tiny source-pair relation (s·(s−1)/2 rows)
+    * broadcast-crosses the histogram so each pair sees the UNION of
+    * both sides' values with per-side counts; one cumulative window
+    * PARTITIONED BY pair over the bounded value axis yields both
+    * empirical CDFs, and D = max |cdf_a − cdf_b| is computed in
+    * EXACT INTEGERS as max |cum_a·n_b − cum_b·n_a| (common
+    * denominator n_a·n_b — no float CDF ever exists, so the oracle
+    * hash-matches bit for bit). Headroom: d_num·1e6 overflows past
+    * n_a·n_b ≈ 9e12; past that the per-pair final division moves to
+    * DECIMAL(38,0) (the q49 convention). */
+  def ksDrift(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy("source").agg(sum(col("c")).as("n"))
+    val pairs = tot.select(col("source").as("src_a"), col("n").as("n_a"))
+      .join(tot.select(col("source").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    val sided = hist.join(broadcast(pairs),
+        col("source") === col("src_a") || col("source") === col("src_b"))
+      .groupBy("src_a", "src_b", "n_a", "n_b", "v")
+      .agg(sum(when(col("source") === col("src_a"), col("c"))
+          .otherwise(0L)).as("ca"),
+        sum(when(col("source") === col("src_b"), col("c"))
+          .otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("src_a", "src_b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sided
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .withColumn("d", abs(col("cum_a") * col("n_b") -
+        col("cum_b") * col("n_a")))
+      .groupBy("src_a", "src_b", "n_a", "n_b")
+      .agg(max(col("d")).as("d_num"))
+      .withColumn("d_micros", expr("d_num * 1000000 div (n_a * n_b)"))
+      .orderBy("src_a", "src_b")
+  }
 }

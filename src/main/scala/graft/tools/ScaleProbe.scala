@@ -33,6 +33,7 @@ object ScaleProbe {
     graft.operators.Dedup.clearSketchMemo()
     graft.operators.Dedup.clearSigMemo()
     graft.operators.Dedup.clearPairMemo()
+    graft.operators.Dedup.clearClusterMemo()
     graft.operators.TextAnalysis.clearPrintMemo()
     graft.operators.TextAnalysis.clearNbMemo()
     graft.operators.Similarity.clearPcaMemo()
@@ -58,6 +59,13 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
+      // Wrong-results guard (found in-round via the q206 merge law; see
+      // NswSpec "union partitioning claim"): Spark 4.1's default
+      // spark.sql.unionOutputPartitioning=true lets a window/distinct
+      // above a union of co-partitioned branches skip its shuffle, and
+      // under AQE + broadcast towers the claim is not always honored by
+      // the union's actual partition layout.
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

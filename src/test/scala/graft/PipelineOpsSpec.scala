@@ -2259,4 +2259,343 @@ class PipelineOpsSpec extends SparkSpec {
     assert(g.getLong(4) === 1L, "exactly the wild point flags")
     assert(g.getLong(1) === 100L || g.getLong(1) === 101L)
   }
+
+  test("q231 kappa ≡ recount from the scored relation; κ < po; negative-κ floor") {
+    val rows = TextAnalysis.nbKappa(t("documents")).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    assert(rows.keySet === Set("held", "train"))
+    // recount straight from the scored relation the whole family shares
+    val scored = TextAnalysis.nbScoredLabeled(t("documents"))
+      .select("doc_id", "pred", "pos").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    Seq("held", "train").foreach { split =>
+      val xs = scored.filter(x =>
+        if (split == "held") x._1 % 3 == 0 else x._1 % 3 != 0)
+      val n = xs.length.toLong
+      val tp = xs.count(x => x._2 && x._3).toLong
+      val fp = xs.count(x => x._2 && !x._3).toLong
+      val fn = xs.count(x => !x._2 && x._3).toLong
+      val tn = xs.count(x => !x._2 && !x._3).toLong
+      val e2 = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+      val kappa = if (n * n - e2 == 0) 1000000L
+        else Math.floorDiv((n * (tp + tn) - e2) * 1000000L, n * n - e2)
+      assert(rows(split) === ((n, tp, fp, fn, tn,
+        (tp + tn) * 1000000L / n, e2 * 1000000L / (n * n), kappa)),
+        s"$split kappa row diverged")
+      // chance correction must bite: κ strictly below raw agreement
+      // whenever agreement is imperfect and pe > 0
+      if (tp + tn < n) assert(rows(split)._8 < rows(split)._6)
+    }
+    // the branches the real corpus never produces, through the
+    // OPERATOR's own arithmetic (kappaFrom): perfect disagreement
+    // with balanced marginals → exactly −1 (floor-div, not
+    // truncate-toward-zero, which would read −999999 on near-misses);
+    // both-raters-constant-and-identical → den = 0 → the κ := 1
+    // convention
+    import spark.implicits._
+    val planted = Seq(
+      ("disagree", 4L, 0L, 2L, 2L, 0L),
+      ("nearmiss", 5L, 0L, 2L, 3L, 0L),
+      ("constant", 5L, 5L, 0L, 0L, 0L))
+      .toDF("split", "n", "tp", "fp", "fn", "tn")
+    val k = TextAnalysis.kappaFrom(planted).collect()
+      .map(r => (r.getString(0), r.getLong(8))).toMap
+    assert(k("disagree") === -1000000L)
+    // e2 = 2·3 + 3·2 = 12; −12e6/13 = −923076.92…: floor −923077,
+    // truncate −923076 — the branch the pmod spelling exists for
+    assert(k("nearmiss") === -923077L)
+    assert(k("constant") === 1000000L)
+  }
+
+  test("q232 event dedup ≡ recount; chain semantics and tie-break planted") {
+    import spark.implicits._
+    val rows = Events.eventDedup(t("events")).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.nonEmpty)
+    // brute-force recount at µs precision
+    val evs = evNanos.select(col("user_id"), col("event_type"),
+        (col("ts") / 1000L).cast("long").as("eus"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byType = evs.toSeq.groupBy(_._2).map { case (ty, xs) =>
+      val dups = xs.groupBy(_._1).values.map { ue =>
+        val sorted = ue.map(e => (e._3, e._4)).sortBy(identity)
+        sorted.sliding(2).count(w =>
+          w.length == 2 && w(1)._1 - w(0)._1 <= 60000000L)
+      }.sum.toLong
+      ty -> ((xs.size.toLong, dups, dups * 1000000L / xs.size))
+    }
+    assert(rows === byType)
+    // (sf0.001 produces no within-60 s retries — the dup branch is
+    // driven by the planted chain below; sf0.01 has 5, oracle-gated)
+    // planted chain: A,B,C 50 s apart — B and C both dup (chain rule),
+    // though C−A = 100 s; D at 200 s is clean; same-µs tie breaks by
+    // event_id so exactly one of the pair is the dup
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val synth = Seq(
+      (1L, 10L, "x", ts(0)), (1L, 11L, "x", ts(50)), (1L, 12L, "x", ts(100)),
+      (1L, 13L, "x", ts(300)), (2L, 14L, "x", ts(7)), (2L, 15L, "x", ts(7)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Events.eventDedup(synth).collect()(0)
+    assert((got.getLong(1), got.getLong(2)) === ((6L, 3L)),
+      "chain(2) + tie(1) dups expected")
+  }
+
+  test("q233 report reconciles to the corpus and to the q58 labels") {
+    val docs = t("documents")
+    val rep = Dedup.dedupReport(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rep.nonEmpty)
+    // totals reconcile: Σ n_docs = |corpus|, Σ chars_total = Σ n_chars
+    assert(rep.map(_._3).sum === docs.count())
+    assert(rep.map(_._4).sum ===
+      docs.agg(sum("n_chars")).collect()(0).getLong(0))
+    // n_docs = size × clusters on every row; singletons drop nothing
+    assert(rep.forall { case (sz, nc, nd, _, _) => nd === sz * nc })
+    rep.find(_._1 == 1L).foreach { case (_, _, _, _, dropped) =>
+      assert(dropped === 0L, "singletons must drop zero chars") }
+    assert(rep.exists(_._1 > 1L), "no non-trivial cluster — vacuous")
+    // cross-check against the label relation it summarizes
+    val labels = Dedup.dedupClustersScale(docs, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val chars = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = labels.groupBy(_._2).values
+      .map { members =>
+        val ids = members.map(_._1)
+        (ids.size.toLong, ids.map(chars).sum, chars(ids.min))
+      }
+      .groupBy(_._1).map { case (sz, cs) =>
+        (sz, cs.size.toLong, sz * cs.size, cs.map(_._2).sum,
+          cs.map(c => c._2 - c._3).sum)
+      }.toSeq.sortBy(_._1)
+    assert(rep.toSeq === expected)
+  }
+
+  test("q234 quota split: blocked ≡ naive rank, quotas exact per stratum") {
+    import spark.implicits._
+    val docs = t("documents")
+    val rows = Sampling.quotaSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.length === docs.count())
+    // quotas EXACT: train count per lang = floor(n * 80 / 100)
+    val perLang = rows.groupBy(_._2)
+    perLang.foreach { case (lang, xs) =>
+      val quota = xs.size.toLong * 80L / 100L
+      assert(xs.count(_._3 == "train").toLong === quota,
+        s"$lang train quota missed")
+    }
+    // blocked ≡ naive: recompute the global per-stratum rank driver-
+    // side with the same (h, doc_id) order
+    def polyHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + b) % 1000000007L)
+    val naive = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      .groupBy(_._2).toSeq.flatMap { case (lang, xs) =>
+        val quota = xs.size.toLong * 80L / 100L
+        xs.sortBy(x => (polyHash(x._1.toString), x._1)).zipWithIndex.map {
+          case ((id, _), i) =>
+            (id, lang, if (i.toLong < quota) "train" else "val") }
+      }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === naive)
+    // boundary-bucket branch actually fires: with ~3.8k buckets and a
+    // quota strictly inside (0, n), some lang's boundary bucket holds
+    // BOTH splits — assert the edge path produced at least one val row
+    // from a bucket that also produced train rows
+    val withBucket = rows.map { case (id, lang, sp) =>
+      (lang, polyHash(id.toString) / 262144L, sp) }
+    assert(withBucket.groupBy(x => (x._1, x._2))
+      .exists(_._2.map(_._3).distinct.size == 2),
+      "no mixed boundary bucket — the edge path never ran")
+  }
+
+  test("q235 KS ≡ brute-force CDF sweep; identical vs shifted planted") {
+    import spark.implicits._
+    val rows = TextAnalysis.ksDrift(t("documents")).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val bySrc = t("documents").select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val srcs = bySrc.keys.toSeq.sorted
+    assert(rows.keySet === (for {
+      a <- srcs; b <- srcs if a < b } yield (a, b)).toSet)
+    rows.foreach { case ((a, b), (na, nb, dnum, dmic)) =>
+      val (va, vb) = (bySrc(a), bySrc(b))
+      assert(na === va.size.toLong && nb === vb.size.toLong)
+      val vals = (va ++ vb).distinct.sorted
+      val expect = vals.map(v =>
+        math.abs(va.count(_ <= v).toLong * nb -
+          vb.count(_ <= v).toLong * na)).max
+      assert(dnum === expect, s"($a,$b) D numerator")
+      assert(dmic === expect * 1000000L / (na * nb))
+    }
+    // planted: identical distributions → D = 0; disjoint ranges → D = 1
+    val synth = (
+      (1 to 40).map(i => (i.toLong, "a", (i % 5 + 10).toLong)) ++
+      (1 to 40).map(i => (i.toLong + 100, "b", (i % 5 + 10).toLong)) ++
+      (1 to 40).map(i => (i.toLong + 200, "c", (i % 5 + 90).toLong))
+    ).toDF("doc_id", "source", "n_chars")
+    val g = TextAnalysis.ksDrift(synth).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(5))).toMap
+    assert(g(("a", "b")) === 0L, "identical distributions must read 0")
+    assert(g(("a", "c")) === 1000000L, "disjoint supports must read 1")
+  }
+
+  test("q236 dup-source matrix ≡ recount; planted mirror and clean source") {
+    import spark.implicits._
+    // the real corpus at test scale has few byte-identical texts —
+    // the matrix must still be TOTAL (zero-filled), one row per
+    // unordered source pair including diagonals
+    val rows = Dedup.dupSourceMatrix(t("documents")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    val s = t("documents").select("source").distinct().count()
+    assert(rows.length.toLong === s * (s + 1) / 2, "matrix must be total")
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.forall { case ((a, b), _) => a <= b })
+    val synth = Seq(
+      (1L, "same-1", "web"), (2L, "same-1", "web"), (3L, "same-1", "books"),
+      (4L, "same-2", "web"), (5L, "same-2", "books"), (6L, "same-2", "books"),
+      (7L, "only", "wiki"), (8L, "other", "books"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dupSourceMatrix(synth).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // within-source: web dups same-1 (2 copies); books dups same-2
+    assert(got(("web", "web")) === ((1L, 2L)))
+    assert(got(("books", "books")) === ((1L, 2L)))
+    // cross: both shared texts appear in (books, web): same-1 has
+    // 2 web + 1 books copies, same-2 has 1 web + 2 books → 6 docs
+    assert(got(("books", "web")) === ((2L, 6L)))
+    // wiki shares nothing: its rows exist but read zero
+    assert(got(("wiki", "wiki")) === ((0L, 0L)))
+    assert(got(("books", "wiki")) === ((0L, 0L)))
+    assert(got(("web", "wiki")) === ((0L, 0L)))
+    assert(got.size === 6, "3 sources -> 6 unordered pairs")
+  }
+
+  test("q237 paths ≡ recount; session boundary cuts a path (planted)") {
+    import spark.implicits._
+    val rows = Events.eventPaths(t("events")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    // recount: sessions by the 5-min gap, trigrams within
+    val evs = evNanos.select(col("user_id"), col("event_id"),
+        col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = evs.toSeq.groupBy(_._1).values.flatMap { ue =>
+      val sorted = ue.sortBy(e => (e._3, e._2))
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Long, String)]]) {
+        case (acc, e) if acc.nonEmpty &&
+          e._3 - acc.head.head._3 <= 14400000000000L => (e :: acc.head) :: acc.tail
+        case (acc, e) => List(e) :: acc
+      }.map(_.reverse)
+      sessions.flatMap(s => s.map(_._4).sliding(3).filter(_.size == 3))
+    }.toSeq.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val topN = paths.toSeq
+      .sortBy { case (p, n) => (-n, p(0), p(1), p(2)) }.take(20)
+      .map { case (p, n) => (p(0), p(1), p(2), n) }
+    assert(rows.toList === topN.toList)
+    // planted: a trigram split across sessions must NOT count
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val synth = Seq(
+      (1L, 1L, "a", ts(0)), (1L, 2L, "b", ts(10)), (1L, 3L, "c", ts(20000)),
+      (2L, 4L, "a", ts(0)), (2L, 5L, "b", ts(10)), (2L, 6L, "c", ts(20)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val g = Events.eventPaths(synth).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(g.toList === List(("a", "b", "c", 1L)),
+      "only user 2's within-session trigram counts")
+  }
+
+  test("q238 decay ≡ recount; week boundary halves exactly (planted)") {
+    import spark.implicits._
+    val rows = Events.decayScores(t("events")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.nonEmpty)
+    val evs = evNanos.select(col("user_id"), (col("ts") / 1000L).cast("long"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400000000L,
+        math.floor(r.getDouble(2) * 1e6).toLong))
+    val nowDay = evs.map(_._2).max
+    val expected = evs.toSeq.groupBy(_._1).map { case (u, xs) =>
+      u -> ((xs.size.toLong,
+        xs.map(e => e._3 >> math.min((nowDay - e._2) / 7, 62L).toInt).sum,
+        xs.map(_._2).max))
+    }
+    assert(rows === expected)
+    // planted: value 8e-6 (v_q = 8) at ages 0/7/14 days + anchor event
+    def t0(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val synth = Seq(
+      (1L, 8e-6, t0(14)), (1L, 8e-6, t0(7)), (1L, 8e-6, t0(0)))
+      .toDF("user_id", "value", "ts")
+    val g = Events.decayScores(synth).collect()(0)
+    assert(g.getLong(2) === 8L + 4L + 2L, "8 + 8>>1 + 8>>2")
+  }
+
+  test("q239 PMI ≡ exact brute-force recount on real and planted corpora") {
+    import spark.implicits._
+    // driver-side mirror of the whole chain: tokenize (the TextFns
+    // contract), bigram counts, marginals, quantized-ln PMI, top-50
+    def recount(texts: Seq[String], minCount: Long): List[(String, String, Long, Long)] = {
+      def toks(s: String) = s.split("\\s+").toSeq
+        .map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty)
+      val bis = texts.flatMap(t => toks(t).sliding(2).filter(_.size == 2)
+        .map(w => (w(0), w(1))))
+      val c12 = bis.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      val c1 = bis.groupBy(_._1).map { case (w, xs) => w -> xs.size.toLong }
+      val c2 = bis.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+      val n = bis.size.toLong
+      c12.filter(_._2 >= minCount).toSeq.map { case ((w1, w2), c) =>
+        (w1, w2, c, math.floor(math.log(
+          (c * n).toDouble / (c1(w1) * c2(w2)).toDouble) * 1e6).toLong)
+      }.sortBy(r => (-r._4, r._1, r._2)).take(50).toList
+    }
+    val rows = TextAnalysis.pmiCollocations(t("documents")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 50)
+    val realTexts = t("documents").select("text").collect().map(_.getString(0)).toSeq
+    assert(rows.toList === recount(realTexts, 5L))
+    // planted: a phrase that only ever co-occurs (positive PMI, ln
+    // grows with N) and an anti-associated frequent pair (negative
+    // PMI — the quantized floor must round DOWN, not toward zero)
+    val planted = (1 to 6).map(_ => (1 to 8).map(_ => "aa bb").mkString(" ")) ++
+      (1 to 6).map(_ => "cc dd cc ee cc dd ff cc ee dd") ++
+      // xx and yy are both very frequent but adjacent only at the one
+      // block junction per doc: c12·N < c1·c2 → NEGATIVE quantized PMI
+      (1 to 5).map(_ => ((1 to 20).map(_ => "xx") ++
+        (1 to 20).map(_ => "yy")).mkString(" "))
+    val synth = planted.zipWithIndex
+      .map { case (t0, i) => (i.toLong, t0) }.toDF("doc_id", "text")
+    val g = TextAnalysis.pmiCollocations(synth, minCount = 5L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val exp = recount(planted, 5L)
+    assert(g.toList === exp)
+    val gm = g.map(r => ((r._1, r._2), r._4)).toMap
+    assert(gm(("aa", "bb")) > 0L, "pure collocation must read positive")
+    assert(gm.values.exists(_ < 0L), "an anti-associated pair must read negative")
+  }
+
+  test("q240 diversity reconciles: kept ⊆ all, ratio exact, counts match q58/q233") {
+    val docs = t("documents")
+    val g = TextAnalysis.dedupDiversity(docs).collect()(0)
+    val (nDocs, nKept, gAll, gKept, ret) =
+      (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4))
+    assert(nDocs === docs.count())
+    assert(nKept ===
+      Dedup.dedupClustersScale(docs, 0.95).where(col("is_canonical")).count())
+    assert(nKept < nDocs, "near-dups exist at this scale — kept must shrink")
+    assert(gKept <= gAll && gKept > 0L)
+    assert(ret === gKept * 1000000L / gAll)
+    // non-vacuity on this fixture: dropping near-dups does cost SOME
+    // distinct grams (0.95 token-set jaccard still leaves char-gram
+    // differences — that cost being visible is exactly what the
+    // relation exists to report; whether it is smaller than the doc
+    // share is a data property, not an operator invariant)
+    assert(gKept < gAll, "dropped docs carried no unique gram — vacuous")
+  }
 }
