@@ -898,6 +898,18 @@ object SparkEntry {
     // one gram pass + the memoized cluster labels, one row
     "q240_dedup_diversity" -> ((s, d) =>
       TextAnalysis.dedupDiversity(Tables(s, d, "documents"))),
+    // per-doc top-3 tf-idf keywords: integer tf*idf_q ranking, one
+    // tokenize pass, WindowGroupLimit per-doc cut
+    "q241_doc_keywords" -> ((s, d) =>
+      TextAnalysis.docKeywords(Tables(s, d, "documents"))),
+    // within-source CDF position of n_chars in micros — the bounded-
+    // histogram quantile transform, never cume_dist over a source
+    "q242_quantile_normalize" -> ((s, d) =>
+      TextAnalysis.quantileNormalize(Tables(s, d, "documents"))),
+    // strict view -> click -> purchase funnel inside gap sessions:
+    // min-anchored steps, three session-keyed joins, one-row output
+    "q243_funnel_conversion" -> ((s, d) =>
+      Events.funnelConversion(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -3962,6 +3974,68 @@ object SparkEntry {
          |       CAST(count(DISTINCT CASE WHEN kept THEN gram END) * 1000000
          |            // count(DISTINCT gram) AS BIGINT) AS retained_micros
          |FROM j CROSS JOIN k GROUP BY n_docs, n_kept""".stripMargin,
+    // occurrence tf over rawtoks, df/N as aggregates of the (doc,
+    // word) relation, quantized-ln idf, per-doc rank <= 3
+    "q241_doc_keywords" ->
+      s"""WITH $rawtoksCte,
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |       FROM rawtoks GROUP BY 1, 2),
+         |dfc AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+         |s AS (SELECT doc_id, word, tf,
+         |             tf * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6) AS BIGINT) AS score_q
+         |      FROM tf JOIN dfc USING (word) CROSS JOIN nd),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |               ORDER BY score_q DESC, word) AS rk FROM s)
+         |SELECT doc_id, word, tf, score_q FROM r WHERE rk <= 3
+         |ORDER BY doc_id, score_q DESC, word""".stripMargin,
+    // bounded-histogram CDF per source joined back row-locally; the
+    // oracle states the same histogram transform
+    "q242_quantile_normalize" ->
+      """WITH h AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |cdf AS (SELECT source, v,
+        |               CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+        |                 // sum(c) OVER (PARTITION BY source) AS BIGINT) AS cdf_micros
+        |        FROM h)
+        |SELECT doc_id, documents.source AS source, n_chars, cdf_micros
+        |FROM documents JOIN cdf ON documents.source = cdf.source
+        |                       AND documents.n_chars = cdf.v
+        |ORDER BY doc_id""".stripMargin,
+    // the q54 session CTEs (4 h gap) + three min-anchored steps with
+    // strict > chaining; ties at the same µs do not convert
+    "q243_funnel_conversion" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS eus,
+        |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |              WHEN ts - lag(ts) OVER w > INTERVAL '240 minutes' THEN 1
+        |              ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_type, eus,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM t),
+        |s1 AS (SELECT user_id, sess_id, min(eus) AS t1 FROM s
+        |       WHERE event_type = 'view' GROUP BY 1, 2),
+        |s2 AS (SELECT s.user_id, s.sess_id, min(eus) AS t2
+        |       FROM s JOIN s1 USING (user_id, sess_id)
+        |       WHERE event_type = 'click' AND eus > t1 GROUP BY 1, 2),
+        |s3 AS (SELECT s.user_id, s.sess_id, min(eus) AS t3
+        |       FROM s JOIN s2 USING (user_id, sess_id)
+        |       WHERE event_type = 'purchase' AND eus > t2 GROUP BY 1, 2),
+        |u AS (SELECT DISTINCT user_id, sess_id FROM s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |       CAST(sum(CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        |       CAST(sum(CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+        |       CAST(sum(CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS conv_micros
+        |FROM u LEFT JOIN s1 USING (user_id, sess_id)
+        |       LEFT JOIN s2 USING (user_id, sess_id)
+        |       LEFT JOIN s3 USING (user_id, sess_id)""".stripMargin,
     // daily-mean micros per (type, day), centered day index from a
     // partitioned window, closed-form OLS with pmod floor-divisions
     // mirrored text-for-text (slopes go negative)

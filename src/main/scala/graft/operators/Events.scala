@@ -971,6 +971,49 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** q243 — ORDERED funnel conversion: of all gap sessions, how many
+    * contain a view, a click STRICTLY AFTER the first view, and a
+    * purchase STRICTLY AFTER the first such click — the 3-step
+    * product-funnel number (q86's 2-step min<max trick cannot chain:
+    * step 3 must follow the step-2 EVENT, not just any click).
+    *
+    * Shape: the anchor of each step is the MIN qualifying timestamp,
+    * so each step is one (user, session)-keyed aggregation joined to
+    * the previous step's bounded anchor relation — three
+    * session-keyed equi joins after the ONE user-window session
+    * assignment, no per-event pattern state, no window beyond q54's.
+    * Min-anchoring makes the chain deterministic: ties at the same µs
+    * do NOT convert (strict >), mirrored in the oracle. Output is the
+    * one-row funnel with exact-micros conversion rates. */
+  def funnelConversion(events: DataFrame,
+      gap: java.time.Duration = java.time.Duration.ofMinutes(240)): DataFrame = {
+    val sess = withSessionIds(events, gap)
+      .withColumn("eus", tsMicros(events))
+      .select("user_id", "sess_id", "event_type", "eus")
+    val s1 = sess.where(col("event_type") === "view")
+      .groupBy("user_id", "sess_id").agg(min(col("eus")).as("t1"))
+    val s2 = sess.where(col("event_type") === "click")
+      .join(s1, Seq("user_id", "sess_id"))
+      .where(col("eus") > col("t1"))
+      .groupBy("user_id", "sess_id").agg(min(col("eus")).as("t2"))
+    val s3 = sess.where(col("event_type") === "purchase")
+      .join(s2, Seq("user_id", "sess_id"))
+      .where(col("eus") > col("t2"))
+      .groupBy("user_id", "sess_id").agg(min(col("eus")).as("t3"))
+    sess.select("user_id", "sess_id").distinct()
+      .join(s1.select(col("user_id"), col("sess_id"), lit(1L).as("h1")),
+        Seq("user_id", "sess_id"), "left")
+      .join(s2.select(col("user_id"), col("sess_id"), lit(1L).as("h2")),
+        Seq("user_id", "sess_id"), "left")
+      .join(s3.select(col("user_id"), col("sess_id"), lit(1L).as("h3")),
+        Seq("user_id", "sess_id"), "left")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(coalesce(col("h1"), lit(0L))).as("n_view"),
+        sum(coalesce(col("h2"), lit(0L))).as("n_view_click"),
+        sum(coalesce(col("h3"), lit(0L))).as("n_full"))
+      .withColumn("conv_micros", expr("n_full * 1000000 div n_sessions"))
+  }
+
   def eventDedup(events: DataFrame, windowSec: Long = 60L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id", "event_type")

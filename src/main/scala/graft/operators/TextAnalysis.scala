@@ -1400,6 +1400,70 @@ object TextAnalysis {
       .select("split", "n", "tp", "fp", "fn", "tn",
         "po_micros", "pe_micros", "kappa_micros")
 
+  /** q241 — per-document KEYWORDS by tf·idf: the top-k most
+    * distinctive terms of every document — the doc-level companion to
+    * q99's BM25 query ranking (there the query scores docs; here each
+    * doc summarizes itself — the tagging/routing primitive a corpus
+    * browser or topic-sampler runs).
+    *
+    * All-integer ranking: idf floor-quantizes ln(N/df) to micros (the
+    * shared convention) and score_q = tf · idf_q is an exact BIGINT,
+    * so the per-doc top-k cut (ties by word text) is engine-exact.
+    * ONE tokenize pass feeds tf, df, and N (df and N are aggregates
+    * OF THE (doc, word) relation, not second corpus scans — the
+    * persisted-relation discipline of q88/q209); the per-doc rank is
+    * a window PARTITIONED by doc_id, which Spark plans with
+    * WindowGroupLimit (rank ≤ k prunes map-side, the q04 shape) —
+    * no unpartitioned sort anywhere. */
+  def docKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = TextFns.tokens(docs).groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfc = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nd = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_q").desc, col("word").asc)
+    val result = tf.join(dfc, "word")
+      .crossJoin(broadcast(nd))
+      .withColumn("score_q", col("tf") * lnQ(col("n"), col("df")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("doc_id", "word", "tf", "score_q")
+      .orderBy(col("doc_id"), col("score_q").desc, col("word"))
+    Dedup.finishWith(result, tf)
+  }
+
+  /** q242 — QUANTILE NORMALIZATION of a numeric column within groups:
+    * every document's length mapped to its within-source CDF position
+    * (micros) — the rank feature a mixture/curriculum pipeline uses
+    * instead of raw lengths, comparable ACROSS sources whose scales
+    * differ. The naive form is `cume_dist() OVER (PARTITION BY
+    * source)` — a whole source in one task (the q148/q68 trap; a
+    * web-scale source is most of the corpus). The scale path is the
+    * bounded-histogram transform (the q129/q230/q235 discipline):
+    * per-(source, value) counts → cumulative over the BOUNDED value
+    * axis → the corpus joins the broadcast CDF relation row-locally.
+    * cdf_micros = cum(≤v)·1e6 div n — exactly cume_dist in micros,
+    * exact integers end to end. */
+  def quantileNormalize(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = hist.withColumn("cum", sum(col("c")).over(w))
+      .join(hist.groupBy("source").agg(sum(col("c")).as("n")), "source")
+      .withColumn("cdf_micros", expr("cum * 1000000 div n"))
+      .select(col("source").as("src"), col("v"), col("cdf_micros"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(cdf),
+        col("n_chars") === col("v") && col("source") === col("src"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("cdf_micros"))
+      .orderBy("doc_id")
+  }
+
   /** q239 — COLLOCATIONS by pointwise mutual information: the top-k
     * bigrams whose co-occurrence beats the independence baseline —
     * the phrase-mining step (tokenizer vocab candidates, stop-phrase

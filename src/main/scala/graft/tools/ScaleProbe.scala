@@ -128,7 +128,12 @@ object ScaleProbe {
       // content, so cross-replica candidates CAN arise and the probe
       // prices them honestly)
       "q217_edit_distance_join" -> ((d: DataFrame) =>
-        graft.operators.Dedup.editDistanceJoin(d)))
+        graft.operators.Dedup.editDistanceJoin(d)),
+      // round-8 continuation: the heaviest new composition — LSH + CC
+      // (via the cluster memo, cleared per run so it is priced) + the
+      // 13-gram pass with a two-distinct Expand aggregation
+      "q240_dedup_diversity" -> ((d: DataFrame) =>
+        graft.operators.TextAnalysis.dedupDiversity(d)))
 
     // FULL materialization: df.count() would let the optimizer drop
     // row-count-preserving subtrees (q191's 1:≤1 outer join vanishes

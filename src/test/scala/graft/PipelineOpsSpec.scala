@@ -2598,4 +2598,107 @@ class PipelineOpsSpec extends SparkSpec {
     // share is a data property, not an operator invariant)
     assert(gKept < gAll, "dropped docs carried no unique gram — vacuous")
   }
+
+  test("q241 keywords ≡ brute-force tf·idf recount; rare beats common (planted)") {
+    import spark.implicits._
+    def recount(docs: Seq[(Long, String)], k: Int): List[(Long, String, Long, Long)] = {
+      def toks(s: String) = s.split("\\s+").toSeq
+        .map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty)
+      val tf = docs.flatMap { case (id, t) => toks(t).map((id, _)) }
+        .groupBy(identity).map { case ((id, w), xs) => (id, w, xs.size.toLong) }
+      val df = tf.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+      val n = tf.map(_._1).toSeq.distinct.size.toLong
+      tf.map { case (id, w, c) =>
+        (id, w, c, c * math.floor(math.log(n.toDouble / df(w)) * 1e6).toLong) }
+        .groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+          xs.toSeq.sortBy(r => (-r._4, r._2)).take(k) }
+        .sortBy(r => (r._1, -r._4, r._2)).toList
+    }
+    val rows = TextAnalysis.docKeywords(t("documents")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val real = t("documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.toList === recount(real, 3))
+    assert(rows.groupBy(_._1).forall(_._2.length <= 3))
+    // planted: "rare" appears once in ONE doc; "common" in every doc —
+    // idf must put rare on top despite tf("common") being larger
+    val synth = Seq(
+      (1L, "common common common rare common"),
+      (2L, "common common filler"), (3L, "common other filler"))
+    val g = TextAnalysis.docKeywords(synth.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(g.head === ((1L, "rare")), "idf must outrank raw frequency")
+  }
+
+  test("q242 quantile normalize ≡ cume_dist in micros; cross-source comparability") {
+    import spark.implicits._
+    val rows = TextAnalysis.quantileNormalize(t("documents")).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3))))
+    assert(rows.length === t("documents").count())
+    // recount: within-source cume_dist in micros
+    val per = t("documents").select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = per.toSeq.groupBy(_._2)
+    rows.foreach { case (id, (src, v, cdf)) =>
+      val vs = bySrc(src).map(_._3)
+      assert(cdf === vs.count(_ <= v).toLong * 1000000L / vs.size,
+        s"doc $id cdf")
+    }
+    // the transform's point: the max doc of EVERY source reads 1e6
+    bySrc.foreach { case (src, xs) =>
+      val maxDoc = xs.maxBy(x => (x._3, x._1))
+      val got = rows.toMap.apply(maxDoc._1)
+      assert(got._3 === 1000000L, s"$src max must normalize to 1.0")
+    }
+  }
+
+  test("q243 funnel ≡ recount; strict ordering gates each step (planted)") {
+    import spark.implicits._
+    val g = Events.funnelConversion(t("events")).collect()(0)
+    val (nS, nV, nVC, nF) =
+      (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+    assert(nS >= nV && nV >= nVC && nVC >= nF, "funnel must be monotone")
+    assert(nV > 0L, "no view sessions — vacuous")
+    assert(g.getLong(4) === nF * 1000000L / nS)
+    // recount driver-side over 4h gap sessions
+    val evs = evNanos.select(col("user_id"), col("event_id"),
+        (col("ts") / 1000L).cast("long").as("eus"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val sessions = evs.toSeq.groupBy(_._1).values.flatMap { ue =>
+      ue.sortBy(e => (e._3 * 1000L, e._2))
+        .foldLeft(List.empty[List[(Long, Long, Long, String)]]) {
+          case (acc, e) if acc.nonEmpty &&
+            (e._3 - acc.head.head._3) * 1000L <= 14400000000000L =>
+            (e :: acc.head) :: acc.tail
+          case (acc, e) => List(e) :: acc
+        }
+    }.toSeq
+    def conv(s: Seq[(Long, Long, Long, String)]): (Boolean, Boolean, Boolean) = {
+      val vs = s.filter(_._4 == "view").map(_._3)
+      if (vs.isEmpty) return (false, false, false)
+      val t1 = vs.min
+      val cs = s.filter(e => e._4 == "click" && e._3 > t1).map(_._3)
+      if (cs.isEmpty) return (true, false, false)
+      val t2 = cs.min
+      (true, true, s.exists(e => e._4 == "purchase" && e._3 > t2))
+    }
+    val cv = sessions.map(s => conv(s.map(e => (e._1, e._2, e._3, e._4))))
+    assert((nS, nV, nVC, nF) === ((sessions.size.toLong,
+      cv.count(_._1).toLong, cv.count(_._2).toLong, cv.count(_._3).toLong)))
+    // planted: click BEFORE the view must not chain; equal-µs must not
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val synth = Seq(
+      (1L, 1L, "click", ts(0)), (1L, 2L, "view", ts(10)),
+      (1L, 3L, "purchase", ts(20)),
+      (2L, 4L, "view", ts(0)), (2L, 5L, "click", ts(0)),
+      (2L, 6L, "purchase", ts(30)),
+      (3L, 7L, "view", ts(0)), (3L, 8L, "click", ts(10)),
+      (3L, 9L, "purchase", ts(20)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val p = Events.funnelConversion(synth).collect()(0)
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)) ===
+      ((3L, 3L, 1L, 1L)),
+      "only user 3 chains: user 1's click precedes the view, user 2's click ties the view at the same µs")
+  }
 }
