@@ -910,6 +910,18 @@ object SparkEntry {
     // min-anchored steps, three session-keyed joins, one-row output
     "q243_funnel_conversion" -> ((s, d) =>
       Events.funnelConversion(Tables(s, d, "events"))),
+    // hopping 6h/3h windows (each event in exactly 2): streaming
+    // window() semantics as a batch relation, row-local explode
+    "q244_hopping_windows" -> ((s, d) =>
+      Events.hoppingCounts(Tables(s, d, "events"))),
+    // per-event session-relative features: position, us into session,
+    // us since previous — one user exchange + one session window
+    "q245_session_features" -> ((s, d) =>
+      Events.sessionFeatures(Tables(s, d, "events"))),
+    // Benford first-digit audit on order totals: string first digit
+    // of exact cents, quantized-ln expectation, per-digit gap
+    "q246_benford_audit" -> ((s, d) =>
+      Relational.benfordAudit(Tables(s, d, "orders"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4036,6 +4048,58 @@ object SparkEntry {
         |FROM u LEFT JOIN s1 USING (user_id, sess_id)
         |       LEFT JOIN s2 USING (user_id, sess_id)
         |       LEFT JOIN s3 USING (user_id, sess_id)""".stripMargin,
+    // epoch-aligned hopping assignment: start = floor(eus/slide)*slide
+    // - k*slide for k in {0,1}; every event in exactly 2 windows
+    "q244_hopping_windows" ->
+      """WITH e AS (SELECT epoch_us(ts) AS eus, event_type,
+        |                  CAST(floor(value * 1e6) AS BIGINT) AS v_q
+        |           FROM events),
+        |w AS (SELECT event_type, v_q,
+        |             (eus // 10800000000) * 10800000000 - k * 10800000000 AS ws
+        |      FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS k))
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H') AS win_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v_q) AS BIGINT) AS sum_v_q
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the q54 session CTEs (4 h gap) + one (user, session) window for
+    // position / running-min / lag, all at the shared µs grain
+    "q245_session_features" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS eus,
+        |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |              WHEN ts - lag(ts) OVER w > INTERVAL '240 minutes' THEN 1
+        |              ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, eus,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM t)
+        |SELECT user_id, event_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |       CAST(row_number() OVER w2 AS INT) AS idx_in_sess,
+        |       CAST(eus - min(eus) OVER (PARTITION BY user_id, sess_id
+        |         ORDER BY eus, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS us_into_sess,
+        |       CAST(eus - lag(eus) OVER w2 AS BIGINT) AS us_since_prev
+        |FROM s
+        |WINDOW w2 AS (PARTITION BY user_id, sess_id ORDER BY eus, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // exact cents via floor(p*100 + 0.5) (identical float64 text both
+    // engines), first digit from the BIGINT's decimal string,
+    // quantized-ln Benford expectation
+    "q246_benford_audit" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS d
+        |      FROM c WHERE cents > 0),
+        |g AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        |SELECT d, n, CAST(n * 1000000 // total AS BIGINT) AS share_micros,
+        |       CAST(floor(ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) * 1e6) AS BIGINT) AS benford_micros,
+        |       CAST(abs(n * 1000000 // total
+        |            - CAST(floor(ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) * 1e6) AS BIGINT)) AS BIGINT) AS gap_micros
+        |FROM g CROSS JOIN t ORDER BY d""".stripMargin,
     // daily-mean micros per (type, day), centered day index from a
     // partitioned window, closed-form OLS with pmod floor-divisions
     // mirrored text-for-text (slopes go negative)

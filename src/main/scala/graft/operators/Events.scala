@@ -1014,6 +1014,54 @@ object Events {
       .withColumn("conv_micros", expr("n_full * 1000000 div n_sessions"))
   }
 
+  /** q244 — HOPPING (sliding) window aggregation: 6-hour windows
+    * every 3 hours, so each event lands in exactly
+    * windowDuration/slide = 2 windows — the overlapping-window
+    * semantics Structured Streaming's `window(ts, dur, slide)` gives
+    * a stream, here as its batch twin (q63's `time_bucket` is the
+    * tumbling special case). Spark plans the window assignment as a
+    * row-local EXPLODE of the 2 covering windows followed by a plain
+    * aggregation — cost 2× the tumbling query, never a range join.
+    * The oracle replays the assignment arithmetically (window starts
+    * are epoch-aligned: start = floor(ts/slide)·slide − k·slide,
+    * k ∈ {0,1}), value sums ride as exact floor-micros. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("v_q", floor(col("value") * 1e6).cast("long"))
+      .groupBy(window(tsCol(events), "6 hours", "3 hours").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v_q")).as("sum_v_q"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH").as("win_start"),
+        col("event_type"), col("n"), col("sum_v_q"))
+      .orderBy("win_start", "event_type")
+
+  /** q245 — session-relative event features: for every event, its
+    * session id, 1-based position in the session, µs since the
+    * session started, and µs since the previous event — the
+    * behavioral features a sequence model or anomaly gate consumes
+    * (position and recency inside a visit, not absolute time). All
+    * four ride the SAME (user)-keyed exchange as q54's session
+    * assignment plus one (user, session) window — no joins at all;
+    * output is event-sized, deterministic by the (ts, event_id)
+    * tiebreak. */
+  def sessionFeatures(events: DataFrame,
+      gap: java.time.Duration = java.time.Duration.ofMinutes(240)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = withSessionIds(events, gap)
+      .withColumn("eus", tsMicros(events))
+    val w = Window.partitionBy("user_id", "sess_id")
+      .orderBy(col("eus").asc, col("event_id").asc)
+    sess
+      .withColumn("idx_in_sess", row_number().over(w))
+      .withColumn("us_into_sess", col("eus") - min(col("eus")).over(w))
+      .withColumn("us_since_prev",
+        col("eus") - lag(col("eus"), 1).over(w))
+      .select("user_id", "event_id", "sess_id", "idx_in_sess",
+        "us_into_sess", "us_since_prev")
+      .orderBy("user_id", "event_id")
+  }
+
   def eventDedup(events: DataFrame, windowSec: Long = 60L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id", "event_type")

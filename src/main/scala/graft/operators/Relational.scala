@@ -1821,4 +1821,40 @@ object Relational {
       .orderBy("r_score", "f_score", "m_score")
     Dedup.finishWith(result, per)
   }
+
+  /** q246 — Benford first-digit audit: the distribution of the first
+    * significant digit of order totals against Benford's law — the
+    * classic fabricated-data tripwire (organic monetary amounts follow
+    * log10(1+1/d); synthetic or truncated ones don't), a data-quality
+    * probe alongside q201's constraint classes. The verdict column is
+    * deliberately NOT emitted as a boolean — the relation reports the
+    * per-digit gap and leaves the threshold to the auditor.
+    *
+    * Cross-engine exactness: cents = floor(price·100 + 0.5) is the
+    * same float64 computation on both engines (no round(): Spark
+    * HALF_UP vs DuckDB's rounding could disagree at exact halves);
+    * the first digit comes from the BIGINT's decimal string (no
+    * float log10 of the VALUE anywhere). The Benford expectation
+    * itself is ln(1+1/d)/ln(10), floor-quantized to micros — nine
+    * constants computed with the same double ops both sides (the
+    * shared quantized-ln convention). One row-local projection, one
+    * 9-row aggregation — nothing else. */
+  def benfordAudit(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("cents",
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .where(col("cents") > 0L)
+      .withColumn("d", substring(col("cents").cast("string"), 1, 1).cast("long"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("share_micros", expr("n * 1000000 div total"))
+      .withColumn("benford_micros",
+        floor(log(lit(1.0) + lit(1.0) / col("d").cast("double")) /
+          log(lit(10.0)) * 1e6).cast("long"))
+      .withColumn("gap_micros",
+        abs(col("share_micros") - col("benford_micros")))
+      .select("d", "n", "share_micros", "benford_micros", "gap_micros")
+      .orderBy("d")
 }

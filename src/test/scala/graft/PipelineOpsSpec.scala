@@ -2198,7 +2198,7 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))).toMap
     assert(rows.nonEmpty)
-    val byUser = evNanos.select(col("user_id"), (col("ts") / 1000L).cast("long").as("eus"))
+    val byUser = evNanos.select(col("user_id"), expr("ts div 1000").as("eus"))
       .collect().map(r => (r.getLong(0), r.getLong(1) / 86400000000L))
       .distinct.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted }
     byUser.foreach { case (u, ds) =>
@@ -2317,7 +2317,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     // brute-force recount at µs precision
     val evs = evNanos.select(col("user_id"), col("event_type"),
-        (col("ts") / 1000L).cast("long").as("eus"), col("event_id"))
+        expr("ts div 1000").as("eus"), col("event_id"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val byType = evs.toSeq.groupBy(_._2).map { case (ty, xs) =>
@@ -2517,7 +2517,7 @@ class PipelineOpsSpec extends SparkSpec {
     val rows = Events.decayScores(t("events")).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(rows.nonEmpty)
-    val evs = evNanos.select(col("user_id"), (col("ts") / 1000L).cast("long"),
+    val evs = evNanos.select(col("user_id"), expr("ts div 1000"),
         col("value")).collect()
       .map(r => (r.getLong(0), r.getLong(1) / 86400000000L,
         math.floor(r.getDouble(2) * 1e6).toLong))
@@ -2662,7 +2662,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(g.getLong(4) === nF * 1000000L / nS)
     // recount driver-side over 4h gap sessions
     val evs = evNanos.select(col("user_id"), col("event_id"),
-        (col("ts") / 1000L).cast("long").as("eus"), col("event_type"))
+        expr("ts div 1000").as("eus"), col("event_type"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val sessions = evs.toSeq.groupBy(_._1).values.flatMap { ue =>
@@ -2700,5 +2700,83 @@ class PipelineOpsSpec extends SparkSpec {
     assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)) ===
       ((3L, 3L, 1L, 1L)),
       "only user 3 chains: user 1's click precedes the view, user 2's click ties the view at the same µs")
+  }
+
+  test("q244 hopping ≡ recount; every event lands in exactly 2 windows") {
+    val rows = Events.hoppingCounts(t("events")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    val nEvents = t("events").count()
+    assert(rows.map(_._2._1).sum === nEvents * 2,
+      "6h/3h hop must place every event in exactly two windows")
+    // recount the full assignment driver-side
+    val evs = evNanos.select(expr("ts div 1000").as("eus"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) * 1e6).toLong))
+    val slide = 10800000000L
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH").withZone(java.time.ZoneOffset.UTC)
+    val expected = evs.toSeq.flatMap { case (eus, ty, vq) =>
+      Seq(0L, 1L).map { k =>
+        val ws = (eus / slide) * slide - k * slide
+        ((fmt.format(java.time.Instant.ofEpochSecond(ws / 1000000L)), ty), vq)
+      }
+    }.groupBy(_._1).map { case (key, xs) =>
+      key -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    assert(rows.toMap === expected)
+  }
+
+  test("q245 session features ≡ recount on every event") {
+    val rows = Events.sessionFeatures(t("events")).collect()
+      .map(r => (r.getLong(1), (r.getLong(2), r.getInt(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(rows.size.toLong === t("events").count())
+    val evs = evNanos.select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("eus")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    evs.toSeq.groupBy(_._1).foreach { case (_, ue) =>
+      val sorted = ue.sortBy(e => (e._3, e._2))
+      var sess = 0L; var prev = Long.MinValue; var idx = 0; var start = 0L
+      sorted.foreach { case (_, id, eus) =>
+        if (prev == Long.MinValue || (eus - prev) * 1000L > 14400000000000L) {
+          sess += 1; idx = 0; start = eus
+        }
+        idx += 1
+        val expectPrev = if (idx == 1) -1L else eus - prev
+        assert(rows(id) === ((sess, idx, eus - start, expectPrev)),
+          s"event $id features diverged")
+        prev = eus
+      }
+    }
+  }
+
+  test("q246 benford ≡ recount; planted uniform digits expose the gap") {
+    import spark.implicits._
+    val rows = Relational.benfordAudit(t("orders")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // recount digit counts from exact cents
+    val cents = t("orders").select("o_totalprice").collect()
+      .map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong)
+      .filter(_ > 0L)
+    val byD = cents.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    val total = byD.values.sum
+    rows.foreach { case (d, n, share, benford, gap) =>
+      assert(n === byD(d))
+      assert(share === n * 1000000L / total)
+      assert(benford ===
+        math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6).toLong)
+      assert(gap === math.abs(share - benford))
+    }
+    // planted: uniform first digits (1..9 equally) — far from Benford:
+    // digit 1 must show a large NEGATIVE deviation (share 111111 vs
+    // benford 301029), digit 9 a positive one (111111 vs 45757)
+    val synth = (1 to 9).flatMap(d => (1 to 10).map(i =>
+      (d * 100L + i).toDouble / 100.0)).toDF("o_totalprice")
+    val g = Relational.benfordAudit(synth).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    assert(g(1L)._1 === 111111L && g(1L)._2 === 301029L)
+    assert(g(9L)._1 === 111111L && g(9L)._2 < 50000L)
   }
 }
