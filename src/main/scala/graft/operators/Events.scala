@@ -987,9 +987,14 @@ object Events {
     * one-row funnel with exact-micros conversion rates. */
   def funnelConversion(events: DataFrame,
       gap: java.time.Duration = java.time.Duration.ofMinutes(240)): DataFrame = {
+    // four consumers (three step anchors + the session universe) read
+    // the session assignment: persist it ONCE (the q88 discipline —
+    // without this the user-window tower re-executes per consumer;
+    // PlanSweep measured 7 scans / 14 windows in the unpersisted form)
     val sess = withSessionIds(events, gap)
       .withColumn("eus", tsMicros(events))
       .select("user_id", "sess_id", "event_type", "eus")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val s1 = sess.where(col("event_type") === "view")
       .groupBy("user_id", "sess_id").agg(min(col("eus")).as("t1"))
     val s2 = sess.where(col("event_type") === "click")
@@ -1000,7 +1005,7 @@ object Events {
       .join(s2, Seq("user_id", "sess_id"))
       .where(col("eus") > col("t2"))
       .groupBy("user_id", "sess_id").agg(min(col("eus")).as("t3"))
-    sess.select("user_id", "sess_id").distinct()
+    val result = sess.select("user_id", "sess_id").distinct()
       .join(s1.select(col("user_id"), col("sess_id"), lit(1L).as("h1")),
         Seq("user_id", "sess_id"), "left")
       .join(s2.select(col("user_id"), col("sess_id"), lit(1L).as("h2")),
@@ -1012,6 +1017,7 @@ object Events {
         sum(coalesce(col("h2"), lit(0L))).as("n_view_click"),
         sum(coalesce(col("h3"), lit(0L))).as("n_full"))
       .withColumn("conv_micros", expr("n_full * 1000000 div n_sessions"))
+    graft.operators.Dedup.finishWith(result, sess)
   }
 
   /** q244 — HOPPING (sliding) window aggregation: 6-hour windows
