@@ -922,6 +922,14 @@ object SparkEntry {
     // of exact cents, quantized-ln expectation, per-digit gap
     "q246_benford_audit" -> ((s, d) =>
       Relational.benfordAudit(Tables(s, d, "orders"))),
+    // Dunning G2 collocations: evidence-weighted phrase mining beside
+    // q239's PMI; four quantized-ln contingency terms, one bigram fold
+    "q247_g2_collocations" -> ((s, d) =>
+      TextAnalysis.g2Collocations(Tables(s, d, "documents"))),
+    // per-user event-type Shannon entropy (q187's convention at the
+    // user grain): bot/diversity feature, exact 1e-9-quantized terms
+    "q248_user_entropy" -> ((s, d) =>
+      Events.userEntropy(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4100,6 +4108,44 @@ object SparkEntry {
         |       CAST(abs(n * 1000000 // total
         |            - CAST(floor(ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) * 1e6) AS BIGINT)) AS BIGINT) AS gap_micros
         |FROM g CROSS JOIN t ORDER BY d""".stripMargin,
+    // the q239 bigram relation -> 2x2 contingency, four quantized-ln
+    // terms (zero cells contribute zero), 2x the k-weighted sum
+    "q247_g2_collocations" ->
+      s"""WITH $ordtoksCte,
+         |p AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+         |      FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+         |            FROM ordtoks WHERE len(ws) >= 2)),
+         |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM p GROUP BY 1, 2),
+         |m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+         |m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c GROUP BY 1),
+         |nb AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM c),
+         |j AS (SELECT w1, w2, c12, c1, c2, nb
+         |      FROM c JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nb
+         |      WHERE c12 >= 5)
+         |SELECT w1, w2, c12,
+         |  2 * (CASE WHEN c12 > 0 THEN c12 *
+         |         CAST(floor(ln(CAST(c12 * nb AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END
+         |     + CASE WHEN c1 - c12 > 0 THEN (c1 - c12) *
+         |         CAST(floor(ln(CAST((c1 - c12) * nb AS DOUBLE) / CAST(c1 * (nb - c2) AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END
+         |     + CASE WHEN c2 - c12 > 0 THEN (c2 - c12) *
+         |         CAST(floor(ln(CAST((c2 - c12) * nb AS DOUBLE) / CAST((nb - c1) * c2 AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END
+         |     + CASE WHEN nb - c1 - c2 + c12 > 0 THEN (nb - c1 - c2 + c12) *
+         |         CAST(floor(ln(CAST((nb - c1 - c2 + c12) * nb AS DOUBLE) / CAST((nb - c1) * (nb - c2) AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END
+         |    ) AS g2_q
+         |FROM j ORDER BY g2_q DESC, w1, w2 LIMIT 50""".stripMargin,
+    // q187's entropy convention at the user grain: per-(user, type)
+    // (c/t)*ln(c/t) floor-quantized at 1e-9 before the user fold
+    "q248_user_entropy" ->
+      """WITH tc AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS t,
+        |               CAST(count(*) AS BIGINT) AS n_types
+        |        FROM tc GROUP BY 1)
+        |SELECT user_id, t AS n_events, n_types,
+        |       CAST(-sum(CAST(floor((CAST(c AS DOUBLE) / t)
+        |         * ln(CAST(c AS DOUBLE) / t) * 1e9) AS BIGINT)) AS BIGINT) AS entropy_q
+        |FROM tc JOIN tot USING (user_id)
+        |GROUP BY user_id, t, n_types ORDER BY user_id""".stripMargin,
     // daily-mean micros per (type, day), centered day index from a
     // partitioned window, closed-form OLS with pmod floor-divisions
     // mirrored text-for-text (slopes go negative)

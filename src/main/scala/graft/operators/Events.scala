@@ -1020,6 +1020,31 @@ object Events {
     graft.operators.Dedup.finishWith(result, sess)
   }
 
+  /** q248 — per-user BEHAVIORAL entropy: Shannon entropy of each
+    * user's event-type distribution — the diversity feature that
+    * separates single-action accounts (bots, scrapers: H ≈ 0) from
+    * organic mixed behavior, q187's vocabulary-entropy convention
+    * applied at the user grain. Per-(user, type) terms floor-quantize
+    * (c/t)·ln(c/t) at 1e-9 BEFORE the per-user sum (the shared
+    * cross-engine ln fence), so the relation hash-matches exactly.
+    * Shape: one (user, type) aggregation — type-vocabulary fan-out
+    * per user, bounded — then the per-user fold; no windows, no
+    * joins beyond the user-keyed totals. */
+  def userEntropy(events: DataFrame): DataFrame = {
+    val tc = events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy("user_id")
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("n_types"))
+    tc.join(tot, "user_id")
+      .withColumn("term_q",
+        floor((col("c").cast("double") / col("t"))
+          * log(col("c").cast("double") / col("t")) * 1e9).cast("long"))
+      .groupBy("user_id")
+      .agg(max(col("t")).as("n_events"), max(col("n_types")).as("n_types"),
+        (-sum(col("term_q"))).as("entropy_q"))
+      .orderBy("user_id")
+  }
+
   /** q244 — HOPPING (sliding) window aggregation: 6-hour windows
     * every 3 hours, so each event lands in exactly
     * windowDuration/slide = 2 windows — the overlapping-window

@@ -1500,6 +1500,47 @@ object TextAnalysis {
     Dedup.finishWith(result, b)
   }
 
+  /** q247 — collocations by Dunning's log-likelihood ratio (G²): the
+    * statistically calibrated companion to q239's PMI (PMI rewards
+    * rarity — a twice-seen pair can top the list; G² weights the
+    * evidence, so high-count genuine phrases rank above flukes; both
+    * exist in real phrase miners for exactly this reason).
+    *
+    * G² = 2·Σ over the 2×2 contingency of k·ln(k·N / (row·col)),
+    * zero-count cells contributing zero. Every count is an exact
+    * BIGINT from the ONE bigram fold (the q239 relation: marginals
+    * and N are sums over the bigram vocabulary); each of the four ln
+    * terms is floor-quantized to micros BEFORE the k-weighted sum
+    * (the q88/q209 convention), so g2_q is an exact integer and the
+    * top-k cut (ties by pair text) is engine-exact. Headroom: k·N
+    * overflows BIGINT past N ≈ 3e9 bigrams (the q239 note). */
+  def g2Collocations(docs: DataFrame, minCount: Long = 5L,
+      k: Int = 50): DataFrame = {
+    val b = docBigrams(docs).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = b.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val c2 = b.groupBy("w2").agg(sum(col("c12")).as("c2"))
+    val n = b.agg(sum(col("c12")).as("nb"))
+    def term(kc: org.apache.spark.sql.Column,
+        row: org.apache.spark.sql.Column,
+        colm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(kc > 0L, kc * lnQ(kc * col("nb"), row * colm)).otherwise(lit(0L))
+    val result = b.where(col("c12") >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("g2_q", lit(2L) * (
+        term(col("c12"), col("c1"), col("c2")) +
+        term(col("c1") - col("c12"), col("c1"), col("nb") - col("c2")) +
+        term(col("c2") - col("c12"), col("nb") - col("c1"), col("c2")) +
+        term(col("nb") - col("c1") - col("c2") + col("c12"),
+          col("nb") - col("c1"), col("nb") - col("c2"))))
+      .select("w1", "w2", "c12", "g2_q")
+      .orderBy(col("g2_q").desc, col("w1"), col("w2"))
+      .limit(k)
+    Dedup.finishWith(result, b)
+  }
+
   /** q240 — what dedup DOES to the data: distinct 13-gram diversity of
     * the full corpus vs the q58-kept canonicals, in one row — the
     * content-level companion to q233's byte accounting (bytes dropped

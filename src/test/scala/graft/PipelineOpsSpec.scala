@@ -2779,4 +2779,80 @@ class PipelineOpsSpec extends SparkSpec {
     assert(g(1L)._1 === 111111L && g(1L)._2 === 301029L)
     assert(g(9L)._1 === 111111L && g(9L)._2 < 50000L)
   }
+
+  test("q247 G² ≡ brute-force contingency recount; evidence beats rarity (planted)") {
+    import spark.implicits._
+    def recount(texts: Seq[String], minCount: Long): List[(String, String, Long, Long)] = {
+      def toks(s: String) = s.split("\\s+").toSeq
+        .map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty)
+      val bis = texts.flatMap(t => toks(t).sliding(2).filter(_.size == 2)
+        .map(w => (w(0), w(1))))
+      val c12 = bis.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      val c1 = bis.groupBy(_._1).map { case (w, xs) => w -> xs.size.toLong }
+      val c2 = bis.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+      val n = bis.size.toLong
+      def term(k: Long, row: Long, colm: Long): Long =
+        if (k <= 0) 0L
+        else k * math.floor(math.log(
+          (k * n).toDouble / (row * colm).toDouble) * 1e6).toLong
+      c12.filter(_._2 >= minCount).toSeq.map { case ((w1, w2), c) =>
+        val g2 = 2L * (term(c, c1(w1), c2(w2)) +
+          term(c1(w1) - c, c1(w1), n - c2(w2)) +
+          term(c2(w2) - c, n - c1(w1), c2(w2)) +
+          term(n - c1(w1) - c2(w2) + c, n - c1(w1), n - c2(w2)))
+        (w1, w2, c, g2)
+      }.sortBy(r => (-r._4, r._1, r._2)).take(50).toList
+    }
+    val rows = TextAnalysis.g2Collocations(t("documents")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val real = t("documents").select("text").collect().map(_.getString(0)).toSeq
+    assert(rows.toList === recount(real, 5L))
+    // planted: a HIGH-COUNT genuine phrase vs a rare fluke pair — G²
+    // must rank the evidence-heavy phrase first even though PMI would
+    // favor the rarer pair (both perfect collocations, one seen 60×,
+    // one 5×; filler keeps the marginals busy)
+    val planted =
+      (1 to 6).map(_ => (1 to 10).map(_ => "aa bb").mkString(" ")) ++
+      (1 to 5).map(_ => "cc dd") ++
+      (1 to 30).map(i => s"x$i y$i x$i z$i x$i y$i")
+    val synth = planted.zipWithIndex.map { case (t0, i) => (i.toLong, t0) }
+      .toDF("doc_id", "text")
+    val g = TextAnalysis.g2Collocations(synth, minCount = 5L).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    assert(g(("aa", "bb")) > g(("cc", "dd")),
+      "G² must weight evidence: the 60× phrase outranks the 5× fluke")
+    assert(g === recount(planted, 5L)
+      .map(r => ((r._1, r._2), r._4)).toMap)
+  }
+
+  test("q248 user entropy ≡ recount; single-type users read exactly zero") {
+    import spark.implicits._
+    val rows = Events.userEntropy(t("events")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val per = t("events").select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = per.toSeq.groupBy(_._1).map { case (u, xs) =>
+      val byType = xs.groupBy(_._2).map(_._2.size.toLong)
+      val t0 = byType.sum
+      val h = -byType.map { c =>
+        val p = c.toDouble / t0
+        math.floor(p * math.log(p) * 1e9).toLong
+      }.sum
+      u -> ((t0, byType.size.toLong, h))
+    }
+    assert(rows === expected)
+    assert(rows.values.exists(_._3 > 0L), "all-zero entropy — vacuous")
+    // planted: a one-type bot reads exactly 0 (ln 1 = 0 — no
+    // quantization residue), a uniform 4-type user reads ~ln 4
+    val synth = ((1 to 8).map(i => (1L, "view")) ++
+      (1 to 2).flatMap(_ => Seq((2L, "view"), (2L, "click"),
+        (2L, "purchase"), (2L, "error"))))
+      .toDF("user_id", "event_type")
+    val got = Events.userEntropy(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got(1L) === 0L, "single-type user must read exactly zero")
+    val ln4q = -4L * math.floor(0.25 * math.log(0.25) * 1e9).toLong
+    assert(got(2L) === ln4q)
+  }
 }
