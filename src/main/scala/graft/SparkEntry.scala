@@ -930,6 +930,18 @@ object SparkEntry {
     // user grain): bot/diversity feature, exact 1e-9-quantized terms
     "q248_user_entropy" -> ((s, d) =>
       Events.userEntropy(Tables(s, d, "events"))),
+    // Heaps-law vocabulary growth: first-appearance bucket per word is
+    // an aggregate of the one tokenize pass; cumulative over buckets
+    "q249_vocab_growth" -> ((s, d) =>
+      TextAnalysis.vocabGrowth(Tables(s, d, "documents"))),
+    // per-source length Gini on the bounded-histogram path: exact
+    // rank-weighted block sums, one floor division per source
+    "q250_length_gini" -> ((s, d) =>
+      TextAnalysis.lengthGini(Tables(s, d, "documents"))),
+    // near-dup provenance matrix: memoized LSH edges joined to
+    // sources, zero-filled pair universe (q236 at the near-dup level)
+    "q251_neardup_sources" -> ((s, d) =>
+      Dedup.nearDupSourceMatrix(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1058,7 +1070,9 @@ object SparkEntry {
     * CTE reachability, label = min doc_id per component. */
   /** The q58/q202 recursive closure up to `reach(u, v)` — shared by
     * the cluster-label oracles and q233's savings-report rollup. */
-  private lazy val clusterReachCtes: String =
+  /** The q22/q58 LSH pipeline up to the VERIFIED near-dup `edges` —
+    * shared by the reach closure below and q251's provenance rollup. */
+  private lazy val lshEdgeCtes: String =
     s"""$toksCte,
        |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
        |perms(i, a, b) AS (VALUES $permsValues),
@@ -1076,7 +1090,10 @@ object SparkEntry {
        |    SELECT doc_a, doc_b,
        |           ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
        |    FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
-       |  WHERE jaccard >= 0.95),
+       |  WHERE jaccard >= 0.95)""".stripMargin
+
+  private lazy val clusterReachCtes: String =
+    s"""$lshEdgeCtes,
        |sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
        |        UNION ALL SELECT doc_b, doc_a FROM edges),
        |reach(u, v) AS (
@@ -4146,6 +4163,59 @@ object SparkEntry {
         |         * ln(CAST(c AS DOUBLE) / t) * 1e9) AS BIGINT)) AS BIGINT) AS entropy_q
         |FROM tc JOIN tot USING (user_id)
         |GROUP BY user_id, t, n_types ORDER BY user_id""".stripMargin,
+    // first-appearance bucket per word from the one token pass;
+    // cumulative docs/tokens/vocab over the bucket axis
+    "q249_vocab_growth" ->
+      s"""WITH $rawtoksCte,
+         |tk AS (SELECT doc_id, word, doc_id // 50 AS bucket FROM rawtoks),
+         |fs AS (SELECT b AS bucket, CAST(count(*) AS BIGINT) AS nw
+         |       FROM (SELECT word, min(bucket) AS b FROM tk GROUP BY 1)
+         |       GROUP BY 1),
+         |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+         |              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |       FROM tk GROUP BY 1)
+         |SELECT bucket,
+         |       CAST(sum(n_docs) OVER win AS BIGINT) AS docs_cum,
+         |       CAST(sum(n_tokens) OVER win AS BIGINT) AS tokens_cum,
+         |       CAST(sum(coalesce(nw, 0)) OVER win AS BIGINT) AS vocab_cum
+         |FROM pb LEFT JOIN fs USING (bucket)
+         |WINDOW win AS (ORDER BY bucket
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY bucket""".stripMargin,
+    // rank-weighted block sums over the per-source value histogram;
+    // Gini numerator 2S - (n+1)T is nonnegative, one floor division
+    "q250_length_gini" ->
+      """WITH h AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |cu AS (SELECT source, v, c,
+        |              sum(c) OVER (PARTITION BY source ORDER BY v
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM h),
+        |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |             CAST(sum(c * v) AS BIGINT) AS total_chars,
+        |             CAST(sum(v * (c * (cum - c) + c * (c + 1) // 2)) AS BIGINT) AS s_rank
+        |      FROM cu GROUP BY 1)
+        |SELECT source, n_docs, total_chars,
+        |       CAST((2 * s_rank - (n_docs + 1) * total_chars) * 1000000
+        |            // (n_docs * total_chars) AS BIGINT) AS gini_micros
+        |FROM s ORDER BY source""".stripMargin,
+    // the shared LSH edge CTEs joined to sources, zero-filled over
+    // the unordered source-pair universe
+    "q251_neardup_sources" ->
+      s"""WITH $lshEdgeCtes,
+         |e AS (SELECT least(sa.source, sb.source) AS src_a,
+         |             greatest(sa.source, sb.source) AS src_b
+         |      FROM edges JOIN documents sa ON doc_a = sa.doc_id
+         |                 JOIN documents sb ON doc_b = sb.doc_id),
+         |obs AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |        FROM e GROUP BY 1, 2),
+         |s AS (SELECT DISTINCT source FROM documents),
+         |u AS (SELECT a.source AS src_a, b.source AS src_b
+         |      FROM s a JOIN s b ON a.source <= b.source)
+         |SELECT u.src_a, u.src_b,
+         |       CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs
+         |FROM u LEFT JOIN obs ON u.src_a = obs.src_a AND u.src_b = obs.src_b
+         |ORDER BY u.src_a, u.src_b""".stripMargin,
     // daily-mean micros per (type, day), centered day index from a
     // partitioned window, closed-form OLS with pmod floor-divisions
     // mirrored text-for-text (slopes go negative)

@@ -375,6 +375,36 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** q251 — NEAR-dup provenance: q236's cross-source duplication
+    * matrix at the near-duplicate level — exact-dup provenance finds
+    * mirrors; near-dup provenance finds templated/boilerplate overlap
+    * between sources (the thing that actually leaks across crawls).
+    * One row per unordered source pair counting verified near-dup
+    * PAIRS whose endpoints live in those sources, zero-filled over
+    * the total pair universe (the q236 contract).
+    *
+    * Cost: the edge set is the session-memoized q22/q58 LSH pass —
+    * no new candidate generation — plus two doc→source equi joins and
+    * a sources²-bounded rollup. */
+  def nearDupSourceMatrix(docs: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val observed = minhashNearDup(docs, threshold)
+      .select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val srcs = docs.select("source").distinct()
+    val universe = srcs.select(col("source").as("src_a"))
+      .join(srcs.select(col("source").as("src_b")),
+        col("src_a") <= col("src_b"))
+    universe.join(observed, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** q22 — MinHash + LSH near-dup detection: the linear-scale path
     * (shingle→minhash→band→bucket-join→verify). Candidates are pairs
     * agreeing on ALL RowsPerBand minima in at least one band; each

@@ -1500,6 +1500,77 @@ object TextAnalysis {
     Dedup.finishWith(result, b)
   }
 
+  /** q249 — VOCABULARY GROWTH curve (Heaps' law, empirically): for
+    * doc-id-bucketed corpus prefixes, cumulative tokens vs cumulative
+    * DISTINCT vocabulary — the saturation read a corpus builder
+    * checks before paying for more data of the same source (a
+    * flattening curve means new documents stop contributing words).
+    *
+    * Scale shape: a word's first appearance is an AGGREGATE —
+    * min(bucket) per word over the one tokenize pass (vocabulary-
+    * sized, map-side combinable) — so "new words in bucket b" needs no
+    * per-prefix rescan; tokens-per-bucket rides the same pass. The
+    * cumulative window runs over the BUCKET axis: `bucketWidth` is the
+    * resolution knob (corpus/width rows — pick width ∝ corpus/1e4 in
+    * production so the curve stays plot-sized; the default suits the
+    * gate scale). All exact integers. */
+  def vocabGrowth(docs: DataFrame, bucketWidth: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFns.tokens(docs)
+      .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
+    val firstSeen = toks.groupBy("word").agg(min(col("bucket")).as("b"))
+      .groupBy(col("b").as("bucket")).agg(count(lit(1)).as("new_words"))
+    val perBucket = toks.groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("nw", coalesce(col("new_words"), lit(0L)))
+      .select(col("bucket"),
+        sum(col("n_docs")).over(w).as("docs_cum"),
+        sum(col("n_tokens")).over(w).as("tokens_cum"),
+        sum(col("nw")).over(w).as("vocab_cum"))
+      .orderBy("bucket")
+  }
+
+  /** q250 — length INEQUALITY per source (Gini coefficient): how
+    * unevenly a source's bytes are spread over its documents — a
+    * mixture diagnostic next to q235's drift (equal means can hide
+    * one source being a few giants plus noise while another is
+    * uniform; weighting and packing behave differently on the two).
+    *
+    * Exact integers on the bounded-histogram path: with per-(source,
+    * length) counts sorted by length, Σ rank·xᵢ over a block of c
+    * equal values v is v·(c·cumBefore + c(c+1)/2) — so the Gini
+    * numerator 2·S − (n+1)·T (S = Σ rank·x, T = Σx) is an exact
+    * BIGINT from one window over the bounded value axis, and
+    * gini_micros = num·1e6 div (n·T) is one floor division per
+    * source. Headroom: S ≤ n²·v overflows past ~3e6 docs/source with
+    * these lengths; the rollup then moves to DECIMAL(38,0) (the q49
+    * convention). */
+  def lengthGini(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("s_block",
+        col("v") * (col("c") * (col("cum") - col("c")) +
+          expr("c * (c + 1) div 2")))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("c") * col("v")).as("total_chars"),
+        sum(col("s_block")).as("s_rank"))
+      .withColumn("gini_micros", expr(
+        "(2 * s_rank - (n_docs + 1) * total_chars) * 1000000" +
+          " div (n_docs * total_chars)"))
+      .select("source", "n_docs", "total_chars", "gini_micros")
+      .orderBy("source")
+  }
+
   /** q247 — collocations by Dunning's log-likelihood ratio (G²): the
     * statistically calibrated companion to q239's PMI (PMI rewards
     * rarity — a twice-seen pair can top the list; G² weights the

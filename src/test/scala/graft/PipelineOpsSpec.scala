@@ -2855,4 +2855,94 @@ class PipelineOpsSpec extends SparkSpec {
     val ln4q = -4L * math.floor(0.25 * math.log(0.25) * 1e9).toLong
     assert(got(2L) === ln4q)
   }
+
+  test("q249 vocab growth ≡ recount; monotone, conserves totals, saturates (planted)") {
+    import spark.implicits._
+    val rows = TextAnalysis.vocabGrowth(t("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // monotone non-decreasing cumulatives; final row = corpus totals
+    Seq[((Long, Long, Long, Long)) => Long](_._2, _._3, _._4).foreach { f =>
+      assert(rows.map(f).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    }
+    def toks(s: String) = s.split("\\s+").toSeq
+      .map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty)
+    val docs = t("documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), toks(r.getString(1))))
+      .filter(_._2.nonEmpty)
+    assert(rows.last._3 === docs.map(_._2.size.toLong).sum)
+    assert(rows.last._4 === docs.flatMap(_._2).distinct.size.toLong)
+    // full recount at the 50-doc bucket grain
+    val byB = docs.groupBy(_._1 / 50L)
+    val buckets = byB.keys.toSeq.sorted
+    var (dc, tc, vc) = (0L, 0L, 0L); val seen = scala.collection.mutable.Set.empty[String]
+    val expected = buckets.map { b =>
+      val xs = byB(b)
+      dc += xs.size; tc += xs.map(_._2.size.toLong).sum
+      xs.flatMap(_._2).foreach(w => if (!seen(w)) { seen += w; vc += 1 })
+      (b, dc, tc, vc)
+    }
+    assert(rows.toList === expected.toList)
+    // planted saturation: bucket 1 reuses bucket 0's vocabulary
+    // entirely — vocab_cum must stay flat while tokens_cum grows
+    val synth = ((0L until 50L).map(i => (i, "alpha beta gamma")) ++
+      (50L until 100L).map(i => (i, "gamma beta alpha alpha")))
+      .toDF("doc_id", "text")
+    val g = TextAnalysis.vocabGrowth(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(g.toList === List((0L, 150L, 3L), (1L, 350L, 3L)),
+      "an all-repeat second bucket must not grow the vocabulary")
+  }
+
+  test("q250 gini ≡ exact rank-formula recount; uniform reads 0, extreme reads high") {
+    import spark.implicits._
+    val rows = TextAnalysis.lengthGini(t("documents")).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val per = t("documents").select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.groupBy(_._1)
+    assert(rows.keySet === per.keySet)
+    per.foreach { case (src, xs) =>
+      val vs = xs.map(_._2).sorted
+      val n = vs.size.toLong; val t0 = vs.sum
+      val s = vs.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum
+      val gini = (2 * s - (n + 1) * t0) * 1000000L / (n * t0)
+      assert(rows(src) === ((n, t0, gini)), s"$src gini diverged")
+      assert(gini >= 0L && gini < 1000000L)
+    }
+    // planted: a uniform source reads exactly 0; a 9-zeros-...-one-
+    // giant shape approaches (n-1)/n
+    val synth = ((1 to 10).map(i => (i.toLong, "u", 100L)) ++
+      ((1 to 9).map(i => (100L + i, "g", 1L)) :+ (110L, "g", 991L)))
+      .toDF("doc_id", "source", "n_chars")
+    val g = TextAnalysis.lengthGini(synth).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(g("u") === 0L, "equal lengths must read zero inequality")
+    // exact: n=10, T=1000, S = 45 (ranks 1..9 of the 1s) + 10*991 =
+    // 9955 -> (2*9955 - 11*1000)*1e6 / (10*1000) = 891000
+    assert(g("g") === 891000L)
+  }
+
+  test("q251 near-dup provenance: universe total, reconciles to the edge set") {
+    val docs = t("documents")
+    val rows = Dedup.nearDupSourceMatrix(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val s = docs.select("source").distinct().count()
+    assert(rows.length.toLong === s * (s + 1) / 2, "matrix must be total")
+    assert(rows.forall { case ((a, b), _) => a <= b })
+    // reconcile: total pairs across the matrix = |verified edge set|
+    val edges = Dedup.minhashNearDup(docs, 0.95).count()
+    assert(rows.map(_._2).sum === edges)
+    assert(rows.map(_._2).sum > 0L, "no near-dup pair at this scale — vacuous")
+    // per-pair recount through the labeled edge list
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expected = Dedup.minhashNearDup(docs, 0.95)
+      .select("doc_a", "doc_b").collect()
+      .map { r =>
+        val (a, b) = (srcOf(r.getLong(0)), srcOf(r.getLong(1)))
+        (if (a <= b) (a, b) else (b, a))
+      }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    rows.foreach { case (k, n) =>
+      assert(n === expected.getOrElse(k, 0L), s"pair $k diverged") }
+  }
 }
