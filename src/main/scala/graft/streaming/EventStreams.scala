@@ -33,6 +33,22 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** HOPPING (sliding) windowed counts — q244's streaming half: the
+    * same `window(ts, dur, slide)` call, so every event lands in
+    * dur/slide overlapping windows and the watermark expires each
+    * window `watermark` past its END. One definition shape with the
+    * batch operator; StreamingSpec pins stream ≡ batch on multi-batch
+    * delivery. */
+  def hoppingWindowedCounts(events: DataFrame,
+      windowLen: String = "6 hours", slide: String = "3 hours",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Session windows: activity bursts per user, closed after `gap` of
     * silence. Works identically over batch and streaming frames. */
   def sessionCounts(events: DataFrame, gap: String = "5 minutes"): DataFrame =

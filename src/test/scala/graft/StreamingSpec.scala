@@ -30,6 +30,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping windowed counts: every event in exactly 2 windows, ≡ batch") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // two batches — the second lands in windows overlapping the first
+    in.addData(Ev(1, ts(5), "click", 1.0), Ev(2, ts(15), "view", 2.0))
+    in.addData(Ev(3, ts(40), "click", 4.0))
+    val q = EventStreams.hoppingWindowedCounts(in.toDF,
+        windowLen = "1 hour", slide = "30 minutes")
+      .writeStream.format("memory").queryName("hop")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("hop").collect()
+        .map(r => ((r.getTimestamp(0).toString, r.getString(1)),
+          (r.getLong(2), r.getDouble(3))))
+      // every event counted twice across the matrix
+      assert(rows.map(_._2._1).sum === 6L)
+      // stream ≡ batch: the same call over a plain batch frame
+      val batch = EventStreams.hoppingWindowedCounts(
+          spark.createDataset(Seq(
+            Ev(1, ts(5), "click", 1.0), Ev(2, ts(15), "view", 2.0),
+            Ev(3, ts(40), "click", 4.0)))(
+            org.apache.spark.sql.Encoders.product[Ev]).toDF,
+          windowLen = "1 hour", slide = "30 minutes")
+        .collect()
+        .map(r => ((r.getTimestamp(0).toString, r.getString(1)),
+          (r.getLong(2), r.getDouble(3))))
+      assert(rows.toMap === batch.toMap)
+    } finally q.stop()
+  }
+
   test("streaming PSI drift: per-window PSI vs reference, replay-deterministic") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
