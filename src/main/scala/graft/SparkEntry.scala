@@ -942,6 +942,10 @@ object SparkEntry {
     // sources, zero-filled pair universe (q236 at the near-dup level)
     "q251_neardup_sources" -> ((s, d) =>
       Dedup.nearDupSourceMatrix(Tables(s, d, "documents"))),
+    // vocabulary Jaccard between sources: word-keyed self-join with
+    // |sources|-bounded fan-out, exact set arithmetic
+    "q252_vocab_overlap" -> ((s, d) =>
+      TextAnalysis.vocabOverlap(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4216,6 +4220,28 @@ object SparkEntry {
          |       CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs
          |FROM u LEFT JOIN obs ON u.src_a = obs.src_a AND u.src_b = obs.src_b
          |ORDER BY u.src_a, u.src_b""".stripMargin,
+    // distinct (source, word) sets -> word-keyed pair counts ->
+    // exact Jaccard micros, zero-filled pair universe
+    "q252_vocab_overlap" ->
+      """WITH sw AS (
+        |  SELECT DISTINCT source,
+        |         lower(regexp_replace(w, '[^A-Za-z]', '', 'g')) AS word
+        |  FROM (SELECT source, unnest(string_split_regex(text, '\s+')) AS w
+        |        FROM documents)
+        |  WHERE lower(regexp_replace(w, '[^A-Za-z]', '', 'g')) <> ''),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM sw GROUP BY 1),
+        |obs AS (SELECT a.source AS src_a, b.source AS src_b,
+        |               CAST(count(*) AS BIGINT) AS n_common
+        |        FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+        |        GROUP BY 1, 2),
+        |u AS (SELECT a.source AS src_a, a.nv AS n_a, b.source AS src_b, b.nv AS n_b
+        |      FROM sz a JOIN sz b ON a.source < b.source)
+        |SELECT src_a, src_b, n_a, n_b,
+        |       CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+        |       CAST(coalesce(n_common, 0) * 1000000
+        |            // (n_a + n_b - coalesce(n_common, 0)) AS BIGINT) AS jaccard_micros
+        |FROM u LEFT JOIN obs USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin,
     // daily-mean micros per (type, day), centered day index from a
     // partitioned window, closed-form OLS with pmod floor-divisions
     // mirrored text-for-text (slopes go negative)

@@ -1534,6 +1534,41 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** q252 — VOCABULARY overlap between sources: Jaccard of the
+    * distinct-word sets for every source pair — the set-level
+    * companion to q182's distributional JSD (JSD says how different
+    * the frequency profiles are; this says how much raw vocabulary is
+    * even shared — a near-zero overlap means the pair can't
+    * contaminate each other's n-gram statistics and a near-one means
+    * one source adds no lexical coverage).
+    *
+    * Shape: one tokenize to the distinct (source, word) relation
+    * (vocabulary × sources, map-side combinable); the pair stage is a
+    * word-keyed self-join whose per-key fan-out is bounded by
+    * |sources| (a word lives in at most s sides — config-bounded,
+    * the q236 argument); set sizes join back broadcast;
+    * jaccard_micros = common·1e6 div (n_a + n_b − common), exact
+    * integers. Zero-filled over the unordered pair universe. */
+  def vocabOverlap(docs: DataFrame): DataFrame = {
+    val sw = TextFns.tokens(docs, Seq("source"))
+      .select("source", "word").distinct()
+    val sizes = sw.groupBy("source").agg(count(lit(1)).as("nv"))
+    val observed = sw.as("a")
+      .join(sw.as("b"), col("a.word") === col("b.word") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val universe = sizes.select(col("source").as("src_a"), col("nv").as("n_a"))
+      .join(sizes.select(col("source").as("src_b"), col("nv").as("n_b")),
+        col("src_a") < col("src_b"))
+    universe.join(observed, Seq("src_a", "src_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("jaccard_micros",
+        expr("n_common * 1000000 div (n_a + n_b - n_common)"))
+      .select("src_a", "src_b", "n_a", "n_b", "n_common", "jaccard_micros")
+      .orderBy("src_a", "src_b")
+  }
+
   /** q250 — length INEQUALITY per source (Gini coefficient): how
     * unevenly a source's bytes are spread over its documents — a
     * mixture diagnostic next to q235's drift (equal means can hide

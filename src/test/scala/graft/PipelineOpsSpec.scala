@@ -2945,4 +2945,33 @@ class PipelineOpsSpec extends SparkSpec {
     rows.foreach { case (k, n) =>
       assert(n === expected.getOrElse(k, 0L), s"pair $k diverged") }
   }
+
+  test("q252 vocab overlap ≡ set recount; identical/disjoint planted") {
+    import spark.implicits._
+    def toks(s: String) = s.split("\\s+").toSeq
+      .map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty).toSet
+    val rows = TextAnalysis.vocabOverlap(t("documents")).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val vocab = t("documents").select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+      .groupBy(_._1).map { case (s, xs) => s -> xs.flatMap(x => toks(x._2)).toSet }
+    val srcs = vocab.keys.toSeq.sorted
+    assert(rows.keySet === (for { a <- srcs; b <- srcs if a < b } yield (a, b)).toSet)
+    rows.foreach { case ((a, b), (na, nb, common, jac)) =>
+      val (va, vb) = (vocab(a), vocab(b))
+      val c = (va & vb).size.toLong
+      assert((na, nb, common) === ((va.size.toLong, vb.size.toLong, c)))
+      assert(jac === c * 1000000L / (na + nb - c))
+    }
+    // planted: identical vocabularies read exactly 1e6; disjoint read 0
+    val synth = Seq(
+      (1L, "aa bb cc", "s1"), (2L, "cc bb aa aa", "s2"),
+      (3L, "xx yy", "s3"))
+      .toDF("doc_id", "text", "source")
+    val g = TextAnalysis.vocabOverlap(synth).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(5))).toMap
+    assert(g(("s1", "s2")) === 1000000L)
+    assert(g(("s1", "s3")) === 0L && g(("s2", "s3")) === 0L)
+  }
 }
