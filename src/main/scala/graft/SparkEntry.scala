@@ -946,6 +946,10 @@ object SparkEntry {
     // |sources|-bounded fan-out, exact set arithmetic
     "q252_vocab_overlap" -> ((s, d) =>
       TextAnalysis.vocabOverlap(Tables(s, d, "documents"))),
+    // time-to-convert for q243's full chains: second-binned latency
+    // histogram, q129 boundary rule for p50/p90, exact-us mean
+    "q253_conversion_latency" -> ((s, d) =>
+      Events.conversionLatency(Tables(s, d, "events"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4242,6 +4246,43 @@ object SparkEntry {
         |            // (n_a + n_b - coalesce(n_common, 0)) AS BIGINT) AS jaccard_micros
         |FROM u LEFT JOIN obs USING (src_a, src_b)
         |ORDER BY src_a, src_b""".stripMargin,
+    // q243's anchor chain -> second-binned latency histogram -> the
+    // q129 boundary rule (min bin with 100*cum >= p*n) + exact mean
+    "q253_conversion_latency" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS eus,
+        |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |              WHEN ts - lag(ts) OVER w > INTERVAL '240 minutes' THEN 1
+        |              ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_type, eus,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM t),
+        |s1 AS (SELECT user_id, sess_id, min(eus) AS t1 FROM s
+        |       WHERE event_type = 'view' GROUP BY 1, 2),
+        |s2 AS (SELECT s.user_id, s.sess_id, t1, min(eus) AS t2
+        |       FROM s JOIN s1 USING (user_id, sess_id)
+        |       WHERE event_type = 'click' AND eus > t1 GROUP BY 1, 2, 3),
+        |s3 AS (SELECT s.user_id, s.sess_id, t1, min(eus) AS t3
+        |       FROM s JOIN s2 USING (user_id, sess_id)
+        |       WHERE event_type = 'purchase' AND eus > t2 GROUP BY 1, 2, 3),
+        |lat AS (SELECT t3 - t1 AS lat_us, (t3 - t1) // 1000000 AS bin FROM s3),
+        |h AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt,
+        |             CAST(sum(lat_us) AS BIGINT) AS sum_us
+        |      FROM lat GROUP BY 1),
+        |c AS (SELECT bin, cnt,
+        |             sum(cnt) OVER (ORDER BY bin
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             sum(cnt) OVER () AS n, sum(sum_us) OVER () AS tot_us
+        |      FROM h)
+        |SELECT CAST(n AS BIGINT) AS n_conversions,
+        |       CAST(tot_us // n AS BIGINT) AS mean_us,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 50 THEN bin END) AS BIGINT) AS p50_s,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 90 THEN bin END) AS BIGINT) AS p90_s
+        |FROM c GROUP BY n, tot_us""".stripMargin,
     // daily-mean micros per (type, day), centered day index from a
     // partitioned window, closed-form OLS with pmod floor-divisions
     // mirrored text-for-text (slopes go negative)

@@ -1093,6 +1093,54 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** q253 — TIME-TO-CONVERT: for q243's fully converting sessions,
+    * the view→purchase latency distribution — the funnel's companion
+    * metric (a conversion rate without its latency hides a broken
+    * checkout that users eventually survive). Latency = t3 − t1 (the
+    * min-anchored step timestamps, q243's exact chain), binned to
+    * whole seconds; count / exact-µs mean / p50 / p90 ride the
+    * q129/q148 bounded-histogram boundary rule (min bin with
+    * 100·cum ≥ p·n) — latencies are session-bounded, so the
+    * histogram axis is bounded by the gap parameter, never the
+    * corpus. One extra aggregation over q243's anchor relations;
+    * mean_us is an exact floor division. */
+  def conversionLatency(events: DataFrame,
+      gap: java.time.Duration = java.time.Duration.ofMinutes(240)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = withSessionIds(events, gap)
+      .withColumn("eus", tsMicros(events))
+      .select("user_id", "sess_id", "event_type", "eus")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s1 = sess.where(col("event_type") === "view")
+      .groupBy("user_id", "sess_id").agg(min(col("eus")).as("t1"))
+    val s2 = sess.where(col("event_type") === "click")
+      .join(s1, Seq("user_id", "sess_id"))
+      .where(col("eus") > col("t1"))
+      .groupBy("user_id", "sess_id", "t1").agg(min(col("eus")).as("t2"))
+    val s3 = sess.where(col("event_type") === "purchase")
+      .join(s2, Seq("user_id", "sess_id"))
+      .where(col("eus") > col("t2"))
+      .groupBy("user_id", "sess_id", "t1").agg(min(col("eus")).as("t3"))
+    val lat = s3.select((col("t3") - col("t1")).as("lat_us"))
+      .withColumn("bin", expr("lat_us div 1000000"))
+    val hist = lat.groupBy("bin").agg(count(lit(1)).as("cnt"),
+      sum(col("lat_us")).as("sum_us"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(p: Int) =
+      min(when(col("cum") * 100 >= col("n") * p, col("bin"))).as(s"p${p}_s")
+    val result = hist.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("tot_us", sum(col("sum_us")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy("n", "tot_us")
+      .agg(pick(50), pick(90))
+      .select(col("n").as("n_conversions"),
+        expr("tot_us div n").as("mean_us"), col("p50_s"), col("p90_s"))
+    graft.operators.Dedup.finishWith(result, sess)
+  }
+
   def eventDedup(events: DataFrame, windowSec: Long = 60L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id", "event_type")

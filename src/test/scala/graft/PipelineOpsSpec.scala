@@ -2974,4 +2974,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(g(("s1", "s2")) === 1000000L)
     assert(g(("s1", "s3")) === 0L && g(("s2", "s3")) === 0L)
   }
+
+  test("q253 latency ≡ recount; planted ladder pins p50/p90 and the exact mean") {
+    import spark.implicits._
+    val g = Events.conversionLatency(t("events")).collect()(0)
+    // recount: q243's anchor chain, then the latency stats
+    val evs = evNanos.select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("eus"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val sessions = evs.toSeq.groupBy(_._1).values.flatMap { ue =>
+      ue.sortBy(e => (e._3, e._2))
+        .foldLeft(List.empty[List[(Long, Long, Long, String)]]) {
+          case (acc, e) if acc.nonEmpty &&
+            (e._3 - acc.head.head._3) * 1000L <= 14400000000000L =>
+            (e :: acc.head) :: acc.tail
+          case (acc, e) => List(e) :: acc
+        }
+    }.toSeq
+    val lats = sessions.flatMap { s =>
+      val vs = s.filter(_._4 == "view").map(_._3)
+      if (vs.isEmpty) None else {
+        val t1 = vs.min
+        val cs = s.filter(e => e._4 == "click" && e._3 > t1).map(_._3)
+        if (cs.isEmpty) None else {
+          val t2 = cs.min
+          val ps = s.filter(e => e._4 == "purchase" && e._3 > t2).map(_._3)
+          if (ps.isEmpty) None else Some(ps.min - t1)
+        }
+      }
+    }
+    assert(g.getLong(0) === lats.size.toLong)
+    assert(g.getLong(1) === lats.sum / lats.size)
+    def pick(p: Int): Long = {
+      val bins = lats.map(_ / 1000000L).sorted
+      bins.distinct.find(b =>
+        bins.count(_ <= b).toLong * 100 >= bins.size.toLong * p).get
+    }
+    assert(g.getLong(2) === pick(50) && g.getLong(3) === pick(90))
+    assert(lats.nonEmpty, "no conversion at this scale — vacuous")
+    // planted: latencies 10/20/30/40/100 s → mean 40 s, p50 = 30,
+    // p90 = 100 (boundary rule: min bin with 100·cum ≥ 90·n)
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val synth = Seq(10L, 20L, 30L, 40L, 100L).zipWithIndex.flatMap {
+      case (lat, u) => Seq(
+        (u.toLong, u * 10L + 1L, "view", ts(0)),
+        (u.toLong, u * 10L + 2L, "click", ts(1)),
+        (u.toLong, u * 10L + 3L, "purchase", ts(lat)))
+    }.toDF("user_id", "event_id", "event_type", "ts")
+    val p = Events.conversionLatency(synth).collect()(0)
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)) ===
+      ((5L, 40000000L, 30L, 100L)))
+  }
 }
