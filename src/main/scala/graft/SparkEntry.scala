@@ -950,6 +950,10 @@ object SparkEntry {
     // histogram, q129 boundary rule for p50/p90, exact-us mean
     "q253_conversion_latency" -> ((s, d) =>
       Events.conversionLatency(Tables(s, d, "events"))),
+    // weekday seasonality + exact uniformity chi2 (epoch-day mod 7,
+    // no locale date fns) — the clock-realism audit beside q246
+    "q254_weekday_audit" -> ((s, d) =>
+      Relational.weekdayAudit(Tables(s, d, "orders"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4283,6 +4287,18 @@ object SparkEntry {
         |       CAST(min(CASE WHEN cum * 100 >= n * 50 THEN bin END) AS BIGINT) AS p50_s,
         |       CAST(min(CASE WHEN cum * 100 >= n * 90 THEN bin END) AS BIGINT) AS p90_s
         |FROM c GROUP BY n, tot_us""".stripMargin,
+    // epoch-day mod 7 (dow 0 = Thursday, documented), exact chi2
+    // rescale (7*o - n)^2 / (7*n) in micros
+    "q254_weekday_audit" ->
+      """WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 % 7 AS dow
+        |           FROM orders),
+        |g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_orders FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n FROM g)
+        |SELECT dow, n_orders,
+        |       CAST(n_orders * 1000000 // n AS BIGINT) AS share_micros,
+        |       CAST((7 * n_orders - n) * (7 * n_orders - n) * 1000000
+        |            // (7 * n) AS BIGINT) AS chi2_term_q
+        |FROM g CROSS JOIN t ORDER BY dow""".stripMargin,
     // daily-mean micros per (type, day), centered day index from a
     // partitioned window, closed-form OLS with pmod floor-divisions
     // mirrored text-for-text (slopes go negative)

@@ -1839,6 +1839,35 @@ object Relational {
     * constants computed with the same double ops both sides (the
     * shared quantized-ln convention). One row-local projection, one
     * 9-row aggregation — nothing else. */
+  /** q254 — weekday SEASONALITY audit: order volume by day-of-week
+    * with an exact χ² against uniformity — the "is this data's clock
+    * real?" probe beside q246's Benford digits (synthetic data is
+    * usually flat across weekdays; real commerce never is — and a
+    * flat profile in a supposedly organic feed is the same kind of
+    * tripwire as uniform first digits).
+    *
+    * All-integer: with o_d the day-d count and n the total, the χ²
+    * statistic Σ (o_d − n/7)²/(n/7) rescales to Σ (7·o_d − n)² /
+    * (7·n) — numerator and denominator exact BIGINTs, one floor
+    * division to micros at the end. Day-of-week comes from the epoch
+    * DAY NUMBER mod 7 (1970-01-01 was a Thursday; dow 0 = Thursday
+    * by this convention, documented) — a pure integer rule identical
+    * on both engines, no locale-dependent date function anywhere.
+    * One projection + a 7-row aggregation. */
+  def weekdayAudit(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("dow",
+        expr("(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000) % 7"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("n", sum(col("n_orders")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("share_micros", expr("n_orders * 1000000 div n"))
+      .withColumn("chi2_term_q", expr(
+        "(7 * n_orders - n) * (7 * n_orders - n) * 1000000 div (7 * n)"))
+      .select("dow", "n_orders", "share_micros", "chi2_term_q")
+      .orderBy("dow")
+
   def benfordAudit(orders: DataFrame): DataFrame =
     orders
       .withColumn("cents",

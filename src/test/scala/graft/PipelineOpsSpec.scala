@@ -3025,4 +3025,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)) ===
       ((5L, 40000000L, 30L, 100L)))
   }
+
+  test("q254 weekday ≡ recount; planted flat week reads zero chi2") {
+    import spark.implicits._
+    val rows = Relational.weekdayAudit(t("orders")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val days = t("orders").select(
+        expr("(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000) % 7"))
+      .collect().map(_.getLong(0))
+    val n = days.length.toLong
+    days.toSeq.groupBy(identity).foreach { case (d, xs) =>
+      val o = xs.size.toLong
+      assert(rows(d) === ((o, o * 1000000L / n,
+        (7 * o - n) * (7 * o - n) * 1000000L / (7 * n))), s"dow $d diverged")
+    }
+    assert(rows.values.map(_._1).sum === n)
+    // planted: exactly one order per weekday -> every chi2 term 0
+    def day(i: Int) = new java.sql.Timestamp(i.toLong * 86400000L)
+    val flat = (0 until 7).map(i => Tuple1(day(i))).toDF("o_orderdate")
+    val g = Relational.weekdayAudit(flat).collect()
+    assert(g.length === 7 && g.forall(_.getLong(3) === 0L),
+      "a perfectly flat week must read zero chi2 in every term")
+  }
 }
