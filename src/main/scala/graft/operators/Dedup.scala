@@ -349,9 +349,13 @@ object Dedup {
     * "pair not checked" (a clean corpus yields s·(s+1)/2 zero rows,
     * not an empty relation). */
   def dupSourceMatrix(docs: DataFrame): DataFrame = {
+    // three consumers (diag + both self-join sides) read the
+    // hash-level relation: persist it once (the q88 discipline), so
+    // the corpus md5 scan runs once, not three times
     val per = docs
       .groupBy(md5(col("text")).as("hash"), col("source"))
       .agg(count(lit(1)).as("copies"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val diag = per.where(col("copies") >= 2L)
       .groupBy(col("source").as("src_a"))
       .agg(count(lit(1)).as("n_shared_texts"),
@@ -367,12 +371,13 @@ object Dedup {
     val universe = srcs.select(col("source").as("src_a"))
       .join(srcs.select(col("source").as("src_b")),
         col("src_a") <= col("src_b"))
-    universe
+    val result = universe
       .join(diag.unionByName(cross), Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"),
         coalesce(col("n_shared_texts"), lit(0L)).as("n_shared_texts"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
       .orderBy("src_a", "src_b")
+    finishWith(result, per)
   }
 
   /** q251 — NEAR-dup provenance: q236's cross-source duplication

@@ -1516,22 +1516,30 @@ object TextAnalysis {
     * gate scale). All exact integers. */
   def vocabGrowth(docs: DataFrame, bucketWidth: Long = 50L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = TextFns.tokens(docs)
+    // ONE tokenize pass: the persisted (doc, bucket, word, m) fold is
+    // strictly smaller than the token stream and serves all three
+    // aggregates (first-seen buckets, token counts, doc counts) — the
+    // q88/q209 persisted-multiplicity discipline
+    val tc = TextFns.tokens(docs)
       .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
-    val firstSeen = toks.groupBy("word").agg(min(col("bucket")).as("b"))
+      .groupBy("doc_id", "bucket", "word")
+      .agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstSeen = tc.groupBy("word").agg(min(col("bucket")).as("b"))
       .groupBy(col("b").as("bucket")).agg(count(lit(1)).as("new_words"))
-    val perBucket = toks.groupBy("bucket")
-      .agg(count(lit(1)).as("n_tokens"),
+    val perBucket = tc.groupBy("bucket")
+      .agg(sum(col("m")).as("n_tokens"),
         countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perBucket.join(firstSeen, Seq("bucket"), "left")
+    val result = perBucket.join(firstSeen, Seq("bucket"), "left")
       .withColumn("nw", coalesce(col("new_words"), lit(0L)))
       .select(col("bucket"),
         sum(col("n_docs")).over(w).as("docs_cum"),
         sum(col("n_tokens")).over(w).as("tokens_cum"),
         sum(col("nw")).over(w).as("vocab_cum"))
       .orderBy("bucket")
+    Dedup.finishWith(result, tc)
   }
 
   /** q252 — VOCABULARY overlap between sources: Jaccard of the
@@ -1550,8 +1558,12 @@ object TextAnalysis {
     * jaccard_micros = common·1e6 div (n_a + n_b − common), exact
     * integers. Zero-filled over the unordered pair universe. */
   def vocabOverlap(docs: DataFrame): DataFrame = {
+    // three consumers (sizes + both self-join sides) read the distinct
+    // (source, word) relation: persist it once (the q88 discipline) so
+    // the tokenize pass runs once, not three times
     val sw = TextFns.tokens(docs, Seq("source"))
       .select("source", "word").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sw.groupBy("source").agg(count(lit(1)).as("nv"))
     val observed = sw.as("a")
       .join(sw.as("b"), col("a.word") === col("b.word") &&
@@ -1561,12 +1573,13 @@ object TextAnalysis {
     val universe = sizes.select(col("source").as("src_a"), col("nv").as("n_a"))
       .join(sizes.select(col("source").as("src_b"), col("nv").as("n_b")),
         col("src_a") < col("src_b"))
-    universe.join(observed, Seq("src_a", "src_b"), "left")
+    val result = universe.join(observed, Seq("src_a", "src_b"), "left")
       .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
       .withColumn("jaccard_micros",
         expr("n_common * 1000000 div (n_a + n_b - n_common)"))
       .select("src_a", "src_b", "n_a", "n_b", "n_common", "jaccard_micros")
       .orderBy("src_a", "src_b")
+    Dedup.finishWith(result, sw)
   }
 
   /** q250 — length INEQUALITY per source (Gini coefficient): how
