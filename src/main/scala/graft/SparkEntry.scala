@@ -3731,18 +3731,26 @@ object SparkEntry {
          |       CAST(n_pred_pos * 1000000 // n_docs AS BIGINT) AS pred_rate_micros,
          |       CAST(n_actual_pos * 1000000 // n_docs AS BIGINT) AS actual_rate_micros
          |FROM b ORDER BY bkt""".stripMargin,
-    // basket pairs replayed: within-order self-join (a < b), support
-    // counts, two-way confidence and lift in integer micros
+    // basket pairs replayed: rarest-first per-basket cap at 64 (a
+    // no-op on this schema's <=7-line baskets, mirrored so the
+    // contract covers the prune), within-order self-join (a < b),
+    // support counts, two-way confidence and lift in integer micros
     "q227_basket_pairs" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
-        |               FROM lineitem),
+      """WITH raw AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+        |             FROM lineitem),
+        |sup AS (SELECT part, CAST(count(*) AS BIGINT) AS sup FROM raw GROUP BY 1),
+        |items AS (SELECT ok, part FROM (
+        |            SELECT r.ok, r.part,
+        |                   row_number() OVER (PARTITION BY r.ok
+        |                     ORDER BY s.sup, r.part) AS rk
+        |            FROM raw r JOIN sup s USING (part))
+        |          WHERE rk <= 64),
         |pairs AS (SELECT x.part AS part_a, y.part AS part_b,
         |                 CAST(count(*) AS BIGINT) AS sup_ab
         |          FROM items x JOIN items y
         |            ON x.ok = y.ok AND x.part < y.part
         |          GROUP BY 1, 2 HAVING count(*) >= 3),
-        |sup AS (SELECT part, CAST(count(*) AS BIGINT) AS sup FROM items GROUP BY 1),
-        |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM items)
+        |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM raw)
         |SELECT part_a, part_b, sup_ab, sa.sup AS sup_a, sb.sup AS sup_b,
         |       sup_ab * 1000000 // sa.sup AS conf_ab_micros,
         |       sup_ab * 1000000 // sb.sup AS conf_ba_micros,
@@ -4229,7 +4237,9 @@ object SparkEntry {
          |FROM u LEFT JOIN obs ON u.src_a = obs.src_a AND u.src_b = obs.src_b
          |ORDER BY u.src_a, u.src_b""".stripMargin,
     // distinct (source, word) sets -> word-keyed pair counts ->
-    // exact Jaccard micros, zero-filled pair universe
+    // exact Jaccard micros, zero-filled pair universe built from ALL
+    // sources in documents (all-empty sources ride with nv = 0, the
+    // q236/q251 total-universe contract; empty-empty pairs read 0)
     "q252_vocab_overlap" ->
       """WITH sw AS (
         |  SELECT DISTINCT source,
@@ -4237,7 +4247,10 @@ object SparkEntry {
         |  FROM (SELECT source, unnest(string_split_regex(text, '\s+')) AS w
         |        FROM documents)
         |  WHERE lower(regexp_replace(w, '[^A-Za-z]', '', 'g')) <> ''),
-        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM sw GROUP BY 1),
+        |sz AS (SELECT d.source, CAST(coalesce(c.nv, 0) AS BIGINT) AS nv
+        |       FROM (SELECT DISTINCT source FROM documents) d
+        |       LEFT JOIN (SELECT source, count(*) AS nv FROM sw GROUP BY 1) c
+        |       USING (source)),
         |obs AS (SELECT a.source AS src_a, b.source AS src_b,
         |               CAST(count(*) AS BIGINT) AS n_common
         |        FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
@@ -4246,8 +4259,10 @@ object SparkEntry {
         |      FROM sz a JOIN sz b ON a.source < b.source)
         |SELECT src_a, src_b, n_a, n_b,
         |       CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
-        |       CAST(coalesce(n_common, 0) * 1000000
-        |            // (n_a + n_b - coalesce(n_common, 0)) AS BIGINT) AS jaccard_micros
+        |       CAST(CASE WHEN n_a + n_b - coalesce(n_common, 0) = 0 THEN 0
+        |            ELSE coalesce(n_common, 0) * 1000000
+        |                 // (n_a + n_b - coalesce(n_common, 0)) END AS BIGINT)
+        |         AS jaccard_micros
         |FROM u LEFT JOIN obs USING (src_a, src_b)
         |ORDER BY src_a, src_b""".stripMargin,
     // q243's anchor chain -> second-binned latency histogram -> the
@@ -4288,9 +4303,11 @@ object SparkEntry {
         |       CAST(min(CASE WHEN cum * 100 >= n * 90 THEN bin END) AS BIGINT) AS p90_s
         |FROM c GROUP BY n, tot_us""".stripMargin,
     // epoch-day mod 7 (dow 0 = Thursday, documented), exact chi2
-    // rescale (7*o - n)^2 / (7*n) in micros
+    // rescale (7*o - n)^2 / (7*n) in micros; week-pmod-first so the
+    // spelling is total over signed epochs (mirrors the Spark side)
     "q254_weekday_audit" ->
-      """WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 % 7 AS dow
+      """WITH d AS (SELECT ((epoch_us(o_orderdate) % 604800000000 + 604800000000)
+        |                   % 604800000000) // 86400000000 AS dow
         |           FROM orders),
         |g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_orders FROM d GROUP BY 1),
         |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n FROM g)

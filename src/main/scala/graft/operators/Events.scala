@@ -726,6 +726,16 @@ object Events {
     s"CASE WHEN ($b) = 0 THEN 0 " +
       s"ELSE (($a) - ((($a) % ($b)) + ($b)) % ($b)) div ($b) END"
 
+  /** Epoch day as a FLOOR division of epoch micros — the fdiv spelling
+    * applied to the day grain, because the DuckDB oracles compute day
+    * with `//` (floor) while Spark's `div` truncates toward zero: the
+    * two agree only for nonnegative timestamps. This corpus is
+    * post-1970, but the operator contract shouldn't be — a pre-1970
+    * timestamp must land on the same day on both engines (the fdiv /
+    * q214 bucket lesson applied to time). */
+  private def floorDayExpr(micros: String): String =
+    fdiv(micros, "86400000000")
+
   /** q215 — per-type OLS TREND, integer-exact: the drift detector a
     * metrics pipeline runs over event values (is this signal going up
     * or down, and how fast). Two-stage shape: (1) the corpus-sized
@@ -753,7 +763,7 @@ object Events {
   private def olsDailyState(events: DataFrame): DataFrame =
     events
       .withColumn("eus", tsMicros(events))
-      .withColumn("day", expr("eus div 86400000000"))
+      .withColumn("day", expr(floorDayExpr("eus")))
       .groupBy("event_type", "day")
       .agg(sum(floor(col("value") * 1e6).cast("long")).as("sum_q"),
         count(lit(1)).as("n_ev"))
@@ -827,7 +837,7 @@ object Events {
     import org.apache.spark.sql.expressions.Window
     val days = events
       .withColumn("eus", tsMicros(events))
-      .select(col("user_id"), expr("eus div 86400000000").as("day"))
+      .select(col("user_id"), expr(floorDayExpr("eus")).as("day"))
       .distinct()
     val w = Window.partitionBy("user_id").orderBy("day")
     days
@@ -886,24 +896,6 @@ object Events {
     graft.operators.Dedup.finishWith(result, binned)
   }
 
-  /** q232 — retry/replay collapse over the event log: an event is a
-    * DUP of its immediate predecessor when the previous event of the
-    * same (user, type) key arrived within `windowSec` — the
-    * impression/click/telemetry dedup every ingest runs before events
-    * feed counts (client retries and at-least-once delivery otherwise
-    * inflate every downstream metric). CHAIN semantics, stated
-    * deliberately: each event compares to its immediate predecessor,
-    * so a burst A-B-C with gaps ≤ window marks B and C both dup even
-    * if C−A exceeds the window — the collapse-consecutive-retries
-    * rule (the alternative, compare-to-last-KEPT, is inherently
-    * sequential state; this form is one window function).
-    *
-    * Shape: ONE shuffle on (user_id, event_type) for the lag window —
-    * user-keyed partitions, millions of tiny groups, no stratum-sized
-    * task anywhere — then the bounded per-type rollup.
-    * Ties (same µs timestamp) break by event_id, so the verdict is
-    * deterministic on any engine and partitioning; timestamps cross
-    * the oracle boundary at µs (the tsMicros contract). */
   /** q237 — session PATH MINING: the top-k most frequent 3-step
     * event-type paths taken INSIDE a gap session (q135's transition
     * matrix is first-order; real funnel analysis asks "what three
@@ -957,7 +949,7 @@ object Events {
   def decayScores(events: DataFrame): DataFrame = {
     val withDay = events
       .withColumn("eus", tsMicros(events))
-      .withColumn("day", expr("eus div 86400000000"))
+      .withColumn("day", expr(floorDayExpr("eus")))
       .withColumn("v_q", floor(col("value") * 1e6).cast("long"))
     val anchor = withDay.agg(max(col("day")).as("now_day"))
     withDay.crossJoin(broadcast(anchor))
@@ -987,37 +979,73 @@ object Events {
     * one-row funnel with exact-micros conversion rates. */
   def funnelConversion(events: DataFrame,
       gap: java.time.Duration = java.time.Duration.ofMinutes(240)): DataFrame = {
-    // four consumers (three step anchors + the session universe) read
-    // the session assignment: persist it ONCE (the q88 discipline —
-    // without this the user-window tower re-executes per consumer;
-    // PlanSweep measured 7 scans / 14 windows in the unpersisted form)
-    val sess = withSessionIds(events, gap)
-      .withColumn("eus", tsMicros(events))
-      .select("user_id", "sess_id", "event_type", "eus")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val s1 = sess.where(col("event_type") === "view")
-      .groupBy("user_id", "sess_id").agg(min(col("eus")).as("t1"))
-    val s2 = sess.where(col("event_type") === "click")
-      .join(s1, Seq("user_id", "sess_id"))
-      .where(col("eus") > col("t1"))
-      .groupBy("user_id", "sess_id").agg(min(col("eus")).as("t2"))
-    val s3 = sess.where(col("event_type") === "purchase")
-      .join(s2, Seq("user_id", "sess_id"))
-      .where(col("eus") > col("t2"))
-      .groupBy("user_id", "sess_id").agg(min(col("eus")).as("t3"))
-    val result = sess.select("user_id", "sess_id").distinct()
-      .join(s1.select(col("user_id"), col("sess_id"), lit(1L).as("h1")),
-        Seq("user_id", "sess_id"), "left")
-      .join(s2.select(col("user_id"), col("sess_id"), lit(1L).as("h2")),
-        Seq("user_id", "sess_id"), "left")
-      .join(s3.select(col("user_id"), col("sess_id"), lit(1L).as("h3")),
-        Seq("user_id", "sess_id"), "left")
+    val (anchors, handles) = funnelAnchors(events, gap)
+    val result = anchors
       .agg(count(lit(1)).as("n_sessions"),
-        sum(coalesce(col("h1"), lit(0L))).as("n_view"),
-        sum(coalesce(col("h2"), lit(0L))).as("n_view_click"),
-        sum(coalesce(col("h3"), lit(0L))).as("n_full"))
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_full"))
       .withColumn("conv_micros", expr("n_full * 1000000 div n_sessions"))
-    graft.operators.Dedup.finishWith(result, sess)
+    graft.operators.Dedup.finishWith(result, handles: _*)
+  }
+
+  /** Session memo for the q243/q253 anchor relation — both queries
+    * read the same user-window session assignment and the same
+    * three-step anchor chain, so a suite run must pay that pass ONCE
+    * per (corpus, gap), not once per consumer (the sketch-memo
+    * discipline). The memoized leaf is session-population-sized
+    * (five narrow columns), far under the memo budget. */
+  private val anchorMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Long), DataFrame]
+
+  /** Drop memoized funnel-anchor relations (multi-corpus drivers). */
+  def clearAnchorMemo(): Unit = anchorMemo.clear()
+
+  /** The chain shared by q243 (funnelConversion) and q253
+    * (conversionLatency): per gap-session, the min-anchored step
+    * timestamps — t1 = first view, t2 = first click strictly after
+    * t1, t3 = first purchase strictly after t2 — LEFT-joined onto the
+    * session universe so non-converting sessions survive with NULL
+    * anchors. Four consumers (three step anchors + the universe) read
+    * the session assignment: persist it ONCE (the q88 discipline —
+    * PlanSweep measured 7 scans / 14 windows in the unpersisted
+    * form). Returns the anchor relation plus any persist handles the
+    * caller must release via finishWith (lazy/plan-audit mode only;
+    * the eager path checkpoints the memo leaf and releases its own). */
+  private def funnelAnchors(events: DataFrame,
+      gap: java.time.Duration): (DataFrame, Seq[DataFrame]) = {
+    def build(): (DataFrame, DataFrame) = {
+      val sess = withSessionIds(events, gap)
+        .withColumn("eus", tsMicros(events))
+        .select("user_id", "sess_id", "event_type", "eus")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s1 = sess.where(col("event_type") === "view")
+        .groupBy("user_id", "sess_id").agg(min(col("eus")).as("t1"))
+      val s2 = sess.where(col("event_type") === "click")
+        .join(s1, Seq("user_id", "sess_id"))
+        .where(col("eus") > col("t1"))
+        .groupBy("user_id", "sess_id").agg(min(col("eus")).as("t2"))
+      val s3 = sess.where(col("event_type") === "purchase")
+        .join(s2, Seq("user_id", "sess_id"))
+        .where(col("eus") > col("t2"))
+        .groupBy("user_id", "sess_id").agg(min(col("eus")).as("t3"))
+      val anchors = sess.select("user_id", "sess_id").distinct()
+        .join(s1, Seq("user_id", "sess_id"), "left")
+        .join(s2, Seq("user_id", "sess_id"), "left")
+        .join(s3, Seq("user_id", "sess_id"), "left")
+      (anchors, sess)
+    }
+    var handles: Seq[DataFrame] = Seq.empty
+    val anchors = graft.operators.Dedup.corpusMemo(
+      anchorMemo, events, gap.toMillis)({
+      val (a, sess) = build()
+      try a.localCheckpoint(true) finally sess.unpersist()
+    })({
+      val (a, sess) = build()
+      handles = Seq(sess)
+      a
+    })
+    (anchors, handles)
   }
 
   /** q248 — per-user BEHAVIORAL entropy: Shannon entropy of each
@@ -1107,21 +1135,9 @@ object Events {
   def conversionLatency(events: DataFrame,
       gap: java.time.Duration = java.time.Duration.ofMinutes(240)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sess = withSessionIds(events, gap)
-      .withColumn("eus", tsMicros(events))
-      .select("user_id", "sess_id", "event_type", "eus")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val s1 = sess.where(col("event_type") === "view")
-      .groupBy("user_id", "sess_id").agg(min(col("eus")).as("t1"))
-    val s2 = sess.where(col("event_type") === "click")
-      .join(s1, Seq("user_id", "sess_id"))
-      .where(col("eus") > col("t1"))
-      .groupBy("user_id", "sess_id", "t1").agg(min(col("eus")).as("t2"))
-    val s3 = sess.where(col("event_type") === "purchase")
-      .join(s2, Seq("user_id", "sess_id"))
-      .where(col("eus") > col("t2"))
-      .groupBy("user_id", "sess_id", "t1").agg(min(col("eus")).as("t3"))
-    val lat = s3.select((col("t3") - col("t1")).as("lat_us"))
+    val (anchors, handles) = funnelAnchors(events, gap)
+    val lat = anchors.where(col("t3").isNotNull)
+      .select((col("t3") - col("t1")).as("lat_us"))
       .withColumn("bin", expr("lat_us div 1000000"))
     val hist = lat.groupBy("bin").agg(count(lit(1)).as("cnt"),
       sum(col("lat_us")).as("sum_us"))
@@ -1138,9 +1154,27 @@ object Events {
       .agg(pick(50), pick(90))
       .select(col("n").as("n_conversions"),
         expr("tot_us div n").as("mean_us"), col("p50_s"), col("p90_s"))
-    graft.operators.Dedup.finishWith(result, sess)
+    graft.operators.Dedup.finishWith(result, handles: _*)
   }
 
+  /** q232 — retry/replay collapse over the event log: an event is a
+    * DUP of its immediate predecessor when the previous event of the
+    * same (user, type) key arrived within `windowSec` — the
+    * impression/click/telemetry dedup every ingest runs before events
+    * feed counts (client retries and at-least-once delivery otherwise
+    * inflate every downstream metric). CHAIN semantics, stated
+    * deliberately: each event compares to its immediate predecessor,
+    * so a burst A-B-C with gaps ≤ window marks B and C both dup even
+    * if C−A exceeds the window — the collapse-consecutive-retries
+    * rule (the alternative, compare-to-last-KEPT, is inherently
+    * sequential state; this form is one window function).
+    *
+    * Shape: ONE shuffle on (user_id, event_type) for the lag window —
+    * user-keyed partitions, millions of tiny groups, no stratum-sized
+    * task anywhere — then the bounded per-type rollup.
+    * Ties (same µs timestamp) break by event_id, so the verdict is
+    * deterministic on any engine and partitioning; timestamps cross
+    * the oracle boundary at µs (the tsMicros contract). */
   def eventDedup(events: DataFrame, windowSec: Long = 60L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id", "event_type")

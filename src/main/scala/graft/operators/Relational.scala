@@ -1725,32 +1725,56 @@ object Relational {
     * lift), the frequent-itemset primitive the suite lacked: baskets
     * are orders, items the DISTINCT parts in each order, candidate
     * pairs generated WITHIN each basket only (a < b), so the pair
-    * fan-out is quadratic in BASKET SIZE (≤ 7 lines in this schema —
-    * bounded by the order, never the catalog; a retail-scale basket
-    * would cap or prefix-prune per order, the q123 discipline) and
-    * rides ONE orderkey-partitioned self-join. Pair support counts,
-    * per-part supports joined back twice (Catalyst broadcasts the
-    * part-support relation while it fits, degrades to shuffle when a
-    * 100 TB catalog doesn't), confidence both directions and lift in
-    * exact integer micros (`div` ≡ `//` on these non-negative
-    * operands; lift's numerator sup_ab·N·1e6 overflows BIGINT past
-    * ~9e18 — ~1e6 baskets at 1e6-support pairs — beyond which the
-    * one-column division moves to DECIMAL(38,0), the q214 headroom
-    * convention). minSupport bounds the output to genuinely frequent
-    * pairs. */
-  def basketPairs(lineitem: DataFrame, minSupport: Long = 3L): DataFrame = {
-    val items = lineitem.select(col("l_orderkey").as("ok"),
+    * fan-out is quadratic in BASKET SIZE — and basket size is CAPPED
+    * at `maxBasket` by a rarest-first prefix prune (the q123
+    * discipline): items rank within their basket by global support
+    * ascending (ties by part id, fully deterministic), and only the
+    * `maxBasket` rarest survive to the pair stage. This schema's
+    * baskets top out at 7 lines, so the default cap of 64 is
+    * invisible here (capped ≡ uncapped, spec-pinned) — but one viral
+    * basket in real data is a hot-key bomb (a 10⁵-item basket alone
+    * is 5·10⁹ pairs), and the cap bounds every task at C(cap, 2)
+    * pairs per basket while keeping the rarest — most informative —
+    * items. Per-part supports and the basket count come from the
+    * UNCAPPED relation (support is a property of the catalog, not of
+    * the prune); only sup_ab is computed over the capped baskets, so
+    * past the cap the output is a documented truncation, never a
+    * skewed task. The pair stage rides ONE orderkey-partitioned
+    * self-join. Pair support counts, per-part supports joined back
+    * twice (Catalyst broadcasts the part-support relation while it
+    * fits, degrades to shuffle when a 100 TB catalog doesn't),
+    * confidence both directions and lift in exact integer micros
+    * (`div` ≡ `//` on these non-negative operands; lift's numerator
+    * sup_ab·N·1e6 overflows BIGINT past ~9e18 — ~1e6 baskets at
+    * 1e6-support pairs — beyond which the one-column division moves
+    * to DECIMAL(38,0), the q214 headroom convention). minSupport
+    * bounds the output to genuinely frequent pairs. */
+  def basketPairs(lineitem: DataFrame, minSupport: Long = 3L,
+      maxBasket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // five consumers (support, capping join, both self-join sides via
+    // items, basket count) read the distinct relation: persist once
+    val raw = lineitem.select(col("l_orderkey").as("ok"),
       col("l_partkey").as("part")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sup = raw.groupBy("part").agg(count(lit(1)).as("sup"))
+    // rarest-first deterministic cap: the one window is partitioned
+    // by basket (bounded by one order's items, never corpus-wide)
+    val wB = Window.partitionBy("ok").orderBy(col("sup"), col("part"))
+    val items = raw.join(sup, "part")
+      .withColumn("rk", row_number().over(wB))
+      .where(col("rk") <= maxBasket)
+      .select("ok", "part")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = items.as("x").join(items.as("y"), Seq("ok"))
       .where(col("x.part") < col("y.part"))
       .select(col("x.part").as("part_a"), col("y.part").as("part_b"))
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("sup_ab"))
       .where(col("sup_ab") >= minSupport)
-    val sup = items.groupBy("part").agg(count(lit(1)).as("sup"))
-    val n = broadcast(items.select("ok").distinct()
+    val n = broadcast(raw.select("ok").distinct()
       .agg(count(lit(1)).as("n_baskets")))
-    pairs
+    val result = pairs
       .join(sup.withColumnRenamed("part", "part_a")
         .withColumnRenamed("sup", "sup_a"), "part_a")
       .join(sup.withColumnRenamed("part", "part_b")
@@ -1763,6 +1787,7 @@ object Relational {
         expr("sup_ab * n_baskets * 1000000 div (sup_a * sup_b)")
           .as("lift_micros"))
       .orderBy("part_a", "part_b")
+    Dedup.finishWith(result, raw, items)
   }
 
   /** q228 — RFM SEGMENTATION (recency / frequency / monetary), the
@@ -1822,6 +1847,40 @@ object Relational {
     Dedup.finishWith(result, per)
   }
 
+  /** q254 — weekday SEASONALITY audit: order volume by day-of-week
+    * with an exact χ² against uniformity — the "is this data's clock
+    * real?" probe beside q246's Benford digits (synthetic data is
+    * usually flat across weekdays; real commerce never is — and a
+    * flat profile in a supposedly organic feed is the same kind of
+    * tripwire as uniform first digits).
+    *
+    * All-integer: with o_d the day-d count and n the total, the χ²
+    * statistic Σ (o_d − n/7)²/(n/7) rescales to Σ (7·o_d − n)² /
+    * (7·n) — numerator and denominator exact BIGINTs, one floor
+    * division to micros at the end. Day-of-week comes from the epoch
+    * DAY NUMBER mod 7 (1970-01-01 was a Thursday; dow 0 = Thursday
+    * by this convention, documented) — a pure integer rule identical
+    * on both engines, no locale-dependent date function anywhere.
+    * The spelling is TOTAL over signed epochs: pmod by the week
+    * first, then divide — Spark's truncating `div` and `%` would
+    * disagree with the oracle's floor `//` for pre-1970 dates (the
+    * fdiv lesson), so the week-pmod keeps the numerator nonnegative
+    * where truncation ≡ floor, mirrored text-for-text in the oracle.
+    * One projection + a 7-row aggregation. */
+  def weekdayAudit(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("dow",
+        expr("pmod(unix_micros(CAST(o_orderdate AS TIMESTAMP)), 604800000000) div 86400000000"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("n", sum(col("n_orders")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("share_micros", expr("n_orders * 1000000 div n"))
+      .withColumn("chi2_term_q", expr(
+        "(7 * n_orders - n) * (7 * n_orders - n) * 1000000 div (7 * n)"))
+      .select("dow", "n_orders", "share_micros", "chi2_term_q")
+      .orderBy("dow")
+
   /** q246 — Benford first-digit audit: the distribution of the first
     * significant digit of order totals against Benford's law — the
     * classic fabricated-data tripwire (organic monetary amounts follow
@@ -1839,35 +1898,6 @@ object Relational {
     * constants computed with the same double ops both sides (the
     * shared quantized-ln convention). One row-local projection, one
     * 9-row aggregation — nothing else. */
-  /** q254 — weekday SEASONALITY audit: order volume by day-of-week
-    * with an exact χ² against uniformity — the "is this data's clock
-    * real?" probe beside q246's Benford digits (synthetic data is
-    * usually flat across weekdays; real commerce never is — and a
-    * flat profile in a supposedly organic feed is the same kind of
-    * tripwire as uniform first digits).
-    *
-    * All-integer: with o_d the day-d count and n the total, the χ²
-    * statistic Σ (o_d − n/7)²/(n/7) rescales to Σ (7·o_d − n)² /
-    * (7·n) — numerator and denominator exact BIGINTs, one floor
-    * division to micros at the end. Day-of-week comes from the epoch
-    * DAY NUMBER mod 7 (1970-01-01 was a Thursday; dow 0 = Thursday
-    * by this convention, documented) — a pure integer rule identical
-    * on both engines, no locale-dependent date function anywhere.
-    * One projection + a 7-row aggregation. */
-  def weekdayAudit(orders: DataFrame): DataFrame =
-    orders
-      .withColumn("dow",
-        expr("(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000) % 7"))
-      .groupBy("dow")
-      .agg(count(lit(1)).as("n_orders"))
-      .withColumn("n", sum(col("n_orders")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-      .withColumn("share_micros", expr("n_orders * 1000000 div n"))
-      .withColumn("chi2_term_q", expr(
-        "(7 * n_orders - n) * (7 * n_orders - n) * 1000000 div (7 * n)"))
-      .select("dow", "n_orders", "share_micros", "chi2_term_q")
-      .orderBy("dow")
-
   def benfordAudit(orders: DataFrame): DataFrame =
     orders
       .withColumn("cents",

@@ -1556,7 +1556,13 @@ object TextAnalysis {
     * |sources| (a word lives in at most s sides — config-bounded,
     * the q236 argument); set sizes join back broadcast;
     * jaccard_micros = common·1e6 div (n_a + n_b − common), exact
-    * integers. Zero-filled over the unordered pair universe. */
+    * integers. Zero-filled over the unordered pair universe — and the
+    * universe comes from ALL sources in `documents` (the q236/q251
+    * total-universe contract), not just sources with ≥1 token: a
+    * source whose docs all tokenize to empty shows up with nv = 0
+    * instead of silently vanishing from the matrix, and an
+    * empty–empty pair reads jaccard 0 (guarded division — ANSI mode
+    * would otherwise throw on the 0/0). */
   def vocabOverlap(docs: DataFrame): DataFrame = {
     // three consumers (sizes + both self-join sides) read the distinct
     // (source, word) relation: persist it once (the q88 discipline) so
@@ -1564,7 +1570,10 @@ object TextAnalysis {
     val sw = TextFns.tokens(docs, Seq("source"))
       .select("source", "word").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sw.groupBy("source").agg(count(lit(1)).as("nv"))
+    val sizes = docs.select("source").distinct()
+      .join(sw.groupBy("source").agg(count(lit(1)).as("nv")),
+        Seq("source"), "left")
+      .withColumn("nv", coalesce(col("nv"), lit(0L)))
     val observed = sw.as("a")
       .join(sw.as("b"), col("a.word") === col("b.word") &&
         col("a.source") < col("b.source"))
@@ -1575,8 +1584,9 @@ object TextAnalysis {
         col("src_a") < col("src_b"))
     val result = universe.join(observed, Seq("src_a", "src_b"), "left")
       .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
-      .withColumn("jaccard_micros",
-        expr("n_common * 1000000 div (n_a + n_b - n_common)"))
+      .withColumn("jaccard_micros", expr(
+        "CASE WHEN n_a + n_b - n_common = 0 THEN 0 " +
+          "ELSE n_common * 1000000 div (n_a + n_b - n_common) END"))
       .select("src_a", "src_b", "n_a", "n_b", "n_common", "jaccard_micros")
       .orderBy("src_a", "src_b")
     Dedup.finishWith(result, sw)

@@ -30,6 +30,7 @@ object ConfAB {
       graft.operators.TextAnalysis.clearPrintMemo()
       graft.operators.TextAnalysis.clearNbMemo()
       graft.operators.Similarity.clearPcaMemo()
+      graft.operators.Events.clearAnchorMemo()
       graft.operators.Similarity.clearNswScoredMemo()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(s, sf).count()

@@ -37,6 +37,7 @@ object ScaleProbe {
     graft.operators.TextAnalysis.clearPrintMemo()
     graft.operators.TextAnalysis.clearNbMemo()
     graft.operators.Similarity.clearPcaMemo()
+    graft.operators.Events.clearAnchorMemo()
   }
 
   /** 10 disjoint tagged replicas of `docs` (see scaladoc). */

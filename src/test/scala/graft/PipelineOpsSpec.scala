@@ -2156,6 +2156,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!sr.contains((20L, 21L)), "sub-support pair must be cut")
   }
 
+  test("q227 basket cap: no-op under the cap, bounds a planted giant basket") {
+    import spark.implicits._
+    // this schema's baskets top out at 7 lines, so the default cap
+    // (64) must be invisible: capped ≡ uncapped, row for row
+    val li = t("lineitem")
+    val capped = Relational.basketPairs(li).collect().toSeq
+    val uncapped = Relational.basketPairs(li, maxBasket = Int.MaxValue)
+      .collect().toSeq
+    assert(capped === uncapped, "cap must be a no-op on sub-cap baskets")
+    // planted viral basket: 200 one-off parts plus one COMMON part
+    // (500, support 6). cap=16 keeps the 16 rarest (supports tie at 1
+    // → part id breaks: parts 1..16) and prunes the common one first
+    val giant = (1L to 200L).map((9000L, _)) ++ Seq((9000L, 500L)) ++
+      (1L to 5L).map(b => (b, 500L))
+    val g = giant.toDF("l_orderkey", "l_partkey")
+    val rows = Relational.basketPairs(g, minSupport = 1L, maxBasket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 16 * 15 / 2, "pair fan-out must be C(cap, 2)")
+    assert(rows.forall { case (a, b) => a <= 16L && b <= 16L },
+      "rarest-first keeps the lowest-support items")
+    assert(!rows.exists { case (a, b) => a == 500L || b == 500L },
+      "the common item is pruned from the capped basket first")
+    // and without the cap the same basket explodes quadratically
+    val free = Relational.basketPairs(g, minSupport = 1L,
+      maxBasket = Int.MaxValue).count()
+    assert(free === 201L * 200L / 2L)
+  }
+
   test("q228 RFM ≡ brute-force recount; grid covers every customer") {
     val o = t("orders")
     val grid = Relational.rfmSegments(o).collect()
