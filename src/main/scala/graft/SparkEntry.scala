@@ -954,6 +954,18 @@ object SparkEntry {
     // no locale date fns) — the clock-realism audit beside q246
     "q254_weekday_audit" -> ((s, d) =>
       Relational.weekdayAudit(Tables(s, d, "orders"))),
+    // documents SERVED FROM a multi-file gzip JSONL copy — the
+    // compressed landing zone; gzip is unsplittable, so parallelism
+    // comes from the file boundary (spec pins >1 input task here and
+    // exactly one on the single-file trap layout); same content gate
+    // as q196/q208 — one oracle, five serving formats
+    "q255_gz_source" -> ((s, d) =>
+      TextAnalysis.docProfile(sources.Sidecar.gzJsonl(s, d, "documents"))),
+    // documents SERVED FROM a zstd parquet copy — the SPLITTABLE
+    // compressed path (parquet compresses per column chunk, so any
+    // codec splits at row-group grain); same content gate
+    "q256_zstd_source" -> ((s, d) =>
+      TextAnalysis.docProfile(sources.Sidecar.zstdParquet(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4316,6 +4328,11 @@ object SparkEntry {
         |       CAST((7 * n_orders - n) * (7 * n_orders - n) * 1000000
         |            // (7 * n) AS BIGINT) AS chi2_term_q
         |FROM g CROSS JOIN t ORDER BY dow""".stripMargin,
+    // multi-file gzip JSONL round trip — same content gate as
+    // q196/q208/q222, oracle reads the parquet original
+    "q255_gz_source" -> docProfileOracle,
+    // zstd-parquet round trip (the splittable compressed path)
+    "q256_zstd_source" -> docProfileOracle,
     // daily-mean micros per (type, day), centered day index from a
     // partitioned window, closed-form OLS with pmod floor-divisions
     // mirrored text-for-text (slopes go negative)

@@ -809,6 +809,26 @@ object Events {
     olsFit(merged)
   }
 
+  /** q218's fit state as a PORTABLE relation — the per-(type, day)
+    * value-micros sums, both columns plain sums, so any number of
+    * stored states and batch partials merge by addition (the
+    * nbStateDelta convention applied to regression). This is what a
+    * production pipeline persists between days. */
+  def olsStateDelta(events: DataFrame): DataFrame = olsDailyState(events)
+
+  /** The PRODUCTION path of q218's maintenance cycle: the stored fit
+    * state (the [[olsStateDelta]] shape, read back from storage)
+    * merged with the arriving batch's partials by the one additive
+    * rule, and the fit re-closed from the day-bounded state — ONLY
+    * the batch is scanned, no old event is touched. q218 is this
+    * path's oracle-convention twin (it rebuilds the stored side
+    * in-query so the DuckDB oracle can replay it); StoreBench prices
+    * the two side by side. */
+  def olsProductionCycle(storedState: DataFrame, batch: DataFrame): DataFrame =
+    olsFit(storedState.unionByName(olsDailyState(batch))
+      .groupBy("event_type", "day")
+      .agg(sum(col("sum_q")).as("sum_q"), sum(col("n_ev")).as("n_ev")))
+
   /** q17 — per-day, per-type temporal rollup. The day leaves as a
     * 'yyyy-MM-dd' string so both engines compare the same value. */
   def dateTruncAgg(events: DataFrame): DataFrame =

@@ -526,6 +526,39 @@ object TextAnalysis {
     Dedup.finishWith(state, tc)
   }
 
+  /** The PRODUCTION path of q223's maintenance cycle: the stored fit
+    * state (the [[nbStateDelta]] shape, read back from storage)
+    * merged with the arriving batch's partials by the ONE additive
+    * rule, the model re-closed from state alone, and ONLY the batch
+    * tokenized and scored — no old document is ever touched. Labeling
+    * is row-local (a doc's own stop-ratio), so batch-only labeling ≡
+    * full-corpus labeling by construction, and the scorer is the one
+    * shared [[nbScoreAll]] definition — a batch doc's score here is
+    * bit-identical to its row in the full q209 run (spec-pinned).
+    * q223 is this path's oracle-convention twin (it rebuilds the
+    * stored side in-query so the DuckDB oracle can replay it);
+    * StoreBench prices the two side by side. */
+  def nbProductionCycle(storedState: DataFrame, batch: DataFrame): DataFrame = {
+    val (tc, labels) = nbBase(batch)
+    val batchState = nbCountState(tc, labels, lit(true))
+      .select(lit("w").as("kind"), col("word"), col("c_pos"), col("c_neg"))
+      .unionByName(nbPriorState(labels, lit(true))
+        .select(lit("prior").as("kind"),
+          lit(null).cast("string").as("word"),
+          col("n_pos").as("c_pos"), col("n_neg").as("c_neg")))
+    val merged = storedState.unionByName(batchState)
+      .groupBy("kind", "word")
+      .agg(sum(col("c_pos")).as("c_pos"), sum(col("c_neg")).as("c_neg"))
+    val ct = merged.where(col("kind") === "w")
+      .select("word", "c_pos", "c_neg")
+    val pri = merged.where(col("kind") === "prior")
+      .select(col("c_pos").as("n_pos"), col("c_neg").as("n_neg"))
+    val (consts, model) = nbFromState(ct, pri)
+    nbScoreAll(tc, labels, consts, model, r => Dedup.finishWith(r, tc))
+      .select("doc_id", "n_tok", "score_q", "pred")
+      .orderBy("doc_id")
+  }
+
   /** q223 — INCREMENTAL maintenance of the trained classifier: merge ≡
     * rebuild extended to the newest trained-model family. The NB fit
     * state is (word, c_pos, c_neg) token counts plus the (n_pos,

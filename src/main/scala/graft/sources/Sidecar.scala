@@ -82,6 +82,8 @@ object Sidecar {
         fmt match {
           case "csv" => w.option("header", "true").csv(staging)
           case "json" => w.json(staging)
+          case "gzjson" => w.option("compression", "gzip").json(staging)
+          case "zstdpq" => w.option("compression", "zstd").parquet(staging)
           case "xml" => w.option("rowTag", "row").xml(staging)
           case "orc" => w.orc(staging)
           case "avro" => w.format("org.apache.spark.sql.avro.AvroFileFormat").save(staging)
@@ -122,6 +124,48 @@ object Sidecar {
     materialize(pq, "json", out)
     val Left(r) = timestamped(Left(spark.read.schema(pq.schema)))
     r.json(out)
+  }
+
+  /** `name` served from a MULTI-FILE gzip JSONL copy — the compressed
+    * landing zone real corpora actually arrive as (`.jsonl.gz` dumps,
+    * WARC-adjacent text). The scale trap this surface exists to pin:
+    * GZIP IS NOT SPLITTABLE — a gzip member is one undivided
+    * DEFLATE stream, so one `.gz` file is one input task no matter
+    * how many executors wait, and a single 100 GB dump serializes the
+    * whole scan behind one core. The layout that restores parallelism
+    * is the FILE boundary: the copy is written as `parts` files
+    * (repartition before write), each a complete gzip member, and the
+    * scan schedules one task per file (CompressedSourceSpec pins >1
+    * input task on this layout AND exactly-one on the single-file
+    * trap layout). At 100 TB the same rule reads "land compressed
+    * text in ≤128 MB files"; row-level fidelity rides the same
+    * explicit-schema + µs-timestamp discipline as the plain JSONL
+    * surface. */
+  def gzJsonl(spark: SparkSession, sfDir: String, name: String,
+      parts: Int = 8): DataFrame = {
+    val pq = Tables(spark, sfDir, name)
+    val out = path(s"gzjson$parts", sfDir, name)
+    materialize(pq.repartition(parts), "gzjson", out)
+    val Left(r) = timestamped(Left(spark.read.schema(pq.schema)))
+    r.json(out)
+  }
+
+  /** `name` served from a ZSTD-compressed parquet copy — the
+    * SPLITTABLE compressed path beside [[gzJsonl]]'s file-bounded one:
+    * parquet compresses per COLUMN CHUNK inside row groups, so the
+    * codec never constrains split points — readers split at row-group
+    * grain whatever the compression, and one huge file still fans out
+    * across executors. This is why "zstd in parquet" is the landing
+    * format a pipeline converges on after the first single-file-gz
+    * incident: compression ratio without the one-task trap. The gate
+    * covers the codec round trip (zstd frames under parquet pages)
+    * through the same content-signature oracle as the other serving
+    * formats. */
+  def zstdParquet(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val pq = Tables(spark, sfDir, name)
+    val out = path("zstdpq", sfDir, name)
+    materialize(pq, "zstdpq", out)
+    spark.read.schema(pq.schema).parquet(out)
   }
 
   /** `name` served from an XML copy (Spark 4's NATIVE xml source —

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+import graft.sources.{Sidecar, Tables}
+
+/** Compressed ingestion (q255/q256): content fidelity through the
+  * codec round trips, plus the SCALE property the surface exists to
+  * pin — gzip is unsplittable (one .gz file = one input task), so
+  * parallelism must come from the file boundary, while parquet stays
+  * splittable under any codec because compression happens per column
+  * chunk inside row groups.
+  *
+  * The split assertions run under a tiny
+  * `spark.sql.files.maxPartitionBytes` — at the default 128 MB this
+  * corpus packs into one partition whatever the layout, and the
+  * trap/restore pair would be vacuous both ways. */
+class CompressedSourceSpec extends SparkSpec {
+  private val dir = testdataDir
+
+  private def profile(df: DataFrame): List[String] =
+    TextAnalysis.docProfile(df).collect().map(_.toString).toList
+
+  /** Run `body` with file-split planning forced fine-grained. */
+  private def smallSplits[A](body: => A): A = {
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try body finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
+
+  test("gz jsonl sidecar: content ≡ parquet; files are genuine gzip members") {
+    val viaGz = profile(Sidecar.gzJsonl(spark, dir, "documents"))
+    val viaPq = profile(Tables(spark, dir, "documents"))
+    assert(viaGz === viaPq)
+    assert(viaGz.nonEmpty)
+    // the copy is REALLY gzip (magic bytes), not a renamed plain file
+    val files = Sidecar.gzJsonl(spark, dir, "documents")
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.forall(_.endsWith(".gz")))
+    val first = java.nio.file.Paths.get(new java.net.URI(files.head))
+    val magic = java.nio.file.Files.newInputStream(first)
+    try {
+      assert(magic.read() === 0x1f && magic.read() === 0x8b,
+        "file lacks the gzip magic — the codec option silently no-opped")
+    } finally magic.close()
+  }
+
+  test("zstd parquet sidecar: content ≡ parquet; codec recorded as ZSTD") {
+    val served = Sidecar.zstdParquet(spark, dir, "documents")
+    assert(profile(served) === profile(Tables(spark, dir, "documents")))
+    // the footer must actually record zstd column chunks
+    val file = served.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).head
+    val meta = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        spark.sparkContext.hadoopConfiguration)).getFooter
+    val codecs = meta.getBlocks.get(0).getColumns.asInstanceOf[
+      java.util.List[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]]
+    assert((0 until codecs.size()).forall(
+      i => codecs.get(i).getCodec.toString == "ZSTD"))
+  }
+
+  test("gzip split behavior: multi-file layout fans out, single-file is ONE task") {
+    smallSplits {
+      // the q255 layout: 8 gzip members → 8 schedulable tasks even
+      // though no single member can split
+      val multi = Sidecar.gzJsonl(spark, dir, "documents")
+      val nFiles = multi.select(input_file_name()).distinct().count()
+      assert(nFiles > 1, "sidecar did not produce a multi-file layout")
+      val nTasks = multi.queryExecution.toRdd.getNumPartitions
+      assert(nTasks > 1,
+        s"multi-file gz layout planned $nTasks task(s) — parallelism lost")
+      // the TRAP, measured: one gz file far above maxPartitionBytes
+      // still plans exactly one task — a 100 GB dump would serialize
+      // the whole scan behind one core
+      val docs = Tables(spark, dir, "documents")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_gz_one").toString + "/one"
+      docs.coalesce(1).write.option("compression", "gzip").json(out)
+      val one = spark.read.schema(docs.schema).json(out)
+      val oneBytes = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".gz")).map(_.length()).sum
+      assert(oneBytes > 4096, "trap file under maxPartitionBytes — vacuous")
+      assert(one.queryExecution.toRdd.getNumPartitions === 1,
+        "a single gzip member must plan exactly one input task")
+      assert(profile(one) === profile(docs))
+    }
+  }
+
+  test("zstd parquet splits at planning grain — the codec never pins the task count") {
+    smallSplits {
+      val served = Sidecar.zstdParquet(spark, dir, "documents")
+      val nTasks = served.queryExecution.toRdd.getNumPartitions
+      assert(nTasks > 1,
+        s"zstd parquet planned $nTasks task(s) under 4 KB splits — " +
+          "the codec is constraining split points")
+    }
+  }
+}

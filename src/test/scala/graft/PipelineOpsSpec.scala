@@ -1810,6 +1810,40 @@ class PipelineOpsSpec extends SparkSpec {
       "no (type, day) straddles the cap — the merge-by-addition is untested")
   }
 
+  test("production cycles: stored state read from parquet, batch-only scan, ≡ full fits") {
+    // the StoreBench-priced paths (q218/q223's production twins): the
+    // stored side comes back from a committed parquet state, only the
+    // batch is scanned/tokenized, and the result is bit-identical to
+    // the from-scratch full-corpus fit
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    // q218: olsProductionCycle(state(old), batch) ≡ olsTrend(full)
+    val ev = t("events")
+    val eCap = (ev.agg(max(col("event_id"))).head().getLong(0) + 1) * 9 / 10
+    Events.olsStateDelta(ev.where(col("event_id") < eCap))
+      .write.mode("overwrite").parquet(s"$dir/ols")
+    val olsProd = Events.olsProductionCycle(
+      spark.read.parquet(s"$dir/ols"), ev.where(col("event_id") >= eCap))
+      .collect().map(_.toString).toList
+    assert(olsProd === Events.olsTrend(ev).collect().map(_.toString).toList)
+    assert(olsProd.nonEmpty)
+    // q223: nbProductionCycle scores the BATCH bit-identically to the
+    // full q209 run's rows for the same docs (one shared scorer, one
+    // merged state — so equality here is state ≡ rebuild again)
+    val docs = t("documents")
+    val dCap = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1) * 9 / 10
+    TextAnalysis.nbStateDelta(docs.where(col("doc_id") < dCap))
+      .write.mode("overwrite").parquet(s"$dir/nb")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toList
+    val nbProd = canon(TextAnalysis.nbProductionCycle(
+      spark.read.parquet(s"$dir/nb"), docs.where(col("doc_id") >= dCap)))
+    val nbFull = canon(TextAnalysis.nbClassifier(docs)
+      .where(col("doc_id") >= dCap))
+    assert(nbProd === nbFull)
+    assert(nbProd.nonEmpty)
+  }
+
   test("q210 centroid classifier: learns separable classes, structural pins on the corpus") {
     import spark.implicits._
     // LEARNING pin on a synthetic separable frame (the q59 convention:
