@@ -546,9 +546,16 @@ object TextAnalysis {
         .select(lit("prior").as("kind"),
           lit(null).cast("string").as("word"),
           col("n_pos").as("c_pos"), col("n_neg").as("c_neg")))
-    val merged = storedState.unionByName(batchState)
+    // the merged state is read by FOUR consumers (totals, model,
+    // prior, and the scorer's model join) — checkpoint the one
+    // vocabulary-bounded fold so each consumer reads the leaf instead
+    // of re-running the stored-parquet + batch-partial union (eager
+    // mode only; the audit path keeps the lazy plan)
+    val merged0 = storedState.unionByName(batchState)
       .groupBy("kind", "word")
       .agg(sum(col("c_pos")).as("c_pos"), sum(col("c_neg")).as("c_neg"))
+    val merged = if (Dedup.eagerMaterialize(batch))
+      merged0.localCheckpoint(true) else merged0
     val ct = merged.where(col("kind") === "w")
       .select("word", "c_pos", "c_neg")
     val pri = merged.where(col("kind") === "prior")

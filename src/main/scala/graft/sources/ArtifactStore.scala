@@ -36,10 +36,14 @@ import org.apache.spark.sql.DataFrame
   * not a single-partition leaf (callers additionally checkpointWide
   * where width must survive AQE).
   *
-  * Concurrency: two drivers building the SAME key race on the
-  * overwrite — run concurrent pipelines with distinct artifact dirs
-  * (the single-writer contract of every artifact store); readers of a
-  * COMPLETED artifact ( _SUCCESS present) are always safe. */
+  * Concurrency: same-JVM first callers serialize on the in-process
+  * build lock; two DRIVERS racing on the same key serialize on the
+  * cross-process commit lease ([[StoreLock]], wait-and-serve mode):
+  * the loser polls until the winner releases, re-checks for the
+  * completed artifact, and SERVES it instead of double-building — so
+  * concurrent pipelines over one artifact dir build each key once.
+  * Readers of a COMPLETED artifact (_SUCCESS present) never touch the
+  * lease. */
 object ArtifactStore {
 
   /** Observability counters (spec-asserted): artifact reads served /
@@ -108,6 +112,19 @@ object ArtifactStore {
     * return the read-back (a parquet leaf — lineage to the corpus is
     * gone either way). Identity pass-through when the store is
     * disabled. */
+  /** Cross-process build lease beside the artifact dir (wait-and-
+    * serve): acquired only on the build path — completed artifacts are
+    * served without touching it. The post-acquire existence RE-CHECK
+    * is the point: a loser that waited out another driver's build
+    * finds the winner's _SUCCESS and serves it (one build per key
+    * across processes, not per process). */
+  private def crossLocked[A](keyDf: DataFrame, dir: String)(body: => A): A = {
+    val lock = new Path(dir + ".lock")
+    val fs = lock.getFileSystem(keyDf.sparkSession.sessionState.newHadoopConf())
+    StoreLock.withLease(fs, lock,
+      StoreLock.leaseMs(keyDf.sparkSession), wait = true)(body)
+  }
+
   def loadOrBuild(name: String, keyDf: DataFrame, params: String)(
       build: => DataFrame): DataFrame =
     root(keyDf) match {
@@ -118,9 +135,14 @@ object ArtifactStore {
           if (exists(keyDf, dir)) {
             hits.incrementAndGet()
             keyDf.sparkSession.read.parquet(dir)
-          } else {
-            misses.incrementAndGet()
-            writeRead(build, dir)
+          } else crossLocked(keyDf, dir) {
+            if (exists(keyDf, dir)) {
+              hits.incrementAndGet()
+              keyDf.sparkSession.read.parquet(dir)
+            } else {
+              misses.incrementAndGet()
+              writeRead(build, dir)
+            }
           }
         }
     }

@@ -87,12 +87,21 @@ object GraphStore {
       graph.select("src", "dst", "cos6").localCheckpoint(true),
       newCap, nBuckets)
 
+  /** The three-table publish runs under the store's exclusive commit
+    * lease ([[StoreLock.withStoreLease]], fail-clean): two
+    * simultaneous committers would otherwise interleave base / graph /
+    * watermark writes across jobs — a graph from batch A over a base
+    * from batch B, under whichever watermark landed last. The loser
+    * throws before any write starts (its update was a pure read), so
+    * its artifact never becomes visible; both inputs are frozen
+    * BEFORE the lease so no materialize cost is spent under it. */
   private def commitFrozen(spark: SparkSession, name: String,
-      base: DataFrame, graph: DataFrame, cap: Long, nBuckets: Int): Unit = {
-    writeEdges(base, name + "_base", nBuckets)
-    writeEdges(graph, name, nBuckets)
-    // watermark LAST — the commit point (see scaladoc ordering note)
-    import spark.implicits._
-    Seq(cap).toDF("cap").write.mode("overwrite").saveAsTable(name + "_meta")
-  }
+      base: DataFrame, graph: DataFrame, cap: Long, nBuckets: Int): Unit =
+    StoreLock.withStoreLease(spark, name) {
+      writeEdges(base, name + "_base", nBuckets)
+      writeEdges(graph, name, nBuckets)
+      // watermark LAST — the commit point (see scaladoc ordering note)
+      import spark.implicits._
+      Seq(cap).toDF("cap").write.mode("overwrite").saveAsTable(name + "_meta")
+    }
 }

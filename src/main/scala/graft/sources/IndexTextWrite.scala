@@ -93,10 +93,27 @@ private[graft] class IndexTextBatchWrite(path: String, queryId: String,
     * into the destination letter directory. Single driver-side pass —
     * renames, not copies (same filesystem); partial-failure window is
     * the rename loop, which is the same exposure every Hadoop-style
-    * committer v1 accepts. */
+    * committer v1 accepts.
+    *
+    * The WHOLE publish runs under the table's exclusive commit lease
+    * (`_GRAFT_LOCK`, [[StoreLock]]): two simultaneous writers would
+    * otherwise interleave truncate/rename sequences into a mixed
+    * artifact from two jobs. The loser throws BEFORE touching the
+    * destination; Spark then runs [[abort]], which deletes only the
+    * loser's staging tree — its artifact never becomes visible. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val base = new Path(path)
     val fs = base.getFileSystem(hadoopConf.value)
+    val leaseMs = hadoopConf.value
+      .getLong("graft.commit.lease.ms", StoreLock.DefaultLeaseMs)
+    StoreLock.withLease(fs, new Path(base, "_GRAFT_LOCK"), leaseMs,
+      wait = false) {
+      commitLocked(fs, base, messages)
+    }
+  }
+
+  private def commitLocked(fs: org.apache.hadoop.fs.FileSystem,
+      base: Path, messages: Array[WriterCommitMessage]): Unit = {
     // sortedness of the artifact AFTER this commit: all new files
     // sorted AND (we replace everything | nothing was there | what was
     // there was already marked sorted)

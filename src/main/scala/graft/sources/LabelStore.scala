@@ -83,11 +83,23 @@ object LabelStore {
     * min folds throughout — is insensitive to duplicated edges). The
     * reverse order would instead leave labeled docs INVISIBLE to
     * tomorrow's probe: near-dups of the crashed batch would be kept
-    * wrongly, silently and permanently. */
+    * wrongly, silently and permanently.
+    *
+    * Concurrency: the whole two-table publish runs under the store's
+    * exclusive commit lease ([[StoreLock.withStoreLease]], fail-clean)
+    * — two simultaneous committers would otherwise interleave batch
+    * A's sketches with batch B's labels, a corruption neither retry
+    * heals. The loser throws before any write starts; its update
+    * relation was a pure read, so nothing of it becomes visible —
+    * re-running the day's ingest after the winner is the same
+    * recovery rule as a crash. (`updated` is frozen BEFORE the lease
+    * so the materialize cost is not spent under it.) */
   def commit(spark: SparkSession, name: String, sketchName: String,
       newDocs: DataFrame, updated: DataFrame, nBuckets: Int = 8): Unit = {
     val frozen = updated.select("doc_id", "cluster_id").localCheckpoint(true)
-    SketchStore.append(newDocs, sketchName, nBuckets)
-    save(frozen, name, nBuckets)
+    StoreLock.withStoreLease(spark, name) {
+      SketchStore.append(newDocs, sketchName, nBuckets)
+      save(frozen, name, nBuckets)
+    }
   }
 }

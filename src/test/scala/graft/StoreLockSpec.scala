@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.{IndexStore, LabelStore, SketchStore, StoreLock, Tables}
+
+/** Concurrent-writer arbitration (round-8 verdict #4): two
+  * simultaneous writers to the same table or artifact must never
+  * interleave their marker-last publishes — one serializes or fails
+  * cleanly, and the loser's artifact NEVER becomes visible. The lease
+  * primitive is pinned directly, then through the three commit
+  * surfaces it guards (the graft-index DSv2 publish, the
+  * LabelStore/SketchStore two-table commit, ArtifactStore's
+  * wait-and-serve build). */
+class StoreLockSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def postingsOf(rows: Seq[(String, Seq[Long])]) =
+    rows.toDF("word", "postings")
+      .select(col("word"), size(col("postings")).cast("long").as("df"),
+        col("postings").cast("array<bigint>").as("postings"))
+
+  test("lease primitive: exclusive, fail-clean loser, waiter serializes, stale lease broken") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val lock = new Path(s"$dir/_L")
+    val f = fs(lock)
+    // exclusivity + fail-clean: a held lease rejects a second
+    // fail-clean writer immediately
+    StoreLock.withLease(f, lock, 60000L, wait = false) {
+      intercept[StoreLock.ConcurrentWriteException] {
+        StoreLock.withLease(f, lock, 60000L, wait = false)(fail("ran under a held lease"))
+      }
+    }
+    // released: the same acquire now succeeds
+    StoreLock.withLease(f, lock, 60000L, wait = false)(())
+    // waiter serializes: A holds 400 ms, B (wait=true) must run STRICTLY
+    // after A releases
+    @volatile var aReleased = 0L
+    @volatile var bRan = 0L
+    val a = new Thread(() => StoreLock.withLease(f, lock, 60000L, wait = false) {
+      Thread.sleep(400); aReleased = System.nanoTime()
+    })
+    a.start(); Thread.sleep(100)
+    StoreLock.withLease(f, lock, 60000L, wait = true) { bRan = System.nanoTime() }
+    a.join()
+    assert(aReleased != 0L && bRan > aReleased, "waiter ran under a live lease")
+    // stale lease from a crashed writer: age it past the lease and a
+    // new writer breaks it instead of failing
+    f.create(lock, true).close()
+    f.setTimes(lock, System.currentTimeMillis() - 10000L, -1L)
+    StoreLock.withLease(f, lock, 5000L, wait = false)(())
+    assert(!f.exists(lock))
+  }
+
+  test("graft-index DSv2 publish: loser never visible, winner's artifact intact, no mix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_race_idx").toString
+    IndexStore.writeIndexTable(
+      postingsOf(Seq("alpha" -> Seq(1L), "beta" -> Seq(1L, 2L))), dir)
+    val before = spark.read.format("graft-index").load(dir)
+      .select("word").collect().map(_.getString(0)).toSet
+    assert(before === Set("alpha", "beta"))
+    // another committer holds the table lease mid-publish: our
+    // overwrite must fail BEFORE touching the destination
+    val lock = new Path(s"$dir/_GRAFT_LOCK")
+    fs(lock).create(lock, true).close()
+    val ex = intercept[Throwable] {
+      IndexStore.writeIndexTable(postingsOf(Seq("gamma" -> Seq(3L))), dir)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[StoreLock.ConcurrentWriteException]),
+      s"expected ConcurrentWriteException in the cause chain, got $ex")
+    // the loser published NOTHING: old artifact intact, no gamma, no
+    // staging residue, ready marker still present
+    val after = spark.read.format("graft-index").load(dir)
+      .select("word").collect().map(_.getString(0)).toSet
+    assert(after === Set("alpha", "beta"), "loser's rows leaked into the artifact")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_graft_staging")), "staging residue")
+    // lease released (by the simulated writer): the retry wins cleanly
+    fs(lock).delete(lock, false)
+    IndexStore.writeIndexTable(postingsOf(Seq("gamma" -> Seq(3L))), dir)
+    assert(spark.read.format("graft-index").load(dir)
+      .select("word").collect().map(_.getString(0)).toSet === Set("gamma"))
+  }
+
+  test("label-store commit: loser fails before any table write; both tables stay coherent") {
+    val docs = Tables(spark, testdataDir, "documents")
+    val day0 = docs.where($"doc_id" < 200)
+    val day1 = docs.where($"doc_id" >= 200 && $"doc_id" < 260)
+    try {
+      SketchStore.save(day0, "lk_sketch")
+      LabelStore.save(
+        graft.operators.Dedup.dedupClustersScale(day0, 0.9), "lk_labels")
+      val labelsBefore = spark.table("lk_labels").collect().map(_.toString).sorted
+      val bandsBefore = spark.table("lk_sketch_bands").count()
+      val updated = LabelStore.update(spark, "lk_labels", "lk_sketch", day1, 0.9)
+        .localCheckpoint(true)
+      // another committer holds the store lease: commit must fail with
+      // NOTHING written — neither the sketch append nor the labels
+      val lock = new Path(
+        new Path(spark.sessionState.conf.warehousePath),
+        "_graft_locks/lk_labels.lock")
+      fs(lock).mkdirs(lock.getParent)
+      fs(lock).create(lock, true).close()
+      intercept[StoreLock.ConcurrentWriteException] {
+        LabelStore.commit(spark, "lk_labels", "lk_sketch", day1, updated)
+      }
+      assert(spark.table("lk_labels").collect().map(_.toString).sorted
+        === labelsBefore, "loser's labels became visible")
+      assert(spark.table("lk_sketch_bands").count() === bandsBefore,
+        "loser's sketches became visible")
+      // winner done, lease released: the SAME commit retried converges
+      fs(lock).delete(lock, false)
+      LabelStore.commit(spark, "lk_labels", "lk_sketch", day1, updated)
+      assert(spark.table("lk_labels").count() === labelsBefore.length + day1.count())
+      assert(spark.table("lk_sketch_bands").count() > bandsBefore)
+    } finally Seq("lk_labels", "lk_sketch_bands", "lk_sketch_sets")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("artifact store: a waiting loser serves the winner's artifact instead of double-building") {
+    import graft.sources.ArtifactStore
+    val root = java.nio.file.Files.createTempDirectory("graft_art").toString
+    spark.conf.set("spark.graft.artifactDir", root)
+    try {
+      val key = Tables(spark, testdataDir, "documents").limit(50)
+      // first build creates the artifact and reveals its keyed dir
+      val r1 = ArtifactStore.loadOrBuild("lk_probe", key, "p=1")(
+        key.select($"doc_id", ($"doc_id" * 2).as("v")))
+      assert(r1.count() === 50)
+      val dir = new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("lk_probe-"))
+        .head.getPath
+      // simulate ANOTHER DRIVER mid-build: artifact gone, its lease
+      // held; the winner finishes 400 ms later (artifact restored,
+      // lease released); our loadOrBuild must WAIT then SERVE — the
+      // build lambda must never run
+      val winner = spark.read.parquet(dir).localCheckpoint(true)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+      val lock = new Path(dir + ".lock")
+      fs(lock).create(lock, true).close()
+      val t = new Thread(() => {
+        Thread.sleep(400)
+        winner.write.mode("overwrite").parquet(dir)
+        fs(lock).delete(lock, false)
+      })
+      t.start()
+      val misses0 = ArtifactStore.misses.get()
+      val served = ArtifactStore.loadOrBuild("lk_probe", key, "p=1")(
+        fail("double build: the waiting loser re-built the artifact"))
+      t.join()
+      assert(served.count() === 50)
+      assert(ArtifactStore.misses.get() === misses0, "miss counted on a served wait")
+    } finally spark.conf.unset("spark.graft.artifactDir")
+  }
+}
