@@ -966,6 +966,12 @@ object SparkEntry {
     // codec splits at row-group grain); same content gate
     "q256_zstd_source" -> ((s, d) =>
       TextAnalysis.docProfile(sources.Sidecar.zstdParquet(s, d, "documents"))),
+    // unbounded-float quantiles: exponent-bucketed histogram over raw
+    // o_totalprice (sign/exponent/top-8-mantissa-bits buckets; float
+    // log2 seed + exact pow-of-two correction, so both engines land
+    // on identical buckets); p50/p95 by the q129 boundary rule
+    "q257_float_quantiles" -> ((s, d) =>
+      Relational.floatQuantiles(Tables(s, d, "orders"), "o_totalprice")),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4331,6 +4337,53 @@ object SparkEntry {
     // multi-file gzip JSONL round trip — same content gate as
     // q196/q208/q222, oracle reads the parquet original
     "q255_gz_source" -> docProfileOracle,
+    // exponent-bucketed float quantiles replayed: the same log2 seed +
+    // exact pow(2, e) correction (pow is exact for integral exponents
+    // on both engines), the same order-preserving (sign, e, top)
+    // encoding, the q129 boundary rule over the bounded bucket axis;
+    // every emitted edge is a power-of-two-exact double
+    "q257_float_quantiles" ->
+      """WITH x AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+        |           WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+        |             AND abs(o_totalprice) <> CAST('infinity' AS DOUBLE)),
+        |b AS (SELECT x, abs(x) AS m,
+        |             CASE WHEN abs(x) > 0 THEN CAST(floor(log2(abs(x))) AS BIGINT)
+        |                  ELSE 0 END AS e0
+        |      FROM x),
+        |b2 AS (SELECT x, m,
+        |              CASE WHEN m > 0 THEN
+        |                CASE WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= m THEN e0 + 1
+        |                     WHEN pow(2.0, CAST(e0 AS DOUBLE)) > m THEN e0 - 1
+        |                     ELSE e0 END
+        |              ELSE 0 END AS e1
+        |       FROM b),
+        |b3 AS (SELECT x, m, greatest(e1, -1014) AS e FROM b2),
+        |b4 AS (SELECT x, m, e, pow(2.0, CAST(e - 8 AS DOUBLE)) AS p2,
+        |              CASE WHEN m > 0
+        |                THEN CAST(floor(m / pow(2.0, CAST(e - 8 AS DOUBLE))) AS BIGINT)
+        |                ELSE 0 END AS top
+        |       FROM b3),
+        |b5 AS (SELECT CASE WHEN x = 0 THEN 0
+        |              ELSE CAST(sign(x) AS BIGINT) * ((e + 1075) * 512 + top) END AS bid,
+        |              CASE WHEN x = 0 THEN 0.0 WHEN x > 0 THEN top * p2
+        |                   ELSE -(top + 1) * p2 END AS lo,
+        |              CASE WHEN x = 0 THEN 0.0 WHEN x > 0 THEN (top + 1) * p2
+        |                   ELSE -top * p2 END AS hi
+        |       FROM b4),
+        |h AS (SELECT bid, CAST(count(*) AS BIGINT) AS cnt,
+        |             max(lo) AS lo, max(hi) AS hi
+        |      FROM b5 GROUP BY 1),
+        |c AS (SELECT bid, cnt, sum(cnt) OVER (ORDER BY bid
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+        |p AS (SELECT n,
+        |        CAST(min(CASE WHEN cum * 100 >= n * 50 THEN bid END) AS BIGINT) AS p50_bid,
+        |        CAST(min(CASE WHEN cum * 100 >= n * 95 THEN bid END) AS BIGINT) AS p95_bid
+        |      FROM c CROSS JOIN t GROUP BY n)
+        |SELECT n, p50_bid, h1.lo AS p50_lo, h1.hi AS p50_hi,
+        |       p95_bid, h2.lo AS p95_lo, h2.hi AS p95_hi
+        |FROM p JOIN h h1 ON h1.bid = p50_bid
+        |       JOIN h h2 ON h2.bid = p95_bid""".stripMargin,
     // zstd-parquet round trip (the splittable compressed path)
     "q256_zstd_source" -> docProfileOracle,
     // daily-mean micros per (type, day), centered day index from a

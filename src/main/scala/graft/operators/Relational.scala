@@ -1881,6 +1881,90 @@ object Relational {
       .select("dow", "n_orders", "share_micros", "chi2_term_q")
       .orderBy("dow")
 
+  /** q257 — UNBOUNDED-FLOAT quantiles by exponent-bucketed histogram:
+    * the scale-safe percentile operator for a float metric column with
+    * UNKNOWN range — the gap q129/q148/q228/q253 left open (each
+    * requires an integer- or bounded-range axis; q40/q51 are exact
+    * corpus sorts). The axis here is the float's OWN floating-point
+    * grid: bucket = (sign, exponent, top `k` mantissa bits), at most
+    * ~2100·2^k buckets over the ENTIRE double range with relative
+    * bucket width 2^−k — so the histogram is bounded whatever the
+    * data, and p50/p95 ride the q129 boundary rule (min bucket with
+    * 100·cum ≥ p·n) with a guaranteed relative error ≤ 2^−k.
+    *
+    * Cross-engine exactness WITHOUT bit ops: the exponent is SEEDED
+    * with float log2 (engines may disagree by 1 ULP near powers of
+    * two) and then CORRECTED exactly — e is the unique integer with
+    * 2^e ≤ m < 2^(e+1), checked via pow(2, e), which is exact for
+    * integral exponents on both engines (the value is representable;
+    * IEEE pow is correctly rounded). The mantissa top is then
+    * floor(m / 2^(e−k)) — a power-of-two scale, exact in float64 — so
+    * every bucket id and every emitted bucket edge is bit-identical
+    * in Spark and DuckDB even where their libm's log2 differ.
+    * Encoding is order-preserving: bid = sign·((e+1075)·2^(k+1) + top),
+    * zero → bucket 0; e clamps at −1022+k so the subnormal tail packs
+    * into the lowest exponent row instead of dividing by a
+    * denormal-underflowed zero. NaN/±Inf are excluded from the
+    * population (documented domain: finite doubles).
+    *
+    * Shape: one row-local projection, one bounded-axis aggregation,
+    * cumsum windows over the bounded histogram only, and two
+    * broadcast-sized joins to surface the chosen buckets' exact
+    * edges. Nothing corpus-sized is ever sorted. */
+  def floatQuantiles(df: DataFrame, valueCol: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eMin = -1022L + k
+    val width = 1L << (k + 1)
+    val x = df.select(col(valueCol).cast("double").as("x"))
+      .where(col("x").isNotNull && !isnan(col("x")) &&
+        abs(col("x")) =!= Double.PositiveInfinity)
+    val bucketed = x
+      .withColumn("m", abs(col("x")))
+      .withColumn("e0",
+        when(col("m") > 0.0, floor(log2(col("m"))).cast("long")).otherwise(0L))
+      .withColumn("e1", when(col("m") > 0.0,
+        when(pow(lit(2.0), (col("e0") + 1L).cast("double")) <= col("m"),
+          col("e0") + 1L)
+          .when(pow(lit(2.0), col("e0").cast("double")) > col("m"),
+            col("e0") - 1L)
+          .otherwise(col("e0"))).otherwise(0L))
+      .withColumn("e", greatest(col("e1"), lit(eMin)))
+      .withColumn("p2", pow(lit(2.0), (col("e") - k).cast("double")))
+      .withColumn("top",
+        when(col("m") > 0.0, floor(col("m") / col("p2")).cast("long"))
+          .otherwise(0L))
+      .withColumn("bid", when(col("x") === 0.0, lit(0L)).otherwise(
+        signum(col("x")).cast("long") *
+          ((col("e") + 1075L) * width + col("top"))))
+      .withColumn("lo", when(col("x") === 0.0, lit(0.0))
+        .when(col("x") > 0.0, col("top") * col("p2"))
+        .otherwise(-(col("top") + 1L) * col("p2")))
+      .withColumn("hi", when(col("x") === 0.0, lit(0.0))
+        .when(col("x") > 0.0, (col("top") + 1L) * col("p2"))
+        .otherwise(-col("top") * col("p2")))
+    val hist = bucketed.groupBy("bid")
+      .agg(count(lit(1)).as("cnt"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"))
+    val w = Window.orderBy("bid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    def pickBid(p: Int) =
+      min(when(col("cum") * 100 >= col("n") * p, col("bid"))).as(s"p${p}_bid")
+    val picked = cum.groupBy("n").agg(pickBid(50), pickBid(95))
+    val edges = hist.select("bid", "lo", "hi")
+    picked
+      .join(broadcast(edges.select(col("bid").as("p50_bid"),
+        col("lo").as("p50_lo"), col("hi").as("p50_hi"))), "p50_bid")
+      .join(broadcast(edges.select(col("bid").as("p95_bid"),
+        col("lo").as("p95_lo"), col("hi").as("p95_hi"))), "p95_bid")
+      .select(col("n"), col("p50_bid"), col("p50_lo"), col("p50_hi"),
+        col("p95_bid"), col("p95_lo"), col("p95_hi"))
+  }
+
   /** q246 — Benford first-digit audit: the distribution of the first
     * significant digit of order totals against Benford's law — the
     * classic fabricated-data tripwire (organic monetary amounts follow

@@ -2218,6 +2218,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(free === 201L * 200L / 2L)
   }
 
+  test("q257 float quantiles: true quantile inside the chosen bucket; wide range, signs, subnormals") {
+    import spark.implicits._
+    // the containment law on the real corpus: the exact boundary-rule
+    // quantile (element at ceil(p·n/100) of the sorted values) lies
+    // inside [lo, hi) of the chosen bucket, and the bucket is 2^-8
+    // relatively tight
+    def check(df: org.apache.spark.sql.DataFrame, colName: String): Unit = {
+      val row = Relational.floatQuantiles(df, colName).collect().head
+      val vals = df.select(col(colName).cast("double")).collect()
+        .map(_.getDouble(0)).sorted
+      val n = row.getLong(0)
+      assert(n === vals.length.toLong)
+      def exact(p: Int): Double = {
+        val r = ((n * p + 99) / 100).toInt max 1 // ceil(p·n/100), 1-based
+        vals(r - 1)
+      }
+      for ((p, o) <- Seq((50, 1), (95, 4))) {
+        val lo = row.getDouble(o + 1); val hi = row.getDouble(o + 2)
+        val q = exact(p)
+        // positive buckets are [lo, hi), negative (lo, hi], zero {0} —
+        // the closed-interval check covers all three
+        assert(lo <= q && q <= hi, s"p$p=$q outside bucket [$lo, $hi]")
+        if (lo > 0) assert((hi - lo) / lo <= math.pow(2, -8) + 1e-15,
+          s"bucket wider than the 2^-8 guarantee: [$lo, $hi)")
+      }
+    }
+    check(t("orders"), "o_totalprice")
+    // planted: mixed signs, zero, subnormals, and 600 orders of
+    // magnitude in one column — the shapes a cents-binned histogram
+    // cannot host; bucket ids must stay order-preserving throughout
+    val planted = (Seq(-1e300, -3.7, -1e-310, 0.0, 4.5e-312, 1e-300,
+      2.2e-16, 1.0, 8.0, 8.000001, 1e18, 1.7e308) ++
+      (1 to 88).map(i => i * 0.37)).toDF("v")
+    check(planted, "v")
+  }
+
   test("q228 RFM ≡ brute-force recount; grid covers every customer") {
     val o = t("orders")
     val grid = Relational.rfmSegments(o).collect()
