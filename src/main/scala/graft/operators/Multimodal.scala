@@ -227,11 +227,13 @@ object Multimodal {
     baos.toByteArray
   }
 
-  /** The batched PNG decode kernel: a REAL ImageIO decode per payload
-    * (DEFLATE inflate, filter reversal, CRC checks — none of it hand
-    * rolled), then integer per-channel sums over the decoded pixels.
-    * Undecodable bytes (ImageIO returns null or throws) degrade to
-    * the sentinel row. */
+  /** The batched image decode kernel: a REAL ImageIO decode per
+    * payload (DEFLATE inflate, filter reversal, CRC checks — none of
+    * it hand rolled), then integer per-channel sums over the decoded
+    * pixels. Undecodable bytes (ImageIO returns null or throws)
+    * degrade to the sentinel row. ImageIO-generic — the reader sniffs
+    * the container — so the one kernel serves q203's PNGs and the
+    * spec-gated JPEG surface ([[jpegFeatures]]) alike. */
   private[graft] def decodePngBatch(
       batch: Seq[(Long, Array[Byte])]): Seq[PngFeatures] =
     batch.map { case (id, bytes) =>
@@ -294,6 +296,72 @@ object Multimodal {
     import spark.implicits._
     val media: Dataset[(Long, Array[Byte])] =
       pngTable(docs).select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+    media
+      .mapPartitions(_.grouped(batchSize).flatMap(b => decodePngBatch(b.toSeq)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // ---- JPEG: the web's dominant image format, spec-gated -----------
+
+  /** Synthesize the SAME deterministic RGB image as [[encodePng]] and
+    * encode it as a REAL JPEG via ImageIO (DCT, quantization, Huffman
+    * coding — the web's most common image format). LOSSY: decoded
+    * pixels are approximations, so — unlike q203 — there is no
+    * text-side oracle replay of the channel sums; this surface is
+    * spec-gated (per-JVM decode determinism, poison sentinels, and
+    * the PNG-vs-JPEG feature-agreement sweep), the q219 library ≡
+    * walker pattern applied across formats and the same gating tier
+    * as the beam search. */
+  private[graft] def encodeJpeg(payload: Array[Byte]): Array[Byte] = {
+    val sum = unsignedSum(payload, 0)
+    val w = (8L + sum % 24).toInt
+    val h = (8L + sum % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < w * h) {
+      val r = if (payload.isEmpty) 0 else payload(i % payload.length) & 0xff
+      val g = (i * 31 + 7) % 256
+      val b = (r + g) % 256
+      img.setRGB(i % w, i / w, (r << 16) | (g << 8) | b)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Documents as an opaque-JPEG table (doc_id, media BINARY jpeg,
+    * meta STRUCT<mime, n_bytes>) — the lossy-format sibling of
+    * [[pngTable]]. */
+  def jpegTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, encodeJpeg(text.getBytes(US_ASCII)))
+      })
+      .toDF("doc_id", "media")
+      .select(col("doc_id"), col("media"),
+        struct(lit("image/jpeg").as("mime"),
+          length(col("media")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** JPEG decode/feature-extract through the SAME kernel as q203 —
+    * [[decodePngBatch]] is ImageIO-generic (the reader sniffs the
+    * container; DCT inverse, dequantization, and Huffman decode are
+    * all the library's), so one decode boundary serves both formats.
+    * Dimensions survive the lossy round trip EXACTLY (JPEG never
+    * resizes); channel sums are approximations whose agreement with
+    * the PNG truth is spec-measured, not oracle-replayed. Same 100 TB
+    * shape as q31/q128/q203: batched mapPartitions, sentinel rows,
+    * no driver round-trip. */
+  def jpegFeatures(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[(Long, Array[Byte])] =
+      jpegTable(docs).select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
     media
       .mapPartitions(_.grouped(batchSize).flatMap(b => decodePngBatch(b.toSeq)))
       .toDF()

@@ -214,6 +214,60 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.pngFeatures(spark, docs).count() === 2L)
   }
 
+  test("jpeg: genuine JFIF blob, per-JVM deterministic decode, poison sentinels") {
+    val payload = "hello jpeg".getBytes(US_ASCII)
+    val jpg = Multimodal.encodeJpeg(payload)
+    // real JPEG container: SOI marker FFD8, EOI trailer FFD9
+    assert((jpg(0) & 0xff) === 0xff && (jpg(1) & 0xff) === 0xd8)
+    assert((jpg(jpg.length - 2) & 0xff) === 0xff &&
+      (jpg(jpg.length - 1) & 0xff) === 0xd9)
+    // dimensions survive the lossy round trip EXACTLY
+    val Seq(f) = Multimodal.decodePngBatch(Seq((1L, jpg)))
+    val sum = payload.map(_ & 0xff).sum
+    assert(f.width === (8 + sum % 24).toLong && f.height === (8 + sum % 16).toLong)
+    // per-JVM determinism: encode+decode twice → bit-identical features
+    val again = Multimodal.decodePngBatch(
+      Seq((1L, Multimodal.encodeJpeg(payload)))).head
+    assert(again === f, "JPEG decode is not deterministic within this JVM")
+    // poison payloads: garbage, truncation, fuzzed SOF — sentinel rows,
+    // never a stage failure (the q31/q128/q203 contract)
+    val truncated = jpg.take(jpg.length / 3)
+    val garbage = "not a jpeg".getBytes(US_ASCII)
+    val out = Multimodal.decodePngBatch(
+      Seq((1L, garbage), (2L, truncated), (3L, jpg)))
+    assert(out(0).width === -1L)
+    assert(out(1).width === -1L, "truncated JPEG must yield the sentinel")
+    assert(out(2).width > 0L)
+    // and the distributed path over a real corpus completes
+    val real = graft.sources.Tables(spark, testdataDir, "documents").limit(64)
+    assert(Multimodal.jpegFeatures(spark, real).count() === 64L)
+  }
+
+  test("jpeg vs png feature agreement: same dims, channel sums within the lossy budget") {
+    // the q219 library ≡ walker pattern applied ACROSS formats: the
+    // same synthesized image through the lossless and lossy codecs
+    // must agree exactly on dimensions and closely on channel mass —
+    // JPEG's DCT+quantization error is a few percent of full scale,
+    // so a 5%-of-full-scale budget catches any real defect (channel
+    // swap, stride bug, wrong colorspace) while tolerating the codec
+    val real = graft.sources.Tables(spark, testdataDir, "documents").limit(128)
+    val png = Multimodal.pngFeatures(spark, real).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val jpg = Multimodal.jpegFeatures(spark, real).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(png.keySet === jpg.keySet && png.nonEmpty)
+    png.foreach { case (id, (pw, ph, pr, pg, pb)) =>
+      val (jw, jh, jr, jg, jb) = jpg(id)
+      assert(pw === jw && ph === jh, s"doc $id: dims diverge under JPEG")
+      val full = pw * ph * 255.0
+      for ((a, b, c) <- Seq((pr, jr, "r"), (pg, jg, "g"), (pb, jb, "b")))
+        assert(math.abs(a - b) / full <= 0.05,
+          s"doc $id channel $c: |$a - $b| exceeds 5% of full scale")
+    }
+  }
+
   test("q203 png features on real testdata ≡ text-side brute force") {
     val real = graft.sources.Tables(spark, testdataDir, "documents")
     val got = Multimodal.pngFeatures(spark, real).collect()
