@@ -1942,9 +1942,15 @@ object Relational {
       .withColumn("hi", when(col("x") === 0.0, lit(0.0))
         .when(col("x") > 0.0, (col("top") + 1L) * col("p2"))
         .otherwise(-col("top") * col("p2")))
-    val hist = bucketed.groupBy("bid")
+    // THREE consumers read the bounded histogram (the cumsum chain and
+    // both edge joins): checkpoint it so the corpus scan runs once —
+    // without this the plan re-scans the table per broadcast side
+    // (eager mode only; the audit path keeps the lazy plan)
+    val hist0 = bucketed.groupBy("bid")
       .agg(count(lit(1)).as("cnt"), max(col("lo")).as("lo"),
         max(col("hi")).as("hi"))
+    val hist = if (Dedup.eagerMaterialize(df)) hist0.localCheckpoint(true)
+      else hist0
     val w = Window.orderBy("bid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist

@@ -49,7 +49,7 @@ object Sidecar {
     * (relative path, length, mtime) — plain java.io so it works on the
     * local paths the sidecar serves (cluster deployments would key on
     * the catalog snapshot/transaction id instead). */
-  private[sources] def sourceFingerprint(src: String): Int = {
+  private[graft] def sourceFingerprint(src: String): Int = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.toSeq.sortBy(_.getName).flatMap(walk))

@@ -41,7 +41,7 @@ object ScaleProbe {
   }
 
   /** 10 disjoint tagged replicas of `docs` (see scaladoc). */
-  private def replicate(docs: DataFrame, copies: Int, n: Long): DataFrame =
+  private[tools] def replicate(docs: DataFrame, copies: Int, n: Long): DataFrame =
     docs
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"),
