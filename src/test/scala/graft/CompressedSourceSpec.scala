@@ -94,6 +94,19 @@ class CompressedSourceSpec extends SparkSpec {
     }
   }
 
+  test("gz jsonl round-trips events timestamps at µs precision") {
+    // the µs fidelity tripwire through the compressed text path: the
+    // same discipline StorageSpec pins for plain CSV/JSON — a reader
+    // falling back to the default millis pattern could not pass
+    import graft.operators.Events
+    val viaGz = Events.typeProfile(Sidecar.gzJsonl(spark, dir, "events"))
+      .collect().map(_.toString).toList
+    val viaPq = Events.typeProfile(Tables(spark, dir, "events"))
+      .collect().map(_.toString).toList
+    assert(viaGz === viaPq)
+    assert(viaGz.nonEmpty)
+  }
+
   test("zstd parquet splits at planning grain — the codec never pins the task count") {
     smallSplits {
       val served = Sidecar.zstdParquet(spark, dir, "documents")
