@@ -1752,19 +1752,29 @@ object Relational {
   def basketPairs(lineitem: DataFrame, minSupport: Long = 3L,
       maxBasket: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // five consumers (support, capping join, both self-join sides via
-    // items, basket count) read the distinct relation: persist once
+    // several consumers (support, sizes, both prune branches, basket
+    // count) read the distinct relation: persist once
     val raw = lineitem.select(col("l_orderkey").as("ok"),
       col("l_partkey").as("part")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sup = raw.groupBy("part").agg(count(lit(1)).as("sup"))
-    // rarest-first deterministic cap: the one window is partitioned
-    // by basket (bounded by one order's items, never corpus-wide)
+    // the basket-size gate makes the prune's cost proportional to the
+    // OVERSIZED TAIL, not the corpus: sub-cap baskets (every basket,
+    // in this schema) keep all items and never touch the support join
+    // — measured, the ungated form's part-keyed join + corpus window
+    // nearly doubled the query — while an oversized basket routes
+    // through the rarest-first ranking (rank by global support asc,
+    // ties by part id; the one window is partitioned by basket)
+    val sizes = raw.groupBy("ok").agg(count(lit(1)).as("bsz"))
+    val withSz = raw.join(sizes, "ok")
+    val small = withSz.where(col("bsz") <= maxBasket).select("ok", "part")
     val wB = Window.partitionBy("ok").orderBy(col("sup"), col("part"))
-    val items = raw.join(sup, "part")
+    val bigCapped = withSz.where(col("bsz") > maxBasket)
+      .join(sup, "part")
       .withColumn("rk", row_number().over(wB))
       .where(col("rk") <= maxBasket)
       .select("ok", "part")
+    val items = small.unionByName(bigCapped)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = items.as("x").join(items.as("y"), Seq("ok"))
       .where(col("x.part") < col("y.part"))
