@@ -972,6 +972,24 @@ object SparkEntry {
     // on identical buckets); p50/p95 by the q129 boundary rule
     "q257_float_quantiles" -> ((s, d) =>
       Relational.floatQuantiles(Tables(s, d, "orders"), "o_totalprice")),
+    // CDC between retained generations of the stored index: VERSION
+    // AS OF 0 full-outer-joined to the live table on the word key —
+    // added/grown/same per vocabulary row, the corpus never touched
+    "q258_version_diff" -> ((s, d) => {
+      val f = new java.io.File(sources.IndexStore.timeTravelDemoFor(s, d))
+      s.conf.set("spark.sql.catalog.graft_vdcat",
+        classOf[sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_vdcat.warehouse", f.getParent)
+      sources.IndexStore.versionDiff(
+        s.sql(s"SELECT word, df FROM graft_vdcat.`${f.getName}` VERSION AS OF 0"),
+        s.sql(s"SELECT word, df FROM graft_vdcat.`${f.getName}`"))
+    }),
+    // eval-hygiene audit: near-dup edges (the memoized q22/q58 LSH
+    // pass) crossing the q45 hash split — distinct leaked val docs +
+    // exact leak rate, the number read before trusting any held-out
+    // metric
+    "q259_split_leakage" -> ((s, d) =>
+      Sampling.splitLeakage(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4337,6 +4355,69 @@ object SparkEntry {
     // multi-file gzip JSONL round trip — same content gate as
     // q196/q208/q222, oracle reads the parquet original
     "q255_gz_source" -> docProfileOracle,
+    // generation diff replayed from the corpus: v0 = the even-doc
+    // index (the q183 artifact's retained generation 0), now = the
+    // full index; FULL OUTER on word + the change classification
+    "q258_version_diff" ->
+      s"""WITH t0 AS (
+         |  SELECT DISTINCT doc_id,
+         |         lower(regexp_replace(w, '[^A-Za-z]', '', 'g')) AS word
+         |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+         |        FROM documents WHERE doc_id % 2 = 0)
+         |  WHERE lower(regexp_replace(w, '[^A-Za-z]', '', 'g')) <> ''),
+         |d0 AS (SELECT word, CAST(count(*) AS BIGINT) AS df_v0 FROM t0 GROUP BY 1),
+         |$toksCte,
+         |dn AS (SELECT word, CAST(count(*) AS BIGINT) AS df_now FROM toks GROUP BY 1)
+         |SELECT word,
+         |       CAST(coalesce(df_v0, 0) AS BIGINT) AS df_v0,
+         |       CAST(coalesce(df_now, 0) AS BIGINT) AS df_now,
+         |       CASE WHEN df_v0 IS NULL THEN 'added'
+         |            WHEN df_now IS NULL THEN 'removed'
+         |            WHEN df_now > df_v0 THEN 'grown'
+         |            WHEN df_now < df_v0 THEN 'shrunk'
+         |            ELSE 'same' END AS change
+         |FROM d0 FULL OUTER JOIN dn USING (word)
+         |ORDER BY word""".stripMargin,
+    // the q22 verified-edge chain + the q45 split rule: cross-split
+    // edges, distinct leaked val docs, exact leak rate in micros
+    "q259_split_leakage" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |perms(i, a, b) AS (VALUES $permsValues),
+         |sig AS (SELECT doc_id, i, min((a*th + b) % ${Hashing.P}) AS minh
+         |        FROM th CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // ${Hashing.RowsPerBand} AS band,
+         |                 string_agg(minh::VARCHAR, '_' ORDER BY i) AS key
+         |          FROM sig GROUP BY i // ${Hashing.RowsPerBand}, doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |$setsCte,
+         |p AS (SELECT doc_a, doc_b FROM (
+         |        SELECT doc_a, doc_b,
+         |               ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
+         |        FROM cand JOIN sets a ON doc_a = a.doc_id
+         |                  JOIN sets b ON doc_b = b.doc_id)
+         |      WHERE jaccard >= 0.95),
+         |sp AS (SELECT doc_id,
+         |              CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+         |                   THEN 'train' ELSE 'val' END AS split
+         |       FROM documents),
+         |xe AS (SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b
+         |       FROM p JOIN sp sa ON doc_a = sa.doc_id
+         |              JOIN sp sb ON doc_b = sb.doc_id
+         |       WHERE sa.split <> sb.split),
+         |leaked AS (SELECT DISTINCT CASE WHEN split_a = 'val' THEN doc_a
+         |                                ELSE doc_b END AS doc_id FROM xe),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_val_docs FROM sp
+         |       WHERE split = 'val')
+         |SELECT n_val_docs,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM xe) AS n_cross_edges,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM leaked) AS n_leaked_val,
+         |       CAST(CASE WHEN n_val_docs = 0 THEN 0
+         |            ELSE (SELECT count(*) FROM leaked) * 1000000 // n_val_docs
+         |            END AS BIGINT) AS leak_micros
+         |FROM nv""".stripMargin,
     // exponent-bucketed float quantiles replayed: the same log2 seed +
     // exact pow(2, e) correction (pow is exact for integral exponents
     // on both engines), the same order-preserving (sign, e, top)

@@ -43,6 +43,52 @@ object Sampling {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** q259 — SPLIT-LEAKAGE audit: how much of the val split is a
+    * near-duplicate of something in train — the eval-hygiene number a
+    * pipeline must read before trusting any held-out metric (a hash
+    * split is uniform over DOCUMENTS, but near-dup clusters straddle
+    * it, and every straddling edge lets the model "see" a val doc at
+    * train time; a dedup-before-split pipeline drives this to zero,
+    * everyone else ships leakage silently).
+    *
+    * Composition, not new machinery: the verified LSH edge set (the
+    * session-memoized q22/q58 pass — no new candidate generation) has
+    * each endpoint labeled with q45's hash-bucket split by two
+    * doc-keyed joins; edges whose endpoints disagree are the leaks.
+    * Output is the one-row audit: val population, cross-split edges,
+    * DISTINCT leaked val docs, and the leak rate in exact micros
+    * (`div` ≡ `//` on these nonnegative operands). Row counts at
+    * every stage are edge-set-bounded; the split relation is a pure
+    * projection (no shuffle). Zero-val-docs degrades to rate 0 under
+    * the guarded division rather than an ANSI throw. */
+  def splitLeakage(docs: DataFrame, threshold: Double = 0.95,
+      buckets: Int = 100, trainBuckets: Int = 90): DataFrame = {
+    val split = docs.select(col("doc_id"),
+      when(hashBucket(col("doc_id"), buckets.toLong) < trainBuckets,
+        lit("train")).otherwise(lit("val")).as("split"))
+    val edges = Dedup.minhashNearDup(docs, threshold)
+      .select("doc_a", "doc_b")
+    val labeled = edges
+      .join(split.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+    val cross = labeled.where(col("split_a") =!= col("split_b"))
+    val leaked = cross
+      .select(when(col("split_a") === "val", col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    val nVal = broadcast(split.where(col("split") === "val")
+      .agg(count(lit(1)).as("n_val_docs")))
+    val counts = cross.agg(count(lit(1)).as("n_cross_edges"))
+      .crossJoin(broadcast(leaked.agg(count(lit(1)).as("n_leaked_val"))))
+    counts.crossJoin(nVal)
+      .withColumn("leak_micros", expr(
+        "CASE WHEN n_val_docs = 0 THEN 0 " +
+          "ELSE n_leaked_val * 1000000 div n_val_docs END"))
+      .select("n_val_docs", "n_cross_edges", "n_leaked_val", "leak_micros")
+  }
+
   /** Split-level summary (the sanity check a pipeline runs after
     * assignment): docs and mean bucket per split. */
   def splitStats(docs: DataFrame, buckets: Int = 100, trainBuckets: Int = 90): DataFrame =

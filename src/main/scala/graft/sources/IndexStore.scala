@@ -470,6 +470,34 @@ object IndexStore {
     demoArtifact(spark, sfDir, "graft_ttidx_", compactAfter = true,
       retain = true)
 
+  /** q258 — VERSION DIFF between two generations of a stored index:
+    * the CDC read every lake table eventually needs ("what changed
+    * between snapshot n and now?"), served entirely from the retained
+    * generations q183's time travel already exposes — no change log,
+    * no re-derivation from the corpus. One FULL OUTER join on the
+    * word key classifies every vocabulary row: `added` (absent in the
+    * old generation), `removed` (absent now — impossible on an
+    * append-only index, present in the contract because a row-level
+    * DELETE (q179) makes it reachable), `grown` / `shrunk` (df moved),
+    * `same`. Shape: both sides are word-keyed index scans; the join
+    * and the vocabulary-sized output are the whole cost — the corpus
+    * is never touched. */
+  def versionDiff(v0: DataFrame, cur: DataFrame): DataFrame =
+    v0.select(col("word"), col("df").as("df_v0"))
+      .join(cur.select(col("word"), col("df").as("df_now")),
+        Seq("word"), "full_outer")
+      .withColumn("change",
+        when(col("df_v0").isNull, lit("added"))
+          .when(col("df_now").isNull, lit("removed"))
+          .when(col("df_now") > col("df_v0"), lit("grown"))
+          .when(col("df_now") < col("df_v0"), lit("shrunk"))
+          .otherwise(lit("same")))
+      .select(col("word"),
+        coalesce(col("df_v0"), lit(0L)).as("df_v0"),
+        coalesce(col("df_now"), lit(0L)).as("df_now"),
+        col("change"))
+      .orderBy("word")
+
   private def demoArtifact(spark: SparkSession, sfDir: String,
       prefix: String, compactAfter: Boolean,
       retain: Boolean = false): String = synchronized {

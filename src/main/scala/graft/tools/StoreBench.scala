@@ -101,27 +101,41 @@ object StoreBench {
     case class Family(name: String, queryForm: () => DataFrame,
       production: () => DataFrame)
 
-    val allRows = Seq(90, 99).flatMap { pct =>
+    // optional narrowing for targeted scale points (e.g. the 10×
+    // corpus): comma-separated family-name substrings / split pcts
+    val onlyFam = sys.env.get("SPARK_GRAFT_STOREBENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val splits = sys.env.get("SPARK_GRAFT_STOREBENCH_SPLITS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(90, 99))
+
+    val allRows = splits.flatMap { pct =>
       val dCap = capAt(docs, "doc_id", pct)
       val vCap = capAt(emb, "vec_id", pct)
       val eCap = capAt(ev, "event_id", pct)
       val tmp = java.nio.file.Files.createTempDirectory("storebench").toString
 
-      // ---- UNPRICED setup: commit yesterday's artifacts ------------
+      // ---- UNPRICED setup: commit yesterday's artifacts (only for
+      // the families this invocation prices) ------------------------
+      def wanted(fam: String) = onlyFam.forall(_.exists(fam.contains))
       import graft.sources.{GraphStore, LabelStore, SketchStore}
       val oldDocs = docs.where(col("doc_id") < dCap)
       val batchDocs = docs.where(col("doc_id") >= dCap)
       sbTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-      SketchStore.save(oldDocs, "sb_sketch")
-      clearMemos()
-      LabelStore.save(
-        graft.operators.Dedup.dedupClustersScale(oldDocs, threshold),
-        "sb_labels")
-      GraphStore.build(spark, "sb_graph", emb.where(col("vec_id") < vCap), vCap)
-      graft.operators.Events.olsStateDelta(ev.where(col("event_id") < eCap))
-        .write.mode("overwrite").parquet(s"$tmp/ols_state")
-      graft.operators.TextAnalysis.nbStateDelta(oldDocs)
-        .write.mode("overwrite").parquet(s"$tmp/nb_state")
+      if (wanted("q202_clusters")) {
+        SketchStore.save(oldDocs, "sb_sketch")
+        clearMemos()
+        LabelStore.save(
+          graft.operators.Dedup.dedupClustersScale(oldDocs, threshold),
+          "sb_labels")
+      }
+      if (wanted("q206_nsw_graph"))
+        GraphStore.build(spark, "sb_graph", emb.where(col("vec_id") < vCap), vCap)
+      if (wanted("q218_ols_fit"))
+        graft.operators.Events.olsStateDelta(ev.where(col("event_id") < eCap))
+          .write.mode("overwrite").parquet(s"$tmp/ols_state")
+      if (wanted("q223_nb_fit"))
+        graft.operators.TextAnalysis.nbStateDelta(oldDocs)
+          .write.mode("overwrite").parquet(s"$tmp/nb_state")
 
       // ---- the two timed paths per family --------------------------
       val families = Seq(
@@ -143,7 +157,7 @@ object StoreBench {
           () => graft.operators.TextAnalysis.nbProductionCycle(
             spark.read.parquet(s"$tmp/nb_state"), batchDocs)))
 
-      families.map { f =>
+      families.filter(f => wanted(f.name)).map { f =>
         val tq = time(runs)(f.queryForm())
         val tp = time(runs)(f.production())
         val ratio = tq / tp
@@ -155,11 +169,12 @@ object StoreBench {
     val json = allRows.map { case (n, pct, tq, tp, r) =>
       f""""${n}_at_$pct":{"split":"$pct/${100 - pct}","query_form_s":$tq%.3f,"production_s":$tp%.3f,"query_over_production":$r%.2f}"""
     }.mkString(
-      s"""{"sf":"$sfDir","runs":$runs,"splits":[90,99],"agg":"min","rows":{""",
+      s"""{"sf":"$sfDir","runs":$runs,"splits":[${splits.mkString(",")}],"agg":"min","rows":{""",
       ",", "}}")
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("STOREBENCH.json"), json + "\n")
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_STOREBENCH_OUT", "STOREBENCH.json")), json + "\n")
 
     println("| family | split | query form (s) | production (s) | ratio |")
     println("|---|---|---|---|---|")

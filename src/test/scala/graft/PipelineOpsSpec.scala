@@ -2254,6 +2254,76 @@ class PipelineOpsSpec extends SparkSpec {
     check(planted, "v")
   }
 
+  test("q258 version diff: all five change classes; real artifact coheres with its generations") {
+    import spark.implicits._
+    // unit: every change class on a synthetic generation pair
+    def idx(rows: Seq[(String, Long)]) = rows.toDF("word", "df")
+    val v0 = idx(Seq("gone" -> 2L, "grew" -> 1L, "shrank" -> 3L, "held" -> 2L))
+    val cur = idx(Seq("grew" -> 4L, "shrank" -> 1L, "held" -> 2L, "fresh" -> 5L))
+    val got = graft.sources.IndexStore.versionDiff(v0, cur).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      ("fresh", 0L, 5L, "added"), ("gone", 2L, 0L, "removed"),
+      ("grew", 1L, 4L, "grown"), ("held", 2L, 2L, "same"),
+      ("shrank", 3L, 1L, "shrunk")))
+    // the real q258 path: v0 ∪ additions reconcile — nothing is ever
+    // 'removed' on the append-only artifact, and every df moves up
+    val d = testdataDir
+    val f = new java.io.File(graft.sources.IndexStore.timeTravelDemoFor(spark, d))
+    spark.conf.set("spark.sql.catalog.graft_vdspec",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_vdspec.warehouse", f.getParent)
+    val diff = graft.sources.IndexStore.versionDiff(
+      spark.sql(s"SELECT word, df FROM graft_vdspec.`${f.getName}` VERSION AS OF 0"),
+      spark.sql(s"SELECT word, df FROM graft_vdspec.`${f.getName}`")).collect()
+    assert(diff.nonEmpty)
+    assert(!diff.exists(_.getString(3) == "removed"))
+    assert(!diff.exists(_.getString(3) == "shrunk"))
+    assert(diff.forall(r => r.getLong(2) >= r.getLong(1)))
+    assert(diff.exists(_.getString(3) == "added") ||
+      diff.exists(_.getString(3) == "grown"), "a degenerate diff gates nothing")
+  }
+
+  test("q259 split leakage ≡ brute force; a planted cross-split twin is caught") {
+    import spark.implicits._
+    // brute-force recount on the corpus
+    val docs = t("documents")
+    val row = Sampling.splitLeakage(docs).collect().head
+    val split = Sampling.hashSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val edges = Dedup.minhashNearDup(docs, 0.95).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cross = edges.filter { case (a, b) => split(a) != split(b) }
+    val leaked = cross.map { case (a, b) =>
+      if (split(a) == "val") a else b }.distinct
+    val nVal = split.values.count(_ == "val").toLong
+    assert(row.getLong(0) === nVal)
+    assert(row.getLong(1) === cross.length.toLong)
+    assert(row.getLong(2) === leaked.length.toLong)
+    assert(row.getLong(3) ===
+      (if (nVal == 0) 0L else leaked.length * 1000000L / nVal))
+    // planted: one identical-text pair straddling the split must read
+    // as exactly one cross edge and one leaked val doc
+    val probe = Sampling.hashSplit((0L until 64L).toDF("doc_id")
+      .withColumn("text", lit("x")))
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val trainId = probe.collectFirst { case (id, "train") => id }.get
+    val valId = probe.collectFirst { case (id, "val") => id }.get
+    val twin = "the planted leaking twin document text"
+    val synth = Seq(
+      (trainId, twin), (valId, twin),
+      (probe.collectFirst { case (id, "train") if id != trainId => id }.get,
+        "completely different words entirely elsewhere")
+    ).toDF("doc_id", "text")
+    Dedup.clearSketchMemo()
+    val planted = Sampling.splitLeakage(synth).collect().head
+    assert(planted.getLong(1) === 1L, "the planted cross edge was missed")
+    assert(planted.getLong(2) === 1L)
+    assert(planted.getLong(0) === 1L)
+    assert(planted.getLong(3) === 1000000L, "one of one val docs leaked")
+    Dedup.clearSketchMemo()
+  }
+
   test("q228 RFM ≡ brute-force recount; grid covers every customer") {
     val o = t("orders")
     val grid = Relational.rfmSegments(o).collect()
