@@ -990,6 +990,11 @@ object SparkEntry {
     // metric
     "q259_split_leakage" -> ((s, d) =>
       Sampling.splitLeakage(Tables(s, d, "documents"))),
+    // the keeper decision upgraded to BEST-doc: per near-dup cluster
+    // keep the longest member (n_chars desc, doc_id asc) — a max_by
+    // aggregation over the memoized labels, no per-cluster sort
+    "q260_cluster_keep_best" -> ((s, d) =>
+      Dedup.keepBest(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4378,6 +4383,23 @@ object SparkEntry {
          |            ELSE 'same' END AS change
          |FROM d0 FULL OUTER JOIN dn USING (word)
          |ORDER BY word""".stripMargin,
+    // closure labels + keep-longest argmax replayed as a row_number
+    // window (the hash gates max_by-struct ≡ the windowed rule)
+    "q260_cluster_keep_best" ->
+      s"""WITH RECURSIVE $clusterReachCtes,
+         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |sz AS (SELECT lab.doc_id, cluster_id, n_chars
+         |       FROM lab JOIN documents USING (doc_id)),
+         |k AS (SELECT cluster_id, doc_id AS keep_id FROM (
+         |        SELECT cluster_id, doc_id,
+         |               row_number() OVER (PARTITION BY cluster_id
+         |                 ORDER BY n_chars DESC, doc_id) AS rk
+         |        FROM sz)
+         |      WHERE rk = 1)
+         |SELECT s.doc_id, s.cluster_id, k.keep_id,
+         |       s.doc_id = k.keep_id AS is_kept
+         |FROM sz s JOIN k USING (cluster_id)
+         |ORDER BY s.doc_id""".stripMargin,
     // the q22 verified-edge chain + the q45 split rule: cross-split
     // edges, distinct leaked val docs, exact leak rate in micros
     "q259_split_leakage" ->

@@ -752,6 +752,33 @@ object Dedup {
       .orderBy("cluster_size")
   }
 
+  /** q260 — the KEEPER decision upgraded from min-id to BEST-DOC: per
+    * near-dup cluster, keep the doc with the MOST CONTENT (n_chars
+    * desc, doc_id asc tie-break) — what a production dedup actually
+    * ships: the min-id keeper (q49/q58's label contract) keeps an
+    * arbitrary member, while near-dups are routinely truncations or
+    * excerpts of each other, so keep-longest preserves the most
+    * information per cluster. Pure composition over the memoized
+    * cluster labels (no new candidate generation): one doc-keyed join
+    * to sizes, one per-cluster argmax as a max_by over the exact
+    * (n_chars, −doc_id) struct key (lexicographic struct ordering =
+    * the window's n_chars↓ doc_id↑ rule, but an AGGREGATION — no
+    * per-cluster sort, map-side combinable), one cluster-keyed join
+    * back. The oracle replays the closure + a row_number window, so
+    * the hash match pins max_by-struct ≡ the windowed argmax rule. */
+  def keepBest(docs: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val sized = dedupClustersScale(docs, threshold)
+      .select("doc_id", "cluster_id")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val keeper = sized.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), -col("doc_id"))).as("keep_id"))
+    sized.join(keeper, "cluster_id")
+      .withColumn("is_kept", col("doc_id") === col("keep_id"))
+      .select("doc_id", "cluster_id", "keep_id", "is_kept")
+      .orderBy("doc_id")
+  }
+
   /** Connected components over an explicit undirected edge list;
     * every node (even isolated) gets the min node id of its component.
     *

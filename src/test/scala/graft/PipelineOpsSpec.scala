@@ -2324,6 +2324,42 @@ class PipelineOpsSpec extends SparkSpec {
     Dedup.clearSketchMemo()
   }
 
+  test("q260 keep-best: longest member kept per cluster; truncation family planted") {
+    import spark.implicits._
+    // brute-force recount on the corpus: per cluster the keeper is the
+    // (n_chars desc, doc_id asc) argmax, and every doc reports it
+    val docs = t("documents")
+    val rows = Dedup.keepBest(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val chars = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (_, members) =>
+      val expect = members.map(_._1).minBy(id => (-chars(id), id))
+      assert(members.forall(_._3 == expect))
+      assert(members.count(_._4) === 1)
+      assert(members.find(_._4).get._1 === expect)
+    }
+    assert(rows.length === docs.count().toInt, "every doc gets a verdict")
+    assert(byCluster.exists(_._2.length > 1), "no multi-doc cluster — vacuous")
+    // planted truncation family: the 96%-overlap shorter excerpt must
+    // LOSE to the full doc (min-id would wrongly keep the excerpt when
+    // it has the smaller id — exactly the case planted here)
+    val full = (1 to 100).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 96).map(i => s"w$i").mkString(" ")
+    val synth = Seq(
+      (1L, excerpt, excerpt.length.toLong),
+      (2L, full, full.length.toLong),
+      (3L, "totally unrelated content here", 30L)
+    ).toDF("doc_id", "text", "n_chars")
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+    val planted = Dedup.keepBest(synth, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(planted.toSet === Set((1L, 2L, false), (2L, 2L, true),
+      (3L, 3L, true)), s"got ${planted.toSeq}")
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+  }
+
   test("q228 RFM ≡ brute-force recount; grid covers every customer") {
     val o = t("orders")
     val grid = Relational.rfmSegments(o).collect()
