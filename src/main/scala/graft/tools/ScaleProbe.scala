@@ -134,7 +134,14 @@ object ScaleProbe {
       // (via the cluster memo, cleared per run so it is priced) + the
       // 13-gram pass with a two-distinct Expand aggregation
       "q240_dedup_diversity" -> ((d: DataFrame) =>
-        graft.operators.TextAnalysis.dedupDiversity(d)))
+        graft.operators.TextAnalysis.dedupDiversity(d)),
+      // round-9 compositions over the same LSH pass: the split-leakage
+      // audit (edges + two doc-keyed joins + a distinct) and the
+      // keep-best keeper (labels + one max_by argmax + join-back)
+      "q259_split_leakage" -> ((d: DataFrame) =>
+        graft.operators.Sampling.splitLeakage(d)),
+      "q260_cluster_keep_best" -> ((d: DataFrame) =>
+        graft.operators.Dedup.keepBest(d)))
 
     // FULL materialization: df.count() would let the optimizer drop
     // row-count-preserving subtrees (q191's 1:≤1 outer join vanishes
