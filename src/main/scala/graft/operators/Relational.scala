@@ -1921,14 +1921,18 @@ object Relational {
     * cumsum windows over the bounded histogram only, and two
     * broadcast-sized joins to surface the chosen buckets' exact
     * edges. Nothing corpus-sized is ever sorted. */
-  def floatQuantiles(df: DataFrame, valueCol: String, k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** q257's BUCKET stage as its own relation — (x, bid, lo, hi) per
+    * finite input value — exposed so the monotone-encoding and
+    * containment laws are property-testable directly (the quantile
+    * pick above it is three lines of boundary rule). See
+    * [[floatQuantiles]] for the full contract. */
+  private[graft] def floatBuckets(df: DataFrame, valueCol: String,
+      k: Int = 8): DataFrame = {
     val eMin = -1022L + k
     val width = 1L << (k + 1)
-    val x = df.select(col(valueCol).cast("double").as("x"))
+    df.select(col(valueCol).cast("double").as("x"))
       .where(col("x").isNotNull && !isnan(col("x")) &&
         abs(col("x")) =!= Double.PositiveInfinity)
-    val bucketed = x
       .withColumn("m", abs(col("x")))
       .withColumn("e0",
         when(col("m") > 0.0, floor(log2(col("m"))).cast("long")).otherwise(0L))
@@ -1952,6 +1956,12 @@ object Relational {
       .withColumn("hi", when(col("x") === 0.0, lit(0.0))
         .when(col("x") > 0.0, (col("top") + 1L) * col("p2"))
         .otherwise(-col("top") * col("p2")))
+      .select("x", "bid", "lo", "hi")
+  }
+
+  def floatQuantiles(df: DataFrame, valueCol: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = floatBuckets(df, valueCol, k)
     // THREE consumers read the bounded histogram (the cumsum chain and
     // both edge joins): checkpoint it so the corpus scan runs once —
     // without this the plan re-scans the table per broadcast side

@@ -158,4 +158,40 @@ class BlockingPropertiesSpec extends SparkSpec {
     }
     checkProp(p, 25)
   }
+
+  test("q257 float buckets: order-preserving encoding + containment on random doubles") {
+    // the bucket id must be a MONOTONE function of the value (else the
+    // cumsum boundary rule picks the wrong bucket) and every value
+    // must lie inside its own bucket's [lo, hi] — across the entire
+    // double range: normals of any magnitude, subnormals (where the
+    // exponent clamps), negatives, zero, and exact powers of two
+    // (where the log2 seed sits exactly on a boundary and only the
+    // pow-correction keeps both engines on the same side)
+    val interesting = Gen.oneOf(
+      0.0, 1.0, -1.0, 8.0, math.nextDown(8.0), math.nextUp(8.0),
+      java.lang.Double.MIN_VALUE, 2.2e-308, -4.9e-310, 1.7e308,
+      -1.7e308, 1e-300, 5e-324, math.pow(2, -1022), math.pow(2, 1023))
+    val anyDouble = for {
+      m <- Gen.choose(-1.0, 1.0)
+      e <- Gen.choose(-320, 307)
+      pick <- Gen.frequency(3 -> Gen.const(m * math.pow(10, e)),
+        1 -> interesting)
+    } yield pick
+    val p = Prop.forAll(Gen.listOfN(12, anyDouble)) { xs =>
+      val rows = Relational.floatBuckets(
+        xs.zipWithIndex.map(_.swap).toDF("i", "v"), "v")
+        .collect().map(r => (r.getDouble(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3)))
+      val contained = rows.forall { case (x, _, lo, hi) =>
+        lo <= x && x <= hi }
+      val sorted = rows.sortBy(_._1)
+      val monotone = sorted.sliding(2).forall {
+        case Array((x1, b1, _, _), (x2, b2, _, _)) =>
+          x1 > x2 || b1 <= b2
+        case _ => true
+      }
+      contained && monotone
+    }
+    checkProp(p, 30)
+  }
 }

@@ -123,6 +123,48 @@ class StoreLockSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("graft-index publish under hammering: N racing writers, artifact always ONE dataset") {
+    // the stress form of the race: four threads each try five
+    // overwrites of the same table with their own dataset; losers must
+    // fail cleanly, and at EVERY point the artifact is exactly one
+    // writer's rows (never a mix), with no staging residue at the end
+    val dir = java.nio.file.Files.createTempDirectory("graft_race_n").toString
+    IndexStore.writeIndexTable(postingsOf(Seq("seed" -> Seq(1L))), dir)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wrote = new java.util.concurrent.atomic.AtomicInteger(0)
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        (0 until 5).foreach { i =>
+          try {
+            IndexStore.writeIndexTable(
+              postingsOf(Seq(s"writer${t}word$i" -> Seq(t.toLong, 10L + i))), dir)
+            wrote.incrementAndGet()
+          } catch {
+            case e: Throwable
+              if causes(e).exists(_.isInstanceOf[StoreLock.ConcurrentWriteException]) =>
+                failures.incrementAndGet()
+            case e: Throwable => unexpected.add(e)
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(unexpected.isEmpty, s"non-lease failure: ${unexpected.peek()}")
+    assert(wrote.get() >= 1, "no writer ever won")
+    // single-dataset invariant: the surviving artifact is exactly one
+    // writer's one-word dataset
+    val words = spark.read.format("graft-index").load(dir)
+      .select("word").collect().map(_.getString(0))
+    assert(words.length === 1, s"mixed artifact: ${words.toSeq}")
+    assert(words.head.matches("writer\\dword\\d"))
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_graft_staging")), "staging residue")
+    assert(!new java.io.File(dir, "_GRAFT_LOCK").exists(), "lease leaked")
+  }
+
   test("artifact store: a waiting loser serves the winner's artifact instead of double-building") {
     import graft.sources.ArtifactStore
     val root = java.nio.file.Files.createTempDirectory("graft_art").toString
