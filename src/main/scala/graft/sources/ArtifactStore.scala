@@ -159,17 +159,22 @@ object ArtifactStore {
       case Some(r) =>
         val dir = artifactPath(r, name, keyDf, params)
         val spark = keyDf.sparkSession
+        def serve() = {
+          hits.incrementAndGet()
+          (spark.read.parquet(s"$dir/a"), spark.read.parquet(s"$dir/b"))
+        }
         locked(dir) {
-          if (exists(keyDf, s"$dir/b")) {
-            hits.incrementAndGet()
-            (spark.read.parquet(s"$dir/a"), spark.read.parquet(s"$dir/b"))
-          } else {
-            misses.incrementAndGet()
-            val (a, b) = build
-            // a first, b last: the pair's completion marker is b's
-            // _SUCCESS (checked above), so a half-written artifact is
-            // never served
-            (writeRead(a, s"$dir/a"), writeRead(b, s"$dir/b"))
+          if (exists(keyDf, s"$dir/b")) serve()
+          else crossLocked(keyDf, dir) {
+            if (exists(keyDf, s"$dir/b")) serve()
+            else {
+              misses.incrementAndGet()
+              val (a, b) = build
+              // a first, b last: the pair's completion marker is b's
+              // _SUCCESS (checked above), so a half-written artifact is
+              // never served
+              (writeRead(a, s"$dir/a"), writeRead(b, s"$dir/b"))
+            }
           }
         }
     }
