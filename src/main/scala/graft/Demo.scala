@@ -46,6 +46,19 @@ object Demo {
       graft.operators.InvertedIndex.bm25Search(
         Tables(spark, sfDir, "documents"), Seq("spark", "join", "batch"), 3)
         .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(","))
+    // round-9 surfaces: compressed ingestion, the keeper decision,
+    // the split-leakage audit, float quantiles on a raw double column
+    val docs = Tables(spark, sfDir, "documents")
+    println(s"[demo] gz jsonl rows: " +
+      graft.sources.Sidecar.gzJsonl(spark, sfDir, "documents").count())
+    println(s"[demo] keep-best kept: " +
+      graft.operators.Dedup.keepBest(docs)
+        .where(org.apache.spark.sql.functions.col("is_kept")).count())
+    println(s"[demo] split leakage: " +
+      graft.operators.Sampling.splitLeakage(docs).collect().head)
+    println(s"[demo] o_totalprice p50/p95 buckets: " +
+      graft.operators.Relational.floatQuantiles(
+        Tables(spark, sfDir, "orders"), "o_totalprice").collect().head)
     // optional: third arg = reference-style manifest → index from raw files
     if (args.length > 2) {
       val corpus = graft.sources.RawCorpus.fromManifest(spark, args(2))
