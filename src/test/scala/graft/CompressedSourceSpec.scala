@@ -107,6 +107,51 @@ class CompressedSourceSpec extends SparkSpec {
     assert(viaGz.nonEmpty)
   }
 
+  test("gz jsonl landing zone tails as a STREAM: new members = new micro-batches") {
+    import org.apache.spark.sql.functions.lit
+    // real corpora land as .jsonl.gz waves; readStream over the
+    // directory must tail them (Spark's file source decodes gzip
+    // transparently), each new member a new micro-batch, stream ≡
+    // batch at every point — the q255 surface closed at stream time
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_gz_stream").toString
+    val docs = Tables(spark, dir, "documents").limit(60)
+      .withColumn("ingest_ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .select("doc_id", "text", "ingest_ts")
+    val wave1 = docs.where(col("doc_id") < 30)
+    val wave2 = docs.where(col("doc_id") >= 30)
+    def land(w: org.apache.spark.sql.DataFrame): Unit =
+      w.coalesce(1).write.mode("append")
+        .option("compression", "gzip")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .json(stage)
+    land(wave1)
+    // the landing zone really is compressed members
+    assert(new java.io.File(stage).listFiles()
+      .filter(_.getName.startsWith("part-")).forall(_.getName.endsWith(".gz")))
+    val streamed = spark.readStream.schema(docs.schema)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .json(stage)
+    def batchPostings(w: org.apache.spark.sql.DataFrame) =
+      graft.operators.InvertedIndex.postings(w.drop("ingest_ts")).collect()
+        .map(r => (r.getString(0), r.getSeq[Long](2).toList)).toSet
+    val q = graft.streaming.EventStreams.streamingPostings(streamed)
+      .writeStream.format("memory").queryName("gzidx")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def got() = spark.table("gzidx").collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1).toList)).toSet
+      assert(got() === batchPostings(wave1))
+      // the second wave lands as another gz member: a NEW micro-batch
+      // must pick it up and converge to the full-corpus index
+      land(wave2)
+      q.processAllAvailable()
+      assert(got() === batchPostings(docs))
+    } finally q.stop()
+  }
+
   test("zstd parquet splits at planning grain — the codec never pins the task count") {
     smallSplits {
       val served = Sidecar.zstdParquet(spark, dir, "documents")
