@@ -521,10 +521,10 @@ object SparkEntry {
     // scan's pushdowns intact through catalog resolution
     "q170_catalog_sql" -> ((s, d) => {
       val f = new java.io.File(sources.IndexStore.textIndexFor(s, d))
-      s.conf.set("spark.sql.catalog.graft_cat",
-        classOf[sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_cat.warehouse", f.getParent)
-      s.sql(s"SELECT word, df FROM graft_cat.`${f.getName}` " +
+      // catalog name fingerprinted from the warehouse (Spark caches
+      // catalog instances per name — GraftCatalog.registerFor)
+      val cat = sources.GraftCatalog.registerFor(s, "graft_cat", f.getParent)
+      s.sql(s"SELECT word, df FROM $cat.`${f.getName}` " +
         "WHERE word LIKE 'b%' ORDER BY word")
     }),
     // LSM-style incremental maintenance: base (even doc_ids) + one
@@ -612,10 +612,8 @@ object SparkEntry {
     // of the raw corpus
     "q183_time_travel" -> ((s, d) => {
       val f = new java.io.File(sources.IndexStore.timeTravelDemoFor(s, d))
-      s.conf.set("spark.sql.catalog.graft_ttcat",
-        classOf[sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_ttcat.warehouse", f.getParent)
-      s.sql(s"SELECT word, df FROM graft_ttcat.`${f.getName}` " +
+      val cat = sources.GraftCatalog.registerFor(s, "graft_ttcat", f.getParent)
+      s.sql(s"SELECT word, df FROM $cat.`${f.getName}` " +
         "VERSION AS OF 0 ORDER BY word")
     }),
     // MERGE INTO (SupportsRowLevelOperations, whole-artifact
@@ -977,12 +975,13 @@ object SparkEntry {
     // added/grown/same per vocabulary row, the corpus never touched
     "q258_version_diff" -> ((s, d) => {
       val f = new java.io.File(sources.IndexStore.timeTravelDemoFor(s, d))
-      s.conf.set("spark.sql.catalog.graft_vdcat",
-        classOf[sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_vdcat.warehouse", f.getParent)
+      // warehouse-fingerprinted catalog name: a second sfDir in the
+      // same session must not read the first warehouse's cached
+      // catalog (GraftCatalog.registerFor)
+      val cat = sources.GraftCatalog.registerFor(s, "graft_vdcat", f.getParent)
       sources.IndexStore.versionDiff(
-        s.sql(s"SELECT word, df FROM graft_vdcat.`${f.getName}` VERSION AS OF 0"),
-        s.sql(s"SELECT word, df FROM graft_vdcat.`${f.getName}`"))
+        s.sql(s"SELECT word, df FROM $cat.`${f.getName}` VERSION AS OF 0"),
+        s.sql(s"SELECT word, df FROM $cat.`${f.getName}`"))
     }),
     // eval-hygiene audit: near-dup edges (the memoized q22/q58 LSH
     // pass) crossing the q45 hash split — distinct leaked val docs +
@@ -995,6 +994,24 @@ object SparkEntry {
     // aggregation over the memoized labels, no per-cluster sort
     "q260_cluster_keep_best" -> ((s, d) =>
       Dedup.keepBest(Tables(s, d, "documents"))),
+    // CDC on an INTERIOR generation pair (gen 1 vs gen 2) of a
+    // four-quarter ingest history with a q179 DELETE and a matched-only
+    // MERGE between the snapshots — all five change classes (including
+    // the DELETE-born `removed` and the UPDATE-born `shrunk`) through
+    // the oracle; q258 keeps the 0-vs-live append-only pair
+    "q261_interior_version_diff" -> ((s, d) => {
+      val f = new java.io.File(sources.IndexStore.versionDiffDemoFor(s, d))
+      val cat = sources.GraftCatalog.registerFor(s, "graft_vdgcat", f.getParent)
+      sources.IndexStore.versionDiff(
+        s.sql(s"SELECT word, df FROM $cat.`${f.getName}` VERSION AS OF 1"),
+        s.sql(s"SELECT word, df FROM $cat.`${f.getName}` VERSION AS OF 2"))
+    }),
+    // the q260 keeper decision SHIPPED: the near-dup pipeline's output
+    // relation (one row per cluster — kept doc + member count + chars
+    // kept/dropped) under the parameterized keeper rule; no join back
+    // to the corpus (the keeper's size rides the max_by struct)
+    "q262_dedup_output" -> ((s, d) =>
+      Dedup.dedupOutput(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4400,6 +4417,68 @@ object SparkEntry {
          |       s.doc_id = k.keep_id AS is_kept
          |FROM sz s JOIN k USING (cluster_id)
          |ORDER BY s.doc_id""".stripMargin,
+    // the interior pair replayed from the corpus quarters: gen 1 =
+    // index(Q0∪Q1); gen 2 = index(Q0∪Q1∪Q2) minus t-words, with
+    // Q0-present s-words rewound to their Q0-only df (the matched-only
+    // MERGE); FULL OUTER on word + the shared classification
+    "q261_interior_version_diff" ->
+      s"""WITH t AS (
+         |  SELECT DISTINCT doc_id,
+         |         lower(regexp_replace(w, '[^A-Za-z]', '', 'g')) AS word
+         |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+         |        FROM documents)
+         |  WHERE lower(regexp_replace(w, '[^A-Za-z]', '', 'g')) <> ''),
+         |g1 AS (SELECT word, CAST(count(*) AS BIGINT) AS df_v0 FROM t
+         |       WHERE doc_id % 4 <= 1 AND word NOT LIKE 'a%' GROUP BY 1),
+         |q0 AS (SELECT word, CAST(count(*) AS BIGINT) AS df0 FROM t
+         |       WHERE doc_id % 4 = 0 GROUP BY 1),
+         |q01 AS (SELECT word, CAST(count(*) AS BIGINT) AS df01 FROM t
+         |        WHERE doc_id % 4 <= 1 GROUP BY 1),
+         |q2 AS (SELECT word, CAST(count(*) AS BIGINT) AS df2 FROM t
+         |       WHERE doc_id % 4 = 2 GROUP BY 1),
+         |u3 AS (SELECT word, CAST(count(*) AS BIGINT) AS dfu FROM t
+         |       WHERE doc_id % 4 <= 2 GROUP BY 1),
+         |g2 AS (SELECT u3.word,
+         |              CASE WHEN u3.word LIKE 'a%' THEN q2.df2
+         |                   WHEN u3.word LIKE 's%' AND q0.word IS NOT NULL
+         |                     THEN q0.df0
+         |                   WHEN u3.word LIKE 'w%' AND q01.word IS NOT NULL
+         |                     THEN q01.df01
+         |                   ELSE u3.dfu END AS df_now
+         |       FROM u3 LEFT JOIN q0 USING (word)
+         |            LEFT JOIN q01 USING (word)
+         |            LEFT JOIN q2 USING (word)
+         |       WHERE u3.word NOT LIKE 't%'
+         |         AND NOT (u3.word LIKE 'a%' AND q2.word IS NULL))
+         |SELECT word,
+         |       CAST(coalesce(df_v0, 0) AS BIGINT) AS df_v0,
+         |       CAST(coalesce(df_now, 0) AS BIGINT) AS df_now,
+         |       CASE WHEN df_v0 IS NULL THEN 'added'
+         |            WHEN df_now IS NULL THEN 'removed'
+         |            WHEN df_now > df_v0 THEN 'grown'
+         |            WHEN df_now < df_v0 THEN 'shrunk'
+         |            ELSE 'same' END AS change
+         |FROM g1 FULL OUTER JOIN g2 USING (word)
+         |ORDER BY word""".stripMargin,
+    // closure labels + the keep-longest argmax + per-cluster sums —
+    // the q260 windowed rule carried into the shipped output relation
+    "q262_dedup_output" ->
+      s"""WITH RECURSIVE $clusterReachCtes,
+         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |sz AS (SELECT lab.doc_id, cluster_id, n_chars
+         |       FROM lab JOIN documents USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id, n_chars,
+         |             row_number() OVER (PARTITION BY cluster_id
+         |               ORDER BY n_chars DESC, doc_id) AS rk
+         |      FROM sz),
+         |a AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |             CAST(sum(n_chars) AS BIGINT) AS tot
+         |      FROM sz GROUP BY 1)
+         |SELECT r.doc_id AS keep_id, r.cluster_id, a.n_members,
+         |       CAST(r.n_chars AS BIGINT) AS n_chars_kept,
+         |       CAST(a.tot - r.n_chars AS BIGINT) AS n_chars_dropped
+         |FROM r JOIN a USING (cluster_id)
+         |WHERE rk = 1 ORDER BY keep_id""".stripMargin,
     // the q22 verified-edge chain + the q45 split rule: cross-split
     // edges, distinct leaked val docs, exact leak rate in micros
     "q259_split_leakage" ->

@@ -779,6 +779,49 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q262 — the keeper decision WIRED INTO the dedup output path: the
+    * relation a near-dup pass actually ships (one row per cluster —
+    * the kept document plus what keeping it cost), under a
+    * PARAMETERIZED keeper rule, so the q260 decision and the shipped
+    * corpus can never disagree. `keeper`:
+    *
+    *  - `"longest"` (default) — q260's keep-best rule (n_chars desc,
+    *    doc_id asc): near-dups are routinely truncations of each
+    *    other, so the keeper preserves the most content;
+    *  - `"min_id"` — the q49/q58 label convention (keep_id ≡
+    *    cluster_id by construction, spec-pinned), for pipelines that
+    *    want stable keeper ids across re-clusterings.
+    *
+    * Shape: the memoized cluster labels + ONE map-side-combinable
+    * aggregation — the keeper is a `max_by` of a (doc_id, n_chars)
+    * struct over the rule's exact sort key, and the kept doc's size
+    * rides the same struct, so there is NO join back to the corpus
+    * (the q59 "aggregate, don't rejoin" discipline applied to the
+    * near-dup output). The oracle replays the closure + a row_number
+    * argmax + the per-cluster sums. */
+  def dedupOutput(docs: DataFrame, threshold: Double = 0.95,
+      keeper: String = "longest"): DataFrame = {
+    val key = keeper match {
+      case "longest" => struct(col("n_chars"), -col("doc_id"))
+      case "min_id" => struct(-col("doc_id"))
+      case other => throw new IllegalArgumentException(
+        s"keeper rule must be 'longest' or 'min_id'; got '$other'")
+    }
+    dedupClustersScale(docs, threshold)
+      .select("doc_id", "cluster_id")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        max_by(struct(col("doc_id").as("keep_id"),
+          col("n_chars").cast("long").as("n_chars_kept")), key).as("k"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_chars")).cast("long").as("tot"))
+      .select(col("k.keep_id").as("keep_id"), col("cluster_id"),
+        col("n_members"), col("k.n_chars_kept").as("n_chars_kept"),
+        (col("tot") - col("k.n_chars_kept")).as("n_chars_dropped"))
+      .orderBy("keep_id")
+  }
+
   /** Connected components over an explicit undirected edge list;
     * every node (even isolated) gets the min node id of its component.
     *

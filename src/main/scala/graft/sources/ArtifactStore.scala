@@ -117,12 +117,17 @@ object ArtifactStore {
     * served without touching it. The post-acquire existence RE-CHECK
     * is the point: a loser that waited out another driver's build
     * finds the winner's _SUCCESS and serves it (one build per key
-    * across processes, not per process). */
+    * across processes, not per process). A winner whose build outlives
+    * the staleness threshold is safe: the lease heartbeats while the
+    * build runs, so waiters keep waiting (up to the SEPARATE
+    * `spark.graft.lockWaitMs` deadline) instead of breaking a live
+    * lease and double-building into the same directory. */
   private def crossLocked[A](keyDf: DataFrame, dir: String)(body: => A): A = {
+    val spark = keyDf.sparkSession
     val lock = new Path(dir + ".lock")
-    val fs = lock.getFileSystem(keyDf.sparkSession.sessionState.newHadoopConf())
-    StoreLock.withLease(fs, lock,
-      StoreLock.leaseMs(keyDf.sparkSession), wait = true)(body)
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    StoreLock.withLease(StoreLock.backendFor(spark, fs), lock,
+      StoreLock.leaseMs(spark), StoreLock.waitMs(spark), wait = true)(body)
   }
 
   def loadOrBuild(name: String, keyDf: DataFrame, params: String)(

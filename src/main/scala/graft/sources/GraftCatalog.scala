@@ -46,6 +46,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * is the R16 grammar — there is nothing to alter). `renameTable` is a
   * filesystem rename, atomic where the FS is.
   */
+object GraftCatalog {
+  /** Register a [[GraftCatalog]] over `warehouse` under a name DERIVED
+    * FROM THE WAREHOUSE PATH (`<prefix>_<md5-8>`), returning the name.
+    * Spark caches catalog instances per name at first load, so a FIXED
+    * name re-registered with a different warehouse later in the same
+    * session would silently keep serving the first one (a second
+    * corpus directory would read the first corpus's artifact). A
+    * path-fingerprinted name gives each warehouse its own cached
+    * catalog, so repeated same-session runs against different corpora
+    * resolve the right artifact; re-registering the same warehouse is
+    * idempotent. MD5 (not String.hashCode) for the same reason as
+    * ArtifactStore's param key: a 32-bit hashCode collision would
+    * serve the WRONG warehouse. */
+  def registerFor(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, warehouse: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(warehouse.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
+    val name = s"${prefix}_$h"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
+    name
+  }
+}
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _

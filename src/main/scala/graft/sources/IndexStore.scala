@@ -410,10 +410,8 @@ object IndexStore {
       writeIndexTable(
         InvertedIndex.postingsUnordered(Tables(spark, sfDir, "documents")), out)
       val f = new java.io.File(out)
-      spark.conf.set("spark.sql.catalog.graft_delcat",
-        classOf[GraftCatalog].getName)
-      spark.conf.set("spark.sql.catalog.graft_delcat.warehouse", f.getParent)
-      spark.sql(s"DELETE FROM graft_delcat.`${f.getName}` WHERE word LIKE 't%'")
+      val cat = GraftCatalog.registerFor(spark, "graft_delcat", f.getParent)
+      spark.sql(s"DELETE FROM $cat.`${f.getName}` WHERE word LIKE 't%'")
       java.nio.file.Files.createFile(done)
     }
     out
@@ -438,11 +436,9 @@ object IndexStore {
           col("postings").cast("array<bigint>").as("postings"))
         .createOrReplaceTempView("graft_merge_demo_src")
       val f = new java.io.File(out)
-      spark.conf.set("spark.sql.catalog.graft_mergecat",
-        classOf[GraftCatalog].getName)
-      spark.conf.set("spark.sql.catalog.graft_mergecat.warehouse", f.getParent)
+      val cat = GraftCatalog.registerFor(spark, "graft_mergecat", f.getParent)
       spark.sql(
-        s"""MERGE INTO graft_mergecat.`${f.getName}` t
+        s"""MERGE INTO $cat.`${f.getName}` t
            |USING graft_merge_demo_src s
            |ON t.word = s.word
            |WHEN MATCHED THEN UPDATE SET df = s.df, postings = s.postings
@@ -469,6 +465,80 @@ object IndexStore {
   def timeTravelDemoFor(spark: SparkSession, sfDir: String): String =
     demoArtifact(spark, sfDir, "graft_ttidx_", compactAfter = true,
       retain = true)
+
+  /** q261's artifact: a FOUR-quarter ingest history whose INTERIOR
+    * generations bracket real row-level DML, so an (n, m) version diff
+    * drives every change class through the oracle — the piece q258's
+    * 0-vs-live pair could not reach (`removed` needs a DELETE between
+    * the two snapshots; `shrunk` needs an UPDATE that rewinds a
+    * posting list). Timeline (Qi = doc_id % 4 == i):
+    *
+    *  - base = index(Q0); delta Q1; compact(retain) → gen 0 = Q0,
+    *    live = Q0∪Q1;
+    *  - delta Q2; compact(retain) → gen 1 = Q0∪Q1, live = Q0∪Q1∪Q2;
+    *  - `DELETE … WHERE word LIKE 't%'` (the q179 path) — the source
+    *    of gen-1-vs-gen-2 `removed` rows;
+    *  - `MERGE INTO … WHEN MATCHED THEN UPDATE` rewinding every
+    *    s-word PRESENT IN Q0 to its Q0-only postings (a matched-only
+    *    merge through the same row-level rewrite as q184) — the
+    *    source of `shrunk` rows (df falls below gen 1's wherever the
+    *    word also appeared in Q1);
+    *  - delta Q3; compact(retain) → gen 2 = the post-DML state,
+    *    live = gen 2 merged with Q3.
+    *
+    * Gen 1 vs gen 2 then exhibits all five classes: `removed`
+    * (t-words, DELETEd between the snapshots), `added` (a-words —
+    * DELETEd BEFORE gen 1's snapshot, re-added by Q2's delta merge
+    * with Q2-only postings), `shrunk` (Q0-present s-words rewound
+    * below their gen-1 df), `same` (w-words pinned by the MERGE to
+    * exactly their gen-1 postings), `grown` (everything else Q2
+    * touches). A tiny common-word vocabulary would otherwise yield
+    * only `grown` — every class here is MANUFACTURED by DML, not
+    * hoped for from the data. */
+  def versionDiffDemoFor(spark: SparkSession, sfDir: String): String = synchronized {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_vdidx_" +
+      s"${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}_" +
+      java.lang.Integer.toHexString(fingerprint(s"$sfDir/documents.parquet"))
+    val done = java.nio.file.Paths.get(out, "_DEMO_READY")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables(spark, sfDir, "documents")
+      def quarter(i: Int) = docs.where(col("doc_id") % 4 === i)
+      def asDelta(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("word"), col("df"),
+          col("postings").cast("array<bigint>").as("postings"))
+      writeIndexTable(InvertedIndex.postingsUnordered(quarter(0)), out)
+      writeIndexDelta(InvertedIndex.postingsUnordered(quarter(1)), out, epoch = 1L)
+      compact(spark, out, retainGeneration = true) // gen 0 = Q0
+      val f = new java.io.File(out)
+      val cat = GraftCatalog.registerFor(spark, "graft_vdgencat", f.getParent)
+      // a-words out BEFORE gen 1's snapshot; Q2's delta re-adds them
+      // with Q2-only postings → `added` in the gen-1-vs-gen-2 diff
+      spark.sql(s"DELETE FROM $cat.`${f.getName}` WHERE word LIKE 'a%'")
+      writeIndexDelta(InvertedIndex.postingsUnordered(quarter(2)), out, epoch = 2L)
+      compact(spark, out, retainGeneration = true) // gen 1 = (Q0∪Q1) − a%
+      // t-words out BETWEEN the diffed snapshots → `removed`
+      spark.sql(s"DELETE FROM $cat.`${f.getName}` WHERE word LIKE 't%'")
+      // matched-only MERGE: s-words rewound to Q0-only postings
+      // (`shrunk`); w-words pinned to exactly their gen-1 Q0∪Q1
+      // postings (`same`)
+      asDelta(InvertedIndex.postingsUnordered(quarter(0))
+          .where(col("word").startsWith("s")))
+        .unionByName(asDelta(
+          InvertedIndex.postingsUnordered(docs.where(col("doc_id") % 4 <= 1))
+            .where(col("word").startsWith("w"))))
+        .createOrReplaceTempView("graft_vd_dml_src")
+      spark.sql(
+        s"""MERGE INTO $cat.`${f.getName}` t
+           |USING graft_vd_dml_src s
+           |ON t.word = s.word
+           |WHEN MATCHED THEN UPDATE SET df = s.df, postings = s.postings"""
+          .stripMargin)
+      writeIndexDelta(InvertedIndex.postingsUnordered(quarter(3)), out, epoch = 3L)
+      compact(spark, out, retainGeneration = true) // gen 2 = post-DML state
+      java.nio.file.Files.createFile(done)
+    }
+    out
+  }
 
   /** q258 — VERSION DIFF between two generations of a stored index:
     * the CDC read every lake table eventually needs ("what changed

@@ -142,12 +142,47 @@ object Sidecar {
     * explicit-schema + µs-timestamp discipline as the plain JSONL
     * surface. */
   def gzJsonl(spark: SparkSession, sfDir: String, name: String,
-      parts: Int = 8): DataFrame = {
+      targetMemberBytes: Long = 0L): DataFrame = {
     val pq = Tables(spark, sfDir, name)
+    val target =
+      if (targetMemberBytes > 0L) targetMemberBytes
+      else spark.conf.get("spark.graft.gzTargetMemberBytes",
+        DefaultGzTargetMemberBytes.toString).toLong
+    val parts = gzParts(sourceBytes(s"$sfDir/$name.parquet"), target)
     val out = path(s"gzjson$parts", sfDir, name)
     materialize(pq.repartition(parts), "gzjson", out)
     val Left(r) = timestamped(Left(spark.read.schema(pq.schema)))
     r.json(out)
+  }
+
+  /** The 100 TB landing rule as a default: ≤128 MB per gzip member, so
+    * no single unsplittable member ever serializes more than one
+    * task's worth of scan (conf `spark.graft.gzTargetMemberBytes`). */
+  val DefaultGzTargetMemberBytes: Long = 128L << 20
+
+  /** Member floor: even a tiny corpus lands as a multi-file layout, so
+    * the scan always has a file boundary to parallelize on. */
+  val MinGzParts = 8
+
+  /** SIZE-TARGETED member count: ceil(source bytes / target) with the
+    * [[MinGzParts]] floor. The source parquet's on-disk size stands in
+    * for the gz-JSONL size — both are compressed encodings of the same
+    * rows (JSON's text expansion ≈ what gzip claws back), so the
+    * estimate lands members in the right BAND (spec-pinned), which is
+    * all the ≤128 MB rule needs; a fixed `parts` would instead grow
+    * members linearly with the corpus until one file swallowed the
+    * scan. */
+  private[graft] def gzParts(srcBytes: Long, targetMemberBytes: Long): Int =
+    math.max(MinGzParts.toLong,
+      (srcBytes + targetMemberBytes - 1L) / targetMemberBytes).toInt
+
+  /** Total on-disk bytes under `src` (file or directory). */
+  private[graft] def sourceBytes(src: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(src))
   }
 
   /** `name` served from a ZSTD-compressed parquet copy — the

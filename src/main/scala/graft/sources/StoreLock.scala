@@ -1,6 +1,147 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets.UTF_8
+
 import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The primitive operations a commit lease needs from its backing
+  * store. The default [[FsLeaseBackend]] implements them with
+  * filesystem atomic create-if-absent — sound on local disks and
+  * HDFS; a deployment whose warehouse lives on an object store
+  * without atomic create (s3a, gs, abfs: exists-then-create races)
+  * must plug a backend built on that store's conditional-put (or an
+  * external lock service) via `spark.graft.lockBackend` — the
+  * [[FsLeaseBackend]] REFUSES such schemes loudly rather than
+  * handing out a lock that does not lock. */
+trait LeaseBackend {
+  /** Atomically create the lease stamped with `token`; false if held. */
+  def tryAcquire(lock: Path, token: String): Boolean
+  /** (age ms, holder token) of the current lease; None if absent. */
+  def probe(lock: Path): Option[(Long, String)]
+  /** Break a lease observed stale with `observedToken`. Must never
+    * silently clobber a re-acquired FRESH lease: the slower of two
+    * breakers has to lose, not delete the faster one's new lease. */
+  def breakStale(lock: Path, observedToken: String): Boolean
+  /** Refresh the lease's age while `token` still holds it. */
+  def heartbeat(lock: Path, token: String): Unit
+  /** Drop the lease iff `token` still holds it — a holder whose lease
+    * was broken and re-acquired must leave the new holder's alone. */
+  def release(lock: Path, token: String): Unit
+}
+
+object FsLeaseBackend {
+  /** Schemes whose create-if-absent is genuinely atomic: O_EXCL on
+    * local disks, namenode-serialized on HDFS (viewfs resolves to
+    * member filesystems of the same kind). Everything else — s3a, gs,
+    * abfs and friends — implements create(p, overwrite=false) as
+    * exists-then-create, a TOCTOU race that breaks mutual exclusion
+    * exactly when two writers contend, which is the only time the
+    * lock matters. */
+  val AtomicCreateSchemes: Set[String] = Set("file", "hdfs", "viewfs")
+}
+
+/** Filesystem lease backend: atomic create-if-absent (O_EXCL via
+  * `File.createNewFile` on local paths — RawLocalFileSystem's
+  * create(p, false) is a non-atomic exists-then-create — and
+  * `FileSystem.create(p, overwrite=false)` on HDFS, whose namenode
+  * serializes creates). The holder's token is the file's content. */
+class FsLeaseBackend(fs: FileSystem) extends LeaseBackend {
+
+  private def requireAtomicCreate(lock: Path): Unit = {
+    val scheme = Option(lock.toUri.getScheme).getOrElse(fs.getScheme)
+    if (!FsLeaseBackend.AtomicCreateSchemes(scheme))
+      throw new IllegalStateException(
+        s"StoreLock: scheme '$scheme' ($lock) has no atomic " +
+          "create-if-absent, so a filesystem lease cannot guarantee " +
+          "mutual exclusion there. Configure spark.graft.lockBackend " +
+          "with a LeaseBackend built on the store's conditional-put " +
+          "(or an external lock service).")
+  }
+
+  private def isLocal(lock: Path): Boolean =
+    Option(lock.toUri.getScheme).getOrElse(fs.getScheme) == "file"
+
+  def tryAcquire(lock: Path, token: String): Boolean = {
+    requireAtomicCreate(lock)
+    fs.mkdirs(lock.getParent)
+    val created =
+      if (isLocal(lock)) new java.io.File(lock.toUri.getPath).createNewFile()
+      else
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    if (created) {
+      // stamp the holder token. We exclusively created the file
+      // microseconds ago, so no breaker can touch it (breakers only
+      // act past leaseMs of age) — the overwrite is safe.
+      val out = fs.create(lock, true)
+      out.write(token.getBytes(UTF_8)); out.close()
+    }
+    created
+  }
+
+  def probe(lock: Path): Option[(Long, String)] = {
+    requireAtomicCreate(lock)
+    try {
+      val st = fs.getFileStatus(lock)
+      val tok =
+        try {
+          val in = fs.open(lock)
+          try {
+            val buf = new Array[Byte](128)
+            val n = in.read(buf)
+            if (n <= 0) "" else new String(buf, 0, n, UTF_8)
+          } finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      Some((System.currentTimeMillis() - st.getModificationTime, tok))
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Stale break via ATOMIC RENAME to a breaker-unique tombstone —
+    * never an unconditional delete: of two contenders that both
+    * observed a stale lease, only one rename succeeds (the source
+    * vanishes for the slower one, which re-contends), so a lease the
+    * faster breaker already re-acquired cannot be deleted out from
+    * under it. After the rename the tombstone's token is checked
+    * against what this breaker observed: if a break+re-acquire slipped
+    * into the probe→rename window, the FRESH lease was tombstoned by
+    * mistake and is put back (best-effort restore — the residual
+    * window is the filesystem's, not the protocol's). */
+  def breakStale(lock: Path, observedToken: String): Boolean = {
+    val tomb = new Path(lock.getParent,
+      lock.getName + ".tomb." +
+        java.lang.Long.toHexString(
+          java.util.concurrent.ThreadLocalRandom.current().nextLong()))
+    val renamed =
+      try fs.rename(lock, tomb)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) false
+    else probe(tomb) match {
+      case Some((_, tok)) if tok == observedToken =>
+        fs.delete(tomb, false); true
+      case _ =>
+        // we tombstoned a lease that was re-acquired meanwhile: restore
+        if (!(try fs.rename(tomb, lock)
+              catch { case _: java.io.IOException => false }))
+          fs.delete(tomb, false)
+        false
+    }
+  }
+
+  def heartbeat(lock: Path, token: String): Unit =
+    try {
+      if (probe(lock).exists(_._2 == token))
+        fs.setTimes(lock, System.currentTimeMillis(), -1L)
+    } catch { case _: java.io.IOException => () }
+
+  def release(lock: Path, token: String): Unit =
+    try {
+      // token-conditioned: if our lease was broken and re-acquired
+      // (a stop-the-world pause past leaseMs), the new holder's lease
+      // is left alone — check-then-delete narrows the window to the
+      // filesystem's unavoidable minimum.
+      if (probe(lock).forall(_._2 == token)) fs.delete(lock, false)
+    } catch { case _: java.io.IOException => () }
+}
 
 /** Cross-process COMMIT ARBITRATION for the durable stores — the gap
   * every store so far left open by contract: marker-last / rename
@@ -11,16 +152,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * artifact from two jobs, each individually "successful"). A shared
   * warehouse hits this in week one.
   *
-  * Mechanism: an exclusive LEASE FILE on the artifact's own
-  * filesystem, acquired with an atomic create-if-absent (O_EXCL via
-  * `File.createNewFile` on local paths; `FileSystem.create(p,
-  * overwrite=false)` elsewhere — atomic on HDFS, whose namenode
-  * serializes creates). Two arbitration modes, matching the two kinds
-  * of writer:
+  * Mechanism: an exclusive LEASE on the artifact's own store,
+  * acquired through a [[LeaseBackend]] (filesystem atomic
+  * create-if-absent by default — scheme-checked, see
+  * [[FsLeaseBackend]]; conditional-put stores plug their own via
+  * `spark.graft.lockBackend`). Two arbitration modes, matching the
+  * two kinds of writer:
   *
   *  - **fail-clean** (`wait = false`, the commit paths): the loser
-  *    throws [[ConcurrentWriteException]] BEFORE touching the
-  *    destination — its staged work is never published (the DSv2
+  *    throws [[StoreLock.ConcurrentWriteException]] BEFORE touching
+  *    the destination — its staged work is never published (the DSv2
   *    abort path deletes staging; saveAsTable commits never start),
   *    so the loser's artifact never becomes visible. Retrying after
   *    the winner finishes is the caller's policy, exactly like any
@@ -32,13 +173,24 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    trainMemo double-build note (the in-process half is the memo's
   *    own build lock).
   *
-  * Liveness: a crashed winner leaves a stale lease. A lease older
-  * than `leaseMs` (mtime-based; default 15 min, conf
-  * `spark.graft.commitLeaseMs`) is broken and re-contended — the
-  * standard lease compromise: long enough that no live commit ever
-  * exceeds it, short enough that a crash doesn't wedge the store. A
-  * waiter also gives up (fail-clean) after `leaseMs` so an
-  * interactive session can't hang forever. */
+  * Liveness vs safety, the three-knob version:
+  *
+  *  - a LIVE holder HEARTBEATS its lease (every leaseMs/3), so a
+  *    build that legitimately outlives `leaseMs` is never broken —
+  *    only a genuinely crashed writer's lease goes stale;
+  *  - a lease older than `leaseMs` (default 15 min, conf
+  *    `spark.graft.commitLeaseMs` — now a CRASH-DETECTION threshold,
+  *    not a build-duration bound) is broken via the backend's
+  *    tombstone-rename and re-contended;
+  *  - a waiter gives up after `spark.graft.lockWaitMs` (default
+  *    4×leaseMs) — a deadline deliberately SEPARATE from the
+  *    staleness threshold, so "how long may a crash wedge the store"
+  *    and "how long will an interactive session poll" tune
+  *    independently.
+  *
+  * Every lease is stamped with a holder TOKEN; release and stale
+  * break are token-conditioned, so a holder that lost its lease to a
+  * breaker can never delete the successor's. */
 object StoreLock {
 
   class ConcurrentWriteException(msg: String)
@@ -46,33 +198,41 @@ object StoreLock {
 
   val DefaultLeaseMs = 900000L
 
-  /** Lease duration from the session conf (milliseconds). */
+  /** Staleness threshold from the session conf (milliseconds). */
   def leaseMs(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.get("spark.graft.commitLeaseMs",
       DefaultLeaseMs.toString).toLong
 
-  /** Atomic create-if-absent. RawLocalFileSystem's create(p, false) is
-    * a non-atomic exists-then-create (TOCTOU), so local paths go
-    * through File.createNewFile — O_EXCL at the syscall level. */
-  private def tryAcquire(fs: FileSystem, lock: Path): Boolean = {
-    fs.mkdirs(lock.getParent)
-    if (fs.getScheme == "file")
-      new java.io.File(lock.toUri.getPath).createNewFile()
-    else
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
-  }
+  /** Waiter give-up deadline (milliseconds) — independent of the
+    * staleness threshold (a waiter behind a long healthy build keeps
+    * waiting well past one lease). */
+  def waitMs(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.lockWaitMs",
+      (4 * leaseMs(spark)).toString).toLong
 
-  /** Age of the lease in ms, or -1 if it vanished (released between
-    * our failed acquire and this probe — re-contend immediately). */
-  private def ageMs(fs: FileSystem, lock: Path): Long =
-    try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-    catch { case _: java.io.FileNotFoundException => -1L }
+  /** The session's lease backend: [[FsLeaseBackend]] unless
+    * `spark.graft.lockBackend` names a [[LeaseBackend]] class (a
+    * `(FileSystem)` or no-arg constructor) — the seam an object-store
+    * deployment uses to route leases through conditional-put. */
+  def backendFor(spark: org.apache.spark.sql.SparkSession,
+      fs: FileSystem): LeaseBackend =
+    spark.conf.get("spark.graft.lockBackend", "").trim match {
+      case "" => new FsLeaseBackend(fs)
+      case cls =>
+        val c = Class.forName(cls)
+        try c.getConstructor(classOf[FileSystem]).newInstance(fs)
+          .asInstanceOf[LeaseBackend]
+        catch {
+          case _: NoSuchMethodException =>
+            c.getDeclaredConstructor().newInstance()
+              .asInstanceOf[LeaseBackend]
+        }
+    }
 
   /** Exclusive commit lease for a named catalog store (LabelStore /
     * SketchStore / GraphStore tables): the lease file lives under the
     * session warehouse (`_graft_locks/<name>.lock`), so every writer
-    * to a shared warehouse contends on the same filesystem the tables
+    * to a shared warehouse contends on the same store the tables
     * live on. Fail-clean mode — the loser throws before any table
     * write starts, so a half-interleaved multi-table commit (batch A's
     * sketches under batch B's labels) cannot exist. */
@@ -82,34 +242,56 @@ object StoreLock {
       new Path(spark.sessionState.conf.warehousePath),
       s"_graft_locks/$name.lock")
     val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
-    withLease(fs, lock, leaseMs(spark), wait = false)(body)
+    withLease(backendFor(spark, fs), lock, leaseMs(spark), waitMs(spark),
+      wait = false)(body)
   }
 
-  /** Run `body` under the exclusive lease at `lock`. */
+  /** Filesystem-backend convenience (specs, path-local leases). */
   def withLease[A](fs: FileSystem, lock: Path, leaseMs: Long,
-      wait: Boolean)(body: => A): A = {
-    val deadline = System.currentTimeMillis() + leaseMs
-    var acquired = tryAcquire(fs, lock)
+      wait: Boolean)(body: => A): A =
+    withLease(new FsLeaseBackend(fs), lock, leaseMs, 4 * leaseMs, wait)(body)
+
+  /** Run `body` under the exclusive lease at `lock`. */
+  def withLease[A](backend: LeaseBackend, lock: Path, leaseMs: Long,
+      waitMs: Long, wait: Boolean)(body: => A): A = {
+    val token = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = backend.tryAcquire(lock, token)
     while (!acquired) {
-      val age = ageMs(fs, lock)
-      if (age > leaseMs) {
-        // stale lease from a crashed writer: break it and re-contend
-        // (delete-then-create is a race among breakers, but every
-        // breaker re-contends through the atomic create, so exactly
-        // one wins)
-        fs.delete(lock, false)
-      } else if (age >= 0 && !wait) {
-        throw new ConcurrentWriteException(
-          s"another writer holds $lock (age ${age} ms); " +
-            "this commit published nothing")
-      } else if (System.currentTimeMillis() > deadline) {
-        throw new ConcurrentWriteException(
-          s"gave up waiting for $lock after $leaseMs ms")
-      } else if (age >= 0) {
-        Thread.sleep(100)
+      backend.probe(lock) match {
+        case Some((age, tok)) if age > leaseMs =>
+          // stale lease from a crashed writer (a live one heartbeats):
+          // tombstone-break it and re-contend through the atomic create
+          backend.breakStale(lock, tok)
+        case Some((age, _)) if !wait =>
+          throw new ConcurrentWriteException(
+            s"another writer holds $lock (age ${age} ms); " +
+              "this commit published nothing")
+        case Some(_) if System.currentTimeMillis() > deadline =>
+          throw new ConcurrentWriteException(
+            s"gave up waiting for $lock after $waitMs ms")
+        case Some(_) => Thread.sleep(100)
+        case None => () // released between probes: re-contend now
       }
-      acquired = tryAcquire(fs, lock)
+      acquired = backend.tryAcquire(lock, token)
     }
-    try body finally fs.delete(lock, false)
+    // live-holder heartbeat: a healthy build longer than leaseMs must
+    // never look stale (a waiter would break it and double-build the
+    // same directory — the two-writers-one-dir corruption)
+    val beat = math.max(leaseMs / 3, 200L)
+    val hb = new Thread(() =>
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(beat)
+          backend.heartbeat(lock, token)
+        }
+      } catch { case _: InterruptedException => () },
+      s"graft-lease-heartbeat-${lock.getName}")
+    hb.setDaemon(true)
+    hb.start()
+    try body finally {
+      hb.interrupt()
+      backend.release(lock, token)
+    }
   }
 }

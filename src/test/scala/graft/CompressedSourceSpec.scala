@@ -94,6 +94,44 @@ class CompressedSourceSpec extends SparkSpec {
     }
   }
 
+  test("gz member count is size-targeted: parts track source bytes into the member band") {
+    // the derivation rule: ceil(bytes/target) with the multi-file floor
+    assert(Sidecar.gzParts(0L, 1000L) === Sidecar.MinGzParts)
+    assert(Sidecar.gzParts(7999L, 1000L) === Sidecar.MinGzParts)
+    assert(Sidecar.gzParts(8001L, 1000L) === 9)
+    assert(Sidecar.gzParts(100L << 20,
+      Sidecar.DefaultGzTargetMemberBytes) === Sidecar.MinGzParts)
+    // 100 TB with the default 128 MB rule: parts grow with the corpus
+    // so MEMBERS don't — a fixed parts=8 would make 12.5 TB members
+    assert(Sidecar.gzParts(100L << 40,
+      Sidecar.DefaultGzTargetMemberBytes) === 819200)
+    // a materialized landing zone under a small target: the count
+    // follows the rule and member sizes land in the band around the
+    // target (the parquet-size estimate carries encoding slack — the
+    // band, not byte equality, is the contract)
+    val tiny = 4096L
+    val srcBytes = Sidecar.sourceBytes(s"$dir/documents.parquet")
+    val expect = Sidecar.gzParts(srcBytes, tiny)
+    assert(expect > Sidecar.MinGzParts,
+      s"corpus too small ($srcBytes B) to exercise the size-targeted path")
+    spark.conf.set("spark.graft.gzTargetMemberBytes", tiny.toString)
+    try {
+      val served = Sidecar.gzJsonl(spark, dir, "documents")
+      val files = served.select(input_file_name()).distinct()
+        .collect().map(_.getString(0))
+      assert(files.length === expect,
+        s"expected $expect members for $srcBytes B at $tiny B/member, got ${files.length}")
+      val sizes = files.map(f =>
+        new java.io.File(new java.net.URI(f)).length())
+      assert(sizes.max <= 4L * tiny,
+        s"member band broken: max ${sizes.max} B vs target $tiny B")
+      assert(sizes.sum / sizes.length >= tiny / 8,
+        s"members collapsed far below the target band: mean ${sizes.sum / sizes.length} B")
+      // content fidelity is untouched by the layout change
+      assert(profile(served) === profile(Tables(spark, dir, "documents")))
+    } finally spark.conf.unset("spark.graft.gzTargetMemberBytes")
+  }
+
   test("gz jsonl round-trips events timestamps at µs precision") {
     // the µs fidelity tripwire through the compressed text path: the
     // same discipline StorageSpec pins for plain CSV/JSON — a reader

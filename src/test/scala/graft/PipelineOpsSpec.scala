@@ -2270,18 +2270,43 @@ class PipelineOpsSpec extends SparkSpec {
     // 'removed' on the append-only artifact, and every df moves up
     val d = testdataDir
     val f = new java.io.File(graft.sources.IndexStore.timeTravelDemoFor(spark, d))
-    spark.conf.set("spark.sql.catalog.graft_vdspec",
-      classOf[graft.sources.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft_vdspec.warehouse", f.getParent)
+    val cat = graft.sources.GraftCatalog.registerFor(
+      spark, "graft_vdspec", f.getParent)
     val diff = graft.sources.IndexStore.versionDiff(
-      spark.sql(s"SELECT word, df FROM graft_vdspec.`${f.getName}` VERSION AS OF 0"),
-      spark.sql(s"SELECT word, df FROM graft_vdspec.`${f.getName}`")).collect()
+      spark.sql(s"SELECT word, df FROM $cat.`${f.getName}` VERSION AS OF 0"),
+      spark.sql(s"SELECT word, df FROM $cat.`${f.getName}`")).collect()
     assert(diff.nonEmpty)
     assert(!diff.exists(_.getString(3) == "removed"))
     assert(!diff.exists(_.getString(3) == "shrunk"))
     assert(diff.forall(r => r.getLong(2) >= r.getLong(1)))
     assert(diff.exists(_.getString(3) == "added") ||
       diff.exists(_.getString(3) == "grown"), "a degenerate diff gates nothing")
+  }
+
+  test("q261 interior pair: the DML'd generation history drives all five classes for real") {
+    // gen 1 vs gen 2 of the four-quarter history (a-words DELETEd
+    // before gen 1 and re-added by Q2; t-words DELETEd between the
+    // snapshots; s-words rewound and w-words pinned by the matched-only
+    // MERGE): every change class must appear from REAL generations —
+    // the piece the synthetic unit rows above cannot gate
+    val d = testdataDir
+    val f = new java.io.File(
+      graft.sources.IndexStore.versionDiffDemoFor(spark, d))
+    val cat = graft.sources.GraftCatalog.registerFor(
+      spark, "graft_vdgspec", f.getParent)
+    def gen(n: Int) = spark.sql(
+      s"SELECT word, df FROM $cat.`${f.getName}` VERSION AS OF $n")
+    val diff = graft.sources.IndexStore.versionDiff(gen(1), gen(2)).collect()
+    val byClass = diff.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    for (c <- Seq("added", "removed", "grown", "shrunk", "same"))
+      assert(byClass.getOrElse(c, 0) > 0, s"class '$c' missing: $byClass")
+    // the classes came from the DML they were manufactured by
+    assert(diff.filter(_.getString(3) == "removed")
+      .forall(_.getString(0).startsWith("t")), "removed ≠ the DELETEd words")
+    assert(diff.filter(_.getString(3) == "added")
+      .forall(_.getString(0).startsWith("a")), "added ≠ the re-added words")
+    assert(diff.filter(_.getString(3) == "shrunk")
+      .forall(_.getString(0).startsWith("s")), "shrunk ≠ the rewound words")
   }
 
   test("q259 split leakage ≡ brute force; a planted cross-split twin is caught") {
@@ -2358,6 +2383,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(planted.toSet === Set((1L, 2L, false), (2L, 2L, true),
       (3L, 3L, true)), s"got ${planted.toSeq}")
     Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+  }
+
+  test("q262 dedup output: keeper rules agree with q260/q58; sums recounted; no corpus rejoin") {
+    val docs = t("documents")
+    // keep-best output ≡ the q260 decision, one row per cluster, with
+    // per-cluster member/char sums recounted brute-force
+    val decide = Dedup.keepBest(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val chars = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val out = Dedup.dedupOutput(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.length === decide.map(_._2).distinct.length,
+      "not one row per cluster")
+    val byCluster = decide.groupBy(_._2)
+    out.foreach { case (keepId, cid, nMembers, kept, dropped) =>
+      val members = byCluster(cid)
+      assert(keepId === members.find(_._4).get._1,
+        s"cluster $cid ships a different keeper than q260 decided")
+      assert(nMembers === members.length.toLong)
+      assert(kept === chars(keepId))
+      assert(dropped === members.map(m => chars(m._1)).sum - kept)
+    }
+    // the min_id rule reduces to the q49/q58 label convention:
+    // keep_id ≡ cluster_id (labels ARE min member ids)
+    assert(Dedup.dedupOutput(docs, keeper = "min_id").collect()
+      .forall(r => r.getLong(0) === r.getLong(1)))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupOutput(docs, keeper = "shortest")
+    }
   }
 
   test("q228 RFM ≡ brute-force recount; grid covers every customer") {
