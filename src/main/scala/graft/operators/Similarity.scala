@@ -129,7 +129,7 @@ object Similarity {
     *    bound, ≥50% bidirectionality, and recall).
     * Edge count is n·(≤2m): linear in the corpus, built with bucket
     * joins + windows — never a distance matrix. */
-  private def nswTopPerSrc(scored: DataFrame, lim: Int): DataFrame = {
+  private[graft] def nswTopPerSrc(scored: DataFrame, lim: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     scored
       .withColumn("rnk", row_number().over(
@@ -138,7 +138,7 @@ object Similarity {
       .select("src", "dst", "cos6")
   }
 
-  private def nswScore(u: DataFrame, cand: DataFrame): DataFrame = cand
+  private[graft] def nswScore(u: DataFrame, cand: DataFrame): DataFrame = cand
     .join(u.select(col("vec_id").as("src"), col("v").as("vs"),
       col("nrm").as("ns")), "src")
     .join(u.select(col("vec_id").as("dst"), col("v").as("vd"),
@@ -148,19 +148,32 @@ object Similarity {
     .select("src", "dst", "cos6")
 
   /** The raw candidate PAIR relation for one node set: both bucket
-    * families' self-joins + the polyHash long links. `restrictToNew`
-    * (the incremental path) keeps only pairs with ≥1 endpoint ≥ cap —
-    * applied BEFORE scoring, so the expensive stage prices the delta,
-    * not the corpus. */
+    * families' self-joins + the polyHash long links. `newCap` (the
+    * incremental path) keeps only pairs with ≥1 endpoint ≥ cap —
+    * PUSHED INTO THE JOINS, not filtered after them: "≥1 new endpoint"
+    * is new×all ∪ old×new, so each self-join gets a delta-sized side
+    * and the join itself prices the batch (a post-join `src ≥ c OR
+    * dst ≥ c` filter cannot be pushed below either input and would
+    * compute every old×old bucket pair only to drop it — at 100 TB
+    * that IS the full build's join cost paid daily). Long links of an
+    * old src point only at older ids (mod-src), so the delta far set
+    * is simply the new srcs' links. */
   private def nswCandidates(embeddings: DataFrame, longLinks: Int,
       newCap: Option[Long]): DataFrame = {
     val u = withNorm(embeddings)
     val b1 = lshBucketed(embeddings).select(col("vec_id"), col("bucket"))
     val b2 = u.select(col("vec_id"), lshBucket2(col("v"), 64).as("bucket"))
-    def bucketPairs(b: DataFrame): DataFrame = b.alias("a")
+    def pairsOf(a: DataFrame, b: DataFrame): DataFrame = a.alias("a")
       .join(b.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    def bucketPairs(b: DataFrame): DataFrame = newCap match {
+      case None => pairsOf(b, b)
+      case Some(c) =>
+        val bNew = b.where(col("vec_id") >= c)
+        pairsOf(bNew, b)
+          .unionByName(pairsOf(b.where(col("vec_id") < c), bNew))
+    }
     // long links via polyHash (NOT xxhash64): the cross-engine hash,
     // so the whole BUILD is oracle-replayable (q205) — and mod SRC,
     // not mod corpus-size: each node links only to EARLIER ids (the
@@ -169,15 +182,14 @@ object Similarity {
     // merge (q206) rests on (a `mod n` rule would re-link the whole
     // corpus every time n grows)
     val far = embeddings.select(col("vec_id").as("src"))
+      .where(newCap.map(c => col("vec_id") >= c).getOrElse(lit(true)))
       .where(col("src") > 0)
       .select(col("src"), explode(array((0 until longLinks).map(j =>
         pmod(graft.functions.TextFns.polyHash(
           concat(lit(s"nsw$j:"), col("src").cast("string"))), col("src"))): _*))
         .as("dst"))
       .where(col("src") =!= col("dst"))
-    val all = bucketPairs(b1).unionByName(bucketPairs(b2)).unionByName(far)
-    newCap.map(c => all.where(col("src") >= c || col("dst") >= c))
-      .getOrElse(all)
+    bucketPairs(b1).unionByName(bucketPairs(b2)).unionByName(far)
       .distinct()
   }
 
@@ -229,18 +241,34 @@ object Similarity {
     * candidates per node), then symmetrize for navigability and
     * RE-PRUNE to 2m (the HNSW degree rule — an in-demand hub keeps
     * its best 2m, trading strict symmetry). Linear in the edge set. */
-  private def nswRefine(u: DataFrame, base: DataFrame, m: Int): DataFrame = {
+  private def nswRefine(u: DataFrame, base: DataFrame, m: Int): DataFrame =
+    nswSymmetrize(nswDescend(u, base, m), m)
+
+  /** Polish stage 1 — ONE NN-descent round over a base: per src,
+    * re-select the top m among its base edges ∪ two-hop candidates.
+    * Split out of [[nswRefine]] so the store can PERSIST the refined
+    * relation (`<name>_refined`): the delta-bounded polish carries
+    * unchanged refined rows over instead of recomputing them, which
+    * needs yesterday's refined relation to exist (the prune in stage 2
+    * is lossy, so it cannot be recovered from the final graph). */
+  private[graft] def nswDescend(u: DataFrame, base: DataFrame,
+      m: Int): DataFrame = {
     val twoHop = base.alias("a")
       .join(base.alias("b"), col("a.dst") === col("b.src"))
       .select(col("a.src").as("src"), col("b.dst").as("dst"))
       .where(col("src") =!= col("dst"))
-    val refined = nswTopPerSrc(nswScore(u,
+    nswTopPerSrc(nswScore(u,
       base.select("src", "dst").unionByName(twoHop).distinct()), m)
+  }
+
+  /** Polish stage 2 — symmetrize for navigability, then RE-PRUNE to
+    * the hard 2m degree bound (per src: top 2m among its refined
+    * out-edges ∪ reversed in-edges). */
+  private[graft] def nswSymmetrize(refined: DataFrame, m: Int): DataFrame =
     nswTopPerSrc(
       refined.unionByName(refined.select(col("dst").as("src"),
         col("src").as("dst"), col("cos6"))).distinct(),
       2 * m)
-  }
 
   def nswGraph(embeddings: DataFrame, m: Int = 8,
       longLinks: Int = 4): DataFrame =
@@ -290,12 +318,114 @@ object Similarity {
     * the stored base would otherwise occupy two window ranks and push
     * a real edge out of the top m (cos6 is a deterministic function
     * of the pair, so pair-key dedup is lossless). */
-  private[graft] def nswMergeBase(embeddings: DataFrame, storedBase: DataFrame,
-      oldCap: Long, m: Int = 8, longLinks: Int = 4): DataFrame = {
-    val deltaScored = nswScore(withNorm(embeddings),
+  /** The scored DELTA-ONLY candidate relation (every pair with ≥ 1
+    * endpoint ≥ `oldCap`) — the expensive stage of a production
+    * ingest, priced by the batch. */
+  private[graft] def nswDeltaScored(embeddings: DataFrame, oldCap: Long,
+      longLinks: Int = 4): DataFrame =
+    nswScore(withNorm(embeddings),
       nswCandidates(embeddings, longLinks, Some(oldCap)))
+
+  private[graft] def nswMergeBase(embeddings: DataFrame, storedBase: DataFrame,
+      oldCap: Long, m: Int = 8, longLinks: Int = 4): DataFrame =
     nswTopPerSrc(storedBase.select("src", "dst", "cos6")
-      .unionByName(deltaScored).dropDuplicates("src", "dst"), m)
+      .unionByName(nswDeltaScored(embeddings, oldCap, longLinks))
+      .dropDuplicates("src", "dst"), m)
+
+  /** DELTA-BOUNDED POLISH (round-9 verdict #1) — the production twin
+    * of [[nswPolish]]: recompute NN-descent / symmetrize / prune ONLY
+    * where the base actually changed, carry every other stored row
+    * over untouched, and stay EDGE-IDENTICAL to the full polish (the
+    * merge ≡ rebuild law extended through the polish tail — NswSpec
+    * pins equality on randomized split points; BucketedStoreSpec's
+    * generation ≡ rebuild rows now gate this path end to end).
+    *
+    * The dirty-set algebra, each step one equi-join with the small
+    * side broadcastable (never a corpus reshuffle):
+    *
+    *  - `d1` (caller-supplied) ⊇ srcs whose base out-edges differ —
+    *    GraphStore.update derives it EXACTLY from the stored m-th-edge
+    *    threshold rule (a candidate enters a full top-m list iff it
+    *    beats the worst kept edge's rank key); any superset is safe
+    *    (extra recomputes reproduce their rows bit for bit), any
+    *    underestimate is not (a carried row would go stale).
+    *  - dirtyR = D1 ∪ in-neighbors of D1 in the new base: descend(src)
+    *    reads base rows (src, x) and (x, d), so it changes only if
+    *    src's own out-set changed or some out-neighbor x's did.
+    *  - D2 = srcs whose RECOMPUTED refined rows actually differ from
+    *    the stored ones — most dirtyR recomputes reproduce their rows
+    *    bit for bit (a new candidate rarely beats a node's m-th
+    *    neighbor), and diffing here is what collapses the polish wave
+    *    to the genuinely moved neighborhoods.
+    *  - dirtyP = D2 ∪ out-neighbors of D2 under old OR new refined:
+    *    symmetrize(src) reads refined-out(src) and reversed in-edges,
+    *    so a row at src moves only if src ∈ D2 or an edge into src
+    *    from some s ∈ D2 appeared/vanished/rescored.
+    *
+    * Cost ∝ |dirty neighborhoods|·m², against the full polish's
+    * n·m² — the gap STOREBENCH prices at the 99/1 split. cos6 is a
+    * deterministic function of the pair (and parquet round-trips
+    * doubles exactly), so carried rows and recomputed rows can never
+    * disagree on equal pairs. */
+  private[graft] def nswPolishDelta(embeddings: DataFrame,
+      baseNew: DataFrame, d1: DataFrame,
+      refinedOld: DataFrame, graphOld: DataFrame,
+      m: Int = 8): (DataFrame, DataFrame) = {
+    val u = withNorm(embeddings)
+    // each dirty set is tiny and multiply consumed: eager-checkpoint
+    // it as a HANDFUL of partitions (a 32-partition localCheckpoint of
+    // a 200-row set pays 32 blocks of bookkeeping per step; lazy
+    // persist is worse — concurrent broadcast subtrees all compute an
+    // unpopulated cache). Lazy plan-audit mode parks the plans.
+    val eager = Dedup.eagerMaterialize(embeddings)
+    def leaf(df: DataFrame): DataFrame =
+      if (eager) df.coalesce(4).localCheckpoint(true) else df
+    def edgesOf(df: DataFrame) = df.select("src", "dst", "cos6")
+    // symmetric difference as ONE full-outer join on the exact edge
+    // key (pair rows are unique per (src, dst); cos6 is deterministic,
+    // so double equality is bit equality) — not a union of two
+    // exceptAlls, whose shared-input children trip Union constraint
+    // rewriting and would scan both sides twice anyway
+    def srcsOfDiff(a: DataFrame, b: DataFrame): DataFrame =
+      edgesOf(a).withColumn("ka", lit(1))
+        .join(edgesOf(b).withColumn("kb", lit(1)),
+          Seq("src", "dst", "cos6"), "full_outer")
+        .where(col("ka").isNull || col("kb").isNull)
+        .select("src").distinct()
+    val dirtyR = leaf(d1.unionByName(
+        baseNew.join(d1.select(col("src").as("dst")), "dst").select("src"))
+      .distinct())
+    val baseDirty = baseNew.join(dirtyR, Seq("src"), "left_semi")
+    val twoHop = baseDirty.alias("a")
+      .join(baseNew.alias("b"), col("a.dst") === col("b.src"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val refinedDirty = leaf(nswTopPerSrc(nswScore(u,
+      baseDirty.select("src", "dst").unionByName(twoHop).distinct()), m))
+    // carried rows come off the bucketed stored table via a broadcast
+    // anti join — map-side, never materialized corpus-wide here (the
+    // commit's own freeze pays that linear write once)
+    val refinedNew = edgesOf(refinedOld)
+      .join(dirtyR, Seq("src"), "left_anti")
+      .unionByName(refinedDirty)
+    val refinedOldDirty = edgesOf(refinedOld)
+      .join(dirtyR, Seq("src"), "left_semi")
+    val d2 = leaf(srcsOfDiff(refinedOldDirty, refinedDirty))
+    val dirtyP = leaf(d2
+      .unionByName(refinedOldDirty.join(d2, Seq("src"), "left_semi")
+        .select(col("dst").as("src")))
+      .unionByName(refinedDirty.join(d2, Seq("src"), "left_semi")
+        .select(col("dst").as("src")))
+      .distinct())
+    val contrib = refinedNew.join(dirtyP, Seq("src"), "left_semi")
+      .unionByName(refinedNew
+        .select(col("dst").as("src"), col("src").as("dst"), col("cos6"))
+        .join(dirtyP, Seq("src"), "left_semi"))
+    val graphDirty = nswTopPerSrc(contrib.distinct(), 2 * m)
+    val graphNew = edgesOf(graphOld)
+      .join(dirtyP, Seq("src"), "left_anti")
+      .unionByName(graphDirty)
+    (refinedNew, graphNew)
   }
 
   /** The polish tail over an m-bounded base, public face for the

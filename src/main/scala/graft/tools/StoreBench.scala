@@ -91,7 +91,7 @@ object StoreBench {
     val vMax = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val threshold = 0.95
     val sbTables = Seq("sb_labels", "sb_sketch_bands", "sb_sketch_sets",
-      "sb_graph", "sb_graph_base", "sb_graph_meta")
+      "sb_graph", "sb_graph_base", "sb_graph_refined", "sb_graph_meta")
 
     // JVM/codegen warmup outside the measured window (tiny corpus)
     clearMemos()
@@ -146,7 +146,7 @@ object StoreBench {
             batchDocs, threshold)),
         Family("q206_nsw_graph",
           () => graft.operators.Similarity.nswGraphIncremental(emb, vCap),
-          () => GraphStore.update(spark, "sb_graph", emb, vMax)._2),
+          () => GraphStore.update(spark, "sb_graph", emb, vMax)._3),
         Family("q218_ols_fit",
           () => graft.operators.Events.olsTrendIncremental(ev, eCap),
           () => graft.operators.Events.olsProductionCycle(

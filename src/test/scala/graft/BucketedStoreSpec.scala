@@ -195,7 +195,11 @@ class BucketedStoreSpec extends SparkSpec {
     import graft.sources.GraphStore
     val emb = Tables(spark, dir, "embeddings")
     val name = "graft_nsw_gen"
-    val tables = Seq(name, s"${name}_base", s"${name}_meta")
+    val tables = Seq(name, s"${name}_base", s"${name}_refined", s"${name}_meta")
+    // force the DELTA polish path (the adaptive floor would pick the
+    // full recompute on this small corpus) — these generations must
+    // gate the carry-over algebra, not the fallback
+    spark.conf.set("spark.graft.nswDeltaPolishMinRows", "0")
     try {
       tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       def edges(df: DataFrame) = df.collect()
@@ -204,8 +208,8 @@ class BucketedStoreSpec extends SparkSpec {
       def rebuilt(cap: Long) =
         edges(Similarity.nswGraph(emb.where($"vec_id" < cap)))
       def ingest(cap: Long): Unit = {
-        val (b, g) = GraphStore.update(spark, name, emb, cap)
-        GraphStore.commit(spark, name, b, g, cap)
+        val (b, r, g) = GraphStore.update(spark, name, emb, cap)
+        GraphStore.commit(spark, name, b, r, g, cap)
       }
       GraphStore.build(spark, name, emb.where($"vec_id" < 200), 200L)
       assert(stored === rebuilt(200L), "bootstrap diverged from rebuild")
@@ -239,6 +243,9 @@ class BucketedStoreSpec extends SparkSpec {
         assert(storedSideShuffleFree(plan, name),
           s"stored graph re-shuffled under the probe join:\n$plan")
       }
-    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally {
+      spark.conf.unset("spark.graft.nswDeltaPolishMinRows")
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
   }
 }

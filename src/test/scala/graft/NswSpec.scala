@@ -72,6 +72,59 @@ class NswSpec extends SparkSpec {
     assert(gained > 0L, "no old node links to a new node — merge untested")
   }
 
+  test("delta-bounded polish == full polish, edge for edge, at randomized split points") {
+    import org.apache.spark.sql.DataFrame
+    // the round-10 production path: carry stored refined/graph rows
+    // outside the dirty neighborhoods, recompute only inside them —
+    // must be EDGE-IDENTICAL to the full polish at ANY split, so the
+    // split points are randomized (seeded) rather than hand-picked
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toList
+    val m = 8
+    val u = Similarity.withNorm(emb)
+    val n = emb.count()
+    val fullBase = Similarity.nswBase(emb, m).localCheckpoint(true)
+    val fullRefined = Similarity.nswDescend(u, fullBase, m).localCheckpoint(true)
+    val fullGraph = canon(Similarity.nswSymmetrize(fullRefined, m))
+    val rnd = new scala.util.Random(421)
+    val caps = Seq.fill(3)(40L + rnd.nextInt((n - 80).toInt).toLong)
+    for (cap <- caps) {
+      val old = emb.where(col("vec_id") < cap)
+      val baseOld = Similarity.nswBase(old, m).localCheckpoint(true)
+      val refinedOld = Similarity.nswDescend(
+        Similarity.withNorm(old), baseOld, m).localCheckpoint(true)
+      val graphOld = Similarity.nswSymmetrize(refinedOld, m)
+        .localCheckpoint(true)
+      // the GraphStore.update algebra over in-memory relations
+      val deltaScored = Similarity.nswDeltaScored(emb, cap)
+        .localCheckpoint(true)
+      val touched = deltaScored.select("src").distinct().localCheckpoint(true)
+      val mergedDirty = Similarity.nswTopPerSrc(
+        baseOld.join(touched, Seq("src"), "left_semi")
+          .unionByName(deltaScored.select("src", "dst", "cos6"))
+          .dropDuplicates("src", "dst"), m)
+      val baseNew = baseOld.join(touched, Seq("src"), "left_anti")
+        .unionByName(mergedDirty)
+      // non-vacuity both ways: rows are really carried AND really dirty
+      assert(baseOld.join(touched, Seq("src"), "left_anti").count() > 0L,
+        s"cap=$cap: every src touched — carry-over untested")
+      // `touched` here is the COARSE bound (every delta src) — a big
+      // superset of the changed set, which the polish must absorb
+      // (supersets are safe; the stored m-th-edge rule in
+      // GraphStore.update is the exact production bound)
+      val (refinedNew, graphNew) = Similarity.nswPolishDelta(
+        emb, baseNew, touched, refinedOld, graphOld, m)
+      assert(canon(baseNew) === canon(fullBase),
+        s"cap=$cap: merged base diverged from the rebuild")
+      assert(canon(refinedNew) === canon(fullRefined),
+        s"cap=$cap: delta-bounded descend diverged from the rebuild")
+      assert(canon(graphNew) === fullGraph,
+        s"cap=$cap: delta-bounded polish diverged from the rebuild")
+      assert(canon(graphOld) !== fullGraph,
+        s"cap=$cap: old graph already equals the full one — vacuous split")
+    }
+  }
+
   test("q206 law survives an artifact-primed memo (union-partitioning regression)") {
     // REGRESSION for a WRONG-RESULTS Spark 4.1 hazard found in-round:
     // with the default spark.sql.unionOutputPartitioning=true, priming
