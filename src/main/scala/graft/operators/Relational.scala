@@ -1959,18 +1959,39 @@ object Relational {
       .select("x", "bid", "lo", "hi")
   }
 
+  /** The bounded bucket HISTOGRAM of a float column — q257's state,
+    * split out because it is ADDITIVE: (bid, cnt, lo, hi) rows from
+    * disjoint slices merge by summing cnt per bid (lo/hi are
+    * deterministic functions of bid, so max is the identity), which
+    * is exactly what makes the ONLINE quantile path possible — each
+    * streamed epoch lands its batch partial and one fold re-closes
+    * the state (`EventStreams.floatHistSink`, the nbStateDelta
+    * pattern applied to percentiles). */
+  private[graft] def floatHistogram(df: DataFrame, valueCol: String,
+      k: Int = 8): DataFrame =
+    floatBuckets(df, valueCol, k).groupBy("bid")
+      .agg(count(lit(1)).as("cnt"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"))
+
   def floatQuantiles(df: DataFrame, valueCol: String, k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bucketed = floatBuckets(df, valueCol, k)
     // THREE consumers read the bounded histogram (the cumsum chain and
     // both edge joins): checkpoint it so the corpus scan runs once —
     // without this the plan re-scans the table per broadcast side
     // (eager mode only; the audit path keeps the lazy plan)
-    val hist0 = bucketed.groupBy("bid")
-      .agg(count(lit(1)).as("cnt"), max(col("lo")).as("lo"),
-        max(col("hi")).as("hi"))
+    val hist0 = floatHistogram(df, valueCol, k)
     val hist = if (Dedup.eagerMaterialize(df)) hist0.localCheckpoint(true)
       else hist0
+    quantilesOfHistogram(hist)
+  }
+
+  /** p50/p95 by the q129 boundary rule over an ALREADY-AGGREGATED
+    * (bid, cnt, lo, hi) histogram — shared by the batch operator
+    * above and the streamed fold (`EventStreams.onlineFloatQuantiles`),
+    * so stream ≡ batch is the same three lines of boundary rule over
+    * the same additive state. The unpartitioned windows run over the
+    * BOUNDED bucket relation (≤ ~2100·2⁸ rows), never the corpus. */
+  private[graft] def quantilesOfHistogram(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("bid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist

@@ -927,4 +927,47 @@ object EventStreams {
     spark.read.parquet(dir)
       .groupBy("kind", "word")
       .agg(sum(col("c_pos")).as("c_pos"), sum(col("c_neg")).as("c_neg"))
+
+  /** STREAMING float quantiles — the ONLINE half of q257, closing the
+    * monitoring gap (a pipeline wants p50/p95 of a latency/price/size
+    * metric as it flows, not per nightly batch): each micro-batch
+    * lands its exponent-bucketed histogram PARTIAL
+    * (`Relational.floatHistogram` — the q257 state over just the
+    * batch) as one epoch of an LSM-style delta store, exactly like
+    * [[nbStateDeltaSink]] lands fit-state partials. This works
+    * BECAUSE the histogram is additive: (bid, cnt) rows from disjoint
+    * batches merge by summing cnt per bid, and lo/hi are
+    * deterministic functions of bid — no epoch ever needs another
+    * epoch's raw rows. Exactly-once comes from epoch-numbered
+    * idempotence (a replayed epoch OVERWRITES its own delta dir,
+    * never the others). Streaming tier, no oracle (DuckDB cannot
+    * replay a stream) — StreamingSpec pins streamed-epochs fold ≡
+    * the one-shot batch histogram and quantiles (stream ≡ batch). */
+  def floatHistSink(df: DataFrame, dir: String, valueCol: String,
+      k: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Relational.floatHistogram(batch.toDF(), valueCol, k)
+            .write.mode("overwrite").parquet(s"$dir/epoch=$epoch")
+    }
+
+  /** The fold of [[floatHistSink]]'s epochs: one additive groupBy
+    * re-closes the histogram state. */
+  def mergedFloatHist(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("bid")
+      .agg(sum(col("cnt")).as("cnt"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"))
+
+  /** Online p50/p95 over everything streamed so far: the SHARED q257
+    * boundary rule over the folded state — stream ≡ batch because
+    * both paths run the same three lines over the same additive
+    * relation. */
+  def onlineFloatQuantiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.operators.Relational.quantilesOfHistogram(
+      mergedFloatHist(spark, dir).localCheckpoint(true))
 }

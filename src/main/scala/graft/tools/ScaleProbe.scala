@@ -37,6 +37,7 @@ object ScaleProbe {
     graft.operators.TextAnalysis.clearPrintMemo()
     graft.operators.TextAnalysis.clearNbMemo()
     graft.operators.Similarity.clearPcaMemo()
+    graft.operators.Similarity.clearNswScoredMemo()
     graft.operators.Events.clearAnchorMemo()
   }
 
@@ -143,6 +144,37 @@ object ScaleProbe {
       "q260_cluster_keep_best" -> ((d: DataFrame) =>
         graft.operators.Dedup.keepBest(d)))
 
+    // Round-10 (verdict #8): the remaining top-20 10× rows, measured
+    // MATCHED-PROTOCOL on the TenX corpus — the same key-shifted /
+    // rotated replica tables BENCH_10X's full-suite point runs on, so
+    // these exponents and the suite point share a corpus definition.
+    // (The letter-tagged replica above only covers documents;
+    // embeddings/lineitem rows need the full-table 10× corpus.)
+    import graft.sources.Tables
+    val tenxDir = TenX.build(spark, "/root/testdata/sf0.1")
+    def dirAt(scale: String): String = scale match {
+      case "0.1x" => "/root/testdata/sf0.01"
+      case "1x" => "/root/testdata/sf0.1"
+      case "10x" => tenxDir
+    }
+    val tenxQueries: Seq[(String, String => DataFrame)] = Seq(
+      "q92_kmeans_ivf" -> ((d: String) =>
+        graft.operators.Similarity.kmeansAssign(Tables(spark, d, "embeddings"))),
+      "q93_semantic_dedup" -> ((d: String) =>
+        graft.operators.Similarity.semanticDedup(Tables(spark, d, "embeddings"), 0.4)),
+      "q194_winnow" -> ((d: String) =>
+        graft.operators.TextAnalysis.winnowFingerprints(Tables(spark, d, "documents"))),
+      "q205_nsw_graph" -> ((d: String) =>
+        graft.operators.Similarity.nswGraphQuery(Tables(spark, d, "embeddings"))),
+      "q216_pca_bin_dedup" -> ((d: String) =>
+        graft.operators.Similarity.pcaBinDedup(Tables(spark, d, "embeddings"))),
+      "q219_wav_audiosystem" -> ((d: String) =>
+        graft.operators.Multimodal.audioFeaturesLib(spark, Tables(spark, d, "documents"))),
+      "q227_basket_pairs" -> ((d: String) =>
+        graft.operators.Relational.basketPairs(Tables(spark, d, "lineitem"))),
+      "q241_doc_keywords" -> ((d: String) =>
+        graft.operators.TextAnalysis.docKeywords(Tables(spark, d, "documents"))))
+
     // FULL materialization: df.count() would let the optimizer drop
     // row-count-preserving subtrees (q191's 1:≤1 outer join vanishes
     // under count-only pruning — measured 0.13 s vs the real ~1 s);
@@ -151,17 +183,19 @@ object ScaleProbe {
     def runFull(df: DataFrame): Unit = { df.queryExecution.toRdd.count(); () }
 
     val scales = Seq("0.1x", "1x", "10x")
+    val allProbes: Seq[(String, String => DataFrame)] =
+      queries.map { case (n, f) => n -> ((s: String) => f(docsAt(s))) } ++
+        tenxQueries.map { case (n, f) => n -> ((s: String) => f(dirAt(s))) }
     // JVM/codegen warmup outside the measured window
     clearMemos()
-    queries.foreach { case (_, f) => runFull(f(docsAt("0.1x"))) }
+    allProbes.foreach { case (_, f) => runFull(f("0.1x")) }
 
-    val rows = queries.map { case (name, f) =>
+    val rows = allProbes.map { case (name, f) =>
       val times = scales.map { s =>
         val t = (1 to 2).map { _ =>
           clearMemos()
-          val d = docsAt(s)
           val t0 = System.nanoTime()
-          runFull(f(d))
+          runFull(f(s))
           (System.nanoTime() - t0) / 1e9
         }.min
         s -> t

@@ -957,4 +957,51 @@ class StreamingSpec extends SparkSpec {
       assert(merged.count(_._1 == "prior") === 1)
     } finally q.stop()
   }
+
+  test("streaming float quantiles: epoch histograms fold to the one-shot q257 state") {
+    // the online half of q257 (round-10): each micro-batch lands its
+    // exponent-bucketed histogram partial as an epoch; the additive
+    // fold must equal the batch histogram over ALL values at once, and
+    // the shared boundary rule then gives identical online p50/p95 —
+    // stream ≡ batch for percentiles. Values deliberately span signs,
+    // zero, subnormals, and hundreds of orders of magnitude (the q257
+    // planted shapes) so the fold is exercised across exponent rows.
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_fqstate").toString
+    val in = MemoryStream[(Double, Timestamp)]
+    val q = EventStreams.floatHistSink(
+      in.toDF.toDF("v", "ingest_ts"), out, "v").start()
+    val batches = Seq(
+      (1 to 40).map(i => (i * 0.37, ts(0))),
+      Seq((-1e300, ts(1)), (-3.7, ts(1)), (0.0, ts(1)), (4.5e-312, ts(1)),
+        (2.2e-16, ts(1)), (8.0, ts(1))) ++ (1 to 30).map(i => (i * 1.13, ts(1))),
+      Seq((1e18, ts(2)), (8.000001, ts(2)), (1.0, ts(2)))
+        ++ (41 to 80).map(i => (i * 0.37, ts(2))))
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val epochs = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      assert(epochs.length === 3, s"expected 3 epochs, got ${epochs.length}")
+      def canonHist(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sorted.toList
+      val folded = canonHist(EventStreams.mergedFloatHist(spark, out))
+      val oneShot = canonHist(graft.operators.Relational.floatHistogram(
+        batches.flatten.map(_._1).toDF("v"), "v"))
+      assert(folded === oneShot,
+        "folded epoch histograms diverged from the one-shot q257 state")
+      // a bucket must straddle epochs for the fold to be non-vacuous
+      val perEpochRows = epochs.map(e =>
+        spark.read.parquet(e.getPath).count()).sum
+      assert(perEpochRows > folded.length.toLong,
+        "no bucket straddles epochs — the additive fold is vacuous")
+      // the shared boundary rule: online quantiles ≡ the batch operator
+      def canonQ(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(_.toString).toList
+      assert(canonQ(EventStreams.onlineFloatQuantiles(spark, out)) ===
+        canonQ(graft.operators.Relational.floatQuantiles(
+          batches.flatten.map(_._1).toDF("v"), "v")),
+        "online p50/p95 diverged from the batch q257 operator")
+    } finally q.stop()
+  }
 }
