@@ -1012,6 +1012,18 @@ object SparkEntry {
     // to the corpus (the keeper's size rides the max_by struct)
     "q262_dedup_output" -> ((s, d) =>
       Dedup.dedupOutput(Tables(s, d, "documents"))),
+    // Zipf-fit corpus-realism audit: per-lang OLS of ln(freq) on
+    // ln(rank) over the head ranks — the third organic-data tripwire
+    // beside q246 Benford and q254 weekday χ², on the word-frequency
+    // axis; lns micro-quantized, sums exact BIGINTs, slope negated so
+    // its floor stays positive (the fdiv lesson)
+    "q263_zipf_audit" -> ((s, d) =>
+      TextAnalysis.zipfAudit(Tables(s, d, "documents"))),
+    // embedding NORM health: p50/p95 of the fold-exact L2 norms
+    // through the q257 exponent-bucket machine (pure composition; the
+    // additive histogram means the same audit runs online for free)
+    "q264_norm_quantiles" -> ((s, d) =>
+      Similarity.normQuantiles(Tables(s, d, "embeddings"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1243,6 +1255,51 @@ object SparkEntry {
        |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM (
        |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |    FROM embeddings))""".stripMargin
+
+  /** The q257 exponent-bucket + boundary-rule pipeline over ANY
+    * x-producing query — templated (round 10) so every float metric
+    * gets the same bit-identical bucketing: q257 feeds raw order
+    * totals, q264 the fold-exact embedding norms. */
+  private def floatQuantilesOracle(xSource: String): String =
+    s"""WITH x AS ($xSource),
+       |b AS (SELECT x, abs(x) AS m,
+       |             CASE WHEN abs(x) > 0 THEN CAST(floor(log2(abs(x))) AS BIGINT)
+       |                  ELSE 0 END AS e0
+       |      FROM x),
+       |b2 AS (SELECT x, m,
+       |              CASE WHEN m > 0 THEN
+       |                CASE WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= m THEN e0 + 1
+       |                     WHEN pow(2.0, CAST(e0 AS DOUBLE)) > m THEN e0 - 1
+       |                     ELSE e0 END
+       |              ELSE 0 END AS e1
+       |       FROM b),
+       |b3 AS (SELECT x, m, greatest(e1, -1014) AS e FROM b2),
+       |b4 AS (SELECT x, m, e, pow(2.0, CAST(e - 8 AS DOUBLE)) AS p2,
+       |              CASE WHEN m > 0
+       |                THEN CAST(floor(m / pow(2.0, CAST(e - 8 AS DOUBLE))) AS BIGINT)
+       |                ELSE 0 END AS top
+       |       FROM b3),
+       |b5 AS (SELECT CASE WHEN x = 0 THEN 0
+       |              ELSE CAST(sign(x) AS BIGINT) * ((e + 1075) * 512 + top) END AS bid,
+       |              CASE WHEN x = 0 THEN 0.0 WHEN x > 0 THEN top * p2
+       |                   ELSE -(top + 1) * p2 END AS lo,
+       |              CASE WHEN x = 0 THEN 0.0 WHEN x > 0 THEN (top + 1) * p2
+       |                   ELSE -top * p2 END AS hi
+       |       FROM b4),
+       |h AS (SELECT bid, CAST(count(*) AS BIGINT) AS cnt,
+       |             max(lo) AS lo, max(hi) AS hi
+       |      FROM b5 GROUP BY 1),
+       |c AS (SELECT bid, cnt, sum(cnt) OVER (ORDER BY bid
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+       |p AS (SELECT n,
+       |        CAST(min(CASE WHEN cum * 100 >= n * 50 THEN bid END) AS BIGINT) AS p50_bid,
+       |        CAST(min(CASE WHEN cum * 100 >= n * 95 THEN bid END) AS BIGINT) AS p95_bid
+       |      FROM c CROSS JOIN t GROUP BY n)
+       |SELECT n, p50_bid, h1.lo AS p50_lo, h1.hi AS p50_hi,
+       |       p95_bid, h2.lo AS p95_lo, h2.hi AS p95_hi
+       |FROM p JOIN h h1 ON h1.bid = p50_bid
+       |       JOIN h h2 ON h2.bid = p95_bid""".stripMargin
 
   /** Shared token-set CTE for the jaccard-verify oracles. */
   private val setsCte =
@@ -4460,6 +4517,40 @@ object SparkEntry {
          |            ELSE 'same' END AS change
          |FROM g1 FULL OUTER JOIN g2 USING (word)
          |ORDER BY word""".stripMargin,
+    // per-lang head-rank Zipf fit replayed: rawtoks occurrence counts,
+    // deterministic (c desc, word) rank, micro-quantized lns, exact
+    // BIGINT sums, ONE double expression per emitted stat (int64 →
+    // double conversion and each op round identically cross-engine)
+    "q263_zipf_audit" ->
+      s"""WITH $rawtoksCte,
+         |f AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+         |      FROM rawtoks GROUP BY 1, 2),
+         |r AS (SELECT lang, c,
+         |             row_number() OVER (PARTITION BY lang
+         |               ORDER BY c DESC, word) AS rnk
+         |      FROM f),
+         |q AS (SELECT lang,
+         |             CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         |             CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+         |      FROM r WHERE rnk <= 100),
+         |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |             CAST(sum(x * y) AS BIGINT) AS sxy,
+         |             CAST(sum(x * x) AS BIGINT) AS sxx,
+         |             CAST(sum(y * y) AS BIGINT) AS syy
+         |      FROM q GROUP BY 1),
+         |d AS (SELECT lang, n, n * sxy - sx * sy AS num,
+         |             n * sxx - sx * sx AS den, n * syy - sy * sy AS syyd
+         |      FROM s)
+         |SELECT lang, n AS n_ranks,
+         |       CASE WHEN den > 0 THEN CAST(floor(
+         |         CAST(-num AS DOUBLE) * 1e6 / CAST(den AS DOUBLE)) AS BIGINT)
+         |       END AS neg_slope_micros,
+         |       CASE WHEN den > 0 AND syyd > 0 THEN CAST(floor(
+         |         CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+         |         (CAST(den AS DOUBLE) * CAST(syyd AS DOUBLE)) * 1e6) AS BIGINT)
+         |       END AS r2_micros
+         |FROM d ORDER BY lang""".stripMargin,
     // closure labels + the keep-longest argmax + per-cluster sums —
     // the q260 windowed rule carried into the shipped output relation
     "q262_dedup_output" ->
@@ -4524,48 +4615,18 @@ object SparkEntry {
     // on both engines), the same order-preserving (sign, e, top)
     // encoding, the q129 boundary rule over the bounded bucket axis;
     // every emitted edge is a power-of-two-exact double
-    "q257_float_quantiles" ->
-      """WITH x AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+    "q257_float_quantiles" -> floatQuantilesOracle(
+      """SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
         |           WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
-        |             AND abs(o_totalprice) <> CAST('infinity' AS DOUBLE)),
-        |b AS (SELECT x, abs(x) AS m,
-        |             CASE WHEN abs(x) > 0 THEN CAST(floor(log2(abs(x))) AS BIGINT)
-        |                  ELSE 0 END AS e0
-        |      FROM x),
-        |b2 AS (SELECT x, m,
-        |              CASE WHEN m > 0 THEN
-        |                CASE WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= m THEN e0 + 1
-        |                     WHEN pow(2.0, CAST(e0 AS DOUBLE)) > m THEN e0 - 1
-        |                     ELSE e0 END
-        |              ELSE 0 END AS e1
-        |       FROM b),
-        |b3 AS (SELECT x, m, greatest(e1, -1014) AS e FROM b2),
-        |b4 AS (SELECT x, m, e, pow(2.0, CAST(e - 8 AS DOUBLE)) AS p2,
-        |              CASE WHEN m > 0
-        |                THEN CAST(floor(m / pow(2.0, CAST(e - 8 AS DOUBLE))) AS BIGINT)
-        |                ELSE 0 END AS top
-        |       FROM b3),
-        |b5 AS (SELECT CASE WHEN x = 0 THEN 0
-        |              ELSE CAST(sign(x) AS BIGINT) * ((e + 1075) * 512 + top) END AS bid,
-        |              CASE WHEN x = 0 THEN 0.0 WHEN x > 0 THEN top * p2
-        |                   ELSE -(top + 1) * p2 END AS lo,
-        |              CASE WHEN x = 0 THEN 0.0 WHEN x > 0 THEN (top + 1) * p2
-        |                   ELSE -top * p2 END AS hi
-        |       FROM b4),
-        |h AS (SELECT bid, CAST(count(*) AS BIGINT) AS cnt,
-        |             max(lo) AS lo, max(hi) AS hi
-        |      FROM b5 GROUP BY 1),
-        |c AS (SELECT bid, cnt, sum(cnt) OVER (ORDER BY bid
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
-        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
-        |p AS (SELECT n,
-        |        CAST(min(CASE WHEN cum * 100 >= n * 50 THEN bid END) AS BIGINT) AS p50_bid,
-        |        CAST(min(CASE WHEN cum * 100 >= n * 95 THEN bid END) AS BIGINT) AS p95_bid
-        |      FROM c CROSS JOIN t GROUP BY n)
-        |SELECT n, p50_bid, h1.lo AS p50_lo, h1.hi AS p50_hi,
-        |       p95_bid, h2.lo AS p95_lo, h2.hi AS p95_hi
-        |FROM p JOIN h h1 ON h1.bid = p50_bid
-        |       JOIN h h2 ON h2.bid = p95_bid""".stripMargin,
+        |             AND abs(o_totalprice) <> CAST('infinity' AS DOUBLE)"""
+        .stripMargin),
+    // the q257 machine over the fold-exact vector norms (embCte's
+    // double algebra inlined) — norms are finite by construction, so
+    // the domain filter is the template's
+    "q264_norm_quantiles" -> floatQuantilesOracle(
+      s"""SELECT sqrt(${dotSql("v", "v")}) AS x FROM (
+         |             SELECT list_transform(embedding, ev -> CAST(ev AS DOUBLE)) AS v
+         |             FROM embeddings)""".stripMargin),
     // zstd-parquet round trip (the splittable compressed path)
     "q256_zstd_source" -> docProfileOracle,
     // daily-mean micros per (type, day), centered day index from a

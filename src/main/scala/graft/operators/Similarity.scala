@@ -435,6 +435,23 @@ object Similarity {
       m: Int = 8): DataFrame =
     nswRefine(withNorm(embeddings), base, m)
 
+  /** q264 — embedding NORM health audit: p50/p95 of the vector L2
+    * norms through q257's exponent-bucketed float-quantile machine —
+    * the first number read before trusting ANY cosine downstream
+    * (collapsed norms mean dead vectors; a heavy near-zero tail makes
+    * cosine denominators explode; a bimodal norm profile usually
+    * means two different encoders wrote one table). Pure composition:
+    * the shared fold-exact norm (`withNorm` — the q19 convention, so
+    * the oracle replays the identical doubles) feeds
+    * `Relational.floatQuantiles` unchanged; one linear pass, the
+    * bounded bucket histogram, no corpus sort — and because the
+    * histogram is the q257 additive state, the same audit runs ONLINE
+    * over streamed embedding batches via `EventStreams.floatHistSink`
+    * for free. */
+  def normQuantiles(embeddings: DataFrame): DataFrame =
+    graft.operators.Relational.floatQuantiles(
+      withNorm(embeddings).select(col("nrm")), "nrm")
+
   /** q205 — the NSW graph BUILD as an oracle-gated relation (the
     * SEARCH stays spec-gated — a beam search has no DuckDB replay,
     * but the build is pure relational algebra: bucket joins, the

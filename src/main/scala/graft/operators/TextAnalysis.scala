@@ -1089,6 +1089,65 @@ object TextAnalysis {
     * Scale: one tokenize to (lang, word) counts — vocabulary-sized —
     * then a word-keyed self-join of the |langs| distributions;
     * nothing corpus-sized is ever broadcast or windowed. */
+  /** q263 — ZIPF-FIT corpus-realism audit: the OLS slope of ln(freq)
+    * on ln(rank) over each language's HEAD ranks — organic text fits
+    * a power law with slope ≈ −1 (Zipf); templated/boilerplate or
+    * synthetic-token floods read materially flatter or steeper, so
+    * this sits beside q246's Benford digits and q254's weekday χ² as
+    * the third "is this corpus organic?" tripwire, on the axis the
+    * other two can't see (word-frequency structure).
+    *
+    * Exactness across engines: rank is a deterministic (count desc,
+    * word asc) row_number over the VOCABULARY (never the corpus); both
+    * lns are floor-quantized to micros (the shared quantized-ln
+    * convention); all Σ terms are then exact BIGINTs whose bounds are
+    * ENFORCED by the head cap — k ≤ 100 keeps n·Σxy under 2e18 for
+    * any corpus up to 9e18 tokens, which is why the fit is head-only
+    * (beyond being the statistically standard choice: the tail
+    * deviates from Zipf in every real corpus). The final slope/r² are
+    * ONE double expression each over those exact integers (int64 →
+    * double conversion and each arithmetic op round identically on
+    * both engines); the slope is emitted NEGATED so its floor
+    * division stays in positive territory (the fdiv lesson).
+    *
+    * Shape: one tokenize → (lang, word) counts (map-side combinable),
+    * a vocabulary-sized window, a per-lang 6-sum aggregation. Nothing
+    * corpus-sized is sorted or broadcast. */
+  def zipfAudit(docs: DataFrame, k: Int = 100): DataFrame = {
+    val freq = TextFns.tokens(docs, Seq("lang"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("c"))
+    val ranked = freq
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("c").desc, col("word").asc)))
+      .where(col("rnk") <= k)
+      .select(col("lang"),
+        floor(log(col("rnk").cast("double")) * 1e6).cast("long").as("x"),
+        floor(log(col("c").cast("double")) * 1e6).cast("long").as("y"))
+    val sums = ranked.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    sums
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("syyd", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("lang"), col("n").as("n_ranks"),
+        when(col("den") > 0L,
+          floor((-col("num")).cast("double") * 1e6 /
+            col("den").cast("double")).cast("long"))
+          .as("neg_slope_micros"),
+        when(col("den") > 0L && col("syyd") > 0L,
+          floor(col("num").cast("double") * col("num").cast("double") /
+            (col("den").cast("double") * col("syyd").cast("double")) * 1e6)
+            .cast("long"))
+          .as("r2_micros"))
+      .orderBy("lang")
+  }
+
   def jsDivergence(docs: DataFrame): DataFrame = {
     val wc = TextFns.tokens(docs, Seq("lang"))
       .groupBy("lang", "word")

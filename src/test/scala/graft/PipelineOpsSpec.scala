@@ -2254,6 +2254,81 @@ class PipelineOpsSpec extends SparkSpec {
     check(planted, "v")
   }
 
+  test("q263 zipf audit ≡ brute-force fit; flat frequencies read slope 0; degenerate lang is null") {
+    import spark.implicits._
+    val docs = t("documents")
+    val got = TextAnalysis.zipfAudit(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toList
+    // brute-force recount: rank the collected per-lang frequencies,
+    // quantize, run the same integer-exact OLS
+    val freqs = graft.functions.TextFns.tokens(docs, Seq("lang"))
+      .groupBy("lang", "word").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expect = freqs.toList.sortBy(_._1).map { case (lang, ws) =>
+      val ranked = ws.sortBy(w => (-w._3, w._2)).take(100).zipWithIndex
+        .map { case ((_, _, c), i) =>
+          (math.floor(math.log(i + 1.0) * 1e6).toLong,
+            math.floor(math.log(c.toDouble) * 1e6).toLong) }
+      val n = ranked.length.toLong
+      val (sx, sy) = (ranked.map(_._1).sum, ranked.map(_._2).sum)
+      val sxy = ranked.map(p => p._1 * p._2).sum
+      val sxx = ranked.map(p => p._1 * p._1).sum
+      val syy = ranked.map(p => p._2 * p._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val syyd = n * syy - sy * sy
+      (lang, n,
+        if (den > 0) Some(math.floor(-num.toDouble * 1e6 / den.toDouble).toLong)
+        else None,
+        if (den > 0 && syyd > 0)
+          Some(math.floor(
+            num.toDouble * num.toDouble / (den.toDouble * syyd.toDouble) * 1e6)
+            .toLong)
+        else None)
+    }
+    assert(got === expect)
+    // organic-looking synthetic corpus: slope materially negative
+    assert(got.forall(_._3.exists(_ > 0L)),
+      s"no lang shows a falling head curve: $got")
+    // planted FLAT flood (every word equally frequent): num = 0 →
+    // slope exactly 0 — the synthetic-token signature the audit exists
+    // to catch; a single-word lang has den = 0 → null fit
+    val flood = (1 to 50).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon", "fl")) ++
+      Seq((99L, "solo solo solo", "mono"))
+    val planted = TextAnalysis.zipfAudit(
+      flood.toDF("doc_id", "text", "lang")).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(planted("fl") === Some(0L), s"flat flood fit ${planted("fl")}")
+    assert(planted("mono") === None, "degenerate lang produced a fit")
+  }
+
+  test("q264 norm quantiles: picked buckets contain the exact norm quantiles") {
+    val emb = t("embeddings")
+    val row = Similarity.normQuantiles(emb).collect().head
+    // exact norms with the SAME left fold as withNorm/embCte
+    val norms = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).foldLeft(0.0)((a, x) =>
+        a + x.toDouble * x.toDouble))
+      .map(math.sqrt).sorted
+    assert(row.getLong(0) === norms.length.toLong)
+    def exact(p: Int): Double = {
+      val r = ((norms.length.toLong * p + 99) / 100).toInt max 1
+      norms(r - 1)
+    }
+    for ((p, o) <- Seq((50, 1), (95, 4))) {
+      val lo = row.getDouble(o + 1); val hi = row.getDouble(o + 2)
+      val q = exact(p)
+      assert(lo <= q && q <= hi, s"p$p=$q outside bucket [$lo, $hi]")
+      if (lo > 0) assert((hi - lo) / lo <= math.pow(2, -8) + 1e-15,
+        s"bucket wider than the 2^-8 guarantee: [$lo, $hi)")
+    }
+  }
+
   test("q258 version diff: all five change classes; real artifact coheres with its generations") {
     import spark.implicits._
     // unit: every change class on a synthetic generation pair
