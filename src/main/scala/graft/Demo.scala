@@ -59,6 +59,26 @@ object Demo {
     println(s"[demo] o_totalprice p50/p95 buckets: " +
       graft.operators.Relational.floatQuantiles(
         Tables(spark, sfDir, "orders"), "o_totalprice").collect().head)
+    // round-10 surfaces: the shipped dedup output, the Zipf realism
+    // audit, embedding norm health, interior-generation CDC
+    println(s"[demo] dedup output head: " +
+      graft.operators.Dedup.dedupOutput(docs).limit(2).collect().mkString(" "))
+    println(s"[demo] zipf audit: " +
+      graft.operators.TextAnalysis.zipfAudit(docs).limit(2).collect().mkString(" "))
+    println(s"[demo] norm p50/p95 buckets: " +
+      graft.operators.Similarity.normQuantiles(
+        Tables(spark, sfDir, "embeddings")).collect().head)
+    locally {
+      val f = new java.io.File(IndexStore.versionDiffDemoFor(spark, sfDir))
+      val cat = graft.sources.GraftCatalog.registerFor(
+        spark, "graft_democat", f.getParent)
+      val diff = IndexStore.versionDiff(
+        spark.sql(s"SELECT word, df FROM $cat.`${f.getName}` VERSION AS OF 1"),
+        spark.sql(s"SELECT word, df FROM $cat.`${f.getName}` VERSION AS OF 2"))
+      println(s"[demo] gen1→gen2 changes: " + diff
+        .groupBy("change").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
+    }
     // optional: third arg = reference-style manifest → index from raw files
     if (args.length > 2) {
       val corpus = graft.sources.RawCorpus.fromManifest(spark, args(2))
