@@ -85,6 +85,18 @@ object GraphStore {
   def loadRefined(spark: SparkSession, name: String): DataFrame =
     spark.table(name + "_refined")
 
+  /** Corpus-size floor for the delta-bounded polish: below it, the
+    * whole polish is a handful of small stages and the delta
+    * machinery's extra sequential rounds (dirty sets, diffs, carry
+    * joins) cost more wall clock than the full recompute they skip —
+    * measured at sf0.1 (~6k vectors: full ≈ 3.2 s, delta ≈ 4.7 s) vs
+    * the 10× corpus (~60k: full ≈ 10.8 s, delta ≈ 8.1 s committed,
+    * and the gap keeps widening — at 100 TB the full polish is a
+    * daily corpus-sized rebuild while the delta path stays
+    * batch-sized). Conf `spark.graft.nswDeltaPolishMinRows`; specs
+    * pin the delta path by setting it to 0. */
+  val DeltaPolishMinRows = 20000L
+
   /** Merge the stored base with the DELTA candidates of everything
     * between the stored watermark and `newCap`, and DELTA-polish.
     * Pure read — call [[commit]] to persist. `embeddings` is the
@@ -92,18 +104,6 @@ object GraphStore {
     * are scored, only touched srcs re-windowed, only dirty
     * neighborhoods re-polished — every stage prices the batch.
     * Returns (base, refined, graph). */
-  /** Corpus-size floor for the delta-bounded polish: below it, the
-    * whole polish is a handful of small stages and the delta
-    * machinery's extra sequential rounds (dirty sets, diffs, carry
-    * joins) cost more wall clock than the full recompute they skip —
-    * measured at sf0.1 (~6k vectors: full ≈ 3.2 s, delta ≈ 4.7 s)
-    * vs the 10× corpus (~60k: full ≈ 13.9 s, delta ≈ 9.5 s, and the
-    * gap keeps widening — at 100 TB the full polish is a daily
-    * corpus-sized rebuild while the delta path stays batch-sized).
-    * Conf `spark.graft.nswDeltaPolishMinRows`; specs pin the delta
-    * path by setting it to 0. */
-  val DeltaPolishMinRows = 20000L
-
   def update(spark: SparkSession, name: String, embeddings: DataFrame,
       newCap: Long, m: Int = 8): (DataFrame, DataFrame, DataFrame) = {
     val (storedBase, storedGraph, oldCap) = load(spark, name)
