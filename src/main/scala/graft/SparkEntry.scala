@@ -1024,6 +1024,12 @@ object SparkEntry {
     // additive histogram means the same audit runs online for free)
     "q264_norm_quantiles" -> ((s, d) =>
       Similarity.normQuantiles(Tables(s, d, "embeddings"))),
+    // the CCNet-shape reference-LM gate: add-one-smoothed bigram model
+    // trained on the lang='en' reference slice scores EVERY doc (OOV
+    // handled, unlike q88's self-model); mean NLL in positive micros
+    // + a keep verdict, zero-bigram docs dropped explicitly
+    "q265_ref_lm_filter" -> ((s, d) =>
+      TextAnalysis.referenceLmFilter(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4517,6 +4523,45 @@ object SparkEntry {
          |            ELSE 'same' END AS change
          |FROM g1 FULL OUTER JOIN g2 USING (word)
          |ORDER BY word""".stripMargin,
+    // reference slice → smoothed bigram model → every doc scored with
+    // OOV handling; (−Σ) // n stays in positive floor territory; docs
+    // without bigrams verdict FALSE with a null score
+    "q265_ref_lm_filter" ->
+      s"""WITH $ordtoksCte,
+         |p AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+         |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+         |            FROM ordtoks WHERE len(ws) >= 2)),
+         |ref AS (SELECT p.* FROM p JOIN documents USING (doc_id)
+         |        WHERE lang = 'en'),
+         |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |      FROM ref GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM c),
+         |j AS (SELECT p.doc_id,
+         |             CASE WHEN c1.c1 IS NOT NULL THEN
+         |               CAST(floor(ln(CAST(coalesce(c.c12, 0) + 1 AS DOUBLE) /
+         |                             CAST(c1.c1 + v.v + 1 AS DOUBLE)) * 1e6)
+         |                 AS BIGINT)
+         |             ELSE
+         |               CAST(floor(ln(1.0 / CAST(v.v + 1 AS DOUBLE)) * 1e6)
+         |                 AS BIGINT)
+         |             END AS lp_q
+         |      FROM p LEFT JOIN c USING (w1, w2)
+         |             LEFT JOIN c1 USING (w1)
+         |             CROSS JOIN v),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |             CAST(sum(lp_q) AS BIGINT) AS sl
+         |      FROM j GROUP BY 1)
+         |SELECT d.doc_id, d.lang,
+         |       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       CASE WHEN s.n_bigrams > 0
+         |            THEN CAST((-s.sl) // s.n_bigrams AS BIGINT)
+         |       END AS nll_mean_micros,
+         |       coalesce(CASE WHEN s.n_bigrams > 0
+         |                     THEN (-s.sl) // s.n_bigrams <= 7000000 END,
+         |                FALSE) AS keep
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // per-lang head-rank Zipf fit replayed: rawtoks occurrence counts,
     // deterministic (c desc, word) rank, micro-quantized lns, exact
     // BIGINT sums, ONE double expression per emitted stat (int64 →

@@ -309,6 +309,70 @@ object TextAnalysis {
     Dedup.finishWith(result, b)
   }
 
+  /** q265 — REFERENCE-LM quality filter, the CCNet shape that q88's
+    * self-scored model deliberately is not: the bigram model trains on
+    * a REFERENCE slice (`refLang`, the curated corpus a pipeline
+    * trusts) and scores EVERY candidate document, so a doc's score
+    * measures distance from the reference distribution rather than
+    * from the corpus scoring itself — the difference between "is this
+    * fluent?" and "does this look like my training data?", which is
+    * the question an ingest gate actually asks. Unlike q88, candidate
+    * bigrams can be UNSEEN, so the model is add-one smoothed:
+    * lp(w2|w1) = ln((c12+1)/(c1+V+1)) for reference-seen w1 (V = the
+    * reference's distinct continuation types; the +1 absorbs OOV), and
+    * a uniform ln(1/(V+1)) when w1 itself is unseen. Emitted as MEAN
+    * NLL in positive micros ((−Σ) div n — positive territory, the
+    * fdiv lesson) plus the keep verdict at `keepNllMicros`; a doc
+    * with no bigrams (≤1 token) cannot be scored and is DROPPED
+    * explicitly (keep = false, null score) — every doc gets a
+    * verdict, the q69 contract.
+    *
+    * Scale shape: ONE tokenize pass (the persisted per-doc bigram
+    * multiplicities — q88's round-6 re-shape) feeds training and
+    * scoring; the model rides the scoring stream as an EQUI JOIN on
+    * the bigram key (broadcast while it fits, shuffle join when a
+    * 100 TB reference vocabulary doesn't); V is one broadcast scalar.
+    * Every ln floor-quantized to micros before summation (the shared
+    * convention), so the score is an exact integer on any engine and
+    * partitioning. */
+  def referenceLmFilter(docs: DataFrame, refLang: String = "en",
+      keepNllMicros: Long = 7000000L): DataFrame = {
+    val b = docBigrams(docs).groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refB = b.join(
+      docs.where(col("lang") === refLang).select("doc_id"), "doc_id")
+    val c12 = refB.groupBy("w1", "w2").agg(sum(col("m")).as("c12"))
+    val c1 = refB.groupBy("w1").agg(sum(col("m")).as("c1"))
+    val v = c12.agg(countDistinct(col("w2")).as("v"))
+    val scored = b
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lp_q",
+        when(col("c1").isNotNull,
+          floor(log((coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+            (col("c1") + col("v") + lit(1L)).cast("double")) * 1e6)
+            .cast("long"))
+          .otherwise(
+            floor(log(lit(1.0) / (col("v") + lit(1L)).cast("double")) * 1e6)
+              .cast("long")))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("lp_q")).as("sum_lp_q"))
+    val result = docs.select("doc_id", "lang")
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("nll_mean_micros",
+        when(col("n_bigrams") > 0L,
+          expr("(-sum_lp_q) div n_bigrams")))
+      .withColumn("keep", col("nll_mean_micros").isNotNull &&
+        col("nll_mean_micros") <= keepNllMicros)
+      .select("doc_id", "lang", "n_bigrams", "nll_mean_micros", "keep")
+      .orderBy("doc_id")
+    Dedup.finishWith(result, b)
+  }
+
   /** q209 — a TRAINED token classifier scoring the whole corpus: the
     * classifier-distillation step every production quality/language
     * filter runs (CCNet/fastText shape — a cheap seed labeling trains

@@ -2254,6 +2254,69 @@ class PipelineOpsSpec extends SparkSpec {
     check(planted, "v")
   }
 
+  test("q265 reference-LM filter ≡ brute force; excerpt ranks above gibberish; no-bigram doc dropped") {
+    import spark.implicits._
+    val docs = t("documents")
+    val got = TextAnalysis.referenceLmFilter(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .toList
+    // brute-force: reference model + smoothed scores recomputed from
+    // the collected token streams
+    def words(s: String) = s.split("\\s+").toSeq
+      .map(_.toLowerCase.replaceAll("[^A-Za-z]", "")).filter(_.nonEmpty)
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), words(r.getString(2))))
+    def bigrams(ws: Seq[String]) = ws.zip(ws.drop(1))
+    val ref = rows.filter(_._2 == "en").flatMap(r => bigrams(r._3))
+    val c12 = ref.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = ref.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val v = c12.keys.map(_._2).toSet.size.toLong
+    def lpQ(bg: (String, String)): Long = c1.get(bg._1) match {
+      case Some(n1) =>
+        math.floor(math.log(
+          (c12.getOrElse(bg, 0L) + 1L).toDouble / (n1 + v + 1L).toDouble)
+          * 1e6).toLong
+      case None => math.floor(math.log(1.0 / (v + 1L).toDouble) * 1e6).toLong
+    }
+    val expect = rows.sortBy(_._1).map { case (id, lang, ws) =>
+      val bs = bigrams(ws)
+      val n = bs.length.toLong
+      val nll = if (n == 0) None else Some(-bs.map(lpQ).sum / n)
+      (id, lang, n, nll, nll.exists(_ <= 7000000L))
+    }.toList
+    assert(got === expect)
+    assert(got.nonEmpty && got.forall(_._3 > 0L))
+    // planted ranking: a reference excerpt must score a LOWER mean NLL
+    // than same-vocabulary gibberish (scrambled bigrams) under a model
+    // trained on the reference lang — with a verdict threshold between
+    // them, keep/drop splits exactly there; a one-token doc cannot be
+    // scored and is dropped explicitly
+    val refText = "the quick brown fox jumps over the lazy dog " * 5
+    val scrambled = "dog the over quick lazy jumps brown the fox " +
+      "fox dog quick the brown lazy over jumps the"
+    val synth = Seq(
+      (1L, refText.trim, "en"),
+      (2L, "the quick brown fox jumps over the lazy dog", "xx"),
+      (3L, scrambled, "xx"),
+      (4L, "solo", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val s = TextAnalysis.referenceLmFilter(synth).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3))), r.getBoolean(4)))
+      .toMap
+    val excerptNll = s(2L)._1.get
+    val gibberishNll = s(3L)._1.get
+    assert(excerptNll < gibberishNll,
+      s"excerpt $excerptNll did not beat gibberish $gibberishNll")
+    assert(s(4L) === ((None, false)), "unscorable doc must be dropped")
+    val mid = (excerptNll + gibberishNll) / 2
+    val verdicts = TextAnalysis.referenceLmFilter(synth, keepNllMicros = mid)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(verdicts(2L) && !verdicts(3L) && !verdicts(4L),
+      s"threshold $mid did not split the planted pair: $verdicts")
+  }
+
   test("q263 zipf audit ≡ brute-force fit; flat frequencies read slope 0; degenerate lang is null") {
     import spark.implicits._
     val docs = t("documents")
