@@ -1030,6 +1030,13 @@ object SparkEntry {
     // + a keep verdict, zero-bigram docs dropped explicitly
     "q265_ref_lm_filter" -> ((s, d) =>
       TextAnalysis.referenceLmFilter(Tables(s, d, "documents"))),
+    // asymmetric containment over the LSH candidates: the
+    // excerpt/truncation edges (small-side containment ≥ 0.9) a
+    // symmetric Jaccard gate misses — flagged is_excerpt when jaccard
+    // sits below the q22 threshold; exact intersect counts, integer
+    // micros, all-positive floor divisions
+    "q266_containment_audit" -> ((s, d) =>
+      Dedup.containmentAudit(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4523,6 +4530,33 @@ object SparkEntry {
          |            ELSE 'same' END AS change
          |FROM g1 FULL OUTER JOIN g2 USING (word)
          |ORDER BY word""".stripMargin,
+    // the q22 candidate chain + exact intersects, with containment of
+    // the smaller side beside jaccard — both in integer micros
+    "q266_containment_audit" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |perms(i, a, b) AS (VALUES $permsValues),
+         |sig AS (SELECT doc_id, i, min((a*th + b) % ${Hashing.P}) AS minh
+         |        FROM th CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // ${Hashing.RowsPerBand} AS band,
+         |                 string_agg(minh::VARCHAR, '_' ORDER BY i) AS key
+         |          FROM sig GROUP BY i // ${Hashing.RowsPerBand}, doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |$setsCte,
+         |x AS (SELECT doc_a, doc_b, a.n AS n_a, b.n AS n_b,
+         |             CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter
+         |      FROM cand JOIN sets a ON doc_a = a.doc_id
+         |                JOIN sets b ON doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, n_a, n_b, inter,
+         |       CAST(inter * 1000000 // (n_a + n_b - inter) AS BIGINT) AS jaccard_micros,
+         |       CAST(inter * 1000000 // least(n_a, n_b) AS BIGINT) AS cont_small_micros,
+         |       inter * 1000000 // least(n_a, n_b) >= 900000
+         |         AND inter * 1000000 // (n_a + n_b - inter) < 950000 AS is_excerpt
+         |FROM x
+         |WHERE inter * 1000000 // least(n_a, n_b) >= 900000
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // reference slice → smoothed bigram model → every doc scored with
     // OOV handling; (−Σ) // n stays in positive floor territory; docs
     // without bigrams verdict FALSE with a null score

@@ -457,6 +457,59 @@ object Dedup {
     Dedup.finishWith(result, handles: _*)
   }
 
+  /** q266 — asymmetric CONTAINMENT audit over the LSH candidates: the
+    * excerpt/truncation edges a symmetric Jaccard gate misses. A doc
+    * wholly contained in a longer one (quote, boilerplate-wrapped
+    * copy, truncation) has containment |A∩B|/min(|A|,|B|) ≈ 1 while
+    * Jaccard = |A∩B|/|A∪B| can sit well under the dedup threshold —
+    * exactly the pairs q260's keep-longest exists for, surfaced here
+    * as their own decision relation: every candidate with
+    * small-side containment ≥ `cHi`, flagged `is_excerpt` when its
+    * Jaccard is BELOW the q22 threshold (i.e. the symmetric gate
+    * would have kept both copies).
+    *
+    * Exact, not estimated: containment is computed from the same
+    * sorted-id verify sets as q22's Jaccard (one codegen'd merge
+    * intersect per candidate), in integer micros (all-positive floor
+    * divisions). RECALL BOUND, documented: the candidate universe is
+    * the Jaccard-tuned LSH banding, whose collision curve
+    * (1 − (1 − j^16)² at the suite's 2×16 banding) populates the
+    * NEAR-threshold truncation band — the keep-longest cases — but
+    * fades with j and never sees a tiny quote inside a huge doc
+    * (j → 0); those regimes need the winnow print inversion (q195),
+    * which is containment-recall by construction. Same scale shape as
+    * q22: one fused sketch pass, band-keyed equi join, candidates
+    * only. */
+  def containmentAudit(docs: DataFrame, cHi: Double = 0.9,
+      jThresh: Double = 0.95): DataFrame = {
+    val (agged, handles) = fusedSketch(docs)
+    val bands = bandExplode(agged)
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .where(firstBandOnly)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sets = agged.select(col("doc_id"), col("ws"), col("n"))
+    val result = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("inter", IntersectCountSorted(col("ws_a"), col("ws_b")))
+      .withColumn("jaccard_micros",
+        expr("inter * 1000000 div (n_a + n_b - inter)"))
+      .withColumn("cont_small_micros",
+        expr("inter * 1000000 div least(n_a, n_b)"))
+      .where(col("cont_small_micros") >= lit(math.round(cHi * 1e6)))
+      .withColumn("is_excerpt",
+        col("jaccard_micros") < lit(math.round(jThresh * 1e6)))
+      .select("doc_a", "doc_b", "n_a", "n_b", "inter",
+        "jaccard_micros", "cont_small_micros", "is_excerpt")
+      .orderBy("doc_a", "doc_b")
+    Dedup.finishWith(result, handles: _*)
+  }
+
   /** The NumPerms MinHash minima as aggregate expressions over a `th`
     * (token polyHash) column — THE definition of the signature, shared
     * by every builder (q22/q89/q90 here, the streaming sketcher in

@@ -2254,6 +2254,47 @@ class PipelineOpsSpec extends SparkSpec {
     check(planted, "v")
   }
 
+  test("q266 containment audit: non-excerpt rows ≡ the q22 edge set; excerpt rows brute-force exact") {
+    import spark.implicits._
+    val docs = t("documents")
+    val rows = Dedup.containmentAudit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(rows.nonEmpty)
+    // algebraic invariants: containment ≥ jaccard always (min ≤ union),
+    // intersect bounded by the smaller side, the filter honored
+    rows.foreach { case (_, _, na, nb, inter, jm, cm, _) =>
+      assert(inter <= math.min(na, nb))
+      assert(cm >= jm && cm >= 900000L && cm <= 1000000L)
+    }
+    // the non-excerpt subset IS q22's symmetric edge set (j ≥ 0.95 ⟹
+    // containment ≥ 0.95 ≥ 0.9, so every q22 pair appears here, and
+    // the micros floor ≥ 950000 ⟺ the double j ≥ 0.95 exactly)
+    val sym = rows.filter(!_._8).map(r => (r._1, r._2)).toSet
+    val q22 = Dedup.minhashNearDup(docs, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sym === q22, "non-excerpt rows diverged from the q22 edge set")
+    assert(rows.exists(_._8), "no excerpt edge on the corpus — vacuous")
+    // brute-force the reported numbers: for a sample of excerpt rows,
+    // recompute exact set sizes / intersection / both micros from the
+    // raw token sets — the audit's values must be EXACT, not sketch
+    // estimates
+    def words(s: String) = s.split("\\s+").toSeq
+      .map(_.toLowerCase.replaceAll("[^A-Za-z]", ""))
+      .filter(_.nonEmpty).toSet
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), words(r.getString(1)))).toMap
+    rows.filter(_._8).take(25).foreach {
+      case (a, b, na, nb, inter, jm, cm, _) =>
+        val (sa, sb) = (texts(a), texts(b))
+        val i = sa.intersect(sb).size.toLong
+        assert((na, nb, inter) === ((sa.size.toLong, sb.size.toLong, i)),
+          s"($a,$b): sizes/intersect off")
+        assert(jm === i * 1000000L / (sa.size + sb.size - i))
+        assert(cm === i * 1000000L / math.min(sa.size, sb.size))
+    }
+  }
+
   test("q265 reference-LM filter ≡ brute force; excerpt ranks above gibberish; no-bigram doc dropped") {
     import spark.implicits._
     val docs = t("documents")
