@@ -114,7 +114,11 @@ object GraphStore {
       .dropDuplicates("src", "dst").localCheckpoint(true)
     val minRows = spark.conf.get("spark.graft.nswDeltaPolishMinRows",
       DeltaPolishMinRows.toString).toLong
-    if (visible.count() < minRows) {
+    // the WATERMARK is the size signal (vec_ids are the store's own
+    // dense id space — oldCap IS the ingested corpus size), so picking
+    // the path costs nothing; a visible.count() here would scan the
+    // corpus just to decide how to avoid scanning the corpus
+    if (oldCap < minRows) {
       // small corpus: merge + FULL polish (fewer, bigger stages win)
       val base = Similarity.nswTopPerSrc(
         edgesOf(storedBase).unionByName(edgesOf(deltaScored))

@@ -177,6 +177,23 @@ class StoreLockSpec extends SparkSpec {
     assert(aReleased != 0L && bRan > aReleased,
       "waiter broke a live (heartbeating) lease and ran under it")
     assert(!f.exists(lock))
+    // the waiter's give-up deadline is its OWN knob: behind a live
+    // heartbeating holder, a waiter with a short waitMs fails clean
+    // (ConcurrentWriteException) instead of breaking the lease or
+    // hanging — and the holder's lease survives the loser
+    @volatile var cDone = false
+    val c = new Thread(() =>
+      StoreLock.withLease(be, lock, 600L, 60000L, wait = false) {
+        Thread.sleep(1500); cDone = true
+      })
+    c.start(); Thread.sleep(150)
+    intercept[StoreLock.ConcurrentWriteException] {
+      StoreLock.withLease(be, lock, 600L, 400L, wait = true)(
+        fail("waiter ran despite give-up deadline"))
+    }
+    assert(f.exists(lock), "the give-up waiter destroyed the live lease")
+    c.join()
+    assert(cDone && !f.exists(lock))
   }
 
   test("graft-index DSv2 publish: loser never visible, winner's artifact intact, no mix") {
