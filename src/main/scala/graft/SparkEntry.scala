@@ -4619,7 +4619,9 @@ object SparkEntry {
          |             CAST(sum(y * y) AS BIGINT) AS syy
          |      FROM q GROUP BY 1),
          |d AS (SELECT lang, n, n * sxy - sx * sy AS num,
-         |             n * sxx - sx * sx AS den, n * syy - sy * sy AS syyd
+         |             n * sxx - sx * sx AS den,
+         |             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+         |               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS syyd
          |      FROM s)
          |SELECT lang, n AS n_ranks,
          |       CASE WHEN den > 0 THEN CAST(floor(
@@ -4627,7 +4629,7 @@ object SparkEntry {
          |       END AS neg_slope_micros,
          |       CASE WHEN den > 0 AND syyd > 0 THEN CAST(floor(
          |         CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
-         |         (CAST(den AS DOUBLE) * CAST(syyd AS DOUBLE)) * 1e6) AS BIGINT)
+         |         (CAST(den AS DOUBLE) * syyd) * 1e6) AS BIGINT)
          |       END AS r2_micros
          |FROM d ORDER BY lang""".stripMargin,
     // closure labels + the keep-longest argmax + per-cluster sums —

@@ -1164,12 +1164,17 @@ object TextAnalysis {
     * Exactness across engines: rank is a deterministic (count desc,
     * word asc) row_number over the VOCABULARY (never the corpus); both
     * lns are floor-quantized to micros (the shared quantized-ln
-    * convention); all Σ terms are then exact BIGINTs whose bounds are
-    * ENFORCED by the head cap — k ≤ 100 keeps n·Σxy under 2e18 for
-    * any corpus up to 9e18 tokens, which is why the fit is head-only
-    * (beyond being the statistically standard choice: the tail
-    * deviates from Zipf in every real corpus). The final slope/r² are
-    * ONE double expression each over those exact integers (int64 →
+    * convention); all Σ terms are then exact BIGINTs, and the head
+    * cap ENFORCES the bounds of the slope combinations — k ≤ 100
+    * keeps n·Σxy and den under 2e18 for any corpus up to 9e18
+    * tokens — which is why the fit is head-only (beyond being the
+    * statistically standard choice: the tail deviates from Zipf in
+    * every real corpus). The ONE combination the cap does NOT bound,
+    * syyd = n·Σy² − (Σy)² (its y² terms square the ln-count micros,
+    * overflowing int64 past a ~1.6e13-occurrence top word — Spark
+    * would wrap silently where DuckDB throws), is computed in DOUBLE
+    * on both engines; it only ever feeds the r² double expression.
+    * The final slope/r² are ONE double expression each (int64 →
     * double conversion and each arithmetic op round identically on
     * both engines); the slope is emitted NEGATED so its floor
     * division stays in positive territory (the fdiv lesson).
@@ -1198,15 +1203,26 @@ object TextAnalysis {
     sums
       .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
       .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
-      .withColumn("syyd", col("n") * col("syy") - col("sy") * col("sy"))
+      // syyd in DOUBLE: it only feeds the r² double expression, and
+      // the int64 form n·Σy² − (Σy)² is the ONE combination the k≤100
+      // head cap does NOT bound (y² terms square the ln-count micros:
+      // a top word past ~1.6e13 occurrences pushes n·Σy² over
+      // Long.Max, where Spark wraps silently and DuckDB throws — a
+      // cross-engine divergence). Each int64→double conversion and
+      // each double op rounds identically on both engines, so the
+      // double combination stays bit-identical cross-engine while
+      // num/den (bounded by the cap, see scaladoc) stay exact BIGINTs.
+      .withColumn("syyd",
+        col("n").cast("double") * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double"))
       .select(col("lang"), col("n").as("n_ranks"),
         when(col("den") > 0L,
           floor((-col("num")).cast("double") * 1e6 /
             col("den").cast("double")).cast("long"))
           .as("neg_slope_micros"),
-        when(col("den") > 0L && col("syyd") > 0L,
+        when(col("den") > 0L && col("syyd") > 0.0,
           floor(col("num").cast("double") * col("num").cast("double") /
-            (col("den").cast("double") * col("syyd").cast("double")) * 1e6)
+            (col("den").cast("double") * col("syyd")) * 1e6)
             .cast("long"))
           .as("r2_micros"))
       .orderBy("lang")

@@ -184,11 +184,16 @@ object GraphStore {
   private def commitFrozen(spark: SparkSession, name: String,
       base: DataFrame, refined: DataFrame, graph: DataFrame, cap: Long,
       nBuckets: Int): Unit =
-    StoreLock.withStoreLease(spark, name) {
-      writeEdges(base, name + "_base", nBuckets)
-      writeEdges(refined, name + "_refined", nBuckets)
-      writeEdges(graph, name, nBuckets)
+    StoreLock.withStoreLease(spark, name) { lease =>
+      // re-verify the lease at EVERY table boundary (round-10 ADVICE):
+      // a holder displaced mid-publish (lease broken stale and
+      // re-acquired) must stop at the next write, not interleave its
+      // remaining tables with the successor's
+      lease.verify(); writeEdges(base, name + "_base", nBuckets)
+      lease.verify(); writeEdges(refined, name + "_refined", nBuckets)
+      lease.verify(); writeEdges(graph, name, nBuckets)
       // watermark LAST — the commit point (see scaladoc ordering note)
+      lease.verify()
       import spark.implicits._
       Seq(cap).toDF("cap").write.mode("overwrite").saveAsTable(name + "_meta")
     }

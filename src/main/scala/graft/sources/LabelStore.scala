@@ -97,9 +97,13 @@ object LabelStore {
   def commit(spark: SparkSession, name: String, sketchName: String,
       newDocs: DataFrame, updated: DataFrame, nBuckets: Int = 8): Unit = {
     val frozen = updated.select("doc_id", "cluster_id").localCheckpoint(true)
-    StoreLock.withStoreLease(spark, name) {
-      SketchStore.append(newDocs, sketchName, nBuckets)
-      save(frozen, name, nBuckets)
+    StoreLock.withStoreLease(spark, name) { lease =>
+      // commit-point lease re-verify at each table boundary (round-10
+      // ADVICE): a writer displaced between the sketch append and the
+      // label save aborts instead of landing labels over the
+      // successor's sketches
+      lease.verify(); SketchStore.append(newDocs, sketchName, nBuckets)
+      lease.verify(); save(frozen, name, nBuckets)
     }
   }
 }

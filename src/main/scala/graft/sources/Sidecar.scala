@@ -141,8 +141,18 @@ object Sidecar {
     * text in ≤128 MB files"; row-level fidelity rides the same
     * explicit-schema + µs-timestamp discipline as the plain JSONL
     * surface. */
-  def gzJsonl(spark: SparkSession, sfDir: String, name: String,
-      targetMemberBytes: Long = 0L): DataFrame = {
+  def gzJsonl(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    gzJsonlSized(spark, sfDir, name, 0L)
+
+  /** [[gzJsonl]] with an EXPLICIT per-member size target (bytes).
+    * Deliberately a separate name, not a defaulted 4th parameter on
+    * gzJsonl: that slot used to mean `parts: Int` (a member COUNT),
+    * and an old positional call like `gzJsonl(s, dir, "docs", 16)`
+    * would widen Int→Long and silently flip meaning to "16 BYTES per
+    * member" (srcBytes/16 files). The distinct method makes any stale
+    * positional call a compile error instead of a semantic flip. */
+  def gzJsonlSized(spark: SparkSession, sfDir: String, name: String,
+      targetMemberBytes: Long): DataFrame = {
     val pq = Tables(spark, sfDir, name)
     val target =
       if (targetMemberBytes > 0L) targetMemberBytes

@@ -129,6 +129,12 @@ class CompressedSourceSpec extends SparkSpec {
         s"members collapsed far below the target band: mean ${sizes.sum / sizes.length} B")
       // content fidelity is untouched by the layout change
       assert(profile(served) === profile(Tables(spark, dir, "documents")))
+      // the EXPLICIT-target surface (gzJsonlSized — a distinct name, so
+      // a stale positional `parts` call can't silently become a byte
+      // target) derives the same member count for the same target
+      val explicit = Sidecar.gzJsonlSized(spark, dir, "documents", tiny)
+      assert(explicit.select(input_file_name()).distinct().count()
+        === expect.toLong)
     } finally spark.conf.unset("spark.graft.gzTargetMemberBytes")
   }
 

@@ -2383,13 +2383,15 @@ class PipelineOpsSpec extends SparkSpec {
       val syy = ranked.map(p => p._2 * p._2).sum
       val num = n * sxy - sx * sy
       val den = n * sxx - sx * sx
-      val syyd = n * syy - sy * sy
+      // syyd in DOUBLE — the engine/oracle convention since round 11
+      // (the int64 form overflows past a ~1.6e13-occurrence top word)
+      val syyd = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
       (lang, n,
         if (den > 0) Some(math.floor(-num.toDouble * 1e6 / den.toDouble).toLong)
         else None,
-        if (den > 0 && syyd > 0)
+        if (den > 0 && syyd > 0.0)
           Some(math.floor(
-            num.toDouble * num.toDouble / (den.toDouble * syyd.toDouble) * 1e6)
+            num.toDouble * num.toDouble / (den.toDouble * syyd) * 1e6)
             .toLong)
         else None)
     }

@@ -103,7 +103,7 @@ class StoreLockSpec extends SparkSpec {
     try {
       val before = RecordingLeaseBackend.acquired.get()
       var ran = false
-      StoreLock.withStoreLease(spark, "sch_probe") { ran = true }
+      StoreLock.withStoreLease(spark, "sch_probe") { _ => ran = true }
       assert(ran)
       assert(RecordingLeaseBackend.acquired.get() === before + 1,
         "lease did not route through the conf-selected backend")
@@ -115,7 +115,7 @@ class StoreLockSpec extends SparkSpec {
         "_graft_locks/sch_probe.lock").toString
       RecordingLeaseBackend.leases.put(key, "other-holder")
       intercept[StoreLock.ConcurrentWriteException] {
-        StoreLock.withStoreLease(spark, "sch_probe")(
+        StoreLock.withStoreLease(spark, "sch_probe")(_ =>
           fail("ran under a backend-held lease"))
       }
     } finally {
@@ -194,6 +194,134 @@ class StoreLockSpec extends SparkSpec {
     assert(f.exists(lock), "the give-up waiter destroyed the live lease")
     c.join()
     assert(cDone && !f.exists(lock))
+  }
+
+  test("displaced holder: restore-impossible break keeps the successor's lease AND the displaced writer's commit-point verify aborts") {
+    // the round-10 ADVICE race, end to end: holder B's lease is
+    // tombstoned by breaker A (stale observation), contender C takes
+    // the empty slot before A can restore, so A's restore rename
+    // fails — the old code deleted the tombstone blindly and B kept
+    // writing beside C. Now: (1) the tombstone is dropped only after
+    // the slot is PROVABLY re-occupied (C's lease survives untouched),
+    // and (2) B's LeaseHandle.verify() — the commit-point re-check —
+    // throws, so B aborts its publish instead of interleaving with C.
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_disp").toString
+    val lock = new Path(s"$dir/_L")
+    val f = fs(lock)
+    // a probe-intercepting backend injects contender C exactly in the
+    // tombstone→restore window (the first lock probe of the restore
+    // loop), making the nondeterministic race a deterministic spec
+    class InterceptingBackend extends FsLeaseBackend(f) {
+      @volatile var onLockProbe: () => Unit = () => ()
+      override def probe(p: Path): Option[(Long, String)] = {
+        if (!p.getName.contains(".tomb.")) {
+          val h = onLockProbe; onLockProbe = () => (); h()
+        }
+        super.probe(p)
+      }
+    }
+    val be = new InterceptingBackend
+    StoreLock.withLeaseHandle(be, lock, 60000L, 60000L, wait = false) { b =>
+      b.verify() // freshly held: verify passes
+      // breaker A observed a stale token and breaks B's lease; C wins
+      // the empty slot inside A's restore window
+      be.onLockProbe = () => {
+        val out = f.create(lock, true)
+        out.write("C".getBytes("UTF-8")); out.close()
+      }
+      assert(!be.breakStale(lock, "A_STALE_OBSERVATION"),
+        "breaker with a mismatched observation claimed the break")
+      // C's fresh lease survived A's failed restore
+      assert(be.probe(lock).map(_._2) === Some("C"),
+        "successor's lease destroyed by the failed restore")
+      assert(new java.io.File(dir).listFiles().forall(
+        !_.getName.contains(".tomb.")),
+        "tombstone residue after a provably re-occupied slot")
+      // ...and B, displaced, must ABORT at its commit point
+      intercept[StoreLock.ConcurrentWriteException](b.verify())
+    }
+    // B's release was token-conditioned: C still holds
+    assert(be.probe(lock).map(_._2) === Some("C"))
+    // restore-RETRY path: a mismatched break with NO contender puts
+    // the tombstoned lease back (first retry), token intact
+    val be2 = new FsLeaseBackend(f)
+    assert(!be2.breakStale(lock, "ANOTHER_STALE_OBSERVATION"))
+    assert(be2.probe(lock).map(_._2) === Some("C"),
+      "mismatched break failed to restore the lease")
+  }
+
+  test("CAS lease backend: conditional-put semantics carry the full protocol; N-writer hammer has one winner per round") {
+    import graft.sources.CasLeaseBackend
+    CasLeaseBackend.clear()
+    val lock = new Path("/cas/model/store.lock")
+    val be = new CasLeaseBackend
+    // acquire = put-if-absent; probe sees the holder; release is
+    // token-conditioned (a foreign token cannot delete)
+    assert(be.tryAcquire(lock, "A"))
+    assert(!be.tryAcquire(lock, "B"))
+    assert(be.probe(lock).map(_._2) === Some("A"))
+    be.release(lock, "B")
+    assert(be.probe(lock).map(_._2) === Some("A"), "foreign release succeeded")
+    // stale break = delete-if-token-matches: a mismatched observation
+    // loses (re-acquired lease survives); a matching one wins
+    assert(!be.breakStale(lock, "STALE_OBS"))
+    assert(be.probe(lock).map(_._2) === Some("A"))
+    assert(be.breakStale(lock, "A"))
+    assert(be.probe(lock).isEmpty)
+    // full protocol through withLease: heartbeat keeps a build past
+    // leaseMs alive against a waiting contender (CAS replace-if-current)
+    @volatile var aReleased = 0L
+    @volatile var bRan = 0L
+    val a = new Thread(() =>
+      StoreLock.withLease(be, lock, 400L, 60000L, wait = false) {
+        Thread.sleep(1500); aReleased = System.nanoTime()
+      })
+    a.start(); Thread.sleep(100)
+    StoreLock.withLease(be, lock, 400L, 60000L, wait = true) {
+      bRan = System.nanoTime()
+    }
+    a.join()
+    assert(aReleased != 0L && bRan > aReleased,
+      "waiter broke a live heartbeating CAS lease")
+    // a CRASHED writer's lease (planted, aged past leaseMs, never
+    // heartbeating) is broken and the slot re-won
+    assert(be.tryAcquire(lock, "CRASHED"))
+    CasLeaseBackend.rewind(lock, 10000L)
+    var ran = false
+    StoreLock.withLease(be, lock, 500L, 60000L, wait = false) { ran = true }
+    assert(ran, "stale CAS lease was not broken")
+    assert(be.probe(lock).isEmpty)
+    // N-writer hammer: 8 threads × 5 rounds of wait-and-serve leases
+    // around a deliberately non-atomic critical section — mutual
+    // exclusion means the overlap counter never sees a second body
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val completed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 8).map { _ =>
+      new Thread(() =>
+        (0 until 5).foreach { _ =>
+          StoreLock.withLease(be, lock, 60000L, 120000L, wait = true) {
+            if (active.incrementAndGet() != 1) overlaps.incrementAndGet()
+            Thread.sleep(2)
+            active.decrementAndGet()
+            completed.incrementAndGet()
+          }
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(overlaps.get() === 0, s"${overlaps.get()} overlapping lease bodies")
+    assert(completed.get() === 40, "a hammer round was lost")
+    assert(be.probe(lock).isEmpty, "lease leaked after the hammer")
+    // the conf seam routes a whole store commit through the CAS backend
+    spark.conf.set("spark.graft.lockBackend", classOf[CasLeaseBackend].getName)
+    try {
+      var leased = false
+      StoreLock.withStoreLease(spark, "cas_probe") { h => h.verify(); leased = true }
+      assert(leased)
+    } finally {
+      spark.conf.unset("spark.graft.lockBackend")
+      CasLeaseBackend.clear()
+    }
   }
 
   test("graft-index DSv2 publish: loser never visible, winner's artifact intact, no mix") {
