@@ -695,7 +695,7 @@ object Dedup {
     * session — CacheManager dedupes repeat calls per distinct input,
     * but release is then the session's job (`spark.catalog
     * .clearCache()`). */
-  private[operators] def eagerMaterialize(df: DataFrame): Boolean =
+  private[graft] def eagerMaterialize(df: DataFrame): Boolean =
     df.sparkSession.conf.get("spark.graft.eagerMaterialize", "true").toBoolean
 
   /** Persists created in lazy (plan-audit) mode, registered so they

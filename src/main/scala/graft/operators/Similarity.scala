@@ -215,6 +215,7 @@ object Similarity {
     * artifact-store tests). */
   def clearNswScoredMemo(): Unit = nswScoredMemo.clear()
 
+
   private def nswScoredAll(embeddings: DataFrame, longLinks: Int): DataFrame = {
     def fresh = nswScore(withNorm(embeddings),
       nswCandidates(embeddings, longLinks, None))
@@ -372,14 +373,26 @@ object Similarity {
       refinedOld: DataFrame, graphOld: DataFrame,
       m: Int = 8): (DataFrame, DataFrame) = {
     val u = withNorm(embeddings)
-    // each dirty set is tiny and multiply consumed: eager-checkpoint
+    // Each dirty set is tiny and multiply consumed: eager-checkpoint
     // it as a HANDFUL of partitions (a 32-partition localCheckpoint of
-    // a 200-row set pays 32 blocks of bookkeeping per step; lazy
-    // persist is worse — concurrent broadcast subtrees all compute an
-    // unpopulated cache). Lazy plan-audit mode parks the plans.
+    // a 200-row set pays 32 blocks of bookkeeping per step). Lazy
+    // plan-audit mode parks the plans.
+    //
+    // A fully LAZY (persist-marked) chain was built and MEASURED in
+    // round 11 and REJECTED: each dirty set is referenced ~3× per
+    // consumer level, and Spark's tree-walking planner expands the
+    // shared DAG multiplicatively — the probe counted 13,715
+    // TableCacheQueryStage references in ONE update's executed plan,
+    // task work DOUBLED (463 vs 170 tasks, 18–22 s vs 8.5 s task
+    // time), and wall clock went 4.1 s → 7 s at sf0.1. The small-scale
+    // fusion win lives in GraphStore's full-polish fallback (linear
+    // nesting, safe to lazy-persist); this delta algebra is the
+    // ≥floor path, where its eager rounds are noise against the
+    // corpus-sized polish it skips.
     val eager = Dedup.eagerMaterialize(embeddings)
     def leaf(df: DataFrame): DataFrame =
       if (eager) df.coalesce(4).localCheckpoint(true) else df
+    def leafRel(df: DataFrame): DataFrame = leaf(df)
     def edgesOf(df: DataFrame) = df.select("src", "dst", "cos6")
     // symmetric difference as ONE full-outer join on the exact edge
     // key (pair rows are unique per (src, dst); cos6 is deterministic,
@@ -400,7 +413,7 @@ object Similarity {
       .join(baseNew.alias("b"), col("a.dst") === col("b.src"))
       .select(col("a.src").as("src"), col("b.dst").as("dst"))
       .where(col("src") =!= col("dst"))
-    val refinedDirty = leaf(nswTopPerSrc(nswScore(u,
+    val refinedDirty = leafRel(nswTopPerSrc(nswScore(u,
       baseDirty.select("src", "dst").unionByName(twoHop).distinct()), m))
     // carried rows come off the bucketed stored table via a broadcast
     // anti join — map-side, never materialized corpus-wide here (the

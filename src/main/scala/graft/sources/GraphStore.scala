@@ -28,10 +28,11 @@ import graft.operators.Similarity
   *  - `<name>` — the polished search graph (symmetrize + 2m prune
   *    over refined), the relation `nswSearchOver` probes.
   *  - `<name>_meta` — one row: the id WATERMARK (exclusive upper
-  *    bound of ingested vec_ids). Stored explicitly rather than
-  *    derived as max(src)+1 because an isolated node (no bucket
-  *    collision, vec_id 0 has no long links) can be absent from the
-  *    edge relation without being absent from the corpus.
+  *    bound of ingested vec_ids) plus the COMMIT ID. The watermark is
+  *    stored explicitly rather than derived as max(src)+1 because an
+  *    isolated node (no bucket collision, vec_id 0 has no long links)
+  *    can be absent from the edge relation without being absent from
+  *    the corpus.
   *
   * All edge relations are BUCKETED on `src` — the key of every join
   * that consumes them: the beam search's per-round frontier ⋈ edges
@@ -47,23 +48,51 @@ import graft.operators.Similarity
   * `touched` srcs (carry-over via broadcast anti join against the
   * bucketed table), and the polish recomputes only the dirty
   * neighborhoods (`Similarity.nswPolishDelta` — edge-identical to the
-  * full polish, spec-pinned).
+  * full polish, spec-pinned). Below the [[DeltaPolishMinRows]] floor
+  * the fallback merge+FULL-polish is STAGE-FUSED (round 11): one
+  * eager round (delta scoring inlined into the base merge's
+  * checkpoint) with refined/graph lazy over that leaf — which is what
+  * finally makes production cheaper than the query form at SMALL
+  * scale too (the round-10 residue; the delta chain's own lazy form
+  * was measured and rejected, see the floor scaladoc).
   *
-  * Crash-safety ORDER ([[commit]]): base, refined, graph, META LAST.
-  * The watermark is the commit point — a crash before it leaves the
-  * old cap in place, and the RECOVERY RULE is simply re-run the day's
-  * ingest: [[update]] is idempotent because the merge pair-key dedups
-  * (`nswMergeBase`), so delta edges already folded into a
-  * half-written base cannot occupy two window ranks, and a fully
-  * committed day's re-run sees an empty delta (no candidate pair has
-  * an endpoint ≥ the new watermark). */
+  * CRASH SAFETY is a COMMIT ID, not just write order ([[commit]]
+  * writes base, refined, graph, meta last): every table of one
+  * publish carries the same stamp (`graft.cid` table property on the
+  * edge tables — set strictly after their data lands — and a field
+  * of the meta row). The delta path's
+  * carry-over algebra is only sound against a CONSISTENT generation:
+  * a crash between table writes leaves e.g. refined=new / graph=old,
+  * where re-running the day's ingest would recompute refined rows
+  * identical to the stored (already-new) ones, collapse the dirty
+  * sets to empty, and carry the STALE pre-delta graph forward under
+  * the new watermark — silently, forever (the round-10 ADVICE hole).
+  * [[update]] therefore checks the four stamps first and, on ANY
+  * disagreement (a detected partial commit — including a pre-round-11
+  * store without stamps), falls back to merge + FULL polish, which
+  * recomputes refined and graph from the merged base alone; the
+  * recovery rule is again simply "re-run the day's ingest", restored
+  * to unconditional truth. Idempotence of the merge is unchanged:
+  * the pair-key dedup (`nswMergeBase`) absorbs delta edges already
+  * folded into a half-written base, and a fully committed day's
+  * re-run sees an empty delta. */
 object GraphStore {
 
-  private def writeEdges(edges: DataFrame, table: String,
-      nBuckets: Int): Unit =
+  private def writeEdges(spark: SparkSession, edges: DataFrame,
+      table: String, nBuckets: Int, cid: String): Unit = {
     edges.select("src", "dst", "cos6").write.mode("overwrite")
       .bucketBy(nBuckets, "src").sortBy("src")
       .saveAsTable(table)
+    // the commit stamp lives in the TABLE PROPERTIES — a catalog-only
+    // write (and read: storeState costs zero Spark jobs), set strictly
+    // AFTER the data lands, so every crash window leaves the property
+    // older than (or absent from) its data and the store reads as
+    // inconsistent — the SAFE direction (full-polish fallback)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES('graft.cid' = '$cid')")
+  }
+
+  private def edgeTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).select("src", "dst", "cos6")
 
   /** Bootstrap the store from an initial corpus: full build, all three
     * relations persisted, watermark = cap (exclusive). */
@@ -78,23 +107,65 @@ object GraphStore {
 
   /** (base, polished graph, watermark). */
   def load(spark: SparkSession, name: String): (DataFrame, DataFrame, Long) =
-    (spark.table(name + "_base"), spark.table(name),
+    (edgeTable(spark, name + "_base"), edgeTable(spark, name),
       spark.table(name + "_meta").head().getLong(0))
 
   /** The persisted NN-descent relation (see the scaladoc above). */
   def loadRefined(spark: SparkSession, name: String): DataFrame =
-    spark.table(name + "_refined")
+    edgeTable(spark, name + "_refined")
+
+  /** (watermark, commit-consistent?) for the COST of the watermark
+    * read alone: the meta row (cap, cid) is one tiny single-row job —
+    * exactly what load() always paid — and the three edge-table
+    * stamps are CATALOG property reads, zero Spark jobs (update()
+    * runs before every ingest; its fixed overhead is production
+    * latency). Consistent ⟺ all four stamps present and equal, i.e.
+    * the last publish completed; any disagreement, absent property,
+    * or pre-stamp store routes [[update]] onto the full-polish path,
+    * whose output depends only on the stored base and the re-scored
+    * delta (both idempotent under partial commits). */
+  private[graft] def storeState(spark: SparkSession,
+      name: String): (Long, Boolean) = {
+    val metaRow = scala.util.Try(
+      spark.table(name + "_meta")
+        .select(col("cap"), col("cid").cast("string").as("cid")).head())
+      .getOrElse(spark.table(name + "_meta")
+        .select(col("cap"), lit(null).cast("string").as("cid")).head())
+    val cap = metaRow.getLong(0)
+    val metaCid = Option(metaRow.getString(1))
+    def propCid(t: String): Option[String] =
+      scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .properties.get("graft.cid")).toOption.flatten
+    val cids = metaCid +:
+      Seq(name + "_base", name + "_refined", name).map(propCid)
+    (cap, cids.forall(_.nonEmpty) && cids.distinct.size == 1)
+  }
+
+  /** Commit-stamp health alone (spec surface; [[update]] uses the
+    * fused [[storeState]]). */
+  private[graft] def commitConsistent(spark: SparkSession,
+      name: String): Boolean = storeState(spark, name)._2
 
   /** Corpus-size floor for the delta-bounded polish: below it, the
     * whole polish is a handful of small stages and the delta
     * machinery's extra sequential rounds (dirty sets, diffs, carry
     * joins) cost more wall clock than the full recompute they skip —
-    * measured at sf0.1 (~6k vectors: full ≈ 3.2 s, delta ≈ 4.7 s) vs
-    * the 10× corpus (~60k: full ≈ 10.8 s, delta ≈ 8.1 s committed,
+    * measured at sf0.1 (~6k vectors: lazy full ≈ 2.3 s, delta ≈
+    * 4.1 s) vs the 10× corpus (~60k: full ≈ 10.8 s, delta ≈ 8.1 s,
     * and the gap keeps widening — at 100 TB the full polish is a
     * daily corpus-sized rebuild while the delta path stays
-    * batch-sized). Conf `spark.graft.nswDeltaPolishMinRows`; specs
-    * pin the delta path by setting it to 0. */
+    * batch-sized). Since round 11 the BELOW-floor path is STAGE-FUSED
+    * (one eager merge round, lazy polish over its leaf; see
+    * [[update]]), which is what makes the store pay at small scale
+    * too: production cost = delta scoring + the same fused polish the
+    * query form runs, strictly less than the query form's
+    * full-corpus scoring. A lazy DELTA chain was measured and
+    * rejected (exponential DAG-as-tree expansion — the nswPolishDelta
+    * scaladoc has the numbers), and so was a persist()-marked one
+    * (cached subplans execute with AQE restrictions). Conf
+    * `spark.graft.nswDeltaPolishMinRows`; specs pin the delta path by
+    * setting it to 0. */
   val DeltaPolishMinRows = 20000L
 
   /** Merge the stored base with the DELTA candidates of everything
@@ -106,25 +177,53 @@ object GraphStore {
     * Returns (base, refined, graph). */
   def update(spark: SparkSession, name: String, embeddings: DataFrame,
       newCap: Long, m: Int = 8): (DataFrame, DataFrame, DataFrame) = {
-    val (storedBase, storedGraph, oldCap) = load(spark, name)
+    val storedBase = edgeTable(spark, name + "_base")
+    val storedGraph = edgeTable(spark, name)
     val storedRefined = loadRefined(spark, name)
+    // ONE driver job reads the watermark AND the four commit stamps
+    val (oldCap, consistent) = storeState(spark, name)
     val visible = embeddings.where(col("vec_id") < newCap)
     def edgesOf(df: DataFrame) = df.select("src", "dst", "cos6")
-    val deltaScored = Similarity.nswDeltaScored(visible, oldCap)
-      .dropDuplicates("src", "dst").localCheckpoint(true)
+    val eager = graft.operators.Dedup.eagerMaterialize(embeddings)
+    // lazy on the full path (consumed once — the merge), an eager leaf
+    // on the delta path (multiply consumed: touched, the dirty merge,
+    // and the polish's carry joins — left lazy its candidate tower
+    // expands under tree-walking planners, see nswPolishDelta)
+    def deltaScoredPlan = Similarity.nswDeltaScored(visible, oldCap)
+      .dropDuplicates("src", "dst")
     val minRows = spark.conf.get("spark.graft.nswDeltaPolishMinRows",
       DeltaPolishMinRows.toString).toLong
     // the WATERMARK is the size signal (vec_ids are the store's own
     // dense id space — oldCap IS the ingested corpus size), so picking
     // the path costs nothing; a visible.count() here would scan the
     // corpus just to decide how to avoid scanning the corpus
-    if (oldCap < minRows) {
-      // small corpus: merge + FULL polish (fewer, bigger stages win)
-      val base = Similarity.nswTopPerSrc(
-        edgesOf(storedBase).unionByName(edgesOf(deltaScored))
-          .dropDuplicates("src", "dst"), m).localCheckpoint(true)
+    if (oldCap < minRows || !consistent) {
+      // small corpus (fewer, bigger stages win) OR a PARTIAL COMMIT
+      // detected (mixed stamps — the delta carry-over algebra would
+      // trust stale rows): merge + FULL polish, which depends only on
+      // the stored base and the re-scored delta.
+      //
+      // STAGE-FUSED since round 11 (the verdict-#1 win, landed where
+      // it measures): ONE eager round — the delta scoring is inlined
+      // into the base merge's checkpoint, and refined/graph stay lazy
+      // plans over that leaf, their cost paid inside the caller's
+      // actions. (The nesting is LINEAR — graph → refined → base
+      // leaf — and identical subplans inside one action dedupe via
+      // exchange reuse, so no cache is needed; persist() was measured
+      // and rejected here because cached subplans execute with AQE
+      // restrictions and static shuffle widths, costing ~1 s at
+      // sf0.1.) Production = batch-only scoring + the same fused
+      // polish the query form runs, minus the query form's
+      // full-corpus scoring — the store pays at every scale.
+      val base =
+        if (eager) Similarity.nswTopPerSrc(
+          edgesOf(storedBase).unionByName(edgesOf(deltaScoredPlan))
+            .dropDuplicates("src", "dst"), m).localCheckpoint(true)
+        else Similarity.nswTopPerSrc(
+          edgesOf(storedBase).unionByName(edgesOf(deltaScoredPlan))
+            .dropDuplicates("src", "dst"), m)
       val refined = Similarity.nswDescend(
-        Similarity.withNorm(visible), base, m).localCheckpoint(true)
+        Similarity.withNorm(visible), base, m)
       return (base, refined, Similarity.nswSymmetrize(refined, m))
     }
     // the srcs whose top-m CAN change — not every src a delta
@@ -139,19 +238,22 @@ object GraphStore {
     val worstKey = struct(col("cos6").as("c"), (-col("dst")).as("nd"))
     val thresh = storedBase.groupBy("src").agg(
       count(lit(1)).as("deg"), min(worstKey).as("worst"))
-    val touched = deltaScored
+    def leafSet(df: DataFrame): DataFrame =
+      if (eager) df.coalesce(4).localCheckpoint(true) else df
+    val deltaScored =
+      if (eager) deltaScoredPlan.localCheckpoint(true) else deltaScoredPlan
+    val touched = leafSet(deltaScored
       .join(thresh, Seq("src"), "left_outer")
       .where(col("deg").isNull || col("deg") < m || worstKey > col("worst"))
-      .select("src").distinct().coalesce(4).localCheckpoint(true)
+      .select("src").distinct())
     // re-window ONLY the touched srcs (the merge is the identity
     // elsewhere); carried rows ride a broadcast anti join off the
     // bucketed table, so the merge never reshuffles the stored corpus
-    val mergedDirty = Similarity.nswTopPerSrc(
+    val mergedDirty = leafSet(Similarity.nswTopPerSrc(
       edgesOf(storedBase).join(touched, Seq("src"), "left_semi")
         .unionByName(edgesOf(deltaScored)
           .join(touched, Seq("src"), "left_semi"))
-        .dropDuplicates("src", "dst"), m)
-      .coalesce(4).localCheckpoint(true)
+        .dropDuplicates("src", "dst"), m))
     val baseNew = edgesOf(storedBase).join(touched, Seq("src"), "left_anti")
       .unionByName(mergedDirty)
     val (refinedNew, graphNew) = Similarity.nswPolishDelta(
@@ -162,7 +264,8 @@ object GraphStore {
   /** Persist an updated (base, refined, graph) triple and advance the
     * watermark to `newCap`. All inputs read FROM the tables being
     * replaced, so they are frozen (localCheckpoint) before any write
-    * starts. */
+    * starts — under the fused below-floor update these freezes are
+    * also where the lazy polish actually executes. */
   def commit(spark: SparkSession, name: String, base: DataFrame,
       refined: DataFrame, graph: DataFrame, newCap: Long,
       nBuckets: Int = 8): Unit =
@@ -180,21 +283,24 @@ object GraphStore {
     * landed last. The loser throws before any write starts (its
     * update was a pure read), so its artifact never becomes visible;
     * all inputs are frozen BEFORE the lease so no materialize cost is
-    * spent under it. */
+    * spent under it; the lease is RE-VERIFIED at every table boundary
+    * so a holder displaced mid-publish aborts instead of interleaving
+    * with its successor. Every table carries this publish's commit
+    * stamp; a crash mid-publish leaves disagreeing stamps, which
+    * [[update]] detects and routes to the full-polish recovery. */
   private def commitFrozen(spark: SparkSession, name: String,
       base: DataFrame, refined: DataFrame, graph: DataFrame, cap: Long,
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
+    val cid = java.util.UUID.randomUUID().toString
     StoreLock.withStoreLease(spark, name) { lease =>
-      // re-verify the lease at EVERY table boundary (round-10 ADVICE):
-      // a holder displaced mid-publish (lease broken stale and
-      // re-acquired) must stop at the next write, not interleave its
-      // remaining tables with the successor's
-      lease.verify(); writeEdges(base, name + "_base", nBuckets)
-      lease.verify(); writeEdges(refined, name + "_refined", nBuckets)
-      lease.verify(); writeEdges(graph, name, nBuckets)
-      // watermark LAST — the commit point (see scaladoc ordering note)
+      lease.verify(); writeEdges(spark, base, name + "_base", nBuckets, cid)
+      lease.verify(); writeEdges(spark, refined, name + "_refined", nBuckets, cid)
+      lease.verify(); writeEdges(spark, graph, name, nBuckets, cid)
+      // watermark + commit id LAST — the commit point
       lease.verify()
       import spark.implicits._
-      Seq(cap).toDF("cap").write.mode("overwrite").saveAsTable(name + "_meta")
+      Seq((cap, cid)).toDF("cap", "cid")
+        .write.mode("overwrite").saveAsTable(name + "_meta")
     }
+  }
 }

@@ -248,4 +248,64 @@ class BucketedStoreSpec extends SparkSpec {
       tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("graph store: a PARTIAL commit (crash between table writes) is detected and the re-run recovers — stored graph still == rebuild") {
+    // the round-10 ADVICE hole: the delta-bounded polish made "the
+    // recovery rule is simply re-run" FALSE for a crash between the
+    // refined and graph writes — the re-run recomputes refined rows
+    // identical to the stored (already-new) ones, the dirty sets
+    // collapse to empty, and the STALE pre-delta graph is committed
+    // under the NEW watermark, served forever. The commit stamp closes
+    // it: mixed stamps route update() onto the full-polish path.
+    import graft.sources.GraphStore
+    val emb = Tables(spark, dir, "embeddings")
+    val name = "graft_nsw_crash"
+    val tables = Seq(name, s"${name}_base", s"${name}_refined", s"${name}_meta")
+    spark.conf.set("spark.graft.nswDeltaPolishMinRows", "0")
+    try {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      def edges(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toList
+      GraphStore.build(spark, name, emb.where($"vec_id" < 200), 200L)
+      assert(GraphStore.commitConsistent(spark, name),
+        "a completed build must read as consistent")
+      // day-1's publish dies AFTER the base and refined writes, BEFORE
+      // graph and meta: base/refined are already tomorrow's, the graph
+      // and watermark are still yesterday's — exactly the interleaving
+      // the write order alone cannot distinguish from a clean store
+      val (b1, r1, _) = GraphStore.update(spark, name, emb, 350L)
+      val bF = b1.select("src", "dst", "cos6").localCheckpoint(true)
+      val rF = r1.select("src", "dst", "cos6").localCheckpoint(true)
+      def halfWrite(df: DataFrame, t: String): Unit = {
+        df.write.mode("overwrite").bucketBy(8, "src").sortBy("src")
+          .saveAsTable(t)
+        spark.sql(
+          s"ALTER TABLE $t SET TBLPROPERTIES('graft.cid' = 'crashed-partial')")
+      }
+      halfWrite(bF, s"${name}_base")
+      halfWrite(rF, s"${name}_refined")
+      assert(!GraphStore.commitConsistent(spark, name),
+        "a partial commit must read as inconsistent")
+      // the recovery rule: re-run the day's ingest. Without the stamp
+      // check the delta path would carry the day-0 graph forward here.
+      val (b2, r2, g2) = GraphStore.update(spark, name, emb, 350L)
+      GraphStore.commit(spark, name, b2, r2, g2, 350L)
+      assert(GraphStore.commitConsistent(spark, name),
+        "recovery commit did not restore stamp consistency")
+      val (_, stored, wm) = GraphStore.load(spark, name)
+      assert(wm === 350L)
+      assert(edges(stored) ===
+        edges(Similarity.nswGraph(emb.where($"vec_id" < 350))),
+        "recovered graph diverged from the rebuild — the stale-carry hole")
+      // and the NEXT (clean) generation takes the delta path again
+      val (b3, r3, g3) = GraphStore.update(spark, name, emb, Long.MaxValue)
+      GraphStore.commit(spark, name, b3, r3, g3, Long.MaxValue)
+      assert(edges({ val (_, g, _) = GraphStore.load(spark, name); g }) ===
+        edges(Similarity.nswGraph(emb)),
+        "post-recovery generation diverged from the rebuild")
+    } finally {
+      spark.conf.unset("spark.graft.nswDeltaPolishMinRows")
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
