@@ -1746,9 +1746,11 @@ object Relational {
     * confidence both directions and lift in exact integer micros
     * (`div` ≡ `//` on these non-negative operands; lift's numerator
     * sup_ab·N·1e6 overflows BIGINT past ~9e18 — ~1e6 baskets at
-    * 1e6-support pairs — beyond which the one-column division moves
-    * to DECIMAL(38,0), the q214 headroom convention). minSupport
-    * bounds the output to genuinely frequent pairs. */
+    * 1e6-support pairs — and the bound is ENFORCED: both lift
+    * products ride `Guards.headroomMul`, so past the ceiling the
+    * query raises a named error citing the DECIMAL(38,0) promotion
+    * instead of wrapping silently). minSupport bounds the output to
+    * genuinely frequent pairs. */
   def basketPairs(lineitem: DataFrame, minSupport: Long = 3L,
       maxBasket: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1790,12 +1792,17 @@ object Relational {
       .join(sup.withColumnRenamed("part", "part_b")
         .withColumnRenamed("sup", "sup_b"), "part_b")
       .crossJoin(n)
+      .withColumn("lift_num", graft.functions.Guards.headroomMul(
+        graft.functions.Guards.headroomMul(col("sup_ab"), col("n_baskets"),
+          "q227 lift sup_ab*n_baskets"),
+        lit(1000000L), "q227 lift numerator*1e6"))
+      .withColumn("lift_den", graft.functions.Guards.headroomMul(
+        col("sup_a"), col("sup_b"), "q227 lift sup_a*sup_b"))
       .select(col("part_a"), col("part_b"), col("sup_ab"),
         col("sup_a"), col("sup_b"),
         expr("sup_ab * 1000000 div sup_a").as("conf_ab_micros"),
         expr("sup_ab * 1000000 div sup_b").as("conf_ba_micros"),
-        expr("sup_ab * n_baskets * 1000000 div (sup_a * sup_b)")
-          .as("lift_micros"))
+        expr("lift_num div lift_den").as("lift_micros"))
       .orderBy("part_a", "part_b")
     Dedup.finishWith(result, raw, items)
   }

@@ -705,8 +705,9 @@ object TextAnalysis {
     * DuckDB `//` floors, and scores go negative, so the naive div
     * would silently disagree at engine boundaries. Headroom: the
     * micros numerator overflows past ~2e12 pos×neg held-out pairs;
-    * beyond that the one-row final division moves to DECIMAL(38,0)
-    * (the q49 observe convention). */
+    * the bound is ENFORCED (`Guards.headroomMul` — a named error
+    * citing the DECIMAL(38,0) promotion, not a silent wrap or an
+    * anonymous ANSI overflow). */
   def nbAuc(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val per = nbScoredLabeled(docs)
@@ -728,9 +729,14 @@ object TextAnalysis {
       .agg(sum(col("n_p")).as("n_pos"), sum(col("n_n")).as("n_neg"),
         sum(col("n_p") * (lit(2L) * (col("below_bkt") + col("in_bkt")) +
           col("n_n"))).as("auc_num2"))
+      .withColumn("auc_num6", graft.functions.Guards.headroomMul(
+        col("auc_num2"), lit(1000000L), "q214 auc_num2*1e6"))
+      .withColumn("auc_den", graft.functions.Guards.headroomMul(
+        col("n_pos"), col("n_neg"), "q214 n_pos*n_neg"))
       .withColumn("auc_micros", expr(
-        "CASE WHEN n_pos * n_neg = 0 THEN 1000000 " +
-          "ELSE auc_num2 * 1000000 div (2 * n_pos * n_neg) END"))
+        "CASE WHEN auc_den = 0 THEN 1000000 " +
+          "ELSE auc_num6 div (2 * auc_den) END"))
+      .drop("auc_num6", "auc_den")
   }
 
   /** q225 — the ROC CURVE as a relation: the threshold sweep a model
@@ -1784,8 +1790,10 @@ object TextAnalysis {
     * BIGINT from one window over the bounded value axis, and
     * gini_micros = num·1e6 div (n·T) is one floor division per
     * source. Headroom: S ≤ n²·v overflows past ~3e6 docs/source with
-    * these lengths; the rollup then moves to DECIMAL(38,0) (the q49
-    * convention). */
+    * these lengths; the numerator bound is ENFORCED
+    * (`Guards.headroomMul` names the fix — promote to DECIMAL(38,0) —
+    * instead of wrapping silently; spec-driven with a planted
+    * overflow). */
   def lengthGini(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = docs.groupBy(col("source"), col("n_chars").as("v"))
@@ -1801,9 +1809,11 @@ object TextAnalysis {
       .agg(sum(col("c")).as("n_docs"),
         sum(col("c") * col("v")).as("total_chars"),
         sum(col("s_block")).as("s_rank"))
-      .withColumn("gini_micros", expr(
-        "(2 * s_rank - (n_docs + 1) * total_chars) * 1000000" +
-          " div (n_docs * total_chars)"))
+      .withColumn("gini_num", graft.functions.Guards.headroomMul(
+        lit(2L) * col("s_rank") - (col("n_docs") + lit(1L)) * col("total_chars"),
+        lit(1000000L), "q250 gini numerator*1e6"))
+      .withColumn("gini_micros",
+        expr("gini_num div (n_docs * total_chars)"))
       .select("source", "n_docs", "total_chars", "gini_micros")
       .orderBy("source")
   }
@@ -1908,8 +1918,9 @@ object TextAnalysis {
     * EXACT INTEGERS as max |cum_a·n_b − cum_b·n_a| (common
     * denominator n_a·n_b — no float CDF ever exists, so the oracle
     * hash-matches bit for bit). Headroom: d_num·1e6 overflows past
-    * n_a·n_b ≈ 9e12; past that the per-pair final division moves to
-    * DECIMAL(38,0) (the q49 convention). */
+    * n_a·n_b ≈ 9e12; the bound is ENFORCED (`Guards.headroomMul`,
+    * the named-error convention) with DECIMAL(38,0) as the cited
+    * fix. */
   def ksDrift(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = docs.groupBy(col("source"), col("n_chars").as("v"))
@@ -1934,7 +1945,10 @@ object TextAnalysis {
         col("cum_b") * col("n_a")))
       .groupBy("src_a", "src_b", "n_a", "n_b")
       .agg(max(col("d")).as("d_num"))
-      .withColumn("d_micros", expr("d_num * 1000000 div (n_a * n_b)"))
+      .withColumn("d_num6", graft.functions.Guards.headroomMul(
+        col("d_num"), lit(1000000L), "q235 ks d_num*1e6"))
+      .withColumn("d_micros", expr("d_num6 div (n_a * n_b)"))
+      .drop("d_num6")
       .orderBy("src_a", "src_b")
   }
 }

@@ -3363,6 +3363,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(g("g") === 891000L)
   }
 
+  test("headroom guards (q214/q227/q235/q250 convention): a planted BIGINT overflow raises the NAMED error, not a silent wrap") {
+    import spark.implicits._
+    // the q250 documented bound (S ≤ n²·v past ~3e6 docs/source at
+    // real lengths) planted cheaply: three documents whose n_chars
+    // pushes the gini numerator·1e6 past Long.MaxValue — pre-guard
+    // this wrapped silently with ANSI off (a negative gini) and threw
+    // an ANONYMOUS ArithmeticException with ANSI on; the shared
+    // Guards.headroomMul must instead name the bound's owner and the
+    // DECIMAL(38,0) fix
+    val big = Seq((1L, "s", 4L), (2L, "s", 9L), (3L, "s", 9100000000000L))
+      .toDF("doc_id", "source", "n_chars")
+    val ex = intercept[Exception] {
+      TextAnalysis.lengthGini(big).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: Option(t.getCause).toSeq.flatMap(causes)
+    val msgs = causes(ex).flatMap(t => Option(t.getMessage))
+    assert(msgs.exists(m => m.contains("GRAFT_HEADROOM") &&
+      m.contains("q250") && m.contains("DECIMAL(38,0)")),
+      s"expected the named headroom error, got: ${msgs.mkString(" | ")}")
+    // and the guard is inert below the bound: the same expression over
+    // sane lengths returns the exact value (hash parity preserved)
+    val sane = TextAnalysis.lengthGini(
+      Seq((1L, "s", 4L), (2L, "s", 9L), (3L, "s", 91L))
+        .toDF("doc_id", "source", "n_chars")).collect().head
+    assert(sane.getLong(3) === (2 * (1 * 4L + 2 * 9L + 3 * 91L) -
+      4 * 104L) * 1000000L / (3 * 104L))
+  }
+
   test("q251 near-dup provenance: universe total, reconciles to the edge set") {
     val docs = t("documents")
     val rows = Dedup.nearDupSourceMatrix(docs).collect()
