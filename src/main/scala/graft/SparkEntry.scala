@@ -1037,6 +1037,18 @@ object SparkEntry {
     // micros, all-positive floor divisions
     "q266_containment_audit" -> ((s, d) =>
       Dedup.containmentAudit(Tables(s, d, "documents"))),
+    // q266 with CONTAINMENT-TUNED recall: candidates = LSH bands ∪
+    // q195 winnow prints (containment recall by construction), same
+    // exact token-set verify; via_lsh/via_winnow record provenance —
+    // the tiny-quote-in-huge-doc pairs the Jaccard banding never sees
+    "q267_containment_recall" -> ((s, d) =>
+      Dedup.containmentRecall(Tables(s, d, "documents"))),
+    // calibration of the q265 gate (the q225 ROC shape): keep-rate /
+    // ref-keep-rate / nonref-keep-rate per NLL bucket over the
+    // held-out q45 split — keepNllMicros read off a gated curve
+    // instead of asserted; bounded-histogram cumulative, exact micros
+    "q268_ref_lm_calibration" -> ((s, d) =>
+      TextAnalysis.refLmCalibration(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4596,6 +4608,122 @@ object SparkEntry {
          |                FALSE) AS keep
          |FROM documents d LEFT JOIN s USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // the q266 chain with the q195 winnow candidates UNIONED in
+    // (provenance flags from a max over the union), same exact
+    // token-set verify — the oracle replays BOTH candidate
+    // generations, so the hash gates the widened recall itself
+    "q267_containment_recall" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |perms(i, a, b) AS (VALUES $permsValues),
+         |sig AS (SELECT doc_id, i, min((a*th + b) % ${Hashing.P}) AS minh
+         |        FROM th CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // ${Hashing.RowsPerBand} AS band,
+         |                 string_agg(minh::VARCHAR, '_' ORDER BY i) AS key
+         |          FROM sig GROUP BY i // ${Hashing.RowsPerBand}, doc_id),
+         |lshcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |            FROM bands a JOIN bands b
+         |              ON a.band = b.band AND a.key = b.key
+         |                 AND a.doc_id < b.doc_id),
+         |g AS (
+         |  SELECT doc_id, CAST(len(text) AS BIGINT) AS tlen, p,
+         |         ${polyHashSql("substr(text, CAST(p AS INT), 8)")} AS h
+         |  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS p
+         |        FROM documents WHERE len(text) >= 11)),
+         |prints AS (
+         |  SELECT DISTINCT doc_id, fp FROM (
+         |    SELECT doc_id, p, tlen,
+         |           min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |    FROM g) WHERE p <= tlen - 10),
+         |kept AS (
+         |  SELECT doc_id, fp FROM prints
+         |  WHERE fp IN (SELECT fp FROM prints GROUP BY fp
+         |               HAVING count(*) BETWEEN 2 AND 10)),
+         |wincand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kept a JOIN kept b
+         |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |cand AS (
+         |  SELECT doc_a, doc_b, CAST(max(vl) AS BIGINT) AS vl,
+         |         CAST(max(vw) AS BIGINT) AS vw
+         |  FROM (SELECT doc_a, doc_b, 1 AS vl, 0 AS vw FROM lshcand
+         |        UNION ALL
+         |        SELECT doc_a, doc_b, 0 AS vl, 1 AS vw FROM wincand)
+         |  GROUP BY 1, 2),
+         |$setsCte,
+         |x AS (SELECT doc_a, doc_b, vl, vw, a.n AS n_a, b.n AS n_b,
+         |             CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter
+         |      FROM cand JOIN sets a ON doc_a = a.doc_id
+         |                JOIN sets b ON doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, n_a, n_b, inter,
+         |       CAST(inter * 1000000 // (n_a + n_b - inter) AS BIGINT) AS jaccard_micros,
+         |       CAST(inter * 1000000 // least(n_a, n_b) AS BIGINT) AS cont_small_micros,
+         |       inter * 1000000 // least(n_a, n_b) >= 900000
+         |         AND inter * 1000000 // (n_a + n_b - inter) < 950000 AS is_excerpt,
+         |       vl = 1 AS via_lsh, vw = 1 AS via_winnow
+         |FROM x
+         |WHERE inter * 1000000 // least(n_a, n_b) >= 900000
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the q265 model replayed verbatim, then the held-out (q45 val)
+    // scoreable docs bucket by NLL and accumulate keep rates — the
+    // calibration curve, all-integer micros
+    "q268_ref_lm_calibration" ->
+      s"""WITH $ordtoksCte,
+         |p AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+         |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+         |            FROM ordtoks WHERE len(ws) >= 2)),
+         |ref AS (SELECT p.* FROM p JOIN documents USING (doc_id)
+         |        WHERE lang = 'en'),
+         |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |      FROM ref GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM c),
+         |j AS (SELECT p.doc_id,
+         |             CASE WHEN c1.c1 IS NOT NULL THEN
+         |               CAST(floor(ln(CAST(coalesce(c.c12, 0) + 1 AS DOUBLE) /
+         |                             CAST(c1.c1 + v.v + 1 AS DOUBLE)) * 1e6)
+         |                 AS BIGINT)
+         |             ELSE
+         |               CAST(floor(ln(1.0 / CAST(v.v + 1 AS DOUBLE)) * 1e6)
+         |                 AS BIGINT)
+         |             END AS lp_q
+         |      FROM p LEFT JOIN c USING (w1, w2)
+         |             LEFT JOIN c1 USING (w1)
+         |             CROSS JOIN v),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |             CAST(sum(lp_q) AS BIGINT) AS sl
+         |      FROM j GROUP BY 1),
+         |held AS (SELECT d.doc_id, d.lang,
+         |                CAST((-s.sl) // s.n_bigrams AS BIGINT) AS nll
+         |         FROM documents d JOIN s USING (doc_id)
+         |         WHERE s.n_bigrams > 0
+         |           AND ${polyHashSql("CAST(d.doc_id AS VARCHAR)")} % 100 >= 90),
+         |per AS (SELECT nll // 100000 AS bkt,
+         |               CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |                 AS BIGINT) AS n_ref
+         |        FROM held GROUP BY 1),
+         |cum AS (SELECT bkt, n_docs, n_ref,
+         |               CAST(sum(n_docs) OVER w AS BIGINT) AS kept,
+         |               CAST(sum(n_ref) OVER w AS BIGINT) AS kept_ref,
+         |               CAST(sum(n_docs) OVER () AS BIGINT) AS nn,
+         |               CAST(sum(n_ref) OVER () AS BIGINT) AS rr
+         |        FROM per
+         |        WINDOW w AS (ORDER BY bkt
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT bkt, n_docs, n_ref, kept, kept_ref,
+         |       CASE WHEN nn = 0 THEN 1000000
+         |            ELSE CAST(kept * 1000000 // nn AS BIGINT)
+         |       END AS keep_rate_micros,
+         |       CASE WHEN rr = 0 THEN 1000000
+         |            ELSE CAST(kept_ref * 1000000 // rr AS BIGINT)
+         |       END AS ref_keep_rate_micros,
+         |       CASE WHEN nn - rr = 0 THEN 1000000
+         |            ELSE CAST((kept - kept_ref) * 1000000 // (nn - rr) AS BIGINT)
+         |       END AS nonref_keep_rate_micros
+         |FROM cum ORDER BY bkt""".stripMargin,
     // per-lang head-rank Zipf fit replayed: rawtoks occurrence counts,
     // deterministic (c desc, word) rank, micro-quantized lns, exact
     // BIGINT sums, ONE double expression per emitted stat (int64 →

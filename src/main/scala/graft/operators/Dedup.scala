@@ -477,9 +477,11 @@ object Dedup {
     * NEAR-threshold truncation band — the keep-longest cases — but
     * fades with j and never sees a tiny quote inside a huge doc
     * (j → 0); those regimes need the winnow print inversion (q195),
-    * which is containment-recall by construction. Same scale shape as
-    * q22: one fused sketch pass, band-keyed equi join, candidates
-    * only. */
+    * which is containment-recall by construction — since round 11
+    * [[containmentRecall]] (q267) promotes it into this same decision
+    * relation, closing the hole with provenance flags. Same scale
+    * shape as q22: one fused sketch pass, band-keyed equi join,
+    * candidates only. */
   def containmentAudit(docs: DataFrame, cHi: Double = 0.9,
       jThresh: Double = 0.95): DataFrame = {
     val (agged, handles) = fusedSketch(docs)
@@ -508,6 +510,68 @@ object Dedup {
         "jaccard_micros", "cont_small_micros", "is_excerpt")
       .orderBy("doc_a", "doc_b")
     Dedup.finishWith(result, handles: _*)
+  }
+
+  /** q267 — the containment audit with CONTAINMENT-TUNED recall
+    * (round-10 verdict #3): q266's candidate universe is the
+    * Jaccard-tuned LSH banding, whose collision curve fades with j —
+    * a tiny quote inside a huge document (containment 1.0, j → 0)
+    * NEVER collides on a 16-row band, which is exactly the recall
+    * hole in the one audit built for asymmetric overlap. Here the
+    * q195 winnow inversion is promoted INTO the same decision
+    * relation: candidates = LSH-banded pairs ∪ winnow-print pairs
+    * (any shared substring of length ≥ k+w−1 shares a selected print
+    * — containment recall BY CONSTRUCTION, independent of Jaccard),
+    * every candidate then verified with the SAME exact token-set
+    * containment as q266. `via_lsh`/`via_winnow` record which family
+    * surfaced each pair, so the audit reports its own recall
+    * provenance (a pair both families find carries both flags).
+    *
+    * Scale shape: both candidate generators are the session-memoized
+    * artifacts (the fused MinHash sketch, the winnow print relation)
+    * — no new corpus pass; the union is pair-keyed and the verify
+    * stage is q266's codegen'd sorted-set intersect per candidate.
+    * Docs with no alphabetic tokens have no verify set and drop at
+    * the inner join (a char-gram-only pair has no token containment
+    * to report — the oracle replays the same inner join). */
+  def containmentRecall(docs: DataFrame, cHi: Double = 0.9,
+      jThresh: Double = 0.95): DataFrame = {
+    val (agged, handles) = fusedSketch(docs)
+    val bands = bandExplode(agged)
+    val lshCand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .where(firstBandOnly)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val (winCand, winKept) = TextAnalysis.winnowCandidates(docs)
+    val cand = lshCand
+      .select(col("doc_a"), col("doc_b"),
+        lit(1L).as("vl"), lit(0L).as("vw"))
+      .unionByName(winCand.select(col("doc_a"), col("doc_b"),
+        lit(0L).as("vl"), lit(1L).as("vw")))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("vl")).as("vl"), max(col("vw")).as("vw"))
+    val sets = agged.select(col("doc_id"), col("ws"), col("n"))
+    val result = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("inter", IntersectCountSorted(col("ws_a"), col("ws_b")))
+      .withColumn("jaccard_micros",
+        expr("inter * 1000000 div (n_a + n_b - inter)"))
+      .withColumn("cont_small_micros",
+        expr("inter * 1000000 div least(n_a, n_b)"))
+      .where(col("cont_small_micros") >= lit(math.round(cHi * 1e6)))
+      .withColumn("is_excerpt",
+        col("jaccard_micros") < lit(math.round(jThresh * 1e6)))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("inter"), col("jaccard_micros"), col("cont_small_micros"),
+        col("is_excerpt"), (col("vl") === 1L).as("via_lsh"),
+        (col("vw") === 1L).as("via_winnow"))
+      .orderBy("doc_a", "doc_b")
+    Dedup.finishWith(result, handles :+ winKept: _*)
   }
 
   /** The NumPerms MinHash minima as aggregate expressions over a `th`

@@ -373,6 +373,60 @@ object TextAnalysis {
     Dedup.finishWith(result, b)
   }
 
+  /** q268 — CALIBRATION of the q265 reference-LM gate: the keep-rate
+    * curve that turns `keepNllMicros` from an asserted parameter into
+    * a number read off a gated relation (round-10 verdict #4 — the
+    * q225 ROC shape applied to the reference-LM gate). Over the
+    * HELD-OUT q45 split (bucket ≥ 90 — docs the threshold choice must
+    * not have seen), scoreable docs group into 1e5-wide NLL buckets
+    * (a tenth of a nat — mean-NLL mass concentrates, so micro-wide
+    * buckets would collapse the curve to a point);
+    * each row is the operating point "keep everything scoring AT OR
+    * BELOW this bucket": cumulative docs kept, overall keep rate, the
+    * keep rate among reference-language docs (the recall proxy — how
+    * much trusted-looking data survives) and among the rest (the
+    * admission proxy — how much distribution-distant data leaks
+    * through). Where a gate owner picks the threshold is the knee of
+    * (ref_keep_rate, nonref_keep_rate); PipelineOpsSpec pins the
+    * curve's monotonicity and the shipped default's position on it.
+    *
+    * Engine shape: the q265 scoring is reused AS A WHOLE (one
+    * definition — the gate and its calibration can never drift), the
+    * split is q45's stateless hash projection, and the cumulative
+    * runs over the BOUNDED bucket histogram (the q225/q148 rule: the
+    * only unpartitioned window never sees the corpus). All-integer
+    * micros; zero-denominator edges pin to the 1e6 vacuous-truth
+    * convention. */
+  def refLmCalibration(docs: DataFrame, refLang: String = "en"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val held = referenceLmFilter(docs, refLang)
+      .join(Sampling.hashSplit(docs).where(col("split") === "val")
+        .select("doc_id"), "doc_id")
+      .where(col("nll_mean_micros").isNotNull)
+    val per = held
+      .groupBy(expr("nll_mean_micros div 100000").as("bkt"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("lang") === refLang).cast("long")).as("n_ref"))
+    val wLe = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = broadcast(per.agg(sum(col("n_docs")).as("nn"),
+      sum(col("n_ref")).as("rr")))
+    per
+      .withColumn("kept", sum(col("n_docs")).over(wLe))
+      .withColumn("kept_ref", sum(col("n_ref")).over(wLe))
+      .crossJoin(totals)
+      .select(col("bkt"), col("n_docs"), col("n_ref"), col("kept"),
+        col("kept_ref"),
+        expr("CASE WHEN nn = 0 THEN 1000000 " +
+          "ELSE kept * 1000000 div nn END").as("keep_rate_micros"),
+        expr("CASE WHEN rr = 0 THEN 1000000 " +
+          "ELSE kept_ref * 1000000 div rr END").as("ref_keep_rate_micros"),
+        expr("CASE WHEN nn - rr = 0 THEN 1000000 " +
+          "ELSE (kept - kept_ref) * 1000000 div (nn - rr) END")
+          .as("nonref_keep_rate_micros"))
+      .orderBy("bkt")
+  }
+
   /** q209 — a TRAINED token classifier scoring the whole corpus: the
     * classifier-distillation step every production quality/language
     * filter runs (CCNet/fastText shape — a cheap seed labeling trains
@@ -1511,17 +1565,9 @@ object TextAnalysis {
     // exchange reuse — the gram explode + window-min + distinct run
     // once (bench: 4.3 → 2.9 s at sf0.1); the persisted relation is
     // near-dup prints only, far smaller than the corpus
-    val kept = prints.join(
-      prints.groupBy("fp").agg(count(lit(1)).as("df"))
-        .where(col("df").between(2L, maxDf)).select("fp"),
-      Seq("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = winnowKeptPrints(prints, maxDf)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_prints"))
-    val pairs = kept.as("a").join(kept.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
+    val pairs = winnowPairsOf(kept, minShared)
     val result = pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_prints", "n_a"), Seq("doc_a"))
@@ -1532,6 +1578,37 @@ object TextAnalysis {
           least(col("n_a"), col("n_b")).cast("double")).as("containment"))
       .orderBy("doc_a", "doc_b")
     Dedup.finishWith(result, kept)
+  }
+
+  /** The df-capped print relation (see the q195 rationale above) —
+    * persisted; the CALLER releases the handle. */
+  private def winnowKeptPrints(prints: DataFrame, maxDf: Long): DataFrame =
+    prints.join(
+      prints.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df").between(2L, maxDf)).select("fp"),
+      Seq("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def winnowPairsOf(kept: DataFrame, minShared: Long): DataFrame =
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+
+  /** The winnow CANDIDATE PAIRS alone, for composition into other
+    * decision relations (q267 promotes them into the containment
+    * audit — winnowing is containment-recall by construction: any
+    * shared substring of length ≥ k+w−1 shares a selected print, so a
+    * tiny quote inside a huge document surfaces here where
+    * Jaccard-tuned MinHash banding never collides). Returns the pair
+    * relation plus the persisted handle the caller must release. */
+  private[graft] def winnowCandidates(docs: DataFrame, k: Int = 8,
+      w: Int = 4, maxDf: Long = 10L, minShared: Long = 2L)
+      : (DataFrame, DataFrame) = {
+    val kept = winnowKeptPrints(
+      winnowPrintsShared(docs, k, w).select("doc_id", "fp").distinct(), maxDf)
+    (winnowPairsOf(kept, minShared).select("doc_a", "doc_b"), kept)
   }
 
   /** q231 — Cohen's kappa between the trained classifier (q209's pred)

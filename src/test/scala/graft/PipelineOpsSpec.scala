@@ -2295,6 +2295,77 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q267 containment recall: a tiny-quote-in-huge-doc pair the LSH banding provably misses surfaces via winnow; q266 rows all carried with provenance") {
+    import spark.implicits._
+    // the planted asymmetric pair: doc 2 is a verbatim 5-word quote of
+    // doc 1, which otherwise contains 300 distinct other words —
+    // token containment(small side) = 1.0 while jaccard ≈ 5/305: the
+    // 16-row band collision probability is (j^16)-ish ≈ 1e-28, so the
+    // Jaccard-tuned q266 candidates CANNOT see it, and the winnow
+    // prints (shared 44-char substring >> k+w-1 = 11) must
+    // letters only — the tokenizer strips digits, so numbered filler
+    // would collapse to ONE token and j would read 5/6, not 5/305
+    val quote = "zebraq quillionx vortexian mazeplex gantrylike"
+    val filler = (0 until 300).map(i =>
+      "f" + ('a' + i / 26 % 26).toChar + ('a' + i % 26).toChar + "iller")
+      .mkString(" ")
+    val bulk = (0 until 40).map(i =>
+      "bulk" + ('a' + i / 26 % 26).toChar + ('a' + i % 26).toChar + "word")
+      .mkString(" ")
+    val synth = Seq(
+      (1L, s"$filler $quote", "en", "s0"),
+      (2L, quote, "en", "s0"),
+      // a TOKEN-identical pair (textually reordered) so the LSH family
+      // is deterministically non-vacuous: j = 1.0 collides every band
+      (3L, bulk, "en", "s0"),
+      (4L, bulk.split(" ").reverse.mkString(" "), "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val audit266 = Dedup.containmentAudit(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!audit266.contains((1L, 2L)),
+      "banding unexpectedly found the planted low-jaccard pair — " +
+        "the recall hole this spec plants is gone; re-plant with lower j")
+    val rows = Dedup.containmentRecall(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7),
+          r.getBoolean(8), r.getBoolean(9)))).toMap
+    val planted = rows.get((1L, 2L)).getOrElse(
+      fail("widened recall still missed the planted excerpt pair"))
+    // exact values: 5-word quote wholly contained, jaccard 5/305
+    assert(planted._1 === 5L, s"intersect ${planted._1}")
+    assert(planted._3 === 1000000L, "small-side containment must be 1.0")
+    assert(planted._2 === 5L * 1000000L / 305L)
+    assert(planted._4, "the planted pair must flag is_excerpt")
+    assert(!planted._5 && planted._6,
+      s"provenance wrong: via_lsh=${planted._5} via_winnow=${planted._6}")
+    // the symmetric pair arrives via LSH (provenance non-vacuous both
+    // ways on the planted corpus)
+    assert(rows.get((3L, 4L)).exists(_._5), "LSH family vacuous")
+    // on the REAL corpus: q267 ⊇ q266 row for row, every q266 pair
+    // carrying via_lsh, and the winnow family adds pairs of its own
+    val docs = t("documents")
+    val wide = Dedup.containmentRecall(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9)))).toMap
+    val narrow = Dedup.containmentAudit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7)))).toMap
+    narrow.foreach { case (k, v) =>
+      val w = wide.getOrElse(k, fail(s"q266 pair $k lost in q267"))
+      assert((w._1, w._2, w._3, w._4, w._5, w._6) === v,
+        s"$k: verify numbers diverged between q266 and q267")
+      assert(w._7, s"$k: q266 pair not flagged via_lsh")
+    }
+    assert(wide.size > narrow.size,
+      "winnow recall added nothing on the real corpus — vacuous")
+    assert(wide.exists { case (k, w) => w._8 && !narrow.contains(k) },
+      "no winnow-only pair on the real corpus")
+  }
+
   test("q265 reference-LM filter ≡ brute force; excerpt ranks above gibberish; no-bigram doc dropped") {
     import spark.implicits._
     val docs = t("documents")
@@ -2356,6 +2427,64 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(verdicts(2L) && !verdicts(3L) && !verdicts(4L),
       s"threshold $mid did not split the planted pair: $verdicts")
+  }
+
+  test("q268 ref-LM calibration: curve ≡ brute force over the held-out split, monotone, and the shipped default sits on it") {
+    import spark.implicits._
+    val docs = t("documents")
+    val curve = TextAnalysis.refLmCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toList
+    assert(curve.nonEmpty, "empty calibration curve — vacuous")
+    // brute force: q265's scored relation restricted to the q45 val
+    // split, bucketed and accumulated by hand
+    val scored = TextAnalysis.referenceLmFilter(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toList
+    val valIds = graft.operators.Sampling.hashSplit(docs)
+      .where($"split" === "val").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val held = scored.collect {
+      case (id, lang, Some(nll)) if valIds(id) => (nll / 100000L, lang)
+    }
+    val per = held.groupBy(_._1).view.mapValues(xs =>
+      (xs.size.toLong, xs.count(_._2 == "en").toLong)).toMap
+    val nn = held.size.toLong
+    val rr = held.count(_._2 == "en").toLong
+    var kept = 0L; var keptRef = 0L
+    val expect = per.keys.toList.sorted.map { bkt =>
+      val (nd, nr) = per(bkt)
+      kept += nd; keptRef += nr
+      (bkt, nd, nr, kept, keptRef,
+        if (nn == 0) 1000000L else kept * 1000000L / nn,
+        if (rr == 0) 1000000L else keptRef * 1000000L / rr,
+        if (nn - rr == 0) 1000000L
+        else (kept - keptRef) * 1000000L / (nn - rr))
+    }
+    assert(curve === expect)
+    // the curve is a CURVE: every cumulative column monotone
+    // nondecreasing, ending at exactly 1e6 (everything kept at the top)
+    assert(curve.map(_._6) === curve.map(_._6).sorted)
+    assert(curve.map(_._7) === curve.map(_._7).sorted)
+    assert(curve.map(_._8) === curve.map(_._8).sorted)
+    assert(curve.last._6 === 1000000L && curve.last._7 === 1000000L)
+    // the SHIPPED default (keepNllMicros = 7e6) sits ON the curve: the
+    // q265 keep rate over the same held-out slice must land between
+    // the curve's operating points bracketing bucket 7e6/1e5 = 70
+    val defaultKeep = {
+      val k = scored.collect {
+        case (id, _, Some(nll)) if valIds(id) && nll <= 7000000L => id
+      }.size.toLong
+      if (nn == 0) 1000000L else k * 1000000L / nn
+    }
+    // bucket 70 spans [7.0e6, 7.1e6): the default keeps all buckets
+    // below it plus bucket 70's exact-boundary docs, so its keep rate
+    // brackets between the curve at bkt<70 and the curve at bkt>=70
+    val below = curve.filter(_._1 < 70L).map(_._6).lastOption.getOrElse(0L)
+    val above = curve.filter(_._1 >= 70L).map(_._6).headOption
+      .getOrElse(curve.last._6)
+    assert(defaultKeep >= below && defaultKeep <= above,
+      s"default keep-rate $defaultKeep outside curve bracket [$below, $above]")
   }
 
   test("q263 zipf audit ≡ brute-force fit; flat frequencies read slope 0; degenerate lang is null") {
