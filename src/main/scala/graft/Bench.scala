@@ -19,6 +19,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Measurement-protocol pin (round-10 verdict #2): the 10× point
+    // drifted round-over-round because fingerprint-keyed CROSS-JVM
+    // artifacts (the /tmp graft_* demo indexes / sidecar copies /
+    // vector stores, keyed by sanitized corpus path + file-state
+    // fingerprint) persist across runs — a single-pass bench against a
+    // pre-warmed corpus prices reads where a cold run prices builds.
+    // SPARK_GRAFT_BENCH_PROTOCOL=cold deletes every tmpdir artifact
+    // keyed to THIS corpus dir before the first pass, so the run
+    // prices each build exactly once; the value is stamped into the
+    // output JSON so two rounds' points are comparable by inspection.
+    // (Session memos always start cold — they die with the JVM.)
+    val protocol = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROTOCOL", "warm")
+    require(protocol == "warm" || protocol == "cold",
+      s"SPARK_GRAFT_BENCH_PROTOCOL must be warm|cold; got '$protocol'")
+    if (protocol == "cold") {
+      val token = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      val doomed = java.nio.file.Files.list(tmp).iterator()
+      var cleared = 0
+      while (doomed.hasNext) {
+        val p = doomed.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("graft_") && n.contains(token)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          cleared += 1
+        }
+      }
+      println(s"""{"protocol":"cold","artifacts_cleared":$cleared}""")
+    }
     // JVM/codegen warmup so the first timed query doesn't absorb
     // session + whole-stage-codegen compilation cost (runs the
     // flagship pipeline once on the tiny sf0.001 corpus).
@@ -69,7 +100,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val heavyNames = heavy.keys.map(n => s"\"$n\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","extra_runs_gt2s":$extra,"heavy_rows":$heavyNames}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","extra_runs_gt2s":$extra,"protocol":"$protocol","heavy_rows":$heavyNames}"""
     println(json)
     // The full per-query JSON is ~4 KB at 100+ queries and every
     // BENCH_r1–r4 artifact shows "parsed": null with a truncated log

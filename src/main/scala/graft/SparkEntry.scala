@@ -1049,6 +1049,27 @@ object SparkEntry {
     // instead of asserted; bounded-histogram cumulative, exact micros
     "q268_ref_lm_calibration" -> ((s, d) =>
       TextAnalysis.refLmCalibration(Tables(s, d, "documents"))),
+    // keeper-upgrade events (q262's maintenance half): arriving docs
+    // (id >= 250 — the q90 batch convention) that verify into a
+    // stored cluster AND beat its keep-best keeper under the q262
+    // struct key — the keyed MERGE that keeps the shipped corpus
+    // keep-best as data arrives; the same rows are emitted online by
+    // streaming.EventStreams.streamingKeeperUpgrades (spec-pinned)
+    "q269_keeper_upgrades" -> ((s, d) =>
+      Dedup.keeperUpgrades(Tables(s, d, "documents"), 250L)),
+    // IVF index-health audit: per trained q92 cell — member count,
+    // corpus share, and load factor vs perfect balance (1e6 = ideal;
+    // max row = worst-case probe multiplier); shared trainCents/
+    // assignCells, so the audit can never disagree with the index
+    "q270_ivf_cell_balance" -> ((s, d) =>
+      Similarity.ivfCellBalance(Tables(s, d, "embeddings"))),
+    // sketch-estimator calibration: per LSH candidate pair the
+    // signature-agreement estimate beside the exact Jaccard, folded
+    // to per-decile n/mean/min/max — the evidence behind trusting the
+    // q22 threshold, priced at band-join cost on the pairs the
+    // pipeline verifies anyway
+    "q271_minhash_calibration" -> ((s, d) =>
+      Dedup.minhashCalibration(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4724,6 +4745,122 @@ object SparkEntry {
          |            ELSE CAST((kept - kept_ref) * 1000000 // (nn - rr) AS BIGINT)
          |       END AS nonref_keep_rate_micros
          |FROM cum ORDER BY bkt""".stripMargin,
+    // the stored-side (id < 250) closure + keep-best keeper, the q90
+    // cross-boundary verified matches folded to min stored label (the
+    // streaming gate's assignment rule), and the q262 struct-key
+    // upgrade predicate — replayed end to end
+    "q269_keeper_upgrades" ->
+      s"""WITH RECURSIVE $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |perms(i, a, b) AS (VALUES $permsValues),
+         |sig AS (SELECT doc_id, i, min((a*th + b) % ${Hashing.P}) AS minh
+         |        FROM th CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // ${Hashing.RowsPerBand} AS band,
+         |                 string_agg(minh::VARCHAR, '_' ORDER BY i) AS key
+         |          FROM sig GROUP BY i // ${Hashing.RowsPerBand}, doc_id),
+         |$setsCte,
+         |scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.key = b.key
+         |           AND a.doc_id < b.doc_id AND b.doc_id < 250),
+         |sedges AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |           ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
+         |    FROM scand JOIN sets a ON doc_a = a.doc_id
+         |               JOIN sets b ON doc_b = b.doc_id)
+         |  WHERE jaccard >= 0.95),
+         |ssym AS (SELECT doc_a AS u, doc_b AS v FROM sedges
+         |         UNION ALL SELECT doc_b, doc_a FROM sedges),
+         |sreach(u, v) AS (
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 250
+         |  UNION
+         |  SELECT r.u, s.v FROM sreach r JOIN ssym s ON r.v = s.u),
+         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id
+         |        FROM sreach GROUP BY u),
+         |sz AS (SELECT lab.doc_id, cluster_id, n_chars
+         |       FROM lab JOIN documents USING (doc_id)),
+         |k AS (SELECT cluster_id, doc_id AS keep_id,
+         |             n_chars AS n_chars_kept FROM (
+         |        SELECT cluster_id, doc_id, n_chars,
+         |               row_number() OVER (PARTITION BY cluster_id
+         |                 ORDER BY n_chars DESC, doc_id) AS rk
+         |        FROM sz) WHERE rk = 1),
+         |xcand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.key = b.key
+         |           AND a.doc_id >= 250 AND b.doc_id < 250),
+         |xm AS (SELECT doc_new, doc_old FROM (
+         |         SELECT doc_new, doc_old,
+         |                ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
+         |         FROM xcand JOIN sets a ON doc_new = a.doc_id
+         |                    JOIN sets b ON doc_old = b.doc_id)
+         |       WHERE jaccard >= 0.95),
+         |asg AS (SELECT doc_new, min(cluster_id) AS cluster_id
+         |        FROM xm JOIN lab ON xm.doc_old = lab.doc_id
+         |        GROUP BY doc_new)
+         |SELECT asg.cluster_id, k.keep_id AS old_keep_id,
+         |       asg.doc_new AS new_keep_id,
+         |       CAST(k.n_chars_kept AS BIGINT) AS n_chars_old,
+         |       CAST(d.n_chars AS BIGINT) AS n_chars_new
+         |FROM asg JOIN k USING (cluster_id)
+         |         JOIN documents d ON d.doc_id = asg.doc_new
+         |WHERE d.n_chars > k.n_chars_kept
+         |   OR (d.n_chars = k.n_chars_kept AND asg.doc_new < k.keep_id)
+         |ORDER BY cluster_id, new_keep_id""".stripMargin,
+    // the q92 trained codebook + assignment replayed, folded to
+    // per-cell counts, shares, and load factors — integer micros,
+    // truncating division on all-positive terms
+    "q270_ivf_cell_balance" ->
+      s"""WITH $embCte,
+         |$lloydCentsCtes,
+         |asg AS (SELECT vec_id, cell FROM (
+         |          SELECT e.vec_id, c.cent_id AS cell,
+         |                 row_number() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY round(${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm), 6) DESC,
+         |                            c.cent_id) AS r
+         |          FROM e CROSS JOIN cents2 c) WHERE r = 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM asg)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(count(*) * 1000000 // tot AS BIGINT) AS share_micros,
+         |       CAST(count(*) * 32 * 1000000 // tot AS BIGINT) AS load_micros
+         |FROM asg CROSS JOIN t GROUP BY cell, tot ORDER BY cell""".stripMargin,
+    // the q22 candidate chain with the per-pair signature agreement
+    // counted beside the exact Jaccard, folded to estimate deciles
+    "q271_minhash_calibration" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |perms(i, a, b) AS (VALUES $permsValues),
+         |sig AS (SELECT doc_id, i, min((a*th + b) % ${Hashing.P}) AS minh
+         |        FROM th CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // ${Hashing.RowsPerBand} AS band,
+         |                 string_agg(minh::VARCHAR, '_' ORDER BY i) AS key
+         |          FROM sig GROUP BY i // ${Hashing.RowsPerBand}, doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key
+         |          AND a.doc_id < b.doc_id),
+         |$setsCte,
+         |m AS (SELECT c.doc_a, c.doc_b,
+         |             CAST(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS mc
+         |      FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+         |                  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+         |      GROUP BY 1, 2),
+         |x AS (SELECT m.mc * 1000000 // ${Hashing.NumPerms} AS est_micros,
+         |             len(list_intersect(a.ws, b.ws)) AS inter,
+         |             a.n AS n_a, b.n AS n_b
+         |      FROM m JOIN sets a ON m.doc_a = a.doc_id
+         |             JOIN sets b ON m.doc_b = b.doc_id),
+         |y AS (SELECT est_micros // 100000 AS est_bucket,
+         |             inter * 1000000 // (n_a + n_b - inter) AS jac_micros
+         |      FROM x)
+         |SELECT CAST(est_bucket AS BIGINT) AS est_bucket,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(jac_micros) // count(*) AS BIGINT) AS mean_jac_micros,
+         |       CAST(min(jac_micros) AS BIGINT) AS min_jac_micros,
+         |       CAST(max(jac_micros) AS BIGINT) AS max_jac_micros
+         |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-lang head-rank Zipf fit replayed: rawtoks occurrence counts,
     // deterministic (c desc, word) rank, micro-quantized lns, exact
     // BIGINT sums, ONE double expression per emitted stat (int64 →

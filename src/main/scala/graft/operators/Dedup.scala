@@ -574,6 +574,57 @@ object Dedup {
     Dedup.finishWith(result, handles :+ winKept: _*)
   }
 
+  /** q271 — MinHash ESTIMATOR CALIBRATION audit: does the sketch
+    * actually estimate Jaccard on THIS corpus? Per LSH candidate pair,
+    * the signature-agreement estimate ĵ = #matching minima / NumPerms
+    * is set beside the exact token-set Jaccard and folded into a
+    * bounded calibration relation: n_pairs and mean/min/max exact
+    * Jaccard per ĵ decile, integer micros end to end. This is the
+    * relation a pipeline owner reads before trusting the q22
+    * threshold: a healthy sketch puts mean_jac near its bucket's
+    * diagonal, while an undersized NumPerms or a broken permutation
+    * family shows up as mass far off it. Auditing CANDIDATES (not all
+    * pairs) is deliberate — these are exactly the pairs the dedup
+    * pipeline pays to verify, so the audit prices the estimator where
+    * it is actually consulted, at band-join cost.
+    *
+    * Scale shape: rides the session-memoized fused sketch (ONE build
+    * shared with q22/q58/q90/...); candidates come from the same band
+    * equi-join with first-band-only selection (no distinct shuffle);
+    * the NumPerms-term agreement sum is a codegen'd projection; the
+    * output collapses map-side to ≤11 decile rows. */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    val (agged, handles) = fusedSketch(docs)
+    val bands = bandExplode(agged)
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .where(firstBandOnly)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    def side(s: String) = agged.select(
+      col("doc_id").as(s"doc_$s") +: col("ws").as(s"ws_$s") +:
+        col("n").as(s"n_$s") +:
+        (0 until Hashing.NumPerms).map(i => col(s"h$i").as(s"h${i}_$s")): _*)
+    val matchCnt = (0 until Hashing.NumPerms)
+      .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val scored = cand
+      .join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .withColumn("mc", matchCnt)
+      .withColumn("inter", IntersectCountSorted(col("ws_a"), col("ws_b")))
+      .withColumn("est_micros", expr(s"mc * 1000000 div ${Hashing.NumPerms}"))
+      .withColumn("jac_micros", expr("inter * 1000000 div (n_a + n_b - inter)"))
+    val result = scored
+      .groupBy(expr("est_micros div 100000").as("est_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(jac_micros) div count(1)").as("mean_jac_micros"),
+        min(col("jac_micros")).as("min_jac_micros"),
+        max(col("jac_micros")).as("max_jac_micros"))
+      .orderBy("est_bucket")
+    Dedup.finishWith(result, handles: _*)
+  }
+
   /** The NumPerms MinHash minima as aggregate expressions over a `th`
     * (token polyHash) column — THE definition of the signature, shared
     * by every builder (q22/q89/q90 here, the streaming sketcher in
@@ -937,6 +988,66 @@ object Dedup {
         col("n_members"), col("k.n_chars_kept").as("n_chars_kept"),
         (col("tot") - col("k.n_chars_kept")).as("n_chars_dropped"))
       .orderBy("keep_id")
+  }
+
+  /** q269 — KEEPER-UPGRADE events: the batch half of the online
+    * keeper-maintenance contract (round-10 verdict #6). q262 ships the
+    * keep-best decision, but a near-dup store is not static — when an
+    * arriving document verifies into a STORED cluster and beats the
+    * stored keeper under the q262 rule (n_chars desc, doc_id asc), the
+    * shipped corpus must swap keepers or it silently drifts toward
+    * "first long-ish doc we ever saw". This relation is that swap as
+    * DATA: one row per (arriving doc, stored cluster it upgrades),
+    * carrying both keepers and both sizes, so the downstream store
+    * applies it as a keyed MERGE and the audit trail is the relation
+    * itself. `streamingKeeperUpgrades` emits the SAME rows online
+    * (spec-pinned on a shared split), so the batch and streaming
+    * decisions cannot drift.
+    *
+    * Semantics, stage by stage (all shared with the trusted family —
+    * nothing novel to verify here EXCEPT the upgrade predicate):
+    *  - stored side = `doc_id < cap` (production: the committed
+    *    LabelStore/SketchStore generation); its cluster labels and
+    *    keep-best keepers are exactly q58's and q262's relations over
+    *    the stored slice;
+    *  - an arriving doc's cluster is min(stored label) over its
+    *    VERIFIED matches — the `streamingDedupGate` assignment rule,
+    *    so a doc joins the same cluster online and in batch;
+    *  - upgrade ⟺ struct(n_chars, −doc_id) of the arrival exceeds the
+    *    stored keeper's — the q262 "longest" key compared as one
+    *    lexicographic struct (with the batch's ids above `cap` the
+    *    tie arm can never fire, but the predicate states the RULE,
+    *    not the split's accident).
+    *
+    * Scale shape: batch-side sketching is batch-linear
+    * (incrementalNearDup — the q90 path); the stored side arrives
+    * through the session-memoized cluster/sketch towers (ONE LSH pass
+    * shared with q58/q260/q262); the upgrade join keys on cluster_id
+    * against a keeper relation whose size is bounded by the stored
+    * CLUSTER count. Nothing broadcasts the corpus; nothing is
+    * all-pairs; a 100 TB store sees batch-sized work plus
+    * cluster-keyed equi joins. */
+  def keeperUpgrades(docs: DataFrame, cap: Long,
+      threshold: Double = 0.95): DataFrame = {
+    val stored = docs.where(col("doc_id") < cap)
+    val keepers = dedupOutput(stored, threshold)
+      .select(col("cluster_id"), col("keep_id"), col("n_chars_kept"))
+    val labels = dedupClustersScale(stored, threshold)
+      .select(col("doc_id").as("doc_old"), col("cluster_id"))
+    val assigned = incrementalNearDup(docs, cap, threshold)
+      .join(labels, "doc_old")
+      .groupBy(col("doc_new"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
+    assigned
+      .join(docs.select(col("doc_id").as("doc_new"),
+        col("n_chars").cast("long").as("n_chars_new")), "doc_new")
+      .join(keepers, "cluster_id")
+      .where(struct(col("n_chars_new"), -col("doc_new")) >
+        struct(col("n_chars_kept"), -col("keep_id")))
+      .select(col("cluster_id"), col("keep_id").as("old_keep_id"),
+        col("doc_new").as("new_keep_id"),
+        col("n_chars_kept").as("n_chars_old"), col("n_chars_new"))
+      .orderBy("cluster_id", "new_keep_id")
   }
 
   /** Connected components over an explicit undirected edge list;

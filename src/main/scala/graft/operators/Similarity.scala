@@ -748,6 +748,38 @@ object Similarity {
     Dedup.finishWith(result, e)
   }
 
+  /** q270 — IVF CELL-BALANCE audit: the load profile of the q92
+    * codebook as data. An IVF index is only as fast as its hottest
+    * cell — probe cost is the probed cells' occupancy, and at 100 TB a
+    * codebook whose top cell holds 20% of the corpus serves 6×
+    * balanced-case latency no matter how good the centroids look on
+    * recall. This emits, per trained cell: member count, corpus share
+    * (micros), and the load factor vs perfect balance (1e6 = ideal;
+    * the max row IS the worst-case probe multiplier) — the relation an
+    * index operator reads before choosing numCents or deciding to
+    * re-train. Training and assignment are EXACTLY q92's (shared
+    * trainCents/assignCells — the audit can never disagree with the
+    * index it audits).
+    *
+    * Scale shape: q92's broadcast-codebook map-side assignment, then
+    * ONE map-side-combinable count per cell — the output is ≤numCents
+    * rows, the one-row total rides a broadcast cross join, integer
+    * micros end to end (truncating div; all terms positive). */
+  def ivfCellBalance(embeddings: DataFrame, iters: Int = 2,
+      numCents: Int = 32): DataFrame = {
+    val e = withNorm(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = assignCells(e, trainCents(e, iters, numCents))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum(col("n_vecs")).as("tot"))
+    val result = counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        expr("n_vecs * 1000000 div tot").as("share_micros"),
+        expr(s"n_vecs * $numCents * 1000000 div tot").as("load_micros"))
+      .orderBy("cell")
+    Dedup.finishWith(result, e)
+  }
+
   /** q210 — NEAREST-CENTROID (Rocchio / prototype) classification:
     * the SUPERVISED member of the embedding family. q92 learns cells
     * without labels; this one learns one prototype per ground-truth

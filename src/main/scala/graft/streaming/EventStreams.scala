@@ -241,20 +241,39 @@ object EventStreams {
     * matches mapped through the label store) on multi-batch delivery. */
   def streamingDedupGate(docs: DataFrame, storedBands: DataFrame,
       storedSets: DataFrame, storedLabels: DataFrame, threshold: Double,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes"): DataFrame =
+    gateVerdictFold(docs, storedBands, storedSets, storedLabels, threshold,
+      watermark, Nil)
+      .select(col("doc_id"), col("dup_of").isNull.as("keep"),
+        coalesce(col("dup_of"), col("doc_id")).as("cluster_id"),
+        col("ingest_ts"))
+
+  /** The gate's sketch → probe → verify → per-doc fold, shared by
+    * [[streamingDedupGate]] and [[streamingKeeperUpgrades]] so the
+    * online cluster ASSIGNMENT rule (min verified stored label) has
+    * exactly one definition. `carry` names constant-per-doc input
+    * columns (e.g. n_chars) that must survive both watermarked
+    * aggregations — they ride as max() folds, which is the identity
+    * on a per-doc constant. Output: one row per (doc_id, ingest_ts)
+    * with `dup_of` = the matched stored cluster label or NULL. */
+  private def gateVerdictFold(docs: DataFrame, storedBands: DataFrame,
+      storedSets: DataFrame, storedLabels: DataFrame, threshold: Double,
+      watermark: String, carry: Seq[String]): DataFrame = {
     import graft.functions.{IntersectCountSorted, TextFns}
     val sigCols = graft.operators.Dedup.minhashSigCols
-    val agged = TextFns.tokens(docs, Seq("ingest_ts"))
+    val carryAggs = carry.map(c => max(col(c)).as(c))
+    val agged = TextFns.tokens(docs, "ingest_ts" +: carry)
       .withColumn("th", TextFns.polyHash(col("word")))
       .withWatermark("ingest_ts", watermark)
       .groupBy(col("doc_id"), col("ingest_ts"))
       .agg(sort_array(collect_set(xxhash64(col("word")))).as("ws"),
-        sigCols: _*)
+        sigCols ++ carryAggs: _*)
       .withColumn("n", size(col("ws")).cast("long"))
     val bands = agged.select(
-      Seq(col("doc_id"), col("ingest_ts"), col("ws"), col("n"),
+      Seq(col("doc_id"), col("ingest_ts"), col("ws"), col("n")) ++
+        carry.map(col) :+
         posexplode(array(graft.operators.Dedup.bandKeyCols: _*))
-          .as(Seq("band", "key"))): _*)
+          .as(Seq("band", "key")): _*)
     val cand = bands.join(
       storedBands.select(col("band"), col("key"), col("doc_id").as("doc_old")),
       Seq("band", "key"), "left_outer")
@@ -275,11 +294,47 @@ object EventStreams {
         col("old_label")))
     labeled
       .groupBy(col("doc_id"), col("ingest_ts"))
-      .agg(min(col("match_label")).as("dup_of"))
-      .select(col("doc_id"), col("dup_of").isNull.as("keep"),
-        coalesce(col("dup_of"), col("doc_id")).as("cluster_id"),
-        col("ingest_ts"))
+      .agg(min(col("match_label")).as("dup_of"), carryAggs: _*)
   }
+
+  /** Streaming KEEPER UPGRADES — q269's online twin (round-10 verdict
+    * #6): [[streamingDedupGate]] inherits the STORED cluster label and
+    * keeper forever, so a longer member arriving after intake could
+    * never displace the stored keeper and the shipped q262 output
+    * would drift from the keep-best rule it claims. This operator
+    * closes that hole: every arriving document that (a) verifies into
+    * a stored cluster under the gate's exact assignment rule (the
+    * shared [[gateVerdictFold]] — one definition, not a twin) and (b)
+    * BEATS the stored keeper under q262's "longest" key
+    * (struct(n_chars, −doc_id), one lexicographic compare) emits an
+    * upgrade event row carrying both keepers and both sizes — the
+    * keyed MERGE a downstream store applies to stay keep-best, and
+    * the same rows `Dedup.keeperUpgrades` derives in batch
+    * (spec-pinned equal on a shared split).
+    *
+    * State stays bounded exactly as the gate's: two watermarked
+    * aggregations; the keeper probe is one stream-static equi join on
+    * cluster_id against a relation bounded by the stored CLUSTER
+    * count, after the fold has already reduced the stream to one row
+    * per doc. Docs that match nothing (new clusters — they ARE their
+    * keeper) and docs that lose to the stored keeper simply emit no
+    * row: the relation is the upgrade delta, not a re-statement of
+    * the store. */
+  def streamingKeeperUpgrades(docs: DataFrame, storedBands: DataFrame,
+      storedSets: DataFrame, storedLabels: DataFrame,
+      storedKeepers: DataFrame, threshold: Double,
+      watermark: String = "10 minutes"): DataFrame =
+    gateVerdictFold(docs, storedBands, storedSets, storedLabels, threshold,
+      watermark, Seq("n_chars"))
+      .where(col("dup_of").isNotNull)
+      .join(storedKeepers.select(col("cluster_id").as("dup_of"),
+        col("keep_id"), col("n_chars_kept")), Seq("dup_of"))
+      .where(struct(col("n_chars").cast("long"), -col("doc_id")) >
+        struct(col("n_chars_kept").cast("long"), -col("keep_id")))
+      .select(col("dup_of").as("cluster_id"),
+        col("keep_id").as("old_keep_id"), col("doc_id").as("new_keep_id"),
+        col("n_chars_kept").cast("long").as("n_chars_old"),
+        col("n_chars").cast("long").as("n_chars_new"), col("ingest_ts"))
 
   /** Streaming QUALITY gate — the trained q209 model applied to
     * ARRIVING documents: the other half of a streaming corpus intake

@@ -182,10 +182,87 @@ object ScaleProbe {
     // column.
     def runFull(df: DataFrame): Unit = { df.queryExecution.toRdd.count(); () }
 
+    // Round-11 (verdict #8): the four incremental families' PRODUCTION
+    // cycles at the same three scales, matched protocol — STOREBENCH
+    // prices them at 1× and 10× as ratios against the query forms;
+    // this fits the exponent, so "production cost ∝ batch" becomes an
+    // α. Stored artifacts are committed per scale as UNPRICED setup
+    // (a pipeline paid them on yesterday's ingest) at the 99/1 split —
+    // the realistic daily-ingest shape — and the timed path is only
+    // what a daily run executes: sketch/score the 1% batch against the
+    // stored side. Note the 99/1 split scales WITH the corpus (the
+    // batch at 10× is itself 10× the 1× batch), so a batch-linear
+    // production path reads α ≈ 1 and a path secretly rescanning the
+    // stored corpus reads the same α as its query form — exactly the
+    // distinction the probe exists to make.
     val scales = Seq("0.1x", "1x", "10x")
+    val storeProbes: Seq[(String, String => DataFrame)] = {
+      import graft.sources.{GraphStore, LabelStore, SketchStore}
+      val threshold = 0.95
+      val suffix = Map("0.1x" -> "01x", "1x" -> "1x", "10x" -> "10x")
+      val setup = scales.map { s =>
+        val sfx = suffix(s)
+        val dir = dirAt(s)
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        def cap(df: DataFrame, c: String): Long =
+          (df.agg(max(col(c))).head().getLong(0) + 1) * 99 / 100
+        val (dCap, vCap, eCap) =
+          (cap(docs, "doc_id"), cap(emb, "vec_id"), cap(ev, "event_id"))
+        val vMax = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+        val oldDocs = docs.where(col("doc_id") < dCap)
+        val batchDocs = docs.where(col("doc_id") >= dCap)
+        Seq(s"sp_labels_$sfx", s"sp_sketch_bands_$sfx", s"sp_sketch_sets_$sfx",
+          s"sp_graph_$sfx", s"sp_graph_base_$sfx", s"sp_graph_refined_$sfx",
+          s"sp_graph_meta_$sfx")
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        clearMemos()
+        SketchStore.save(oldDocs, s"sp_sketch_$sfx")
+        clearMemos()
+        LabelStore.save(
+          graft.operators.Dedup.dedupClustersScale(oldDocs, threshold),
+          s"sp_labels_$sfx")
+        clearMemos()
+        GraphStore.build(spark, s"sp_graph_$sfx",
+          emb.where(col("vec_id") < vCap), vCap)
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"scaleprobe_store_$sfx").toString
+        clearMemos()
+        graft.operators.Events.olsStateDelta(ev.where(col("event_id") < eCap))
+          .write.mode("overwrite").parquet(s"$tmp/ols_state")
+        clearMemos()
+        graft.operators.TextAnalysis.nbStateDelta(oldDocs)
+          .write.mode("overwrite").parquet(s"$tmp/nb_state")
+        s -> (sfx, tmp, batchDocs, emb, ev, eCap, vMax)
+      }.toMap
+      Seq(
+        "q202_production_cycle" -> ((s: String) => {
+          val (sfx, _, batchDocs, _, _, _, _) = setup(s)
+          LabelStore.update(spark, s"sp_labels_$sfx", s"sp_sketch_$sfx",
+            batchDocs, threshold)
+        }),
+        "q206_production_cycle" -> ((s: String) => {
+          val (sfx, _, _, emb, _, _, vMax) = setup(s)
+          GraphStore.update(spark, s"sp_graph_$sfx", emb, vMax)._3
+        }),
+        "q218_production_cycle" -> ((s: String) => {
+          val (_, tmp, _, _, ev, eCap, _) = setup(s)
+          graft.operators.Events.olsProductionCycle(
+            spark.read.parquet(s"$tmp/ols_state"),
+            ev.where(col("event_id") >= eCap))
+        }),
+        "q223_production_cycle" -> ((s: String) => {
+          val (_, tmp, batchDocs, _, _, _, _) = setup(s)
+          graft.operators.TextAnalysis.nbProductionCycle(
+            spark.read.parquet(s"$tmp/nb_state"), batchDocs)
+        }))
+    }
+
     val allProbes: Seq[(String, String => DataFrame)] =
       queries.map { case (n, f) => n -> ((s: String) => f(docsAt(s))) } ++
-        tenxQueries.map { case (n, f) => n -> ((s: String) => f(dirAt(s))) }
+        tenxQueries.map { case (n, f) => n -> ((s: String) => f(dirAt(s))) } ++
+        storeProbes
     // JVM/codegen warmup outside the measured window
     clearMemos()
     allProbes.foreach { case (_, f) => runFull(f("0.1x")) }

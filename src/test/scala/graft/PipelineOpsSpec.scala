@@ -2726,6 +2726,125 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q269 keeper upgrades: late-longer arrival flips, shorter/novel don't; composition recounted") {
+    import spark.implicits._
+    // planted: the stored excerpt is its singleton cluster's keeper; a
+    // later LONGER full doc must emit exactly one upgrade event, while
+    // a later SHORTER verified match and a novel doc emit nothing
+    val full = (1 to 100).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 96).map(i => s"w$i").mkString(" ")
+    val shorter = (1 to 93).map(i => s"w$i").mkString(" ")
+    val synth = Seq(
+      (1L, excerpt, excerpt.length.toLong),
+      (2L, "totally unrelated content here", 30L),
+      (10L, full, full.length.toLong),   // j(10,1)=96/100 ≥ .95, longer → upgrade
+      (11L, shorter, shorter.length.toLong), // j(11,1)=93/96 ≥ .95, shorter → no row
+      (12L, "entirely novel content nothing matches", 38L) // no match → no row
+    ).toDF("doc_id", "text", "n_chars")
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+    val planted = Dedup.keeperUpgrades(synth, 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(planted.toSeq === Seq(
+      (1L, 1L, 10L, excerpt.length.toLong, full.length.toLong)),
+      s"got ${planted.toSeq}")
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+    // corpus recount from the independently-gated components: stored
+    // keepers (q262), stored labels (q58), cross matches (q90), the
+    // gate's min-label assignment, the q262 struct-key predicate
+    val docs = t("documents")
+    val cap = 250L
+    val got = Dedup.keeperUpgrades(docs, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val stored = docs.where(col("doc_id") < cap)
+    val keepers = Dedup.dedupOutput(stored).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(3)))).toMap
+    val labelOf = Dedup.dedupClustersScale(stored, 0.95).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val matches = Dedup.incrementalNearDup(docs, cap, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(matches.nonEmpty, "no cross-boundary matches — vacuous recount")
+    val chars = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = matches.groupBy(_._1).map { case (dn, ms) =>
+      dn -> ms.map(m => labelOf(m._2)).min
+    }.flatMap { case (dn, cid) =>
+      val (kid, nk) = keepers(cid)
+      if (chars(dn) > nk || (chars(dn) == nk && dn < kid))
+        Some((cid, kid, dn, nk, chars(dn)))
+      else None
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("q270 IVF cell balance ≡ q92 assignment recount; shares and loads exact") {
+    val emb = t("embeddings")
+    // the audit must count exactly the cells q92 assigns (shared
+    // trainCents/assignCells — recounted here from the q92 output)
+    val cells = Similarity.kmeansAssign(emb).collect().map(_.getLong(1))
+    val byCell = cells.groupBy(identity).map { case (c, xs) =>
+      c -> xs.length.toLong
+    }
+    val tot = cells.length.toLong
+    val got = Similarity.ivfCellBalance(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum === tot, "cell counts must cover the corpus")
+    assert(got.length === byCell.size)
+    got.foreach { case (cell, n, share, load) =>
+      assert(n === byCell(cell))
+      assert(share === n * 1000000L / tot)
+      assert(load === n * 32L * 1000000L / tot)
+    }
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+    // non-vacuity: the testdata codebook is not perfectly balanced, so
+    // the worst-case probe multiplier is a real signal
+    assert(got.map(_._4).max > got.map(_._4).min,
+      "perfectly balanced cells — the audit would be vacuous")
+  }
+
+  test("q271 minhash calibration ≡ brute-force recount from q89 signatures + token sets") {
+    val docs = t("documents")
+    Dedup.clearSketchMemo()
+    val got = Dedup.minhashCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // independent recount: candidates from q89's band keys, estimates
+    // from its signature strings, exact Jaccard from re-tokenized sets
+    val nb = graft.functions.Hashing.NumBands
+    val np = graft.functions.Hashing.NumPerms
+    val sigRows = Dedup.minhashSignatures(docs).collect()
+    val sigOf = sigRows.map(r => r.getLong(0) -> r.getString(2).split(" ").toSeq).toMap
+    val bandPairs = (0 until nb).flatMap { b =>
+      sigRows.map(r => (r.getString(3 + b), r.getLong(0)))
+        .groupBy(_._1).values.flatMap { g =>
+          val ids = g.map(_._2).sorted
+          for (i <- ids.indices; j <- i + 1 until ids.length)
+            yield (ids(i), ids(j))
+        }
+    }.toSet
+    assert(bandPairs.nonEmpty, "no LSH candidates — vacuous recount")
+    val toksOf = docs.select("doc_id", "text").collect().map { r =>
+      r.getLong(0) -> r.getString(1).split("\\s+")
+        .map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty).toSet
+    }.toMap
+    val recount = bandPairs.toSeq.map { case (a, b) =>
+      val mc = sigOf(a).zip(sigOf(b)).count { case (x, y) => x == y }.toLong
+      val (ia, ib) = (toksOf(a), toksOf(b))
+      val inter = (ia intersect ib).size.toLong
+      val jac = inter * 1000000L / (ia.size + ib.size - inter)
+      (mc * 1000000L / np / 100000L, jac)
+    }
+    val expected = recount.groupBy(_._1).map { case (bkt, xs) =>
+      (bkt, xs.length.toLong, xs.map(_._2).sum / xs.length,
+        xs.map(_._2).min, xs.map(_._2).max)
+    }.toSet
+    assert(got.toSet === expected)
+    assert(got.map(_._2).sum === bandPairs.size.toLong,
+      "every candidate pair must be audited exactly once")
+    Dedup.clearSketchMemo()
+  }
+
   test("q228 RFM ≡ brute-force recount; grid covers every customer") {
     val o = t("orders")
     val grid = Relational.rfmSegments(o).collect()

@@ -639,6 +639,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming keeper upgrades: longer late arrival flips the stored keeper; stream ≡ batch q269") {
+    // round-10 verdict #6: the gate inherits the stored keeper forever
+    // — this pins the upgrade path: an arriving doc that verifies into
+    // a stored cluster AND beats its keep-best keeper emits exactly
+    // one upgrade event; shorter matches and novel docs emit nothing;
+    // and the online rows equal Dedup.keeperUpgrades on the same split.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val full = (1 to 100).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 96).map(i => s"w$i").mkString(" ")
+    val shorter = (1 to 93).map(i => s"w$i").mkString(" ")
+    val oldDocs = Seq(
+      (1L, excerpt, excerpt.length.toLong),
+      (2L, "totally unrelated content here", 30L))
+      .toDF("doc_id", "text", "n_chars")
+    val (storedBands, storedSets) = graft.operators.Dedup.sketchRelations(oldDocs)
+    val storedLabels = graft.operators.Dedup.dedupClustersScale(oldDocs, 0.95)
+      .select("doc_id", "cluster_id")
+    val storedKeepers = graft.operators.Dedup.dedupOutput(oldDocs)
+    val arrivals = Seq(
+      (10L, full, full.length.toLong),       // longer → upgrade
+      (11L, shorter, shorter.length.toLong), // verified but shorter → no row
+      (12L, "entirely novel content nothing matches", 38L)) // keep → no row
+    val in = MemoryStream[(Long, String, Long, Timestamp)]
+    val q = EventStreams.streamingKeeperUpgrades(
+        in.toDF.toDF("doc_id", "text", "n_chars", "ingest_ts"),
+        storedBands, storedSets, storedLabels, storedKeepers, 0.95, "10 minutes")
+      .writeStream.format("memory").queryName("upgrades")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, full, full.length.toLong, ts(0)))
+      q.processAllAvailable()
+      in.addData((11L, shorter, shorter.length.toLong, ts(1)),
+        (12L, "entirely novel content nothing matches", 38L, ts(2)))
+      q.processAllAvailable()
+      in.addData((14L, "watermark mover", 15L,
+        Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("upgrades").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got === Set(
+        (1L, 1L, 10L, excerpt.length.toLong, full.length.toLong)))
+      // stream ≡ batch: the q269 relation on the combined split emits
+      // the same events (the mover doc is excluded — it never streamed
+      // through the batch frame either)
+      graft.operators.Dedup.clearSketchMemo()
+      graft.operators.Dedup.clearClusterMemo()
+      val all = oldDocs.unionByName(
+        arrivals.toDF("doc_id", "text", "n_chars"))
+      val batch = graft.operators.Dedup.keeperUpgrades(all, 10L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(batch === got)
+      graft.operators.Dedup.clearSketchMemo()
+      graft.operators.Dedup.clearClusterMemo()
+    } finally q.stop()
+  }
+
   test("streaming NB quality gate ≡ batch q209 scores, multi-batch, both verdicts") {
     implicit val ctx = spark.sqlContext
     val corpus = graft.sources.Tables(spark, testdataDir, "documents")
