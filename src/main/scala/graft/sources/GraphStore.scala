@@ -215,13 +215,19 @@ object GraphStore {
       // sf0.1.) Production = batch-only scoring + the same fused
       // polish the query form runs, minus the query form's
       // full-corpus scoring — the store pays at every scale.
+      // the checkpoint leaf narrows to 8 partitions ONLY below the
+      // floor (a sub-floor base is thousands of rows — 32 near-empty
+      // checkpoint tasks are pure scheduling overhead); the partial-
+      // commit recovery arm keeps the session width, because a
+      // recovering store can be ANY size
+      val basePlan = Similarity.nswTopPerSrc(
+        edgesOf(storedBase).unionByName(edgesOf(deltaScoredPlan))
+          .dropDuplicates("src", "dst"), m)
       val base =
-        if (eager) Similarity.nswTopPerSrc(
-          edgesOf(storedBase).unionByName(edgesOf(deltaScoredPlan))
-            .dropDuplicates("src", "dst"), m).localCheckpoint(true)
-        else Similarity.nswTopPerSrc(
-          edgesOf(storedBase).unionByName(edgesOf(deltaScoredPlan))
-            .dropDuplicates("src", "dst"), m)
+        if (eager && oldCap < minRows)
+          basePlan.coalesce(8).localCheckpoint(true)
+        else if (eager) basePlan.localCheckpoint(true)
+        else basePlan
       val refined = Similarity.nswDescend(
         Similarity.withNorm(visible), base, m)
       return (base, refined, Similarity.nswSymmetrize(refined, m))
