@@ -1070,6 +1070,13 @@ object SparkEntry {
     // pipeline verifies anyway
     "q271_minhash_calibration" -> ((s, d) =>
       Dedup.minhashCalibration(Tables(s, d, "documents"))),
+    // the SHIPPED keeper table maintained incrementally: carry
+    // yesterday's rows for untouched clusters, recompute dirty ones
+    // from absorbed keeper-row digests + batch sizes; oracle = q262's
+    // full rebuild VERBATIM (hash match = merge ≡ rebuild); cap 250 =
+    // the q90/q269 batch convention
+    "q272_incremental_dedup_output" -> ((s, d) =>
+      Dedup.incrementalDedupOutput(Tables(s, d, "documents"), 250L)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1228,6 +1235,27 @@ object SparkEntry {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)""".stripMargin
+
+  /** The q262 full-rebuild keeper-table oracle — shared VERBATIM with
+    * q272 (incremental carry+recompute), so the hash match IS the
+    * merge ≡ rebuild proof for the shipped dedup output. */
+  private lazy val dedupOutputOracle: String =
+    s"""WITH RECURSIVE $clusterReachCtes,
+       |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+       |sz AS (SELECT lab.doc_id, cluster_id, n_chars
+       |       FROM lab JOIN documents USING (doc_id)),
+       |r AS (SELECT cluster_id, doc_id, n_chars,
+       |             row_number() OVER (PARTITION BY cluster_id
+       |               ORDER BY n_chars DESC, doc_id) AS rk
+       |      FROM sz),
+       |a AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |             CAST(sum(n_chars) AS BIGINT) AS tot
+       |      FROM sz GROUP BY 1)
+       |SELECT r.doc_id AS keep_id, r.cluster_id, a.n_members,
+       |       CAST(r.n_chars AS BIGINT) AS n_chars_kept,
+       |       CAST(a.tot - r.n_chars AS BIGINT) AS n_chars_dropped
+       |FROM r JOIN a USING (cluster_id)
+       |WHERE rk = 1 ORDER BY keep_id""".stripMargin
 
   private lazy val fullClusterOracle: String =
     s"""WITH RECURSIVE $clusterReachCtes
@@ -4899,23 +4927,12 @@ object SparkEntry {
          |FROM d ORDER BY lang""".stripMargin,
     // closure labels + the keep-longest argmax + per-cluster sums —
     // the q260 windowed rule carried into the shipped output relation
-    "q262_dedup_output" ->
-      s"""WITH RECURSIVE $clusterReachCtes,
-         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
-         |sz AS (SELECT lab.doc_id, cluster_id, n_chars
-         |       FROM lab JOIN documents USING (doc_id)),
-         |r AS (SELECT cluster_id, doc_id, n_chars,
-         |             row_number() OVER (PARTITION BY cluster_id
-         |               ORDER BY n_chars DESC, doc_id) AS rk
-         |      FROM sz),
-         |a AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-         |             CAST(sum(n_chars) AS BIGINT) AS tot
-         |      FROM sz GROUP BY 1)
-         |SELECT r.doc_id AS keep_id, r.cluster_id, a.n_members,
-         |       CAST(r.n_chars AS BIGINT) AS n_chars_kept,
-         |       CAST(a.tot - r.n_chars AS BIGINT) AS n_chars_dropped
-         |FROM r JOIN a USING (cluster_id)
-         |WHERE rk = 1 ORDER BY keep_id""".stripMargin,
+    "q262_dedup_output" -> dedupOutputOracle,
+    // the merge ≡ rebuild proof for the SHIPPED keeper table: q272's
+    // incremental carry+recompute must hash-match the full rebuild —
+    // the oracle is q262's text VERBATIM (the q58/q202 shared-oracle
+    // pattern applied to the output relation)
+    "q272_incremental_dedup_output" -> dedupOutputOracle,
     // the q22 verified-edge chain + the q45 split rule: cross-split
     // edges, distinct leaked val docs, exact leak rate in micros
     "q259_split_leakage" ->

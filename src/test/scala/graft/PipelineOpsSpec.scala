@@ -2778,6 +2778,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q272 incremental dedup output ≡ full rebuild; planted cluster merge through a batch bridge") {
+    import spark.implicits._
+    // the law on the corpus: carry+recompute must equal the full
+    // rebuild row for row (the committed oracle is the same proof at
+    // sf0.01 — this pins it at spec scale too)
+    val docs = t("documents")
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val inc = rows(Dedup.incrementalDedupOutput(docs, 250L))
+    val full = rows(Dedup.dedupOutput(docs))
+    assert(inc === full)
+    // planted: two stored SINGLETON clusters (j(1,2)=0.94 < 0.95) that
+    // a batch doc bridges (j(10,1)=0.96, j(10,2)=0.98) — the merged
+    // cluster takes the min label, the keeper flips to the longest
+    // (the batch doc), and the unrelated stored cluster CARRIES
+    def w(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    val synth = Seq(
+      (1L, w(1, 96)), (2L, w(3, 100)),
+      (3L, "totally unrelated content here"),
+      (10L, w(1, 100)))
+      .map { case (id, txt) => (id, txt, txt.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+    val got = rows(Dedup.incrementalDedupOutput(synth, 10L))
+    val lens = synth.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Set(
+      (10L, 1L, 3L, lens(10L), lens(1L) + lens(2L)),
+      (3L, 3L, 1L, lens(3L), 0L)), s"got $got")
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+    val rebuilt = rows(Dedup.dedupOutput(synth))
+    assert(got === rebuilt)
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+  }
+
   test("q270 IVF cell balance ≡ q92 assignment recount; shares and loads exact") {
     val emb = t("embeddings")
     // the audit must count exactly the cells q92 assigns (shared
