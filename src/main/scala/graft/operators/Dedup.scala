@@ -968,6 +968,16 @@ object Dedup {
     * near-dup output). The oracle replays the closure + a row_number
     * argmax + the per-cluster sums. */
   def dedupOutput(docs: DataFrame, threshold: Double = 0.95,
+      keeper: String = "longest"): DataFrame =
+    dedupOutputFrom(
+      dedupClustersScale(docs, threshold).select("doc_id", "cluster_id"),
+      docs, keeper)
+
+  /** The q262 aggregation over an EXPLICIT label relation — split out
+    * so the stored-keeper repair path ([[graft.sources.LabelStore
+    * .rebuildKeepers]]) can derive the keeper table from a committed
+    * labels table without re-clustering. */
+  private[graft] def dedupOutputFrom(labels: DataFrame, docs: DataFrame,
       keeper: String = "longest"): DataFrame = {
     val key = keeper match {
       case "longest" => struct(col("n_chars"), -col("doc_id"))
@@ -975,8 +985,7 @@ object Dedup {
       case other => throw new IllegalArgumentException(
         s"keeper rule must be 'longest' or 'min_id'; got '$other'")
     }
-    dedupClustersScale(docs, threshold)
-      .select("doc_id", "cluster_id")
+    labels.select("doc_id", "cluster_id")
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
       .groupBy("cluster_id")
       .agg(
@@ -1030,17 +1039,31 @@ object Dedup {
   def incrementalDedupOutput(docs: DataFrame, cap: Long,
       threshold: Double = 0.95): DataFrame = {
     val stored = docs.where(col("doc_id") < cap)
-    val storedOut = dedupOutput(stored, threshold)
     val merged = incrementalClusters(docs, cap, threshold)
       .select("doc_id", "cluster_id")
+    mergeKeeperTable(dedupOutput(stored, threshold), merged,
+      docs.where(col("doc_id") >= cap)
+        .select(col("doc_id"), col("n_chars")))
+  }
+
+  /** The q272 carry + recompute algebra over EXPLICIT inputs — shared
+    * with the stored production path ([[graft.sources.LabelStore
+    * .updateWithKeepers]]), so the oracle-gated query form and the
+    * table-backed daily cycle can never drift. `storedKeepers` is the
+    * q262 relation over yesterday's corpus, `mergedLabels` the full
+    * updated label relation (old ∪ batch), `batchDocs` the genuinely
+    * new docs' (doc_id, n_chars). */
+  private[graft] def mergeKeeperTable(storedKeepers: DataFrame,
+      mergedLabels: DataFrame, batchDocs: DataFrame): DataFrame = {
     // old→new cluster map via the stored KEEPER doc (labels move
     // per-component, so the keeper's merged label is its cluster's)
-    val mapped = storedOut.select(col("cluster_id").as("old_label"),
+    val mapped = storedKeepers.select(col("cluster_id").as("old_label"),
         col("keep_id"), col("n_members"), col("n_chars_kept"),
         col("n_chars_dropped"))
-      .join(merged.select(col("doc_id").as("keep_id"),
+      .join(mergedLabels.select(col("doc_id").as("keep_id"),
         col("cluster_id").as("new_label")), "keep_id")
-    val batchLab = merged.where(col("doc_id") >= cap)
+    val batchLab = mergedLabels
+      .join(batchDocs.select("doc_id"), Seq("doc_id"), "left_semi")
     val dirty = batchLab.select(col("cluster_id").as("new_label"))
       .unionByName(mapped.where(col("old_label") =!= col("new_label"))
         .select("new_label"))
@@ -1054,7 +1077,7 @@ object Dedup {
         col("n_members"),
         (col("n_chars_kept") + col("n_chars_dropped")).as("tot"))
     val batchContrib = batchLab
-      .join(docs.select(col("doc_id"),
+      .join(batchDocs.select(col("doc_id"),
         col("n_chars").cast("long").as("n_chars")), "doc_id")
       .select(col("cluster_id").as("new_label"),
         struct(col("doc_id").as("keep_id"), col("n_chars")).as("cand"),

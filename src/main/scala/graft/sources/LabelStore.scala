@@ -106,4 +106,93 @@ object LabelStore {
       lease.verify(); save(frozen, name, nBuckets)
     }
   }
+
+  // ---- the SHIPPED keeper table (q262/q272), maintained beside the
+  // labels: the store a near-dup pipeline actually serves from -------
+
+  /** Persist the q262 keeper relation, bucketed on `cluster_id` — the
+    * update path's join key, so the stored side of every keeper merge
+    * enters exchange-free (the labels/sketch rationale). */
+  def saveKeepers(keepers: DataFrame, name: String, nBuckets: Int = 8): Unit =
+    keepers.select("keep_id", "cluster_id", "n_members", "n_chars_kept",
+        "n_chars_dropped")
+      .write.mode("overwrite").bucketBy(nBuckets, "cluster_id")
+      .sortBy("cluster_id").saveAsTable(name)
+
+  /** The q272 daily cycle over STORED relations: merge the labels
+    * (the proven [[update]] path — only the batch is sketched), then
+    * carry/recompute the keeper table through `Dedup.mergeKeeperTable`
+    * (the SAME algebra the oracle-gated query form runs). Returns
+    * (updatedLabels, updatedKeepers), both pure reads — persist via
+    * [[commitKeepers]].
+    *
+    * CONSISTENCY GATE: labels and keepers are two tables committed in
+    * order (labels first — see [[commitKeepers]]), so a crash between
+    * them leaves labels a generation ahead; blindly carrying keeper
+    * rows would then freeze the stale generation forever (every
+    * "dirty" signal reads clean once the batch is already labeled).
+    * The invariant Σ keepers.n_members = |labels| detects exactly
+    * that window — both sides are metadata-cheap (a parquet count and
+    * a cluster-sized sum) — and the update REFUSES with a named error
+    * pointing at [[rebuildKeepers]], the one-aggregation repair. */
+  def updateWithKeepers(spark: SparkSession, labelsName: String,
+      sketchName: String, keepersName: String, newDocs: DataFrame,
+      threshold: Double): (DataFrame, DataFrame) = {
+    val storedKeepers = spark.table(keepersName)
+    val nLabeled = load(spark, labelsName).count()
+    val nCovered = storedKeepers.agg(sum(col("n_members"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    if (nLabeled != nCovered)
+      throw new IllegalStateException(
+        s"keeper table '$keepersName' covers $nCovered docs but label " +
+          s"table '$labelsName' holds $nLabeled — a labels-ahead partial " +
+          "commit; run LabelStore.rebuildKeepers to repair before updating")
+    val fresh = newDocs.join(load(spark, labelsName).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val mergedLabels = update(spark, labelsName, sketchName, newDocs, threshold)
+    val keepers = Dedup.mergeKeeperTable(storedKeepers,
+      mergedLabels.select("doc_id", "cluster_id"),
+      fresh.select(col("doc_id"), col("n_chars")))
+    (mergedLabels, keepers)
+  }
+
+  /** Persist one keeper-cycle generation. ORDER: sketches → labels →
+    * keepers, all under the store lease. Crash windows and their
+    * recovery, in order:
+    *  - after the sketch append: labels and keepers are both old —
+    *    re-running the day's ingest converges ([[update]]'s
+    *    idempotence) and the consistency gate passes;
+    *  - after the label save: keepers are one generation behind —
+    *    the [[updateWithKeepers]] gate detects it (labels count ≠
+    *    keeper coverage) and [[rebuildKeepers]] repairs with one
+    *    aggregation over the committed labels;
+    *  - after the keeper save: fully committed — a re-run anti-joins
+    *    the batch away and every cluster carries (a no-op).
+    * Keepers LAST is deliberate: the reverse order would leave a
+    * keeper table describing clusters the label table does not have
+    * yet, which no invariant over the two tables can distinguish from
+    * a legitimate small store. */
+  def commitKeepers(spark: SparkSession, labelsName: String,
+      sketchName: String, keepersName: String, newDocs: DataFrame,
+      updatedLabels: DataFrame, updatedKeepers: DataFrame,
+      nBuckets: Int = 8): Unit = {
+    val frozenLabels = updatedLabels.select("doc_id", "cluster_id")
+      .localCheckpoint(true)
+    val frozenKeepers = updatedKeepers.localCheckpoint(true)
+    StoreLock.withStoreLease(spark, labelsName) { lease =>
+      lease.verify(); SketchStore.append(newDocs, sketchName, nBuckets)
+      lease.verify(); save(frozenLabels, labelsName, nBuckets)
+      lease.verify(); saveKeepers(frozenKeepers, keepersName, nBuckets)
+    }
+  }
+
+  /** Repair path for the labels-ahead crash window: re-derive the
+    * keeper table from the committed labels + the corpus sizes — ONE
+    * q262 aggregation (no re-clustering, no sketching). */
+  def rebuildKeepers(spark: SparkSession, labelsName: String,
+      keepersName: String, docs: DataFrame, nBuckets: Int = 8): Unit =
+    saveKeepers(Dedup.dedupOutputFrom(load(spark, labelsName), docs),
+      keepersName, nBuckets)
 }

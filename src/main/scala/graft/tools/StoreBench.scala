@@ -91,6 +91,7 @@ object StoreBench {
     val vMax = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val threshold = 0.95
     val sbTables = Seq("sb_labels", "sb_sketch_bands", "sb_sketch_sets",
+      "sb_keepers",
       "sb_graph", "sb_graph_base", "sb_graph_refined", "sb_graph_meta")
 
     // JVM/codegen warmup outside the measured window (tiny corpus)
@@ -121,12 +122,17 @@ object StoreBench {
       val oldDocs = docs.where(col("doc_id") < dCap)
       val batchDocs = docs.where(col("doc_id") >= dCap)
       sbTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-      if (wanted("q202_clusters")) {
+      if (wanted("q202_clusters") || wanted("q272_keepers")) {
         SketchStore.save(oldDocs, "sb_sketch")
         clearMemos()
         LabelStore.save(
           graft.operators.Dedup.dedupClustersScale(oldDocs, threshold),
           "sb_labels")
+      }
+      if (wanted("q272_keepers")) {
+        clearMemos()
+        LabelStore.saveKeepers(
+          graft.operators.Dedup.dedupOutput(oldDocs, threshold), "sb_keepers")
       }
       if (wanted("q206_nsw_graph"))
         GraphStore.build(spark, "sb_graph", emb.where(col("vec_id") < vCap), vCap)
@@ -144,6 +150,11 @@ object StoreBench {
             .incrementalClusters(docs, dCap, threshold),
           () => LabelStore.update(spark, "sb_labels", "sb_sketch",
             batchDocs, threshold)),
+        Family("q272_keepers",
+          () => graft.operators.Dedup
+            .incrementalDedupOutput(docs, dCap, threshold),
+          () => LabelStore.updateWithKeepers(spark, "sb_labels", "sb_sketch",
+            "sb_keepers", batchDocs, threshold)._2),
         Family("q206_nsw_graph",
           () => graft.operators.Similarity.nswGraphIncremental(emb, vCap),
           () => GraphStore.update(spark, "sb_graph", emb, vMax)._3),

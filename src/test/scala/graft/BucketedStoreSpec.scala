@@ -159,6 +159,80 @@ class BucketedStoreSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("keeper store: two generations == full q262 rebuild; labels-ahead crash detected and repaired") {
+    // q272 productized: the SHIPPED keeper table maintained beside the
+    // labels. Two generations deep each committed keeper table must
+    // equal dedupOutput over everything seen so far; the labels-ahead
+    // crash window (labels committed, keepers not) must be DETECTED by
+    // the coverage invariant and repaired by the one-aggregation
+    // rebuild; a full retry of a committed day must be a no-op.
+    import graft.sources.{LabelStore, SketchStore}
+    val docs = Tables(spark, dir, "documents")
+    val day0 = docs.where($"doc_id" < 200)
+    val day1 = docs.where($"doc_id" >= 200 && $"doc_id" < 350)
+    val day2 = docs.where($"doc_id" >= 350)
+    val (labelTbl, sketchTbl, keeperTbl) =
+      ("graft_labels_kg", "graft_sketch_kg", "graft_keepers_kg")
+    val allTbls = Seq(s"${sketchTbl}_bands", s"${sketchTbl}_sets",
+      labelTbl, keeperTbl)
+    allTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    LabelStore.save(Dedup.dedupClustersScale(day0, 0.95), labelTbl)
+    SketchStore.save(day0, sketchTbl)
+    LabelStore.saveKeepers(Dedup.dedupOutput(day0, 0.95), keeperTbl)
+
+    def ingest(batch: DataFrame): Unit = {
+      val (labs, keeps) = LabelStore.updateWithKeepers(
+        spark, labelTbl, sketchTbl, keeperTbl, batch, 0.95)
+      LabelStore.commitKeepers(spark, labelTbl, sketchTbl, keeperTbl,
+        batch, labs, keeps)
+    }
+    def storedKeepers = spark.table(keeperTbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toList
+    def rebuilt(upTo: Long) = {
+      Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+      val out = Dedup.dedupOutput(docs.where($"doc_id" < upTo), 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toList
+      Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+      out
+    }
+
+    ingest(day1)
+    assert(storedKeepers === rebuilt(350L),
+      "generation-1 keeper table diverged from the q262 rebuild")
+
+    // labels-ahead crash window for day 2: sketches + labels commit,
+    // the keeper save never happens (the simulated crash between the
+    // second and third table writes)
+    val (labs2, _) = LabelStore.updateWithKeepers(
+      spark, labelTbl, sketchTbl, keeperTbl, day2, 0.95)
+    LabelStore.commit(spark, labelTbl, sketchTbl, day2, labs2)
+    val err = intercept[IllegalStateException] {
+      LabelStore.updateWithKeepers(spark, labelTbl, sketchTbl, keeperTbl,
+        day2, 0.95)
+    }
+    assert(err.getMessage.contains("labels-ahead partial commit"))
+    assert(err.getMessage.contains("rebuildKeepers"))
+    // the documented repair: one q262 aggregation over the committed
+    // labels — which lands exactly the generation the crash lost
+    LabelStore.rebuildKeepers(spark, labelTbl, keeperTbl, docs)
+    val gen2 = rebuilt(Long.MaxValue)
+    assert(storedKeepers === gen2,
+      "repaired keeper table diverged from the q262 rebuild")
+    // full-retry idempotence: the recovery rule is re-run the day's
+    // ingest — the batch anti-joins away, no cluster is dirty, every
+    // keeper row carries, and the gate passes again
+    ingest(day2)
+    assert(storedKeepers === gen2, "retrying a committed day changed keepers")
+    // non-vacuity: at least one later-day doc displaced an earlier
+    // keeper or joined an earlier cluster (the maintained table moved)
+    assert(storedKeepers.exists { case (keep, cl, n, _, _) =>
+      cl < 200L && (keep >= 200L || n > 1L) },
+      "no cross-day keeper activity — the merge path was idle")
+    allTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("pq store: bucketed codes reconstruct with ZERO exchanges") {
     val emb = Tables(spark, dir, "embeddings")
     try {
