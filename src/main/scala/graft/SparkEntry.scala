@@ -1077,6 +1077,13 @@ object SparkEntry {
     // the q90/q269 batch convention
     "q272_incremental_dedup_output" -> ((s, d) =>
       Dedup.incrementalDedupOutput(Tables(s, d, "documents"), 250L)),
+    // PQ quantization health: per-vector distortion 1 − ⟨u, recon⟩
+    // (the ADC self-term — the audited quantity IS the serving error)
+    // through the q257 float-quantile machine; the codebook is the
+    // memoized q106/q107 training, so the audit prices one join +
+    // one linear histogram pass
+    "q273_pq_distortion" -> ((s, d) =>
+      Similarity.pqDistortion(Tables(s, d, "embeddings"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1334,8 +1341,10 @@ object SparkEntry {
     * x-producing query — templated (round 10) so every float metric
     * gets the same bit-identical bucketing: q257 feeds raw order
     * totals, q264 the fold-exact embedding norms. */
-  private def floatQuantilesOracle(xSource: String): String =
-    s"""WITH x AS ($xSource),
+  private def floatQuantilesOracle(xSource: String,
+      preCtes: String = ""): String = {
+    val pre = if (preCtes.isEmpty) "" else preCtes + ",\n"
+    s"""WITH $pre x AS ($xSource),
        |b AS (SELECT x, abs(x) AS m,
        |             CASE WHEN abs(x) > 0 THEN CAST(floor(log2(abs(x))) AS BIGINT)
        |                  ELSE 0 END AS e0
@@ -1374,6 +1383,7 @@ object SparkEntry {
        |       p95_bid, h2.lo AS p95_lo, h2.hi AS p95_hi
        |FROM p JOIN h h1 ON h1.bid = p50_bid
        |       JOIN h h2 ON h2.bid = p95_bid""".stripMargin
+  }
 
   /** Shared token-set CTE for the jaccard-verify oracles. */
   private val setsCte =
@@ -4990,6 +5000,12 @@ object SparkEntry {
       s"""SELECT sqrt(${dotSql("v", "v")}) AS x FROM (
          |             SELECT list_transform(embedding, ev -> CAST(ev AS DOUBLE)) AS v
          |             FROM embeddings)""".stripMargin),
+    // the q106 recon CTEs VERBATIM (the shared-training no-drift rule)
+    // + the ADC self-term distortion through the q257 template
+    "q273_pq_distortion" -> floatQuantilesOracle(
+      s"SELECT 1.0 - round(${dotSql("q.u", "t.rv")}, 6) AS x " +
+        "FROM u q JOIN recon t ON q.vec_id = t.vec_id",
+      preCtes = s"$embCte,\n$pqReconCtes"),
     // zstd-parquet round trip (the splittable compressed path)
     "q256_zstd_source" -> docProfileOracle,
     // daily-mean micros per (type, day), centered day index from a

@@ -1405,6 +1405,36 @@ object Similarity {
     Dedup.finishWith(result, (handles :+ u): _*)
   }
 
+  /** q273 — PQ RECONSTRUCTION-DISTORTION audit: the quantization
+    * error of the trained q106 codebook as p50/p95 through the q257
+    * float-quantile machine — the third estimator-health relation
+    * (q270 audits the IVF cells, q271 the MinHash estimator, this the
+    * PQ compression every ADC score is built on). Per vector,
+    * distortion x = 1 − round(⟨u, r⟩, 6) — the unit vector against
+    * its own reconstruction, exactly the self-term of the ADC score
+    * q106/q107 serve — so the audited quantity IS the serving error,
+    * not a proxy. p50 says what a typical score loses to compression;
+    * p95 is the tail a recall budget has to absorb; a collapsed p95
+    * (≈0) after a retrain says the codebook memorized the corpus.
+    *
+    * Pure composition, zero new machinery: the SAME memoized trained
+    * codebook q106/q107 decode from (one Lloyd chain per session —
+    * the PQ economics), one vec_id equi join, one linear pass into
+    * the bounded exponent-bucket histogram (no corpus sort; the
+    * additive q257 state, so the same audit folds online for free). */
+  def pqDistortion(embeddings: DataFrame,
+      numSubs: Int = PqNumSubs, subDim: Int = PqSubDim, ksub: Int = PqKsub,
+      iters: Int = 2): DataFrame = {
+    val u = unitVecs(withNorm(embeddings))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (recon, handles) = pqRecon(u, numSubs, subDim, ksub, iters)
+    val x = u.select(col("vec_id"), col("u"))
+      .join(recon.select(col("vec_id"), col("r")), "vec_id")
+      .select((lit(1.0) - round(dot(col("u"), col("r")), 6)).as("x"))
+    val result = graft.operators.Relational.floatQuantiles(x, "x")
+    Dedup.finishWith(result, handles :+ u: _*)
+  }
+
   /** q107 — IVF-PQ proper (the Jégou et al. IVFADC pairing): q43's
     * inverted-file coarse cells select WHICH vectors a query scores,
     * q106's PQ reconstruction decides HOW each candidate is scored —

@@ -214,6 +214,7 @@ object ScaleProbe {
         val oldDocs = docs.where(col("doc_id") < dCap)
         val batchDocs = docs.where(col("doc_id") >= dCap)
         Seq(s"sp_labels_$sfx", s"sp_sketch_bands_$sfx", s"sp_sketch_sets_$sfx",
+          s"sp_keepers_$sfx",
           s"sp_graph_$sfx", s"sp_graph_base_$sfx", s"sp_graph_refined_$sfx",
           s"sp_graph_meta_$sfx")
           .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
@@ -223,6 +224,10 @@ object ScaleProbe {
         LabelStore.save(
           graft.operators.Dedup.dedupClustersScale(oldDocs, threshold),
           s"sp_labels_$sfx")
+        clearMemos()
+        LabelStore.saveKeepers(
+          graft.operators.Dedup.dedupOutput(oldDocs, threshold),
+          s"sp_keepers_$sfx")
         clearMemos()
         GraphStore.build(spark, s"sp_graph_$sfx",
           emb.where(col("vec_id") < vCap), vCap)
@@ -241,6 +246,11 @@ object ScaleProbe {
           val (sfx, _, batchDocs, _, _, _, _) = setup(s)
           LabelStore.update(spark, s"sp_labels_$sfx", s"sp_sketch_$sfx",
             batchDocs, threshold)
+        }),
+        "q272_production_cycle" -> ((s: String) => {
+          val (sfx, _, batchDocs, _, _, _, _) = setup(s)
+          LabelStore.updateWithKeepers(spark, s"sp_labels_$sfx",
+            s"sp_sketch_$sfx", s"sp_keepers_$sfx", batchDocs, threshold)._2
         }),
         "q206_production_cycle" -> ((s: String) => {
           val (sfx, _, _, emb, _, _, vMax) = setup(s)

@@ -2881,6 +2881,29 @@ class PipelineOpsSpec extends SparkSpec {
     Dedup.clearSketchMemo()
   }
 
+  test("q273 pq distortion: exact-zero on a memorizable corpus, lossy tail on the real one") {
+    import spark.implicits._
+    val emb = t("embeddings")
+    val row = Similarity.pqDistortion(emb).collect().head
+    assert(row.getLong(0) === emb.count(), "n must cover the corpus")
+    assert(row.getLong(4) >= row.getLong(1),
+      "p95 bucket below p50 — ordering broken")
+    assert(row.getLong(4) > 0L,
+      "no tail distortion on real embeddings — the audit is vacuous")
+    // memorizable corpus: identical vectors with exactly-1e-6-quantized
+    // components (0.5 is exact in binary AND under the floor(x*1e6)
+    // centroid quantization) → recon ≡ u bit for bit → all mass in
+    // bucket 0, both quantiles
+    val v = Array.tabulate(64)(i => if (i < 4) 0.5f else 0f)
+    val synth = (0L until 64L).map(i => (i, v)).toDF("vec_id", "embedding")
+    Similarity.clearTrainedPq()
+    val zrow = Similarity.pqDistortion(synth).collect().head
+    assert(zrow.getLong(0) === 64L)
+    assert(zrow.getLong(1) === 0L && zrow.getLong(4) === 0L,
+      s"memorizable corpus still distorted: $zrow")
+    Similarity.clearTrainedPq()
+  }
+
   test("q228 RFM ≡ brute-force recount; grid covers every customer") {
     val o = t("orders")
     val grid = Relational.rfmSegments(o).collect()
