@@ -1084,6 +1084,12 @@ object SparkEntry {
     // one linear histogram pass
     "q273_pq_distortion" -> ((s, d) =>
       Similarity.pqDistortion(Tables(s, d, "embeddings"))),
+    // q271 conditioned on the smaller side's set size (fixed integer
+    // thresholds, defaults 16/24/32 sized to the corpus scale) — the
+    // short-document bias detector a corpus-wide calibration mean
+    // buries; spec pins the marginal law (band rows sum back to q271)
+    "q274_minhash_calib_bands" -> ((s, d) =>
+      Dedup.minhashCalibrationByLength(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4899,6 +4905,47 @@ object SparkEntry {
          |       CAST(min(jac_micros) AS BIGINT) AS min_jac_micros,
          |       CAST(max(jac_micros) AS BIGINT) AS max_jac_micros
          |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q271's chain with the smaller-side set-size band (fixed integer
+    // thresholds — exact compares, no cross-engine log rounding)
+    "q274_minhash_calib_bands" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |perms(i, a, b) AS (VALUES $permsValues),
+         |sig AS (SELECT doc_id, i, min((a*th + b) % ${Hashing.P}) AS minh
+         |        FROM th CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // ${Hashing.RowsPerBand} AS band,
+         |                 string_agg(minh::VARCHAR, '_' ORDER BY i) AS key
+         |          FROM sig GROUP BY i // ${Hashing.RowsPerBand}, doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key
+         |          AND a.doc_id < b.doc_id),
+         |$setsCte,
+         |m AS (SELECT c.doc_a, c.doc_b,
+         |             CAST(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS mc
+         |      FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+         |                  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+         |      GROUP BY 1, 2),
+         |x AS (SELECT m.mc * 1000000 // ${Hashing.NumPerms} AS est_micros,
+         |             len(list_intersect(a.ws, b.ws)) AS inter,
+         |             a.n AS n_a, b.n AS n_b
+         |      FROM m JOIN sets a ON m.doc_a = a.doc_id
+         |             JOIN sets b ON m.doc_b = b.doc_id),
+         |y AS (SELECT CASE WHEN least(n_a, n_b) < 16 THEN 0
+         |                  WHEN least(n_a, n_b) < 24 THEN 1
+         |                  WHEN least(n_a, n_b) < 32 THEN 2
+         |                  ELSE 3 END AS len_band,
+         |             est_micros // 100000 AS est_bucket,
+         |             inter * 1000000 // (n_a + n_b - inter) AS jac_micros
+         |      FROM x)
+         |SELECT CAST(len_band AS BIGINT) AS len_band,
+         |       CAST(est_bucket AS BIGINT) AS est_bucket,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(jac_micros) // count(*) AS BIGINT) AS mean_jac_micros,
+         |       CAST(min(jac_micros) AS BIGINT) AS min_jac_micros,
+         |       CAST(max(jac_micros) AS BIGINT) AS max_jac_micros
+         |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // per-lang head-rank Zipf fit replayed: rawtoks occurrence counts,
     // deterministic (c desc, word) rank, micro-quantized lns, exact
     // BIGINT sums, ONE double expression per emitted stat (int64 →

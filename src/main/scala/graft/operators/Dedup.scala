@@ -593,7 +593,54 @@ object Dedup {
     * equi-join with first-band-only selection (no distinct shuffle);
     * the NumPerms-term agreement sum is a codegen'd projection; the
     * output collapses map-side to ≤11 decile rows. */
-  def minhashCalibration(docs: DataFrame): DataFrame = {
+  def minhashCalibration(docs: DataFrame): DataFrame =
+    calibrationScored(docs) { scored =>
+      scored
+        .groupBy(expr("est_micros div 100000").as("est_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(jac_micros) div count(1)").as("mean_jac_micros"),
+          min(col("jac_micros")).as("min_jac_micros"),
+          max(col("jac_micros")).as("max_jac_micros"))
+        .orderBy("est_bucket")
+    }
+
+  /** q274 — q271 CONDITIONED ON DOCUMENT LENGTH: the same estimator
+    * calibration, per (smaller-side set-size band × ĵ decile). A hash
+    * family can be well-calibrated in aggregate and biased exactly
+    * where it matters most — short documents, whose small token sets
+    * give each minimum fewer candidates and the estimate a wider
+    * variance — and a corpus-wide mean buries that. The band key is
+    * min(n_a, n_b) under FIXED integer thresholds (exact compares, no
+    * cross-engine log rounding), the short side because the
+    * estimator's variance is driven by the smaller set; the defaults
+    * (16/24/32) are sized to the testdata's token-set scale and are
+    * parameters — a production corpus raises them to its own
+    * quartiles. Same memoized candidates, same codegen'd agreement
+    * sum; output bounded by 4 bands × 11 deciles. The spec pins the
+    * marginal law: summing these rows over bands per decile
+    * reproduces q271 exactly. */
+  def minhashCalibrationByLength(docs: DataFrame, t1: Int = 16,
+      t2: Int = 24, t3: Int = 32): DataFrame = {
+    val result = calibrationScored(docs) { scored =>
+      val nmin = least(col("n_a"), col("n_b"))
+      scored
+        .withColumn("len_band", when(nmin < t1, 0L).when(nmin < t2, 1L)
+          .when(nmin < t3, 2L).otherwise(3L))
+        .groupBy(col("len_band"), expr("est_micros div 100000").as("est_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(jac_micros) div count(1)").as("mean_jac_micros"),
+          min(col("jac_micros")).as("min_jac_micros"),
+          max(col("jac_micros")).as("max_jac_micros"))
+        .orderBy("len_band", "est_bucket")
+    }
+    result
+  }
+
+  /** The q271/q274 shared candidate-scoring tower: LSH candidates off
+    * the memoized fused sketch, per-pair signature agreement + exact
+    * Jaccard in integer micros; `fold` shapes the final aggregation. */
+  private def calibrationScored(docs: DataFrame)(
+      fold: DataFrame => DataFrame): DataFrame = {
     val (agged, handles) = fusedSketch(docs)
     val bands = bandExplode(agged)
     val cand = bands.alias("a")
@@ -615,14 +662,7 @@ object Dedup {
       .withColumn("inter", IntersectCountSorted(col("ws_a"), col("ws_b")))
       .withColumn("est_micros", expr(s"mc * 1000000 div ${Hashing.NumPerms}"))
       .withColumn("jac_micros", expr("inter * 1000000 div (n_a + n_b - inter)"))
-    val result = scored
-      .groupBy(expr("est_micros div 100000").as("est_bucket"))
-      .agg(count(lit(1)).as("n_pairs"),
-        expr("sum(jac_micros) div count(1)").as("mean_jac_micros"),
-        min(col("jac_micros")).as("min_jac_micros"),
-        max(col("jac_micros")).as("max_jac_micros"))
-      .orderBy("est_bucket")
-    Dedup.finishWith(result, handles: _*)
+    Dedup.finishWith(fold(scored), handles: _*)
   }
 
   /** The NumPerms MinHash minima as aggregate expressions over a `th`

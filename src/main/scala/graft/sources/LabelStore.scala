@@ -195,4 +195,42 @@ object LabelStore {
       keepersName: String, docs: DataFrame, nBuckets: Int = 8): Unit =
     saveKeepers(Dedup.dedupOutputFrom(load(spark, labelsName), docs),
       keepersName, nBuckets)
+
+  // ---- ONLINE keeper maintenance between batch commits -------------
+
+  /** Fold q269 upgrade events (batch `Dedup.keeperUpgrades` rows or a
+    * `streamingKeeperUpgrades` micro-batch) into ONE override row per
+    * cluster — the best arrival under the q262 key. Events carry no
+    * membership deltas (the arriving doc is not in the stored labels
+    * yet), so an online apply CANNOT update the q262 table in place
+    * without breaking its Σkept+dropped ≡ member-chars reconciliation;
+    * the honest contract is an OVERRIDE relation consulted at serving
+    * time and superseded by the next q272 batch commit. */
+  def keeperOverrides(events: DataFrame): DataFrame =
+    events.groupBy(col("cluster_id"))
+      .agg(max_by(
+        struct(col("new_keep_id").as("keep_id"),
+          col("n_chars_new").as("n_chars_kept")),
+        struct(col("n_chars_new"), -col("new_keep_id"))).as("k"))
+      .select(col("cluster_id"), col("k.keep_id").as("override_keep_id"),
+        col("k.n_chars_kept").as("override_n_chars"))
+
+  /** The SERVING keeper view: stored q262 rows with any online
+    * override overlaid — what a retrieval layer reads between batch
+    * commits so a late-arriving longer member is served immediately.
+    * One cluster-keyed left join; the override side is bounded by the
+    * day's upgrade count. Spec-pinned: after folding a day's events,
+    * the served (cluster → keeper) mapping equals the next q272 batch
+    * commit's, for every cluster the batch does not MERGE (a merge
+    * changes cluster identity itself and is inherently a batch-commit
+    * event — documented, not patched online). */
+  def servingKeepers(storedKeepers: DataFrame,
+      overrides: DataFrame): DataFrame =
+    storedKeepers.join(overrides, Seq("cluster_id"), "left_outer")
+      .select(
+        coalesce(col("override_keep_id"), col("keep_id")).as("keep_id"),
+        col("cluster_id"), col("n_members"),
+        coalesce(col("override_n_chars"), col("n_chars_kept"))
+          .as("n_chars_kept"),
+        col("override_keep_id").isNotNull.as("overridden"))
 }

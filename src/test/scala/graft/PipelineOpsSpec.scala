@@ -2881,6 +2881,31 @@ class PipelineOpsSpec extends SparkSpec {
     Dedup.clearSketchMemo()
   }
 
+  test("q274 banded calibration: marginals reproduce q271 exactly; conditioning non-vacuous") {
+    val docs = t("documents")
+    Dedup.clearSketchMemo()
+    val banded = Dedup.minhashCalibrationByLength(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val flat = Dedup.minhashCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // the marginal law: per est decile, band rows must sum back to the
+    // corpus-wide relation (counts add; min/max fold; mean is an
+    // integer division and deliberately not linear)
+    val byBucket = banded.groupBy(_._2)
+    flat.foreach { case (bkt, n, _, mn, mx) =>
+      val rows = byBucket(bkt)
+      assert(rows.map(_._3).sum === n, s"bucket $bkt counts diverge")
+      assert(rows.map(_._5).min === mn, s"bucket $bkt min diverges")
+      assert(rows.map(_._6).max === mx, s"bucket $bkt max diverges")
+    }
+    assert(flat.map(_._2).sum === banded.map(_._3).sum)
+    assert(banded.map(_._1).distinct.length > 1,
+      "every candidate pair in one length band — conditioning vacuous")
+    Dedup.clearSketchMemo()
+  }
+
   test("q273 pq distortion: exact-zero on a memorizable corpus, lossy tail on the real one") {
     import spark.implicits._
     val emb = t("embeddings")

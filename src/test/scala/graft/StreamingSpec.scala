@@ -696,6 +696,31 @@ class StreamingSpec extends SparkSpec {
       assert(batch === got)
       graft.operators.Dedup.clearSketchMemo()
       graft.operators.Dedup.clearClusterMemo()
+
+      // ONLINE APPLY (round-11): folding the streamed events into the
+      // override relation and overlaying it on the stored q262 table
+      // must serve, for every STORED cluster, exactly the keeper the
+      // NEXT q272 batch commit will ship (cluster merges and brand-new
+      // clusters are batch-commit events by documented contract)
+      import graft.sources.LabelStore
+      val serving = LabelStore.servingKeepers(storedKeepers,
+          LabelStore.keeperOverrides(spark.table("upgrades")))
+        .collect()
+        .map(r => r.getLong(1) -> ((r.getLong(0), r.getBoolean(4)))).toMap
+      graft.operators.Dedup.clearSketchMemo()
+      graft.operators.Dedup.clearClusterMemo()
+      val committed = graft.operators.Dedup
+        .incrementalDedupOutput(all, 10L).collect()
+        .map(r => r.getLong(1) -> r.getLong(0)).toMap
+      serving.foreach { case (cluster, (keep, _)) =>
+        assert(committed(cluster) === keep,
+          s"cluster $cluster serves $keep but the batch commit ships " +
+            s"${committed(cluster)}")
+      }
+      assert(serving(1L) === ((10L, true)), "the upgrade was not served")
+      assert(serving(2L)._2 === false, "an un-upgraded cluster was overridden")
+      graft.operators.Dedup.clearSketchMemo()
+      graft.operators.Dedup.clearClusterMemo()
     } finally q.stop()
   }
 
