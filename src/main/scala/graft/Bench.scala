@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Anchored matcher for THIS corpus dir's cross-JVM tmp artifacts.
+    * Shape (IndexStore/Sidecar/VectorStore):
+    * `graft_<kind>[_<kind2>]<token>[_<table>]_<hexFingerprint>` with
+    * `<token>` = sfDir sanitized to `[A-Za-z0-9]`→`_` (so it starts
+    * with '_'). The tail after the token admits only an optional
+    * alphabetic table segment plus the 1-8 char lowercase hex
+    * fingerprint — a longer scale token that CONTINUES this one with a
+    * digit (…sf1 vs …sf10) or a dotted scale (…sf1 vs …sf1.5 →
+    * `_sf1_5_`) can never match, so clearing sf1's artifacts leaves
+    * sf10's and sf1.5's intact. */
+  private[graft] def artifactPattern(sfDir: String): scala.util.matching.Regex = {
+    val token = java.util.regex.Pattern.quote(
+      sfDir.replaceAll("[^A-Za-z0-9]+", "_"))
+    // the literal '_' before the token is the kind prefix's trailing
+    // separator ("graft_textindex_" + token); an absolute sfDir's token
+    // starts with '_' too, so real names carry a double underscore there
+    s"graft_[A-Za-z0-9]+(?:_[A-Za-z0-9]+)*_$token(?:_[a-z]+)?_[0-9a-f]{1,8}".r
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,23 +52,29 @@ object Bench {
     val protocol = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROTOCOL", "warm")
     require(protocol == "warm" || protocol == "cold",
       s"SPARK_GRAFT_BENCH_PROTOCOL must be warm|cold; got '$protocol'")
-    if (protocol == "cold") {
-      val token = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    val artifactRe = artifactPattern(sfDir)
+    def clearArtifacts(): Int = {
       val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-      val doomed = java.nio.file.Files.list(tmp).iterator()
       var cleared = 0
-      while (doomed.hasNext) {
-        val p = doomed.next()
-        val n = p.getFileName.toString
-        if (n.startsWith("graft_") && n.contains(token)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-          cleared += 1
+      val listing = java.nio.file.Files.list(tmp)
+      try {
+        val doomed = listing.iterator()
+        while (doomed.hasNext) {
+          val p = doomed.next()
+          if (artifactRe.pattern.matcher(p.getFileName.toString).matches()) {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(p)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
+            cleared += 1
+          }
         }
-      }
-      println(s"""{"protocol":"cold","artifacts_cleared":$cleared}""")
+      } finally listing.close()
+      cleared
     }
+    if (protocol == "cold")
+      println(s"""{"protocol":"cold","artifacts_cleared":${clearArtifacts()}}""")
     // JVM/codegen warmup so the first timed query doesn't absorb
     // session + whole-stage-codegen compilation cost (runs the
     // flagship pipeline once on the tiny sf0.001 corpus).
@@ -78,10 +103,23 @@ object Bench {
       require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(",")}")
     }
     val picked = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    // Cold protocol must hold for EVERY sample, not just pass 1: with
+    // runs>1 the artifacts rebuilt during pass 1 would make min-of-N a
+    // warm measurement stamped "cold" — exactly the silent drift the
+    // pin exists to prevent. So before every pass after the first,
+    // re-delete the corpus-keyed cross-JVM artifacts AND the in-JVM
+    // session memos (sketch/codebook/anchor towers), so each sample
+    // prices each build exactly once.
+    def recoolBetweenPasses(): Unit = if (protocol == "cold") {
+      clearArtifacts(); graft.tools.Memos.clearAll()
+    }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (_ <- 0 until math.max(1, runs); (name, fn) <- picked) {
-      val t = time(fn)
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+    for (r <- 0 until math.max(1, runs)) {
+      if (r > 0) recoolBetweenPasses()
+      for ((name, fn) <- picked) {
+        val t = time(fn)
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      }
     }
     // Variance pinning (round-5 verdict #8): rows with a multi-second
     // floor get EXTRA interleaved passes — their per-sample noise
@@ -91,9 +129,12 @@ object Bench {
     // `runs`; >2 s rows become min-of-(runs+extra).
     val extra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_RUNS", "2").toInt
     val heavy = picked.filter { case (n, _) => best(n) > 2.0 }
-    for (_ <- 0 until math.max(0, extra); (name, fn) <- heavy) {
-      val t = time(fn)
-      best(name) = math.min(best(name), t)
+    for (_ <- 0 until math.max(0, extra)) {
+      recoolBetweenPasses()
+      for ((name, fn) <- heavy) {
+        val t = time(fn)
+        best(name) = math.min(best(name), t)
+      }
     }
     val results = best
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -192,8 +192,11 @@ object SparkEntry {
     "q89_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(Tables(s, d, "documents"))),
     // q89's consumer: today's batch band-joins yesterday's stored sketches
     "q90_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDup(Tables(s, d, "documents"), 250L, 0.95)),
-    // q71's linear-scale twin: pigeonhole band-blocked Hamming join
-    "q91_simhash_match_scale" -> ((s, d) => Dedup.simhashMatchScale(Tables(s, d, "documents"), 3)),
+    // q71's linear-scale twin: pigeonhole band-blocked Hamming join.
+    // Pinned to the 28-bit polyHash shape — the only width DuckDB can
+    // replay; the production simhashMatchScale routes to the 64-bit
+    // family (spec-gated in SimHash64Spec, no cross-engine mirror)
+    "q91_simhash_match_scale" -> ((s, d) => Dedup.simhashMatch28(Tables(s, d, "documents"), 3)),
     // q43's documented plug-in realized: k-means-trained IVF codebook
     // (2 Lloyd rounds, quantized-integer centroid means) + assignment
     "q92_kmeans_ivf" -> ((s, d) => Similarity.kmeansAssign(Tables(s, d, "embeddings"))),
@@ -1084,10 +1087,11 @@ object SparkEntry {
     // one linear histogram pass
     "q273_pq_distortion" -> ((s, d) =>
       Similarity.pqDistortion(Tables(s, d, "embeddings"))),
-    // q271 conditioned on the smaller side's set size (fixed integer
-    // thresholds, defaults 16/24/32 sized to the corpus scale) — the
-    // short-document bias detector a corpus-wide calibration mean
-    // buries; spec pins the marginal law (band rows sum back to q271)
+    // q271 conditioned on the smaller side's set size (bands = exact
+    // data-derived quartiles of the candidate nmin distribution — no
+    // corpus-scale parameter) — the short-document bias detector a
+    // corpus-wide calibration mean buries; spec pins the marginal law
+    // (band rows sum back to q271)
     "q274_minhash_calib_bands" -> ((s, d) =>
       Dedup.minhashCalibrationByLength(Tables(s, d, "documents"))),
   )
@@ -4905,8 +4909,10 @@ object SparkEntry {
          |       CAST(min(jac_micros) AS BIGINT) AS min_jac_micros,
          |       CAST(max(jac_micros) AS BIGINT) AS max_jac_micros
          |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q271's chain with the smaller-side set-size band (fixed integer
-    // thresholds — exact compares, no cross-engine log rounding)
+    // q271's chain with the smaller-side set-size band. Thresholds are
+    // DATA-DERIVED exact quartiles of the candidate nmin distribution
+    // (percentile_disc via 4·cum ≥ k·N over the distinct-size relation
+    // — pure integer compares, identical in both engines)
     "q274_minhash_calib_bands" ->
       s"""WITH $toksCte,
          |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
@@ -4932,13 +4938,21 @@ object SparkEntry {
          |             a.n AS n_a, b.n AS n_b
          |      FROM m JOIN sets a ON m.doc_a = a.doc_id
          |             JOIN sets b ON m.doc_b = b.doc_id),
-         |y AS (SELECT CASE WHEN least(n_a, n_b) < 16 THEN 0
-         |                  WHEN least(n_a, n_b) < 24 THEN 1
-         |                  WHEN least(n_a, n_b) < 32 THEN 2
+         |d AS (SELECT least(n_a, n_b) AS nmin, count(*) AS cnt
+         |      FROM x GROUP BY 1),
+         |cu AS (SELECT nmin, sum(cnt) OVER (ORDER BY nmin) AS cum,
+         |              sum(cnt) OVER () AS tot FROM d),
+         |t AS (SELECT min(CASE WHEN cum*4 >= tot   THEN nmin END) AS t1,
+         |             min(CASE WHEN cum*4 >= tot*2 THEN nmin END) AS t2,
+         |             min(CASE WHEN cum*4 >= tot*3 THEN nmin END) AS t3
+         |      FROM cu),
+         |y AS (SELECT CASE WHEN least(n_a, n_b) <= t1 THEN 0
+         |                  WHEN least(n_a, n_b) <= t2 THEN 1
+         |                  WHEN least(n_a, n_b) <= t3 THEN 2
          |                  ELSE 3 END AS len_band,
          |             est_micros // 100000 AS est_bucket,
          |             inter * 1000000 // (n_a + n_b - inter) AS jac_micros
-         |      FROM x)
+         |      FROM x CROSS JOIN t)
          |SELECT CAST(len_band AS BIGINT) AS len_band,
          |       CAST(est_bucket AS BIGINT) AS est_bucket,
          |       CAST(count(*) AS BIGINT) AS n_pairs,

@@ -610,22 +610,41 @@ object Dedup {
     * where it matters most — short documents, whose small token sets
     * give each minimum fewer candidates and the estimate a wider
     * variance — and a corpus-wide mean buries that. The band key is
-    * min(n_a, n_b) under FIXED integer thresholds (exact compares, no
-    * cross-engine log rounding), the short side because the
-    * estimator's variance is driven by the smaller set; the defaults
-    * (16/24/32) are sized to the testdata's token-set scale and are
-    * parameters — a production corpus raises them to its own
-    * quartiles. Same memoized candidates, same codegen'd agreement
-    * sum; output bounded by 4 bands × 11 deciles. The spec pins the
-    * marginal law: summing these rows over bands per decile
-    * reproduces q271 exactly. */
-  def minhashCalibrationByLength(docs: DataFrame, t1: Int = 16,
-      t2: Int = 24, t3: Int = 32): DataFrame = {
+    * min(n_a, n_b), the short side because the estimator's variance is
+    * driven by the smaller set.
+    *
+    * The thresholds are DATA-DERIVED (round 12, retiring the hand-set
+    * 16/24/32 corpus-scale parameters): exact discrete quartiles
+    * (percentile_disc: t_k = smallest v with #{nmin ≤ v} ≥ ⌈k·N/4⌉) of
+    * the candidate smaller-side sizes, computed in the same pass —
+    * integer values, exact compares, identical arithmetic in both
+    * engines, and self-sizing on any corpus. The cumulative window
+    * runs over the DISTINCT-size relation (bounded by distinct set
+    * sizes, not candidates), and the three scalars broadcast back as a
+    * one-row join. The threshold branch prunes to the candidate/size
+    * columns only (no signature agreement, no array intersect), so its
+    * extra cost is a narrow replay of the band join. Same memoized
+    * candidates, same codegen'd agreement sum; output bounded by
+    * ≤4 bands × 11 deciles. The spec pins the marginal law: summing
+    * these rows over bands per decile reproduces q271 exactly. */
+  def minhashCalibrationByLength(docs: DataFrame): DataFrame = {
     val result = calibrationScored(docs) { scored =>
-      val nmin = least(col("n_a"), col("n_b"))
-      scored
-        .withColumn("len_band", when(nmin < t1, 0L).when(nmin < t2, 1L)
-          .when(nmin < t3, 2L).otherwise(3L))
+      val s = scored.withColumn("nmin", least(col("n_a"), col("n_b")))
+      val dist = s.groupBy("nmin").agg(count(lit(1)).as("cnt"))
+      val cum = dist
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy("nmin")))
+        .withColumn("tot", sum(col("cnt")).over(Window.orderBy("nmin")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // cum ≥ ⌈k·N/4⌉  ⟺  4·cum ≥ k·N (integers) — no division, no
+      // float, no engine-specific percentile semantics
+      val th = cum.agg(
+        min(when(col("cum") * 4 >= col("tot"), col("nmin"))).as("t1"),
+        min(when(col("cum") * 4 >= col("tot") * 2, col("nmin"))).as("t2"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("nmin"))).as("t3"))
+      s.crossJoin(broadcast(th))
+        .withColumn("len_band",
+          when(col("nmin") <= col("t1"), 0L).when(col("nmin") <= col("t2"), 1L)
+            .when(col("nmin") <= col("t3"), 2L).otherwise(3L))
         .groupBy(col("len_band"), expr("est_micros div 100000").as("est_bucket"))
         .agg(count(lit(1)).as("n_pairs"),
           expr("sum(jac_micros) div count(1)").as("mean_jac_micros"),
@@ -1672,8 +1691,29 @@ object Dedup {
     Dedup.finishWith(result, handles: _*)
   }
 
-  def simhashMatchScale(docs: DataFrame, maxDist: Int): DataFrame =
+  /** q91 — the PINNED cross-engine oracle shape: 28-bit polyHash
+    * signatures (Hashing.SimHashBits), kept at this width ONLY because
+    * DuckDB can replay polyHash bit-for-bit. 28 bits = 7-bit pigeonhole
+    * blocks = 128 bucket values per block, so block collision rate
+    * saturates as the corpus grows — measured exponent 1.23 at 1×→10×
+    * (BENCH_SCALE_r11.json) vs 0.50 for the 64-bit twin. Correct
+    * answers, wrong plan at 100×: use [[simhashMatchScale]] on any
+    * corpus you would not all-pairs. */
+  def simhashMatch28(docs: DataFrame, maxDist: Int): DataFrame =
     blockedSelfMatch(simhashSigs(docs), Hashing.SimHashBits, maxDist)
+
+  /** The PRODUCTION SimHash match — the scale path is the 64-bit
+    * xxhash64 signature family ([[simhashMatch64]]): 16-bit blocks
+    * (65,536 values per block at maxDist=3) keep bucket occupancy —
+    * and hence candidate volume — sublinear far past the corpus size
+    * where the 28-bit oracle shape's 7-bit blocks saturate (round-11
+    * ScaleProbe: exponent 0.50 vs 1.23 at 1×→10×). Width is therefore
+    * NOT corpus-conditional: 64-bit is strictly safer at every size
+    * and equally exact (pigeonhole blocking is exhaustive at any
+    * width; SimHash64Spec pins blocked ≡ all-pairs). The 28-bit form
+    * survives only as q91's pinned oracle shape ([[simhashMatch28]]). */
+  def simhashMatchScale(docs: DataFrame, maxDist: Int): DataFrame =
+    simhashMatch64(docs, maxDist)
 
   /** q94 — INCREMENTAL SimHash matching: the q90 story for the SimHash
     * family, completing the build → store → probe triad for both

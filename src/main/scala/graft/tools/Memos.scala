@@ -1,0 +1,23 @@
+package graft.tools
+
+/** One definition of "clear every session-scoped artifact memo" shared
+  * by the measurement mains (Bench cold protocol, StoreBench,
+  * ScaleProbe). The memos cache expensive sketch/codebook/anchor towers
+  * per (corpus fingerprint); a protocol that claims to price builds
+  * must drop ALL of them before each sample or later passes silently
+  * measure memo hits. Keeping the list in one place means a new memo
+  * added to an operator only has to be registered once.
+  */
+object Memos {
+  def clearAll(): Unit = {
+    graft.operators.Dedup.clearSketchMemo()
+    graft.operators.Dedup.clearSigMemo()
+    graft.operators.Dedup.clearPairMemo()
+    graft.operators.Dedup.clearClusterMemo()
+    graft.operators.TextAnalysis.clearPrintMemo()
+    graft.operators.TextAnalysis.clearNbMemo()
+    graft.operators.Similarity.clearPcaMemo()
+    graft.operators.Similarity.clearNswScoredMemo()
+    graft.operators.Events.clearAnchorMemo()
+  }
+}

@@ -29,17 +29,7 @@ import org.apache.spark.sql.functions._
   * and the exponent, plus a table ready for PLANS.md. */
 object ScaleProbe {
 
-  private def clearMemos(): Unit = {
-    graft.operators.Dedup.clearSketchMemo()
-    graft.operators.Dedup.clearSigMemo()
-    graft.operators.Dedup.clearPairMemo()
-    graft.operators.Dedup.clearClusterMemo()
-    graft.operators.TextAnalysis.clearPrintMemo()
-    graft.operators.TextAnalysis.clearNbMemo()
-    graft.operators.Similarity.clearPcaMemo()
-    graft.operators.Similarity.clearNswScoredMemo()
-    graft.operators.Events.clearAnchorMemo()
-  }
+  private def clearMemos(): Unit = Memos.clearAll()
 
   /** 10 disjoint tagged replicas of `docs` (see scaladoc). */
   private[tools] def replicate(docs: DataFrame, copies: Int, n: Long): DataFrame =
@@ -102,15 +92,13 @@ object ScaleProbe {
         graft.operators.Dedup.minhashNearDup(d, 0.95)),
       "q58_dedup_clusters_scale" -> ((d: DataFrame) =>
         graft.operators.Dedup.dedupClustersScale(d, 0.95)),
+      // since round 12 simhashMatchScale IS the 64-bit family (16-bit
+      // blocks); the saturating 28-bit shape survives only as q91's
+      // pinned oracle form and is deliberately NOT probed — its 1.23
+      // exponent is a documented property of the legacy width
+      // (BENCH_SCALE_r11.json), not of any scale path a user can reach
       "q91_simhash_match_scale" -> ((d: DataFrame) =>
         graft.operators.Dedup.simhashMatchScale(d, 3)),
-      // the PRODUCTION width beside the oracle width: q91's 28-bit
-      // buckets saturate as the corpus grows (7-bit blocks, 128
-      // values), so its exponent drifts above 1 by design — the
-      // documented 64-bit widening (16-bit blocks) is the fix, and
-      // measuring both makes the capacity story a NUMBER
-      "q91_at_64bit" -> ((d: DataFrame) =>
-        graft.operators.Dedup.simhashMatch64(d, 3)),
       "q123_prefix_filter" -> ((d: DataFrame) =>
         graft.operators.Dedup.prefixFilterNearDup(d)),
       "q191_dup_ngram_rate" -> ((d: DataFrame) =>
@@ -213,10 +201,16 @@ object ScaleProbe {
         val vMax = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
         val oldDocs = docs.where(col("doc_id") < dCap)
         val batchDocs = docs.where(col("doc_id") >= dCap)
-        Seq(s"sp_labels_$sfx", s"sp_sketch_bands_$sfx", s"sp_sketch_sets_$sfx",
-          s"sp_keepers_$sfx",
-          s"sp_graph_$sfx", s"sp_graph_base_$sfx", s"sp_graph_refined_$sfx",
-          s"sp_graph_meta_$sfx")
+        // Match the stores' ACTUAL derived-table naming (suffix goes
+        // before _bands/_base/...: SketchStore.save writes
+        // sp_sketch_${sfx}_bands, GraphStore writes sp_graph_${sfx}_base
+        // etc.) — the earlier sp_sketch_bands_$sfx shape never dropped
+        // anything real, leaving stale tables in the warehouse.
+        Seq(s"sp_labels_$sfx", s"sp_keepers_$sfx",
+          s"sp_sketch_$sfx", s"sp_sketch_${sfx}_bands",
+          s"sp_sketch_${sfx}_sets",
+          s"sp_graph_$sfx", s"sp_graph_${sfx}_base",
+          s"sp_graph_${sfx}_refined", s"sp_graph_${sfx}_meta")
           .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
         clearMemos()
         SketchStore.save(oldDocs, s"sp_sketch_$sfx")

@@ -39,17 +39,7 @@ import org.apache.spark.sql.functions._
   */
 object StoreBench {
 
-  private def clearMemos(): Unit = {
-    graft.operators.Dedup.clearSketchMemo()
-    graft.operators.Dedup.clearSigMemo()
-    graft.operators.Dedup.clearPairMemo()
-    graft.operators.Dedup.clearClusterMemo()
-    graft.operators.TextAnalysis.clearPrintMemo()
-    graft.operators.TextAnalysis.clearNbMemo()
-    graft.operators.Similarity.clearPcaMemo()
-    graft.operators.Similarity.clearNswScoredMemo()
-    graft.operators.Events.clearAnchorMemo()
-  }
+  private def clearMemos(): Unit = Memos.clearAll()
 
   private def runFull(df: DataFrame): Unit = {
     df.queryExecution.toRdd.count(); ()

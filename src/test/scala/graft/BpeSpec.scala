@@ -94,4 +94,58 @@ class BpeSpec extends SparkSpec {
     assert(m.map(_._1) === (1 to m.size).toList)
     assert(secs < 60.0, s"driver-local training took ${secs}s")
   }
+
+  // ---- round-12 vocabulary prune (the bounded driver collect) ----
+
+  private def withConf[T](kv: (String, String)*)(body: => T): T =
+    try { kv.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally kv.foreach { case (k, _) => spark.conf.unset(k) }
+
+  test("default prune bounds do not bind on testdata: merges and encoder unchanged") {
+    val docs = spark.read.parquet(s"$testdataDir/documents.parquet")
+    val (mDefault, eDefault) = Bpe.trainLocal(docs, 4)
+    val (mUnpruned, eUnpruned) = withConf(
+      "spark.graft.bpe.minFreq" -> "1",
+      "spark.graft.bpe.maxVocab" -> Int.MaxValue.toString) {
+      Bpe.trainLocal(docs, 4)
+    }
+    assert(mDefault === mUnpruned)
+    assert(encoderRows(eDefault) === encoderRows(eUnpruned))
+  }
+
+  test("maxVocab cap: top-V trains, trainers stay equal, pruned words char-encode") {
+    // vocab aa:3 bb:2 cc:1; cap 2 keeps {aa, bb} — cc is pruned from
+    // TRAINING but must still ENCODE (character fallback)
+    val docs = Seq((0L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
+    withConf("spark.graft.bpe.maxVocab" -> "2") {
+      val (mL, eL) = Bpe.trainLocal(docs, 2)
+      val (mR, eR) = Bpe.trainRelational(docs, 2)
+      assert(mL === List((1, "a", "a", "aa", 3L), (2, "b", "b", "bb", 2L)))
+      assert(mL === mR)
+      assert(encoderRows(eL) === encoderRows(eR))
+      // encoder is TOTAL: all three corpus words present, cc as chars
+      assert(encoderRows(eL) === List(
+        "[aa,3,aa]", "[bb,2,bb]", "[cc,1,c c]"))
+    }
+  }
+
+  test("minFreq cut: rare words excluded from training, still encoded") {
+    val docs = Seq((0L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
+    withConf("spark.graft.bpe.minFreq" -> "2") {
+      val (mL, eL) = Bpe.trainLocal(docs, 2)
+      val (mR, eR) = Bpe.trainRelational(docs, 2)
+      assert(mL === List((1, "a", "a", "aa", 3L), (2, "b", "b", "bb", 2L)))
+      assert(mL === mR)
+      assert(encoderRows(eL) === encoderRows(eR))
+      assert(encoderRows(eL).exists(_.contains("c c")), "cc must char-encode")
+    }
+    // q200 stays total under pruning: every doc keeps its exact
+    // whitespace token count; the pruned word costs one symbol per char
+    withConf("spark.graft.bpe.maxVocab" -> "2") {
+      val enc = Bpe.bpeEncode(docs, 2).collect()
+      assert(enc.length === 1)
+      assert(enc(0).getLong(1) === 6L) // n_tokens
+      assert(enc(0).getLong(2) === 7L) // n_bpe: 3·1 + 2·1 + 1·2
+    }
+  }
 }

@@ -508,12 +508,24 @@ class PipelineOpsSpec extends SparkSpec {
     // q71 capped at a value covering the whole fixture = uncapped form
     val allPairs = Dedup.simhashMatch(docs, Long.MaxValue, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val blocked = Dedup.simhashMatchScale(docs, 3).collect()
+    val blocked = Dedup.simhashMatch28(docs, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // pigeonhole blocking is exhaustive: equality, not just subset
     assert(blocked === allPairs)
     assert(blocked.nonEmpty, "no pair within distance 3 — vacuous")
     assert(blocked.forall(_._3 <= 3))
+  }
+
+  test("simhashMatchScale routes to the 64-bit production family") {
+    val docs = t("documents").where(col("doc_id") < 300)
+    // round-12 width retirement: the scale path must be the 64-bit
+    // signature (exponent 0.50 at 10×), not the saturating 28-bit
+    // oracle shape (1.23) — pin the delegation, row for row
+    val scale = Dedup.simhashMatchScale(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w64 = Dedup.simhashMatch64(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(scale === w64)
   }
 
   test("q92 k-means IVF: total assignment, partitioning-invariant, training helps") {
