@@ -103,6 +103,14 @@ object LabelStore {
       // label save aborts instead of landing labels over the
       // successor's sketches
       lease.verify(); SketchStore.append(newDocs, sketchName, nBuckets)
+      // a stamp-managed store (gen table present) must see its labels
+      // generation ADVANCE on a labels-only commit — the paired keeper
+      // table is now stale and the stamp gate has to refuse exactly
+      // like the count gate does
+      if (readGen(spark, name).nonEmpty) {
+        lease.verify()
+        writeGen(spark, name, java.util.UUID.randomUUID().toString)
+      }
       lease.verify(); save(frozen, name, nBuckets)
     }
   }
@@ -119,6 +127,45 @@ object LabelStore {
       .write.mode("overwrite").bucketBy(nBuckets, "cluster_id")
       .sortBy("cluster_id").saveAsTable(name)
 
+  // ---- generation stamps (round-12 verdict #4): the cheap coverage
+  // gate for slow-listing object stores ------------------------------
+
+  /** One-row generation table `<name>_gen` holding the commit id of
+    * the last completed publish (the GraphStore meta-row pattern). A
+    * catalog-table property would not survive `saveAsTable(overwrite)`
+    * (the table is recreated), so the stamp lives beside the data. */
+  private def genTable(name: String) = name + "_gen"
+
+  private def writeGen(spark: SparkSession, name: String, cid: String): Unit = {
+    import spark.implicits._
+    Seq(cid).toDF("cid").write.mode("overwrite").saveAsTable(genTable(name))
+  }
+
+  private[graft] def readGen(spark: SparkSession, name: String): Option[String] =
+    if (!spark.catalog.tableExists(genTable(name))) None
+    else Some(spark.table(genTable(name)).head().getString(0))
+
+  /** Which labels/keepers consistency gate [[updateWithKeepers]] runs:
+    *
+    *  - `count` (default) — the self-evident invariant
+    *    Σ keepers.n_members = |labels|: a parquet-metadata count plus a
+    *    cluster-sized sum per ingest. Metadata-cheap on parquet;
+    *    MATERIAL on object stores with slow listing.
+    *  - `stamp` — compare two one-row generation tables written by
+    *    [[commitKeepers]] (labels' BEFORE its data, keepers' strictly
+    *    AFTER its data, so every crash window — including a crash
+    *    inside the stamp writes themselves — reads as disagreement,
+    *    the safe direction). Two single-row reads per ingest,
+    *    independent of store size. A pre-stamp store (no gen tables
+    *    yet) falls back to the count gate once; the next commit mints
+    *    the stamps. */
+  private def gateMode(spark: SparkSession): String = {
+    val m = spark.conf.get("spark.graft.labelstore.gate", "count")
+    require(m == "count" || m == "stamp",
+      s"spark.graft.labelstore.gate must be count|stamp; got '$m'")
+    m
+  }
+
   /** The q272 daily cycle over STORED relations: merge the labels
     * (the proven [[update]] path — only the batch is sketched), then
     * carry/recompute the keeper table through `Dedup.mergeKeeperTable`
@@ -131,24 +178,38 @@ object LabelStore {
     * them leaves labels a generation ahead; blindly carrying keeper
     * rows would then freeze the stale generation forever (every
     * "dirty" signal reads clean once the batch is already labeled).
-    * The invariant Σ keepers.n_members = |labels| detects exactly
-    * that window — both sides are metadata-cheap (a parquet count and
-    * a cluster-sized sum) — and the update REFUSES with a named error
+    * Two interchangeable detectors (see [[gateMode]]): the default
+    * count invariant Σ keepers.n_members = |labels|, or the
+    * generation-stamp compare for stores where even a metadata count
+    * is material. Either way the update REFUSES with a named error
     * pointing at [[rebuildKeepers]], the one-aggregation repair. */
   def updateWithKeepers(spark: SparkSession, labelsName: String,
       sketchName: String, keepersName: String, newDocs: DataFrame,
       threshold: Double): (DataFrame, DataFrame) = {
     val storedKeepers = spark.table(keepersName)
-    val nLabeled = load(spark, labelsName).count()
-    val nCovered = storedKeepers.agg(sum(col("n_members"))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
+    def countGate(): Unit = {
+      val nLabeled = load(spark, labelsName).count()
+      val nCovered = storedKeepers.agg(sum(col("n_members"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      if (nLabeled != nCovered)
+        throw new IllegalStateException(
+          s"keeper table '$keepersName' covers $nCovered docs but label " +
+            s"table '$labelsName' holds $nLabeled — a labels-ahead partial " +
+            "commit; run LabelStore.rebuildKeepers to repair before updating")
     }
-    if (nLabeled != nCovered)
-      throw new IllegalStateException(
-        s"keeper table '$keepersName' covers $nCovered docs but label " +
-          s"table '$labelsName' holds $nLabeled — a labels-ahead partial " +
-          "commit; run LabelStore.rebuildKeepers to repair before updating")
+    if (gateMode(spark) == "stamp")
+      (readGen(spark, labelsName), readGen(spark, keepersName)) match {
+        case (Some(a), Some(b)) if a == b => () // last publish completed
+        case (None, None)                 => countGate() // pre-stamp store
+        case (la, ke) => throw new IllegalStateException(
+          s"keeper table '$keepersName' generation ${ke.getOrElse("<absent>")} " +
+            s"≠ label table '$labelsName' generation ${la.getOrElse("<absent>")} " +
+            "— a labels-ahead partial commit; run LabelStore.rebuildKeepers " +
+            "to repair before updating")
+      }
+    else countGate()
     val fresh = newDocs.join(load(spark, labelsName).select("doc_id"),
       Seq("doc_id"), "left_anti")
     val mergedLabels = update(spark, labelsName, sketchName, newDocs, threshold)
@@ -181,20 +242,35 @@ object LabelStore {
     val frozenLabels = updatedLabels.select("doc_id", "cluster_id")
       .localCheckpoint(true)
     val frozenKeepers = updatedKeepers.localCheckpoint(true)
+    // stamps are minted only under the stamp gate (or once a store
+    // already carries them): two one-row writes the default count-gate
+    // deployment never pays
+    val stamping = gateMode(spark) == "stamp" ||
+      readGen(spark, labelsName).nonEmpty
+    val cid = java.util.UUID.randomUUID().toString
     StoreLock.withStoreLease(spark, labelsName) { lease =>
       lease.verify(); SketchStore.append(newDocs, sketchName, nBuckets)
+      // labels' stamp lands BEFORE its data: any crash from here to the
+      // keepers' stamp leaves the two gens disagreeing (detected), never
+      // agreeing around stale keepers (missed)
+      if (stamping) { lease.verify(); writeGen(spark, labelsName, cid) }
       lease.verify(); save(frozenLabels, labelsName, nBuckets)
       lease.verify(); saveKeepers(frozenKeepers, keepersName, nBuckets)
+      if (stamping) { lease.verify(); writeGen(spark, keepersName, cid) }
     }
   }
 
   /** Repair path for the labels-ahead crash window: re-derive the
     * keeper table from the committed labels + the corpus sizes — ONE
-    * q262 aggregation (no re-clustering, no sketching). */
+    * q262 aggregation (no re-clustering, no sketching). On a
+    * stamp-managed store the repaired keepers adopt the labels'
+    * generation, so the stamp gate re-opens. */
   def rebuildKeepers(spark: SparkSession, labelsName: String,
-      keepersName: String, docs: DataFrame, nBuckets: Int = 8): Unit =
+      keepersName: String, docs: DataFrame, nBuckets: Int = 8): Unit = {
     saveKeepers(Dedup.dedupOutputFrom(load(spark, labelsName), docs),
       keepersName, nBuckets)
+    readGen(spark, labelsName).foreach(writeGen(spark, keepersName, _))
+  }
 
   // ---- ONLINE keeper maintenance between batch commits -------------
 

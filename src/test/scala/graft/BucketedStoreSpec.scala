@@ -233,6 +233,85 @@ class BucketedStoreSpec extends SparkSpec {
     allTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("keeper store, STAMP gate: generations mint/compare, crash detected, repair re-opens") {
+    // round-12 verdict #4: the generation-stamp alternative to the
+    // per-ingest labels count — same crash window, detected by two
+    // one-row generation tables instead of a corpus-sized count (the
+    // slow-listing-object-store trade). Same algebra underneath, so
+    // every committed generation must still equal the q262 rebuild.
+    import graft.sources.{LabelStore, SketchStore}
+    val docs = Tables(spark, dir, "documents")
+    val day0 = docs.where($"doc_id" < 200)
+    val day1 = docs.where($"doc_id" >= 200 && $"doc_id" < 350)
+    val day2 = docs.where($"doc_id" >= 350)
+    val (labelTbl, sketchTbl, keeperTbl) =
+      ("graft_labels_sg", "graft_sketch_sg", "graft_keepers_sg")
+    val allTbls = Seq(s"${sketchTbl}_bands", s"${sketchTbl}_sets",
+      labelTbl, keeperTbl, s"${labelTbl}_gen", s"${keeperTbl}_gen")
+    allTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    LabelStore.save(Dedup.dedupClustersScale(day0, 0.95), labelTbl)
+    SketchStore.save(day0, sketchTbl)
+    LabelStore.saveKeepers(Dedup.dedupOutput(day0, 0.95), keeperTbl)
+
+    def ingest(batch: org.apache.spark.sql.DataFrame): Unit = {
+      val (labs, keeps) = LabelStore.updateWithKeepers(
+        spark, labelTbl, sketchTbl, keeperTbl, batch, 0.95)
+      LabelStore.commitKeepers(spark, labelTbl, sketchTbl, keeperTbl,
+        batch, labs, keeps)
+    }
+    def storedKeepers = spark.table(keeperTbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toList
+    def rebuilt(upTo: Long) = {
+      Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+      val out = Dedup.dedupOutput(docs.where($"doc_id" < upTo), 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toList
+      Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+      out
+    }
+
+    spark.conf.set("spark.graft.labelstore.gate", "stamp")
+    try {
+      // day 1: PRE-STAMP store (bootstrapped by plain saves) — the
+      // gate falls back to the count invariant once, and the commit
+      // mints both generation stamps
+      assert(LabelStore.readGen(spark, labelTbl).isEmpty)
+      ingest(day1)
+      assert(storedKeepers === rebuilt(350L),
+        "generation-1 keeper table diverged from the q262 rebuild")
+      val g1l = LabelStore.readGen(spark, labelTbl)
+      val g1k = LabelStore.readGen(spark, keeperTbl)
+      assert(g1l.nonEmpty && g1l === g1k, "commit did not mint equal stamps")
+
+      // labels-ahead crash for day 2: sketches + labels commit (the
+      // labels-only path must ADVANCE the labels generation), keepers
+      // never land — the stamp compare must refuse
+      val (labs2, _) = LabelStore.updateWithKeepers(
+        spark, labelTbl, sketchTbl, keeperTbl, day2, 0.95)
+      LabelStore.commit(spark, labelTbl, sketchTbl, day2, labs2)
+      assert(LabelStore.readGen(spark, labelTbl) !== g1l,
+        "labels-only commit left the labels generation unchanged")
+      val err = intercept[IllegalStateException] {
+        LabelStore.updateWithKeepers(spark, labelTbl, sketchTbl, keeperTbl,
+          day2, 0.95)
+      }
+      assert(err.getMessage.contains("generation"))
+      assert(err.getMessage.contains("rebuildKeepers"))
+      // repair re-derives keepers AND adopts the labels' generation
+      LabelStore.rebuildKeepers(spark, labelTbl, keeperTbl, docs)
+      assert(LabelStore.readGen(spark, keeperTbl) ===
+        LabelStore.readGen(spark, labelTbl), "repair did not sync stamps")
+      val gen2 = rebuilt(Long.MaxValue)
+      assert(storedKeepers === gen2,
+        "repaired keeper table diverged from the q262 rebuild")
+      // full-retry idempotence under the stamp gate
+      ingest(day2)
+      assert(storedKeepers === gen2, "retrying a committed day changed keepers")
+    } finally spark.conf.unset("spark.graft.labelstore.gate")
+    allTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("pq store: bucketed codes reconstruct with ZERO exchanges") {
     val emb = Tables(spark, dir, "embeddings")
     try {
