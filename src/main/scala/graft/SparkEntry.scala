@@ -1094,6 +1094,13 @@ object SparkEntry {
     // (band rows sum back to q271)
     "q274_minhash_calib_bands" -> ((s, d) =>
       Dedup.minhashCalibrationByLength(Tables(s, d, "documents"))),
+    // pending cluster merges: arrivals that verify into >=2 distinct
+    // stored clusters prove those clusters will merge at the next
+    // batch commit — the staleness row the online keeper overlay
+    // cannot express (cluster identity changes); served as the
+    // merge_pending flag in LabelStore.servingKeepers
+    "q275_merge_pending" -> ((s, d) =>
+      Dedup.mergePending(Tables(s, d, "documents"), 250L)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4856,6 +4863,59 @@ object SparkEntry {
          |WHERE d.n_chars > k.n_chars_kept
          |   OR (d.n_chars = k.n_chars_kept AND asg.doc_new < k.keep_id)
          |ORDER BY cluster_id, new_keep_id""".stripMargin,
+    // the q269 stored-closure + cross-match chain, folded per arrival
+    // to its DISTINCT matched stored clusters: >=2 proves a pending
+    // merge — min label is where the arrival goes, the rest will be
+    // absorbed at the next batch commit
+    "q275_merge_pending" ->
+      s"""WITH RECURSIVE $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |perms(i, a, b) AS (VALUES $permsValues),
+         |sig AS (SELECT doc_id, i, min((a*th + b) % ${Hashing.P}) AS minh
+         |        FROM th CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // ${Hashing.RowsPerBand} AS band,
+         |                 string_agg(minh::VARCHAR, '_' ORDER BY i) AS key
+         |          FROM sig GROUP BY i // ${Hashing.RowsPerBand}, doc_id),
+         |$setsCte,
+         |scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.key = b.key
+         |           AND a.doc_id < b.doc_id AND b.doc_id < 250),
+         |sedges AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |           ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
+         |    FROM scand JOIN sets a ON doc_a = a.doc_id
+         |               JOIN sets b ON doc_b = b.doc_id)
+         |  WHERE jaccard >= 0.95),
+         |ssym AS (SELECT doc_a AS u, doc_b AS v FROM sedges
+         |         UNION ALL SELECT doc_b, doc_a FROM sedges),
+         |sreach(u, v) AS (
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 250
+         |  UNION
+         |  SELECT r.u, s.v FROM sreach r JOIN ssym s ON r.v = s.u),
+         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id
+         |        FROM sreach GROUP BY u),
+         |xcand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.key = b.key
+         |           AND a.doc_id >= 250 AND b.doc_id < 250),
+         |xm AS (SELECT doc_new, doc_old FROM (
+         |         SELECT doc_new, doc_old,
+         |                ${jaccardSql("len(list_intersect(a.ws, b.ws))", "a.n", "b.n")} AS jaccard
+         |         FROM xcand JOIN sets a ON doc_new = a.doc_id
+         |                    JOIN sets b ON doc_old = b.doc_id)
+         |       WHERE jaccard >= 0.95),
+         |matched AS (SELECT DISTINCT xm.doc_new, lab.cluster_id
+         |            FROM xm JOIN lab ON xm.doc_old = lab.doc_id),
+         |multi AS (SELECT doc_new, min(cluster_id) AS merge_into
+         |          FROM matched GROUP BY doc_new HAVING count(*) >= 2)
+         |SELECT CAST(m.cluster_id AS BIGINT) AS cluster_id,
+         |       CAST(mu.merge_into AS BIGINT) AS merge_into,
+         |       CAST(mu.doc_new AS BIGINT) AS witness_id
+         |FROM matched m JOIN multi mu USING (doc_new)
+         |WHERE m.cluster_id <> mu.merge_into
+         |ORDER BY 1, 2, 3""".stripMargin,
     // the q92 trained codebook + assignment replayed, folded to
     // per-cell counts, shares, and load factors — integer micros,
     // truncating division on all-positive terms

@@ -1213,6 +1213,43 @@ object Dedup {
       .orderBy("cluster_id", "new_keep_id")
   }
 
+  /** q275 — PENDING CLUSTER MERGES: the staleness signal the online
+    * keeper overlay cannot repair (round-11 residue → round-12 verdict
+    * #6). An arriving document that verifies into TWO OR MORE distinct
+    * stored clusters PROVES those clusters are one cluster — the next
+    * q272 batch commit will merge them (CC over the contracted graph),
+    * but until then every row served for them is stale in a way no
+    * keeper override can express (cluster identity itself changes).
+    * This relation is the online-visible form of that fact: one row
+    * per (stored cluster, the min-label cluster it will merge into,
+    * the arriving witness) — `LabelStore.servingKeepers` overlays it
+    * as a `merge_pending` flag so a serving layer can route reads
+    * around clusters whose identity is about to change.
+    *
+    * Assignment semantics deliberately match the streaming gate: the
+    * min verified stored label is where the arrival GOES
+    * (gateVerdictFold's rule); the other matched labels are the
+    * clusters that will be ABSORBED. Scale shape: the q90 incremental
+    * probe (batch-side sketching only) + one cluster-label join + a
+    * per-arrival set fold — batch-sized work end to end. */
+  def mergePending(docs: DataFrame, cap: Long,
+      threshold: Double = 0.95): DataFrame = {
+    val stored = docs.where(col("doc_id") < cap)
+    val labels = dedupClustersScale(stored, threshold)
+      .select(col("doc_id").as("doc_old"), col("cluster_id"))
+    val matched = incrementalNearDup(docs, cap, threshold)
+      .join(labels, "doc_old")
+      .groupBy(col("doc_new"))
+      .agg(sort_array(collect_set(col("cluster_id"))).as("clusters"))
+      .where(size(col("clusters")) >= 2)
+    matched.select(col("doc_new").as("witness_id"),
+        element_at(col("clusters"), 1).as("merge_into"),
+        explode(slice(col("clusters"), lit(2), size(col("clusters")) - 1))
+          .as("cluster_id"))
+      .select("cluster_id", "merge_into", "witness_id")
+      .orderBy("cluster_id", "merge_into", "witness_id")
+  }
+
   /** Connected components over an explicit undirected edge list;
     * every node (even isolated) gets the min node id of its component.
     *

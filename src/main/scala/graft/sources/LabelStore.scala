@@ -309,4 +309,30 @@ object LabelStore {
         coalesce(col("override_n_chars"), col("n_chars_kept"))
           .as("n_chars_kept"),
         col("override_keep_id").isNotNull.as("overridden"))
+
+  /** [[servingKeepers]] with the ONLINE STALENESS FLAG: q275
+    * merge-pending rows (batch `Dedup.mergePending` or
+    * `streamingMergePending` output — same schema, spec-pinned equal)
+    * mark every cluster whose IDENTITY the next batch commit will
+    * change — both the absorbed clusters and the min-label cluster
+    * absorbing them (its membership grows, so its keeper may change
+    * too). A keeper override cannot repair that (the documented
+    * batch-commit contract); the flag lets a serving layer route
+    * around or re-verify reads on exactly those clusters instead of
+    * trusting a row that is provably about to be rewritten. One
+    * cluster-keyed left join; the pending side is bounded by the
+    * day's merge-witness count. */
+  def servingKeepers(storedKeepers: DataFrame, overrides: DataFrame,
+      mergePending: DataFrame): DataFrame =
+    servingKeepers(storedKeepers, overrides)
+      .join(
+        mergePending
+          .select(explode(array(col("cluster_id"), col("merge_into")))
+            .as("cluster_id"))
+          .distinct()
+          .withColumn("merge_pending", lit(true)),
+        Seq("cluster_id"), "left_outer")
+      .select(col("keep_id"), col("cluster_id"), col("n_members"),
+        col("n_chars_kept"), col("overridden"),
+        coalesce(col("merge_pending"), lit(false)).as("merge_pending"))
 }

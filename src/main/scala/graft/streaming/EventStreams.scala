@@ -255,7 +255,11 @@ object EventStreams {
     * columns (e.g. n_chars) that must survive both watermarked
     * aggregations — they ride as max() folds, which is the identity
     * on a per-doc constant. Output: one row per (doc_id, ingest_ts)
-    * with `dup_of` = the matched stored cluster label or NULL. */
+    * with `dup_of` = the matched stored cluster label or NULL, plus
+    * `matched_labels` = ALL distinct verified stored labels sorted
+    * ascending (collect_set skips NULLs) — `dup_of` is its head; ≥2
+    * entries is the pending-merge witness
+    * ([[streamingMergePending]]). */
   private def gateVerdictFold(docs: DataFrame, storedBands: DataFrame,
       storedSets: DataFrame, storedLabels: DataFrame, threshold: Double,
       watermark: String, carry: Seq[String]): DataFrame = {
@@ -294,8 +298,36 @@ object EventStreams {
         col("old_label")))
     labeled
       .groupBy(col("doc_id"), col("ingest_ts"))
-      .agg(min(col("match_label")).as("dup_of"), carryAggs: _*)
+      .agg(min(col("match_label")).as("dup_of"),
+        sort_array(collect_set(col("match_label"))).as("matched_labels") +:
+          carryAggs: _*)
   }
+
+  /** Streaming PENDING-MERGE detection — q275's online twin (round-12
+    * verdict #6): an arriving document that verifies into TWO OR MORE
+    * distinct stored clusters proves those clusters will merge at the
+    * next batch commit. The online keeper overlay deliberately cannot
+    * express this (cluster identity itself changes — the documented
+    * batch-commit contract), so serving needs at least the STALENESS
+    * ROW: one row per (absorbed cluster, the min-label cluster it
+    * merges into, the arriving witness). Same shared
+    * [[gateVerdictFold]] — the matched-label set is collected in the
+    * gate's existing per-doc fold, so no extra stateful operator; the
+    * explode of the non-min labels is a stateless projection.
+    * `LabelStore.servingKeepers` overlays these rows as a
+    * `merge_pending` flag. StreamingSpec pins stream ≡ batch
+    * `Dedup.mergePending` on a shared split. */
+  def streamingMergePending(docs: DataFrame, storedBands: DataFrame,
+      storedSets: DataFrame, storedLabels: DataFrame, threshold: Double,
+      watermark: String = "10 minutes"): DataFrame =
+    gateVerdictFold(docs, storedBands, storedSets, storedLabels, threshold,
+      watermark, Nil)
+      .where(size(col("matched_labels")) >= 2)
+      .select(col("doc_id").as("witness_id"), col("ingest_ts"),
+        element_at(col("matched_labels"), 1).as("merge_into"),
+        explode(slice(col("matched_labels"), lit(2),
+          size(col("matched_labels")) - 1)).as("cluster_id"))
+      .select("cluster_id", "merge_into", "witness_id", "ingest_ts")
 
   /** Streaming KEEPER UPGRADES — q269's online twin (round-10 verdict
     * #6): [[streamingDedupGate]] inherits the STORED cluster label and

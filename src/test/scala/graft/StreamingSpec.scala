@@ -724,6 +724,93 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming merge-pending: a bridging arrival flags both stored clusters; stream ≡ batch q275") {
+    // round-12 verdict #6: an arrival that verifies into TWO stored
+    // clusters proves they will merge at the next batch commit — the
+    // one staleness the keeper override contract cannot express. The
+    // fixture manufactures the bridge: B = w1..w97 and C = w4..w100
+    // are 0.94-similar (below the 0.95 threshold — separate stored
+    // clusters), while the arrival A = w1..w100 is 0.97-similar to
+    // BOTH.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // 100 distinct ALPHABETIC words (the tokenizer strips digits —
+    // reference normalization — so w1..w100 would collapse to one "w").
+    // B drops words 97-99, C drops 10-12: J(A,B)=J(A,C)=0.97 (verified
+    // bridges), J(B,C)=0.94 (separate stored clusters). The dropped
+    // windows are chosen so BOTH pairs deterministically collide in an
+    // LSH band (at j=0.97 a band match is ~0.6 probable per pair, not
+    // certain — the polyHash family makes the draw fixed, and this one
+    // collides; a slice that misses was the first attempt).
+    val words = (for (x <- 'a' to 'j'; y <- 'a' to 'j') yield s"w$x$y").toVector
+    def drop3(at: Int) = words.zipWithIndex
+      .filterNot { case (_, i) => i >= at && i < at + 3 }.map(_._1).mkString(" ")
+    val b = drop3(97)
+    val c = drop3(10)
+    val a = words.mkString(" ")
+    val oldDocs = Seq((1L, b, b.length.toLong), (2L, c, c.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val (storedBands, storedSets) = graft.operators.Dedup.sketchRelations(oldDocs)
+    val storedLabels = graft.operators.Dedup.dedupClustersScale(oldDocs, 0.95)
+      .select("doc_id", "cluster_id")
+    // fixture sanity: the two stored docs really are separate clusters
+    assert(storedLabels.collect().map(_.getLong(1)).distinct.length === 2,
+      "stored docs merged — the bridge fixture is vacuous")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.streamingMergePending(
+        in.toDF.toDF("doc_id", "text", "ingest_ts"),
+        storedBands, storedSets, storedLabels, 0.95, "10 minutes")
+      .writeStream.format("memory").queryName("mergepending")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, a, ts(0)),
+        (11L, "entirely novel content nothing matches", ts(1)))
+      q.processAllAvailable()
+      in.addData((14L, "watermark mover",
+        Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("mergepending").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the bridge emits exactly one row: cluster 2 will be absorbed
+      // into cluster 1, witnessed by doc 10; the novel doc emits nothing
+      assert(got === Set((2L, 1L, 10L)))
+      // stream ≡ batch: q275 on the combined split emits the same rows
+      graft.operators.Dedup.clearSketchMemo()
+      graft.operators.Dedup.clearClusterMemo()
+      val all = oldDocs.unionByName(Seq(
+        (10L, a, a.length.toLong),
+        (11L, "entirely novel content nothing matches", 38L))
+        .toDF("doc_id", "text", "n_chars"))
+      val batch = graft.operators.Dedup.mergePending(all, 10L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch === got)
+      graft.operators.Dedup.clearSketchMemo()
+      graft.operators.Dedup.clearClusterMemo()
+
+      // SERVED OVERLAY: both clusters of the pending merge read as
+      // merge_pending (identity about to change); keeper fields are
+      // untouched (no upgrade events in this fixture)
+      import graft.sources.LabelStore
+      val storedKeepers = graft.operators.Dedup.dedupOutput(oldDocs)
+      val noUpgrades = Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("cluster_id", "old_keep_id", "new_keep_id",
+          "n_chars_old", "n_chars_new")
+      val served = LabelStore.servingKeepers(storedKeepers,
+          LabelStore.keeperOverrides(noUpgrades),
+          spark.table("mergepending"))
+        .collect()
+        .map(r => r.getLong(1) -> ((r.getLong(0), r.getBoolean(4),
+          r.getBoolean(5)))).toMap
+      assert(served(1L) === ((1L, false, true)),
+        "absorbing cluster not flagged merge_pending")
+      assert(served(2L) === ((2L, false, true)),
+        "absorbed cluster not flagged merge_pending")
+      graft.operators.Dedup.clearSketchMemo()
+      graft.operators.Dedup.clearClusterMemo()
+    } finally q.stop()
+  }
+
   test("streaming NB quality gate ≡ batch q209 scores, multi-batch, both verdicts") {
     implicit val ctx = spark.sqlContext
     val corpus = graft.sources.Tables(spark, testdataDir, "documents")
