@@ -20,6 +20,22 @@ object Bench {
     s"graft_[A-Za-z0-9]+(?:_[A-Za-z0-9]+)*_$token(?:_[a-z]+)?_[0-9a-f]{1,8}".r
   }
 
+  /** Parse the per-query seconds out of a committed bench.json (our
+    * own flat `"queries":{"name":sec,...}` shape — no JSON library in
+    * the Spark-only dependency set). */
+  private[graft] def parsePrevQueries(txt: String): Map[String, Double] = {
+    val at = txt.indexOf("\"queries\"")
+    if (at < 0) Map.empty
+    else {
+      val block = txt.drop(at)
+      val end = block.indexOf("}")
+      if (end < 0) Map.empty
+      else "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r
+        .findAllMatchIn(block.take(end + 1))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -141,7 +157,51 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val heavyNames = heavy.keys.map(n => s"\"$n\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","extra_runs_gt2s":$extra,"protocol":"$protocol","heavy_rows":$heavyNames}"""
+    // Self-reporting drift vs the PREVIOUS round (round-11 verdict #8):
+    // the host band moves whole benches by ±15% between rounds, so a
+    // real single-query regression hides inside the uniform shift.
+    // Model the shift robustly — median log-ratio over common queries =
+    // the band, MAD-sigma around it = per-query noise — and flag only
+    // queries that are BOTH statistical outliers (|z| > 3) and
+    // materially slower (>0.3 s absolute), so noise cannot flip a row
+    // red and a red row cannot hide in the band. Read the committed
+    // bench.json BEFORE this run overwrites it.
+    val vsPrev: String = {
+      val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench.json")
+      val prev: Map[String, Double] =
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(prevPath)), "UTF-8")
+          // only compare same-corpus runs — a prev point at another
+          // scale would read as a uniform "drift" of the scale factor
+          val prevSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
+            .findFirstMatchIn(txt).map(_.group(1))
+          if (prevSf.exists(_ != sfDir)) Map.empty else parsePrevQueries(txt)
+        } catch { case _: Throwable => Map.empty }
+      val common = results.toSeq.collect {
+        case (k, cur) if prev.get(k).exists(_ > 0) && cur > 0 =>
+          (k, prev(k), cur, math.log(cur / prev(k)))
+      }
+      if (common.size < 8) "null"
+      else {
+        def med(xs: Seq[Double]): Double = {
+          val s = xs.sorted; val n = s.length
+          if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+        }
+        val logs = common.map(_._4)
+        val m = med(logs)
+        // 1.4826·MAD ≈ sigma for a normal core; floored so a freakishly
+        // quiet pair of runs cannot turn 10 ms wiggles into outliers
+        val sigma = math.max(1.4826 * med(logs.map(x => math.abs(x - m))), 0.04)
+        val flagged = common.collect {
+          case (k, p, c, lr)
+              if math.abs((lr - m) / sigma) > 3.0 && (c - p) > 0.3 =>
+            f""""$k":{"prev":$p%.3f,"cur":$c%.3f,"z":${(lr - m) / sigma}%.1f}"""
+        }
+        f"""{"prev_total":${common.map(_._2).sum}%.1f,"common":${common.size},"median_ratio":${math.exp(m)}%.4f,"sigma_log":$sigma%.4f,"flagged":${flagged.mkString("{", ",", "}")}}"""
+      }
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","extra_runs_gt2s":$extra,"protocol":"$protocol","heavy_rows":$heavyNames,"vs_prev":$vsPrev}"""
     println(json)
     // The full per-query JSON is ~4 KB at 100+ queries and every
     // BENCH_r1–r4 artifact shows "parsed": null with a truncated log
@@ -150,7 +210,11 @@ object Bench {
     // path plus ./bench.json in the repo working dir, which gets
     // committed so the 2×-baseline gate can be computed from data.
     val mean = if (results.nonEmpty) total / results.size else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"mean_sec_per_query":$mean%.4f,"sf":"$sfDir"}""")
+    val nFlagged =
+      if (vsPrev == "null") -1
+      else "\"q[A-Za-z0-9_]+\":\\{".r.findAllIn(
+        vsPrev.drop(vsPrev.indexOf("\"flagged\""))).length
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"mean_sec_per_query":$mean%.4f,"sf":"$sfDir","vs_prev_flagged":$nFlagged}""")
     for (path <- Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json"),
                      "bench.json"))
       try java.nio.file.Files.write(java.nio.file.Paths.get(path),

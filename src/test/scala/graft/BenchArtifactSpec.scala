@@ -44,6 +44,22 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(matches(sf1, "graft_sidecar_csv__root_testdata_sf1_documents_9f"))
   }
 
+  test("vs_prev parser reads the committed bench.json shape") {
+    val txt = """{"metric":"total","value":188.0,"unit":"sec","queries":{"q01_tokenize":0.411989219,"q02_postings":1.19389489,"q275_merge_pending":0.5},"sf":"x","runs":3}"""
+    val got = Bench.parsePrevQueries(txt)
+    assert(got === Map("q01_tokenize" -> 0.411989219,
+      "q02_postings" -> 1.19389489, "q275_merge_pending" -> 0.5))
+    // the real committed artifact parses to its full query set
+    val real = Bench.parsePrevQueries(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench.json")), "UTF-8"))
+    assert(real.size >= 200, s"parsed only ${real.size} queries")
+    assert(real.contains("q01_tokenize"))
+    // junk inputs degrade to empty, never throw
+    assert(Bench.parsePrevQueries("").isEmpty)
+    assert(Bench.parsePrevQueries("{\"metric\":1}").isEmpty)
+  }
+
   test("unrelated tmp entries never match") {
     val d = "/root/testdata/sf0.1"
     assert(!matches(d, "graft_wh12345"))                 // spec warehouses
