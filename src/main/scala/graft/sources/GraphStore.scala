@@ -126,17 +126,31 @@ object GraphStore {
     * delta (both idempotent under partial commits). */
   private[graft] def storeState(spark: SparkSession,
       name: String): (Long, Boolean) = {
-    val metaRow = scala.util.Try(
-      spark.table(name + "_meta")
-        .select(col("cap"), col("cid").cast("string").as("cid")).head())
-      .getOrElse(spark.table(name + "_meta")
-        .select(col("cap"), lit(null).cast("string").as("cid")).head())
-    val cap = metaRow.getLong(0)
-    val metaCid = Option(metaRow.getString(1))
-    def propCid(t: String): Option[String] =
+    def props(t: String): Map[String, String] =
       scala.util.Try(spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(t))
-        .properties.get("graft.cid")).toOption.flatten
+        .properties).getOrElse(Map.empty)
+    def propCid(t: String): Option[String] = props(t).get("graft.cid")
+    // FAST PATH (round-12 verdict #5): the watermark ALSO lives in the
+    // meta table's properties (set strictly after its row lands, like
+    // the edge stamps), so a completed-publish store answers storeState
+    // with FOUR catalog reads and ZERO Spark jobs — this ran as a
+    // per-ingest head() job and was a measured piece of q206's fixed
+    // commit cost at daily-batch sizes. Absent properties (pre-round-12
+    // store, or a crash between the meta row and its ALTER) fall back
+    // to the row read — the crash window can only LOSE the property,
+    // never serve a stale one (overwrite recreates the table bare).
+    val metaProps = props(name + "_meta")
+    val (cap, metaCid) = (metaProps.get("graft.cap"), metaProps.get("graft.cid")) match {
+      case (Some(c), cid @ Some(_)) => (c.toLong, cid)
+      case _ =>
+        val metaRow = scala.util.Try(
+          spark.table(name + "_meta")
+            .select(col("cap"), col("cid").cast("string").as("cid")).head())
+          .getOrElse(spark.table(name + "_meta")
+            .select(col("cap"), lit(null).cast("string").as("cid")).head())
+        (metaRow.getLong(0), Option(metaRow.getString(1)))
+    }
     val cids = metaCid +:
       Seq(name + "_base", name + "_refined", name).map(propCid)
     (cap, cids.forall(_.nonEmpty) && cids.distinct.size == 1)
@@ -178,9 +192,14 @@ object GraphStore {
   def update(spark: SparkSession, name: String, embeddings: DataFrame,
       newCap: Long, m: Int = 8): (DataFrame, DataFrame, DataFrame) = {
     val storedBase = edgeTable(spark, name + "_base")
-    val storedGraph = edgeTable(spark, name)
-    val storedRefined = loadRefined(spark, name)
-    // ONE driver job reads the watermark AND the four commit stamps
+    // refined/graph resolve LAZILY in the delta arm only — the fused
+    // below-floor path never reads them, and their catalog resolution
+    // was a measured piece of the per-ingest fixed cost (round-12
+    // verdict #5)
+    def storedGraph = edgeTable(spark, name)
+    def storedRefined = loadRefined(spark, name)
+    // catalog-only read of the watermark AND the four commit stamps
+    // (zero Spark jobs on a round-12 store — see storeState)
     val (oldCap, consistent) = storeState(spark, name)
     val visible = embeddings.where(col("vec_id") < newCap)
     def edgesOf(df: DataFrame) = df.select("src", "dst", "cos6")
@@ -307,6 +326,11 @@ object GraphStore {
       import spark.implicits._
       Seq((cap, cid)).toDF("cap", "cid")
         .write.mode("overwrite").saveAsTable(name + "_meta")
+      // mirror (cap, cid) into the meta table's properties — the
+      // zero-job storeState fast path; set strictly after the row so
+      // a crash here only loses the shortcut, never serves stale
+      spark.sql(s"ALTER TABLE ${name}_meta SET TBLPROPERTIES(" +
+        s"'graft.cap' = '$cap', 'graft.cid' = '$cid')")
     }
   }
 }

@@ -274,6 +274,43 @@ object LabelStore {
 
   // ---- ONLINE keeper maintenance between batch commits -------------
 
+  /** q269's PRODUCTION form over STORED relations — the upgrade-event
+    * feed a daily ingest computes between batch commits: only the
+    * arriving batch is sketched (the q90 contract); the stored band
+    * index, labels, and keeper table are table reads. Same assignment
+    * rule as the streaming gate (min verified stored label) and the
+    * same q262 struct-key upgrade predicate as `Dedup.keeperUpgrades`
+    * (spec-pinned equal on a shared split) — that query form instead
+    * REBUILDS the stored closure in-query, the oracle convention
+    * StoreBench prices this against. Feed [[keeperOverrides]] →
+    * [[servingKeepers]]. */
+  def upgradeEvents(spark: SparkSession, labelsName: String,
+      sketchName: String, keepersName: String, newDocs: DataFrame,
+      threshold: Double): DataFrame = {
+    val (bands, sets) = SketchStore.load(spark, sketchName)
+    val labels = load(spark, labelsName)
+      .select(col("doc_id").as("doc_old"), col("cluster_id"))
+    val assigned = Dedup
+      .incrementalNearDupStored(bands, sets, newDocs, threshold)
+      // retried batches may already be in the stored index: a doc
+      // probing its own sketch is not an upgrade witness
+      .where(col("doc_new") =!= col("doc_old"))
+      .join(labels, "doc_old")
+      .groupBy(col("doc_new"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
+    assigned
+      .join(newDocs.select(col("doc_id").as("doc_new"),
+        col("n_chars").cast("long").as("n_chars_new")), "doc_new")
+      .join(spark.table(keepersName).select(col("cluster_id"),
+        col("keep_id"), col("n_chars_kept").cast("long").as("n_chars_kept")),
+        "cluster_id")
+      .where(struct(col("n_chars_new"), -col("doc_new")) >
+        struct(col("n_chars_kept"), -col("keep_id")))
+      .select(col("cluster_id"), col("keep_id").as("old_keep_id"),
+        col("doc_new").as("new_keep_id"),
+        col("n_chars_kept").as("n_chars_old"), col("n_chars_new"))
+  }
+
   /** Fold q269 upgrade events (batch `Dedup.keeperUpgrades` rows or a
     * `streamingKeeperUpgrades` micro-batch) into ONE override row per
     * cluster — the best arrival under the q262 key. Events carry no

@@ -112,14 +112,15 @@ object StoreBench {
       val oldDocs = docs.where(col("doc_id") < dCap)
       val batchDocs = docs.where(col("doc_id") >= dCap)
       sbTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-      if (wanted("q202_clusters") || wanted("q272_keepers")) {
+      if (wanted("q202_clusters") || wanted("q272_keepers") ||
+          wanted("q269_serving")) {
         SketchStore.save(oldDocs, "sb_sketch")
         clearMemos()
         LabelStore.save(
           graft.operators.Dedup.dedupClustersScale(oldDocs, threshold),
           "sb_labels")
       }
-      if (wanted("q272_keepers")) {
+      if (wanted("q272_keepers") || wanted("q269_serving")) {
         clearMemos()
         LabelStore.saveKeepers(
           graft.operators.Dedup.dedupOutput(oldDocs, threshold), "sb_keepers")
@@ -145,6 +146,21 @@ object StoreBench {
             .incrementalDedupOutput(docs, dCap, threshold),
           () => LabelStore.updateWithKeepers(spark, "sb_labels", "sb_sketch",
             "sb_keepers", batchDocs, threshold)._2),
+        // the round-11 ONLINE OVERLAY claim as a number (round-12
+        // verdict #7): the full between-commits loop — upgrade events
+        // off the stored relations (only the batch sketched) → the
+        // per-cluster override fold → the served keeper view. The
+        // query form pays the oracle convention twice over: q269's
+        // in-query stored-closure rebuild AND the q262 keeper rebuild
+        // it overlays onto.
+        Family("q269_serving",
+          () => LabelStore.servingKeepers(
+            graft.operators.Dedup.dedupOutput(oldDocs, threshold),
+            LabelStore.keeperOverrides(graft.operators.Dedup
+              .keeperUpgrades(docs, dCap, threshold))),
+          () => LabelStore.servingKeepers(spark.table("sb_keepers"),
+            LabelStore.keeperOverrides(LabelStore.upgradeEvents(spark,
+              "sb_labels", "sb_sketch", "sb_keepers", batchDocs, threshold)))),
         Family("q206_nsw_graph",
           () => graft.operators.Similarity.nswGraphIncremental(emb, vCap),
           () => GraphStore.update(spark, "sb_graph", emb, vMax)._3),

@@ -312,6 +312,57 @@ class BucketedStoreSpec extends SparkSpec {
     allTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("upgradeEvents over stored relations ≡ batch q269; served overlays agree") {
+    // round-12 verdict #7: the production upgrade feed (stored bands/
+    // labels/keepers read, only the batch sketched) must emit exactly
+    // the q269 rows the oracle-gated query form derives by rebuilding
+    // the stored closure in-query — and the two servingKeepers
+    // compositions StoreBench prices against each other must be the
+    // SAME relation.
+    import graft.sources.{LabelStore, SketchStore}
+    val docs = Tables(spark, dir, "documents")
+    val cap = 250L
+    val day0 = docs.where($"doc_id" < cap)
+    val day1 = docs.where($"doc_id" >= cap)
+    val (labelTbl, sketchTbl, keeperTbl) =
+      ("graft_labels_ue", "graft_sketch_ue", "graft_keepers_ue")
+    val allTbls = Seq(s"${sketchTbl}_bands", s"${sketchTbl}_sets",
+      labelTbl, keeperTbl)
+    allTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    LabelStore.save(Dedup.dedupClustersScale(day0, 0.95), labelTbl)
+    SketchStore.save(day0, sketchTbl)
+    LabelStore.saveKeepers(Dedup.dedupOutput(day0, 0.95), keeperTbl)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val prod = rows(LabelStore.upgradeEvents(
+      spark, labelTbl, sketchTbl, keeperTbl, day1, 0.95))
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+    val query = rows(Dedup.keeperUpgrades(docs, cap, 0.95))
+    assert(prod === query, "production upgrade feed diverged from q269")
+    assert(prod.nonEmpty, "no upgrade events on this split — vacuous")
+
+    // the two StoreBench q269_serving forms: stored-table overlay vs
+    // in-query-rebuild overlay — identical served relations
+    def served(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val prodServed = served(LabelStore.servingKeepers(
+      spark.table(keeperTbl),
+      LabelStore.keeperOverrides(LabelStore.upgradeEvents(
+        spark, labelTbl, sketchTbl, keeperTbl, day1, 0.95))))
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+    val queryServed = served(LabelStore.servingKeepers(
+      Dedup.dedupOutput(day0, 0.95),
+      LabelStore.keeperOverrides(Dedup.keeperUpgrades(docs, cap, 0.95))))
+    assert(prodServed === queryServed,
+      "the two serving compositions diverged")
+    assert(prodServed.exists(_._5), "no served override — overlay idle")
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+    allTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("pq store: bucketed codes reconstruct with ZERO exchanges") {
     val emb = Tables(spark, dir, "embeddings")
     try {
