@@ -1101,6 +1101,13 @@ object SparkEntry {
     // merge_pending flag in LabelStore.servingKeepers
     "q275_merge_pending" -> ((s, d) =>
       Dedup.mergePending(Tables(s, d, "documents"), 250L)),
+    // the fourth estimator-health relation (q270 IVF, q271 MinHash,
+    // q273 PQ): per q91 candidate pair — block collisions BEFORE the
+    // dist cut, exactly what the matcher pays to verify — exact
+    // Jaccard folded per Hamming distance; the far buckets price the
+    // chance-collision tail (28-bit saturation made measurable)
+    "q276_simhash_calibration" -> ((s, d) =>
+      Dedup.simhashCalibration(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4916,6 +4923,39 @@ object SparkEntry {
          |FROM matched m JOIN multi mu USING (doc_new)
          |WHERE m.cluster_id <> mu.merge_into
          |ORDER BY 1, 2, 3""".stripMargin,
+    // the q91 signature/block chain with the exact token-set Jaccard
+    // folded per Hamming distance of each block-collision pair
+    "q276_simhash_calibration" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |bits AS (SELECT doc_id, b, sum(((th >> b) & 1)*2 - 1) AS s
+         |         FROM th CROSS JOIN generate_series(0, ${Hashing.SimHashBits - 1}) t(b)
+         |         GROUP BY doc_id, b),
+         |sh AS (SELECT doc_id,
+         |              CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM bits GROUP BY doc_id),
+         |blk AS (SELECT doc_id, simhash, bi,
+         |               (simhash >> (bi * ${Hashing.SimHashBits / 4})) & ${(1 << (Hashing.SimHashBits / 4)) - 1} AS bv
+         |        FROM sh CROSS JOIN generate_series(0, 3) t(bi)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+         |                b.doc_id AS doc_b, b.simhash AS sh_b
+         |         FROM blk a JOIN blk b
+         |           ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |$setsCte,
+         |x AS (SELECT CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS dist,
+         |             len(list_intersect(a.ws, b.ws)) AS inter,
+         |             a.n AS n_a, b.n AS n_b
+         |      FROM cand JOIN sets a ON doc_a = a.doc_id
+         |                JOIN sets b ON doc_b = b.doc_id),
+         |y AS (SELECT dist,
+         |             inter * 1000000 // (n_a + n_b - inter) AS jac_micros
+         |      FROM x)
+         |SELECT CAST(dist AS BIGINT) AS dist,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(jac_micros) // count(*) AS BIGINT) AS mean_jac_micros,
+         |       CAST(min(jac_micros) AS BIGINT) AS min_jac_micros,
+         |       CAST(max(jac_micros) AS BIGINT) AS max_jac_micros
+         |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q92 trained codebook + assignment replayed, folded to
     // per-cell counts, shares, and load factors — integer micros,
     // truncating division on all-positive terms

@@ -655,6 +655,50 @@ object Dedup {
     result
   }
 
+  /** q276 — SimHash ESTIMATOR CALIBRATION: the fourth estimator-health
+    * relation (q270 IVF cells, q271 MinHash, q273 PQ — SimHash was the
+    * one audited structure without one). Per q91 candidate pair — the
+    * pigeonhole block collisions, BEFORE the dist ≤ maxDist cut, i.e.
+    * exactly the pairs the matcher pays to verify — the exact
+    * token-set Jaccard is folded per Hamming distance: n_pairs and
+    * mean/min/max jac_micros per dist bucket. Two reads: does Hamming
+    * distance actually track set similarity on THIS corpus (the
+    * near-diagonal buckets), and how fat is the chance-collision tail
+    * the verify step pays for (the far buckets — block saturation made
+    * measurable, the q91 28-bit story as a relation). Rides the
+    * memoized 28-bit signature tower (cross-engine, the pinned oracle
+    * family) and the memoized fused sketch for the exact sets; output
+    * bounded by SimHashBits+1 rows. */
+  def simhashCalibration(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val (sigs, h1) = persistIfLazy(simhashSigs(docs))
+    val blocks = simhashBlocksOf(sigs, Hashing.SimHashBits, maxDist)
+    val cand = blocks.alias("a")
+      .join(blocks.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .where(firstMatchOnly(col("a.simhash"), col("b.simhash"),
+        col("a.blk"), Hashing.SimHashBits, maxDist))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sh_a"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("sh_b"))
+    val (agged, h2) = fusedSketch(docs)
+    def side(s: String) = agged.select(col("doc_id").as(s"doc_$s"),
+      col("ws").as(s"ws_$s"), col("n").as(s"n_$s"))
+    val result = cand
+      .join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .withColumn("dist",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .withColumn("inter", IntersectCountSorted(col("ws_a"), col("ws_b")))
+      .withColumn("jac_micros",
+        expr("inter * 1000000 div (n_a + n_b - inter)"))
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(jac_micros) div count(1)").as("mean_jac_micros"),
+        min(col("jac_micros")).as("min_jac_micros"),
+        max(col("jac_micros")).as("max_jac_micros"))
+      .orderBy("dist")
+    Dedup.finishWith(result, h1 ++ h2: _*)
+  }
+
   /** The q271/q274 shared candidate-scoring tower: LSH candidates off
     * the memoized fused sketch, per-pair signature agreement + exact
     * Jaccard in integer micros; `fold` shapes the final aggregation. */

@@ -516,6 +516,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(blocked.forall(_._3 <= 3))
   }
 
+  test("q276 simhash calibration: matcher rows accounted, estimator tracks similarity") {
+    val docs = t("documents")
+    Dedup.clearSketchMemo()
+    val cal = Dedup.simhashCalibration(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // bucket sanity: min ≤ mean ≤ max everywhere
+    cal.foreach { case (d, _, mean, mn, mx) =>
+      assert(mn <= mean && mean <= mx, s"bucket $d ordering broken")
+    }
+    // the dist ≤ 3 buckets account for EXACTLY the q91 matcher's rows
+    // (same candidates, same pair-once selection, same verify cut)
+    val matched = Dedup.simhashMatch28(docs, 3).count()
+    assert(cal.filter(_._1 <= 3).map(_._2).sum === matched,
+      "near buckets diverge from the q91 match relation")
+    // the tail exists (chance collisions the verify pays for) and the
+    // estimator tracks similarity: nearest bucket's mean exact Jaccard
+    // beats the farthest bucket's
+    assert(cal.exists(_._1 > 3), "no chance-collision tail — vacuous")
+    assert(cal.minBy(_._1)._3 > cal.maxBy(_._1)._3,
+      "Hamming distance does not track Jaccard — estimator broken")
+    Dedup.clearSketchMemo()
+  }
+
   test("simhashMatchScale routes to the 64-bit production family") {
     val docs = t("documents").where(col("doc_id") < 300)
     // round-12 width retirement: the scale path must be the 64-bit
