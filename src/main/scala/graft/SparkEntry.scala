@@ -1108,6 +1108,17 @@ object SparkEntry {
     // chance-collision tail (28-bit saturation made measurable)
     "q276_simhash_calibration" -> ((s, d) =>
       Dedup.simhashCalibration(Tables(s, d, "documents"))),
+    // the data-mixing constraint on the dedup output: per-source keep
+    // caps filled best-first, every keeper carrying its rank and the
+    // admit verdict (the full audit trail, not just the admitted rows)
+    "q277_keeper_quota" -> ((s, d) =>
+      Dedup.keeperQuota(Tables(s, d, "documents"), 10)),
+    // "why was my document removed": every dropped member with its
+    // keeper and the EXACT doc<->keeper Jaccard — transitive-closure
+    // chains put many of these BELOW the pairwise threshold, which is
+    // exactly what an owner wants surfaced before trusting the dedup
+    "q278_drop_attribution" -> ((s, d) =>
+      Dedup.dropAttribution(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -4956,6 +4967,48 @@ object SparkEntry {
          |       CAST(min(jac_micros) AS BIGINT) AS min_jac_micros,
          |       CAST(max(jac_micros) AS BIGINT) AS max_jac_micros
          |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q262 keeper chain + a per-source best-first window under the
+    // quota literal — rank and verdict both emitted
+    "q277_keeper_quota" ->
+      s"""WITH RECURSIVE $clusterReachCtes,
+         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |sz AS (SELECT lab.doc_id, cluster_id, n_chars
+         |       FROM lab JOIN documents USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id, n_chars,
+         |             row_number() OVER (PARTITION BY cluster_id
+         |               ORDER BY n_chars DESC, doc_id) AS rk
+         |      FROM sz),
+         |k AS (SELECT doc_id AS keep_id, cluster_id, n_chars AS n_chars_kept
+         |      FROM r WHERE rk = 1),
+         |q AS (SELECT k.keep_id, k.cluster_id, d.source,
+         |             row_number() OVER (PARTITION BY d.source
+         |               ORDER BY k.n_chars_kept DESC, k.keep_id) AS srk
+         |      FROM k JOIN documents d ON d.doc_id = k.keep_id)
+         |SELECT keep_id, cluster_id, source, CAST(srk AS BIGINT) AS rk,
+         |       srk <= 10 AS admitted
+         |FROM q ORDER BY source, srk""".stripMargin,
+    // the q262 keeper chain joined back to every dropped member with
+    // the exact doc<->keeper Jaccard off the shared sets relation
+    "q278_drop_attribution" ->
+      s"""WITH RECURSIVE $clusterReachCtes,
+         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |sz AS (SELECT lab.doc_id, cluster_id, n_chars
+         |       FROM lab JOIN documents USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id, n_chars,
+         |             row_number() OVER (PARTITION BY cluster_id
+         |               ORDER BY n_chars DESC, doc_id) AS rk
+         |      FROM sz),
+         |k AS (SELECT doc_id AS keep_id, cluster_id FROM r WHERE rk = 1),
+         |dm AS (SELECT lab.doc_id, lab.cluster_id, k.keep_id
+         |       FROM lab JOIN k USING (cluster_id)
+         |       WHERE lab.doc_id <> k.keep_id)
+         |SELECT dm.doc_id, dm.cluster_id, dm.keep_id,
+         |       CAST(len(list_intersect(a.ws, b.ws)) * 1000000
+         |            // (a.n + b.n - len(list_intersect(a.ws, b.ws)))
+         |         AS BIGINT) AS jac_to_keeper_micros
+         |FROM dm JOIN sets a ON dm.doc_id = a.doc_id
+         |        JOIN sets b ON dm.keep_id = b.doc_id
+         |ORDER BY dm.doc_id""".stripMargin,
     // the q92 trained codebook + assignment replayed, folded to
     // per-cell counts, shares, and load factors — integer micros,
     // truncating division on all-positive terms

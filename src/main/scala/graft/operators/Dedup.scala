@@ -655,6 +655,38 @@ object Dedup {
     result
   }
 
+  /** q278 — DROP ATTRIBUTION: the "why was my document removed" relation
+    * — for every non-keeper cluster member, the keeper that displaced
+    * it and the EXACT token-set Jaccard between the two. The similarity
+    * is computed doc↔keeper, not doc↔nearest-match: clusters are
+    * transitive closures, so a dropped doc can sit well BELOW the
+    * pairwise threshold against its keeper (it joined through a chain)
+    * — exactly the rows a pipeline owner wants surfaced before
+    * trusting aggressive dedup, and invisible in every per-pair
+    * relation. Scale shape: memoized cluster labels + the q262
+    * keeper aggregation + two doc-keyed equi joins into the memoized
+    * fused sketch + one codegen'd intersect per DROPPED doc (bounded
+    * by the drop count, not pairs). */
+  def dropAttribution(docs: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val labels = dedupClustersScale(docs, threshold)
+      .select("doc_id", "cluster_id")
+    val keepers = dedupOutput(docs, threshold)
+      .select(col("cluster_id"), col("keep_id"))
+    val (agged, handles) = fusedSketch(docs)
+    def side(pre: String, idc: String) = agged.select(col("doc_id").as(idc),
+      col("ws").as(s"ws_$pre"), col("n").as(s"n_$pre"))
+    val result = labels.join(keepers, "cluster_id")
+      .where(col("doc_id") =!= col("keep_id"))
+      .join(side("d", "doc_id"), "doc_id")
+      .join(side("k", "keep_id"), "keep_id")
+      .withColumn("inter", IntersectCountSorted(col("ws_d"), col("ws_k")))
+      .withColumn("jac_to_keeper_micros",
+        expr("inter * 1000000 div (n_d + n_k - inter)"))
+      .select("doc_id", "cluster_id", "keep_id", "jac_to_keeper_micros")
+      .orderBy("doc_id")
+    Dedup.finishWith(result, handles: _*)
+  }
+
   /** q276 — SimHash ESTIMATOR CALIBRATION: the fourth estimator-health
     * relation (q270 IVF cells, q271 MinHash, q273 PQ — SimHash was the
     * one audited structure without one). Per q91 candidate pair — the
@@ -1075,6 +1107,30 @@ object Dedup {
     dedupOutputFrom(
       dedupClustersScale(docs, threshold).select("doc_id", "cluster_id"),
       docs, keeper)
+
+  /** q277 — PER-SOURCE KEEPER QUOTAS: the data-mixing constraint
+    * applied to the dedup output. A training mix rarely takes every
+    * survivor: each source gets a cap, filled best-first. Every q262
+    * keeper is ranked within its source by the keep-best key
+    * (n_chars_kept desc, keep_id asc — the same order that chose it
+    * inside its cluster) and carries its rank and the admit verdict —
+    * the relation is the full audit trail, not just the admitted rows,
+    * so a pipeline owner can see exactly which keeper a raised quota
+    * admits next. Scale shape: the memoized q262 aggregation + one
+    * doc-keyed join for the source + a per-source window over the
+    * KEEPER relation (cluster count, not corpus) — partitioned by
+    * source, so no global sort. */
+  def keeperQuota(docs: DataFrame, quota: Int): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars_kept").desc, col("keep_id").asc)
+    dedupOutput(docs)
+      .join(docs.select(col("doc_id").as("keep_id"), col("source")),
+        "keep_id")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("admitted", col("rk") <= quota)
+      .select("keep_id", "cluster_id", "source", "rk", "admitted")
+      .orderBy("source", "rk")
+  }
 
   /** The q262 aggregation over an EXPLICIT label relation — split out
     * so the stored-keeper repair path ([[graft.sources.LabelStore

@@ -516,6 +516,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(blocked.forall(_._3 <= 3))
   }
 
+  test("q277 keeper quota: best-first per source, verdicts recounted, total = keeper relation") {
+    val docs = t("documents")
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+    val rows = Dedup.keeperQuota(docs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getBoolean(4)))
+    val keepers = Dedup.dedupOutput(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap // keep_id -> n_chars_kept
+    assert(rows.length === keepers.size,
+      "quota relation must carry EVERY keeper, admitted or not")
+    rows.groupBy(_._3).foreach { case (src, rs) =>
+      // verdict ≡ rank ≤ quota, ranks dense from 1
+      assert(rs.map(_._4).sorted.toList === (1 to rs.length).map(_.toLong).toList)
+      rs.foreach { case (_, _, _, rk, adm) => assert(adm === (rk <= 10L)) }
+      // best-first: ranks follow (n_chars_kept desc, keep_id asc)
+      val ordered = rs.sortBy(_._4).map(x => (keepers(x._1), x._1)).toList
+      ordered.zip(ordered.drop(1)).foreach { case ((c1, id1), (c2, id2)) =>
+        assert(c1 > c2 || (c1 == c2 && id1 < id2), s"$src not best-first")
+      }
+    }
+    // the cap must actually bind somewhere, and admit somewhere
+    assert(rows.exists(!_._5), "quota never binds — vacuous")
+    assert(rows.exists(_._5))
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+  }
+
+  test("q278 drop attribution: one row per dropped member; chain drops sit below threshold") {
+    val docs = t("documents")
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+    val rows = Dedup.dropAttribution(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val keepers = Dedup.dedupOutput(docs).collect()
+      .map(r => (r.getLong(1), (r.getLong(0), r.getLong(2)))).toMap
+    // coverage: exactly members − clusters rows, none of them keepers
+    val expectedDropped = keepers.values.map(_._2 - 1).sum
+    assert(rows.length.toLong === expectedDropped)
+    rows.foreach { case (doc, cl, keep, jac) =>
+      assert(keepers(cl)._1 === keep, s"cluster $cl keeper mismatch")
+      assert(doc !== keep)
+      assert(jac >= 0L && jac <= 1000000L)
+    }
+    // the relation's whole point: transitive-closure chains put some
+    // dropped docs BELOW the pairwise threshold against their keeper
+    assert(rows.exists(_._4 < 950000L),
+      "no below-threshold chain drop — the attribution is vacuous here")
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+  }
+
   test("q276 simhash calibration: matcher rows accounted, estimator tracks similarity") {
     val docs = t("documents")
     Dedup.clearSketchMemo()
