@@ -1119,6 +1119,16 @@ object SparkEntry {
     // exactly what an owner wants surfaced before trusting the dedup
     "q278_drop_attribution" -> ((s, d) =>
       Dedup.dropAttribution(Tables(s, d, "documents"))),
+    // source-quality triage: per source — docs, clusters touched,
+    // survivors, drop rate; a crawl seam / mirrored dump is an
+    // outlier here long before anyone reads documents
+    "q279_source_dup_rate" -> ((s, d) =>
+      Dedup.sourceDupRate(Tables(s, d, "documents"))),
+    // provenance/contamination: source PAIRS sharing near-dup
+    // clusters (mirrored crawls, benchmark dumps leaking into web
+    // sources), counted per unordered pair within clusters only
+    "q280_cross_source_dups" -> ((s, d) =>
+      Dedup.crossSourceDups(Tables(s, d, "documents"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -5009,6 +5019,40 @@ object SparkEntry {
          |FROM dm JOIN sets a ON dm.doc_id = a.doc_id
          |        JOIN sets b ON dm.keep_id = b.doc_id
          |ORDER BY dm.doc_id""".stripMargin,
+    // the label chain + keeper identity folded per source — counts,
+    // distinct clusters, survivors, integer-micros drop rate
+    "q279_source_dup_rate" ->
+      s"""WITH RECURSIVE $clusterReachCtes,
+         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |sz AS (SELECT lab.doc_id, cluster_id, n_chars
+         |       FROM lab JOIN documents USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id,
+         |             row_number() OVER (PARTITION BY cluster_id
+         |               ORDER BY n_chars DESC, doc_id) AS rk
+         |      FROM sz),
+         |k AS (SELECT doc_id FROM r WHERE rk = 1),
+         |j AS (SELECT lab.doc_id, lab.cluster_id, d.source,
+         |             CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_keeper
+         |      FROM lab JOIN documents d USING (doc_id)
+         |               LEFT JOIN k ON k.doc_id = lab.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |       CAST(sum(is_keeper) AS BIGINT) AS n_kept,
+         |       CAST((count(*) - sum(is_keeper)) * 1000000 // count(*)
+         |         AS BIGINT) AS drop_rate_micros
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // per-cluster distinct source sets, unordered pairs within each
+    // cluster, counted per (source_a, source_b)
+    "q280_cross_source_dups" ->
+      s"""WITH RECURSIVE $clusterReachCtes,
+         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |cs AS (SELECT DISTINCT lab.cluster_id, d.source
+         |       FROM lab JOIN documents d USING (doc_id))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared_clusters
+         |FROM cs a JOIN cs b
+         |  ON a.cluster_id = b.cluster_id AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the q92 trained codebook + assignment replayed, folded to
     // per-cell counts, shares, and load factors — integer micros,
     // truncating division on all-positive terms

@@ -655,6 +655,50 @@ object Dedup {
     result
   }
 
+  /** q279 — PER-SOURCE DUPLICATION RATE: the source-quality triage
+    * relation — for each source: docs, clusters its docs land in
+    * (distinct — a cluster can span sources), survivors it actually
+    * keeps after q262, and the drop rate in integer micros. A crawl
+    * seam or a mirrored dump shows up here first: its drop rate is an
+    * outlier long before anyone reads documents. One labels join +
+    * one keeper join + a per-source fold — no pairs anywhere. */
+  def sourceDupRate(docs: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val labeled = dedupClustersScale(docs, threshold)
+      .select("doc_id", "cluster_id")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val kept = dedupOutput(docs, threshold)
+      .select(col("keep_id").as("doc_id"), lit(1L).as("is_keeper"))
+    labeled.join(kept, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(coalesce(col("is_keeper"), lit(0L))).as("n_kept"))
+      .withColumn("drop_rate_micros",
+        expr("(n_docs - n_kept) * 1000000 div n_docs"))
+      .orderBy("source")
+  }
+
+  /** q280 — CROSS-SOURCE DUPLICATION MATRIX: which source PAIRS share
+    * near-dup clusters — the provenance/contamination signal (two
+    * "independent" crawls mirroring each other; a benchmark dump
+    * leaking into a web source). One row per unordered source pair
+    * with the count of clusters containing BOTH. Shape: per-cluster
+    * DISTINCT source sets (cluster-keyed fold), pairs exploded within
+    * each cluster only — bounded by clusters × sources²-per-cluster,
+    * never doc pairs. */
+  def crossSourceDups(docs: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val cs = dedupClustersScale(docs, threshold)
+      .select("doc_id", "cluster_id")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("cluster_id", "source").distinct()
+    cs.alias("a").join(cs.alias("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q278 — DROP ATTRIBUTION: the "why was my document removed" relation
     * — for every non-keeper cluster member, the keeper that displaced
     * it and the EXACT token-set Jaccard between the two. The similarity

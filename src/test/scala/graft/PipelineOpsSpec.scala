@@ -564,6 +564,40 @@ class PipelineOpsSpec extends SparkSpec {
     Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
   }
 
+  test("q279/q280 source audits: totals reconcile, cross-source structure recounted") {
+    val docs = t("documents")
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+    val rates = Dedup.sourceDupRate(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rates.map(_._2).sum === docs.count(), "docs not partitioned by source")
+    assert(rates.map(_._4).sum === Dedup.dedupOutput(docs).count(),
+      "survivors don't reconcile with the keeper relation")
+    rates.foreach { case (s, nd, nc, nk, dr) =>
+      assert(nk <= nd && nc <= nd, s"source $s counts inconsistent")
+      assert(dr === (nd - nk) * 1000000L / nd, s"source $s rate wrong")
+    }
+    assert(rates.exists(_._5 > 0L), "no source ever drops — vacuous")
+
+    // q280 recounted driver-side from labels + sources
+    val labels = Dedup.dedupClustersScale(docs, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = labels.toSeq.map { case (d, c) => (c, srcOf(d)) }.distinct
+      .groupBy(_._1).values.flatMap { ss =>
+        val srcs = ss.map(_._2).sorted
+        for (i <- srcs.indices; j <- i + 1 until srcs.length)
+          yield (srcs(i), srcs(j))
+      }.groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSet
+    val got = Dedup.crossSourceDups(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "no cluster spans two sources — vacuous")
+    Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
+  }
+
   test("q276 simhash calibration: matcher rows accounted, estimator tracks similarity") {
     val docs = t("documents")
     Dedup.clearSketchMemo()
