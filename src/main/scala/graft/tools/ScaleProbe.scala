@@ -101,6 +101,14 @@ object ScaleProbe {
         graft.operators.Dedup.simhashMatchScale(d, 3)),
       "q123_prefix_filter" -> ((d: DataFrame) =>
         graft.operators.Dedup.prefixFilterNearDup(d)),
+      // round-12 audit rows: drop attribution is drop-count-bounded by
+      // construction — the exponent makes that a number. (q276 is
+      // deliberately NOT probed: it audits the pinned 28-bit family,
+      // so its candidate volume inherits exactly the saturation the
+      // relation exists to measure — probing it would re-report the
+      // documented legacy exponent as if it were a scale path.)
+      "q278_drop_attribution" -> ((d: DataFrame) =>
+        graft.operators.Dedup.dropAttribution(d, 0.95)),
       "q191_dup_ngram_rate" -> ((d: DataFrame) =>
         graft.operators.TextAnalysis.dupNgramRate(d)),
       // round-8 heavy rows: the incremental-cluster query form (cap =
