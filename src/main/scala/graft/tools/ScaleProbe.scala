@@ -213,13 +213,29 @@ object ScaleProbe {
         // before _bands/_base/...: SketchStore.save writes
         // sp_sketch_${sfx}_bands, GraphStore writes sp_graph_${sfx}_base
         // etc.) — the earlier sp_sketch_bands_$sfx shape never dropped
-        // anything real, leaving stale tables in the warehouse.
+        // anything real, leaving stale tables in the warehouse. Those
+        // prior rounds' orphans are invisible to THIS session's
+        // in-memory catalog (DROP TABLE no-ops) but their warehouse
+        // DIRECTORIES remain and make saveAsTable refuse with
+        // LOCATION_ALREADY_EXISTS — so also delete the locations.
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
         Seq(s"sp_labels_$sfx", s"sp_keepers_$sfx",
           s"sp_sketch_$sfx", s"sp_sketch_${sfx}_bands",
           s"sp_sketch_${sfx}_sets",
           s"sp_graph_$sfx", s"sp_graph_${sfx}_base",
           s"sp_graph_${sfx}_refined", s"sp_graph_${sfx}_meta")
-          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+          .foreach { t =>
+            spark.sql(s"DROP TABLE IF EXISTS $t")
+            val loc = java.nio.file.Paths.get(wh, t)
+            if (java.nio.file.Files.exists(loc)) {
+              import scala.jdk.CollectionConverters._
+              val walk = java.nio.file.Files.walk(loc)
+              try walk.iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+              finally walk.close()
+            }
+          }
         clearMemos()
         SketchStore.save(oldDocs, s"sp_sketch_$sfx")
         clearMemos()
