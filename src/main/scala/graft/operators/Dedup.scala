@@ -629,7 +629,18 @@ object Dedup {
     * these rows over bands per decile reproduces q271 exactly. */
   def minhashCalibrationByLength(docs: DataFrame): DataFrame = {
     val result = calibrationScored(docs) { scored =>
-      val s = scored.withColumn("nmin", least(col("n_a"), col("n_b")))
+      // TWO consumers (the threshold derivation and the final fold)
+      // would otherwise replay the candidate band join — the round-12
+      // vs_prev block flagged exactly that (2.26 → 4.08 s): checkpoint
+      // the NARROW three-column pair relation once in eager mode and
+      // let both branches read the leaf (lazy/audit mode keeps the
+      // full tower, the suite's convention)
+      val sNarrow = scored
+        .withColumn("nmin", least(col("n_a"), col("n_b")))
+        .select("nmin", "est_micros", "jac_micros")
+      val s =
+        if (eagerMaterialize(scored)) sNarrow.localCheckpoint(true)
+        else sNarrow
       val dist = s.groupBy("nmin").agg(count(lit(1)).as("cnt"))
       val cum = dist
         .withColumn("cum", sum(col("cnt")).over(Window.orderBy("nmin")))
