@@ -1,34 +1,52 @@
 #!/usr/bin/env python3
-"""Merge N identical-protocol Bench runs into one per-row-min bench.json.
+"""Merge N identical-protocol bench JSONs into one min-per-query
+artifact (the committed bench.json convention), recomputing the
+vs_prev drift block against a previous round's artifact with the same
+robust model Bench.scala uses (median log-ratio band, MAD sigma,
+flag = |z| > 3 AND > 0.3 s absolute).
 
-Usage: merge_bench.py out.json run1.json run2.json [...]
-
-The per-row min across identical-protocol runs is the suite's committed
-bench convention (host noise is strictly additive, so min is the least
-biased estimator available without a dedicated quiet host); the merged
-file records how many protocol runs fed it.
+Usage: merge_bench.py <prev_bench.json> <out.json> <run1.json> [run2...]
+(Driver-side tooling only — the Scala library has no dependency on this.)
 """
-import json
-import sys
+import sys, json, math, statistics
 
+prev_path, out_path, *run_paths = sys.argv[1:]
+runs = [json.load(open(p)) for p in run_paths]
+base = runs[0]
+queries = {}
+for k in base["queries"]:
+    vals = [r["queries"][k] for r in runs if k in r["queries"]]
+    queries[k] = min(vals)
+total = sum(queries.values())
 
-def main() -> None:
-    out, *runs = sys.argv[1:]
-    datas = [json.load(open(p)) for p in runs]
-    base = dict(datas[0])
-    names = set(datas[0]["queries"])
-    for d in datas[1:]:
-        assert set(d["queries"]) == names, "protocol mismatch: query sets differ"
-    merged = {q: min(d["queries"][q] for d in datas) for q in datas[0]["queries"]}
-    base["queries"] = merged
-    base["value"] = sum(merged.values())
-    base["merged_min_of_protocol_runs"] = len(datas)
-    base["protocol_run_totals"] = [round(sum(d["queries"].values()), 3) for d in datas]
-    json.dump(base, open(out, "w"))
-    print(f"{out}: {base['value']:.1f} s over {len(merged)} queries "
-          f"({base['value'] / len(merged):.4f} s/q) from {len(datas)} runs "
-          f"{base['protocol_run_totals']}")
+prev = json.load(open(prev_path))
+vs_prev = None
+common = [(k, prev["queries"][k], queries[k])
+          for k in queries
+          if k in prev.get("queries", {}) and prev["queries"][k] > 0]
+if len(common) >= 8 and prev.get("sf") == base.get("sf"):
+    logs = [math.log(c / p) for _, p, c in common]
+    m = statistics.median(logs)
+    sigma = max(1.4826 * statistics.median([abs(x - m) for x in logs]), 0.04)
+    flagged = {k: {"prev": round(p, 3), "cur": round(c, 3),
+                   "z": round((math.log(c / p) - m) / sigma, 1)}
+               for (k, p, c), lr in zip(common, logs)
+               if abs((lr - m) / sigma) > 3.0 and (c - p) > 0.3}
+    vs_prev = {"prev_total": round(sum(p for _, p, _ in common), 1),
+               "common": len(common),
+               "median_ratio": round(math.exp(m), 4),
+               "sigma_log": round(sigma, 4), "flagged": flagged}
 
-
-if __name__ == "__main__":
-    main()
+out = {"metric": "total", "value": total, "unit": "sec",
+       "queries": queries, "sf": base.get("sf"),
+       "runs": base.get("runs"), "agg": "min",
+       "extra_runs_gt2s": base.get("extra_runs_gt2s"),
+       "protocol": base.get("protocol"),
+       "merged_min_of_protocol_runs": len(runs),
+       "run_totals": [round(r["value"], 1) for r in runs],
+       "vs_prev": vs_prev}
+json.dump(out, open(out_path, "w"))
+n = len(queries)
+print(f"merged {len(runs)} runs -> {total:.1f} s / {n} q = {total/n:.3f} s/q")
+if vs_prev:
+    print("vs_prev:", json.dumps(vs_prev))
