@@ -342,6 +342,13 @@ class BucketedStoreSpec extends SparkSpec {
     val query = rows(Dedup.keeperUpgrades(docs, cap, 0.95))
     assert(prod === query, "production upgrade feed diverged from q269")
     assert(prod.nonEmpty, "no upgrade events on this split — vacuous")
+    // replaying ALREADY-STORED docs is a provable no-op: a stored doc
+    // cannot beat its own cluster's keeper (the keeper is the argmax
+    // over members including it, strict struct compare) — zero events
+    // without any anti join
+    assert(LabelStore.upgradeEvents(
+      spark, labelTbl, sketchTbl, keeperTbl, day0, 0.95).count() === 0L,
+      "a replayed stored batch emitted upgrade events")
 
     // the two StoreBench q269_serving forms: stored-table overlay vs
     // in-query-rebuild overlay — identical served relations
