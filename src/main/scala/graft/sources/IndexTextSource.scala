@@ -282,9 +282,36 @@ object IndexTextSource {
   * at 100 TB "did the pruning fire" must be readable off the query's
   * metrics, not inferred from wall-clock. */
 private[graft] object IndexMetrics {
-  final class Sum(n: String, d: String) extends CustomSumMetric {
-    override def name(): String = n
-    override def description(): String = d
+  /** One concrete ZERO-ARG class per metric: Spark's
+    * `SQLAppStatusListener` aggregates DSv2 metrics by reflectively
+    * constructing `metricType`'s class with `getConstructor()
+    * .newInstance()` — a parameterized class throws
+    * `NoSuchMethodException` inside the listener and the metric never
+    * reaches the SQL UI (it also spams a SparkException stack trace
+    * per query). Name/description are therefore hardcoded per class. */
+  final class PlannedFilesMetric extends CustomSumMetric {
+    override def name(): String = IndexMetrics.PlannedFiles
+    override def description(): String = "index files planned (after letter pruning)"
+  }
+  final class PrunedFilesMetric extends CustomSumMetric {
+    override def name(): String = IndexMetrics.PrunedFiles
+    override def description(): String = "index files pruned by word predicates"
+  }
+  final class LinesReadMetric extends CustomSumMetric {
+    override def name(): String = IndexMetrics.LinesRead
+    override def description(): String = "index lines parsed"
+  }
+  final class RowsSkippedMetric extends CustomSumMetric {
+    override def name(): String = IndexMetrics.RowsSkipped
+    override def description(): String = "index rows dropped by pushed word predicates"
+  }
+  final class LinesWrittenMetric extends CustomSumMetric {
+    override def name(): String = IndexMetrics.LinesWritten
+    override def description(): String = "index lines written"
+  }
+  final class FilesWrittenMetric extends CustomSumMetric {
+    override def name(): String = IndexMetrics.FilesWritten
+    override def description(): String = "index letter files written"
   }
   final case class Task(n: String, v: Long) extends CustomTaskMetric {
     override def name(): String = n
@@ -297,10 +324,10 @@ private[graft] object IndexMetrics {
   val LinesWritten = "indexLinesWritten"
   val FilesWritten = "indexFilesWritten"
   def supported: Array[CustomMetric] = Array(
-    new Sum(PlannedFiles, "index files planned (after letter pruning)"),
-    new Sum(PrunedFiles, "index files pruned by word predicates"),
-    new Sum(LinesRead, "index lines parsed"),
-    new Sum(RowsSkipped, "index rows dropped by pushed word predicates"))
+    new PlannedFilesMetric, new PrunedFilesMetric,
+    new LinesReadMetric, new RowsSkippedMetric)
+  def supportedWrite: Array[CustomMetric] = Array(
+    new LinesWrittenMetric, new FilesWrittenMetric)
 }
 
 private[graft] class IndexTextTable(path: String) extends Table

@@ -57,9 +57,8 @@ private[graft] class IndexTextWriteBuilder(path: String, queryId: String,
     /** Write-side observability, symmetric with the scan's: per-task
       * grammar lines and letter files written (SQL-metrics surface). */
     override def supportedCustomMetrics()
-        : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
-      new IndexMetrics.Sum(IndexMetrics.LinesWritten, "index lines written"),
-      new IndexMetrics.Sum(IndexMetrics.FilesWritten, "index letter files written"))
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      IndexMetrics.supportedWrite
     override def requiredDistribution(): Distribution =
       Distributions.clustered(Array(Expressions.column("word")))
     override def requiredOrdering(): Array[SortOrder] = {

@@ -109,7 +109,10 @@ object LabelStore {
       // like the count gate does
       if (readGen(spark, name).nonEmpty) {
         lease.verify()
-        writeGen(spark, name, java.util.UUID.randomUUID().toString)
+        // preserve the keeper binding — a labels-only commit changes
+        // the generation, not which keeper table the store pairs with
+        writeGen(spark, name, java.util.UUID.randomUUID().toString,
+          readGenKeeper(spark, name))
       }
       lease.verify(); save(frozen, name, nBuckets)
     }
@@ -136,14 +139,47 @@ object LabelStore {
     * (the table is recreated), so the stamp lives beside the data. */
   private def genTable(name: String) = name + "_gen"
 
-  private def writeGen(spark: SparkSession, name: String, cid: String): Unit = {
+  /** The labels' gen row also records WHICH keeper table it is bound
+    * to (`keeper` column): a labels-only commit advances the labels
+    * generation with a fresh UUID, so two stamp-managed keeper tables
+    * sharing one labels table would each chase a different generation
+    * and drift SILENTLY. Recording the binding turns that misuse into
+    * a named error at the second table's first commit/rebuild/gate.
+    * Keeper-side gen rows carry `keeper = null`; pre-binding stores
+    * (single-column gen tables from earlier rounds) read as unbound
+    * and adopt a binding at their next commit. */
+  private def writeGen(spark: SparkSession, name: String, cid: String,
+      keeper: Option[String] = None): Unit = {
     import spark.implicits._
-    Seq(cid).toDF("cid").write.mode("overwrite").saveAsTable(genTable(name))
+    Seq((cid, keeper.orNull)).toDF("cid", "keeper")
+      .write.mode("overwrite").saveAsTable(genTable(name))
   }
 
   private[graft] def readGen(spark: SparkSession, name: String): Option[String] =
     if (!spark.catalog.tableExists(genTable(name))) None
     else Some(spark.table(genTable(name)).head().getString(0))
+
+  /** The keeper table the labels' stamp is bound to, if any. */
+  private[graft] def readGenKeeper(spark: SparkSession,
+      name: String): Option[String] =
+    if (!spark.catalog.tableExists(genTable(name))) None
+    else {
+      val t = spark.table(genTable(name))
+      if (!t.schema.fieldNames.contains("keeper")) None // pre-binding store
+      else Option(t.head().getAs[String]("keeper"))
+    }
+
+  /** Refuse a keeper table other than the one the labels' stamp is
+    * bound to (the ROUND12 residue: the contract was doc-only). */
+  private def requireBinding(spark: SparkSession, labelsName: String,
+      keepersName: String): Unit =
+    readGenKeeper(spark, labelsName).filter(_ != keepersName).foreach { other =>
+      throw new IllegalStateException(
+        s"label table '$labelsName' is stamp-bound to keeper table " +
+          s"'$other' — one keeper table per labels table under " +
+          s"gate=stamp (a labels-only commit advances a generation only " +
+          s"'$other' will see); give '$keepersName' its own labels table")
+    }
 
   /** Which labels/keepers consistency gate [[updateWithKeepers]] runs:
     *
@@ -164,6 +200,44 @@ object LabelStore {
     require(m == "count" || m == "stamp",
       s"spark.graft.labelstore.gate must be count|stamp; got '$m'")
     m
+  }
+
+  /** The labels/keepers consistency gate shared by every read-modify
+    * path over the PAIRED tables ([[updateWithKeepers]],
+    * [[upgradeEvents]]): refuse, with a named error pointing at the
+    * one-aggregation repair [[rebuildKeepers]], whenever the store sits
+    * in the labels-ahead partial-commit window. Without it the online
+    * paths fail SILENTLY — a stale keeper table inner-joined against
+    * freshly-assigned clusters just emits fewer (or zero) upgrade
+    * events, quietly under-reporting instead of refusing. */
+  private def consistencyGate(spark: SparkSession, labelsName: String,
+      keepersName: String, storedKeepers: DataFrame): Unit = {
+    def countGate(): Unit = {
+      val nLabeled = load(spark, labelsName).count()
+      val nCovered = storedKeepers.agg(sum(col("n_members"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      if (nLabeled != nCovered)
+        throw new IllegalStateException(
+          s"keeper table '$keepersName' covers $nCovered docs but label " +
+            s"table '$labelsName' holds $nLabeled — a labels-ahead partial " +
+            "commit; run LabelStore.rebuildKeepers to repair before updating")
+    }
+    if (gateMode(spark) == "stamp") {
+      // the binding error names the TRUE cause of a shared-labels
+      // misuse; check it before the generic partial-commit refusal
+      requireBinding(spark, labelsName, keepersName)
+      (readGen(spark, labelsName), readGen(spark, keepersName)) match {
+        case (Some(a), Some(b)) if a == b => () // last publish completed
+        case (None, None)                 => countGate() // pre-stamp store
+        case (la, ke) => throw new IllegalStateException(
+          s"keeper table '$keepersName' generation ${ke.getOrElse("<absent>")} " +
+            s"≠ label table '$labelsName' generation ${la.getOrElse("<absent>")} " +
+            "— a labels-ahead partial commit; run LabelStore.rebuildKeepers " +
+            "to repair before updating")
+      }
+    } else countGate()
   }
 
   /** The q272 daily cycle over STORED relations: merge the labels
@@ -187,29 +261,7 @@ object LabelStore {
       sketchName: String, keepersName: String, newDocs: DataFrame,
       threshold: Double): (DataFrame, DataFrame) = {
     val storedKeepers = spark.table(keepersName)
-    def countGate(): Unit = {
-      val nLabeled = load(spark, labelsName).count()
-      val nCovered = storedKeepers.agg(sum(col("n_members"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-      if (nLabeled != nCovered)
-        throw new IllegalStateException(
-          s"keeper table '$keepersName' covers $nCovered docs but label " +
-            s"table '$labelsName' holds $nLabeled — a labels-ahead partial " +
-            "commit; run LabelStore.rebuildKeepers to repair before updating")
-    }
-    if (gateMode(spark) == "stamp")
-      (readGen(spark, labelsName), readGen(spark, keepersName)) match {
-        case (Some(a), Some(b)) if a == b => () // last publish completed
-        case (None, None)                 => countGate() // pre-stamp store
-        case (la, ke) => throw new IllegalStateException(
-          s"keeper table '$keepersName' generation ${ke.getOrElse("<absent>")} " +
-            s"≠ label table '$labelsName' generation ${la.getOrElse("<absent>")} " +
-            "— a labels-ahead partial commit; run LabelStore.rebuildKeepers " +
-            "to repair before updating")
-      }
-    else countGate()
+    consistencyGate(spark, labelsName, keepersName, storedKeepers)
     val fresh = newDocs.join(load(spark, labelsName).select("doc_id"),
       Seq("doc_id"), "left_anti")
     val mergedLabels = update(spark, labelsName, sketchName, newDocs, threshold)
@@ -247,13 +299,17 @@ object LabelStore {
     // deployment never pays
     val stamping = gateMode(spark) == "stamp" ||
       readGen(spark, labelsName).nonEmpty
+    if (stamping) requireBinding(spark, labelsName, keepersName)
     val cid = java.util.UUID.randomUUID().toString
     StoreLock.withStoreLease(spark, labelsName) { lease =>
       lease.verify(); SketchStore.append(newDocs, sketchName, nBuckets)
       // labels' stamp lands BEFORE its data: any crash from here to the
       // keepers' stamp leaves the two gens disagreeing (detected), never
-      // agreeing around stale keepers (missed)
-      if (stamping) { lease.verify(); writeGen(spark, labelsName, cid) }
+      // agreeing around stale keepers (missed); the stamp RECORDS the
+      // keeper binding so a second keeper table fails loudly above
+      if (stamping) {
+        lease.verify(); writeGen(spark, labelsName, cid, Some(keepersName))
+      }
       lease.verify(); save(frozenLabels, labelsName, nBuckets)
       lease.verify(); saveKeepers(frozenKeepers, keepersName, nBuckets)
       if (stamping) { lease.verify(); writeGen(spark, keepersName, cid) }
@@ -267,6 +323,10 @@ object LabelStore {
     * generation, so the stamp gate re-opens. */
   def rebuildKeepers(spark: SparkSession, labelsName: String,
       keepersName: String, docs: DataFrame, nBuckets: Int = 8): Unit = {
+    // a repair must not quietly re-bind the store: rebuilding a keeper
+    // table the labels' stamp is NOT bound to is the shared-labels
+    // misuse, not a crash repair
+    requireBinding(spark, labelsName, keepersName)
     saveKeepers(Dedup.dedupOutputFrom(load(spark, labelsName), docs),
       keepersName, nBuckets)
     readGen(spark, labelsName).foreach(writeGen(spark, keepersName, _))
@@ -287,6 +347,10 @@ object LabelStore {
   def upgradeEvents(spark: SparkSession, labelsName: String,
       sketchName: String, keepersName: String, newDocs: DataFrame,
       threshold: Double): DataFrame = {
+    // same gate as updateWithKeepers: in the labels-ahead window the
+    // keeper inner join below would silently emit no events for the
+    // affected clusters — refuse loudly instead (round-12 ADVICE)
+    consistencyGate(spark, labelsName, keepersName, spark.table(keepersName))
     val (bands, sets) = SketchStore.load(spark, sketchName)
     val labels = load(spark, labelsName)
       .select(col("doc_id").as("doc_old"), col("cluster_id"))

@@ -18,6 +18,8 @@ object Memos {
     graft.operators.TextAnalysis.clearNbMemo()
     graft.operators.Similarity.clearPcaMemo()
     graft.operators.Similarity.clearNswScoredMemo()
+    graft.operators.Similarity.clearTrainedPq()
     graft.operators.Events.clearAnchorMemo()
+    graft.operators.Bpe.clearTrainMemo()
   }
 }

@@ -12,6 +12,30 @@ class BenchArtifactSpec extends AnyFunSuite {
   private def matches(sfDir: String, name: String): Boolean =
     Bench.artifactPattern(sfDir).pattern.matcher(name).matches()
 
+  test("Memos.clearAll registers every operator session memo") {
+    // The cold protocol's claim — "every pass prices builds" — is only
+    // as strong as clearAll's coverage. Scan the operators package for
+    // public `def clearX(): Unit` memo hooks and assert each one is
+    // invoked from Memos.scala, so a new memo that forgets to register
+    // fails HERE instead of silently serving warm hits to passes 2+.
+    import scala.jdk.CollectionConverters._
+    val opsDir = java.nio.file.Paths.get("src/main/scala/graft/operators")
+    assume(java.nio.file.Files.isDirectory(opsDir))
+    val hook = """def (clear\w+)\(\): Unit""".r
+    val declared = java.nio.file.Files.list(opsDir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap(p => hook.findAllMatchIn(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        .map(_.group(1)))
+      .toSet
+    val memos = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/tools/Memos.scala")), "UTF-8")
+    val missing = declared.filterNot(h => memos.contains(s".$h()"))
+    assert(declared.nonEmpty)
+    assert(missing.isEmpty,
+      s"operator memo hooks not registered in Memos.clearAll: $missing")
+  }
+
   test("matches every real artifact shape for the target dir") {
     val d = "/root/testdata/sf0.1"
     // the REAL shape: kind prefix ends with '_' and an absolute dir's

@@ -308,6 +308,29 @@ class BucketedStoreSpec extends SparkSpec {
       // full-retry idempotence under the stamp gate
       ingest(day2)
       assert(storedKeepers === gen2, "retrying a committed day changed keepers")
+
+      // SHARED-LABELS misuse (round-12 residue, now enforced): the
+      // labels' stamp records its keeper binding, so a SECOND keeper
+      // table over the same labels table is refused with a named error
+      // at every entry point — batch gate, online feed, and repair —
+      // instead of silently chasing a different generation
+      val keeper2 = "graft_keepers_sg2"
+      spark.sql(s"DROP TABLE IF EXISTS $keeper2")
+      LabelStore.saveKeepers(Dedup.dedupOutput(docs, 0.95), keeper2)
+      def misuse(f: => Any): Unit = {
+        val e = intercept[IllegalStateException](f)
+        assert(e.getMessage.contains("stamp-bound to keeper table"),
+          s"wrong error for the shared-labels misuse: ${e.getMessage}")
+        assert(e.getMessage.contains(keeperTbl))
+      }
+      misuse(LabelStore.updateWithKeepers(
+        spark, labelTbl, sketchTbl, keeper2, day2, 0.95))
+      misuse(LabelStore.upgradeEvents(
+        spark, labelTbl, sketchTbl, keeper2, day2, 0.95))
+      misuse(LabelStore.rebuildKeepers(spark, labelTbl, keeper2, docs))
+      // the bound table itself is unaffected by the refused binding
+      assert(storedKeepers === gen2)
+      spark.sql(s"DROP TABLE IF EXISTS $keeper2")
     } finally spark.conf.unset("spark.graft.labelstore.gate")
     allTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
@@ -366,6 +389,20 @@ class BucketedStoreSpec extends SparkSpec {
     assert(prodServed === queryServed,
       "the two serving compositions diverged")
     assert(prodServed.exists(_._5), "no served override — overlay idle")
+
+    // round-12 ADVICE: in the labels-ahead partial-commit window the
+    // keeper inner join would silently emit no events for the affected
+    // clusters — upgradeEvents must refuse exactly like
+    // updateWithKeepers does, pointing at the repair
+    val (labs1, _) = LabelStore.updateWithKeepers(
+      spark, labelTbl, sketchTbl, keeperTbl, day1, 0.95)
+    LabelStore.commit(spark, labelTbl, sketchTbl, day1, labs1)
+    val gateErr = intercept[IllegalStateException] {
+      LabelStore.upgradeEvents(spark, labelTbl, sketchTbl, keeperTbl,
+        day1, 0.95)
+    }
+    assert(gateErr.getMessage.contains("rebuildKeepers"),
+      s"wrong gate error: ${gateErr.getMessage}")
     Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
     allTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }

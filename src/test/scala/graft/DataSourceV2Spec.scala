@@ -289,6 +289,29 @@ class DataSourceV2Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("every custom metric class survives the SQL-UI listener's reflective round-trip") {
+    // Spark's SQLAppStatusListener aggregates DSv2 metrics by
+    // Class.forName(metricType).getConstructor().newInstance() — a
+    // zero-argument constructor is MANDATORY or the metric silently
+    // never reaches the SQL UI (plus one SparkException per query).
+    // Round-trip every class exactly the way the listener does and
+    // pin that identity (name/description/aggregation) is preserved.
+    val all = graft.sources.IndexMetrics.supported ++
+      graft.sources.IndexMetrics.supportedWrite
+    assert(all.map(_.name()).toSet === Set(
+      "plannedIndexFiles", "prunedIndexFiles", "indexLinesRead",
+      "indexRowsSkipped", "indexLinesWritten", "indexFilesWritten"))
+    all.foreach { m =>
+      val fresh = Class.forName(m.getClass.getName).getConstructor()
+        .newInstance()
+        .asInstanceOf[org.apache.spark.sql.connector.metric.CustomMetric]
+      assert(fresh.name() === m.name(), s"${m.getClass.getName} name drift")
+      assert(fresh.description() === m.description())
+      // aggregation itself must behave: the Sum family folds task values
+      assert(fresh.aggregateTaskMetrics(Array(2L, 3L, 5L)) === "10")
+    }
+  }
+
   test("COUNT(*) pushdown: per-file line counts, no row materialization") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -13,10 +13,19 @@ import sys, json, math, statistics
 prev_path, out_path, *run_paths = sys.argv[1:]
 runs = [json.load(open(p)) for p in run_paths]
 base = runs[0]
+# All merged runs MUST cover the identical query set: a mismatch means
+# the runs were not the same protocol, and silently min-ing over a
+# partial subset would fabricate a plausible-looking artifact.
+base_keys = set(base["queries"])
+for p, r in zip(run_paths, runs):
+    if set(r["queries"]) != base_keys:
+        diff = set(r["queries"]) ^ base_keys
+        sys.exit(f"merge_bench: query-set mismatch in {p} vs {run_paths[0]} "
+                 f"(symmetric difference: {sorted(diff)[:10]}"
+                 f"{'...' if len(diff) > 10 else ''})")
 queries = {}
 for k in base["queries"]:
-    vals = [r["queries"][k] for r in runs if k in r["queries"]]
-    queries[k] = min(vals)
+    queries[k] = min(r["queries"][k] for r in runs)
 total = sum(queries.values())
 
 prev = json.load(open(prev_path))
