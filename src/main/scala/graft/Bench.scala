@@ -168,6 +168,7 @@ object Bench {
     // bench.json BEFORE this run overwrites it.
     val vsPrev: String = {
       val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench.json")
+      var prevMergedRuns = 1
       val prev: Map[String, Double] =
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(
@@ -176,6 +177,16 @@ object Bench {
           // scale would read as a uniform "drift" of the scale factor
           val prevSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
             .findFirstMatchIn(txt).map(_.group(1))
+          // a MERGED prev (min over N protocol runs) has ~N× this run's
+          // samples per query; on heavy-tailed rows its min is
+          // systematically lower, so a single-run comparison against it
+          // can flag "regressions" that are pure sample-count asymmetry
+          // (the round-12 q255/q264/q267 flags — all three reproduced
+          // their committed values when re-sampled). Surface the
+          // asymmetry in the block so a flag against a merged prev
+          // reads "re-measure with the merged protocol first".
+          prevMergedRuns = "\"merged_min_of_protocol_runs\"\\s*:\\s*(\\d+)".r
+            .findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(1)
           if (prevSf.exists(_ != sfDir)) Map.empty else parsePrevQueries(txt)
         } catch { case _: Throwable => Map.empty }
       val common = results.toSeq.collect {
@@ -198,7 +209,7 @@ object Bench {
               if math.abs((lr - m) / sigma) > 3.0 && (c - p) > 0.3 =>
             f""""$k":{"prev":$p%.3f,"cur":$c%.3f,"z":${(lr - m) / sigma}%.1f}"""
         }
-        f"""{"prev_total":${common.map(_._2).sum}%.1f,"common":${common.size},"median_ratio":${math.exp(m)}%.4f,"sigma_log":$sigma%.4f,"flagged":${flagged.mkString("{", ",", "}")}}"""
+        f"""{"prev_total":${common.map(_._2).sum}%.1f,"common":${common.size},"median_ratio":${math.exp(m)}%.4f,"sigma_log":$sigma%.4f,"prev_merged_runs":$prevMergedRuns,"flagged":${flagged.mkString("{", ",", "}")}}"""
       }
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","extra_runs_gt2s":$extra,"protocol":"$protocol","heavy_rows":$heavyNames,"vs_prev":$vsPrev}"""

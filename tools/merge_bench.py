@@ -44,7 +44,9 @@ if len(common) >= 8 and prev.get("sf") == base.get("sf"):
     vs_prev = {"prev_total": round(sum(p for _, p, _ in common), 1),
                "common": len(common),
                "median_ratio": round(math.exp(m), 4),
-               "sigma_log": round(sigma, 4), "flagged": flagged}
+               "sigma_log": round(sigma, 4),
+               "prev_merged_runs": prev.get("merged_min_of_protocol_runs", 1),
+               "flagged": flagged}
 
 out = {"metric": "total", "value": total, "unit": "sec",
        "queries": queries, "sf": base.get("sf"),
