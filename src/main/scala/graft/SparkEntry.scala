@@ -711,13 +711,20 @@ object SparkEntry {
     // fact scans + one key aggregate; explicit null-safe rule algebra
     "q201_dq_audit" -> ((s, d) =>
       Relational.dqAudit(Tables(s, d, "lineitem"), Tables(s, d, "orders"))),
-    // incremental CC label maintenance: stored labels (doc_id < 250)
-    // + the batch's delta edges (q90's new×old probe ∪ batch-only
-    // new×new LSH) → full-corpus labels via contracted-subgraph CC;
-    // oracle = q58's from-scratch closure, so the hash match IS the
-    // merge ≡ rebuild proof
-    "q202_incremental_clusters" -> ((s, d) =>
-      Dedup.incrementalClusters(Tables(s, d, "documents"), 250L, 0.95)),
+    // incremental CC label maintenance: stored labels + the batch's
+    // delta edges (q90's new×old probe ∪ batch-only new×new LSH) →
+    // full-corpus labels via contracted-subgraph CC; oracle = q58's
+    // from-scratch closure, so the hash match IS the merge ≡ rebuild
+    // proof. The split is DATA-DERIVED at 90/10 (round-12 verdict #8:
+    // a fixed cap=250 made the "batch" 95% of the corpus at sf0.1, so
+    // the in-query merge sub-problem was nearly the full graph —
+    // twice the cost of the rebuild it proves itself against); the
+    // oracle is split-invariant (that IS the law), and the spec pins
+    // the law across a cap sweep
+    "q202_incremental_clusters" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Dedup.incrementalClusters(docs, Dedup.ingestCap(docs), 0.95)
+    }),
     // REAL-format image decode: genuine PNGs (ImageIO encode+decode —
     // DEFLATE, filters, CRCs) through the q31 kernel boundary; the
     // oracle recomputes dims + all three channel sums text-side
@@ -1076,10 +1083,22 @@ object SparkEntry {
     // the SHIPPED keeper table maintained incrementally: carry
     // yesterday's rows for untouched clusters, recompute dirty ones
     // from absorbed keeper-row digests + batch sizes; oracle = q262's
-    // full rebuild VERBATIM (hash match = merge ≡ rebuild); cap 250 =
-    // the q90/q269 batch convention
-    "q272_incremental_dedup_output" -> ((s, d) =>
-      Dedup.incrementalDedupOutput(Tables(s, d, "documents"), 250L)),
+    // full rebuild VERBATIM (hash match = merge ≡ rebuild). Split
+    // data-derived at 90/10 like q202 (round-12 verdict #8 — the
+    // production shape is a SMALL batch against a large store;
+    // STOREBENCH's production-vs-convention pricing keeps its own
+    // full-size split)
+    // verify/bench cost bounded two ways (round-12 verdict #8 — this
+    // was the suite's most expensive row, ~2× everything else, all of
+    // it oracle-convention double rebuild): the row runs on a
+    // constant-size doc_id prefix (identity at the sf0.01 gate,
+    // mirrored by the oracle's WHERE; the law is spec-proven at three
+    // caps and priced full-size in STOREBENCH), and the split within
+    // it is the data-derived 90/10
+    "q272_incremental_dedup_output" -> ((s, d) => {
+      val docs = Dedup.boundedOracleSlice(Tables(s, d, "documents"), 2500L)
+      Dedup.incrementalDedupOutput(docs, Dedup.ingestCap(docs))
+    }),
     // PQ quantization health: per-vector distortion 1 − ⟨u, recon⟩
     // (the ADC self-term — the audited quantity IS the serving error)
     // through the q257 float-quantile machine; the codebook is the
@@ -4947,7 +4966,12 @@ object SparkEntry {
     // the q91 signature/block chain with the exact token-set Jaccard
     // folded per Hamming distance of each block-collision pair
     "q276_simhash_calibration" ->
-      s"""WITH $toksCte,
+      // the bounded audit slice (stride = ceil(n/5000), identity at
+      // oracle corpus sizes) is mirrored exactly: same integer stride,
+      // same doc_id modulus — Dedup.boundedAuditSlice
+      s"""WITH stride AS (SELECT (count(*) + 4999) // 5000 AS st FROM documents),
+         |docs276 AS (SELECT d.* FROM documents d, stride WHERE d.doc_id % st = 0),
+         |${toksCte.replace("FROM documents)", "FROM docs276)")},
          |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
          |bits AS (SELECT doc_id, b, sum(((th >> b) & 1)*2 - 1) AS s
          |         FROM th CROSS JOIN generate_series(0, ${Hashing.SimHashBits - 1}) t(b)
@@ -5200,7 +5224,13 @@ object SparkEntry {
     // incremental carry+recompute must hash-match the full rebuild —
     // the oracle is q262's text VERBATIM (the q58/q202 shared-oracle
     // pattern applied to the output relation)
-    "q272_incremental_dedup_output" -> dedupOutputOracle,
+    // q262's text over the q272 bounded oracle slice: every read of
+    // `documents` is rebound to the doc_id-prefix CTE, mirroring
+    // Dedup.boundedOracleSlice(_, 2500) exactly (identity at sf0.01)
+    "q272_incremental_dedup_output" -> dedupOutputOracle
+      .replace("documents", "doc272")
+      .replaceFirst("WITH RECURSIVE ",
+        "WITH RECURSIVE doc272 AS (SELECT * FROM documents WHERE doc_id < 2500),\n"),
     // the q22 verified-edge chain + the q45 split rule: cross-split
     // edges, distinct leaked val docs, exact leak rate in micros
     "q259_split_leakage" ->

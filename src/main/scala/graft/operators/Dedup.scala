@@ -755,16 +755,71 @@ object Dedup {
     * measurable, the q91 28-bit story as a relation). Rides the
     * memoized 28-bit signature tower (cross-engine, the pinned oracle
     * family) and the memoized fused sketch for the exact sets; output
-    * bounded by SimHashBits+1 rows. */
+    * bounded by SimHashBits+1 rows. The CANDIDATE stage is bounded by
+    * [[boundedAuditSlice]] (round-12 verdict #3) so the audit itself
+    * can never become the suite's quadratic job; the production-width
+    * audit is [[simhashCalibration64]]. */
   def simhashCalibration(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val (sigs, h1) = persistIfLazy(simhashSigs(docs))
-    val blocks = simhashBlocksOf(sigs, Hashing.SimHashBits, maxDist)
+    val sliced = boundedAuditSlice(docs)
+    simhashCalibrationOver(sliced, simhashSigs(sliced),
+      Hashing.SimHashBits, maxDist)
+  }
+
+  /** q276 at PRODUCTION WIDTH (round-12 verdict #3): the same
+    * calibration fold over the 64-bit xxhash64 family — the estimator
+    * the pipeline's scale path actually consults
+    * ([[simhashMatchScale]]). No audit slice needed: 16-bit blocks
+    * keep the candidate stage sublinear at every reachable corpus
+    * size (the q91 64-bit exponents), so the audit prices exactly
+    * what production pays. SPEC-gated like every xxhash64 surface
+    * (SimHash64Spec pins near/far bucket ordering: mean exact Jaccard
+    * non-increasing from the near-diagonal buckets to the chance-
+    * collision tail). Rides the memoized 64-bit signature and fused-
+    * sketch towers. */
+  def simhashCalibration64(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashCalibrationOver(docs, simhash64Sigs(docs), 64, maxDist)
+
+  /** BOUNDED DETERMINISTIC AUDIT SLICE for the 28-bit oracle
+    * calibration (round-12 verdict #3): the q91 28-bit block join —
+    * q276's candidate stage — saturates quadratically (7-bit blocks =
+    * 128 bucket values), measured exponent 1.23 at 1×→10×, so an
+    * audit riding it unbounded becomes the suite's one quadratic job
+    * at 100×. Cap the slice at `spark.graft.simhashCalib.targetDocs`
+    * (default 5000) docs via an integer stride on doc_id — exact,
+    * order-free, and replayed verbatim by the DuckDB oracle (which
+    * computes the same `(n + t - 1) div t` stride). At the oracle
+    * corpus sizes (≤5000 docs) the stride is 1 and the slice is the
+    * identity — the full-corpus DataFrame object itself, so the
+    * memoized q91 signature tower is still shared; beyond it the
+    * audit stays a fixed-size statistic instead of a growing
+    * relation. The count is a bounded driver scalar (parquet
+    * metadata-served); plan-audit (lazy) mode skips the slice so
+    * Explain keeps the full tower. */
+  private def boundedAuditSlice(docs: DataFrame): DataFrame = {
+    if (!eagerMaterialize(docs)) docs
+    else {
+      val target = docs.sparkSession.conf
+        .get("spark.graft.simhashCalib.targetDocs", "5000").toLong
+      require(target > 0, "spark.graft.simhashCalib.targetDocs must be > 0")
+      val stride = (docs.count() + target - 1L) / target
+      if (stride <= 1L) docs
+      else docs.where(pmod(col("doc_id"), lit(stride)) === 0)
+    }
+  }
+
+  /** The width-generic q276 fold: exact token-set Jaccard per Hamming
+    * distance over the blocked candidate pairs BEFORE the dist cut —
+    * i.e. exactly the pairs the matcher pays to verify. */
+  private def simhashCalibrationOver(docs: DataFrame, sigs0: DataFrame,
+      bits: Int, maxDist: Int): DataFrame = {
+    val (sigs, h1) = persistIfLazy(sigs0)
+    val blocks = simhashBlocksOf(sigs, bits, maxDist)
     val cand = blocks.alias("a")
       .join(blocks.alias("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .where(firstMatchOnly(col("a.simhash"), col("b.simhash"),
-        col("a.blk"), Hashing.SimHashBits, maxDist))
+        col("a.blk"), bits, maxDist))
       .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sh_a"),
         col("b.doc_id").as("doc_b"), col("b.simhash").as("sh_b"))
     val (agged, h2) = fusedSketch(docs)
@@ -1250,6 +1305,38 @@ object Dedup {
     * dirty-cluster work bounded by the batch's reach (keeper rows are
     * one per cluster — the digest join is cluster-keyed, never
     * member-keyed), and the carry is one anti join on cluster_id. */
+  /** DATA-DERIVED 90/10 ingest split for the incremental query forms
+    * (q202/q272 — round-12 verdict #8): `cap` such that ~90% of doc
+    * ids are "stored" and the top ~10% are "the batch". A fixed cap
+    * turns into a degenerate split as the corpus scales (250 of 5000
+    * docs left 95% of the corpus in the batch, so the in-query merge
+    * sub-problem was nearly the full graph — twice the cost of the
+    * rebuild the law compares against); a fractional cap keeps the
+    * query form the production shape (small batch, large store) at
+    * every scale. The max is a bounded driver scalar (parquet
+    * column-stats served); the merge ≡ rebuild law — and therefore the
+    * oracle, which is the from-scratch full-corpus text — is
+    * split-invariant, spec-pinned across a cap sweep. */
+  def ingestCap(docs: DataFrame): Long =
+    docs.agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+
+  /** BOUNDED ORACLE SLICE for the heaviest merge ≡ rebuild row
+    * (q272 — round-12 verdict #8): the row's cost is the oracle
+    * CONVENTION (an in-query double rebuild of stored labels AND
+    * keepers so DuckDB can replay), not the operator, and the law is
+    * already proven at three cap positions in spec plus full-size in
+    * STOREBENCH's production-vs-convention pricing. So the oracle row
+    * runs on a doc_id PREFIX of the corpus, constant-size at scale
+    * (identity at the sf0.01 gate), mirrored verbatim by the DuckDB
+    * text (`WHERE doc_id < bound`). When the bound does not bind, the
+    * ORIGINAL DataFrame is returned so the memoized full-corpus
+    * towers keep being shared; plan-audit (lazy) mode skips the
+    * driver-scalar check entirely. */
+  def boundedOracleSlice(docs: DataFrame, bound: Long): DataFrame =
+    if (!eagerMaterialize(docs)) docs
+    else if (docs.agg(max(col("doc_id"))).head().getLong(0) < bound) docs
+    else docs.where(col("doc_id") < bound)
+
   def incrementalDedupOutput(docs: DataFrame, cap: Long,
       threshold: Double = 0.95): DataFrame = {
     val stored = docs.where(col("doc_id") < cap)
@@ -1800,19 +1887,6 @@ object Dedup {
     * explode to (block, value), shuffle on the bucket key, verify
     * only colliding pairs — is unchanged, only the Hashing constant
     * widens. */
-  /** (persisted signature relation, its pigeonhole block explode) —
-    * THE block derivation q91 and q94 share; a change here (e.g. the
-    * documented 64-bit widening) reaches both the self-match and the
-    * stored-probe form, which is what keeps the q23-export/q94-probe
-    * contract intact. The sig relation is persisted because the block
-    * join's two towers prune differently (same rationale as
-    * fusedSketch); callers unpersist. */
-  private def simhashBlocks(docs: DataFrame,
-      maxDist: Int): (DataFrame, DataFrame, Seq[DataFrame]) = {
-    val (sigs, handles) = persistIfLazy(simhashSigs(docs))
-    (sigs, simhashBlocksOf(sigs, Hashing.SimHashBits, maxDist), handles)
-  }
-
   /** Multi-consumer leaf discipline: eager mode hands out memoized
     * checkpoint LEAVES (nothing to persist or release); lazy
     * (plan-audit) mode persists the full tower so the audited plan
@@ -1918,15 +1992,33 @@ object Dedup {
     * the blocking is exhaustive — the output is exactly the
     * cross-boundary subset of the all-pairs match, no recall loss
     * (spec-pinned). Only the new batch is ever re-signed. */
-  def incrementalSimhashMatch(docs: DataFrame, cap: Long, maxDist: Int): DataFrame = {
-    val (sigs, blocks, handles) = simhashBlocks(docs, maxDist)
-    // new-side blocks probe the stored block index; pairs are strictly
-    // cross-boundary, so no doc ordering guard (the q90 shape)
+  def incrementalSimhashMatch(docs: DataFrame, cap: Long, maxDist: Int): DataFrame =
+    incrementalBlockedMatch(simhashSigs(docs), Hashing.SimHashBits, cap, maxDist)
+
+  /** q94 at PRODUCTION WIDTH: the 64-bit incremental twin (round-12
+    * verdict #4 — the one maintained path the 64-bit family lacked).
+    * Same split convention as q94/q90 (`doc_id < cap` stands in for
+    * the stored relation; [[graft.sources.SimHashStore]] is the
+    * genuinely persisted form), same exhaustive pigeonhole guarantee
+    * at 16-bit blocks. SPEC-gated like every xxhash64 surface
+    * (SimHash64Spec: incremental ≡ the cross-boundary subset of
+    * [[simhashMatch64]] across a cap sweep). */
+  def incrementalSimhashMatch64(docs: DataFrame, cap: Long, maxDist: Int): DataFrame =
+    incrementalBlockedMatch(simhash64Sigs(docs), 64, cap, maxDist)
+
+  /** The width-generic incremental blocked match q94 and its 64-bit
+    * twin share (the [[blockedSelfMatch]] relationship): new-side
+    * blocks probe the old-side block index; pairs are strictly
+    * cross-boundary, so no doc ordering guard (the q90 shape). */
+  private def incrementalBlockedMatch(sigsRaw: DataFrame, bits: Int,
+      cap: Long, maxDist: Int): DataFrame = {
+    val (sigs, handles) = persistIfLazy(sigsRaw)
+    val blocks = simhashBlocksOf(sigs, bits, maxDist)
     val cand = blocks.where(col("doc_id") >= cap).alias("a")
       .join(blocks.where(col("doc_id") < cap).alias("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv"))
       .where(firstMatchOnly(col("a.simhash"), col("b.simhash"),
-        col("a.blk"), Hashing.SimHashBits, maxDist))
+        col("a.blk"), bits, maxDist))
       .select(col("a.doc_id").as("doc_new"), col("a.simhash").as("sh_a"),
         col("b.doc_id").as("doc_old"), col("b.simhash").as("sh_b"))
     val result = cand
@@ -1935,6 +2027,44 @@ object Dedup {
       .select("doc_new", "doc_old", "dist")
       .orderBy("doc_new", "doc_old")
     Dedup.finishWith(result, handles: _*)
+  }
+
+  /** The 64-bit signature BLOCK relation as an exportable build —
+    * what [[graft.sources.SimHashStore]] persists (doc_id, simhash,
+    * blk, bv), bucketed on the probe key (blk, bv). One row per
+    * (doc, block); the signature rides along so the store's probe can
+    * run the first-match-only cut and the exact Hamming verify without
+    * a join back. */
+  private[graft] def simhash64Blocks(docs: DataFrame, maxDist: Int): DataFrame =
+    simhashBlocksOf(simhash64Sigs(docs), 64, maxDist)
+
+  /** The stored-side probe for [[graft.sources.SimHashStore]]: only
+    * the BATCH is signed; its blocks equi-join the persisted block
+    * index (bucketed on (blk, bv), so the stored side enters with no
+    * exchange), first-match-only keeps each pair once, the exact
+    * `bit_count(xor)` verify cuts false candidates. Self-pairs are
+    * dropped so a replayed batch never matches its own stored rows;
+    * its in-batch pairs DO re-emit (both orientations — batch×stored
+    * is unordered), which downstream label assignment absorbs
+    * idempotently (the LabelStore min-label convention). Spec-pinned:
+    * on a fresh store the probe ≡ the split-convention
+    * [[incrementalSimhashMatch64]]; after append, a replay emits
+    * exactly the split pairs ∪ the symmetric in-batch matches. */
+  private[graft] def incrementalSimhash64Stored(storedBlocks: DataFrame,
+      newDocs: DataFrame, maxDist: Int): DataFrame = {
+    val batchBlocks = simhash64Blocks(newDocs, maxDist)
+    batchBlocks.alias("a")
+      .join(storedBlocks.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .where(firstMatchOnly(col("a.simhash"), col("b.simhash"),
+        col("a.blk"), 64, maxDist))
+      .withColumn("dist", bit_count(
+        col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_old"),
+        col("dist"))
+      .orderBy("doc_new", "doc_old")
   }
 
   /** q89 — the MinHash SIGNATURE RELATION as a first-class export:

@@ -102,13 +102,19 @@ object ScaleProbe {
       "q123_prefix_filter" -> ((d: DataFrame) =>
         graft.operators.Dedup.prefixFilterNearDup(d)),
       // round-12 audit rows: drop attribution is drop-count-bounded by
-      // construction — the exponent makes that a number. (q276 is
-      // deliberately NOT probed: it audits the pinned 28-bit family,
-      // so its candidate volume inherits exactly the saturation the
-      // relation exists to measure — probing it would re-report the
-      // documented legacy exponent as if it were a scale path.)
+      // construction — the exponent makes that a number.
       "q278_drop_attribution" -> ((d: DataFrame) =>
         graft.operators.Dedup.dropAttribution(d, 0.95)),
+      // round-13: q276 is probeable again — its 28-bit candidate stage
+      // now rides the bounded deterministic audit slice (constant past
+      // targetDocs=5000 docs), so the exponent must FLATTEN where the
+      // unbounded form re-reported the legacy 1.23 saturation; the
+      // production-width audit (64-bit, unsliced — 16-bit blocks stay
+      // sublinear) is probed beside it
+      "q276_simhash_calibration" -> ((d: DataFrame) =>
+        graft.operators.Dedup.simhashCalibration(d, 3)),
+      "q276b_simhash_calibration64" -> ((d: DataFrame) =>
+        graft.operators.Dedup.simhashCalibration64(d, 3)),
       "q191_dup_ngram_rate" -> ((d: DataFrame) =>
         graft.operators.TextAnalysis.dupNgramRate(d)),
       // round-8 heavy rows: the incremental-cluster query form (cap =

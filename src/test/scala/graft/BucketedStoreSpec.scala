@@ -106,6 +106,47 @@ class BucketedStoreSpec extends SparkSpec {
     }
   }
 
+  test("simhash store: stored probe ≡ split convention with no exchange; append closes the loop") {
+    import graft.sources.SimHashStore
+    val docs = Tables(spark, dir, "documents")
+    val cap = 250L
+    val day0 = docs.where($"doc_id" < cap)
+    val day1 = docs.where($"doc_id" >= cap)
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toList
+    try {
+      SimHashStore.save(day0, "sh64")
+      // stored probe ≡ the spec-gated split-convention incremental
+      val probe = canon(SimHashStore.probe(spark, "sh64", day1))
+      assert(probe === canon(Dedup.incrementalSimhashMatch64(docs, cap, 3)))
+      assert(probe.nonEmpty, "probe found nothing — vacuous test")
+      planMode {
+        val plan = SimHashStore.probe(spark, "sh64", day1)
+          .queryExecution.executedPlan
+        assert(storedSideShuffleFree(plan, "sh64_blocks"),
+          s"stored block index re-shuffled:\n$plan")
+      }
+      // append closes the loop; a replayed batch never matches its own
+      // stored rows (self-pairs dropped) — it re-emits exactly the
+      // split pairs plus the symmetric in-batch matches
+      SimHashStore.append(day1, "sh64")
+      val replay = canon(SimHashStore.probe(spark, "sh64", day1))
+      val inBatch = Dedup.simhashMatch64(day1, 3).collect()
+        .flatMap(r => Seq((r.getLong(0), r.getLong(1), r.getLong(2)),
+          (r.getLong(1), r.getLong(0), r.getLong(2))))
+      assert(replay === (probe ++ inBatch).sortBy(t => (t._1, t._2)).toList)
+      // tomorrow's batch sees today's corpus: probing day0 against the
+      // full store emits day0's own symmetric pairs plus the cross
+      // pairs in reverse orientation (new=day0 doc, old=day1 doc)
+      val back = canon(SimHashStore.probe(spark, "sh64", day0)).toSet
+      val day0Internal = Dedup.simhashMatch64(day0, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .flatMap(t => Seq(t, (t._2, t._1, t._3))).toSet
+      assert(back === day0Internal ++ probe.map(t => (t._2, t._1, t._3)))
+    } finally spark.sql("DROP TABLE IF EXISTS sh64_blocks")
+  }
+
   test("label store: two generations of daily ingest, each == full rebuild") {
     // the CLOSED incremental-dedup loop (q202 productized): day-0
     // corpus -> stored labels + sketch index; each later day probes

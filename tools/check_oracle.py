@@ -70,18 +70,21 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
+    results = {}
     for name in sorted(oracle):
         try:
             o = con.sql(oracle[name])
             ocols, orows = o.columns, o.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
+            results[name] = {"match": False, "why": "oracle error"}
             continue
         try:
             s = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             scols, srows = s.columns, s.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {str(e)[:200]}")
+            results[name] = {"match": False, "why": "spark output missing"}
             continue
         # the DRIVER's pandas comparator cannot sort/hash list/struct
         # cells (round-3 q89 err) — this checker canonicalizes them, so
@@ -94,27 +97,42 @@ def main(sf_dir, out_dir):
         if nonscalar:
             print(f"FAIL {name}: non-scalar output columns (driver comparator "
                   f"contract): {nonscalar}")
+            results[name] = {"match": False, "why": "non-scalar columns"}
             continue
         tfails = type_check(name, con, oracle[name], out_dir)
         if tfails:
             print(f"FAIL {name}: " + "; ".join(tfails))
+            results[name] = {"match": False, "why": "; ".join(tfails)}
             continue
         oc, orows2 = frame([c.lower() for c in ocols], orows)
         sc, srows2 = frame([c.lower() for c in scols], srows)
         if oc != sc:
             print(f"FAIL {name}: schema {sc} vs oracle {oc}")
+            results[name] = {"match": False, "why": "schema"}
             continue
         if len(orows2) != len(srows2):
             print(f"FAIL {name}: rows {len(srows2)} vs oracle {len(orows2)}")
+            results[name] = {"match": False, "why": "row count"}
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows2, orows2)) if a != b]
         if bad:
             i, a, b = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(orows2)} rows differ; first at {i}:\n  spark={a}\n  duck ={b}")
+            results[name] = {"match": False, "why": "values"}
             continue
         print(f"OK   {name} ({len(orows2)} rows)")
+        results[name] = {"match": True, "rows": len(orows2)}
         n_ok += 1
     print(f"== {n_ok}/{len(oracle)} queries match")
+    # machine-readable local mirror (round-12 verdict #7: the committed
+    # CORRECTNESS artifact shipped empty and nothing failed loudly) —
+    # check_close.py validates this shape against the suite size
+    import os
+    with open(os.path.join(out_dir, "correctness_local.json"), "w") as f:
+        json.dump({"queries": results, "n_ok": n_ok,
+                   "n_suite": len(oracle)}, f)
+    if n_ok != len(oracle):
+        sys.exit(1)
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
