@@ -1148,6 +1148,18 @@ object SparkEntry {
     // sources), counted per unordered pair within clusters only
     "q280_cross_source_dups" -> ((s, d) =>
       Dedup.crossSourceDups(Tables(s, d, "documents"))),
+    // the dedup-threshold DECISION as a measured curve: per integer
+    // percent t in [80..100], verified candidate pairs with exact
+    // Jaccard ≥ t and docs whose BEST candidate neighbor is ≥ t (the
+    // docs a dedup at t would touch) — the knee of this curve is what
+    // an operator reads before committing q22's 0.95
+    "q281_threshold_sensitivity" -> ((s, d) =>
+      Dedup.thresholdSensitivity(Tables(s, d, "documents"))),
+    // q281's curve on the EMBEDDING modality: per integer cosine
+    // percent over the q216 PCA-bin candidates — the semantic-dedup
+    // threshold decision measured instead of asserted
+    "q282_cosine_sensitivity" -> ((s, d) =>
+      Similarity.cosineThresholdSensitivity(Tables(s, d, "embeddings"))),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -5077,6 +5089,58 @@ object SparkEntry {
          |FROM cs a JOIN cs b
          |  ON a.cluster_id = b.cluster_id AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q281_threshold_sensitivity" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
+         |perms(i, a, b) AS (VALUES $permsValues),
+         |sig AS (SELECT doc_id, i, min((a*th + b) % ${Hashing.P}) AS minh
+         |        FROM th CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // ${Hashing.RowsPerBand} AS band,
+         |                 string_agg(minh::VARCHAR, '_' ORDER BY i) AS key
+         |          FROM sig GROUP BY i // ${Hashing.RowsPerBand}, doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |$setsCte,
+         |x AS (SELECT doc_a, doc_b,
+         |             len(list_intersect(a.ws, b.ws)) * 1000000
+         |               // (a.n + b.n - len(list_intersect(a.ws, b.ws))) AS jac_micros
+         |      FROM cand JOIN sets a ON doc_a = a.doc_id
+         |                JOIN sets b ON doc_b = b.doc_id),
+         |ph AS (SELECT jac_micros // 10000 AS p, count(*) AS np FROM x GROUP BY 1),
+         |db AS (SELECT doc_id, max(jac_micros // 10000) AS p
+         |       FROM (SELECT doc_a AS doc_id, jac_micros FROM x
+         |             UNION ALL SELECT doc_b, jac_micros FROM x) GROUP BY 1),
+         |dh AS (SELECT p, count(*) AS nd FROM db GROUP BY 1)
+         |SELECT CAST(t AS BIGINT) AS threshold_pct,
+         |       CAST(COALESCE((SELECT sum(np) FROM ph WHERE p >= t), 0) AS BIGINT) AS pairs_ge,
+         |       CAST(COALESCE((SELECT sum(nd) FROM dh WHERE p >= t), 0) AS BIGINT) AS docs_touched
+         |FROM generate_series(80, 100) g(t) ORDER BY 1""".stripMargin,
+    "q282_cosine_sensitivity" ->
+      s"""WITH RECURSIVE $pcaCtes,
+         |$embCte,
+         |proj AS MATERIALIZED (SELECT q.vec_id, CAST(sum(q.xq * w8.w) AS BIGINT) AS proj_q
+         |         FROM q JOIN w8 ON q.pos = w8.pos GROUP BY q.vec_id),
+         |mm AS (SELECT CAST(min(proj_q) AS BIGINT) AS lo,
+         |              CAST(max(proj_q) AS BIGINT) AS hi FROM proj),
+         |binned AS MATERIALIZED (SELECT vec_id,
+         |             CAST(CASE WHEN hi = lo THEN 0
+         |               ELSE ((proj_q - lo) * 16) // (hi - lo + 1) END AS BIGINT) AS bin
+         |           FROM proj CROSS JOIN mm),
+         |eb AS MATERIALIZED (SELECT e.vec_id, e.v, e.nrm, b.bin
+         |       FROM e JOIN binned b ON e.vec_id = b.vec_id),
+         |x AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |             CAST(floor(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) * 100) AS BIGINT) AS p
+         |      FROM eb a JOIN eb b ON a.bin = b.bin AND a.vec_id < b.vec_id),
+         |ph AS (SELECT p, count(*) AS np FROM x GROUP BY 1),
+         |db AS (SELECT doc_id, max(p) AS p
+         |       FROM (SELECT doc_a AS doc_id, p FROM x
+         |             UNION ALL SELECT doc_b, p FROM x) GROUP BY 1),
+         |dh AS (SELECT p, count(*) AS nd FROM db GROUP BY 1)
+         |SELECT CAST(t AS BIGINT) AS threshold_pct,
+         |       CAST(COALESCE((SELECT sum(np) FROM ph WHERE p >= t), 0) AS BIGINT) AS pairs_ge,
+         |       CAST(COALESCE((SELECT sum(nd) FROM dh WHERE p >= t), 0) AS BIGINT) AS vecs_touched
+         |FROM generate_series(40, 100) g(t) ORDER BY 1""".stripMargin,
     // the q92 trained codebook + assignment replayed, folded to
     // per-cell counts, shares, and load factors — integer micros,
     // truncating division on all-positive terms

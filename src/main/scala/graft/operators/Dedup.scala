@@ -841,6 +841,60 @@ object Dedup {
     Dedup.finishWith(result, h1 ++ h2: _*)
   }
 
+  /** q281 — dedup THRESHOLD SENSITIVITY: the "what threshold should we
+    * dedup at" curve, computed in ONE pass over the LSH candidate
+    * pairs. For every integer threshold percent t in [loPct..100]:
+    * `pairs_ge` = verified candidate pairs with exact Jaccard ≥ t%,
+    * and `docs_touched` = documents whose BEST candidate neighbor is
+    * ≥ t% — i.e. exactly the docs a dedup run at threshold t would
+    * pull into some cluster. Operators read the knee of this curve
+    * before committing a threshold; without it the q22 0.95 is an
+    * assertion, not a measurement.
+    *
+    * Shape, and why it scales: rides the memoized fused-sketch tower
+    * and the banded candidate join (everything downstream of the
+    * candidates is bounded): one ≤101-bucket pair histogram, one
+    * per-doc max (a doc_id-keyed aggregation over candidate
+    * endpoints), one ≤101-bucket doc histogram, then a 21×101 bounded
+    * theta join against the threshold grid for the cumulative read —
+    * no corpus-sized state beyond the candidate relation every dedup
+    * query already pays. Integer floor-percent buckets
+    * (`jac_micros div 10000`), so `floor ≥ t ⟺ jac ≥ t%` exactly and
+    * both engines land on identical integers. */
+  def thresholdSensitivity(docs: DataFrame, loPct: Int = 80): DataFrame =
+    calibrationScored(docs) { scored =>
+      sensitivityCurve(scored.select(col("doc_a"), col("doc_b"),
+        expr("jac_micros div 10000").as("p")), loPct, "docs_touched")
+    }
+
+  /** The shared cumulative-curve fold (q281 Jaccard / q282 cosine):
+    * `scored` = (doc_a, doc_b, p) candidate pairs with an integer
+    * floor-percent score. Per grid threshold t: pairs with p ≥ t and
+    * endpoints whose BEST pair is ≥ t. Everything downstream of the
+    * pair relation is bounded: two ≤201-bucket histograms and a
+    * grid×histogram theta join. */
+  private[operators] def sensitivityCurve(scored: DataFrame, loPct: Int,
+      touchedCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    val pairH = scored.groupBy(col("p")).agg(count(lit(1)).as("np"))
+    val docH = scored.select(col("doc_a").as("doc_id"), col("p"))
+      .unionByName(scored.select(col("doc_b").as("doc_id"), col("p")))
+      .groupBy("doc_id").agg(max(col("p")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("nd"))
+    val grid = spark.range(loPct, 101)
+      .select(col("id").as("threshold_pct"))
+    grid
+      .join(broadcast(pairH), col("p") >= col("threshold_pct"), "left")
+      .groupBy("threshold_pct")
+      .agg(coalesce(sum(col("np")), lit(0L)).as("pairs_ge"))
+      .join(
+        grid.join(broadcast(docH), col("p") >= col("threshold_pct"), "left")
+          .groupBy("threshold_pct")
+          .agg(coalesce(sum(col("nd")), lit(0L)).as(touchedCol)),
+        "threshold_pct")
+      .orderBy("threshold_pct")
+  }
+
   /** The q271/q274 shared candidate-scoring tower: LSH candidates off
     * the memoized fused sketch, per-pair signature agreement + exact
     * Jaccard in integer micros; `fold` shapes the final aggregation. */

@@ -977,6 +977,39 @@ object Similarity {
     * binning (exact `div` on the non-negative shifted projection —
     * hi = lo pins to bin 0) rather than quantiles keeps the bin rule
     * a pure scalar so both engines replay it without a rank pass. */
+  /** q282 — EMBEDDING dedup threshold sensitivity: q281's decision
+    * curve on the second modality. Per integer cosine percent t in
+    * [loPct..100] over the q216 PCA-bin candidate pairs: `pairs_ge` =
+    * candidates with cosine ≥ t%, `vecs_touched` = vectors whose BEST
+    * candidate is ≥ t% — what a semantic dedup at threshold t would
+    * pull into clusters. Integer floor-percent buckets
+    * (`floor(cos·100)`, so `floor ≥ t ⟺ cos ≥ t%` for integer t);
+    * doubles are bit-identical across engines (the q216 precedent),
+    * so floor lands on the same integer. Rides q216's candidate
+    * blocking (the memoized PCA projection + same-bin join); the fold
+    * is [[Dedup.sensitivityCurve]] — bounded histograms, never
+    * corpus-sized state. */
+  def cosineThresholdSensitivity(embeddings: DataFrame, bins: Int = 16,
+      loPct: Int = 40): DataFrame = {
+    val proj = pcaProject(embeddings).select("vec_id", "proj_q")
+    val mm = proj.agg(min(col("proj_q")).as("lo"), max(col("proj_q")).as("hi"))
+    val binned = proj.crossJoin(broadcast(mm))
+      .withColumn("bin", expr(s"CASE WHEN hi = lo THEN 0 " +
+        s"ELSE ((proj_q - lo) * $bins) div (hi - lo + 1) END"))
+      .select("vec_id", "bin")
+    val e = withNorm(embeddings).join(binned, "vec_id")
+    val a = e.select(col("bin"), col("vec_id").as("doc_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("bin"), col("vec_id").as("doc_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val scored = a.join(b, Seq("bin"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 100)
+          .cast("long").as("p"))
+    Dedup.sensitivityCurve(scored, loPct, "vecs_touched")
+  }
+
   def pcaBinDedup(embeddings: DataFrame, bins: Int = 16,
       threshold: Double = 0.4): DataFrame = {
     val proj = pcaProject(embeddings).select("vec_id", "proj_q")

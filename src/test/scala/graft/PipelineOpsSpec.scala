@@ -598,6 +598,41 @@ class PipelineOpsSpec extends SparkSpec {
     Dedup.clearSketchMemo(); Dedup.clearClusterMemo()
   }
 
+  test("q281/q282 sensitivity curves: complete grids, monotone, anchored to the dedup relations") {
+    val docs = t("documents")
+    val curve = Dedup.thresholdSensitivity(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // complete dense grid, monotone non-increasing in both columns
+    assert(curve.map(_._1).toSeq === (80L to 100L))
+    curve.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1, "cumulative curve not monotone")
+    }
+    // anchored: the t=95 row IS the q22 relation — same candidates,
+    // same exact-Jaccard cut (integer-micros floor ⟺ the double
+    // compare at every reachable denominator), and docs_touched its
+    // distinct endpoints
+    val pairs95 = Dedup.minhashNearDup(docs, 0.95)
+    assert(curve.find(_._1 == 95L).get._2 === pairs95.count())
+    assert(curve.find(_._1 == 95L).get._3 ===
+      pairs95.select(col("doc_a").as("d")).unionByName(
+        pairs95.select(col("doc_b").as("d"))).distinct().count())
+    assert(curve.head._2 > curve.last._2, "flat curve — vacuous corpus")
+
+    val cos = Similarity.cosineThresholdSensitivity(t("embeddings")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cos.map(_._1).toSeq === (40L to 100L))
+    cos.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1, "cosine curve not monotone")
+    }
+    assert(cos.head._2 > 0, "no candidate pairs — vacuous")
+    // self-consistency: touched vectors never exceed 2× pairs (each
+    // pair touches ≤2 new endpoints) and never exceed the corpus
+    val nVecs = t("embeddings").count()
+    cos.foreach { case (tt, p, d) =>
+      assert(d <= 2 * p && d <= nVecs, s"t=$tt endpoints impossible")
+    }
+  }
+
   test("q276 simhash calibration: matcher rows accounted, estimator tracks similarity") {
     val docs = t("documents")
     Dedup.clearSketchMemo()
