@@ -629,18 +629,14 @@ object Dedup {
     * these rows over bands per decile reproduces q271 exactly. */
   def minhashCalibrationByLength(docs: DataFrame): DataFrame = {
     val result = calibrationScored(docs) { scored =>
-      // TWO consumers (the threshold derivation and the final fold)
-      // would otherwise replay the candidate band join — the round-12
-      // vs_prev block flagged exactly that (2.26 → 4.08 s): checkpoint
-      // the NARROW three-column pair relation once in eager mode and
-      // let both branches read the leaf (lazy/audit mode keeps the
-      // full tower, the suite's convention)
-      val sNarrow = scored
+      // TWO consumers (the threshold derivation and the final fold):
+      // since round 13 `scored` is itself the memoized NARROW
+      // checkpoint leaf (calibMemo — the round-12 per-call checkpoint
+      // that fixed the flagged 2.26 → 4.08 s band-join replay is
+      // superseded by it), so both branches read the leaf directly
+      val s = scored
         .withColumn("nmin", least(col("n_a"), col("n_b")))
         .select("nmin", "est_micros", "jac_micros")
-      val s =
-        if (eagerMaterialize(scored)) sNarrow.localCheckpoint(true)
-        else sNarrow
       val dist = s.groupBy("nmin").agg(count(lit(1)).as("cnt"))
       val cum = dist
         .withColumn("cum", sum(col("cnt")).over(Window.orderBy("nmin")))
@@ -895,12 +891,38 @@ object Dedup {
       .orderBy("threshold_pct")
   }
 
-  /** The q271/q274 shared candidate-scoring tower: LSH candidates off
-    * the memoized fused sketch, per-pair signature agreement + exact
-    * Jaccard in integer micros; `fold` shapes the final aggregation. */
+  /** Session-level memo of the NARROW calibration-scored pair
+    * relation — q271, q274, and q281 all start from the same LSH
+    * candidates scored with signature agreement + exact Jaccard; only
+    * the fold differs. Before this memo each of the three rebuilt the
+    * band join + intersect tower per call (~3 × 2–3 s at sf0.1). The
+    * leaf keeps exactly the columns the folds consume (doc_a, doc_b,
+    * n_a, n_b, est_micros, jac_micros) — NOT the token sets, so the
+    * checkpoint is six longs per candidate pair. Artifact-backed
+    * across JVMs like the sketch/signature towers; lazy (plan-audit)
+    * mode bypasses so Explain keeps the full tower. */
+  private val calibMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Unit), DataFrame]
+
+  /** Drop the memoized calibration-scored relation (multi-corpus
+    * drivers). */
+  def clearCalibMemo(): Unit = calibMemo.clear()
+
+  /** The q271/q274/q281 shared candidate-scoring tower: LSH candidates
+    * off the memoized fused sketch, per-pair signature agreement +
+    * exact Jaccard in integer micros; `fold` shapes the final
+    * aggregation over the memoized narrow leaf. */
   private def calibrationScored(docs: DataFrame)(
       fold: DataFrame => DataFrame): DataFrame = {
     val (agged, handles) = fusedSketch(docs)
+    val scored = corpusMemo(calibMemo, docs, ())(
+      checkpointWide(graft.sources.ArtifactStore
+        .loadOrBuild("calib_scored", docs, "")(calibScoredPlan(agged))))(
+      calibScoredPlan(agged))
+    Dedup.finishWith(fold(scored), handles: _*)
+  }
+
+  private def calibScoredPlan(agged: DataFrame): DataFrame = {
     val bands = bandExplode(agged)
     val cand = bands.alias("a")
       .join(bands.alias("b"),
@@ -915,13 +937,13 @@ object Dedup {
     val matchCnt = (0 until Hashing.NumPerms)
       .map(i => when(col(s"h${i}_a") === col(s"h${i}_b"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val scored = cand
+    cand
       .join(side("a"), "doc_a").join(side("b"), "doc_b")
       .withColumn("mc", matchCnt)
       .withColumn("inter", IntersectCountSorted(col("ws_a"), col("ws_b")))
       .withColumn("est_micros", expr(s"mc * 1000000 div ${Hashing.NumPerms}"))
       .withColumn("jac_micros", expr("inter * 1000000 div (n_a + n_b - inter)"))
-    Dedup.finishWith(fold(scored), handles: _*)
+      .select("doc_a", "doc_b", "n_a", "n_b", "est_micros", "jac_micros")
   }
 
   /** The NumPerms MinHash minima as aggregate expressions over a `th`

@@ -13,6 +13,7 @@ object Memos {
     graft.operators.Dedup.clearSketchMemo()
     graft.operators.Dedup.clearSigMemo()
     graft.operators.Dedup.clearPairMemo()
+    graft.operators.Dedup.clearCalibMemo()
     graft.operators.Dedup.clearClusterMemo()
     graft.operators.TextAnalysis.clearPrintMemo()
     graft.operators.TextAnalysis.clearNbMemo()
