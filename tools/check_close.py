@@ -60,18 +60,40 @@ def main():
             art = json.load(f)
     except Exception as e:
         fail(f"{art_path} does not parse as JSON: {e}")
-    rows = art.get("queries", art if isinstance(art, dict) else {})
-    # accept either {"queries": {...}} or a flat per-query map
+    # type-check BEFORE touching .get/.items — a JSON list/string/number
+    # is the exact silent-artifact class this gate exists to catch, not
+    # an AttributeError (round-13 ADVICE)
+    if not isinstance(art, dict):
+        fail(f"{art_path} top level is {type(art).__name__}, not a "
+             f"per-query object — malformed artifact")
+    rows = art.get("queries", art)
+    if not isinstance(rows, dict):
+        fail(f"{art_path} 'queries' is {type(rows).__name__}, not an "
+             f"object — malformed artifact")
     per_query = {k: v for k, v in rows.items()
                  if isinstance(k, str) and k.startswith("q")}
     if len(per_query) < n_suite:
         fail(f"{art_path} carries {len(per_query)} per-query rows but the "
              f"suite declares {n_suite} ({oracle_path}) — empty or "
              f"truncated artifact")
-    bad = sorted(k for k, v in per_query.items()
-                 if isinstance(v, dict)
-                 and not (v.get("match") or v.get("ok")
-                          or v.get("rows_only")))
+
+    def green(v):
+        """A row is green only as a dict with an explicit pass signal:
+        driver schema (rows/schema/hash all true, or the documented
+        rows-only convention err == 'no_oracle' with spark_rows > 0) or
+        the legacy mirror schema (match/ok/rows_only truthy). Anything
+        else — including a bare `false`/`true` value — is NOT green
+        (round-13 ADVICE: {'q1': false, ...} must not pass)."""
+        if not isinstance(v, dict):
+            return False
+        if v.get("rows_match") and v.get("schema_match") \
+                and v.get("hash_match"):
+            return True
+        if v.get("err") == "no_oracle" and (v.get("spark_rows") or 0) > 0:
+            return True
+        return bool(v.get("match") or v.get("ok") or v.get("rows_only"))
+
+    bad = sorted(k for k, v in per_query.items() if not green(v))
     if bad:
         fail(f"{len(bad)} rows not green in {art_path}: {bad[:10]}")
     print(f"OK {art_path}: {len(per_query)} per-query rows ≥ suite's "

@@ -64,6 +64,16 @@ def type_check(name, con, sql, out_dir):
                          f"({oc}) vs spark {stypes[c]} ({sc})")
     return fails
 
+def driver_row(rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None):
+    """One per-query row in the DRIVER's CORRECTNESS_r{N}.json schema
+    (the CORRECTNESS_r11.json format) — the mirror must be drop-in
+    consumable wherever the driver artifact is read (round-13 verdict
+    #1: two consecutive driver artifacts shipped as empty `{}`)."""
+    return {"rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err}
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -77,14 +87,15 @@ def main(sf_dir, out_dir):
             ocols, orows = o.columns, o.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
-            results[name] = {"match": False, "why": "oracle error"}
+            results[name] = driver_row(err=f"oracle error: {str(e)[:200]}")
             continue
         try:
             s = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             scols, srows = s.columns, s.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {str(e)[:200]}")
-            results[name] = {"match": False, "why": "spark output missing"}
+            results[name] = driver_row(oracle_rows=len(orows),
+                                       err="spark output missing")
             continue
         # the DRIVER's pandas comparator cannot sort/hash list/struct
         # cells (round-3 q89 err) — this checker canonicalizes them, so
@@ -97,40 +108,71 @@ def main(sf_dir, out_dir):
         if nonscalar:
             print(f"FAIL {name}: non-scalar output columns (driver comparator "
                   f"contract): {nonscalar}")
-            results[name] = {"match": False, "why": "non-scalar columns"}
+            results[name] = driver_row(
+                spark_rows=len(srows), oracle_rows=len(orows),
+                err=f"non-scalar columns: {nonscalar}")
             continue
         tfails = type_check(name, con, oracle[name], out_dir)
         if tfails:
             print(f"FAIL {name}: " + "; ".join(tfails))
-            results[name] = {"match": False, "why": "; ".join(tfails)}
+            results[name] = driver_row(
+                spark_rows=len(srows), oracle_rows=len(orows),
+                err="; ".join(tfails)[:300])
             continue
         oc, orows2 = frame([c.lower() for c in ocols], orows)
         sc, srows2 = frame([c.lower() for c in scols], srows)
         if oc != sc:
             print(f"FAIL {name}: schema {sc} vs oracle {oc}")
-            results[name] = {"match": False, "why": "schema"}
+            results[name] = driver_row(
+                rows_match=(len(orows2) == len(srows2)), schema_match=False,
+                hash_match=False, spark_rows=len(srows2),
+                oracle_rows=len(orows2), err="schema mismatch")
             continue
         if len(orows2) != len(srows2):
             print(f"FAIL {name}: rows {len(srows2)} vs oracle {len(orows2)}")
-            results[name] = {"match": False, "why": "row count"}
+            results[name] = driver_row(
+                rows_match=False, schema_match=True, hash_match=False,
+                spark_rows=len(srows2), oracle_rows=len(orows2),
+                err="row count mismatch")
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows2, orows2)) if a != b]
         if bad:
             i, a, b = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(orows2)} rows differ; first at {i}:\n  spark={a}\n  duck ={b}")
-            results[name] = {"match": False, "why": "values"}
+            results[name] = driver_row(
+                rows_match=True, schema_match=True, hash_match=False,
+                spark_rows=len(srows2), oracle_rows=len(orows2),
+                err=f"{len(bad)} rows differ")
             continue
         print(f"OK   {name} ({len(orows2)} rows)")
-        results[name] = {"match": True, "rows": len(orows2)}
+        results[name] = driver_row(
+            rows_match=True, schema_match=True, hash_match=True,
+            spark_rows=len(srows2), oracle_rows=len(orows2))
         n_ok += 1
-    print(f"== {n_ok}/{len(oracle)} queries match")
-    # machine-readable local mirror (round-12 verdict #7: the committed
-    # CORRECTNESS artifact shipped empty and nothing failed loudly) —
-    # check_close.py validates this shape against the suite size
+    # rows-only queries (in SparkEntry.queries but not oracleSql — q39's
+    # documented convention): record them exactly as the driver does
+    # (err="no_oracle", spark_rows from the written parquet)
     import os
+    n_rows_only = 0
+    for d in sorted(os.listdir(out_dir)):
+        if d in oracle or not os.path.isdir(os.path.join(out_dir, d)):
+            continue
+        try:
+            n = con.sql(
+                f"SELECT count(*) FROM '{out_dir}/{d}/*.parquet'").fetchone()[0]
+        except Exception:
+            continue  # not a query output dir
+        results[d] = driver_row(spark_rows=n, err="no_oracle")
+        n_rows_only += 1
+        print(f"ROWS {d} ({n} rows, no oracle — rows-only by design)")
+    print(f"== {n_ok}/{len(oracle)} oracle queries match"
+          + (f" (+{n_rows_only} rows-only)" if n_rows_only else ""))
+    # machine-readable local mirror in the DRIVER artifact schema
+    # (round-13 verdict #1: the driver's CORRECTNESS_r{N}.json shipped
+    # empty two rounds running — this flat map is drop-in consumable
+    # wherever that artifact is read; check_close.py validates it)
     with open(os.path.join(out_dir, "correctness_local.json"), "w") as f:
-        json.dump({"queries": results, "n_ok": n_ok,
-                   "n_suite": len(oracle)}, f)
+        json.dump(results, f)
     if n_ok != len(oracle):
         sys.exit(1)
 
