@@ -1160,6 +1160,9 @@ object SparkEntry {
     // threshold decision measured instead of asserted
     "q282_cosine_sensitivity" -> ((s, d) =>
       Similarity.cosineThresholdSensitivity(Tables(s, d, "embeddings"))),
+    "q283_cosine_multiprobe" -> ((s, d) =>
+      Similarity.cosineThresholdSensitivity(Tables(s, d, "embeddings"),
+        multiProbe = true)),
   )
 
   // --- shared DuckDB CTE fragments (tokenizer mirror of TextFns) ---
@@ -1401,6 +1404,37 @@ object SparkEntry {
       s"(a, b) -> (a*31+b) % ${Hashing.P})"
 
   /** DuckDB mirror of Similarity.dot (left fold over the zipped pair). */
+  /** q282/q283 shared oracle text — the cosine sensitivity fold over
+    * the PCA-bin candidate pairs; `binPred` is the candidate bin
+    * predicate (same-bin for q282; adjacent-bin multi-probe for q283,
+    * round-13 verdict #4 — one changed predicate, everything else
+    * byte-identical so the two curves are comparable row for row). */
+  private def cosineSensitivityOracle(binPred: String): String =
+    s"""WITH RECURSIVE $pcaCtes,
+       |$embCte,
+       |proj AS MATERIALIZED (SELECT q.vec_id, CAST(sum(q.xq * w8.w) AS BIGINT) AS proj_q
+       |         FROM q JOIN w8 ON q.pos = w8.pos GROUP BY q.vec_id),
+       |mm AS (SELECT CAST(min(proj_q) AS BIGINT) AS lo,
+       |              CAST(max(proj_q) AS BIGINT) AS hi FROM proj),
+       |binned AS MATERIALIZED (SELECT vec_id,
+       |             CAST(CASE WHEN hi = lo THEN 0
+       |               ELSE ((proj_q - lo) * 16) // (hi - lo + 1) END AS BIGINT) AS bin
+       |           FROM proj CROSS JOIN mm),
+       |eb AS MATERIALIZED (SELECT e.vec_id, e.v, e.nrm, b.bin
+       |       FROM e JOIN binned b ON e.vec_id = b.vec_id),
+       |x AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       |             CAST(floor(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) * 100) AS BIGINT) AS p
+       |      FROM eb a JOIN eb b ON $binPred AND a.vec_id < b.vec_id),
+       |ph AS (SELECT p, count(*) AS np FROM x GROUP BY 1),
+       |db AS (SELECT doc_id, max(p) AS p
+       |       FROM (SELECT doc_a AS doc_id, p FROM x
+       |             UNION ALL SELECT doc_b, p FROM x) GROUP BY 1),
+       |dh AS (SELECT p, count(*) AS nd FROM db GROUP BY 1)
+       |SELECT CAST(t AS BIGINT) AS threshold_pct,
+       |       CAST(COALESCE((SELECT sum(np) FROM ph WHERE p >= t), 0) AS BIGINT) AS pairs_ge,
+       |       CAST(COALESCE((SELECT sum(nd) FROM dh WHERE p >= t), 0) AS BIGINT) AS vecs_touched
+       |FROM generate_series(40, 100) g(t) ORDER BY 1""".stripMargin
+
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(list_zip($a, $b), p -> p[1] * p[2])), (acc, x) -> acc + x)"
@@ -4978,10 +5012,12 @@ object SparkEntry {
     // the q91 signature/block chain with the exact token-set Jaccard
     // folded per Hamming distance of each block-collision pair
     "q276_simhash_calibration" ->
-      // the bounded audit slice (stride = ceil(n/5000), identity at
+      // the bounded audit slice (stride = ceil(n/target), identity at
       // oracle corpus sizes) is mirrored exactly: same integer stride,
-      // same doc_id modulus — Dedup.boundedAuditSlice
-      s"""WITH stride AS (SELECT (count(*) + 4999) // 5000 AS st FROM documents),
+      // same doc_id modulus — Dedup.boundedAuditSlice. The target is
+      // the SHARED constant (Verify refuses to dump this oracle under
+      // a non-default spark.graft.simhashCalib.targetDocs).
+      s"""WITH stride AS (SELECT (count(*) + ${Dedup.SimhashCalibTargetDefault - 1}) // ${Dedup.SimhashCalibTargetDefault} AS st FROM documents),
          |docs276 AS (SELECT d.* FROM documents d, stride WHERE d.doc_id % st = 0),
          |${toksCte.replace("FROM documents)", "FROM docs276)")},
          |th AS (SELECT doc_id, ${polyHashSql("word")} AS th FROM toks),
@@ -5117,30 +5153,12 @@ object SparkEntry {
          |       CAST(COALESCE((SELECT sum(nd) FROM dh WHERE p >= t), 0) AS BIGINT) AS docs_touched
          |FROM generate_series(80, 100) g(t) ORDER BY 1""".stripMargin,
     "q282_cosine_sensitivity" ->
-      s"""WITH RECURSIVE $pcaCtes,
-         |$embCte,
-         |proj AS MATERIALIZED (SELECT q.vec_id, CAST(sum(q.xq * w8.w) AS BIGINT) AS proj_q
-         |         FROM q JOIN w8 ON q.pos = w8.pos GROUP BY q.vec_id),
-         |mm AS (SELECT CAST(min(proj_q) AS BIGINT) AS lo,
-         |              CAST(max(proj_q) AS BIGINT) AS hi FROM proj),
-         |binned AS MATERIALIZED (SELECT vec_id,
-         |             CAST(CASE WHEN hi = lo THEN 0
-         |               ELSE ((proj_q - lo) * 16) // (hi - lo + 1) END AS BIGINT) AS bin
-         |           FROM proj CROSS JOIN mm),
-         |eb AS MATERIALIZED (SELECT e.vec_id, e.v, e.nrm, b.bin
-         |       FROM e JOIN binned b ON e.vec_id = b.vec_id),
-         |x AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-         |             CAST(floor(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) * 100) AS BIGINT) AS p
-         |      FROM eb a JOIN eb b ON a.bin = b.bin AND a.vec_id < b.vec_id),
-         |ph AS (SELECT p, count(*) AS np FROM x GROUP BY 1),
-         |db AS (SELECT doc_id, max(p) AS p
-         |       FROM (SELECT doc_a AS doc_id, p FROM x
-         |             UNION ALL SELECT doc_b, p FROM x) GROUP BY 1),
-         |dh AS (SELECT p, count(*) AS nd FROM db GROUP BY 1)
-         |SELECT CAST(t AS BIGINT) AS threshold_pct,
-         |       CAST(COALESCE((SELECT sum(np) FROM ph WHERE p >= t), 0) AS BIGINT) AS pairs_ge,
-         |       CAST(COALESCE((SELECT sum(nd) FROM dh WHERE p >= t), 0) AS BIGINT) AS vecs_touched
-         |FROM generate_series(40, 100) g(t) ORDER BY 1""".stripMargin,
+      cosineSensitivityOracle("a.bin = b.bin"),
+    // q283 — identical text, the ONE changed predicate: |Δbin| ≤ 1
+    // (the Spark side's adjacent-bin explode + equi-join scores the
+    // same pair set exactly once; round-13 verdict #4)
+    "q283_cosine_multiprobe" ->
+      cosineSensitivityOracle("b.bin BETWEEN a.bin - 1 AND a.bin + 1"),
     // the q92 trained codebook + assignment replayed, folded to
     // per-cell counts, shares, and load factors — integer micros,
     // truncating division on all-positive terms

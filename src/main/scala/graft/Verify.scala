@@ -50,6 +50,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle-consistency guard (round-13 ADVICE): the q276 oracle text
+    // carries the DEFAULT audit-slice stride; a session that overrode
+    // spark.graft.simhashCalib.targetDocs would run the engine on a
+    // different slice than the SQL replays — refuse to dump a silently
+    // divergent oracle rather than let the gate compare two corpora.
+    val calibTarget = graft.operators.Dedup.simhashCalibTarget(spark)
+    require(calibTarget == graft.operators.Dedup.SimhashCalibTargetDefault,
+      s"spark.graft.simhashCalib.targetDocs=$calibTarget but the q276 " +
+        s"oracle SQL is built at the default " +
+        s"${graft.operators.Dedup.SimhashCalibTargetDefault} — unset it " +
+        "for Verify runs (engine slice and oracle slice would diverge)")
     val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -791,11 +791,24 @@ object Dedup {
     * relation. The count is a bounded driver scalar (parquet
     * metadata-served); plan-audit (lazy) mode skips the slice so
     * Explain keeps the full tower. */
+  /** Default audit-slice size — ONE constant shared by
+    * [[boundedAuditSlice]] and the q276 oracle text (round-13 ADVICE:
+    * the SQL hardcoded the 5000 stride while the Scala read the conf,
+    * so a non-default `spark.graft.simhashCalib.targetDocs` silently
+    * diverged engine from oracle; Verify now also refuses to dump an
+    * oracle under a non-default value). */
+  val SimhashCalibTargetDefault = 5000L
+
+  /** The resolved audit-slice target for `spark` — the one read site
+    * both the slice and Verify's oracle-consistency guard use. */
+  def simhashCalibTarget(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.simhashCalib.targetDocs",
+      SimhashCalibTargetDefault.toString).toLong
+
   private def boundedAuditSlice(docs: DataFrame): DataFrame = {
     if (!eagerMaterialize(docs)) docs
     else {
-      val target = docs.sparkSession.conf
-        .get("spark.graft.simhashCalib.targetDocs", "5000").toLong
+      val target = simhashCalibTarget(docs.sparkSession)
       require(target > 0, "spark.graft.simhashCalib.targetDocs must be > 0")
       val stride = (docs.count() + target - 1L) / target
       if (stride <= 1L) docs
@@ -1394,7 +1407,16 @@ object Dedup {
     * oracle, which is the from-scratch full-corpus text — is
     * split-invariant, spec-pinned across a cap sweep. */
   def ingestCap(docs: DataFrame): Long =
-    docs.agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+    if (!eagerMaterialize(docs)) 1L  // plan-audit mode: no driver
+      // action (the boundedOracleSlice/boundedAuditSlice convention —
+      // round-13 ADVICE); any constant keeps the audited plan shape
+    else {
+      val row = docs.agg(max(col("doc_id"))).head()
+      if (row.isNullAt(0)) throw new IllegalArgumentException(
+        "ingestCap: corpus is empty — no doc_id to derive the 90/10 " +
+          "ingest split from")
+      row.getLong(0) * 9 / 10
+    }
 
   /** BOUNDED ORACLE SLICE for the heaviest merge ≡ rebuild row
     * (q272 — round-12 verdict #8): the row's cost is the oracle
@@ -2120,12 +2142,14 @@ object Dedup {
     * exchange), first-match-only keeps each pair once, the exact
     * `bit_count(xor)` verify cuts false candidates. Self-pairs are
     * dropped so a replayed batch never matches its own stored rows;
-    * its in-batch pairs DO re-emit (both orientations — batch×stored
-    * is unordered), which downstream label assignment absorbs
-    * idempotently (the LabelStore min-label convention). Spec-pinned:
-    * on a fresh store the probe ≡ the split-convention
-    * [[incrementalSimhashMatch64]]; after append, a replay emits
-    * exactly the split pairs ∪ the symmetric in-batch matches. */
+    * its in-batch pairs DO re-emit here in both orientations
+    * (batch×stored is unordered) — [[graft.sources.SimHashStore.probe]]
+    * orientation-normalizes them on the tiny verified relation
+    * (round-13 verdict #5), so the store-level surface emits each
+    * pair once. Spec-pinned: on a fresh store the probe ≡ the
+    * split-convention [[incrementalSimhashMatch64]]; after append, a
+    * replay emits exactly the split pairs ∪ the CANONICAL
+    * (doc_new < doc_old) in-batch matches. */
   private[graft] def incrementalSimhash64Stored(storedBlocks: DataFrame,
       newDocs: DataFrame, maxDist: Int): DataFrame = {
     val batchBlocks = simhash64Blocks(newDocs, maxDist)

@@ -988,9 +988,24 @@ object Similarity {
     * so floor lands on the same integer. Rides q216's candidate
     * blocking (the memoized PCA projection + same-bin join); the fold
     * is [[Dedup.sensitivityCurve]] — bounded histograms, never
-    * corpus-sized state. */
+    * corpus-sized state.
+    *
+    * `multiProbe` (q283, round-13 verdict #4): single-bin candidates
+    * are containment-blind to PAIRS STRADDLING A BIN BOUNDARY —
+    * exactly the recall q216's dedup forgoes, invisible to the
+    * single-bin curve because curve and dedup share the blocking.
+    * With multi-probe on, each probe-side vector also probes its two
+    * ADJACENT bins (explode to bin−1/bin/bin+1, still an equi-join —
+    * no theta pair join), so every |Δbin| ≤ 1 pair is scored exactly
+    * once (the probe side is exploded, the build side is not, and
+    * doc_a < doc_b dedups orientation). Candidate volume ≈ 3× the
+    * same-bin join's probe rows (adjacent-bin pair volume ≈ 2× the
+    * same-bin pairs) — still bin-bounded, never all-pairs. The DELTA
+    * between the two curves at threshold t IS the measured recall the
+    * single-bin blocking forgoes (spec-pinned on a planted
+    * boundary-straddling twin). */
   def cosineThresholdSensitivity(embeddings: DataFrame, bins: Int = 16,
-      loPct: Int = 40): DataFrame = {
+      loPct: Int = 40, multiProbe: Boolean = false): DataFrame = {
     val proj = pcaProject(embeddings).select("vec_id", "proj_q")
     val mm = proj.agg(min(col("proj_q")).as("lo"), max(col("proj_q")).as("hi"))
     val binned = proj.crossJoin(broadcast(mm))
@@ -998,11 +1013,16 @@ object Similarity {
         s"ELSE ((proj_q - lo) * $bins) div (hi - lo + 1) END"))
       .select("vec_id", "bin")
     val e = withNorm(embeddings).join(binned, "vec_id")
-    val a = e.select(col("bin"), col("vec_id").as("doc_a"),
+    val a0 = e.select(col("bin"), col("vec_id").as("doc_a"),
       col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("bin"), col("vec_id").as("doc_b"),
+    val a =
+      if (!multiProbe) a0.withColumnRenamed("bin", "jbin")
+      else a0.select(
+        explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("jbin"),
+        col("doc_a"), col("va"), col("na"))
+    val b = e.select(col("bin").as("jbin"), col("vec_id").as("doc_b"),
       col("v").as("vb"), col("nrm").as("nb"))
-    val scored = a.join(b, Seq("bin"))
+    val scored = a.join(b, Seq("jbin"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 100)

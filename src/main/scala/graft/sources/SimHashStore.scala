@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
 
@@ -25,6 +26,18 @@ import graft.operators.Dedup
   * two). SimHash64Spec pins stored ≡ split-convention results and the
   * exchange-free stored side.
   *
+  * Write safety (round-13 ADVICE): save and append run under the
+  * store's exclusive commit lease ([[StoreLock.withStoreLease]],
+  * fail-clean, like LabelStore/SketchStore/GraphStore), so two
+  * simultaneous writers serialize instead of silently interleaving
+  * block rows. Append is additionally IDEMPOTENT at the document
+  * level — the retry contract: block rows for doc_ids already in the
+  * index are skipped (a retried or replayed append is a no-op; the
+  * signature is a pure function of the text, so "already indexed"
+  * means "already correct"). Re-indexing a REVISED document under the
+  * same doc_id therefore requires a rebuild ([[save]]) — the same
+  * doc_id-immutability convention LabelStore assumes.
+  *
   * The reference has no incremental path at all — its index is rebuilt
   * from the manifest every run (`main.c++:274-425`); this store is the
   * forward-looking half of the R11 merge re-expressed for a corpus
@@ -40,24 +53,49 @@ object SimHashStore {
   private def blocksTable(name: String) = s"${name}_blocks"
 
   /** Sign + explode the corpus ONCE and persist the block relation,
-    * bucketed on the probe key. Single action — no persist needed
-    * (one table, unlike SketchStore's two). */
-  def save(docs: DataFrame, name: String, nBuckets: Int = 8): Unit =
-    Dedup.simhash64Blocks(docs, MaxDist)
-      .write.mode("overwrite")
-      .bucketBy(nBuckets, "blk", "bv").sortBy("blk", "bv")
-      .saveAsTable(blocksTable(name))
+    * bucketed on the probe key. Runs under the store lease — a
+    * concurrent save/append serializes behind it (fail-clean). */
+  def save(docs: DataFrame, name: String, nBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    StoreLock.withStoreLease(spark, name) { lease =>
+      lease.verify()
+      Dedup.simhash64Blocks(docs, MaxDist)
+        .write.mode("overwrite")
+        .bucketBy(nBuckets, "blk", "bv").sortBy("blk", "bv")
+        .saveAsTable(blocksTable(name))
+    }
+  }
 
   /** APPEND a new batch's blocks with the SAME bucket spec — the write
     * that closes the daily-ingest loop: after it, tomorrow's probe
     * sees today's corpus, still exchange-free on the stored side.
     * Spark validates the bucket spec against the existing table, so a
-    * drifted layout fails loudly. */
-  def append(docs: DataFrame, name: String, nBuckets: Int = 8): Unit =
-    Dedup.simhash64Blocks(docs, MaxDist)
-      .write.mode("append")
-      .bucketBy(nBuckets, "blk", "bv").sortBy("blk", "bv")
-      .saveAsTable(blocksTable(name))
+    * drifted layout fails loudly.
+    *
+    * Idempotent by doc_id (the retry contract): docs already present
+    * in the index are dropped BEFORE signing, so a retried/crashed-
+    * and-replayed or concurrent duplicate append adds nothing — the
+    * silent-duplication corruption the round-13 ADVICE flagged cannot
+    * occur. The already-indexed set is computed batch-side: the batch
+    * ids broadcast into a semi-join that STREAMS the stored table
+    * (projection-pruned to doc_id, no exchange of the corpus), then
+    * the tiny intersection broadcasts into the anti-join — cost is
+    * one pruned store scan, never a corpus shuffle. */
+  def append(docs: DataFrame, name: String, nBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    StoreLock.withStoreLease(spark, name) { lease =>
+      lease.verify()
+      val batchIds = docs.select("doc_id").distinct()
+      val already = load(spark, name)
+        .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+        .select("doc_id").distinct()
+      val fresh = docs.join(broadcast(already), Seq("doc_id"), "left_anti")
+      Dedup.simhash64Blocks(fresh, MaxDist)
+        .write.mode("append")
+        .bucketBy(nBuckets, "blk", "bv").sortBy("blk", "bv")
+        .saveAsTable(blocksTable(name))
+    }
+  }
 
   def load(spark: SparkSession, name: String): DataFrame =
     spark.table(blocksTable(name))
@@ -66,9 +104,24 @@ object SimHashStore {
     * signed; the corpus enters from the bucketed table. Returns
     * (doc_new, doc_old, dist) — the cross pairs within Hamming
     * distance ≤ [[MaxDist]]. Self-pairs are dropped, so a replayed
-    * batch never matches its own stored rows; its in-batch pairs do
-    * re-emit (both orientations), which downstream label assignment
-    * absorbs idempotently. */
-  def probe(spark: SparkSession, name: String, newDocs: DataFrame): DataFrame =
-    Dedup.incrementalSimhash64Stored(load(spark, name), newDocs, MaxDist)
+    * batch never matches its own stored rows. In-batch pairs (both
+    * endpoints in the probing batch — the replay case) are
+    * ORIENTATION-NORMALIZED to doc_new < doc_old (round-13 verdict
+    * #5): the raw batch×stored join is unordered and would emit both
+    * orientations; the canonical cut happens on the tiny verified
+    * match relation (batch ids broadcast, one filter), so replay
+    * output is a set of unique pairs like every other match surface.
+    * Pairs whose old side is NOT in the batch keep the probe
+    * orientation (new = batch doc, old = stored doc) regardless of id
+    * order. */
+  def probe(spark: SparkSession, name: String, newDocs: DataFrame): DataFrame = {
+    val matches =
+      Dedup.incrementalSimhash64Stored(load(spark, name), newDocs, MaxDist)
+    val batchIds = newDocs.select(col("doc_id").as("doc_old")).distinct()
+      .withColumn("in_batch", lit(true))
+    matches.join(broadcast(batchIds), Seq("doc_old"), "left")
+      .where(col("in_batch").isNull || col("doc_new") < col("doc_old"))
+      .select("doc_new", "doc_old", "dist")
+      .orderBy("doc_new", "doc_old")
+  }
 }

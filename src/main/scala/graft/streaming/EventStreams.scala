@@ -263,6 +263,25 @@ object EventStreams {
   private def gateVerdictFold(docs: DataFrame, storedBands: DataFrame,
       storedSets: DataFrame, storedLabels: DataFrame, threshold: Double,
       watermark: String, carry: Seq[String]): DataFrame = {
+    val carryAggs = carry.map(c => max(col(c)).as(c))
+    gateCandidateLabels(docs, storedBands, storedSets, storedLabels,
+      threshold, watermark, carry)
+      .groupBy(col("doc_id"), col("ingest_ts"))
+      .agg(min(col("match_label")).as("dup_of"),
+        sort_array(collect_set(col("match_label"))).as("matched_labels") +:
+          carryAggs: _*)
+  }
+
+  /** The gate's per-CANDIDATE stage — sketch agg, band probe, exact
+    * Jaccard verify, label attach — WITHOUT the per-doc fold, so
+    * [[streamingContainmentGate]] can union a second candidate family
+    * into the same final fold (round-13 verdict #7). One row per
+    * (doc, band collision); docs with no collision survive as one
+    * all-NULL row (the left-outer chain), which the fold turns into a
+    * KEEP. */
+  private def gateCandidateLabels(docs: DataFrame, storedBands: DataFrame,
+      storedSets: DataFrame, storedLabels: DataFrame, threshold: Double,
+      watermark: String, carry: Seq[String]): DataFrame = {
     import graft.functions.{IntersectCountSorted, TextFns}
     val sigCols = graft.operators.Dedup.minhashSigCols
     val carryAggs = carry.map(c => max(col(c)).as(c))
@@ -285,7 +304,7 @@ object EventStreams {
       storedSets.select(col("doc_id").as("doc_old"), col("ws").as("ws_b"),
         col("n").as("n_b")),
       Seq("doc_old"), "left_outer")
-    val labeled = paired.join(
+    paired.join(
       storedLabels.select(col("doc_id").as("doc_old"),
         col("cluster_id").as("old_label")),
       Seq("doc_old"), "left_outer")
@@ -296,11 +315,114 @@ object EventStreams {
           col("inter").cast("double") / (col("n") + col("n_b") - col("inter"))
             >= threshold,
         col("old_label")))
-    labeled
+  }
+
+  /** Streaming CONTAINMENT gate — q267's online twin (round-13 verdict
+    * #7): an arriving document that is a TRUNCATION/QUOTE of a stored
+    * keeper sails through [[streamingDedupGate]] (Jaccard-banded —
+    * containment-blind by construction, the recall hole q266/q267
+    * document and q260's keep-longest exists for). This gate unions a
+    * SECOND candidate family into the same verdict fold: the arriving
+    * doc's winnow prints (q194's selection, replayed STATELESSLY per
+    * row — the batch window-min over gram positions is a pure
+    * positional fold, so `slice`+`array_min` over the gram-hash array
+    * reproduces it exactly) probe the STORED print relation; pairs
+    * sharing ≥ `minShared` df-capped prints are verified with the SAME
+    * exact token-set containment as q266/q267 (small-side containment
+    * ≥ `cHi`), and a verified excerpt DROPS with the stored label —
+    * the KEPT→DROP flip the Jaccard gate alone cannot make.
+    *
+    * Semantics vs batch q267, per arriving doc d against stored corpus
+    * S: the candidate families are exactly q267's restricted to cross
+    * pairs (d, s∈S) — the LSH-banded collisions (the existing gate
+    * stage) ∪ winnow-print pairs. The df cap mirrors the batch rule
+    * for a single arriving sharer: batch keeps a print with union-df
+    * ∈ [2, maxDf]; with d contributing one occurrence that is
+    * stored-df ∈ [1, maxDf−1], which is how the stored side is capped
+    * here (per-arrival contract: the cap never counts OTHER in-flight
+    * arrivals, exactly as the gate never emits arrival×arrival
+    * pairs). Jaccard matches (≥ `threshold`) and containment matches
+    * (≥ `cHi`) fold together by the gate's one assignment rule: min
+    * verified stored label wins.
+    *
+    * State stays bounded: branch A is the shared
+    * [[gateCandidateLabels]] (one watermarked sketch agg); branch B is
+    * stateless until its per-(doc, stored-doc) shared-print count (one
+    * watermarked agg whose state is one row per CANDIDATE pair, each
+    * carrying the arriving token set for the verify — bounded by
+    * actual near-dup volume, never the corpus; the exploded print rows
+    * carry the set only through a broadcast-static join, never a
+    * shuffle); the final min-label fold is the third stateful op
+    * (append-mode chained stateful operators, the engine pattern
+    * StreamingSpec already pins). `storedPrints` is the memoized q194
+    * print relation ((doc_id, fp), the q267 artifact) served as a
+    * static table. */
+  def streamingContainmentGate(docs: DataFrame, storedBands: DataFrame,
+      storedSets: DataFrame, storedLabels: DataFrame,
+      storedPrints: DataFrame, threshold: Double, cHi: Double = 0.9,
+      maxDf: Long = 10L, minShared: Long = 2L, k: Int = 8, w: Int = 4,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.{IntersectCountSorted, TextFns}
+    // branch A: the LSH candidates, verified by Jaccard (the gate
+    // rule) OR exact containment — q267 verifies its LSH-surfaced
+    // candidates by containment too (via_lsh), so the online twin
+    // must not be blind to a truncation that happens to band-collide
+    val lsh = gateCandidateLabels(docs, storedBands, storedSets,
+      storedLabels, threshold, watermark, Nil)
+      .withColumn("match_label", when(
+        col("inter").isNotNull &&
+          (col("inter").cast("double") / (col("n") + col("n_b") - col("inter"))
+            >= threshold ||
+           expr("inter * 1000000 div least(n, n_b)")
+             >= lit(math.round(cHi * 1e6))),
+        col("old_label")))
+      .select(col("doc_id"), col("ingest_ts"), col("match_label"))
+    // stored prints, df-capped for one arriving sharer (see above) —
+    // distinct (doc, fp) first, exactly like the batch kept relation
+    val storedDistinct = storedPrints.select("doc_id", "fp").distinct()
+    val keptStored = storedDistinct.join(
+      storedDistinct.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df").between(1L, maxDf - 1L)).select("fp"),
+      Seq("fp"))
+      .select(col("fp"), col("doc_id").as("doc_old"))
+    // per-arrival winnow prints + token set, all stateless projections
+    val len = length(col("text"))
+    val grams = transform(sequence(lit(1), len - (k - 1)),
+      p => TextFns.polyHash(col("text").substr(p, lit(k))))
+    val wsOf = sort_array(array_distinct(
+      transform(TextFns.orderedWordsOf(col("text")), t => xxhash64(t))))
+    val printRows = docs
+      .withWatermark("ingest_ts", watermark)
+      .where(len >= k + w - 1)
+      .withColumn("hs", grams)
+      .withColumn("ws", wsOf)
+      .withColumn("n", size(col("ws")).cast("long"))
+      .select(col("doc_id"), col("ingest_ts"), col("ws"), col("n"),
+        explode(array_distinct(transform(
+          sequence(lit(1), len - (k + w - 2)),
+          p => array_min(slice(col("hs"), p, lit(w)))))).as("fp"))
+    val sharedCounts = printRows
+      .join(broadcast(keptStored), Seq("fp"))
+      .groupBy(col("doc_id"), col("ingest_ts"), col("doc_old"))
+      .agg(count(lit(1)).as("n_shared"), max(col("ws")).as("ws"),
+        max(col("n")).as("n"))
+      .where(col("n_shared") >= minShared)
+    val winn = sharedCounts
+      .join(storedSets.select(col("doc_id").as("doc_old"),
+        col("ws").as("ws_b"), col("n").as("n_b")), Seq("doc_old"))
+      .join(storedLabels.select(col("doc_id").as("doc_old"),
+        col("cluster_id").as("old_label")), Seq("doc_old"))
+      .withColumn("inter", IntersectCountSorted(col("ws"), col("ws_b")))
+      .withColumn("match_label", when(
+        expr("inter * 1000000 div least(n, n_b)")
+          >= lit(math.round(cHi * 1e6)), col("old_label")))
+      .select(col("doc_id"), col("ingest_ts"), col("match_label"))
+    lsh.unionByName(winn)
       .groupBy(col("doc_id"), col("ingest_ts"))
-      .agg(min(col("match_label")).as("dup_of"),
-        sort_array(collect_set(col("match_label"))).as("matched_labels") +:
-          carryAggs: _*)
+      .agg(min(col("match_label")).as("dup_of"))
+      .select(col("doc_id"), col("dup_of").isNull.as("keep"),
+        coalesce(col("dup_of"), col("doc_id")).as("cluster_id"),
+        col("ingest_ts"))
   }
 
   /** Streaming PENDING-MERGE detection — q275's online twin (round-12

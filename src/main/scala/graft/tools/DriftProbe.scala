@@ -41,18 +41,44 @@ object DriftProbe {
     spark.sparkContext.setLogLevel("WARN")
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val picked = names.map(n => n -> graft.SparkEntry.queries(n))
-    val all = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    // per-sample (seconds, succeeded) — a FAILED sample must never
+    // pose as a normal timing (round-13 ADVICE: a crash that fails
+    // fast would otherwise read as a speedup in drift triage). Failed
+    // samples are excluded from min/med/max and reported per query.
+    val all = scala.collection.mutable
+      .LinkedHashMap[String, Vector[(Double, Boolean)]]()
       .withDefaultValue(Vector.empty)
+    val firstErr = scala.collection.mutable.LinkedHashMap[String, String]()
     // interleaved like Bench: each query's samples land minutes apart
     for (_ <- 0 until samples; (n, fn) <- picked) {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      all(n) = all(n) :+ (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          firstErr.getOrElseUpdate(n,
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          false
+      }
+      all(n) = all(n) :+ ((System.nanoTime() - t0) / 1e9, ok)
     }
+    var anyFail = false
     for ((n, ts) <- all) {
-      val s = ts.sorted
-      println(f"""{"query":"$n","min":${s.head}%.3f,"med":${s(s.length / 2)}%.3f,"max":${s.last}%.3f,"samples":[${ts.map(t => f"$t%.3f").mkString(",")}]}""")
+      val good = ts.collect { case (t, true) => t }.sorted
+      val nFail = ts.count(!_._2)
+      if (nFail > 0) anyFail = true
+      val stats =
+        if (good.isEmpty) """"min":null,"med":null,"max":null"""
+        else f""""min":${good.head}%.3f,"med":${good(good.length / 2)}%.3f,"max":${good.last}%.3f"""
+      val samplesJson = ts.map { case (t, ok) =>
+        if (ok) f"$t%.3f" else f"""{"sec":$t%.3f,"failed":true}"""
+      }.mkString(",")
+      val errJson = firstErr.get(n)
+        .map(e => s""","first_error":"${e.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+        .getOrElse("")
+      println(s"""{"query":"$n",$stats,"fails":$nFail,"samples":[$samplesJson]$errJson}""")
     }
     spark.stop()
+    // a probe with failing samples must not exit clean — the failure
+    // is the finding, not a timing artifact
+    if (anyFail) sys.exit(1)
   }
 }

@@ -22,5 +22,6 @@ object Memos {
     graft.operators.Similarity.clearTrainedPq()
     graft.operators.Events.clearAnchorMemo()
     graft.operators.Bpe.clearTrainMemo()
+    graft.sources.LabelStore.clearGateMemo()
   }
 }

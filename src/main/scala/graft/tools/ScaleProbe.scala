@@ -301,6 +301,20 @@ object ScaleProbe {
     clearMemos()
     allProbes.foreach { case (_, f) => runFull(f("0.1x")) }
 
+    // Round-13 (verdict #6): some rows' honest cost axis is BYTES, not
+    // rows — the TenX token tags inflate the 10× documents' text (and
+    // hence q219's synthesized WAV payloads, 44 + 2·|text| bytes each)
+    // ~1.5× past the 10-fold row count, so a byte-linear decoder graded
+    // on the row axis reads α ≈ 1 + log₁₀1.5 ≈ 1.18 by construction.
+    // For those rows the probe measures the actual bytes at 1× and 10×
+    // (one cheap aggregate per scale) and fits the exponent on the
+    // bytes axis: α = log(t₁₀/t₁) / log(B₁₀/B₁). Both axes are emitted.
+    val byteAxis: Map[String, String => Long] = Map(
+      "q219_wav_audiosystem" -> ((d: String) =>
+        spark.read.parquet(s"$d/documents.parquet")
+          .agg(sum(length(col("text")).cast("long") * 2 + 44))
+          .head().getLong(0)))
+
     val rows = allProbes.map { case (name, f) =>
       val times = scales.map { s =>
         val t = (1 to 2).map { _ =>
@@ -311,8 +325,17 @@ object ScaleProbe {
         }.min
         s -> t
       }.toMap
-      val alpha = math.log(times("10x") / times("1x")) / math.log(10.0)
-      println(f"""{"query":"$name","t_01x":${times("0.1x")}%.3f,"t_1x":${times("1x")}%.3f,"t_10x":${times("10x")}%.3f,"exponent_1x_to_10x":$alpha%.3f}""")
+      val (alpha, axisJson) = byteAxis.get(name) match {
+        case Some(bytesAt) =>
+          val b1 = bytesAt(dirAt("1x"))
+          val b10 = bytesAt(dirAt("10x"))
+          val a = math.log(times("10x") / times("1x")) /
+            math.log(b10.toDouble / b1.toDouble)
+          (a, s""","axis":"bytes","bytes_1x":$b1,"bytes_10x":$b10""")
+        case None =>
+          (math.log(times("10x") / times("1x")) / math.log(10.0), "")
+      }
+      println(f"""{"query":"$name","t_01x":${times("0.1x")}%.3f,"t_1x":${times("1x")}%.3f,"t_10x":${times("10x")}%.3f,"exponent_1x_to_10x":$alpha%.3f$axisJson}""")
       (name, times("0.1x"), times("1x"), times("10x"), alpha)
     }
     println("| query | sf0.01 (0.1×) s | sf0.1 (1×) s | 10× s | exponent 1×→10× |")

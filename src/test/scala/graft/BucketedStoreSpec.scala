@@ -129,20 +129,30 @@ class BucketedStoreSpec extends SparkSpec {
       }
       // append closes the loop; a replayed batch never matches its own
       // stored rows (self-pairs dropped) — it re-emits exactly the
-      // split pairs plus the symmetric in-batch matches
+      // split pairs plus the in-batch matches, orientation-normalized
+      // to doc_new < doc_old (round-13 verdict #5: the store surface
+      // emits each pair ONCE; simhashMatch64 is already canonical)
       SimHashStore.append(day1, "sh64")
       val replay = canon(SimHashStore.probe(spark, "sh64", day1))
       val inBatch = Dedup.simhashMatch64(day1, 3).collect()
-        .flatMap(r => Seq((r.getLong(0), r.getLong(1), r.getLong(2)),
-          (r.getLong(1), r.getLong(0), r.getLong(2))))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(inBatch.nonEmpty, "no in-batch pairs — vacuous replay test")
       assert(replay === (probe ++ inBatch).sortBy(t => (t._1, t._2)).toList)
+      // append is IDEMPOTENT by doc_id (round-13 ADVICE retry
+      // contract): a retried append of the same batch adds zero rows
+      // and leaves the probe output byte-identical
+      val rowsBefore = spark.table("sh64_blocks").count()
+      SimHashStore.append(day1, "sh64")
+      assert(spark.table("sh64_blocks").count() === rowsBefore,
+        "retried append duplicated block rows")
+      assert(canon(SimHashStore.probe(spark, "sh64", day1)) === replay)
       // tomorrow's batch sees today's corpus: probing day0 against the
-      // full store emits day0's own symmetric pairs plus the cross
-      // pairs in reverse orientation (new=day0 doc, old=day1 doc)
+      // full store emits day0's own pairs (canonical orientation) plus
+      // the cross pairs in reverse orientation (new=day0 doc, old=day1
+      // doc — old side not in the batch, so kept as probed)
       val back = canon(SimHashStore.probe(spark, "sh64", day0)).toSet
       val day0Internal = Dedup.simhashMatch64(day0, 3).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        .flatMap(t => Seq(t, (t._2, t._1, t._3))).toSet
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(back === day0Internal ++ probe.map(t => (t._2, t._1, t._3)))
     } finally spark.sql("DROP TABLE IF EXISTS sh64_blocks")
   }
@@ -272,6 +282,78 @@ class BucketedStoreSpec extends SparkSpec {
       cl < 200L && (keep >= 200L || n > 1L) },
       "no cross-day keeper activity — the merge path was idle")
     allTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("count-gate verdict memoizes per store generation; a commit re-derives it") {
+    // round-13 verdict #2: repeat ingests between commits must not
+    // re-pay the gate's two jobs (labels count + keeper-coverage sum);
+    // any commit path — commitKeepers here, labels-only commits via
+    // the labels-ahead test above — invalidates the memo. Job counts
+    // observed via a listener with an ordered flush-marker job, so
+    // "zero jobs" is asserted against delivered events, not timing.
+    import graft.sources.{LabelStore, SketchStore}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val docs = Tables(spark, dir, "documents")
+    val day0 = docs.where($"doc_id" < 300)
+    val day1 = docs.where($"doc_id" >= 300)
+    val (labelTbl, sketchTbl, keeperTbl) =
+      ("graft_labels_memo", "graft_sketch_memo", "graft_keepers_memo")
+    val allTbls = Seq(s"${sketchTbl}_bands", s"${sketchTbl}_sets",
+      labelTbl, keeperTbl)
+    allTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // the ingest itself is EAGER (finishWith checkpoints the probe),
+    // so "the gate did not run" is asserted by counting only the jobs
+    // carrying the gate's job description, delivered strictly before
+    // an ordered flush-marker job
+    def gateJobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val markerSeen = new java.util.concurrent.CountDownLatch(1)
+      val l = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+          if (desc.contains("graft-gate-memo-marker")) markerSeen.countDown()
+          else if (desc.contains(graft.sources.LabelStore.GateJobDescription))
+            n.incrementAndGet()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        spark.sparkContext.setJobDescription("graft-gate-memo-marker")
+        try spark.range(1).count()
+        finally spark.sparkContext.setJobDescription(null)
+        assert(markerSeen.await(30, java.util.concurrent.TimeUnit.SECONDS),
+          "flush-marker job never observed")
+        n.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    try {
+      LabelStore.save(Dedup.dedupClustersScale(day0, 0.95), labelTbl)
+      SketchStore.save(day0, sketchTbl)
+      LabelStore.saveKeepers(Dedup.dedupOutput(day0, 0.95), keeperTbl)
+      LabelStore.clearGateMemo()
+      // first ingest after the commits pays the gate's two jobs
+      assert(gateJobsDuring {
+        LabelStore.upgradeEvents(spark, labelTbl, sketchTbl, keeperTbl,
+          day1, 0.95)
+      } > 0, "cold gate did not run its count + coverage-sum jobs")
+      // repeat ingest between commits: the memoized verdict serves
+      assert(gateJobsDuring {
+        LabelStore.upgradeEvents(spark, labelTbl, sketchTbl, keeperTbl,
+          day1, 0.95)
+      } === 0, "repeat ingest re-paid the memoized count gate")
+      // a full commit cycle invalidates the memo: the next ingest
+      // re-derives the verdict
+      val (labs, keeps) = LabelStore.updateWithKeepers(
+        spark, labelTbl, sketchTbl, keeperTbl, day1, 0.95)
+      LabelStore.commitKeepers(spark, labelTbl, sketchTbl, keeperTbl,
+        day1, labs, keeps)
+      assert(gateJobsDuring {
+        LabelStore.upgradeEvents(spark, labelTbl, sketchTbl, keeperTbl,
+          day1, 0.95)
+      } > 0, "gate verdict was not re-derived after a commit")
+    } finally allTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("keeper store, STAMP gate: generations mint/compare, crash detected, repair re-opens") {

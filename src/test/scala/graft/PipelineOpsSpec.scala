@@ -633,6 +633,52 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q283 multi-probe cosine curve: dominates single-bin; catches a planted boundary-straddling twin") {
+    import spark.implicits._
+    val emb = t("embeddings")
+    def curve(df: org.apache.spark.sql.DataFrame, multi: Boolean) =
+      Similarity.cosineThresholdSensitivity(df, multiProbe = multi)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    // candidate superset ⟹ the multi-probe curve dominates the
+    // single-bin curve POINTWISE at every threshold, both columns
+    val single = curve(emb, multi = false)
+    val multi = curve(emb, multi = true)
+    assert(multi.keySet === single.keySet)
+    single.foreach { case (tt, (p1, d1)) =>
+      val (p2, d2) = multi(tt)
+      assert(p2 >= p1 && d2 >= d1, s"multi-probe lost candidates at t=$tt")
+    }
+    // the measured recall the single-bin blocking forgoes: plant a
+    // scaled twin of a mid-corpus vector (cosine ≈ 1 — scaling is
+    // cosine-invariant) whose PCA projection lands in an ADJACENT bin
+    // (scan a small scale grid; bins read back from q216's output).
+    // The single-bin curve cannot see the pair — the multi-probe
+    // curve must.
+    val base = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray))
+    val mid = base(base.length / 2)
+    val twinId = 900000L
+    val planted = Seq(1.05f, 1.1f, 1.2f, 1.3f, 0.95f, 0.9f, 0.8f, 0.7f)
+      .view.map { c =>
+        val p = (base :+ ((twinId, mid._2.map(_ * c)))).toSeq
+          .toDF("vec_id", "embedding")
+        val bins = Similarity.pcaBinDedup(p, bins = 16, threshold = 0.9999)
+          .select("vec_id", "bin").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (p, math.abs(bins(twinId) - bins(mid._1)))
+      }.find(_._2 == 1L).map(_._1)
+    assert(planted.isDefined,
+      "no scale landed the twin in an adjacent bin — fixture broken")
+    val s95 = curve(planted.get, multi = false)(95L)._1
+    val m95 = curve(planted.get, multi = true)(95L)._1
+    val recallDelta = m95 - s95
+    assert(recallDelta >= 1L,
+      s"multi-probe missed the planted straddling twin (delta=$recallDelta)")
+    info(s"measured recall delta at t=95 on the planted corpus: " +
+      s"$recallDelta pair(s) single-bin blocking forgoes")
+  }
+
   test("q276 simhash calibration: matcher rows accounted, estimator tracks similarity") {
     val docs = t("documents")
     Dedup.clearSketchMemo()

@@ -639,6 +639,94 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming containment gate: quote-in-huge-doc arrival flips KEPT→DROP; stream ≡ batch q267 cross pairs") {
+    // round-13 verdict #7: the Jaccard-banded gate is containment-
+    // blind — a tiny quote of a stored keeper (containment 1.0,
+    // j → 0) KEEPS wrongly. The containment gate unions the winnow-
+    // print candidate family into the same verdict fold and must
+    // agree with batch q267's cross pairs (∪ the Jaccard matches) on
+    // every arrival.
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{Dedup, TextAnalysis}
+    val hugeWords = (for (a <- 'a' to 'z'; b <- 'a' to 'z')
+      yield s"w$a$b").take(300)
+    val huge = hugeWords.mkString(" ")
+    val quote = hugeWords.slice(100, 130).mkString(" ")
+    val oldDocs = Seq(
+      (1L, huge),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta")) // near-dup of 2
+      .toDF("doc_id", "text")
+    val (storedBands, storedSets) = Dedup.sketchRelations(oldDocs)
+    val storedLabels = Dedup.dedupClustersScale(oldDocs, 0.95)
+      .select("doc_id", "cluster_id")
+    val storedPrints = TextAnalysis.winnowPrints(oldDocs, 8, 4)
+      .select("doc_id", "fp")
+    val arrivals = Seq(
+      (10L, quote),                                   // containment drop
+      (11L, "alpha beta gamma delta epsilon zeta"),   // Jaccard drop
+      (12L, "entirely novel content nothing matches")) // keep
+    def runGate(containment: Boolean): Set[(Long, Boolean, Long)] = {
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val name = if (containment) "cgate" else "jgate"
+      val src = in.toDF().toDF("doc_id", "text", "ingest_ts")
+      val q = (if (containment)
+        EventStreams.streamingContainmentGate(src, storedBands, storedSets,
+          storedLabels, storedPrints, 0.95, watermark = "10 minutes")
+      else
+        EventStreams.streamingDedupGate(src, storedBands, storedSets,
+          storedLabels, 0.95, "10 minutes"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(arrivals.zipWithIndex.map { case ((d, t), i) =>
+          (d, t, ts(i)) }: _*)
+        q.processAllAvailable()
+        in.addData((99L, "watermark mover",
+          Timestamp.valueOf("2024-01-01 11:00:00")))
+        q.processAllAvailable()
+        q.processAllAvailable()
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+          .filter(_._1 < 99L).toSet
+      } finally q.stop()
+    }
+    // the KEPT→DROP flip, stated from the Jaccard gate's own mouth:
+    // it KEEPS the quote
+    val jaccOnly = runGate(containment = false)
+    assert(jaccOnly.contains((10L, true, 10L)),
+      "fixture broken: the Jaccard gate should keep the quote")
+    val got = runGate(containment = true)
+    // batch reference: q267's cross pairs over the union corpus ∪ the
+    // q90 Jaccard matches, folded by min stored label — the gate's one
+    // assignment rule
+    val union = oldDocs.unionByName(arrivals.toDF("doc_id", "text"))
+    Dedup.clearSketchMemo(); TextAnalysis.clearPrintMemo()
+    val q267 = Dedup.containmentRecall(union).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    Dedup.clearSketchMemo(); TextAnalysis.clearPrintMemo()
+    val crossCont = q267.filter { case (a, b) => a <= 3L && b >= 10L }
+      .map { case (a, b) => (b, a) } // (arrival, stored)
+    assert(crossCont.contains((10L, 1L)),
+      "fixture broken: batch q267 must surface the quote pair")
+    val jaccMatches = Dedup.incrementalNearDupStored(storedBands,
+      storedSets, arrivals.toDF("doc_id", "text"), 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labelOf = storedLabels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupOf = (crossCont ++ jaccMatches).groupBy(_._1)
+      .map { case (d, ms) => d -> ms.map(m => labelOf(m._2)).min }
+    val expected = arrivals.map(_._1).map { d =>
+      (d, !dupOf.contains(d), dupOf.getOrElse(d, d))
+    }.toSet
+    assert(got === expected)
+    // non-vacuity, spelled out: the quote DROPS into the huge doc's
+    // cluster (the flip), the near-dup drops by Jaccard, novel keeps
+    assert(got === Set((10L, false, labelOf(1L)),
+      (11L, false, labelOf(2L)), (12L, true, 12L)))
+  }
+
   test("streaming keeper upgrades: longer late arrival flips the stored keeper; stream ≡ batch q269") {
     // round-10 verdict #6: the gate inherits the stored keeper forever
     // — this pins the upgrade path: an arriving doc that verifies into
