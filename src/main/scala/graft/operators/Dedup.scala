@@ -418,7 +418,32 @@ object Dedup {
     * (measured 93% recall @ j≥0.95 on the testdata vs the q18 oracle).
     * Scale: docs→signatures is one shuffle; the bucket self-join only
     * touches colliding pairs, never the O(n²) cross product. */
-  def minhashNearDup(docs: DataFrame, threshold: Double): DataFrame = {
+  /** Session memo of the VERIFIED near-dup pair relation (round-14
+    * optimization): six consumers start from `minhashNearDup(docs, t)`
+    * — q22 itself, q146's recall audit, q202's incremental clustering,
+    * q251's source matrix, q259's split-leakage audit, and the q58
+    * clusterMemo build — and before this memo each rebuilt the band
+    * self-join + exact-verify tower per call (the fused sketch was
+    * shared; the candidate join and the per-pair sorted-set intersect
+    * were not). A production pipeline materializes its verified pair
+    * table once (the SketchStore probe output) and fans analyses out
+    * from it. The leaf is the ordered (doc_a, doc_b, jaccard) result —
+    * strictly smaller than the corpus. Keyed like every corpus memo
+    * (session, plan semanticHash, file-state fingerprint) plus the
+    * threshold in micros; lazy (plan-audit) mode bypasses so Explain
+    * keeps the full tower. */
+  private val verifiedPairsMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Long), DataFrame]
+
+  /** Drop memoized verified-pair relations (multi-corpus drivers). */
+  def clearVerifiedPairsMemo(): Unit = verifiedPairsMemo.clear()
+
+  def minhashNearDup(docs: DataFrame, threshold: Double): DataFrame =
+    corpusMemo(verifiedPairsMemo, docs, math.round(threshold * 1e6))(
+      minhashNearDupBuild(docs, threshold))(
+      minhashNearDupBuild(docs, threshold))
+
+  private def minhashNearDupBuild(docs: DataFrame, threshold: Double): DataFrame = {
     // Round-2 fusion: signatures AND verify-sets come out of ONE
     // groupBy(doc_id) over the token stream — the 32 min() signature
     // expressions and the sorted xxhash64-id collect_set ride the same
@@ -483,7 +508,31 @@ object Dedup {
     * shape as q22: one fused sketch pass, band-keyed equi join,
     * candidates only. */
   def containmentAudit(docs: DataFrame, cHi: Double = 0.9,
-      jThresh: Double = 0.95): DataFrame = {
+      jThresh: Double = 0.95): DataFrame =
+    if (eagerMaterialize(docs))
+      // Round-14 optimization: the audit's candidate set AND its exact
+      // verify columns (inter, n_a, n_b) are exactly what the
+      // calibration-scored leaf already carries (same band join, same
+      // firstBandOnly cut, same IntersectCountSorted) — so the whole
+      // audit is a fold over the shared leaf (jaccard_micros IS the
+      // leaf's jac_micros, same expression). One tower, five consumers
+      // (q266/q267/q271/q274/q281).
+      Dedup.finishWith(scoredCandidatesLeaf(docs)
+        .withColumn("jaccard_micros", col("jac_micros"))
+        .withColumn("cont_small_micros",
+          expr("inter * 1000000 div least(n_a, n_b)"))
+        .where(col("cont_small_micros") >= lit(math.round(cHi * 1e6)))
+        .withColumn("is_excerpt",
+          col("jaccard_micros") < lit(math.round(jThresh * 1e6)))
+        .select("doc_a", "doc_b", "n_a", "n_b", "inter",
+          "jaccard_micros", "cont_small_micros", "is_excerpt")
+        .orderBy("doc_a", "doc_b"))
+    else containmentAuditTower(docs, cHi, jThresh)
+
+  /** The original full tower — lazy (plan-audit) mode, and the
+    * SharedTowerSpec equivalence baseline for the leaf-fold path. */
+  private def containmentAuditTower(docs: DataFrame, cHi: Double,
+      jThresh: Double): DataFrame = {
     val (agged, handles) = fusedSketch(docs)
     val bands = bandExplode(agged)
     val cand = bands.alias("a")
@@ -535,7 +584,58 @@ object Dedup {
     * the inner join (a char-gram-only pair has no token containment
     * to report — the oracle replays the same inner join). */
   def containmentRecall(docs: DataFrame, cHi: Double = 0.9,
-      jThresh: Double = 0.95): DataFrame = {
+      jThresh: Double = 0.95): DataFrame =
+    if (eagerMaterialize(docs)) {
+      // Round-14 optimization: the LSH side of the candidate union is
+      // the calibration-scored leaf (same candidates, same exact
+      // verify values — see containmentAudit), so only the WINNOW-ONLY
+      // pairs still pay the sorted-set intersect. The flag algebra is
+      // unchanged: leaf pairs get vl=1 with vw marking winnow overlap
+      // (winCand is pair-distinct by construction — winnowPairsOf ends
+      // in a groupBy); winnow-only pairs (anti join vs the leaf) carry
+      // vl=0, vw=1 and verify through the fused-sketch sets exactly as
+      // before (docs with no alphabetic tokens still drop at the inner
+      // join). SharedTowerSpec pins leaf path ≡ tower path.
+      val (agged, _) = fusedSketch(docs)
+      val scored = scoredCandidatesLeaf(docs)
+      val (winCand, _) = TextAnalysis.winnowCandidates(docs)
+      val win = winCand.select(col("doc_a"), col("doc_b"))
+      val lshSide = scored
+        .join(win.withColumn("w1", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          col("inter"), lit(1L).as("vl"),
+          coalesce(col("w1"), lit(0L)).as("vw"))
+      val sets = agged.select(col("doc_id"), col("ws"), col("n"))
+      val winOnly = win
+        .join(scored.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"),
+          "left_anti")
+        .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a"),
+          col("n").as("n_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b"),
+          col("n").as("n_b")), "doc_b")
+        .withColumn("inter", IntersectCountSorted(col("ws_a"), col("ws_b")))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          col("inter"), lit(0L).as("vl"), lit(1L).as("vw"))
+      val result = lshSide.unionByName(winOnly)
+        .withColumn("jaccard_micros",
+          expr("inter * 1000000 div (n_a + n_b - inter)"))
+        .withColumn("cont_small_micros",
+          expr("inter * 1000000 div least(n_a, n_b)"))
+        .where(col("cont_small_micros") >= lit(math.round(cHi * 1e6)))
+        .withColumn("is_excerpt",
+          col("jaccard_micros") < lit(math.round(jThresh * 1e6)))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          col("inter"), col("jaccard_micros"), col("cont_small_micros"),
+          col("is_excerpt"), (col("vl") === 1L).as("via_lsh"),
+          (col("vw") === 1L).as("via_winnow"))
+        .orderBy("doc_a", "doc_b")
+      Dedup.finishWith(result)
+    } else containmentRecallTower(docs, cHi, jThresh)
+
+  /** The original full tower — lazy (plan-audit) mode, and the
+    * SharedTowerSpec equivalence baseline for the leaf path. */
+  private def containmentRecallTower(docs: DataFrame, cHi: Double,
+      jThresh: Double): DataFrame = {
     val (agged, handles) = fusedSketch(docs)
     val bands = bandExplode(agged)
     val lshCand = bands.alias("a")
@@ -544,7 +644,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .where(firstBandOnly)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val (winCand, winKept) = TextAnalysis.winnowCandidates(docs)
+    val (winCand, winHandles) = TextAnalysis.winnowCandidates(docs)
     val cand = lshCand
       .select(col("doc_a"), col("doc_b"),
         lit(1L).as("vl"), lit(0L).as("vw"))
@@ -571,7 +671,7 @@ object Dedup {
         col("is_excerpt"), (col("vl") === 1L).as("via_lsh"),
         (col("vw") === 1L).as("via_winnow"))
       .orderBy("doc_a", "doc_b")
-    Dedup.finishWith(result, handles :+ winKept: _*)
+    Dedup.finishWith(result, handles ++ winHandles: _*)
   }
 
   /** q271 — MinHash ESTIMATOR CALIBRATION audit: does the sketch
@@ -930,9 +1030,29 @@ object Dedup {
     val (agged, handles) = fusedSketch(docs)
     val scored = corpusMemo(calibMemo, docs, ())(
       checkpointWide(graft.sources.ArtifactStore
-        .loadOrBuild("calib_scored", docs, "")(calibScoredPlan(agged))))(
+        // params "inter": round 14 adds the exact intersect count to
+        // the leaf (q266/q267 derive containment from it) — a new
+        // artifact key, so a pre-round artifact with the narrower
+        // schema can never be served
+        .loadOrBuild("calib_scored", docs, "inter")(calibScoredPlan(agged))))(
       calibScoredPlan(agged))
     Dedup.finishWith(fold(scored), handles: _*)
+  }
+
+  /** The memoized calibration-scored leaf itself (EAGER mode only —
+    * callers keep their own full tower in lazy/plan-audit mode). Shared
+    * by the q271/q274/q281 folds via [[calibrationScored]] and, since
+    * round 14, by the containment audits (q266/q267), whose exact
+    * verify columns (inter, n_a, n_b) ride the same relation. */
+  private def scoredCandidatesLeaf(docs: DataFrame): DataFrame = {
+    require(eagerMaterialize(docs),
+      "scoredCandidatesLeaf is eager-mode only — lazy (plan-audit) " +
+        "callers keep their own full tower")
+    val (agged, _) = fusedSketch(docs)
+    corpusMemo(calibMemo, docs, ())(
+      checkpointWide(graft.sources.ArtifactStore
+        .loadOrBuild("calib_scored", docs, "inter")(calibScoredPlan(agged))))(
+      calibScoredPlan(agged))
   }
 
   private def calibScoredPlan(agged: DataFrame): DataFrame = {
@@ -956,7 +1076,11 @@ object Dedup {
       .withColumn("inter", IntersectCountSorted(col("ws_a"), col("ws_b")))
       .withColumn("est_micros", expr(s"mc * 1000000 div ${Hashing.NumPerms}"))
       .withColumn("jac_micros", expr("inter * 1000000 div (n_a + n_b - inter)"))
-      .select("doc_a", "doc_b", "n_a", "n_b", "est_micros", "jac_micros")
+      // `inter` kept since round 14: the containment audits (q266/q267)
+      // derive cont_small_micros = inter*1e6 div least(n_a, n_b) from
+      // this same leaf — one more long per candidate pair
+      .select("doc_a", "doc_b", "n_a", "n_b", "inter", "est_micros",
+        "jac_micros")
   }
 
   /** The NumPerms MinHash minima as aggregate expressions over a `th`
@@ -1437,10 +1561,26 @@ object Dedup {
 
   def incrementalDedupOutput(docs: DataFrame, cap: Long,
       threshold: Double = 0.95): DataFrame = {
-    val stored = docs.where(col("doc_id") < cap)
-    val merged = incrementalClusters(docs, cap, threshold)
+    // Round-14 optimization: the old composition ran the stored-side
+    // CC closure TWICE — once inside incrementalClusters (the stand-in
+    // stored labels) and once inside dedupOutput(stored) →
+    // dedupClustersScale(stored), whose edge set is IDENTICAL by the
+    // per-document-signature law (pairs(full) restricted to both < cap
+    // ≡ pairs(docs < cap) — the q202 convention, spec-pinned). Compute
+    // the stored labels ONCE and feed both consumers: the label merge
+    // (q202's contraction path) and the stored keeper digest (q262's
+    // aggregation over an explicit label relation). One CC loop and
+    // one pair tower fewer per run; byte-identical output
+    // (SharedTowerSpec pins new ≡ old composition across a cap sweep,
+    // and the oracle is still q262's full-rebuild text).
+    val storedDocs = docs.where(col("doc_id") < cap)
+    val pairs = minhashNearDup(docs, threshold).select("doc_a", "doc_b")
+    val storedLabels = storedLabelsShared(docs, cap, threshold)
+    val merged = mergeClusterLabels(storedLabels,
+      docs.where(col("doc_id") >= cap).select("doc_id"),
+      pairs.where(col("doc_a") >= cap || col("doc_b") >= cap))
       .select("doc_id", "cluster_id")
-    mergeKeeperTable(dedupOutput(stored, threshold), merged,
+    mergeKeeperTable(dedupOutputFrom(storedLabels, storedDocs), merged,
       docs.where(col("doc_id") >= cap)
         .select(col("doc_id"), col("n_chars")))
   }
@@ -1817,13 +1957,38 @@ object Dedup {
     * side is the oracle convention's cost, not the operator's. The
     * oracle is q58's from-scratch closure over the FULL corpus: a
     * hash match IS the merge ≡ rebuild proof. */
+  /** Session memo of the STAND-IN stored label relation the
+    * incremental query forms rebuild per call (round-14 optimization):
+    * q202 and q272 both open with "yesterday's labels" = a CC closure
+    * over the `doc_id < cap` slice — in production that relation is
+    * READ from the committed LabelStore table (the whole point of the
+    * incremental path; STOREBENCH prices it), so rebuilding it once
+    * per (corpus, cap, threshold) per session instead of once per
+    * call is the clusterMemo discipline applied to the in-query
+    * oracle-convention cost. The leaf is labels over the stored
+    * slice — corpus-row-sized, two longs. */
+  private val storedLabelsMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, (Long, Long)),
+      DataFrame]
+
+  /** Drop memoized stand-in stored labels (multi-corpus drivers). */
+  def clearStoredLabelsMemo(): Unit = storedLabelsMemo.clear()
+
+  private def storedLabelsShared(docs: DataFrame, cap: Long,
+      threshold: Double): DataFrame = {
+    def plan = clusterLabels(
+      docs.where(col("doc_id") < cap).select("doc_id"),
+      minhashNearDup(docs, threshold).select("doc_a", "doc_b")
+        .where(col("doc_a") < cap && col("doc_b") < cap))
+      .select("doc_id", "cluster_id")
+    corpusMemo(storedLabelsMemo, docs, (cap, math.round(threshold * 1e6)))(
+      plan.localCheckpoint(true))(plan)
+  }
+
   def incrementalClusters(docs: DataFrame, cap: Long,
       threshold: Double): DataFrame = {
     val pairs = minhashNearDup(docs, threshold).select("doc_a", "doc_b")
-    val stored = clusterLabels(
-      docs.where(col("doc_id") < cap).select("doc_id"),
-      pairs.where(col("doc_a") < cap && col("doc_b") < cap))
-      .select("doc_id", "cluster_id")
+    val stored = storedLabelsShared(docs, cap, threshold)
     val delta = pairs.where(col("doc_a") >= cap || col("doc_b") >= cap)
     mergeClusterLabels(stored,
       docs.where(col("doc_id") >= cap).select("doc_id"), delta)
@@ -1894,7 +2059,7 @@ object Dedup {
     * single-threaded (measured: q91 2.6 → 5.1 s before this).
     * An explicit width-N repartition at build time is one extra tiny
     * shuffle, paid once per corpus. */
-  private def checkpointWide(df: DataFrame): DataFrame =
+  private[operators] def checkpointWide(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .localCheckpoint(true)
 

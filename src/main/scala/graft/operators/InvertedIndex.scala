@@ -337,8 +337,34 @@ object InvertedIndex {
     * order-independent where float sums are not), and the final
     * ordering tie-breaks on doc_id. Scale: nothing corpus-sized is
     * broadcast; the top-k is a TakeOrdered, not a full sort. */
+  /** Session memo of the per-doc BM25 score relation (doc_id, score_q)
+    * for a given (terms, k1, b) — round-14 optimization: q99's ranked
+    * retrieval and q103's RRF fusion score the SAME query against the
+    * same corpus and differ only in the top-k cut, so the scoring
+    * tower (tokenize + fused dl/tf aggregation + df join) builds once
+    * per session and each consumer pays only its own TakeOrdered.
+    * Lazy (plan-audit) mode keeps the per-call tower. */
+  private val bm25Memo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int,
+      (String, Long, Long)), DataFrame]
+
+  /** Drop memoized BM25 score relations (multi-corpus drivers). */
+  def clearBm25Memo(): Unit = bm25Memo.clear()
+
   def bm25Search(docs: DataFrame, rawTerms: Seq[String], topK: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    Dedup.corpusMemo(bm25Memo, docs,
+      (rawTerms.distinct.mkString(" "),
+        math.round(k1 * 1e6), math.round(b * 1e6)))(
+      bm25DocScores(docs, rawTerms, k1, b).localCheckpoint(true))(
+      bm25DocScores(docs, rawTerms, k1, b))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(topK)
+
+  /** The scoring tower shared by every top-k cut — see [[bm25Search]]
+    * scaladoc above for the algebra. */
+  private def bm25DocScores(docs: DataFrame, rawTerms: Seq[String],
+      k1: Double, b: Double): DataFrame = {
     // dedup query terms at entry: a repeated term would become two tf
     // columns and two explode rows — inflating df and double-counting
     // its score — while the oracle's `WHERE word IN (...) GROUP BY
@@ -381,8 +407,6 @@ object InvertedIndex {
       .withColumn("ts_q", floor(col("term_score") * 1e6).cast("long"))
     scored.groupBy("doc_id")
       .agg(sum(col("ts_q")).as("score_q"))
-      .orderBy(col("score_q").desc, col("doc_id").asc)
-      .limit(topK)
   }
 
   /** q97 — proximity search: documents where `w1` and `w2` occur

@@ -1820,8 +1820,10 @@ object Relational {
     * comparisons per metric (strictly-greater, so ties share a
     * score deterministically); the output is the ≤ 5³ segment grid
     * with customer counts and exact cents mass. One custkey shuffle +
-    * three bounded-histogram aggregations; the per-customer relation
-    * is persisted across its four consumers. */
+    * ONE fused tagged-histogram aggregation (round 14 — previously
+    * three passes and three broadcast subtrees; the cumulative window
+    * is partitioned by metric tag over bounded histogram rows); the
+    * per-customer relation is persisted across its consumers. */
   def rfmSegments(orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val per = orders
@@ -1833,28 +1835,41 @@ object Relational {
         sum(round(col("o_totalprice") * 100).cast("long")).as("m_cents"))
       .withColumn("m_v", expr("m_cents div 10000"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def bounds(m: String, tag: String): DataFrame = {
-      val hist = per.groupBy(col(m).as("bin")).agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // the only unpartitioned window: over the BOUNDED histogram
-      val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
-      val tot = broadcast(hist.agg(sum(col("cnt")).as("n")))
-      cum.crossJoin(tot).agg(
-        min(when(col("cum") * 100 >= col("n") * 20, col("bin"))).as(s"${tag}20"),
-        min(when(col("cum") * 100 >= col("n") * 40, col("bin"))).as(s"${tag}40"),
-        min(when(col("cum") * 100 >= col("n") * 60, col("bin"))).as(s"${tag}60"),
-        min(when(col("cum") * 100 >= col("n") * 80, col("bin"))).as(s"${tag}80"))
-    }
+    // Round-14 optimization: the three per-metric quintile-boundary
+    // towers (one histogram pass + one broadcast subtree EACH) fuse
+    // into ONE: unpivot the three metrics to (tag, bin) rows, build
+    // one tagged histogram, run the cumulative over a window
+    // PARTITIONED by tag (previously three unpartitioned windows), and
+    // fold all 12 boundaries in one one-row aggregate — one corpus
+    // histogram pass and one broadcast instead of three of each. The
+    // per-tag histogram equals each metric's own histogram and the
+    // per-tag total equals the customer count, so every boundary value
+    // is unchanged (the oracle text is untouched and still matches).
+    val metricRows = per.select(explode(array(
+        struct(lit("rb").as("tag"), col("r_v").as("bin")),
+        struct(lit("fb").as("tag"), col("f_v").as("bin")),
+        struct(lit("mb").as("tag"), col("m_v").as("bin")))).as("tv"))
+      .select(col("tv.tag").as("tag"), col("tv.bin").as("bin"))
+    val hist = metricRows.groupBy("tag", "bin").agg(count(lit(1)).as("cnt"))
+    val wTag = Window.partitionBy("tag").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wTag))
+      .join(broadcast(hist.groupBy("tag").agg(sum(col("cnt")).as("n"))),
+        Seq("tag"))
+    def b(tag: String, p: Int) =
+      min(when(col("tag") === tag && col("cum") * 100 >= col("n") * p,
+        col("bin"))).as(s"$tag$p")
+    val bounds = cum.agg(
+      b("rb", 20), b("rb", 40), b("rb", 60), b("rb", 80),
+      b("fb", 20), b("fb", 40), b("fb", 60), b("fb", 80),
+      b("mb", 20), b("mb", 40), b("mb", 60), b("mb", 80))
     def score(v: String, tag: String) =
       (lit(1L) + (col(v) > col(s"${tag}20")).cast("long") +
         (col(v) > col(s"${tag}40")).cast("long") +
         (col(v) > col(s"${tag}60")).cast("long") +
         (col(v) > col(s"${tag}80")).cast("long")).as(s"${tag}_score")
     val result = per
-      .crossJoin(broadcast(bounds("r_v", "rb")))
-      .crossJoin(broadcast(bounds("f_v", "fb")))
-      .crossJoin(broadcast(bounds("m_v", "mb")))
+      .crossJoin(broadcast(bounds))
       .select(col("m_cents"), score("r_v", "rb"), score("f_v", "fb"),
         score("m_v", "mb"))
       .groupBy(col("rb_score").as("r_score"), col("fb_score").as("f_score"),

@@ -625,8 +625,13 @@ object Similarity {
     // TakeOrdered, one pass — NOT a full sort). iters > 0: the
     // q92-trained Lloyd codebook plugs in (q102) — tighter cells, same
     // probe plan; `trainCents` itself returns the seed at iters = 0,
-    // so one call covers both
-    val cents = trainCents(e, iters, numCents)
+    // so one call covers both. Round 14: eager mode reads the
+    // session-memoized codebook (one training shared with
+    // q92/q270/q93/q107); lazy keeps the in-plan training tower.
+    val cents =
+      if (Dedup.eagerMaterialize(embeddings))
+        trainedCents(embeddings, iters, numCents)
+      else trainCents(e, iters, numCents)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos6").desc, col("cent_id").asc)
     // persisted: the ranked assignment feeds both the corpus branch
@@ -739,14 +744,66 @@ object Similarity {
     cents
   }
 
-  def kmeansAssign(embeddings: DataFrame, iters: Int = 2, numCents: Int = 32): DataFrame = {
-    val e = withNorm(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val result = assignCells(e, trainCents(e, iters, numCents))
-      .select(col("vec_id"), col("cell"), round(col("ccos6"), 2).as("cos_sim"))
-      .orderBy("vec_id")
-    Dedup.finishWith(result, e)
-  }
+  /** Session memo of the TRAINED coarse codebook (round-14
+    * optimization): q92's assignment, q270's balance audit, and
+    * q102's trained-IVF probe all train the SAME `iters`-round Lloyd
+    * codebook over the same corpus (q43/q93/q107 share the iters=0
+    * seed the same way) — one training per (corpus, iters, numCents),
+    * the trainedPq/pcaMemo discipline. The leaf is numCents rows.
+    * Lazy (plan-audit) mode keeps the in-query training tower. */
+  private val centsMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, (Int, Int)), DataFrame]
+
+  /** Drop memoized codebooks (multi-corpus drivers). */
+  def clearCentsMemo(): Unit = centsMemo.clear()
+
+  private def trainedCents(embeddings: DataFrame, iters: Int,
+      numCents: Int): DataFrame =
+    Dedup.corpusMemo(centsMemo, embeddings, (iters, numCents))({
+      val e = withNorm(embeddings)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try trainCents(e, iters, numCents).localCheckpoint(true)
+      finally { e.unpersist(); () }
+    })(sys.error("trainedCents is eager-mode only — lazy callers keep " +
+      "their own training tower"))
+
+  /** Session memo of the trained ASSIGNMENT relation (vec_id, cell,
+    * ccos6) — q92 and q270 consume exactly these three columns of the
+    * same assignCells pass (q92 projects, q270 counts); the vectors
+    * themselves are deliberately NOT in the leaf (consumers that need
+    * them — q93's edge scoring — keep their own assignment). */
+  private val assignMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, (Int, Int)), DataFrame]
+
+  /** Drop memoized assignment relations (multi-corpus drivers). */
+  def clearAssignMemo(): Unit = assignMemo.clear()
+
+  private def assignedCellsShared(embeddings: DataFrame, iters: Int,
+      numCents: Int): DataFrame =
+    Dedup.corpusMemo(assignMemo, embeddings, (iters, numCents))({
+      val e = withNorm(embeddings)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try Dedup.checkpointWide(
+        assignCells(e, trainedCents(embeddings, iters, numCents))
+          .select(col("vec_id"), col("cell"), col("ccos6")))
+      finally { e.unpersist(); () }
+    })(sys.error("assignedCellsShared is eager-mode only"))
+
+  def kmeansAssign(embeddings: DataFrame, iters: Int = 2, numCents: Int = 32): DataFrame =
+    if (Dedup.eagerMaterialize(embeddings))
+      // round 14: read the shared assignment leaf (one train + one
+      // assignment pass per corpus, shared with q270)
+      Dedup.finishWith(assignedCellsShared(embeddings, iters, numCents)
+        .select(col("vec_id"), col("cell"), round(col("ccos6"), 2).as("cos_sim"))
+        .orderBy("vec_id"))
+    else {
+      val e = withNorm(embeddings)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val result = assignCells(e, trainCents(e, iters, numCents))
+        .select(col("vec_id"), col("cell"), round(col("ccos6"), 2).as("cos_sim"))
+        .orderBy("vec_id")
+      Dedup.finishWith(result, e)
+    }
 
   /** q270 — IVF CELL-BALANCE audit: the load profile of the q92
     * codebook as data. An IVF index is only as fast as its hottest
@@ -767,17 +824,26 @@ object Similarity {
     * micros end to end (truncating div; all terms positive). */
   def ivfCellBalance(embeddings: DataFrame, iters: Int = 2,
       numCents: Int = 32): DataFrame = {
-    val e = withNorm(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = assignCells(e, trainCents(e, iters, numCents))
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
-    val tot = counts.agg(sum(col("n_vecs")).as("tot"))
-    val result = counts.crossJoin(broadcast(tot))
-      .select(col("cell"), col("n_vecs"),
-        expr("n_vecs * 1000000 div tot").as("share_micros"),
-        expr(s"n_vecs * $numCents * 1000000 div tot").as("load_micros"))
-      .orderBy("cell")
-    Dedup.finishWith(result, e)
+    def fold(assigned: DataFrame): DataFrame = {
+      val counts = assigned
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      val tot = counts.agg(sum(col("n_vecs")).as("tot"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_vecs"),
+          expr("n_vecs * 1000000 div tot").as("share_micros"),
+          expr(s"n_vecs * $numCents * 1000000 div tot").as("load_micros"))
+        .orderBy("cell")
+    }
+    if (Dedup.eagerMaterialize(embeddings))
+      // round 14: the audit counts the SAME shared assignment leaf q92
+      // serves from — shared train + assignment, and the audit still
+      // cannot disagree with the index it audits (one definition)
+      Dedup.finishWith(fold(assignedCellsShared(embeddings, iters, numCents)))
+    else {
+      val e = withNorm(embeddings)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.finishWith(fold(assignCells(e, trainCents(e, iters, numCents))), e)
+    }
   }
 
   /** q210 — NEAREST-CENTROID (Rocchio / prototype) classification:
@@ -1082,8 +1148,16 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // iters > 0 plugs the q92-trained codebook in (tighter cells →
     // better recall at the same cell count); the oracle-gated default
-    // is the raw seed, keeping the q93 oracle SQL at one assignment
-    val assigned = assignCells(e, trainCents(e, iters, numCents))
+    // is the raw seed, keeping the q93 oracle SQL at one assignment.
+    // Round 14: the codebook reads the session memo in eager mode
+    // (shared with q43/q92/q102/q107/q270); the assignment stays
+    // per-call — q93's edge scoring needs v/nrm, which the shared
+    // narrow leaf deliberately drops.
+    val cents =
+      if (Dedup.eagerMaterialize(embeddings))
+        trainedCents(embeddings, iters, numCents)
+      else trainCents(e, iters, numCents)
+    val assigned = assignCells(e, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell"), col("vec_id").as("doc_a"),
       col("v").as("va"), col("nrm").as("na"))
@@ -1517,8 +1591,11 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (recon, pqHandles) = pqRecon(u, numSubs, subDim, ksub, iters)
     // q43's coarse assignment: seed codebook, crnk ranks cells per
-    // vector (home = 1, probes ≤ nprobe)
-    val cents = trainCents(e, 0, numCents)
+    // vector (home = 1, probes ≤ nprobe); round 14 — the seed reads
+    // the session memo in eager mode (shared with q43/q92/q93)
+    val cents =
+      if (Dedup.eagerMaterialize(embeddings)) trainedCents(embeddings, 0, numCents)
+      else trainCents(e, 0, numCents)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos6").desc, col("cent_id").asc)
     val ranked = e.crossJoin(broadcast(cents))

@@ -90,14 +90,14 @@ object TextAnalysis {
     * engines' libm may differ in the last ulp. */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = TextFns.tokens(docs)
-      .groupBy("doc_id", "word")
-      .agg(count(lit(1)).as("tf"))
+    // round 14: tf rides the shared (doc_id, word, tf) leaf — q41 and
+    // q241 fold the same relation, built once per corpus
+    val (tf, handles) = docTermFreq(docs)
     val dfDim = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word").asc)
-    tf.join(dfDim, Seq("word"))
+    val result = tf.join(dfDim, Seq("word"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
@@ -105,6 +105,33 @@ object TextAnalysis {
       .where(col("rnk") <= k)
       .select("doc_id", "rnk", "word", "tf", "df", "tfidf")
       .orderBy("doc_id", "rnk", "word")
+    Dedup.finishWith(result, handles: _*)
+  }
+
+  /** Session memo of the per-document term-frequency relation
+    * (doc_id, word, tf) — round-14 optimization: q41's TF-IDF ranking
+    * and q241's keyword extraction both start from this exact
+    * aggregation (their df/N towers are aggregates OF it), and each
+    * was re-running the corpus tokenize + (doc, word) count per call.
+    * Built once per corpus, the fusedSketch/bigram-memo discipline;
+    * lazy (plan-audit) mode keeps the per-call tower. */
+  private val tfMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Unit), DataFrame]
+
+  /** Drop the memoized term-frequency relations (multi-corpus
+    * drivers). */
+  def clearTfMemo(): Unit = tfMemo.clear()
+
+  private def docTermFreq(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    def plan = TextFns.tokens(docs).groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    if (!Dedup.eagerMaterialize(docs)) {
+      val p = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (p, Seq(p))
+    } else
+      (Dedup.corpusMemo(tfMemo, docs, ())(checkpointWideTA(plan))(
+        sys.error("docTermFreq lazy path must persist and return handles")),
+        Nil)
   }
 
   /** q44 — document chunking: fixed-width character windows with
@@ -231,6 +258,39 @@ object TextAnalysis {
         element_at(col("ws"), col("i")).as("w1"),
         element_at(col("ws"), col("i") + 1).as("w2"))
 
+  /** Session memo of the per-doc bigram-multiplicity relation
+    * (doc_id, w1, w2, m) — round-14 optimization. Three oracle-gated
+    * consumers start from this exact relation (q62's model counts sum
+    * it over docs, q88's scorer and q265's reference-LM gate fold it
+    * per doc — q268 rides q265 whole), and each was re-running the
+    * corpus tokenize + pair explode + (doc,w1,w2) aggregation per
+    * call. The leaf is the per-doc-deduplicated counts — strictly
+    * smaller than the bigram stream (the q88 round-6 argument), now
+    * built once per corpus instead of once per consumer. Same key
+    * discipline as the sketch/print/calib memos; lazy (plan-audit)
+    * mode keeps the per-call persisted tower. */
+  private val bigramMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Unit), DataFrame]
+
+  /** Drop the memoized bigram-count relations (multi-corpus drivers). */
+  def clearBigramMemo(): Unit = bigramMemo.clear()
+
+  /** The (doc_id, w1, w2, m) relation plus the persist handles the
+    * caller must release via `finishWith` — the fusedSketch contract:
+    * eager mode memoizes a checkpoint leaf (nothing to release); lazy
+    * mode persists the full tower so Explain sees it. */
+  private def docBigramCounts(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    def plan = docBigrams(docs).groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("m"))
+    if (!Dedup.eagerMaterialize(docs)) {
+      val p = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (p, Seq(p))
+    } else
+      (Dedup.corpusMemo(bigramMemo, docs, ())(checkpointWideTA(plan))(
+        sys.error("docBigramCounts lazy path must persist and return handles")),
+        Nil)
+  }
+
   /** q62 — bigram language model: global (w1, w2) counts with the
     * conditional probability p(w2|w1) = c(w1,w2)/c(w1,·), top-`k`
     * bigrams. The order-preserving tokenize is one narrow projection
@@ -243,12 +303,18 @@ object TextAnalysis {
     * Probabilities are exact integer ratios — bit-identical across
     * engines. */
   def bigramLm(docs: DataFrame, k: Int = 50): DataFrame = {
-    val c = docBigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    // counts derive from the shared per-doc multiplicity leaf (round
+    // 14): Σ_doc m(doc, w1, w2) ≡ count over the bigram stream, so the
+    // model is unchanged while the tokenize pass is shared with
+    // q88/q265
+    val (b, handles) = docBigramCounts(docs)
+    val c = b.groupBy("w1", "w2").agg(sum(col("m")).as("c"))
     val cw1 = c.groupBy("w1").agg(sum(col("c")).as("c_w1"))
-    c.join(cw1, Seq("w1"))
+    val result = c.join(cw1, Seq("w1"))
       .withColumn("cond_p", col("c").cast("double") / col("c_w1"))
       .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
       .limit(k)
+    Dedup.finishWith(result, handles: _*)
   }
 
   /** q88 — language-model scoring (the perplexity-filter signal): each
@@ -292,9 +358,9 @@ object TextAnalysis {
     // plan auditors in lazy mode). Scoring weights by m (sum(m),
     // sum(m·lp_q)) — exactly the per-occurrence sums, so the contract
     // output is unchanged.
-    val b = docBigrams(docs).groupBy("doc_id", "w1", "w2")
-      .agg(count(lit(1)).as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // round 14: the relation is the session-memoized shared leaf
+    // (q62/q88/q265 — one tokenize+pair pass per corpus, not three)
+    val (b, handles) = docBigramCounts(docs)
     val c12 = b.groupBy("w1", "w2").agg(sum(col("m")).as("c12"))
     val c1 = b.groupBy("w1").agg(sum(col("m")).as("c1"))
     val result = b.join(c12.join(c1, Seq("w1")), Seq("w1", "w2"))
@@ -306,7 +372,7 @@ object TextAnalysis {
       .withColumn("avg_logprob",
         col("sum_lp_q").cast("double") / 1e6 / col("n_bigrams"))
       .orderBy("doc_id")
-    Dedup.finishWith(result, b)
+    Dedup.finishWith(result, handles: _*)
   }
 
   /** q265 — REFERENCE-LM quality filter, the CCNet shape that q88's
@@ -337,9 +403,9 @@ object TextAnalysis {
     * partitioning. */
   def referenceLmFilter(docs: DataFrame, refLang: String = "en",
       keepNllMicros: Long = 7000000L): DataFrame = {
-    val b = docBigrams(docs).groupBy("doc_id", "w1", "w2")
-      .agg(count(lit(1)).as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // round 14: shared leaf (see docBigramCounts) — q265 and its q268
+    // calibration stop re-tokenizing the corpus q88 already paid for
+    val (b, handles) = docBigramCounts(docs)
     val refB = b.join(
       docs.where(col("lang") === refLang).select("doc_id"), "doc_id")
     val c12 = refB.groupBy("w1", "w2").agg(sum(col("m")).as("c12"))
@@ -370,7 +436,7 @@ object TextAnalysis {
         col("nll_mean_micros") <= keepNllMicros)
       .select("doc_id", "lang", "n_bigrams", "nll_mean_micros", "keep")
       .orderBy("doc_id")
-    Dedup.finishWith(result, b)
+    Dedup.finishWith(result, handles: _*)
   }
 
   /** q268 — CALIBRATION of the q265 reference-LM gate: the keep-rate
@@ -1551,8 +1617,70 @@ object TextAnalysis {
     * the df aggregate, both denominator counts, and the pair join from
     * one reused exchange. The oracle replays the identical algebra
     * (window-min selection included) in DuckDB. */
+  /** Session memo of the df-CAPPED print relation (round-14
+    * optimization): q195's pair inversion and q267's containment
+    * recall both build the same capped (doc_id, fp) relation off the
+    * memoized prints (distinct + df aggregate + cap join) per call —
+    * one build per (corpus, k, w, maxDf) now. */
+  private val winnowKeptMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, (Int, Int, Long)),
+      DataFrame]
+
+  /** Drop memoized capped-print relations (multi-corpus drivers). */
+  def clearWinnowKeptMemo(): Unit = winnowKeptMemo.clear()
+
+  private def winnowKeptShared(docs: DataFrame, k: Int, w: Int,
+      maxDf: Long): DataFrame =
+    Dedup.corpusMemo(winnowKeptMemo, docs, (k, w, maxDf))({
+      val kp = winnowKeptPrints(
+        winnowPrintsShared(docs, k, w).select("doc_id", "fp").distinct(),
+        maxDf)
+      try checkpointWideTA(kp) finally { kp.unpersist(); () }
+    })(sys.error("winnowKeptShared is eager-mode only — lazy callers " +
+      "keep the per-call tower"))
+
+  /** Session memo of the winnow candidate-PAIR relation
+    * (doc_a, doc_b, n_shared) — the fp-keyed self-join is the dominant
+    * per-call cost left after the print/kept memos; q195 and q267
+    * consume the same relation. */
+  private val winnowPairMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int,
+      (Int, Int, Long, Long)), DataFrame]
+
+  /** Drop memoized winnow pair relations (multi-corpus drivers). */
+  def clearWinnowPairMemo(): Unit = winnowPairMemo.clear()
+
+  private def winnowPairsMemoized(docs: DataFrame, k: Int, w: Int,
+      maxDf: Long, minShared: Long): DataFrame =
+    Dedup.corpusMemo(winnowPairMemo, docs, (k, w, maxDf, minShared))(
+      checkpointWideTA(
+        winnowPairsOf(winnowKeptShared(docs, k, w, maxDf), minShared)))(
+      sys.error("winnowPairsMemoized is eager-mode only — lazy callers " +
+        "keep the per-call tower"))
+
   def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
-      maxDf: Long = 10L, minShared: Long = 2L): DataFrame = {
+      maxDf: Long = 10L, minShared: Long = 2L): DataFrame =
+    if (Dedup.eagerMaterialize(docs)) {
+      // round 14: kept prints and candidate pairs are the shared
+      // leaves (one build, two consumers with q267)
+      val kept = winnowKeptShared(docs, k, w, maxDf)
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_prints"))
+      val result = winnowPairsMemoized(docs, k, w, maxDf, minShared)
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n_prints", "n_a"), Seq("doc_a"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n_prints", "n_b"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+        .orderBy("doc_a", "doc_b")
+      Dedup.finishWith(result)
+    } else winnowPairsTower(docs, k, w, maxDf, minShared)
+
+  /** The original full tower — lazy (plan-audit) mode, and the
+    * SharedTowerSpec equivalence baseline for the leaf path. */
+  private def winnowPairsTower(docs: DataFrame, k: Int, w: Int,
+      maxDf: Long, minShared: Long): DataFrame = {
     val prints = winnowPrintsShared(docs, k, w)
       .select("doc_id", "fp").distinct()
     // the df-cap stays a JOIN against the aggregated fp list — unlike
@@ -1605,11 +1733,18 @@ object TextAnalysis {
     * relation plus the persisted handle the caller must release. */
   private[graft] def winnowCandidates(docs: DataFrame, k: Int = 8,
       w: Int = 4, maxDf: Long = 10L, minShared: Long = 2L)
-      : (DataFrame, DataFrame) = {
-    val kept = winnowKeptPrints(
-      winnowPrintsShared(docs, k, w).select("doc_id", "fp").distinct(), maxDf)
-    (winnowPairsOf(kept, minShared).select("doc_a", "doc_b"), kept)
-  }
+      : (DataFrame, Seq[DataFrame]) =
+    if (Dedup.eagerMaterialize(docs))
+      // round 14: the memoized pair leaf (shared with q195) — memo
+      // leaves are session-owned, so there is no handle to release
+      (winnowPairsMemoized(docs, k, w, maxDf, minShared)
+        .select("doc_a", "doc_b"), Nil)
+    else {
+      val kept = winnowKeptPrints(
+        winnowPrintsShared(docs, k, w).select("doc_id", "fp").distinct(),
+        maxDf)
+      (winnowPairsOf(kept, minShared).select("doc_a", "doc_b"), Seq(kept))
+    }
 
   /** q231 — Cohen's kappa between the trained classifier (q209's pred)
     * and its seed teacher (the stop-ratio heuristic), per split: raw
@@ -1679,9 +1814,9 @@ object TextAnalysis {
     * no unpartitioned sort anywhere. */
   def docKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = TextFns.tokens(docs).groupBy("doc_id", "word")
-      .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // round 14: tf rides the shared (doc_id, word, tf) leaf (see
+    // docTermFreq — one build, two consumers with q41)
+    val (tf, handles) = docTermFreq(docs)
     val dfc = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nd = tf.agg(countDistinct(col("doc_id")).as("n"))
     val w = Window.partitionBy("doc_id")
@@ -1693,7 +1828,7 @@ object TextAnalysis {
       .where(col("rk") <= k)
       .select("doc_id", "word", "tf", "score_q")
       .orderBy(col("doc_id"), col("score_q").desc, col("word"))
-    Dedup.finishWith(result, tf)
+    Dedup.finishWith(result, handles: _*)
   }
 
   /** q242 — QUANTILE NORMALIZATION of a numeric column within groups:

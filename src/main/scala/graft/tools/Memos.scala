@@ -13,15 +13,24 @@ object Memos {
     graft.operators.Dedup.clearSketchMemo()
     graft.operators.Dedup.clearSigMemo()
     graft.operators.Dedup.clearPairMemo()
+    graft.operators.Dedup.clearVerifiedPairsMemo()
     graft.operators.Dedup.clearCalibMemo()
     graft.operators.Dedup.clearClusterMemo()
+    graft.operators.Dedup.clearStoredLabelsMemo()
     graft.operators.TextAnalysis.clearPrintMemo()
     graft.operators.TextAnalysis.clearNbMemo()
+    graft.operators.TextAnalysis.clearBigramMemo()
+    graft.operators.TextAnalysis.clearTfMemo()
+    graft.operators.TextAnalysis.clearWinnowKeptMemo()
+    graft.operators.TextAnalysis.clearWinnowPairMemo()
     graft.operators.Similarity.clearPcaMemo()
     graft.operators.Similarity.clearNswScoredMemo()
     graft.operators.Similarity.clearTrainedPq()
+    graft.operators.Similarity.clearCentsMemo()
+    graft.operators.Similarity.clearAssignMemo()
     graft.operators.Events.clearAnchorMemo()
     graft.operators.Bpe.clearTrainMemo()
+    graft.operators.InvertedIndex.clearBm25Memo()
     graft.sources.LabelStore.clearGateMemo()
   }
 }

@@ -31,6 +31,10 @@ class ArtifactStoreSpec extends SparkSpec {
   test("store disabled by default: no artifact traffic") {
     val (h0, m0) = counters
     Dedup.clearSketchMemo()
+    // round 14: the verified-pair memo sits ABOVE the sketch tower —
+    // clear it too, or a prior test's pair leaf serves the call before
+    // it ever reaches the artifact-backed sketch build
+    Dedup.clearVerifiedPairsMemo()
     val docs = spark.read.parquet(corpusPath)
     Dedup.minhashNearDup(docs, 0.95).collect()
     assert(counters === ((h0, m0)), "artifactDir unset must not touch the store")
@@ -38,6 +42,10 @@ class ArtifactStoreSpec extends SparkSpec {
 
   test("a second session serves the stored sketch: build once, load thereafter") {
     Dedup.clearSketchMemo()
+    // round 14: the verified-pair memo sits ABOVE the sketch tower —
+    // clear it too, or a prior test's pair leaf serves the call before
+    // it ever reaches the artifact-backed sketch build
+    Dedup.clearVerifiedPairsMemo()
     spark.conf.set("spark.graft.artifactDir", storeDir)
     try {
       val (h0, m0) = counters
@@ -65,6 +73,10 @@ class ArtifactStoreSpec extends SparkSpec {
 
   test("a corpus rewrite (mtime change) invalidates the key: no stale serve") {
     Dedup.clearSketchMemo()
+    // round 14: the verified-pair memo sits ABOVE the sketch tower —
+    // clear it too, or a prior test's pair leaf serves the call before
+    // it ever reaches the artifact-backed sketch build
+    Dedup.clearVerifiedPairsMemo()
     spark.conf.set("spark.graft.artifactDir", storeDir)
     try {
       // warm the artifact under the current fingerprint
