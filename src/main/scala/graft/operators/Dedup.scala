@@ -1240,7 +1240,26 @@ object Dedup {
     * — in production the verify joins candidates back to the corpus by
     * doc_id, cost proportional to candidates, not corpus). Nothing is
     * broadcast, nothing is all-pairs. */
-  def incrementalNearDup(docs: DataFrame, cap: Long, threshold: Double): DataFrame = {
+  /** Session memo of the incremental-probe match relation — round-14
+    * optimization: q90's audit row, q269's keeper upgrades, and q275's
+    * merge-pending staleness all probe the SAME (cap, threshold)
+    * new×old match relation; each was re-paying the band probe +
+    * exact verify per call. Keyed like every corpus memo plus (cap,
+    * threshold-micros); lazy mode keeps the full tower. */
+  private val incrementalPairsMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, (Long, Long)),
+      DataFrame]
+
+  /** Drop memoized incremental-probe matches (multi-corpus drivers). */
+  def clearIncrementalPairsMemo(): Unit = incrementalPairsMemo.clear()
+
+  def incrementalNearDup(docs: DataFrame, cap: Long, threshold: Double): DataFrame =
+    corpusMemo(incrementalPairsMemo, docs, (cap, math.round(threshold * 1e6)))(
+      incrementalNearDupBuild(docs, cap, threshold))(
+      incrementalNearDupBuild(docs, cap, threshold))
+
+  private def incrementalNearDupBuild(docs: DataFrame, cap: Long,
+      threshold: Double): DataFrame = {
     val (agged, handles) = fusedSketch(docs)
     val bands = bandExplode(agged)
     // new batch's bands probe yesterday's band index: candidates are

@@ -34,7 +34,10 @@ object InvertedIndex {
     * merge (R11, `main.c++:190-203`); `sort_array` replaces the bubble
     * sort (R14, `main.c++:240-252`). */
   def postingsUnordered(docs: DataFrame): DataFrame =
-    TextFns.docWords(docs)
+    // round 14: the distinct (doc_id, word) relation is the shared tf
+    // leaf in eager mode (one tokenize per corpus for the whole index
+    // family); lazy keeps the tokenize→distinct tower
+    TextAnalysis.docWordsShared(docs)
       .groupBy("word")
       .agg(
         sort_array(collect_set(col("doc_id"))).as("postings"),
@@ -108,7 +111,7 @@ object InvertedIndex {
     * Spark form of posting-list intersection is a left-semi join, which
     * Catalyst broadcasts when one side is small. */
   def docSetAnd(docs: DataFrame, w1: String, w2: String): DataFrame = {
-    val dw = TextFns.docWords(docs)
+    val dw = TextAnalysis.docWordsShared(docs)
     dw.where(col("word") === w1).select("doc_id")
       .join(dw.where(col("word") === w2).select("doc_id"), Seq("doc_id"), "left_semi")
       .orderBy("doc_id")
@@ -117,7 +120,7 @@ object InvertedIndex {
   /** q06 — doc-set EXCEPT: documents containing w1 but not w2
     * (left-anti join — posting-list difference). */
   def docSetExcept(docs: DataFrame, w1: String, w2: String): DataFrame = {
-    val dw = TextFns.docWords(docs)
+    val dw = TextAnalysis.docWordsShared(docs)
     dw.where(col("word") === w1).select("doc_id")
       .join(dw.where(col("word") === w2).select("doc_id"), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
@@ -130,7 +133,7 @@ object InvertedIndex {
   def postingsTyped(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    TextFns.docWords(docs)
+    TextAnalysis.docWordsShared(docs)
       .select(col("word"), col("doc_id"))
       .as[(String, Long)]
       .groupByKey(_._1)

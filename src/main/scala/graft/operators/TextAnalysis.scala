@@ -122,7 +122,7 @@ object TextAnalysis {
     * drivers). */
   def clearTfMemo(): Unit = tfMemo.clear()
 
-  private def docTermFreq(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+  private[operators] def docTermFreq(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     def plan = TextFns.tokens(docs).groupBy("doc_id", "word")
       .agg(count(lit(1)).as("tf"))
     if (!Dedup.eagerMaterialize(docs)) {
@@ -133,6 +133,20 @@ object TextAnalysis {
         sys.error("docTermFreq lazy path must persist and return handles")),
         Nil)
   }
+
+  /** The distinct (doc_id, word) relation, served from the tf leaf in
+    * eager mode — round-14 optimization: `TextFns.docWords` (tokenize →
+    * distinct) is the entry stage of the whole index family (q02–q06,
+    * q37, q38's df side, q84's co-occurrence pairs), and the tf leaf's
+    * key set IS that relation (tokens.groupBy(doc_id, word) groups ≡
+    * tokens.distinct rows), so every consumer reads one shared build
+    * instead of re-tokenizing. Lazy (plan-audit) mode keeps the plain
+    * tokenize→distinct plan — towers stay auditable and the lazy path
+    * needs no persist (it never did). */
+  private[operators] def docWordsShared(docs: DataFrame): DataFrame =
+    if (Dedup.eagerMaterialize(docs))
+      docTermFreq(docs)._1.select("doc_id", "word")
+    else TextFns.docWords(docs)
 
   /** q44 — document chunking: fixed-width character windows with
     * overlap (`step` < `width`), the standard pre-tokenization split a
@@ -1079,7 +1093,12 @@ object TextAnalysis {
     * an exact integer ratio. */
   def vocabFreq(docs: DataFrame, k: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = TextFns.tokens(docs).groupBy("word").agg(count(lit(1)).as("c"))
+    // round 14: occurrence counts are Σ tf over the shared leaf
+    // (identical to counting the token stream); lazy keeps the tower
+    val counts =
+      if (Dedup.eagerMaterialize(docs))
+        docTermFreq(docs)._1.groupBy("word").agg(sum(col("tf")).as("c"))
+      else TextFns.tokens(docs).groupBy("word").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("total"))
     val top = counts.orderBy(col("c").desc, col("word").asc).limit(k)
     // the window ranks only the k collected rows — bounded by k
@@ -1149,7 +1168,10 @@ object TextAnalysis {
   def pmiPairs(docs: DataFrame, dfLoFrac: Double = 0.01,
       dfHiFrac: Double = 1.0, minPair: Long = 5L, k: Int = 50): DataFrame = {
     val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val dw = TextFns.docWords(docs)
+    // round 14: the distinct (doc_id, word) relation rides the shared
+    // tf leaf (one tokenize per corpus; both the df side and the pair
+    // sides read the same leaf)
+    val dw = docWordsShared(docs)
     val dfDim = dw.groupBy("word").agg(count(lit(1)).as("df"))
     val banded = dw.join(dfDim, Seq("word"))
       .crossJoin(broadcast(nDocs))
@@ -1881,8 +1903,12 @@ object TextAnalysis {
     * TakeOrdered is a per-partition heap. */
   def pmiCollocations(docs: DataFrame, minCount: Long = 5L,
       k: Int = 50): DataFrame = {
-    val b = docBigrams(docs).groupBy("w1", "w2")
-      .agg(count(lit(1)).as("c12"))
+    // round 14: global bigram counts derive from the shared per-doc
+    // multiplicity leaf (Σ_doc m ≡ count over the stream — the q62
+    // law), sharing the tokenize+pair pass with q62/q88/q247/q265
+    val (bb, bHandles) = docBigramCounts(docs)
+    val b = bb.groupBy("w1", "w2")
+      .agg(sum(col("m")).as("c12"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = b.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val c2 = b.groupBy("w2").agg(sum(col("c12")).as("c2"))
@@ -1894,7 +1920,7 @@ object TextAnalysis {
       .select("w1", "w2", "c12", "pmi_q")
       .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
       .limit(k)
-    Dedup.finishWith(result, b)
+    Dedup.finishWith(result, b +: bHandles: _*)
   }
 
   /** q249 — VOCABULARY GROWTH curve (Heaps' law, empirically): for
@@ -1917,11 +1943,14 @@ object TextAnalysis {
     // strictly smaller than the token stream and serves all three
     // aggregates (first-seen buckets, token counts, doc counts) — the
     // q88/q209 persisted-multiplicity discipline
-    val tc = TextFns.tokens(docs)
+    // round 14: bucket is a pure function of doc_id, so the fold is a
+    // PROJECTION of the shared (doc_id, word, tf) leaf — one tokenize
+    // per corpus shared with q41/q241/the index family (lazy mode
+    // keeps the per-call tower via docTermFreq's persisted branch)
+    val (tf0, handles) = docTermFreq(docs)
+    val tc = tf0
       .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
-      .groupBy("doc_id", "bucket", "word")
-      .agg(count(lit(1)).as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), col("bucket"), col("word"), col("tf").as("m"))
     val firstSeen = tc.groupBy("word").agg(min(col("bucket")).as("b"))
       .groupBy(col("b").as("bucket")).agg(count(lit(1)).as("new_words"))
     val perBucket = tc.groupBy("bucket")
@@ -1936,7 +1965,7 @@ object TextAnalysis {
         sum(col("n_tokens")).over(w).as("tokens_cum"),
         sum(col("nw")).over(w).as("vocab_cum"))
       .orderBy("bucket")
-    Dedup.finishWith(result, tc)
+    Dedup.finishWith(result, handles: _*)
   }
 
   /** q252 — VOCABULARY overlap between sources: Jaccard of the
@@ -1963,8 +1992,15 @@ object TextAnalysis {
   def vocabOverlap(docs: DataFrame): DataFrame = {
     // three consumers (sizes + both self-join sides) read the distinct
     // (source, word) relation: persist it once (the q88 discipline) so
-    // the tokenize pass runs once, not three times
-    val sw = TextFns.tokens(docs, Seq("source"))
+    // the tokenize pass runs once, not three times. Round 14: the
+    // (doc, word) pairs come from the shared tf leaf with the source
+    // attached by a doc-keyed join (source is functionally determined
+    // by doc_id, so distinct(source, word) over the join ≡ distinct
+    // over the source-carrying tokenize — same rows, one corpus
+    // tokenize per session instead of one per call).
+    val (tf0, handles) = docTermFreq(docs)
+    val sw = tf0.select("doc_id", "word")
+      .join(docs.select("doc_id", "source"), "doc_id")
       .select("source", "word").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = docs.select("source").distinct()
@@ -1986,7 +2022,7 @@ object TextAnalysis {
           "ELSE n_common * 1000000 div (n_a + n_b - n_common) END"))
       .select("src_a", "src_b", "n_a", "n_b", "n_common", "jaccard_micros")
       .orderBy("src_a", "src_b")
-    Dedup.finishWith(result, sw)
+    Dedup.finishWith(result, sw +: handles: _*)
   }
 
   /** q250 — length INEQUALITY per source (Gini coefficient): how
@@ -2046,8 +2082,10 @@ object TextAnalysis {
     * overflows BIGINT past N ≈ 3e9 bigrams (the q239 note). */
   def g2Collocations(docs: DataFrame, minCount: Long = 5L,
       k: Int = 50): DataFrame = {
-    val b = docBigrams(docs).groupBy("w1", "w2")
-      .agg(count(lit(1)).as("c12"))
+    // round 14: same shared bigram leaf as q239 (see pmiCollocations)
+    val (bb, bHandles) = docBigramCounts(docs)
+    val b = bb.groupBy("w1", "w2")
+      .agg(sum(col("m")).as("c12"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = b.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val c2 = b.groupBy("w2").agg(sum(col("c12")).as("c2"))
@@ -2068,7 +2106,7 @@ object TextAnalysis {
       .select("w1", "w2", "c12", "g2_q")
       .orderBy(col("g2_q").desc, col("w1"), col("w2"))
       .limit(k)
-    Dedup.finishWith(result, b)
+    Dedup.finishWith(result, b +: bHandles: _*)
   }
 
   /** q240 — what dedup DOES to the data: distinct 13-gram diversity of

@@ -14,6 +14,7 @@ object Memos {
     graft.operators.Dedup.clearSigMemo()
     graft.operators.Dedup.clearPairMemo()
     graft.operators.Dedup.clearVerifiedPairsMemo()
+    graft.operators.Dedup.clearIncrementalPairsMemo()
     graft.operators.Dedup.clearCalibMemo()
     graft.operators.Dedup.clearClusterMemo()
     graft.operators.Dedup.clearStoredLabelsMemo()

@@ -105,6 +105,46 @@ class SharedTowerSpec extends SparkSpec {
       lazyRows(TextAnalysis.docKeywords(docs)))
   }
 
+  test("docWords leaf: index family + co-occurrence ≡ their tokenize towers") {
+    import graft.operators.{InvertedIndex, Skew}
+    assert(rows(InvertedIndex.postingsStr(docs)) ===
+      lazyRows(InvertedIndex.postingsStr(docs)))
+    assert(rows(InvertedIndex.indexFormat(docs)) ===
+      lazyRows(InvertedIndex.indexFormat(docs)))
+    assert(rows(InvertedIndex.topkPerLetter(docs, 5)) ===
+      lazyRows(InvertedIndex.topkPerLetter(docs, 5)))
+    assert(rows(InvertedIndex.docSetAnd(docs, "batch", "scan")) ===
+      lazyRows(InvertedIndex.docSetAnd(docs, "batch", "scan")))
+    assert(rows(InvertedIndex.docSetExcept(docs, "batch", "slow")) ===
+      lazyRows(InvertedIndex.docSetExcept(docs, "batch", "slow")))
+    assert(rows(InvertedIndex.postingsTypedStr(docs)) ===
+      lazyRows(InvertedIndex.postingsTypedStr(docs)))
+    assert(rows(Skew.saltedWordJoin(docs)) ===
+      lazyRows(Skew.saltedWordJoin(docs)))
+    assert(rows(TextAnalysis.pmiPairs(docs)) ===
+      lazyRows(TextAnalysis.pmiPairs(docs)))
+  }
+
+  test("derived-count leaves: q79/q239/q247/q249/q252 ≡ their towers") {
+    assert(rows(TextAnalysis.vocabFreq(docs)) ===
+      lazyRows(TextAnalysis.vocabFreq(docs)))
+    assert(rows(TextAnalysis.pmiCollocations(docs)) ===
+      lazyRows(TextAnalysis.pmiCollocations(docs)))
+    assert(rows(TextAnalysis.g2Collocations(docs)) ===
+      lazyRows(TextAnalysis.g2Collocations(docs)))
+    assert(rows(TextAnalysis.vocabGrowth(docs)) ===
+      lazyRows(TextAnalysis.vocabGrowth(docs)))
+    assert(rows(TextAnalysis.vocabOverlap(docs)) ===
+      lazyRows(TextAnalysis.vocabOverlap(docs)))
+  }
+
+  test("incremental-probe leaf: q90 ≡ its tower, and q269/q275 read the same leaf") {
+    assert(rows(Dedup.incrementalNearDup(docs, 250L, 0.95)) ===
+      lazyRows(Dedup.incrementalNearDup(docs, 250L, 0.95)))
+    assert(Dedup.incrementalNearDup(docs, 250L, 0.95) eq
+      Dedup.incrementalNearDup(docs, 250L, 0.95))
+  }
+
   test("codebook/assignment leaves: q92/q270/q43/q102/q93 ≡ their towers") {
     assert(rows(Similarity.kmeansAssign(embeddings)) ===
       lazyRows(Similarity.kmeansAssign(embeddings)))
