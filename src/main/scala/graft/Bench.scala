@@ -213,19 +213,25 @@ object Bench {
       }
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","extra_runs_gt2s":$extra,"protocol":"$protocol","heavy_rows":$heavyNames,"vs_prev":$vsPrev}"""
-    println(json)
     // The full per-query JSON is ~4 KB at 100+ queries and every
     // BENCH_r1–r4 artifact shows "parsed": null with a truncated log
     // tail — so also (a) emit a SHORT single-line summary that survives
-    // any tail truncation, and (b) write file copies: the env-pointed
-    // path plus ./bench.json in the repo working dir, which gets
-    // committed so the 2×-baseline gate can be computed from data.
+    // any tail truncation — printed BOTH before and after the full JSON
+    // (round-14 verdict #2: the r14 driver tail cut the summary
+    // mid-line when it trailed the full JSON, so whichever side a
+    // future truncation window lands on, one complete copy survives) —
+    // and (b) write file copies: the env-pointed path plus ./bench.json
+    // in the repo working dir, which gets committed so the 2×-baseline
+    // gate can be computed from data.
     val mean = if (results.nonEmpty) total / results.size else 0.0
     val nFlagged =
       if (vsPrev == "null") -1
       else "\"q[A-Za-z0-9_]+\":\\{".r.findAllIn(
         vsPrev.drop(vsPrev.indexOf("\"flagged\""))).length
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"mean_sec_per_query":$mean%.4f,"sf":"$sfDir","vs_prev_flagged":$nFlagged}""")
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"mean_sec_per_query":$mean%.4f,"sf":"$sfDir","protocol":"$protocol","vs_prev_flagged":$nFlagged}"""
+    println(summary)
+    println(json)
+    println(summary)
     for (path <- Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json"),
                      "bench.json"))
       try java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -41,9 +41,16 @@ object Dedup {
       .agg(sort_array(collect_set(xxhash64(col(value)))).as("ws"),
         count(lit(1)).as("n"))
 
-  /** Distinct token set per document (hash-encoded), with size. */
+  /** Distinct token set per document (hash-encoded), with size.
+    * Round 15: folds the shared (doc_id, word) leaf instead of
+    * re-tokenizing WHEN the leaf already exists (collect_set dedups, so
+    * leaf rows ≡ docWords rows give identical sets); when absent, the
+    * raw tokenize stays — callers like q18/q49 cap doc_id and rely on
+    * the predicate reaching the parquet scan, which a forced full-
+    * corpus leaf build would forfeit. */
   private[operators] def tokenSets(docs: DataFrame): DataFrame =
-    hashSets(TextFns.docWords(docs), "doc_id", "word")
+    hashSets(TextAnalysis.docWordsLeafPeek(docs)
+      .getOrElse(TextFns.docWords(docs)), "doc_id", "word")
 
   /** All ordered pairs (doc_a < doc_b) of a bounded set frame. */
   private def allPairs(sets: DataFrame): DataFrame =
@@ -136,18 +143,35 @@ object Dedup {
       .withColumn("pos", row_number().over(w))
       .where(col("pos") <=
         col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + 1)
-      .select("doc_id", "wid", "n")
+      .select(col("doc_id"), col("wid"), col("n"),
+        col("pos").cast("long").as("pos"))
     // All-Pairs length filter: J(A,B) ≥ t ⟹ t·|B| ≤ |A| ≤ |B|/t
     // (|A∩B| ≤ min, |A∪B| ≥ max ⟹ J ≤ min/max) — an integer
     // size-ratio residual on the candidate join that kills most
-    // bucket pairs BEFORE the distinct and the set fetch
+    // bucket pairs BEFORE the distinct and the set fetch.
+    // Round 15 adds the POSITIONAL filter (Xiao et al., PPJoin): pos is
+    // each token's rank in the SAME global (df asc, id asc) order
+    // within its doc, so for a shared token at ranks (pa, pb) the
+    // overlap splits into tokens ordered before it (≤ min(pa,pb)−1 —
+    // they sit inside both docs' first pa−1/pb−1 tokens) and tokens
+    // from it on (≤ min(na−pa, nb−pb)+1), giving
+    // O ≤ min(pa,pb)−1 + min(na−pa, nb−pb)+1, while J ≥ t needs
+    // O·(tNum+tDen) ≥ tNum·(na+nb). The bound holds for EVERY shared
+    // token of a qualifying pair (not just the first), so filtering
+    // each candidate row by it can never drop a true pair — the oracle
+    // hash-match (naive quadratic form) and BlockingPropertiesSpec's
+    // random-corpus law re-prove exhaustiveness on data. Exact integer
+    // arithmetic throughout (no float threshold).
     val cand = prefix.select(col("doc_id").as("doc_a"), col("wid"),
-        col("n").as("na"))
+        col("n").as("na"), col("pos").as("pa"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("wid"),
-        col("n").as("nb")), "wid")
+        col("n").as("nb"), col("pos").as("pb")), "wid")
       .where(col("doc_a") < col("doc_b") &&
         col("na") * tNum <= col("nb") * tDen &&
-        col("nb") * tNum <= col("na") * tDen)
+        col("nb") * tNum <= col("na") * tDen &&
+        (least(col("pa"), col("pb")) - 1 +
+          least(col("na") - col("pa"), col("nb") - col("pb")) + 1) *
+          (tNum + tDen) >= (col("na") + col("nb")) * tNum)
       .select("doc_a", "doc_b")
       .distinct()
     val result = jaccardVerify(cand
@@ -243,9 +267,25 @@ object Dedup {
     // probe: for each candidate indexed length lb within ±k and each
     // segment, hash the probe substring at every admissible shift;
     // sequence() reverses when upper < lower, so the window is clamped
-    // via greatest() and re-filtered (empty window → empty array)
-    val lo = s"greatest(0, ${ss("lb", "i")} - $k)"
-    val hi = s"least(l - ${sl("lb", "i")}, ${ss("lb", "i")} + $k)"
+    // via greatest() and re-filtered (empty window → empty array).
+    // Round 15: the shift window is the MULTI-MATCH-AWARE selection
+    // (Li/Deng/Feng 2011, lemma re-derived in PLANS.md r15): with
+    // Δ = l − lb, an optimal ≤ k edit script always leaves SOME segment
+    // i untouched with (edits before i) ≤ i and (edits after i) ≤ k−i
+    // [0-indexed] — the prefix-edit count walk from 0 to ≤ 0 moves by
+    // −1 at untouched segments, so it hits the admissible band — and
+    // the untouched segment's image start shifts from ss by at most the
+    // edits before it while the suffix pins it within k−i of ss+Δ. So
+    // start ∈ [ss−i, ss+i] ∩ [ss+Δ−(k−i), ss+Δ+(k−i)] suffices:
+    // fan-out per candidate length drops from (2k+1)·(k+1) to
+    // Σᵢ min(2i, 2(k−i))+1 ≈ (k+1)²/2 windows (45 → ≤13 at k = 4)
+    // with blocking still exhaustive — the oracle's naive theta form
+    // hash-match and BlockingPropertiesSpec's random-string law both
+    // re-prove it on data.
+    val lo = s"greatest(0, ${ss("lb", "i")} - i," +
+      s" ${ss("lb", "i")} + (l - lb) - ($k - i))"
+    val hi = s"least(l - ${sl("lb", "i")}, ${ss("lb", "i")} + i," +
+      s" ${ss("lb", "i")} + (l - lb) + ($k - i))"
     val probe = d.select(col("doc_id").as("doc_a"), explode(expr(
       s"""flatten(transform(sequence(greatest(0, l - $k), l + $k), lb ->
          |  flatten(transform(sequence(0, ${segs - 1}), i ->
@@ -1111,7 +1151,12 @@ object Dedup {
     * document, persisted (consumed by several pruned plan towers —
     * see minhashNearDup's lifecycle note). Callers unpersist. */
   private def fusedSketchPlan(docs: DataFrame): DataFrame =
-    TextFns.docWords(docs)
+    // round 15: ride the shared (doc_id, word) leaf in eager mode — the
+    // sketch is a full-corpus tower, so ONE tokenize per corpus serves
+    // the index family AND the sketch family (min/collect_set aggregate
+    // the distinct token set, and the leaf's rows ARE docWords' rows);
+    // lazy mode keeps the tokenize→distinct tower for the plan auditors
+    TextAnalysis.docWordsShared(docs)
       .withColumn("th", TextFns.polyHash(col("word")))
       .groupBy("doc_id")
       .agg(
@@ -2070,6 +2115,21 @@ object Dedup {
           Similarity.fileStateHash(docs), params), build)
     }
 
+  /** Non-building lookup under the [[corpusMemo]] key discipline: Some
+    * only when another consumer has ALREADY built this leaf in this
+    * session (always None in lazy/plan-audit mode). For first-consumer
+    * fast paths — an operator that can answer from a cheaper one-pass
+    * plan when the shared leaf doesn't exist, but should fold the leaf
+    * rather than re-scan the corpus when it does. */
+  private[operators] def corpusMemoPeek[P, V](
+      memo: scala.collection.concurrent.TrieMap[
+        (org.apache.spark.sql.SparkSession, Int, Int, P), V],
+      docs: DataFrame, params: P): Option[V] =
+    if (!eagerMaterialize(docs)) None
+    else memo.get(
+      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
+        Similarity.fileStateHash(docs), params))
+
   /** Checkpoint a memo leaf at FULL session parallelism. AQE coalesces
     * the small build shuffle to ~1 partition, and the leaf's accurate
     * (tiny) stats then let consumers plan BROADCAST joins with no
@@ -2095,7 +2155,12 @@ object Dedup {
     * sign bit is safe under ANSI overflow checks). One aggregation
     * pass, `bits` agg expressions, one shuffle, at any width. */
   private def simhashSigsWide(docs: DataFrame, bits: Int, th: Column): DataFrame = {
-    val toks = TextFns.docWords(docs).withColumn("th", th)
+    // round 15: fold the shared (doc_id, word) leaf when it exists
+    // (votes are over the distinct token set — identical rows); a
+    // SLICED frame (boundedAuditSlice) peek-misses and keeps its own
+    // pushdown-pruned tokenize
+    val toks = TextAnalysis.docWordsLeafPeek(docs)
+      .getOrElse(TextFns.docWords(docs)).withColumn("th", th)
     val bitSums = (0 until bits).map { b =>
       sum((shiftright(col("th"), b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$b")
     }
@@ -2369,7 +2434,8 @@ object Dedup {
     * decimal longs), so a consumer re-derives the typed array with
     * one `split().cast("array<long>")` projection. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val agged = TextFns.docWords(docs)
+    val agged = TextAnalysis.docWordsLeafPeek(docs)
+      .getOrElse(TextFns.docWords(docs))
       .withColumn("th", TextFns.polyHash(col("word")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), minhashSigCols: _*)

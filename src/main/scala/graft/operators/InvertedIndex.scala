@@ -43,6 +43,26 @@ object InvertedIndex {
         sort_array(collect_set(col("doc_id"))).as("postings"),
         count(lit(1)).as("df"))
 
+  /** [[postingsUnordered]] over a doc_id-sliced view of the corpus,
+    * served from the FULL corpus's shared (doc_id, word) leaf: a
+    * doc_id predicate commutes with tokenize + per-doc dedup (doc_id
+    * rides every token row untouched), so slice-then-tokenize ≡
+    * leaf-then-filter row for row. The store/demo builders ingest
+    * quarters/halves of ONE corpus — with the leaf each ingest is a
+    * filter + groupBy instead of a fresh corpus-slice tokenize
+    * (round 15: q261's four-quarter history alone ran seven of them).
+    * Lazy (plan-audit) mode folds the same predicate over the
+    * tokenize→distinct tower, where Catalyst pushes it into the scan —
+    * the pre-round-15 plan exactly. */
+  def postingsUnorderedSlice(docs: DataFrame,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    TextAnalysis.docWordsShared(docs)
+      .where(pred)
+      .groupBy("word")
+      .agg(
+        sort_array(collect_set(col("doc_id"))).as("postings"),
+        count(lit(1)).as("df"))
+
   /** q02 — the reference's core output: word → ascending posting list,
     * ordered by document frequency DESC, word ASC (R13,
     * `main.c++:37-44,236`). Library API: postings stays a typed
@@ -267,9 +287,9 @@ object InvertedIndex {
     * stored side is read, never re-derived; the join shuffles on
     * `word` (vocabulary-sized, the index's own key). */
   def indexMerge(docs: DataFrame, cap: Long): DataFrame = {
-    val stored = postingsUnordered(docs.where(col("doc_id") < cap))
+    val stored = postingsUnorderedSlice(docs, col("doc_id") < cap)
       .select(col("word"), col("df").as("df_old"), col("postings").as("p_old"))
-    val batch = postingsUnordered(docs.where(col("doc_id") >= cap))
+    val batch = postingsUnorderedSlice(docs, col("doc_id") >= cap)
       .select(col("word"), col("df").as("df_new"), col("postings").as("p_new"))
     val emptyPost = typedLit(Array.empty[Long])
     stored.join(batch, Seq("word"), "full_outer")
@@ -349,15 +369,23 @@ object InvertedIndex {
     * Lazy (plan-audit) mode keeps the per-call tower. */
   private val bm25Memo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, Int, Int,
-      (String, Long, Long)), DataFrame]
+      (Seq[String], Long, Long)), DataFrame]
 
   /** Drop memoized BM25 score relations (multi-corpus drivers). */
   def clearBm25Memo(): Unit = bm25Memo.clear()
 
   def bm25Search(docs: DataFrame, rawTerms: Seq[String], topK: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    // keyed on the term LIST itself (r14 ADVICE): a joined-string key
+    // needs a delimiter no term can contain; the list key removes the
+    // class of collision outright (and the literal NUL byte the interim
+    // fix put in this source file). Growth bound, documented (r14
+    // ADVICE): each distinct (terms, k1, b) pins one corpus-row-sized
+    // leaf for the session - a long-lived driver serving an UNBOUNDED
+    // ad-hoc query stream must call clearBm25Memo periodically (the
+    // suite's workload is two fixed queries).
     Dedup.corpusMemo(bm25Memo, docs,
-      (rawTerms.distinct.mkString(" "),
+      (rawTerms.distinct,
         math.round(k1 * 1e6), math.round(b * 1e6)))(
       bm25DocScores(docs, rawTerms, k1, b).localCheckpoint(true))(
       bm25DocScores(docs, rawTerms, k1, b))

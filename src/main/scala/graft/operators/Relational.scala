@@ -1760,32 +1760,52 @@ object Relational {
       col("l_partkey").as("part")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sup = raw.groupBy("part").agg(count(lit(1)).as("sup"))
-    // the basket-size gate makes the prune's cost proportional to the
-    // OVERSIZED TAIL, not the corpus: sub-cap baskets (every basket,
-    // in this schema) keep all items and never touch the support join
-    // — measured, the ungated form's part-keyed join + corpus window
-    // nearly doubled the query — while an oversized basket routes
-    // through the rarest-first ranking (rank by global support asc,
-    // ties by part id; the one window is partitioned by basket)
-    val sizes = raw.groupBy("ok").agg(count(lit(1)).as("bsz"))
-    val withSz = raw.join(sizes, "ok")
-    val small = withSz.where(col("bsz") <= maxBasket).select("ok", "part")
+    // Round 15 (§2.4 — the suite's most expensive warm row was stage-
+    // count-bound, not data-bound): baskets collect ONCE into a sorted
+    // per-basket array — the q22 fused-sketch per-key collect pattern —
+    // and the in-basket pair fan-out becomes a codegen'd combination
+    // expansion over that array. This replaces the old size aggregation
+    // + size join + small/big union + second persist + orderkey
+    // SELF-JOIN (four extra exchanges and a cache materialization) with
+    // one groupBy(ok). The basket-size gate survives on the array
+    // itself: sub-cap baskets (every basket in this schema) expand
+    // directly and never touch the support join — the ungated
+    // per-item sup join + corpus window measured ~2× the query in an
+    // earlier round — while an OVERSIZED basket (one row per basket,
+    // array-sized like q22's per-doc token sets) re-explodes through
+    // the rarest-first ranking (rank by global support asc, ties by
+    // part id; the one window is partitioned by basket) and re-collects
+    // capped, so the PAIR stage stays bounded at C(maxBasket, 2) per
+    // basket — the hot-key bound is unchanged.
+    val combos = s"""flatten(transform(sequence(1, size(ps) - 1), i ->
+       |  transform(sequence(i + 1, size(ps)), j ->
+       |    struct(element_at(ps, i) AS part_a, element_at(ps, j) AS part_b))))"""
+      .stripMargin
+    val baskets = raw.groupBy("ok")
+      .agg(sort_array(collect_list(col("part"))).as("ps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val smallPairs = baskets
+      .where(size(col("ps")).between(2, maxBasket))
+      .select(explode(expr(combos)).as("p"))
     val wB = Window.partitionBy("ok").orderBy(col("sup"), col("part"))
-    val bigCapped = withSz.where(col("bsz") > maxBasket)
+    val bigPairs = baskets
+      .where(size(col("ps")) > maxBasket)
+      .select(col("ok"), explode(col("ps")).as("part"))
       .join(sup, "part")
       .withColumn("rk", row_number().over(wB))
       .where(col("rk") <= maxBasket)
-      .select("ok", "part")
-    val items = small.unionByName(bigCapped)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = items.as("x").join(items.as("y"), Seq("ok"))
-      .where(col("x.part") < col("y.part"))
-      .select(col("x.part").as("part_a"), col("y.part").as("part_b"))
+      .groupBy("ok")
+      .agg(sort_array(collect_list(col("part"))).as("ps"))
+      .select(explode(expr(combos)).as("p"))
+    val pairs = smallPairs.unionByName(bigPairs)
+      .select(col("p.part_a"), col("p.part_b"))
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("sup_ab"))
       .where(col("sup_ab") >= minSupport)
-    val n = broadcast(raw.select("ok").distinct()
-      .agg(count(lit(1)).as("n_baskets")))
+    // n_baskets = |distinct ok| = one count over the PERSISTED baskets
+    // frame (a cache scan, unlike the un-persisted sizes variant that
+    // measured slower by recomputing its aggregate twice)
+    val n = broadcast(baskets.agg(count(lit(1)).as("n_baskets")))
     val result = pairs
       .join(sup.withColumnRenamed("part", "part_a")
         .withColumnRenamed("sup", "sup_a"), "part_a")
@@ -1804,7 +1824,7 @@ object Relational {
         expr("sup_ab * 1000000 div sup_b").as("conf_ba_micros"),
         expr("lift_num div lift_den").as("lift_micros"))
       .orderBy("part_a", "part_b")
-    Dedup.finishWith(result, raw, items)
+    Dedup.finishWith(result, raw, baskets)
   }
 
   /** q228 — RFM SEGMENTATION (recency / frequency / monetary), the

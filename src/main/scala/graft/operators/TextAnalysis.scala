@@ -148,6 +148,17 @@ object TextAnalysis {
       docTermFreq(docs)._1.select("doc_id", "word")
     else TextFns.docWords(docs)
 
+  /** Non-building peek at the shared leaf (round 15): Some((doc_id,
+    * word)) only when the tf leaf ALREADY exists for this exact corpus
+    * frame. For towers that must keep their own tokenize when the leaf
+    * is absent — capped/sliced consumers whose raw plan pushes the
+    * doc_id predicate into the parquet scan (a leaf build would scan
+    * the full corpus for a bounded query), and single-consumer towers
+    * not worth a checkpoint of their own. A capped frame's semanticHash
+    * differs from the corpus frame's, so a peek on it simply misses. */
+  private[operators] def docWordsLeafPeek(docs: DataFrame): Option[DataFrame] =
+    Dedup.corpusMemoPeek(tfMemo, docs, ()).map(_.select("doc_id", "word"))
+
   /** q44 — document chunking: fixed-width character windows with
     * overlap (`step` < `width`), the standard pre-tokenization split a
     * training pipeline feeds to the tokenizer. Pure expressions —
@@ -317,18 +328,26 @@ object TextAnalysis {
     * Probabilities are exact integer ratios — bit-identical across
     * engines. */
   def bigramLm(docs: DataFrame, k: Int = 50): DataFrame = {
-    // counts derive from the shared per-doc multiplicity leaf (round
-    // 14): Σ_doc m(doc, w1, w2) ≡ count over the bigram stream, so the
-    // model is unchanged while the tokenize pass is shared with
-    // q88/q265
-    val (b, handles) = docBigramCounts(docs)
-    val c = b.groupBy("w1", "w2").agg(sum(col("m")).as("c"))
+    // q62 only needs the GLOBAL (w1, w2) counts. When the shared
+    // per-doc multiplicity leaf already exists (round 14: q88/q265
+    // build it), fold it — Σ_doc m(doc, w1, w2) ≡ count over the
+    // bigram stream, so the model is unchanged while the tokenize pass
+    // is shared. When it does NOT exist yet (first consumer, and every
+    // cold/lazy run), aggregate the bigram stream in ONE level instead
+    // of paying the (doc_id, w1, w2) pre-aggregation + checkpoint that
+    // only the per-doc consumers need — the r14 verdict's one
+    // code-linked regression (q62 0.67 → 1.01 s), recovered without
+    // touching what q62 computes (identical counts either way).
+    val c = Dedup.corpusMemoPeek(bigramMemo, docs, ()) match {
+      case Some(b) => b.groupBy("w1", "w2").agg(sum(col("m")).as("c"))
+      case None =>
+        docBigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    }
     val cw1 = c.groupBy("w1").agg(sum(col("c")).as("c_w1"))
-    val result = c.join(cw1, Seq("w1"))
+    c.join(cw1, Seq("w1"))
       .withColumn("cond_p", col("c").cast("double") / col("c_w1"))
       .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
       .limit(k)
-    Dedup.finishWith(result, handles: _*)
   }
 
   /** q88 — language-model scoring (the perplexity-filter signal): each

@@ -430,7 +430,7 @@ object IndexStore {
     if (!java.nio.file.Files.exists(done)) {
       val docs = Tables(spark, sfDir, "documents")
       writeIndexTable(
-        InvertedIndex.postingsUnordered(docs.where(col("doc_id") % 2 === 0)), out)
+        InvertedIndex.postingsUnorderedSlice(docs, col("doc_id") % 2 === 0), out)
       InvertedIndex.postingsUnordered(docs)
         .select(col("word"), col("df"),
           col("postings").cast("array<bigint>").as("postings"))
@@ -502,29 +502,32 @@ object IndexStore {
     val done = java.nio.file.Paths.get(out, "_DEMO_READY")
     if (!java.nio.file.Files.exists(done)) {
       val docs = Tables(spark, sfDir, "documents")
-      def quarter(i: Int) = docs.where(col("doc_id") % 4 === i)
+      // slices ride the full corpus's shared (doc_id, word) leaf — one
+      // tokenize for the whole four-quarter history (round 15)
+      def quarterPostings(i: Int) =
+        InvertedIndex.postingsUnorderedSlice(docs, col("doc_id") % 4 === i)
       def asDelta(df: org.apache.spark.sql.DataFrame) = df
         .select(col("word"), col("df"),
           col("postings").cast("array<bigint>").as("postings"))
-      writeIndexTable(InvertedIndex.postingsUnordered(quarter(0)), out)
-      writeIndexDelta(InvertedIndex.postingsUnordered(quarter(1)), out, epoch = 1L)
+      writeIndexTable(quarterPostings(0), out)
+      writeIndexDelta(quarterPostings(1), out, epoch = 1L)
       compact(spark, out, retainGeneration = true) // gen 0 = Q0
       val f = new java.io.File(out)
       val cat = GraftCatalog.registerFor(spark, "graft_vdgencat", f.getParent)
       // a-words out BEFORE gen 1's snapshot; Q2's delta re-adds them
       // with Q2-only postings → `added` in the gen-1-vs-gen-2 diff
       spark.sql(s"DELETE FROM $cat.`${f.getName}` WHERE word LIKE 'a%'")
-      writeIndexDelta(InvertedIndex.postingsUnordered(quarter(2)), out, epoch = 2L)
+      writeIndexDelta(quarterPostings(2), out, epoch = 2L)
       compact(spark, out, retainGeneration = true) // gen 1 = (Q0∪Q1) − a%
       // t-words out BETWEEN the diffed snapshots → `removed`
       spark.sql(s"DELETE FROM $cat.`${f.getName}` WHERE word LIKE 't%'")
       // matched-only MERGE: s-words rewound to Q0-only postings
       // (`shrunk`); w-words pinned to exactly their gen-1 Q0∪Q1
       // postings (`same`)
-      asDelta(InvertedIndex.postingsUnordered(quarter(0))
+      asDelta(quarterPostings(0)
           .where(col("word").startsWith("s")))
         .unionByName(asDelta(
-          InvertedIndex.postingsUnordered(docs.where(col("doc_id") % 4 <= 1))
+          InvertedIndex.postingsUnorderedSlice(docs, col("doc_id") % 4 <= 1)
             .where(col("word").startsWith("w"))))
         .createOrReplaceTempView("graft_vd_dml_src")
       spark.sql(
@@ -533,7 +536,7 @@ object IndexStore {
            |ON t.word = s.word
            |WHEN MATCHED THEN UPDATE SET df = s.df, postings = s.postings"""
           .stripMargin)
-      writeIndexDelta(InvertedIndex.postingsUnordered(quarter(3)), out, epoch = 3L)
+      writeIndexDelta(quarterPostings(3), out, epoch = 3L)
       compact(spark, out, retainGeneration = true) // gen 2 = post-DML state
       java.nio.file.Files.createFile(done)
     }
@@ -578,9 +581,9 @@ object IndexStore {
     if (!java.nio.file.Files.exists(done)) {
       val docs = Tables(spark, sfDir, "documents")
       writeIndexTable(
-        InvertedIndex.postingsUnordered(docs.where(col("doc_id") % 2 === 0)), out)
+        InvertedIndex.postingsUnorderedSlice(docs, col("doc_id") % 2 === 0), out)
       writeIndexDelta(
-        InvertedIndex.postingsUnordered(docs.where(col("doc_id") % 2 === 1)),
+        InvertedIndex.postingsUnorderedSlice(docs, col("doc_id") % 2 === 1),
         out, epoch = 1L)
       if (compactAfter) compact(spark, out, retainGeneration = retain)
       java.nio.file.Files.createFile(done)

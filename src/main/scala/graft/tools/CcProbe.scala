@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
 object CcProbe {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val threshold = args.lift(1).map(_.toDouble).getOrElse(0.9)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       // Wrong-results guard (found in-round via the q206 merge law; see
@@ -27,7 +28,7 @@ object CcProbe {
     }
     for (i <- 1 to 2) {
       val edges = t(s"pass$i minhashNearDup")(
-        graft.operators.Dedup.minhashNearDup(docs, 0.9))
+        graft.operators.Dedup.minhashNearDup(docs, threshold))
       t(s"pass$i clusterLabels")(
         graft.operators.Dedup.clusterLabels(docs.select("doc_id"),
           edges.select("doc_a", "doc_b")).count())

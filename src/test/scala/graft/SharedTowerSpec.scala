@@ -145,6 +145,29 @@ class SharedTowerSpec extends SparkSpec {
       Dedup.incrementalNearDup(docs, 250L, 0.95))
   }
 
+  test("round 15: sketch/signature/token-set towers over the shared docWords leaf ≡ their tokenize towers") {
+    // force the tf leaf into existence first, so the peek-based paths
+    // (tokenSets, simhash sigs, minhashSignatures) take the leaf fold —
+    // the exact configuration a warm suite runs in
+    TextAnalysis.tfidfTopTerms(docs, 5).collect()
+    assert(rows(Dedup.minhashNearDup(docs, 0.95)) ===
+      lazyRows(Dedup.minhashNearDup(docs, 0.95)))
+    assert(rows(Dedup.prefixFilterNearDup(docs)) ===
+      lazyRows(Dedup.prefixFilterNearDup(docs)))
+    assert(rows(Dedup.minhashSignatures(docs)) ===
+      lazyRows(Dedup.minhashSignatures(docs)))
+    assert(rows(Dedup.simhash(docs)) === lazyRows(Dedup.simhash(docs)))
+  }
+
+  test("round 15: q62 first-consumer fast path ≡ leaf fold ≡ lazy tower") {
+    TextAnalysis.clearBigramMemo()
+    val first = rows(TextAnalysis.bigramLm(docs)) // leaf absent: one-level aggregation
+    TextAnalysis.lmScore(docs).collect() // builds the shared bigram leaf
+    val after = rows(TextAnalysis.bigramLm(docs)) // leaf fold
+    assert(first === after)
+    assert(first === lazyRows(TextAnalysis.bigramLm(docs)))
+  }
+
   test("codebook/assignment leaves: q92/q270/q43/q102/q93 ≡ their towers") {
     assert(rows(Similarity.kmeansAssign(embeddings)) ===
       lazyRows(Similarity.kmeansAssign(embeddings)))
