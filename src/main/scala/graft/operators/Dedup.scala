@@ -1638,11 +1638,11 @@ object Dedup {
     // (SharedTowerSpec pins new ≡ old composition across a cap sweep,
     // and the oracle is still q262's full-rebuild text).
     val storedDocs = docs.where(col("doc_id") < cap)
-    val pairs = minhashNearDup(docs, threshold).select("doc_a", "doc_b")
     val storedLabels = storedLabelsShared(docs, cap, threshold)
-    val merged = mergeClusterLabels(storedLabels,
-      docs.where(col("doc_id") >= cap).select("doc_id"),
-      pairs.where(col("doc_a") >= cap || col("doc_b") >= cap))
+    // round 15: the merged label relation is the session-memoized q202
+    // leaf — q272 was re-running the contracted CC merge per call on
+    // identical inputs
+    val merged = mergedLabelsShared(docs, cap, threshold)
       .select("doc_id", "cluster_id")
     mergeKeeperTable(dedupOutputFrom(storedLabels, storedDocs), merged,
       docs.where(col("doc_id") >= cap)
@@ -2049,14 +2049,38 @@ object Dedup {
       plan.localCheckpoint(true))(plan)
   }
 
-  def incrementalClusters(docs: DataFrame, cap: Long,
+  /** Session memo of the MERGED (old ∪ batch) label relation — round
+    * 15: q202 IS this relation and q272 re-derives it as its label
+    * input, so each call was re-running the contracted-subgraph CC
+    * loop (a handful of checkpointed driver-floor jobs) on identical
+    * inputs. One merge per (corpus, cap, threshold) per session — the
+    * storedLabelsMemo discipline applied one composition higher. In
+    * production this relation is the LabelStore table the daily cycle
+    * COMMITS (STOREBENCH prices that path); the in-query rebuild is
+    * the oracle convention's cost. */
+  private val mergedLabelsMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, (Long, Long)),
+      DataFrame]
+
+  /** Drop memoized merged label relations (multi-corpus drivers). */
+  def clearMergedLabelsMemo(): Unit = mergedLabelsMemo.clear()
+
+  private def mergedLabelsShared(docs: DataFrame, cap: Long,
       threshold: Double): DataFrame = {
-    val pairs = minhashNearDup(docs, threshold).select("doc_a", "doc_b")
-    val stored = storedLabelsShared(docs, cap, threshold)
-    val delta = pairs.where(col("doc_a") >= cap || col("doc_b") >= cap)
-    mergeClusterLabels(stored,
-      docs.where(col("doc_id") >= cap).select("doc_id"), delta)
+    def plan = {
+      val pairs = minhashNearDup(docs, threshold).select("doc_a", "doc_b")
+      val stored = storedLabelsShared(docs, cap, threshold)
+      val delta = pairs.where(col("doc_a") >= cap || col("doc_b") >= cap)
+      mergeClusterLabels(stored,
+        docs.where(col("doc_id") >= cap).select("doc_id"), delta)
+    }
+    corpusMemo(mergedLabelsMemo, docs, (cap, math.round(threshold * 1e6)))(
+      plan.localCheckpoint(true))(plan)
   }
+
+  def incrementalClusters(docs: DataFrame, cap: Long,
+      threshold: Double): DataFrame =
+    mergedLabelsShared(docs, cap, threshold)
 
   /** q23 — SimHash document signatures: per-token polyHash votes ±1 on
     * each of SimHashBits bit positions; the signature packs the sign of

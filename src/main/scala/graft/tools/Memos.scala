@@ -18,6 +18,7 @@ object Memos {
     graft.operators.Dedup.clearCalibMemo()
     graft.operators.Dedup.clearClusterMemo()
     graft.operators.Dedup.clearStoredLabelsMemo()
+    graft.operators.Dedup.clearMergedLabelsMemo()
     graft.operators.TextAnalysis.clearPrintMemo()
     graft.operators.TextAnalysis.clearNbMemo()
     graft.operators.TextAnalysis.clearBigramMemo()

@@ -96,6 +96,13 @@ class SharedTowerSpec extends SparkSpec {
     val cap = maxId * 9 / 10
     assert(rows(Dedup.incrementalClusters(docs, cap, 0.95)) ===
       lazyRows(Dedup.incrementalClusters(docs, cap, 0.95)))
+    // round 15: q202's merged-label relation is itself a session leaf
+    // (q272 reads the same one) — a second call serves the same
+    // instance, a different cap is a different key
+    assert(Dedup.incrementalClusters(docs, cap, 0.95) eq
+      Dedup.incrementalClusters(docs, cap, 0.95))
+    assert(!(Dedup.incrementalClusters(docs, maxId / 2, 0.95) eq
+      Dedup.incrementalClusters(docs, cap, 0.95)))
   }
 
   test("term-frequency leaf: q41/q241 ≡ their per-call towers") {
